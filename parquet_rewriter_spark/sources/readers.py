@@ -1,0 +1,47 @@
+"""Table readers over the driver's Parquet fixtures.
+
+The reference opens one Parquet file and inherits its footer schema
+(ParquetRewriter.java:100-115). Spark equivalent: ``spark.read.parquet``
+(schema from footer, vectorized reader, row-group stats skipping under
+``spark.sql.parquet.filterPushdown``).
+
+One normalization lives here: ``events.ts`` is physical
+INT64 TIMESTAMP(NANOS), which Spark's reader rejects. We read it as
+long (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
+microsecond timestamp, truncating exactly the way DuckDB/pyarrow
+truncate ns → µs, so oracle comparisons agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; normalizes events.ts ns-long → timestamp."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # floor-divide ns → µs (ts is post-epoch in fixtures; floor == trunc)
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register each fixture as a temp view for the SQL surface."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

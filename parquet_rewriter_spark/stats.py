@@ -1,0 +1,94 @@
+"""Zone-map (per-file key min/max) collection from Parquet footers.
+
+This is the Spark-side analog of the reference's ``loadStats``
+(ParquetRewriter.java:239-251), which pulls the key column's min/max
+``Statistics`` per row group and hard-fails when absent. Two changes,
+both deliberate (SURVEY.md §2.1 R2/R5):
+
+- granularity is the **file**, not the row group — Spark cannot splice
+  row groups into an existing file, so the unit of passthrough/rewrite
+  is a part-file;
+- keys are typed (long/string/...), not signed-lexicographic binary —
+  we do NOT replicate the reference's deprecated
+  ``parquet.strings.signed-min-max.enabled`` quirk
+  (ParquetRewriter.java:97).
+
+Scale note (100 TB): footer reads are driver-side only below
+``DISTRIBUTED_THRESHOLD`` files; above it they run as a Spark job over
+the file list so a million-file table never serializes footer I/O on
+the driver. Tables maintained by this engine carry the same ranges in a
+manifest sidecar (table.py) so steady-state merges read **zero** footers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+
+DISTRIBUTED_THRESHOLD = 4096
+
+
+@dataclass(frozen=True)
+class FileStats:
+    """Key-column zone map for one Parquet part-file."""
+
+    path: str
+    num_rows: int
+    num_bytes: int
+    key_min: Any
+    key_max: Any
+
+
+def _footer_stats(path: str, key: str) -> FileStats:
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if key not in idx:
+        raise ValueError(f"key column {key!r} not in {path}")
+    col = idx[key]
+    kmin = kmax = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(col).statistics
+        if st is None or not st.has_min_max:
+            # Same contract as the reference: no stats on the key column
+            # is a hard error (ParquetRewriter.java:246-249).
+            raise ValueError(f"missing min/max statistics for {key!r} in {path} row group {rg}")
+        kmin = st.min if kmin is None else min(kmin, st.min)
+        kmax = st.max if kmax is None else max(kmax, st.max)
+    size = os.path.getsize(path)
+    return FileStats(path=path, num_rows=md.num_rows, num_bytes=size, key_min=kmin, key_max=kmax)
+
+
+def list_parquet_files(table_path: str) -> list[str]:
+    if os.path.isfile(table_path):
+        return [table_path]
+    out = []
+    for root, _dirs, files in os.walk(table_path):
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                out.append(os.path.join(root, fn))
+    return sorted(out)
+
+
+def collect_file_stats(
+    spark: SparkSession, table_path: str, key: str, files: list[str] | None = None
+) -> list[FileStats]:
+    """Per-file key zone maps; distributed above DISTRIBUTED_THRESHOLD files."""
+    files = files if files is not None else list_parquet_files(table_path)
+    if len(files) <= DISTRIBUTED_THRESHOLD:
+        return [_footer_stats(p, key) for p in files]
+    # Distributed footer scan: ship the file list, read footers on executors.
+    sc = spark.sparkContext
+    n_slices = max(1, len(files) // 64)
+
+    def part(paths: Iterator[str]) -> Iterator[tuple]:
+        for p in paths:
+            s = _footer_stats(p, key)
+            yield (s.path, s.num_rows, s.num_bytes, s.key_min, s.key_max)
+
+    rows = sc.parallelize(files, n_slices).mapPartitions(part).collect()
+    return [FileStats(*r) for r in sorted(rows)]

@@ -1,0 +1,200 @@
+"""SortedTable — key-sorted Parquet table layout with a key-range manifest.
+
+The reference's storage contract (README.md:21, ParquetRewriter.java:35-37):
+one Parquet file sorted by a unique primary key, mutated by writing a new
+file that passes clean row groups through verbatim. Spark's unit of
+passthrough is the part-file (no sub-file splice), so a table here is:
+
+    table_dir/
+      _manifest.json        # version, key column, per-file key ranges
+      part-<uuid>.parquet   # key-sorted data files
+
+The manifest is the 100 TB piece: it carries each file's (key_min,
+key_max, rows, bytes) so merge planning never lists or reads a million
+footers (SURVEY.md §4 custom piece #2). Commits are manifest flips
+(write temp + atomic rename) — readers never see a partial merge, the
+moral equivalent of the reference's write-new-file-then-swap commit
+(Mode.CREATE, ParquetRewriter.java:115).
+
+Invariants maintained (mirrors the reference's contract,
+ParquetRewriter.java:35-37 + tests ParquetRewriterTests.java:215-244):
+- every file is internally sorted by the key column;
+- no key appears twice anywhere in the table;
+- the manifest's per-file [min,max] ranges are exact (from footers).
+File ranges are *mostly* disjoint; after a merge that inserts into gaps
+they may overlap — zone-map pruning stays correct, just less selective.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_rewriter_spark.stats import collect_file_stats, list_parquet_files
+
+MANIFEST_NAME = "_manifest.json"
+DEFAULT_MAX_RECORDS_PER_FILE = 1_000_000  # reference used 10k-record ROW GROUPS
+# (README.md:94); our row groups stay parquet-default-sized inside bigger files.
+
+
+@dataclass
+class ManifestEntry:
+    name: str
+    rows: int
+    bytes: int
+    key_min: Any
+    key_max: Any
+
+
+@dataclass
+class Manifest:
+    version: int
+    key: str
+    files: list[ManifestEntry] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"version": self.version, "key": self.key, "files": [asdict(f) for f in self.files]},
+            indent=1,
+            default=str,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=d["version"],
+            key=d["key"],
+            files=[ManifestEntry(**f) for f in d["files"]],
+        )
+
+
+class SortedTable:
+    """A key-sorted, manifest-tracked Parquet table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---------- manifest ----------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, MANIFEST_NAME)
+
+    def manifest(self) -> Manifest:
+        with open(self._manifest_path) as fh:
+            return Manifest.from_json(fh.read())
+
+    def _commit_manifest(self, m: Manifest) -> None:
+        """Atomic manifest flip: temp file + rename (commit point)."""
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(m.to_json())
+        os.replace(tmp, self._manifest_path)
+
+    def file_paths(self, m: Manifest | None = None) -> list[str]:
+        m = m or self.manifest()
+        return [os.path.join(self.path, e.name) for e in m.files]
+
+    # ---------- create / read ----------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key: str,
+        max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+        num_files: int | None = None,
+    ) -> "SortedTable":
+        """Write ``df`` as a new sorted table (R12 sorted write).
+
+        ``repartitionByRange(key)`` gives range-disjoint files,
+        ``sortWithinPartitions(key)`` the in-file order — together the
+        reference's sorted-by-PK invariant, distributed.
+        """
+        os.makedirs(path, exist_ok=True)
+        t = cls(spark, path)
+        staging = t._write_sorted(df, key, max_records_per_file, num_files)
+        entries = t._adopt_staged(staging, key)
+        t._commit_manifest(Manifest(version=0, key=key, files=sorted(entries, key=lambda e: (e.key_min, e.name))))
+        return t
+
+    def read(self) -> DataFrame:
+        """Read the current snapshot (manifest-listed files only)."""
+        paths = self.file_paths()
+        if not paths:
+            raise ValueError(f"empty table at {self.path}")
+        return self.spark.read.parquet(*paths)
+
+    # ---------- write internals ----------
+    def _write_sorted(
+        self,
+        df: DataFrame,
+        key: str,
+        max_records_per_file: int,
+        num_files: int | None = None,
+    ) -> str:
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        writer = df
+        if num_files is not None:
+            writer = writer.repartitionByRange(num_files, F.col(key))
+        else:
+            writer = writer.repartitionByRange(F.col(key))
+        (
+            writer.sortWithinPartitions(key)
+            .write.option("maxRecordsPerFile", str(max_records_per_file))
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        return staging
+
+    def _adopt_staged(self, staging: str, key: str) -> list[ManifestEntry]:
+        """Move staged part-files into the table dir under fresh names."""
+        entries: list[ManifestEntry] = []
+        staged = list_parquet_files(staging)
+        stats = collect_file_stats(self.spark, staging, key, files=staged)
+        for st in stats:
+            if st.num_rows == 0:
+                continue
+            new_name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(st.path, os.path.join(self.path, new_name))
+            entries.append(
+                ManifestEntry(
+                    name=new_name,
+                    rows=st.num_rows,
+                    bytes=st.num_bytes,
+                    key_min=st.key_min,
+                    key_max=st.key_max,
+                )
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    # ---------- maintenance ----------
+    def vacuum(self) -> list[str]:
+        """Delete data files no longer referenced by the manifest."""
+        live = {e.name for e in self.manifest().files}
+        removed = []
+        for p in list_parquet_files(self.path):
+            name = os.path.basename(p)
+            if name not in live:
+                os.remove(p)
+                removed.append(name)
+        return removed
+
+    def stats(self) -> dict[str, Any]:
+        m = self.manifest()
+        return {
+            "version": m.version,
+            "key": m.key,
+            "num_files": len(m.files),
+            "rows": sum(e.rows for e in m.files),
+            "bytes": sum(e.bytes for e in m.files),
+        }

@@ -1,0 +1,181 @@
+"""Mutation-correctness tests — ports of the reference's five scenarios
+(ParquetRewriterTests.java:273-341) to SortedTable/merge, with the same
+set-reconciliation assertions (validateMutations,
+ParquetRewriterTests.java:215-244): deleted keys absent, upserted keys
+present with exact payloads, survivors intact exactly once, no extras,
+output key-sorted with no duplicates. Keys are typed longs (SURVEY.md
+§1.3 — we do not replicate the signed-lexicographic binary quirk).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parquet_rewriter_spark.operators import merge_into_table, plan_dirty_files
+from parquet_rewriter_spark.table import SortedTable
+
+
+def _mk_table(spark, tmp_path, keys, max_records_per_file=100):
+    rng = random.Random(42)
+    rows = [Row(key=int(k), value=bytes(rng.randrange(256) for _ in range(20))) for k in keys]
+    df = spark.createDataFrame(rows, schema="key long, value binary")
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), df, "key", max_records_per_file=max_records_per_file
+    )
+    base = {r["key"]: bytes(r["value"]) for r in rows}
+    return t, base
+
+
+def _mutations_df(spark, upserts: dict, deletes: set):
+    rows = [Row(key=int(k), value=v, op="UPSERT") for k, v in upserts.items()]
+    rows += [Row(key=int(k), value=None, op="DELETE") for k in sorted(deletes)]
+    return spark.createDataFrame(rows, schema="key long, value binary, op string")
+
+
+def _validate(t: SortedTable, base: dict, upserts: dict, deletes: set):
+    """validateMutations port (ParquetRewriterTests.java:215-244)."""
+    got = {r["key"]: bytes(r["value"]) for r in t.read().collect()}
+    expected = dict(base)
+    for k in deletes:
+        expected.pop(k, None)
+    expected.update(upserts)
+    assert got == expected  # absence of deleted, presence+payload of upserted,
+    # survivors exact, no extras, no duplicate keys (dict collision would hide
+    # dups — check count separately)
+    assert t.read().count() == len(expected)
+    # per-file sortedness + manifest range accuracy
+    m = t.manifest()
+    for e in m.files:
+        vals = [
+            r["key"]
+            for r in t.spark.read.parquet(os.path.join(t.path, e.name)).select("key").collect()
+        ]
+        assert vals == sorted(vals)
+        assert vals[0] == e.key_min and vals[-1] == e.key_max
+
+
+def test_deletion_head_middle_tail(spark, tmp_path):
+    # deletionTest (ParquetRewriterTests.java:273-282)
+    keys = list(range(1, 1000))
+    t, base = _mk_table(spark, tmp_path, keys)
+    deletes = {1, 500, 999}
+    merge_into_table(t, _mutations_df(spark, {}, deletes))
+    _validate(t, base, {}, deletes)
+
+
+def test_insert_before_first_and_after_last(spark, tmp_path):
+    # insertTest keys 0 and 10000 (ParquetRewriterTests.java:285-296)
+    keys = list(range(1, 1000))
+    t, base = _mk_table(spark, tmp_path, keys)
+    ups = {0: b"x" * 20, 10000: b"y" * 20}
+    res = merge_into_table(t, _mutations_df(spark, ups, set()))
+    _validate(t, base, ups, set())
+    # head/tail inserts hit no existing range → pure-insert, zero dirty files
+    assert res["files_dirty"] == 0
+
+
+def test_combo_mixed_ops(spark, tmp_path):
+    # comboTest (ParquetRewriterTests.java:298-316)
+    keys = list(range(1, 2000, 2))  # odd keys → gaps at every even key
+    t, base = _mk_table(spark, tmp_path, keys, max_records_per_file=64)
+    rng = random.Random(7)
+    ups = {k: bytes(rng.randrange(256) for _ in range(20)) for k in [2, 501, 1001, 1998, 4000]}
+    deletes = {1, 999, 1999, 555555}  # 555555 absent → no-op delete
+    merge_into_table(t, _mutations_df(spark, ups, deletes))
+    _validate(t, base, ups, deletes - {555555})
+
+
+def test_no_changes_passthrough(spark, tmp_path):
+    # noChangesTest (ParquetRewriterTests.java:318-323): clean files are
+    # not rewritten — bytes and mtimes unchanged, manifest entries kept.
+    keys = list(range(1, 500))
+    t, base = _mk_table(spark, tmp_path, keys)
+    before = {e.name: os.path.getmtime(os.path.join(t.path, e.name)) for e in t.manifest().files}
+    empty = spark.createDataFrame([], schema="key long, value binary, op string")
+    res = merge_into_table(t, empty)
+    _validate(t, base, {}, set())
+    after = {e.name: os.path.getmtime(os.path.join(t.path, e.name)) for e in t.manifest().files}
+    assert before == after
+    assert res["files_dirty"] == 0 and res["files_written"] == 0
+
+
+def test_upsert_replaces_existing(spark, tmp_path):
+    keys = list(range(1, 300))
+    t, base = _mk_table(spark, tmp_path, keys)
+    ups = {150: b"z" * 20}
+    merge_into_table(t, _mutations_df(spark, ups, set()))
+    _validate(t, base, ups, set())
+
+
+def test_large_set_high_density(spark, tmp_path):
+    # largeSet (ParquetRewriterTests.java:325-341): ~50% deletes + ~50%
+    # upserts. Scaled to 20k rows for test speed; density preserved.
+    n = 20000
+    keys = list(range(n))
+    t, base = _mk_table(spark, tmp_path, keys, max_records_per_file=1000)
+    rng = random.Random(99)
+    deletes = {k for k in keys if rng.random() < 0.5}
+    ups = {
+        k: bytes(rng.randrange(256) for _ in range(20))
+        for k in keys
+        if k not in deletes and rng.random() < 0.5
+    }
+    merge_into_table(t, _mutations_df(spark, ups, deletes))
+    _validate(t, base, ups, deletes)
+
+
+def test_dirty_file_pruning_scales_with_dirty_fraction(spark, tmp_path):
+    # The reference's raison d'être (BASELINE.md): merge cost tracks the
+    # dirty fraction, not table size. 100 files, 1 mutated key → exactly
+    # 1 dirty file read+rewritten, 99 passthrough.
+    keys = list(range(10000))
+    t, base = _mk_table(spark, tmp_path, keys, max_records_per_file=100)
+    assert len(t.manifest().files) >= 50
+    muts = _mutations_df(spark, {5000: b"q" * 20}, set())
+    dirty, clean = plan_dirty_files(spark, t.manifest(), muts)
+    assert len(dirty) == 1
+    res = merge_into_table(t, muts)
+    assert res["files_dirty"] == 1
+    assert res["files_clean_passthrough"] == res["files_total"] - 1
+    _validate(t, base, {5000: b"q" * 20}, set())
+
+
+def test_sequential_merges_and_vacuum(spark, tmp_path):
+    keys = list(range(0, 1000))
+    t, base = _mk_table(spark, tmp_path, keys)
+    merge_into_table(t, _mutations_df(spark, {10: b"a" * 20}, {20}))
+    merge_into_table(t, _mutations_df(spark, {10: b"b" * 20, 2000: b"c" * 20}, {10_000_000}))
+    _validate(t, base, {10: b"b" * 20, 2000: b"c" * 20}, {20})
+    removed = t.vacuum()
+    assert removed  # superseded files got cleaned
+    _validate(t, base, {10: b"b" * 20, 2000: b"c" * 20}, {20})
+
+
+def test_merge_on_real_orders_table(spark, tmp_path, sf_dir):
+    # End-to-end on the driver's orders fixture keyed by o_orderkey.
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "orders_t"), orders, "o_orderkey", max_records_per_file=200
+    )
+    muts = (
+        orders.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("UPSERT"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 10 == 7).withColumn("op", F.lit("DELETE"))
+        )
+    )
+    merge_into_table(t, muts)
+    got = t.read()
+    n_orig = orders.count()
+    n_del = orders.filter(F.col("o_orderkey") % 10 == 7).count()
+    assert got.count() == n_orig - n_del
+    doubled = got.join(
+        orders.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey", F.col("o_totalprice").alias("tp")),
+        "o_orderkey",
+    )
+    assert doubled.filter(F.abs(F.col("o_totalprice") - 2 * F.col("tp")) > 1e-9).count() == 0
