@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count over the result (no
+collect of wide rows). A warmup query amortizes JVM/session start so
+per-query numbers measure the plan, not the cold start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_rewriter_spark import catalog
+from parquet_rewriter_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_by_revenue",
+    "order_priority_count",
+    "top3_orders_per_customer",
+    "customer_running_total",
+    "revenue_forecast",
+    "status_priority_rollup",
+    "monthly_order_stats",
+    "events_json_extract",
+    "event_type_stats",
+    "hourly_event_counts",
+    "purchase_asof_click",
+    "events_within_5min_pairs",
+    "merge_then_aggregate",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="prs-bench")
+
+    # warmup: touch every input table once (OS page cache + JVM warm)
+    from parquet_rewriter_spark.sources.readers import TABLE_NAMES, load_table
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001 - missing optional fixture
+            pass
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in catalog.REGISTRY]
+    for name in names:
+        fn = catalog.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

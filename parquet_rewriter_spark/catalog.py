@@ -1,0 +1,590 @@
+"""Query catalog — the engine's declared operator surface, each entry a
+(Spark DataFrame builder, DuckDB oracle SQL) pair.
+
+This is the correctness spine (SURVEY.md §5): every operator claimed in
+SURVEY.md §2.2 appears here as a named query; the driver runs the Spark
+side and the oracle SQL side-by-side at sf0.01 and hash-compares values.
+
+Parity rules (SURVEY.md §7 "DuckDB oracle drift"):
+- alias every computed column identically on both sides;
+- round double aggregates (2-4 dp) on both sides — float sum order
+  differs between engines;
+- never return raw ns timestamps: events.ts is TIMESTAMP(NANOS); Spark
+  reads it as long and we truncate to µs (sources/readers.py), so oracle
+  SQL casts ts to µs (``CAST(ts AS TIMESTAMP)``) before any comparison
+  arithmetic;
+- deterministic top-k: always a total tiebreak order.
+
+Spark-first notes: dimension joins are broadcast; filters sit directly
+on the scan so Catalyst pushes them into the Parquet reader; everything
+is built-in functions (whole-stage codegen) except where flagged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_rewriter_spark.operators.joins import asof_join, range_join
+from parquet_rewriter_spark.operators.merge import apply_mutations, delete_keys
+from parquet_rewriter_spark.sources.readers import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tuple(tags))
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- scans/agg
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "aggregation", "pushdown",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter (pushed to Parquet row groups —
+    the read-side analog of the reference's zone-map skip, R5) + one
+    hash aggregate with partial (map-side) combine."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
+    """,
+    "aggregation", "pushdown",
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushdown filter + global agg — the plan
+    should be scan(PushedFilters)→partial agg→final agg, no shuffle of
+    raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount").between(0.02, 0.06)) & (F.col("l_quantity") < 10))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    GROUP BY n_name
+    """,
+    "join", "broadcast",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-to-dim star join. nation and customer are
+    broadcast (dims are tiny at every SF: nation=25 rows always); only
+    the orders⨝lineitem equi-join shuffles, on the join key."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "top_orders_by_revenue",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "join", "topk",
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape + global top-k: Spark executes orderBy().limit(k)
+    as TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver, never a full sort of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "join", "semi",
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join (no fact-row duplication,
+    no distinct needed)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sat = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sat.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "join", "anti",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (same primitive as delete_keys, R4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return delete_keys(
+        c.select("c_custkey", "c_name"),
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    )
+
+
+@query(
+    "supplier_nation_join",
+    """
+    SELECT n_name, r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+    "join", "broadcast",
+)
+def supplier_nation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"), F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+@query(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    "window", "topk",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — one shuffle on the group key;
+    AQE handles group-count skew."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "customer_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+    "window",
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@query(
+    "order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    """,
+    "window", "lag",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lag(F.col("o_orderdate").cast("date")).over(w)
+        ).alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------- grouping sets / set ops
+
+@query(
+    "status_priority_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "rollup",
+)
+def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "repeat_status_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "setop",
+)
+def repeat_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics on both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "single_status_customers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus <> 'O'
+    """,
+    "setop",
+)
+def single_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") != "O").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------- scalar functions
+
+@query(
+    "part_string_functions",
+    """
+    SELECT p_partkey,
+           lower(p_type)                                  AS type_lc,
+           upper(p_brand)                                 AS brand_uc,
+           substring(p_name, 1, 8)                        AS name_prefix,
+           length(p_name)                                 AS name_len,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           concat(p_brand, ':', p_type)                   AS brand_type,
+           replace(p_type, ' ', '_')                      AS type_snake
+    FROM part
+    """,
+    "scalar", "string",
+)
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@query(
+    "monthly_order_stats",
+    """
+    SELECT year(o_orderdate) * 100 + month(o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    "scalar", "datetime",
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy((F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- events / JSON / time
+
+@query(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    "json", "events",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object on the semi-structured props column (SURVEY.md
+    §2.2 scalar-fns row: events.props is a JSON string)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("long") % 10)
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "event_type_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    "aggregation", "events",
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "hourly_event_counts",
+    """
+    SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+           event_type, count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "datetime", "events",
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window shape (batch analog of the streaming surface):
+    truncate-to-hour + grouped count."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "purchase_asof_click",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, max(value) AS click_value FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, round(c.click_value, 2) AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "join", "asof", "events",
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the most recent prior click's value
+    per user. Implemented as union + one window pass (operators/joins.py),
+    NOT an O(n·m) theta join — single shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", value_cols=["click_value"], suffix="")
+    return joined.select("event_id", F.round(F.col("click_value"), 2).alias("click_value"))
+
+
+@query(
+    "events_within_5min_pairs",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+    "join", "range", "events",
+)
+def events_within_5min_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range self-join per user (operators/joins.py range_join):
+    equi on user_id + time-band post-filter."""
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    j = range_join(
+        e, e, by="user_id", on="ts",
+        lower=F.col("l.ts"),
+        upper=F.col("l.ts") + F.expr("INTERVAL 5 MINUTE"),
+    )
+    return j.groupBy(F.col("l.user_id").alias("user_id")).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------- mutation parity
+
+@query(
+    "merge_then_aggregate",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "merge",
+)
+def merge_then_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core semantics as a query: upsert keys ≡3 (mod 10)
+    with doubled price, delete keys ≡7, then aggregate the merged
+    relation. Exercises apply_mutations (union + window dedup — R3+R4+R9)
+    with a SQL-checkable outcome."""
+    o = _t(spark, sf_dir, "orders")
+    ups = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn("op", F.lit("DELETE"))
+    merged = apply_mutations(o, ups.unionByName(dels), "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------- helpers
+
+def get(name: str) -> QuerySpec:
+    return REGISTRY[name]
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle.strip() for name, spec in REGISTRY.items() if spec.oracle}
