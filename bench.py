@@ -37,6 +37,14 @@ HEADLINE = [
     "purchase_asof_click",
     "events_within_5min_pairs",
     "merge_then_aggregate",
+    "doc_token_stats",
+    "lang_id_confusion",
+    "dedup_exact_docs",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup_pairs",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "multimodal_decode_features",
 ]
 
 

@@ -578,6 +578,316 @@ def merge_then_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- text analysis
+
+_SW = "'the','a','of','and','to','in'"
+_TOK = "string_split(text, ' ')"
+
+
+@query(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+           round((length(text) - len({_TOK}) + 1)::DOUBLE / len({_TOK}), 4) AS avg_token_len,
+           round(len(list_filter({_TOK}, x -> x IN ({_SW})))::DOUBLE / len({_TOK}), 4) AS stopword_ratio,
+           round(len(list_distinct({_TOK}))::DOUBLE / len({_TOK}), 4) AS unique_ratio
+    FROM documents
+    """,
+    "text", "llm",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + ratio features over documents — all built-in
+    string/array functions, zero Python (functions/text.py)."""
+    from parquet_rewriter_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        F.round(T.avg_token_length("text"), 4).alias("avg_token_len"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.unique_token_ratio("text"), 4).alias("unique_ratio"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           round(0.5 * (len(list_distinct({_TOK}))::DOUBLE / len({_TOK}))
+               + 0.3 * (1.0 - len(list_filter({_TOK}, x -> x IN ({_SW})))::DOUBLE / len({_TOK}))
+               + 0.2 * least(length(text) / 500.0, 1.0), 4) AS quality
+    FROM documents
+    """,
+    "text", "llm",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_rewriter_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def _lang_case_sql() -> str:
+    from parquet_rewriter_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score = {
+        lang: f"len(list_filter({_TOK}, x -> x IN ({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
+        for lang in langs
+    }
+    branches = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        )
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@query(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {_lang_case_sql()} AS predicted, count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    "text", "llm", "langid",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column —
+    the confusion matrix of the n-gram lang-ID operator."""
+    from parquet_rewriter_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("predicted", T.lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "lang_distribution",
+    """
+    SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+    "text", "aggregation",
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars")
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+_DOCS_WITH_DUPS = """
+    (SELECT * FROM documents
+     UNION ALL
+     SELECT doc_id + 1000000, text, lang, source, n_chars
+     FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ a shifted copy of every 7th doc — deterministic
+    synthetic duplicates (the fixture corpus has no exact dups)."""
+    d = _t(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") % 7 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    return d.unionByName(dups)
+
+
+@query(
+    "dedup_exact_docs",
+    f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM {_DOCS_WITH_DUPS} ) WHERE rn = 1
+    """,
+    "dedup", "llm",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy, keep lowest id) over a corpus with
+    injected duplicates — operators/dedup.exact_dedup."""
+    from parquet_rewriter_spark.operators.dedup import exact_dedup
+
+    d2 = _docs_with_dups(spark, sf_dir)
+    return exact_dedup(d2, ["text"], "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "doc_fingerprint_dups",
+    f"""
+    SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
+    FROM {_DOCS_WITH_DUPS}
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    "dedup", "fingerprint",
+)
+def doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5) → duplicate groups."""
+    from parquet_rewriter_spark.functions.text import fingerprint_md5
+
+    d2 = _docs_with_dups(spark, sf_dir)
+    return (
+        d2.groupBy(fingerprint_md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, lang, list_distinct({_TOK}) AS s
+               FROM documents WHERE n_chars < 200)
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.s, b.s))::DOUBLE
+                   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.4
+    """,
+    "dedup", "jaccard",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs, blocked by lang + length filter
+    (operators/dedup.jaccard_pairs) — the exact-verification shape that
+    MinHash/LSH approximates at scale."""
+    from parquet_rewriter_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
+    return jaccard_pairs(d, "doc_id", "text", 0.4, block_cols=["lang"], shingle_n=1)
+
+
+@query("minhash_near_dup_pairs", None, "dedup", "minhash", "lsh")
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection over a corpus with injected
+    duplicates: word-3-gram shingles (the standard document unit — the
+    fixture's word-set similarity is pathologically dense because the
+    synthetic vocabulary is ~40 words; 3-grams restore discrimination),
+    banded xxhash64 signatures → bucket self-join → exact-Jaccard verify
+    ≥0.5. Non-SQL-expressible (xxhash64 family) → rows-only check; the
+    S-curve recall properties are asserted in tests/test_llm_ops.py."""
+    from parquet_rewriter_spark.operators.dedup import minhash_lsh_pairs
+
+    d2 = _docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs(
+        d2, "doc_id", "text", threshold=0.5, num_hashes=48, bands=16, shingle_n=3
+    )
+
+
+@query("simhash_near_pairs", None, "dedup", "simhash")
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit, built-in bit ops) near pairs within hamming ≤ 12,
+    prefix-blocked. Rows-only (hash family not portable to SQL)."""
+    from parquet_rewriter_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=12, prefix_bits=8)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.45
+    """,
+    "dedup", "embedding",
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force verify shape; the
+    LSH-bucketed scale path is ann_lsh_topk)."""
+    from parquet_rewriter_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", 0.45)
+
+
+# ---------------------------------------------------------------- similarity search
+
+@query(
+    "cosine_topk_bruteforce",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT e.vec_id AS id,
+           round(list_dot_product(e.v, q.v)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 4) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, id
+    LIMIT 10
+    """,
+    "similarity", "topk",
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 to the vec_id=0 query vector — brute-force
+    baseline (TakeOrderedAndProject: per-partition heap, k-row merge)."""
+    from parquet_rewriter_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return cosine_topk(e, "vec_id", "embedding", qv, k=10)
+
+
+@query("ann_lsh_topk", None, "similarity", "ann", "lsh")
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing with
+    1-bit multiprobe — the scale path (scan |probed buckets|, not the
+    table). Rows-only: approximation has no SQL oracle; recall vs the
+    exact path is asserted in tests/test_llm_ops.py."""
+    from parquet_rewriter_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann_lsh_topk(e, "vec_id", "embedding", qv, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------- multimodal
+
+@query(
+    "binary_blob_metadata",
+    """
+    SELECT doc_id AS media_id, 'image' AS modality, 'txt' AS format,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    "multimodal", "binary",
+)
+def binary_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal schema plumbing: opaque binary payload + typed
+    metadata (sources/multimodal.blob_table); payload dropped from the
+    result, metadata oracled."""
+    from parquet_rewriter_spark.sources.multimodal import blob_table
+
+    d = _t(spark, sf_dir, "documents")
+    return blob_table(d, "doc_id", "text").select(
+        "media_id", "modality", "format", "n_bytes", "checksum"
+    )
+
+
+@query("multimodal_decode_features", None, "multimodal", "mapinpandas")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode pipeline over binary payloads
+    (deterministic stub decoder — media libs absent; the distributed
+    plumbing is the thing under test). Rows-only."""
+    from parquet_rewriter_spark.sources.multimodal import blob_table, decode_image
+
+    d = _t(spark, sf_dir, "documents")
+    return decode_image(blob_table(d, "doc_id", "text"), fake=True).select(
+        "media_id", "n_bytes", "width", "height"
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 def get(name: str) -> QuerySpec:

@@ -1,0 +1,110 @@
+"""Text-analysis column functions for the LLM-data-pipeline surface:
+tokenization, quality scoring, stopword/language heuristics,
+fingerprinting (SURVEY.md §2.2 LLM-pipeline table).
+
+All pure ``pyspark.sql.functions`` expressions (JVM-side, whole-stage
+codegen) — no Python in the hot path. Each has an exact ANSI-SQL
+equivalent so the DuckDB oracle can replay it (catalog.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Per-language marker-word sets for the n-gram/stopword language-ID
+# heuristic. The fixture corpus is synthetic (shared vocabulary), so
+# these are demo marker sets over that vocabulary; for real corpora,
+# swap in real stopword lists — the operator shape is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("data", "batch", "stream", "group"),
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("row", "column", "table", "value"),
+    "fr": ("join", "merge", "sort", "filter"),
+    "zh": ("spark", "query", "window", "vector"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (fixture corpus is single-spaced)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_in(tok: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens that are members of ``words`` (with repeats)."""
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    tok = tokens(text)
+    return _count_in(tok, STOPWORDS) / F.size(tok)
+
+
+def unique_token_ratio(text: Column | str) -> Column:
+    tok = tokens(text)
+    return F.size(F.array_distinct(tok)) / F.size(tok)
+
+
+def avg_token_length(text: Column | str) -> Column:
+    tok = tokens(text)
+    return (F.length(text) - F.size(tok) + 1) / F.size(tok)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document-quality score in [0, 1]: rewards lexical
+    diversity and moderate length, penalizes stopword stuffing —
+    the standard pre-training filter shape (length/stopword/diversity)."""
+    t = F.col(text) if isinstance(text, str) else text
+    diversity = unique_token_ratio(t)
+    stop_pen = 1.0 - stopword_ratio(t)
+    len_norm = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    return F.round(0.5 * diversity + 0.3 * stop_pen + 0.2 * len_norm, 4)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-hit count per language (the lang-ID feature vector)."""
+    tok = tokens(text)
+    return {lang: _count_in(tok, words) for lang, words in sorted(LANG_MARKERS.items())}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax marker score, ties broken by
+    alphabetical language order (first CASE branch wins)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    pred = None
+    for lang in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return pred
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint: md5 hex (portable across engines)."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram set — the unit set for Jaccard/MinHash.
+    Sliding window over the token array via transform + slice;
+    documents shorter than n tokens yield their whole token string."""
+    tok = tokens(text)
+    k = F.size(tok) - (n - 1)
+    return F.when(
+        k <= 0, F.array(F.concat_ws(" ", tok))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(tok, i + 1, n)),
+            )
+        )
+    )

@@ -1,0 +1,273 @@
+"""Deduplication operators for the LLM-data-pipeline surface: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup
+(SURVEY.md §2.2 LLM-pipeline table).
+
+Scale design (100 TB): every operator here avoids the O(n²) all-pairs
+join. Exact dedup is one hash shuffle. Jaccard pairs take a blocking
+key. MinHash/LSH bucket by band signature so candidate generation is a
+self-equi-join on the band key (shuffle on band key, pairs only within
+buckets). SimHash buckets by hamming-prefix. Only candidate
+verification touches full shingle sets.
+
+MinHash math: sig_i(doc) = min over shingles s of h_i(s), with
+h_i(s) = xxhash64(s, i) — Spark's built-in 64-bit hash family keyed by
+seed column. P[sig_i(A) = sig_i(B)] = Jaccard(A, B); banding r rows ×
+b bands gives the usual S-curve (Leskovec/Rajaraman/Ullman, Mining of
+Massive Datasets ch.3).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parquet_rewriter_spark.functions.text import shingles as _shingles
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep one row (lowest id) per distinct value of ``cols`` — the
+    hash-groupBy exact dedup; one shuffle on the dedup key."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+    shingle_n: int = 1,
+) -> DataFrame:
+    """All pairs with word-``shingle_n``-gram Jaccard >= threshold,
+    restricted to equal ``block_cols`` (blocking keeps the join from
+    going all-pairs; pass none only on small relations).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        _shingles(F.col(text_col), shingle_n).alias("s"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.b_{c}") == F.col(f"b.b_{c}"))
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_union(F.col("a.s"), F.col("b.s")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(id, sh) — one row per (document, shingle occurrence). The
+    explode-based layout keeps everything downstream in whole-stage
+    codegen: Spark's higher-order functions (transform/aggregate) are
+    interpreted per-element, so min-hashing 48 seeds over array columns
+    is 10×+ slower than hashing exploded rows inside a codegen'd
+    partial aggregate."""
+    toks = df.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("s"))
+    return toks.select("id", F.explode("s").alias("sh"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 48,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — sig_i = min xxhash64(sh, i).
+
+    Shape: explode shingles → groupBy(id) with one min-aggregate per
+    seed. The 48 hash+min pairs run inside codegen with map-side
+    partial aggregation, so the shuffle carries only 48 longs per doc
+    (duplicate shingles don't affect a min, so no distinct needed).
+    """
+    sh = _shingle_rows(df, id_col, text_col, shingle_n)
+    mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy("id").agg(*mins).select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 48,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with
+    true Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+
+    Pipeline: signatures → explode into ``bands`` band-keys → self-join
+    on (band, band_sig) — candidates only meet inside a bucket, so the
+    shuffle is on band keys, never all-pairs → distinct pairs → verify
+    with exact shingle-set Jaccard.
+
+    Band tuning: the S-curve midpoint is (1/bands)^(bands/num_hashes·…)
+    ≈ (1/b)^(1/r); the 48/16 default (r=3) centers at ≈0.40 — candidates
+    with Jaccard well below a 0.4-0.5 verify threshold mostly stay
+    un-bucketed, so the verify join sees a small candidate set instead
+    of all-pairs.
+    """
+    from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+    rows = num_hashes // bands
+    sh_rows = _shingle_rows(ensure_parallelism(df), id_col, text_col, shingle_n)
+    mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sigs = sh_rows.groupBy("id").agg(*mins)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(",", *[F.col(f"h{band * rows + r}") for r in range(rows)])
+                    for band in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    # Pairs within each bucket via collect_list + in-bucket pair
+    # expansion — one shuffle of (band_sig, id), no self-join, so the
+    # signature pipeline is computed exactly once.
+    ids_sorted = F.array_sort(F.col("ids"))
+
+    def _pairs(ids):
+        return F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+
+    cand = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs(ids_sorted)).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    # Verify: exact Jaccard, but only for candidate docs — semi-join the
+    # shingle rows down to candidates before building sets, so set
+    # materialization is O(candidates), not O(corpus).
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    sets = (
+        sh_rows.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("s"))
+    )
+    jac = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb")))
+    )
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over word tokens.
+
+    Charikar's scheme: each token hashes to 64 bits; bit b of the
+    fingerprint is the sign of sum(±1 per token by token's bit b).
+    Expressed as built-ins: token-hash array once, then per-bit
+    aggregate — all codegen, no UDF.
+    """
+    from parquet_rewriter_spark.functions.text import tokens as _tokens
+    from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+    # Materialize the token-hash array as a column so the 64 per-bit
+    # aggregates share one computed array (same inlining hazard as
+    # minhash_signatures).
+    hashed = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("h"),
+    )
+
+    def _vote(b: int):
+        return lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+    bit_votes = [F.aggregate(F.col("h"), F.lit(0), _vote(b)) for b in range(bits)]
+    fp = None
+    for b, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return hashed.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming, blocked by
+    the top ``prefix_bits`` of the fingerprint (near-identical docs
+    share the prefix with high probability; rotate prefixes for full
+    recall at scale — this single-block variant is the demo shape).
+    Returns (id_a, id_b, hamming)."""
+    fps = simhash(df, id_col, text_col).withColumn(
+        "prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Pairs with cosine >= threshold — brute-force shape for
+    correctness; the LSH-bucketed scale path is
+    operators.similarity.ann_lsh_topk. Returns (id_a, id_b, cos_sim)."""
+    from parquet_rewriter_spark.functions.vector import as_double, cosine
+
+    v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

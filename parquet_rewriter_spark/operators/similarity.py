@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY.md §2.2 LLM-pipeline table):
+- brute-force cosine top-k — the exact baseline; one pass over the
+  table, TakeOrderedAndProject top-k (per-partition heap + k-row driver
+  merge), never a full sort;
+- LSH-bucketed ANN (random hyperplane signatures) — the scale path:
+  probe only vectors sharing the query's bucket (plus multi-probe
+  neighbors), so the scan is |bucket| not |table|.
+
+Hyperplanes are generated with a fixed numpy seed → deterministic
+bucketing, reproducible results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parquet_rewriter_spark.functions.vector import as_double, cosine, dot
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+    Returns (id, cos_sim) ordered by (cos_sim desc, id)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double(vec_col), q)
+    return (
+        df.select(F.col(id_col).alias("id"), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """LSH bucket id = sign-bit string of <v, plane_i> — built-in
+    expressions only (one dot per plane over the double array)."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def add_lsh_bucket(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.withColumn("bucket", _bucket_expr(as_double(vec_col), planes))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors whose LSH bucket is within
+    ``multiprobe_hamming`` bit flips of the query's bucket. At 100 TB
+    the table is written bucket-partitioned so this becomes partition
+    pruning — the scan reads |probed buckets| / 2^n_planes of the data.
+    Returns (id, cos_sim)."""
+    dim = dim or len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = "".join("1" if float(qv @ p) >= 0 else "0" for p in planes)
+    probe = {qbits}
+    if multiprobe_hamming >= 1:
+        for i in range(n_planes):
+            flipped = qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
+            probe.add(flipped)
+    bucketed = add_lsh_bucket(df, vec_col, dim, n_planes, seed)
+    cand = bucketed.filter(F.col("bucket").isin(sorted(probe)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double(vec_col), q)
+    return (
+        cand.select(F.col(id_col).alias("id"), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """For each left vector, its k nearest right vectors by cosine —
+    brute force (cross join + per-left top-k window). Use bucketed
+    variants beyond ~10⁴×10⁶; this is the exact small-side baseline.
+    Returns (left_id, right_id, cos_sim, rank)."""
+    l = left.select(F.col(left_id).alias("lid"), as_double(vec_col).alias("lv"))
+    r = right.select(F.col(right_id).alias("rid"), as_double(vec_col).alias("rv"))
+    sim = cosine(F.col("lv"), F.col("rv"))
+    w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    return (
+        l.crossJoin(r)
+        .select("lid", "rid", F.round(sim, 4).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("lid").alias(left_id),
+            F.col("rid").alias(right_id),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -1,0 +1,19 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
+    """Repartition up if the input is under-partitioned relative to the
+    cluster's parallelism. CPU-heavy per-row operators (minhash
+    signatures, simhash, media decode) otherwise run on however few
+    partitions the scan produced — a single small parquet file gives 1-2
+    partitions and leaves the rest of the cluster idle. At real scale
+    inputs arrive well-partitioned and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target * min_factor:
+        return df.repartition(target)
+    return df

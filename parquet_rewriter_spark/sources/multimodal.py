@@ -1,0 +1,145 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed via Arrow-batched ``mapInPandas``
+(SURVEY.md §2.2 LLM-pipeline table).
+
+The Spark-side plumbing here is real and tested — schema, batch shape,
+partitioning, UDF signatures. The actual media decode is STUBBED: the
+image/audio libraries are not in this container, so ``decode_image``
+raises ``NotImplementedError`` unless ``fake=True``, which substitutes
+a deterministic fake decoder (features derived from the payload bytes)
+so the distributed pipeline is exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical multimodal schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video
+        StructField("format", StringType(), True),     # png | wav | mp4 | ...
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("checksum", StringType(), True),   # md5 hex of payload
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, n_bytes long, width int, height int, feat array<double>"
+
+
+def blob_table(df: DataFrame, id_col: str, text_col: str, modality: str = "image") -> DataFrame:
+    """Wrap an existing column as a multimodal payload (the fixtures have
+    no real media, so document text stands in as bytes — the schema and
+    plumbing are what's under test)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.lit("txt").alias("format"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for an image decoder: pseudo width/height
+    and an 8-dim feature vector derived from a blake2b digest."""
+    d = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    width = 16 + d[0] % 64
+    height = 16 + d[1] % 64
+    feat = [round(b / 255.0, 6) for b in d[2:10]]
+    return width, height, feat
+
+
+def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
+    """payload → (width, height, feature vector) via mapInPandas.
+
+    Real decode requires PIL/libvips (not in this container) →
+    NotImplementedError unless fake=True. The mapInPandas shape — Arrow
+    batches in, per-batch pandas transform, no driver round-trip — is
+    exactly the production path; only the per-payload function swaps.
+    """
+    try:  # pragma: no cover - decoder libs absent in this container
+        import PIL.Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not fake and not have_pil:
+        raise NotImplementedError(
+            "real image decode needs PIL/libvips (not installed); pass fake=True "
+            "for the deterministic stub decoder"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feat": [d[2] for d in decoded],
+                }
+            )
+
+    from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 1024, fake: bool = True) -> DataFrame:
+    """Video frame sampling stub: emits one row per sampled 'frame'
+    (byte-offset stride stands in for time stride). Demonstrates the
+    1→N mapInPandas expansion shape used for real frame extraction."""
+    if not fake:  # pragma: no cover
+        raise NotImplementedError("real frame sampling needs ffmpeg (not installed)")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, offs, sums = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = payload or b""
+                for off in range(0, max(len(p), 1), every_n_bytes):
+                    chunk = p[off : off + every_n_bytes]
+                    ids.append(mid)
+                    offs.append(off)
+                    sums.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "frame_offset": offs, "frame_digest": sums})
+
+    from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        run, schema="media_id long, frame_offset long, frame_digest string"
+    )
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Directory of media files → multimodal table (Spark's binaryFile
+    source: distributed read, no driver byte shuffling)."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.element_at(F.split(F.col("path"), r"\."), -1).alias("format"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("checksum"),
+    )

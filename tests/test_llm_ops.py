@@ -1,0 +1,170 @@
+"""LLM-pipeline operator tests: the non-SQL-expressible paths that the
+DuckDB oracle can't gate (MinHash/LSH, SimHash, ANN) are checked here
+against their exact counterparts (recall/containment), plus the
+multimodal mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from parquet_rewriter_spark.operators.similarity import ann_lsh_topk, cosine_topk, knn_join
+from parquet_rewriter_spark.sources.multimodal import blob_table, decode_image, frame_sample
+from parquet_rewriter_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_lsh_finds_known_near_dups(spark, docs):
+    """LSH candidates verified at >=0.4 must be a subset of the exact
+    jaccard pairs, with decent recall on the high-similarity band."""
+    d = docs.filter(F.col("n_chars") < 200)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(d, "doc_id", "text", 0.4, shingle_n=1).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            d, "doc_id", "text", threshold=0.4, num_hashes=48, bands=16, shingle_n=1
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # verification step guarantees precision
+    high = {k for k, v in exact.items() if v >= 0.6}
+    if high:
+        recall = len(high & set(lsh)) / len(high)
+        assert recall >= 0.8, f"LSH recall on jaccard>=0.6 band too low: {recall}"
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9, shingle_n=1).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_deterministic_and_discriminative(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally unrelated content about something else")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp1 = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    fp2 = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert fp1 == fp2  # deterministic
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fp1[1], fp1[2]) < ham(fp1[1], fp1[3])  # near docs closer
+
+
+def test_simhash_near_pairs_runs(spark, docs):
+    out = simhash_near_pairs(docs, "doc_id", "text", max_hamming=12, prefix_bits=8)
+    rows = out.collect()
+    for r in rows:
+        assert r.id_a < r.id_b and r.hamming <= 12
+
+
+def test_ann_finds_planted_neighbors(spark):
+    """Fixture embeddings are uniform-random (max pairwise cosine ≈0.33 —
+    no true neighbors), so recall there is meaningless. Plant clusters:
+    ANN must recover a cluster member's true neighbors, which all fall
+    in (or one bit off) its hyperplane bucket because the angles are tiny."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((10, 32))
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(20):
+            v = c + 0.05 * rng.standard_normal(32)
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<float>")
+    qv = [float(x) for x in centers[3]]
+    exact = [r.id for r in cosine_topk(df, "vec_id", "embedding", qv, k=10).collect()]
+    approx = [r.id for r in ann_lsh_topk(df, "vec_id", "embedding", qv, k=10, n_planes=8).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"ANN recall on planted clusters too low: {recall}"
+    clusters = {r.cluster for r in df.filter(F.col("vec_id").isin(approx)).collect()}
+    assert clusters == {3}
+
+
+def test_ann_on_fixture_embeddings_prunes_and_returns_k(spark, emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    approx = ann_lsh_topk(emb, "vec_id", "embedding", qv, k=10, n_planes=8).collect()
+    assert len(approx) <= 10 and approx[0].id == 0 and approx[0].cos_sim == 1.0
+    sims = [r.cos_sim for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_join_small(spark, emb):
+    left = emb.filter(F.col("vec_id") < 5)
+    out = knn_join(left, emb, "vec_id", "vec_id", "embedding", k=3)
+    rows = out.collect()
+    assert len(rows) == 5 * 3
+    by_left = {}
+    for r in rows:
+        by_left.setdefault(r[0], []).append((r.rank, r[1], r.cos_sim))
+    for lid, lst in by_left.items():
+        lst.sort()
+        assert lst[0][1] == lid and lst[0][2] == 1.0  # self is rank 1
+        sims = [s for _, _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    rows = [(5, "x"), (2, "x"), (9, "y"), (1, "z"), (3, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in exact_dedup(df, ["text"], "doc_id").collect())
+    assert kept == [1, 2, 9]
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    blobs = blob_table(docs.limit(50), "doc_id", "text")
+    assert blobs.schema["payload"].dataType.typeName() == "binary"
+    feats = decode_image(blobs, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes > 0 and 16 <= r.width < 80 and 16 <= r.height < 80
+        assert len(r.feat) == 8
+    # determinism across runs
+    again = {r.media_id: (r.width, r.height) for r in decode_image(blobs, fake=True).collect()}
+    assert all(again[r.media_id] == (r.width, r.height) for r in rows)
+
+
+def test_multimodal_decode_real_path_raises(spark, docs):
+    blobs = blob_table(docs.limit(1), "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        decode_image(blobs, fake=False)
+
+
+def test_frame_sample_expansion(spark, docs):
+    blobs = blob_table(docs.limit(10), "doc_id", "text")
+    frames = frame_sample(blobs, every_n_bytes=100)
+    rows = frames.collect()
+    assert len(rows) >= 10  # at least one frame per doc
+    n_bytes = {r.media_id: r.n_bytes for r in blobs.select("media_id", "n_bytes").collect()}
+    from collections import Counter
+    per_doc = Counter(r.media_id for r in rows)
+    for mid, n in per_doc.items():
+        expected = max(1, -(-n_bytes[mid] // 100))
+        assert n == expected
