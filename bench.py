@@ -45,6 +45,8 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "multimodal_decode_features",
+    "stream_tumbling_counts",
+    "stream_dedup_events",
 ]
 
 

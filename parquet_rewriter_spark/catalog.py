@@ -888,6 +888,190 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- streaming
+# Each entry runs a Structured Streaming query to completion with
+# Trigger.AvailableNow into a memory sink (streaming/ops.run_to_memory),
+# making the stream's output a deterministic function of the fixture —
+# and therefore oracle-able with plain batch SQL.
+
+@query(
+    "stream_tumbling_counts",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "streaming", "window", "watermark",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows over a file-source stream, with a
+    1h watermark bounding state; complete-mode drain matches batch
+    GROUP BY exactly (streaming/ops.py)."""
+    from parquet_rewriter_spark.streaming import run_to_memory, stream_events, tumbling_counts
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(tumbling_counts(ev), output_mode="complete")
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+             - INTERVAL 5 MINUTE * off AS window_start,
+           count(*) AS n_events
+    FROM events, UNNEST([0, 1]) AS t(off)
+    GROUP BY 1
+    """,
+    "streaming", "window", "sliding",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10m/5m windows — each event lands in 2 overlapping
+    windows (oracle: explicit 2-slide expansion)."""
+    from parquet_rewriter_spark.streaming import run_to_memory, sliding_counts, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(sliding_counts(ev), output_mode="complete")
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH m AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM g GROUP BY user_id, sess
+    """,
+    "streaming", "session-window",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30m inactivity gap) — Spark's
+    session_window merges state incrementally; the oracle is the classic
+    gaps-and-islands rewrite. Session end = last event + gap."""
+    from parquet_rewriter_spark.streaming import run_to_memory, session_window_stats, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(session_window_stats(ev), output_mode="complete")
+
+
+@query(
+    "stream_dedup_events",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+    "streaming", "dedup", "watermark",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream unioned with a copy of every
+    5th event (exact duplicate rows) and collapsed back to the original
+    relation by dropDuplicatesWithinWatermark(event_id)."""
+    from parquet_rewriter_spark.streaming import dedup_within_watermark, run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
+    dups = ev.filter(F.col("event_id") % 5 == 0)
+    return run_to_memory(dedup_within_watermark(ev.unionByName(dups), ["event_id"]))
+
+
+# ---------------------------------------------------------------- set ops / cube
+
+@query(
+    "status_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "aggregation", "cube",
+)
+def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims — all 4 grouping-set combinations in one
+    shuffle (Spark expands grouping sets before the exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "active_user_intersection",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "setops",
+)
+def active_user_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) of two filtered scans of the same
+    table — one shuffle on the set key."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+@query(
+    "browsers_never_err",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "setops",
+)
+def browsers_never_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — viewers with no error events."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    return viewers.subtract(erroring)
+
+
+@query(
+    "embedding_array_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4) AS vec_max,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    "array-functions",
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (aggregate/transform) over the
+    embedding column — JVM-side, no Python (functions/vector.py)."""
+    from parquet_rewriter_spark.functions.vector import norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max(v), 4).alias("vec_max"),
+        F.round(norm("embedding"), 4).alias("l2_norm"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 def get(name: str) -> QuerySpec:

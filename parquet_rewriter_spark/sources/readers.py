@@ -35,9 +35,18 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts ns-long → timestamp."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # floor-divide ns → µs (ts is post-epoch in fixtures; floor == trunc)
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts ns-long → µs timestamp (shared by batch + stream readers)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer-divide ns → µs: `/` would be double division, and at
+        # ~1.7e18 ns a double only carries ~µs*100 precision — `div`
+        # keeps it exact (ts is post-epoch, so trunc == floor)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,19 @@
+from parquet_rewriter_spark.streaming.ops import (
+    dedup_within_watermark,
+    run_to_memory,
+    session_window_stats,
+    sliding_counts,
+    stream_events,
+    stream_merge_into_table,
+    tumbling_counts,
+)
+
+__all__ = [
+    "stream_events",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_window_stats",
+    "dedup_within_watermark",
+    "run_to_memory",
+    "stream_merge_into_table",
+]

@@ -1,0 +1,194 @@
+"""Structured Streaming surface over the ``events`` fixture.
+
+The reference has no streaming at all — this is north-star surface
+(SURVEY.md §2.2 "Streaming surface"). Everything here is built-in
+Structured Streaming: event-time windows (`F.window` /
+`F.session_window`), watermarks for bounded state + late-data drop,
+`dropDuplicatesWithinWatermark` for stateful dedup, and `foreachBatch`
+to drive the mutation core (operators/merge.py) from a stream — the
+streaming analog of the reference's mutation loop (README.md:67-77),
+with each micro-batch playing the role of one key-ordered mutation set.
+
+Scale notes (100 TB / real cluster):
+- watermarks bound state: a window/session/dedup operator only keeps
+  state newer than ``max(event_time) - delay``; without one, state grows
+  without bound and the job dies at scale — every stateful op here
+  therefore *requires* a watermark argument.
+- shuffle per stateful op: windowed aggs hash-partition by (key, window)
+  — same skew story as batch groupBy; AQE does not apply to streaming,
+  so `spark.sql.shuffle.partitions` must be sized up front (the session
+  factory exposes it).
+- the memory sink used by `run_to_memory` is a TEST harness (driver
+  collects results); production sinks are kafka/parquet/foreachBatch.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_rewriter_spark.sources.readers import normalize_events_ts
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    Schema is taken from a batch read of the same path (a stream cannot
+    infer), including the ns→µs normalization of ``ts``
+    (sources/readers.py). ``maxFilesPerTrigger`` simulates arrival order
+    for multi-batch tests (watermark advancement, late-data drop).
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # FileStreamSource wants a directory or glob; turn the last char
+        # into a single-char glob class so the parent becomes basePath.
+        path = f"{path[:-1]}[{path[-1]}]"
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return normalize_events_ts(reader.parquet(path))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window counts with bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows: each event lands in
+    window_duration/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key session windows: a session closes after ``gap`` of
+    inactivity; window.end = last event ts + gap (Spark semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming dedup: keeps the first occurrence of each key,
+    holding per-key state only within the watermark horizon (state is
+    dropped once the key's event time falls behind the watermark — the
+    property that makes dedup feasible on an unbounded stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (Trigger.AvailableNow)
+    into an in-memory table and return the result as a batch DataFrame.
+
+    Test/oracle harness only — AvailableNow processes everything
+    currently in the source then stops, which makes a streaming query's
+    output a deterministic function of the fixture, comparable to a
+    DuckDB oracle. ``complete`` mode re-emits full aggregation state, so
+    windowed aggs match their batch GROUP BY equivalent exactly;
+    ``append`` mode (dedup, pass-through) emits rows as they finalize.
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def stream_merge_into_table(
+    stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    epoch_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    timeout_s: int = 300,
+):
+    """Streaming upsert: drive the batch mutation core from a stream via
+    ``foreachBatch`` — each micro-batch is one mutation set applied with
+    merge_into_table (zone-map dirty-file pruning and all), i.e. the
+    reference's mutation loop with micro-batches instead of a sorted
+    iterator. Exactly-once comes from checkpointing + the table's atomic
+    manifest flip (re-applied upserts are idempotent).
+    """
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
+        if mut.isEmpty():
+            return
+        merge_into_table(table, mut)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return table

@@ -1,0 +1,174 @@
+"""Structured Streaming tests: batch-equivalence of windowed aggs,
+watermark late-data drop across triggers, stateful dedup, and the
+foreachBatch streaming merge into a SortedTable.
+
+Strategy: every streaming op is drained with Trigger.AvailableNow
+(deterministic — processes exactly what's in the source) and compared
+to the equivalent batch computation over the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parquet_rewriter_spark.sources.readers import load_table
+from parquet_rewriter_spark.streaming import (
+    dedup_within_watermark,
+    run_to_memory,
+    session_window_stats,
+    sliding_counts,
+    stream_events,
+    stream_merge_into_table,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_matches_batch_groupby(spark, sf_dir, batch_events):
+    got = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), "complete")
+    want = (
+        batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_each_event_in_two_windows(spark, sf_dir, batch_events):
+    got = run_to_memory(sliding_counts(stream_events(spark, sf_dir)), "complete")
+    n_events = batch_events.count()
+    assert got.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+
+def test_session_windows_match_gaps_and_islands(spark, sf_dir, batch_events):
+    got = run_to_memory(session_window_stats(stream_events(spark, sf_dir)), "complete")
+    from pyspark.sql.window import Window
+
+    marked = batch_events.withColumn(
+        "new_sess",
+        F.coalesce(
+            (
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(
+                    Window.partitionBy("user_id").orderBy("ts")
+                )
+                >= 30 * 60
+            ).cast("int"),
+            F.lit(1),
+        ),
+    )
+    sess = marked.withColumn(
+        "sess",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    want = sess.groupBy("user_id", "sess").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_within_watermark_collapses_duplicates(spark, sf_dir, batch_events):
+    ev = stream_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
+    dups = ev.filter(F.col("event_id") % 3 == 0)
+    got = run_to_memory(dedup_within_watermark(ev.unionByName(dups), ["event_id"]))
+    assert got.count() == batch_events.count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def _write_time_files(spark, base_dir, batches):
+    """Write one parquet file per batch (list of (event_id, ts_offset_min, v))
+    with filenames in lexical arrival order."""
+    base = datetime(2024, 6, 1)
+    os.makedirs(base_dir, exist_ok=True)
+    for i, batch in enumerate(batches):
+        rows = [
+            Row(event_id=eid, ts=base + timedelta(minutes=m), user_id=eid % 5,
+                event_type="click", value=float(v), props="{}")
+            for eid, m, v in batch
+        ]
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            f"{base_dir}/b{i}"
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file-arrival order
+
+
+def test_watermark_drops_late_data_across_triggers(spark, tmp_path):
+    """File-per-trigger stream: batch 0 advances event time far ahead;
+    a stale event arriving two triggers later (well behind the watermark)
+    must be DROPPED from the windowed aggregation — the bounded-state
+    contract. (The watermark filter takes effect one batch after the
+    advancing event — start-of-batch watermark — hence the ferry batch.)"""
+    src = str(tmp_path / "late_src")
+    # b0: events at t+0m, t+600m → watermark becomes 590m after commit
+    # b1: ferry batch so the 590m watermark is in effect for b2
+    # b2: event at t+5m (≈10h late) → dropped; event at t+605m → kept
+    _write_time_files(
+        spark,
+        src,
+        [
+            [(0, 0, 1.0), (1, 600, 1.0)],
+            [(9, 601, 1.0)],
+            [(2, 5, 100.0), (3, 605, 1.0)],
+        ],
+    )
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b[012]/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "v", "n")
+    )
+    got = run_to_memory(agg, output_mode="append", timeout_s=120)
+    rows = {r.ws.minute + 60 * r.ws.hour: (r.v, r.n) for r in got.collect()}
+    # the late event (value=100.0 at minute 5) must not appear anywhere
+    assert all(v < 100.0 for v, _ in rows.values()), rows
+    assert rows.get(0) == (1.0, 1)  # only event_id 0 in the first window
+
+
+def test_stream_merge_into_sorted_table(spark, tmp_path, sf_dir):
+    """foreachBatch streaming upsert: replay events as mutations into a
+    SortedTable keyed by event_id; table ends up identical to batch."""
+    from parquet_rewriter_spark.table import SortedTable
+
+    ev_batch = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev_batch.filter(F.col("event_id") % 2 == 0)  # half the rows pre-exist
+    tbl = SortedTable.create(
+        spark, str(tmp_path / "ev_tbl"), base, key="event_id", max_records_per_file=500
+    )
+
+    ev_stream = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    stream_merge_into_table(
+        ev_stream, tbl, checkpoint_dir=str(tmp_path / "ckpt"), timeout_s=240
+    )
+
+    got = tbl.read()
+    assert got.count() == ev_batch.count()
+    # upsert semantics: every event present exactly once, values current
+    joined = got.alias("g").join(ev_batch.alias("b"), "event_id")
+    mismatches = joined.filter(F.col("g.value") != F.col("b.value")).count()
+    assert mismatches == 0
