@@ -62,6 +62,11 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()
         except Exception:  # noqa: BLE001 - missing optional fixture
             pass
+    # boot the Python worker pool (first Arrow/pandas exchange pays
+    # interpreter + import startup; workers are reused afterwards)
+    spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in catalog.REGISTRY]

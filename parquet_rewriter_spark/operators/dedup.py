@@ -81,9 +81,21 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> 
     codegen: Spark's higher-order functions (transform/aggregate) are
     interpreted per-element, so min-hashing 48 seeds over array columns
     is 10×+ slower than hashing exploded rows inside a codegen'd
-    partial aggregate."""
-    toks = df.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("s"))
-    return toks.select("id", F.explode("s").alias("sh"))
+    partial aggregate.
+
+    Shingle construction is lambda-free: ``arrays_zip`` of ``shingle_n``
+    shifted slices of the token array (one vectorized array op instead
+    of an interpreted per-element transform). arrays_zip pads the
+    shorter shifted slices with null and concat_ws skips nulls, so a
+    document shorter than ``shingle_n`` tokens naturally yields its
+    whole text as the single shingle — same fallback as shingles().
+    """
+    tok = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(tok) - (shingle_n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(tok, i + 1, k) for i in range(shingle_n)])
+    return df.select(F.col(id_col).alias("id"), F.explode(zipped).alias("z")).select(
+        "id", F.concat_ws(" ", *[F.col("z")[str(i)] for i in range(shingle_n)]).alias("sh")
+    )
 
 
 def minhash_signatures(
@@ -135,41 +147,41 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     sh_rows = _shingle_rows(ensure_parallelism(df), id_col, text_col, shingle_n)
     mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    sigs = sh_rows.groupBy("id").agg(*mins)
+    # signatures: num_hashes longs per doc — tiny relative to the corpus.
+    # Persisted because both the bucketing branch and (via cand) the
+    # verify branch hang off it; without the persist the whole
+    # scan→shingle→agg pipeline runs once per consumer.
+    sigs = sh_rows.groupBy("id").agg(*mins).persist()
+    # band signature = one 64-bit hash of the band's r minhashes
+    # (xxhash64 is variadic — no string concat, 8-byte shuffle key)
     banded = sigs.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(",", *[F.col(f"h{band * rows + r}") for r in range(rows)])
+                    F.xxhash64(*[F.col(f"h{band * rows + r}") for r in range(rows)])
                     for band in range(bands)
                 ]
             )
         ).alias("band", "band_sig"),
     )
-    # Pairs within each bucket via collect_list + in-bucket pair
-    # expansion — one shuffle of (band_sig, id), no self-join, so the
-    # signature pipeline is computed exactly once.
-    ids_sorted = F.array_sort(F.col("ids"))
-
-    def _pairs(ids):
-        return F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
-
+    # Candidates: self-equi-join on (band, band_sig) — pairs only meet
+    # inside a bucket, so the shuffle is on band keys, never all-pairs;
+    # the join inputs re-derive from the persisted sigs, so banding is
+    # recomputed from cache, not from the corpus.
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        banded.groupBy("band", "band_sig")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs(ids_sorted)).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # consumed twice (id side-table + verify join) — persist keeps
+        # the bucket join from running twice
+        .persist()
     )
     # Verify: exact Jaccard, but only for candidate docs — semi-join the
     # shingle rows down to candidates before building sets, so set
