@@ -22,6 +22,7 @@ is built-in functions (whole-stage codegen) except where flagged.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -1069,6 +1070,90 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
         F.round(F.array_max(v), 4).alias("vec_max"),
         F.round(norm("embedding"), 4).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------- storage ops in the gate
+# These run the mutation/storage layer end-to-end inside the correctness
+# gate: build a SortedTable in a scratch dir, run the storage operator,
+# and return a relational result the oracle can replay on the raw table.
+
+def _scratch(name: str) -> str:
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"prs_catalog_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+@query(
+    "compact_then_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "storage", "compaction",
+)
+def compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15 bulk re-chunk: orders → SortedTable (small files) → compact to
+    4× file size → scan the compacted snapshot. Content must be
+    byte-for-byte the original relation (oracle: plain aggregate)."""
+    from parquet_rewriter_spark.operators.compact import compact
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("compact"), o, key="o_orderkey", max_records_per_file=5_000
+    )
+    compact(t, max_records_per_file=20_000)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "csv_roundtrip_agg",
+    """
+    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    "sources", "csv",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip (header + explicit schema on read —
+    schema inference is a driver-side full scan; never at scale)."""
+    n = _t(spark, sf_dir, "nation")
+    path = _scratch("csv_nation")
+    n.write.option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(n.schema).csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@query(
+    "json_roundtrip_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "sources", "json",
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip with explicit schema."""
+    s = _t(spark, sf_dir, "supplier")
+    path = _scratch("json_supplier")
+    s.write.json(path)
+    back = spark.read.schema(s.schema).json(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
 
 

@@ -1,0 +1,56 @@
+"""Compaction (R15 bulk re-chunk) invariants: content identical, file
+count follows the target size, sortedness + manifest exactness hold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.compact import compact
+from parquet_rewriter_spark.sources.readers import load_table
+from parquet_rewriter_spark.table import SortedTable
+
+
+def test_compact_rechunks_without_changing_content(spark, tmp_path, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "t"), orders, key="o_orderkey", max_records_per_file=100
+    )
+    files_before = len(t.manifest().files)
+    before = sorted(r.o_orderkey for r in t.read().select("o_orderkey").collect())
+
+    stats = compact(t, max_records_per_file=1000)
+
+    m = t.manifest()
+    assert stats["files_after"] == len(m.files) < files_before
+    after = sorted(r.o_orderkey for r in t.read().select("o_orderkey").collect())
+    assert after == before  # content preserved exactly
+
+    # manifest ranges are exact and files internally sorted
+    for e in m.files:
+        df = spark.read.parquet(f"{t.path}/{e.name}")
+        keys = [r.o_orderkey for r in df.select("o_orderkey").collect()]
+        assert keys == sorted(keys)
+        assert keys[0] == e.key_min and keys[-1] == e.key_max and len(keys) == e.rows
+
+
+def test_compact_after_merge_restores_file_sizes(spark, tmp_path, sf_dir):
+    """Merge fragments the layout (small mutation files); compact heals it."""
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "t2"), orders, key="o_orderkey", max_records_per_file=500
+    )
+    muts = (
+        orders.limit(50)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)  # tail inserts
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(t, muts)
+    n_total = t.read().count()
+    assert n_total == orders.count() + 50
+
+    compact(t, max_records_per_file=2000)
+    assert t.read().count() == n_total
+    # no duplicate keys after the full cycle
+    assert t.read().select("o_orderkey").distinct().count() == n_total
