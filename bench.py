@@ -83,9 +83,52 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "merge_scaling": merge_scaling(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+
+
+def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
+    """BASELINE.md operative target: merge cost must scale with the
+    DIRTY FRACTION of the table, not table size (reference README:109-111
+    — 10% dirty ≪ full rewrite, 50% dirty ≈ ½ full rewrite). Measures
+    merge_into_table over a sorted `orders` table with mutation keys
+    clustered into 1% / 10% / 50% / 100% of the files."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    out: dict[str, float] = {}
+    for label, frac in [("dirty_1pct", 0.01), ("dirty_10pct", 0.10),
+                        ("dirty_50pct", 0.50), ("full_rewrite", 1.0)]:
+        d = tempfile.mkdtemp(prefix=f"prs_bench_merge_{label}_")
+        try:
+            t = SortedTable.create(spark, d, orders, key="o_orderkey",
+                                   max_records_per_file=2_000)
+            # mutations: every 20th key within the leading `frac` of the
+            # key space — clustered, so ~frac of files go dirty
+            muts = (
+                orders.filter(
+                    (F.col("o_orderkey") <= int(max_key * frac))
+                    & (F.col("o_orderkey") % 20 == 0)
+                ).withColumn("o_totalprice", F.lit(0.0))
+            )
+            t0 = time.perf_counter()
+            stats = merge_into_table(t, muts)
+            out[label] = round(time.perf_counter() - t0, 3)
+            out[f"{label}_files_rewritten"] = stats["files_written"]
+            out[f"{label}_files_passthrough"] = stats["files_clean_passthrough"]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
