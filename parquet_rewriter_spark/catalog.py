@@ -1073,6 +1073,78 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- aggregation breadth
+
+@query(
+    "customer_order_breadth",
+    """
+    SELECT o_custkey,
+           count(DISTINCT o_orderstatus) AS n_statuses,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+    """,
+    "aggregation", "collect",
+)
+def customer_order_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_distinct + collect_list (canonicalized to a sorted joined
+    string so the value-hash is engine-portable) + HAVING."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count_distinct("o_orderstatus").alias("n_statuses"),
+            F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias("statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+@query(
+    "priority_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    "aggregation", "grouping-sets", "sql",
+)
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (spark.sql over
+    registered views) — one shuffle, expand-before-exchange."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@query(
+    "weighted_avg_discount",
+    """
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "aggregation", "pandas-udf", "udaf",
+)
+def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDF (Arrow-batched UDAF): quantity-weighted
+    average discount. The Python path is the demo; the identical
+    built-in expression is the production form (functions beat UDFs)."""
+    from parquet_rewriter_spark.functions.udafs import weighted_mean
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_discount", "l_quantity"), 6).alias("wavg_discount")
+    )
+
+
 # ---------------------------------------------------------------- storage ops in the gate
 # These run the mutation/storage layer end-to-end inside the correctness
 # gate: build a SortedTable in a scratch dir, run the storage operator,
