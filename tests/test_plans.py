@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the 100 TB story enforced in CI.
+
+Each assertion pins a property that matters at scale and silently
+degrades otherwise: filters reaching the Parquet scan, dimension joins
+broadcasting, global top-k as TakeOrderedAndProject (per-partition heap,
+not a full sort), column pruning in ReadSchema, and shuffle counts for
+the merge path (one hash exchange, not N).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.catalog import get
+from parquet_rewriter_spark.operators.merge import apply_mutations
+from parquet_rewriter_spark.sources.readers import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    p = plan_of(get("pricing_summary").fn(spark, sf_dir))
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    p = plan_of(get("doc_token_stats").fn(spark, sf_dir))
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan_of(get("revenue_by_nation").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims must not shuffle the fact table
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    for q in ("top_orders_by_revenue", "cosine_topk_bruteforce"):
+        p = plan_of(get(q).fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, q
+        # no global Sort node feeding a limit
+        assert "GlobalLimit" not in p, q
+
+
+def test_merge_is_single_shuffle(spark, sf_dir):
+    """union + window dedup must plan exactly one hash exchange on the
+    key (plus nothing else) — the merge's scale contract."""
+    base = load_table(spark, sf_dir, "orders")
+    muts = base.filter(F.col("o_orderkey") % 17 == 0).withColumn("op", F.lit("UPSERT"))
+    p = plan_of(apply_mutations(base, muts, "o_orderkey"))
+    n_exchanges = p.count("Arguments: hashpartitioning")
+    assert n_exchanges == 1, p
+    assert "Arguments: SinglePartition" not in p  # nothing collapses to one task
+
+
+def test_asof_join_has_no_cartesian(spark, sf_dir):
+    p = plan_of(get("purchase_asof_click").fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_is_equi_join_plus_filter(spark, sf_dir):
+    p = plan_of(get("events_within_5min_pairs").fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_aggregation_has_map_side_combine(spark, sf_dir):
+    """The scan-side partial HashAggregate must exist — the shuffle
+    carries one row per (group, partition), not one per input row."""
+    df = get("pricing_summary").fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "partial_sum" in p and p.count("HashAggregate") >= 2, p
+    # exactly one shuffle for the whole aggregation
+    assert p.count("Exchange hashpartitioning") == 1
