@@ -87,12 +87,44 @@ class SortedTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST_NAME)
 
-    def manifest(self) -> Manifest:
-        with open(self._manifest_path) as fh:
-            return Manifest.from_json(fh.read())
+    def manifest(self, version: int | None = None) -> Manifest:
+        """Current manifest, or a retained historical snapshot by version."""
+        path = (
+            self._manifest_path
+            if version is None
+            else os.path.join(self.path, f"_manifest.v{version}.json")
+        )
+        try:
+            with open(path) as fh:
+                return Manifest.from_json(fh.read())
+        except FileNotFoundError:
+            if version is None:
+                raise
+            raise ValueError(
+                f"no snapshot v{version} at {self.path} (vacuumed or never existed)"
+            ) from None
+
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, oldest first."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("_manifest.v") and name.endswith(".json"):
+                out.append(int(name[len("_manifest.v"):-len(".json")]))
+        return sorted(out)
 
     def _commit_manifest(self, m: Manifest) -> None:
-        """Atomic manifest flip: temp file + rename (commit point)."""
+        """Atomic manifest flip: temp file + rename (commit point).
+
+        Every commit also retains an immutable per-version snapshot
+        (`_manifest.v{N}.json`) — readers pin a version and are immune
+        to concurrent merges; `read(version=)` is time travel. History
+        is garbage-collected by vacuum(retain_versions=...).
+        """
+        snap = os.path.join(self.path, f"_manifest.v{m.version}.json")
+        tmp = snap + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(m.to_json())
+        os.replace(tmp, snap)
         tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(m.to_json())
@@ -126,9 +158,10 @@ class SortedTable:
         t._commit_manifest(Manifest(version=0, key=key, files=sorted(entries, key=lambda e: (e.key_min, e.name))))
         return t
 
-    def read(self) -> DataFrame:
-        """Read the current snapshot (manifest-listed files only)."""
-        paths = self.file_paths()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a snapshot (manifest-listed files only); ``version=None``
+        is the current snapshot, an int time-travels to that commit."""
+        paths = self.file_paths(self.manifest(version))
         if not paths:
             raise ValueError(f"empty table at {self.path}")
         return self.spark.read.parquet(*paths)
@@ -178,9 +211,20 @@ class SortedTable:
         return entries
 
     # ---------- maintenance ----------
-    def vacuum(self) -> list[str]:
-        """Delete data files no longer referenced by the manifest."""
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Garbage-collect: drop snapshot manifests beyond the newest
+        ``retain_versions`` and delete data files referenced by no
+        retained snapshot. retain_versions=1 keeps only the current
+        snapshot (the pre-time-travel behavior)."""
+        retain_versions = max(1, retain_versions)
+        versions = self.versions()
+        keep_versions = versions[-retain_versions:] if versions else []
+        for v in versions:
+            if v not in keep_versions:
+                os.remove(os.path.join(self.path, f"_manifest.v{v}.json"))
         live = {e.name for e in self.manifest().files}
+        for v in keep_versions:
+            live.update(e.name for e in self.manifest(v).files)
         removed = []
         for p in list_parquet_files(self.path):
             name = os.path.basename(p)

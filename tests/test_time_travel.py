@@ -1,0 +1,68 @@
+"""Snapshot versioning: every commit retains an immutable manifest, so
+readers can pin a version (time travel) and vacuum GCs history."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.compact import compact
+from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_DELETE, OP_UPSERT, merge_into_table
+from parquet_rewriter_spark.sources.readers import load_table
+from parquet_rewriter_spark.table import SortedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").limit(1000)
+    return SortedTable.create(
+        spark, str(tmp_path / "tt"), orders, key="o_orderkey", max_records_per_file=200
+    )
+
+
+def _mut(spark, table, keys, op):
+    base = table.read()
+    return base.filter(F.col("o_orderkey").isin(keys)).withColumn(OP_COLUMN, F.lit(op))
+
+
+def test_read_pinned_version_sees_old_data(spark, table):
+    n0 = table.read().count()
+    merge_into_table(table, _mut(spark, table, list(range(100)), OP_DELETE))
+    assert table.read().count() == n0 - 100
+    # v0 snapshot still intact
+    assert table.read(version=0).count() == n0
+    assert table.versions() == [0, 1]
+
+
+def test_version_history_chains_through_merge_and_compact(spark, table):
+    merge_into_table(table, _mut(spark, table, [1, 2, 3], OP_DELETE))
+    compact(table, max_records_per_file=1000)
+    assert table.versions() == [0, 1, 2]
+    assert table.read(version=0).count() == table.read(version=1).count() + 3
+    assert table.read(version=2).count() == table.read(version=1).count()
+
+
+def test_vacuum_retains_requested_history(spark, table):
+    n0 = table.read().count()
+    merge_into_table(table, _mut(spark, table, list(range(50)), OP_DELETE))
+    merge_into_table(table, _mut(spark, table, list(range(50, 80)), OP_DELETE))
+    assert table.versions() == [0, 1, 2]
+
+    table.vacuum(retain_versions=2)  # keep v1 + v2
+    assert table.versions() == [1, 2]
+    assert table.read(version=1).count() == n0 - 50
+    with pytest.raises(ValueError, match="no snapshot v0"):
+        table.read(version=0)
+
+    removed = table.vacuum(retain_versions=1)  # only current
+    assert table.versions() == [2]
+    assert table.read().count() == n0 - 80
+    # current snapshot unaffected by either vacuum
+    assert removed is not None
+
+
+def test_vacuum_never_deletes_files_of_retained_versions(spark, table):
+    merge_into_table(table, _mut(spark, table, list(range(100)), OP_DELETE))
+    table.vacuum(retain_versions=2)
+    # both snapshots still fully readable after GC
+    assert table.read(version=0).count() == table.read(version=1).count() + 100
