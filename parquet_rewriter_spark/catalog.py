@@ -1145,6 +1145,88 @@ def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_30d_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+    FROM orders
+    """,
+    "window", "range-frame",
+)
+def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-count): per-customer
+    trailing-30-day revenue — rangeBetween over epoch seconds."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
+    )
+
+
+@query(
+    "knn_join_sample",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT * FROM (
+      SELECT q.vec_id AS qid, e.vec_id AS nid,
+             round(list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(list_dot_product(q.v, e.v)
+                                  / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
+                                e.vec_id) AS rank
+      FROM q, e
+    ) WHERE rank <= 3
+    """,
+    "similarity", "knn-join",
+)
+def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: 3 nearest neighbors (self included, rank 1) for
+    each of 20 query vectors — broadcast small query side, per-query
+    top-k via window. Rank ties break on rounded cos then neighbor id
+    on BOTH sides, so the cutoff is engine-portable."""
+    from parquet_rewriter_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = knn_join(q, e, "vec_id", "vec_id", "embedding", k=3)
+    qid, nid = out.columns[0], out.columns[1]
+    return out.select(
+        F.col(qid).alias("qid"), F.col(nid).alias("nid"), "cos_sim", "rank"
+    )
+
+
+@query(
+    "frame_sample_offsets",
+    """
+    SELECT doc_id AS media_id, (n - 1) * 1024 AS frame_offset
+    FROM documents,
+         UNNEST(range(1, CAST(ceil(greatest(octet_length(CAST(text AS BLOB)), 1) / 1024.0) AS BIGINT) + 1)) AS t(n)
+    """,
+    "multimodal", "expansion",
+)
+def frame_sample_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N mapInPandas expansion (video frame sampling stub): one row
+    per 1 KiB 'frame' of each payload; the offsets are oracled, the
+    per-frame digest is engine-local."""
+    from parquet_rewriter_spark.sources.multimodal import blob_table, frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample(blob_table(d, "doc_id", "text"), every_n_bytes=1024).select(
+        "media_id", "frame_offset"
+    )
+
+
 # ---------------------------------------------------------------- storage ops in the gate
 # These run the mutation/storage layer end-to-end inside the correctness
 # gate: build a SortedTable in a scratch dir, run the storage operator,

@@ -111,6 +111,7 @@ def knn_join(
     r = right.select(F.col(right_id).alias("rid"), as_double(vec_col).alias("rv"))
     sim = cosine(F.col("lv"), F.col("rv"))
     w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    out_right = right_id if right_id != left_id else f"{right_id}_nn"
     return (
         l.crossJoin(r)
         .select("lid", "rid", F.round(sim, 4).alias("cos_sim"))
@@ -118,7 +119,7 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(
             F.col("lid").alias(left_id),
-            F.col("rid").alias(right_id),
+            F.col("rid").alias(out_right),
             "cos_sim",
             "rank",
         )
