@@ -1,0 +1,65 @@
+"""Skew mitigation — salting utilities for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime
+skew by splitting oversized shuffle partitions. These explicit rewrites
+cover the cases AQE cannot: a single hot key whose *build* side must be
+replicated (salted join), and count(DISTINCT) over groups whose value
+sets dwarf a task (distinct-first rewrite).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the (large) left side.
+
+    Left rows get a uniform random salt in [0, salt); right rows are
+    replicated once per salt value; the join key becomes
+    (on..., salt) — a hot left key now spreads over ``salt`` shuffle
+    partitions instead of one straggler task. Cost: right side
+    shuffle volume × salt — use for large-left × modest-right joins
+    where the right side is still too big to broadcast.
+    """
+    if how.replace("_", "").lower() in {"right", "rightouter", "full", "fullouter", "outer"}:
+        # unmatched RIGHT rows exist once per salt replica — the rewrite
+        # is only sound when right-side rows need a match to survive
+        raise ValueError(f"salted_join does not support how={how!r} (right rows are replicated)")
+    on = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(_SALT, (F.rand(seed=7) * salt).cast("int"))
+    r = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, on=on + [_SALT], how=how).drop(_SALT)
+
+
+def skew_safe_count_distinct(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    distinct_col: str,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """count(DISTINCT x) per group without a per-group distinct set.
+
+    Rewrite: dedup on (group, x) — cardinality spreads over all
+    (group, x) pairs, not per-group — then a plain count. Two light
+    shuffles instead of one skewed one.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return (
+        df.select(*group_cols, distinct_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
