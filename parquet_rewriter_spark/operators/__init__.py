@@ -7,3 +7,13 @@ from parquet_rewriter_spark.operators.merge import (  # noqa: F401
     upsert,
 )
 from parquet_rewriter_spark.operators.compact import compact  # noqa: F401
+from parquet_rewriter_spark.operators.bucketing import bucketed_join, write_bucketed  # noqa: F401
+from parquet_rewriter_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+)
+from parquet_rewriter_spark.operators.joins import asof_join, range_join  # noqa: F401
+from parquet_rewriter_spark.operators.similarity import ann_lsh_topk, cosine_topk, knn_join  # noqa: F401
+from parquet_rewriter_spark.operators.skew import salted_join, skew_safe_count_distinct  # noqa: F401

@@ -29,6 +29,7 @@ def compact(
             version=m.version + 1,
             key=m.key,
             files=sorted(entries, key=lambda e: (e.key_min, e.name)),
+            schema_json=m.schema_json or df.schema.json(),
         )
     )
     return {

@@ -193,7 +193,14 @@ def merge_into_table(
         n_new_rows = sum(e.rows for e in new_entries)
 
     files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
-    table._commit_manifest(Manifest(version=m.version + 1, key=key, files=files))
+    table._commit_manifest(
+        Manifest(
+            version=m.version + 1,
+            key=key,
+            files=files,
+            schema_json=m.schema_json or merged.schema.json(),
+        )
+    )
     return {
         "version": m.version + 1,
         "files_total": len(m.files),

@@ -57,10 +57,18 @@ class Manifest:
     version: int
     key: str
     files: list[ManifestEntry] = field(default_factory=list)
+    # StructType JSON — lets an all-rows-deleted (zero-file) snapshot
+    # still be read as an empty, correctly-typed relation
+    schema_json: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
-            {"version": self.version, "key": self.key, "files": [asdict(f) for f in self.files]},
+            {
+                "version": self.version,
+                "key": self.key,
+                "schema_json": self.schema_json,
+                "files": [asdict(f) for f in self.files],
+            },
             indent=1,
             default=str,
         )
@@ -72,6 +80,7 @@ class Manifest:
             version=d["version"],
             key=d["key"],
             files=[ManifestEntry(**f) for f in d["files"]],
+            schema_json=d.get("schema_json"),
         )
 
 
@@ -155,15 +164,30 @@ class SortedTable:
         t = cls(spark, path)
         staging = t._write_sorted(df, key, max_records_per_file, num_files)
         entries = t._adopt_staged(staging, key)
-        t._commit_manifest(Manifest(version=0, key=key, files=sorted(entries, key=lambda e: (e.key_min, e.name))))
+        t._commit_manifest(
+            Manifest(
+                version=0,
+                key=key,
+                files=sorted(entries, key=lambda e: (e.key_min, e.name)),
+                schema_json=df.schema.json(),
+            )
+        )
         return t
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read a snapshot (manifest-listed files only); ``version=None``
-        is the current snapshot, an int time-travels to that commit."""
-        paths = self.file_paths(self.manifest(version))
+        is the current snapshot, an int time-travels to that commit.
+        A zero-file snapshot (everything deleted) reads as an empty,
+        correctly-typed relation via the manifest's stored schema."""
+        m = self.manifest(version)
+        paths = self.file_paths(m)
         if not paths:
-            raise ValueError(f"empty table at {self.path}")
+            if m.schema_json is None:
+                raise ValueError(f"empty table at {self.path} (no schema recorded)")
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m.schema_json))
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths)
 
     # ---------- write internals ----------
