@@ -988,6 +988,40 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(dedup_within_watermark(ev.unionByName(dups), ["event_id"]))
 
 
+@query(
+    "stream_purchase_click_join",
+    """
+    SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS click_id,
+           CAST(l.ts AS TIMESTAMP) AS purchase_ts, CAST(r.ts AS TIMESTAMP) AS click_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'purchase' AND r.event_type = 'click'
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+    """,
+    "streaming", "stream-stream-join",
+)
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases ⨝ clicks ≤30m before, per
+    user) — watermarks on both sides bound the buffered state; drained
+    with AvailableNow it equals the batch range join (the oracle)."""
+    from parquet_rewriter_spark.streaming import run_to_memory, stream_events, stream_stream_interval_join
+
+    ev = stream_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = stream_stream_interval_join(purchases, clicks, key="user_id")
+    return run_to_memory(
+        joined.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_id_r").alias("click_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("ts_r").alias("click_ts"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- set ops / cube
 
 @query(

@@ -2,9 +2,11 @@ from parquet_rewriter_spark.streaming.ops import (
     dedup_within_watermark,
     run_to_memory,
     session_window_stats,
+    sessionize_with_state,
     sliding_counts,
     stream_events,
     stream_merge_into_table,
+    stream_stream_interval_join,
     tumbling_counts,
 )
 
@@ -13,7 +15,9 @@ __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "session_window_stats",
+    "sessionize_with_state",
     "dedup_within_watermark",
     "run_to_memory",
     "stream_merge_into_table",
+    "stream_stream_interval_join",
 ]

@@ -162,6 +162,123 @@ def run_to_memory(
     return spark.table(name)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``max_delay`` BEFORE
+    each left row, per key.
+
+    Both sides carry watermarks and the join condition bounds the event
+    times against each other — the two things Spark needs to know when
+    buffered state on either side can be dropped (unbounded otherwise).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.withColumnsRenamed({c: f"{c}{suffix}" for c in right.columns})
+        .withWatermark(f"{right_ts}{suffix}", watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}{suffix}"))
+        & (F.col(f"r.{right_ts}{suffix}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}{suffix}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    sessionization with an explicit state object (count + bounds),
+    emitting closed sessions when the event-time timeout fires.
+
+    This is the escape hatch for stateful logic F.session_window can't
+    express (e.g. value-dependent gaps, emit-on-update); the built-in
+    session_window_stats is the preferred form when it fits.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        def emit(sessions):
+            return pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                    "session_end": [pd.Timestamp(l + gap_us, unit="us") for _, l, _ in sessions],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts]))
+        if not ts_us:
+            return
+        ts_us.sort()
+        # split this batch's (sorted) events into gap-separated runs
+        runs: list[tuple[int, int, int]] = []  # (start, last, n)
+        for t in ts_us:
+            if runs and t - runs[-1][1] < gap_us:
+                s, _, n = runs[-1]
+                runs[-1] = (s, t, n + 1)
+            else:
+                runs.append((t, t, 1))
+        # the ongoing run in state either extends into this batch's
+        # first run or is closed by it
+        if state.exists:
+            s0, l0, n0 = state.get
+            if runs[0][0] - l0 < gap_us:
+                runs[0] = (min(s0, runs[0][0]), max(l0, runs[0][1]), n0 + runs[0][2])
+            else:
+                runs.insert(0, (s0, l0, n0))
+        closed, ongoing = runs[:-1], runs[-1]
+        state.update(ongoing)
+        state.setTimeoutTimestamp(ongoing[1] // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_merge_into_table(
     stream: DataFrame,
     table,

@@ -150,6 +150,37 @@ def test_watermark_drops_late_data_across_triggers(spark, tmp_path):
     assert rows.get(0) == (1.0, 1)  # only event_id 0 in the first window
 
 
+def test_sessionize_with_state_matches_builtin_sessions(spark, sf_dir, batch_events):
+    """applyInPandasWithState sessionizer: every emitted session must
+    exactly match a built-in session_window session; sessions are
+    emitted on event-time timeout, so only those whose timeout fell
+    behind the final watermark appear (the tail stays in state)."""
+    from parquet_rewriter_spark.streaming import sessionize_with_state
+
+    got = run_to_memory(
+        sessionize_with_state(stream_events(spark, sf_dir)), output_mode="append"
+    )
+    want = run_to_memory(
+        session_window_stats(stream_events(spark, sf_dir)), "complete"
+    )
+    want_set = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in want.collect()
+    }
+    got_rows = got.collect()
+    assert len(got_rows) > 0
+    for r in got_rows:
+        assert (r.user_id, r.session_start, r.session_end, r.n_events) in want_set
+    # everything closed well before the final watermark horizon must emit
+    max_ts = batch_events.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=31)
+    must_emit = {w for w in want_set if w[2] < horizon}
+    got_set = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in got_rows}
+    assert must_emit <= got_set
+
+
 def test_stream_merge_into_sorted_table(spark, tmp_path, sf_dir):
     """foreachBatch streaming upsert: replay events as mutations into a
     SortedTable keyed by event_id; table ends up identical to batch."""
