@@ -47,6 +47,8 @@ HEADLINE = [
     "multimodal_decode_features",
     "stream_tumbling_counts",
     "stream_dedup_events",
+    "stream_purchase_click_join",
+    "compact_then_scan",
 ]
 
 
