@@ -1261,6 +1261,196 @@ def frame_sample_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_value_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "aggregation", "percentile",
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SURVEY.md §2.2 aggregation row)
+    via the built-in `percentile` aggregate — linear interpolation,
+    matching DuckDB's quantile_cont. At 100 TB swap for
+    `percentile_approx` (mergeable sketch, no per-group sort buffer);
+    this entry pins the exact semantics."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    """
+    SELECT decile, count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    ) GROUP BY decile
+    """,
+    "window", "ntile",
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile deciles over account balance (deterministic tiebreak on
+    c_custkey). A global ORDER BY window is a single-partition sort —
+    fine for a dimension table; for a 100 TB fact column compute decile
+    boundaries with approx_percentile and bucket by range instead (no
+    global sort). This entry pins the exact ntile semantics."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "status_pivot_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "aggregation", "pivot",
+)
+def status_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — the explicit list
+    skips the extra distinct-values job Spark otherwise runs, so the
+    whole thing is one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    "aggregation", "approx",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count;
+    the oracled contract is `exact value + sketch within 10%`. At
+    100 TB the sketch is the production path — mergeable partial
+    aggregates, no exact distinct shuffle of the full key set."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (F.abs(F.col("n_approx") - F.col("n_users"))
+             <= 0.1 * F.col("n_users")).alias("approx_ok"),
+        )
+    )
+
+
+@query(
+    "user_event_type_map",
+    """
+    SELECT user_id,
+           string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts,
+           count(*) AS n_types,
+           sum(n) AS n_events
+    FROM (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ) GROUP BY user_id
+    """,
+    "map", "higher-order",
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface (SURVEY.md §2.2 scalar-fns row): build a
+    per-user map<event_type, count> with map_from_entries, then read it
+    back through map_entries + transform + map_keys/map_values —
+    canonicalized to a sorted string so the hash is engine-portable."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = F.map_from_entries(F.array_sort(F.collect_list(F.struct("event_type", "n"))))
+    return (
+        counts.groupBy("user_id")
+        .agg(m.alias("type_map"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(
+                    F.map_entries("type_map"),
+                    lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
+                ),
+                ",",
+            ).alias("type_counts"),
+            F.size(F.map_keys("type_map")).alias("n_types"),
+            F.aggregate(
+                F.map_values("type_map"), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_props_keyset",
+    """
+    SELECT array_to_string(list_sort(json_keys(props)), ',') AS keyset,
+           count(*) AS n_events
+    FROM events GROUP BY keyset
+    """,
+    "map", "json",
+)
+def events_props_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json → MapType on the semi-structured props column, then
+    map_keys — the schema-on-read promotion SURVEY.md §1.3 flags for
+    events.props."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.array_join(
+                F.array_sort(
+                    F.map_keys(F.from_json("props", "map<string,string>"))
+                ),
+                ",",
+            ).alias("keyset")
+        )
+        .groupBy("keyset")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # ---------------------------------------------------------------- storage ops in the gate
 # These run the mutation/storage layer end-to-end inside the correctness
 # gate: build a SortedTable in a scratch dir, run the storage operator,
