@@ -95,8 +95,10 @@ def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
     """BASELINE.md operative target: merge cost must scale with the
     DIRTY FRACTION of the table, not table size (reference README:109-111
     — 10% dirty ≪ full rewrite, 50% dirty ≈ ½ full rewrite). Measures
-    merge_into_table over a sorted `orders` table with mutation keys
-    clustered into 1% / 10% / 50% / 100% of the files."""
+    merge_into_table over the largest fixture (`lineitem`, keyed by the
+    surrogate unique key orderkey*10+linenumber) with mutation keys
+    clustered into 1% / 10% / 50% / 100% of the files — big enough that
+    rewrite work, not per-job overhead, dominates the timings."""
     import shutil
     import tempfile
 
@@ -106,22 +108,24 @@ def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
     from parquet_rewriter_spark.sources.readers import load_table
     from parquet_rewriter_spark.table import SortedTable
 
-    orders = load_table(spark, sf_dir, "orders")
-    max_key = orders.agg(F.max("o_orderkey")).first()[0]
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "li_key", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    max_key = li.agg(F.max("li_key")).first()[0]
     out: dict[str, float] = {}
     for label, frac in [("dirty_1pct", 0.01), ("dirty_10pct", 0.10),
                         ("dirty_50pct", 0.50), ("full_rewrite", 1.0)]:
         d = tempfile.mkdtemp(prefix=f"prs_bench_merge_{label}_")
         try:
-            t = SortedTable.create(spark, d, orders, key="o_orderkey",
-                                   max_records_per_file=2_000)
-            # mutations: every 20th key within the leading `frac` of the
-            # key space — clustered, so ~frac of files go dirty
+            t = SortedTable.create(spark, d, li, key="li_key",
+                                   max_records_per_file=8_000)
+            # mutations: every 20th order within the leading `frac` of
+            # the key space — clustered, so ~frac of files go dirty
             muts = (
-                orders.filter(
-                    (F.col("o_orderkey") <= int(max_key * frac))
-                    & (F.col("o_orderkey") % 20 == 0)
-                ).withColumn("o_totalprice", F.lit(0.0))
+                li.filter(
+                    (F.col("li_key") <= int(max_key * frac))
+                    & (F.col("l_orderkey") % 20 == 0)
+                ).withColumn("l_extendedprice", F.lit(0.0))
             )
             t0 = time.perf_counter()
             stats = merge_into_table(t, muts)

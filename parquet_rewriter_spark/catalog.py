@@ -852,6 +852,19 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, "vec_id", "embedding", qv, k=10, n_planes=8)
 
 
+@query("ann_ivf_topk", None, "similarity", "ann", "ivf")
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF index (driver-sampled spherical
+    k-means cells, probe the 4 nearest of 16) — the
+    partition-pruning scale path alongside the LSH one. Rows-only:
+    recall vs the exact path is asserted in tests/test_llm_ops.py."""
+    from parquet_rewriter_spark.operators.similarity import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann_ivf_topk(e, "vec_id", "embedding", qv, k=10, n_centroids=16, n_probe=4)
+
+
 # ---------------------------------------------------------------- multimodal
 
 @query(

@@ -140,10 +140,15 @@ def plan_dirty_files(
                 out.update(np.unique(idx[ok]).tolist())
         yield pd.DataFrame({"file_idx": sorted(int(i) for i in out)})
 
-    keys_df = mutations.select(F.col(key).alias("k")).distinct()
+    # No pre-distinct on keys (that would be a full shuffle of the
+    # mutation set just to dedupe searchsorted probes) and no
+    # post-distinct on file indices (each partition already emits a
+    # unique set; the driver-side set comprehension dedupes the rest) —
+    # the whole plan is one shuffle-free mapInPandas pass.
+    keys_df = mutations.select(F.col(key).alias("k"))
     dirty_idx = {
         int(r.file_idx)
-        for r in keys_df.mapInPandas(find_dirty, schema="file_idx long").distinct().collect()
+        for r in keys_df.mapInPandas(find_dirty, schema="file_idx long").collect()
     }
     dirty = [e for i, e in enumerate(entries) if i in dirty_idx]
     clean = [e for i, e in enumerate(entries) if i not in dirty_idx]
@@ -185,12 +190,12 @@ def merge_into_table(
         merged = mut.filter(F.col(OP_COLUMN) != OP_DELETE).select(*base_cols)
 
     mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
-    new_entries: list[ManifestEntry] = []
-    n_new_rows = 0
-    if not merged.isEmpty():
-        staging = table._write_sorted(merged, key, mrpf)
-        new_entries = table._adopt_staged(staging, key)
-        n_new_rows = sum(e.rows for e in new_entries)
+    # No isEmpty() pre-check (an extra Spark action): an empty merge
+    # writes an empty staging dir and _adopt_staged drops zero-row
+    # files, so the empty case costs nothing extra on the common path.
+    staging = table._write_sorted(merged, key, mrpf)
+    new_entries = table._adopt_staged(staging, key)
+    n_new_rows = sum(e.rows for e in new_entries)
 
     files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
     table._commit_manifest(

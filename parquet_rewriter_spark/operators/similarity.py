@@ -15,6 +15,7 @@ bucketing, reproducible results.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from parquet_rewriter_spark.functions.vector import as_double, cosine, dot
@@ -86,6 +87,87 @@ def ann_lsh_topk(
             probe.add(flipped)
     bucketed = add_lsh_bucket(df, vec_col, dim, n_planes, seed)
     cand = bucketed.filter(F.col("bucket").isin(sorted(probe)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double(vec_col), q)
+    return (
+        cand.select(F.col(id_col).alias("id"), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids for an IVF index, trained driver-side
+    on a bounded sample (``sample_rows`` × dim floats — the only data
+    that ever reaches the driver; at 100 TB this is still a few MB).
+    Deterministic: fixed seed, fixed sample order. Returns row-normalized
+    centroids (n_centroids × dim)."""
+    rows = df.select(as_double(vec_col).alias("v")).limit(sample_rows).collect()
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """Adds ``centroid_id`` = argmax-cosine centroid per row, via an
+    Arrow-batched pandas UDF (one numpy matmul per batch — the
+    vectorized path; per-row built-in exprs would be O(n_centroids)
+    expression trees). Executors receive the centroid matrix inside the
+    serialized UDF closure (a broadcast-sized constant)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype("int32"))
+
+    return df.withColumn("centroid_id", assign(as_double(vec_col)))
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign vectors to k-means cells, probe the
+    ``n_probe`` cells nearest the query, brute-force only inside them —
+    the scan is ~n_probe/n_centroids of the table. At 100 TB the table
+    is written partitioned by ``centroid_id`` (precomputed once via
+    ivf_assign), so probing becomes partition pruning and the per-query
+    cost is |probed cells|. Returns (id, cos_sim)."""
+    C = centroids if centroids is not None else kmeans_centroids(
+        df, vec_col, n_centroids=n_centroids, iters=iters, seed=seed
+    )
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = np.argsort(-(C @ qv))[: min(n_probe, len(C))].tolist()
+    cand = ivf_assign(df, vec_col, C).filter(F.col("centroid_id").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine(as_double(vec_col), q)
     return (

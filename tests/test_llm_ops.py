@@ -107,6 +107,64 @@ def test_ann_finds_planted_neighbors(spark):
     assert clusters == {3}
 
 
+def test_ivf_finds_planted_neighbors(spark):
+    """IVF variant of the planted-cluster recall test: with k-means
+    cells ≈ planted clusters, probing the nearest cells must recover the
+    exact top-10 (tight clusters → the query's cell holds its true
+    neighbors)."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.similarity import ann_ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((10, 32))
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(20):
+            v = c + 0.05 * rng.standard_normal(32)
+            rows.append((vid, ci, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<float>")
+    qv = [float(x) for x in centers[3]]
+    exact = [r.id for r in cosine_topk(df, "vec_id", "embedding", qv, k=10).collect()]
+    approx = [
+        r.id
+        for r in ann_ivf_topk(
+            df, "vec_id", "embedding", qv, k=10, n_centroids=10, n_probe=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"IVF recall on planted clusters too low: {recall}"
+
+
+def test_ivf_on_fixture_embeddings_prunes_and_returns_k(spark, emb):
+    """On the real fixture: k results, and the probed candidate set is a
+    strict subset of the table (the scan actually pruned)."""
+    from parquet_rewriter_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    C = kmeans_centroids(emb, "embedding", n_centroids=16)
+    out = ann_ivf_topk(
+        emb, "vec_id", "embedding", qv, k=10, n_probe=4, centroids=C
+    ).collect()
+    assert len(out) == 10
+    assert out[0].id == 0 and out[0].cos_sim == 1.0  # self-match first
+    sizes = (
+        ivf_assign(emb, "embedding", C)
+        .groupBy("centroid_id")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    assert total == emb.count()
+    assert len(sizes) > 4  # multiple non-empty cells → probing 4 prunes
+
+
 def test_ann_on_fixture_embeddings_prunes_and_returns_k(spark, emb):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     approx = ann_lsh_topk(emb, "vec_id", "embedding", qv, k=10, n_planes=8).collect()
