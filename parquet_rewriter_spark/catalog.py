@@ -813,6 +813,44 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(e, "vec_id", "embedding", 0.45)
 
 
+@query(
+    "winnow_fingerprint_pairs",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    grams AS (
+      SELECT doc_id, n AS pos,
+             greatest(length(text) - 7, 1) AS n_grams,
+             substring(text, n, 8) AS gram
+      FROM docs, UNNEST(range(1, greatest(length(text) - 7, 1) + 1)) AS t(n)
+    ),
+    wins AS (
+      SELECT doc_id, pos, n_grams,
+             min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= greatest(n_grams - 3, 1)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    "dedup", "winnowing", "rolling-hash",
+)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint dedup by winnowing (SIGMOD 2003) over a
+    doc sample: docs sharing >= 3 window-min 8-gram fingerprints. The
+    oracled entry uses the lexicographic-min selector (engine-portable);
+    production uses xxhash64-min (use_hash=True, same plan shape)."""
+    from parquet_rewriter_spark.operators.dedup import winnow_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return winnow_pairs(
+        d, "doc_id", "text", k=8, window=4, min_shared=3, use_hash=False
+    )
+
+
 # ---------------------------------------------------------------- similarity search
 
 @query(

@@ -283,3 +283,81 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): hash every character k-gram, slide
+    a window of ``window`` consecutive gram hashes, keep each window's
+    minimum — a position-robust fingerprint set whose size is
+    ~2/(window+1) of the gram count, guaranteed to share fingerprints
+    with any document containing a common substring of length
+    k + window - 1.
+
+    Spark shape (all built-ins, one shuffle): explode gram positions
+    with sequence() → substring at each position → min over a row-frame
+    window per document → distinct. Returns (id, fp).
+
+    ``use_hash=True`` selects by xxhash64 of the gram (the production
+    selector — uniform, adversary-resistant). ``use_hash=False``
+    selects the lexicographic-min gram string instead: same winnowing
+    structure, but portable across engines (no shared hash function
+    with DuckDB), so the oracled catalog entry uses it.
+    """
+    n_grams = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        F.col(text_col).alias("__t"),
+        n_grams.alias("__n"),
+    ).select(
+        "id",
+        "pos",
+        "__n",
+        F.substring(F.col("__t"), F.col("pos"), F.lit(k)).alias("gram"),
+    )
+    val = F.xxhash64("gram") if use_hash else F.col("gram")
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        grams.select(
+            "id",
+            "pos",
+            "__n",
+            F.min(val).over(w).alias("fp"),
+        )
+        # only full windows (the last window-1 positions see truncated
+        # frames); short docs (< window grams) keep their single window
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - (window - 1), F.lit(1)))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: docs sharing >=
+    ``min_shared`` fingerprints, with the shared count. The join key is
+    the fingerprint itself (shuffle on fp — pairs only meet inside an
+    fp bucket, never all-pairs). Returns (id_a, id_b, shared_fps)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, use_hash)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

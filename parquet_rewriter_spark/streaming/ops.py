@@ -138,6 +138,7 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
     timeout_s: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (Trigger.AvailableNow)
     into an in-memory table and return the result as a batch DataFrame.
@@ -148,17 +149,33 @@ def run_to_memory(
     DuckDB oracle. ``complete`` mode re-emits full aggregation state, so
     windowed aggs match their batch GROUP BY equivalent exactly;
     ``append`` mode (dedup, pass-through) emits rows as they finalize.
+
+    ``state_partitions`` sizes the stateful-operator shuffle for this
+    query (restored after). A streaming checkpoint PINS its state
+    partition count forever, and every partition costs state-store
+    files + commit I/O per micro-batch — so it must be sized to
+    expected state volume (keys × bytes / target partition size), NOT
+    to the cluster's CPU count: a stream-stream join at the batch
+    default of 32 spends 3× longer on per-partition state commits than
+    on data. None = leave the session setting.
     """
-    name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
     spark = stream_df.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

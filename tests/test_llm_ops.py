@@ -226,3 +226,28 @@ def test_frame_sample_expansion(spark, docs):
     for mid, n in per_doc.items():
         expected = max(1, -(-n_bytes[mid] // 100))
         assert n == expected
+
+
+def test_winnow_pairs_finds_duplicates(spark):
+    """Identical docs share every fingerprint; disjoint-vocab docs share
+    none. Both selector variants (hash-min production, lex-min oracle)
+    must agree on the detected pair."""
+    from parquet_rewriter_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for use_hash in (True, False):
+        pairs = winnow_pairs(
+            df, "doc_id", "text", k=5, window=4, min_shared=3, use_hash=use_hash
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)], pairs
+        n_fp = winnow_fingerprints(
+            df, "doc_id", "text", k=5, window=4, use_hash=use_hash
+        ).filter(F.col("id") == 1).count()
+        # winnowing density: ~2/(w+1) of gram count, never more than grams
+        assert 1 <= n_fp <= len(rows[0][1])
+        assert pairs[0].shared_fps == n_fp  # identical docs share all
