@@ -545,6 +545,94 @@ def events_within_5min_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("l.user_id").alias("user_id")).agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+@query(
+    "orders_with_big_lineitem",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    "subquery", "exists", "sql",
+)
+def orders_with_big_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS, which Catalyst decorrelates
+    into a left-semi hash join — no per-row subquery execution."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "above_avg_balance_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    GROUP BY c_mktsegment
+    """,
+    "subquery", "scalar", "sql",
+)
+def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery — Catalyst executes
+    it once and broadcasts the scalar into the filter."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "min_price_part_suppliers",
+    """
+    SELECT p.p_partkey, p.p_brand,
+           round(p.p_retailprice, 2) AS part_price
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+    "subquery", "correlated", "sql",
+)
+def min_price_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (cheapest part per
+    brand) — decorrelated into an aggregate + join on the correlation
+    key, not a per-row loop."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand,
+               round(p.p_retailprice, 2) AS part_price
+        FROM part p
+        WHERE p.p_retailprice = (
+          SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        ORDER BY p.p_brand, p.p_partkey
+        """
+    )
+
+
 # ---------------------------------------------------------------- mutation parity
 
 @query(

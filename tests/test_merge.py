@@ -179,3 +179,67 @@ def test_merge_on_real_orders_table(spark, tmp_path, sf_dir):
         "o_orderkey",
     )
     assert doubled.filter(F.abs(F.col("o_totalprice") - 2 * F.col("tp")) > 1e-9).count() == 0
+
+
+def test_merge_all_types_roundtrip(spark, tmp_path):
+    """Type-coverage merge (FIXTURES.md A3, from the reference's
+    commented-out extended schema ParquetRewriterTests.java:358-369
+    mapped to Spark types + nested/decimal/array/struct extensions):
+    upsert + delete on a table carrying every scalar type plus
+    array/struct, asserting exact payload round-trip through the
+    sorted-write → merge → read cycle."""
+    import datetime
+    import decimal
+
+    schema = (
+        "key long, binary_field binary, string_field string, int32_field int, "
+        "int64_field long, boolean_field boolean, float_field float, "
+        "double_field double, ts_field timestamp, decimal_field decimal(12,2), "
+        "arr_field array<int>, struct_field struct<a:string, b:int>"
+    )
+
+    def mk(k, tag):
+        return Row(
+            key=k,
+            binary_field=bytes([k % 256, (k + tag) % 256, 3]),
+            string_field=f"s{k}-{tag}",
+            int32_field=k * 2 + tag,
+            int64_field=k * 10_000_000_000 + tag,
+            boolean_field=(k + tag) % 2 == 0,
+            float_field=float(k) + 0.5,
+            double_field=k * 1.25 + tag,
+            ts_field=datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=k + tag),
+            decimal_field=decimal.Decimal(f"{k}.{tag}0"),
+            arr_field=[k, k + 1, tag],
+            struct_field=Row(a=f"a{k}", b=k + tag),
+        )
+
+    base_rows = [mk(k, 0) for k in range(0, 100, 2)]  # even keys 0..98
+    df = spark.createDataFrame(base_rows, schema=schema)
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "at"), df, "key", max_records_per_file=16
+    )
+
+    upserts = [mk(10, 7), mk(11, 7), mk(98, 7), mk(-4, 7)]  # replace, inserts, head
+    deletes = [0, 50, 97]  # head, middle, absent (no-op)
+    muts = spark.createDataFrame(
+        [Row(**{**r.asDict(), "op": "UPSERT"}) for r in upserts]
+        + [Row(**{**mk(k, 0).asDict(), "op": "DELETE"}) for k in deletes],
+        schema=schema + ", op string",
+    )
+    merge_into_table(t, muts)
+
+    got = {r["key"]: r for r in t.read().collect()}
+    expected_keys = (set(range(0, 100, 2)) - {0, 50}) | {10, 11, 98, -4}
+    assert set(got) == expected_keys
+    for r in upserts:
+        g = got[r.key]
+        assert bytes(g.binary_field) == r.binary_field
+        assert g.string_field == r.string_field
+        assert g.int64_field == r.int64_field
+        assert g.ts_field == r.ts_field
+        assert g.decimal_field == r.decimal_field
+        assert list(g.arr_field) == r.arr_field
+        assert g.struct_field.a == r.struct_field.a and g.struct_field.b == r.struct_field.b
+    g = got[2]  # untouched survivor keeps its payload
+    assert g.string_field == "s2-0" and g.decimal_field == decimal.Decimal("2.00")
