@@ -1475,8 +1475,8 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def status_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide) with an explicit value list — the explicit list
-    skips the extra distinct-values job Spark otherwise runs, so the
-    whole thing is one shuffle."""
+    skips the extra distinct-values job Spark otherwise runs before it
+    can even plan, leaving just the two-phase pivot aggregate."""
     o = _t(spark, sf_dir, "orders")
     p = (
         o.groupBy("o_orderpriority")

@@ -17,14 +17,8 @@ from pyspark.sql import functions as F
 
 from parquet_rewriter_spark.catalog import get
 from parquet_rewriter_spark.operators.merge import apply_mutations
+from parquet_rewriter_spark.plans import count_exchanges, plan_of, plan_report
 from parquet_rewriter_spark.sources.readers import load_table
-
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
@@ -88,3 +82,38 @@ def test_aggregation_has_map_side_combine(spark, sf_dir):
     assert "partial_sum" in p and p.count("HashAggregate") >= 2, p
     # exactly one shuffle for the whole aggregation
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_correlated_subqueries_decorrelate(spark, sf_dir):
+    """EXISTS / correlated-scalar subqueries must plan as joins
+    (decorrelated), never as per-row subquery re-execution, and the
+    EXISTS must be a semi join."""
+    p = plan_of(get("orders_with_big_lineitem").fn(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    p2 = plan_of(get("min_price_part_suppliers").fn(spark, sf_dir))
+    assert "Join" in p2 and "CartesianProduct" not in p2
+
+
+def test_pivot_has_no_distinct_values_job(spark, sf_dir):
+    """Pivot with an explicit value list: exactly the two hash
+    exchanges of Spark's two-phase pivot aggregate (pre-agg +
+    pivotfirst) — the implicit-values variant would add a separate
+    distinct-values collect job before planning."""
+    df = get("status_pivot_by_priority").fn(spark, sf_dir)
+    assert count_exchanges(df) == 2, plan_of(df)
+
+
+def test_relational_queries_stay_jvm_side(spark, sf_dir):
+    """No Python evaluation nodes in the built-in relational plans —
+    UDFs are the slow path and these queries must not regress onto it."""
+    for q in ("pricing_summary", "revenue_by_nation", "rolling_30d_revenue",
+              "customer_balance_deciles", "user_event_type_map"):
+        r = plan_report(get(q).fn(spark, sf_dir))
+        assert r["python_evals"] == 0, q
+
+
+def test_plan_report_shape(spark, sf_dir):
+    r = plan_report(get("revenue_by_nation").fn(spark, sf_dir))
+    assert r["broadcast_join"] is True
+    assert r["pushed_filters"]  # scan-side predicate present
+    assert isinstance(r["read_schema"], list) and r["read_schema"]
