@@ -771,6 +771,36 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_sentences_udtf",
+    """
+    SELECT doc_id, n - 1 AS sent_idx, trim(parts[n]) AS sentence,
+           length(trim(parts[n])) AS sent_chars
+    FROM (SELECT doc_id, string_split(text, '.') AS parts
+          FROM documents WHERE doc_id % 7 = 0),
+         UNNEST(range(1, len(parts) + 1)) AS t(n)
+    WHERE trim(parts[n]) <> ''
+    """,
+    "udtf", "lateral",
+)
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through a LATERAL join: 1→N sentence expansion per
+    document. Pins the UDTF plumbing (registration, lateral correlation,
+    output schema); the splitting logic itself is SQL-replayable so the
+    oracle can gate it."""
+    from parquet_rewriter_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.sent_chars
+        FROM documents d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id % 7 = 0
+        """
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 _DOCS_WITH_DUPS = """
@@ -1651,6 +1681,30 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.option("header", True).schema(n.schema).csv(path)
     return back.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@query(
+    "orc_roundtrip_agg",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS sum_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "sources", "orc",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip — the columnar secondary format
+    (typed, footer-described, predicate-pushdown-capable like Parquet).
+    The oracle replays the aggregate on the original Parquet: a lossless
+    round-trip makes them identical."""
+    s = _t(spark, sf_dir, "supplier")
+    path = _scratch("orc_supplier")
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
     )
 
 
