@@ -1635,6 +1635,43 @@ def _scratch(name: str) -> str:
 
 
 @query(
+    "zorder_then_filter_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 100000 AND o_custkey < 500
+    GROUP BY o_orderstatus
+    """,
+    "storage", "zorder",
+)
+def zorder_then_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout end-to-end: rewrite orders z-ordered on
+    (o_custkey, o_totalprice), then run a two-dimensional selective
+    filter over the rewritten files — both predicates prune files via
+    footer min/max because each file covers a compact rectangle of the
+    key space (multi-column zone maps; plain key-sort prunes only its
+    one sort column). Oracle replays the same filter+agg on the
+    original table — a lossless layout rewrite makes them identical."""
+    from parquet_rewriter_spark.operators.zorder import zorder_write
+
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("zorder_orders")
+    zorder_write(o, path, ["o_custkey", "o_totalprice"], num_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("o_totalprice").between(50000, 100000) & (F.col("o_custkey") < 500)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "compact_then_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
