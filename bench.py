@@ -49,6 +49,16 @@ HEADLINE = [
     "stream_dedup_events",
     "stream_purchase_click_join",
     "compact_then_scan",
+    "order_value_percentiles",
+    "customer_balance_deciles",
+    "status_pivot_by_priority",
+    "approx_distinct_users",
+    "user_event_type_map",
+    "orders_with_big_lineitem",
+    "winnow_fingerprint_pairs",
+    "zorder_then_filter_scan",
+    "ann_ivf_topk",
+    "doc_sentences_udtf",
 ]
 
 
