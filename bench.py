@@ -59,6 +59,7 @@ HEADLINE = [
     "zorder_then_filter_scan",
     "ann_ivf_topk",
     "doc_sentences_udtf",
+    "table_changes_feed",
 ]
 
 

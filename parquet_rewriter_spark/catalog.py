@@ -157,15 +157,25 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join", "topk",
 )
 def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape + global top-k: Spark executes orderBy().limit(k)
-    as TakeOrderedAndProject — per-partition top-k then a k-row merge on
-    the driver, never a full sort of the fact table."""
+    """TPC-H Q3 shape + global top-k. Aggregate lineitem by l_orderkey
+    BEFORE the join (partial agg map-side, then one narrow shuffle of
+    (key, revenue) pairs instead of full lineitem rows through a join
+    shuffle) — o_orderkey is unique, so join-then-group and
+    group-then-join are equivalent, and the cheap side wins at scale.
+    orderBy().limit(k) runs as TakeOrderedAndProject — per-partition
+    top-k then a k-row driver merge, never a full sort."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
     return (
-        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        rev.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -1698,6 +1708,57 @@ def compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+@query(
+    "table_changes_feed",
+    """
+    SELECT o_orderkey AS key, 'update_postimage' AS change_type,
+           round(o_totalprice + 1000.0, 2) AS price
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, 'delete', round(o_totalprice, 2)
+    FROM orders WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey - 1000000, 'insert', round(o_totalprice, 2)
+    FROM orders WHERE o_orderkey < 5
+    """,
+    "mutation", "cdc",
+)
+def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshots: orders → SortedTable, merge a known
+    mutation set (update %10=3 at +1000, delete %10=7, insert copies of
+    the head keys shifted to -1e6), then snapshot_diff(v0, v1) must
+    reproduce exactly that mutation set — the inverse of the
+    reference's validateMutations reconstruction
+    (ParquetRewriterTests.java:215-244). Reads only churned files, so
+    the feed costs O(dirty bytes), not O(table bytes)."""
+    from parquet_rewriter_spark.operators.cdc import snapshot_diff
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("cdc_orders"), o, key="o_orderkey", max_records_per_file=5_000
+    )
+    ups = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") < 5)
+        .withColumn("o_orderkey", F.col("o_orderkey") - F.lit(1_000_000))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn("op", F.lit("DELETE"))
+    merge_into_table(t, ups.unionByName(ins).unionByName(dels))
+    feed = snapshot_diff(t, from_version=0, to_version=1)
+    return feed.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("_change_type").alias("change_type"),
+        F.round("o_totalprice", 2).alias("price"),
     )
 
 

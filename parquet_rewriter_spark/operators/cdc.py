@@ -1,0 +1,92 @@
+"""Change-data-feed between two SortedTable snapshots.
+
+The reference's output is a *new file* whose delta from the source is
+exactly the applied mutation set (ParquetRewriterTests.java:215-244
+reconstructs it to validate). ``snapshot_diff`` inverts that: given two
+retained manifest versions it recovers the row-level changes, emitting a
+Delta-CDF-shaped feed (``_change_type`` in {insert, delete,
+update_postimage}).
+
+Scale design: part-files are immutable and manifest-tracked, so a file
+present in BOTH snapshots cannot contain a changed row — only files
+removed or added between the versions are read. The diff therefore
+costs O(churned bytes), not O(table bytes), the same dirty-fraction
+scaling contract as the merge itself (README.md:111).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import MapType
+
+from parquet_rewriter_spark.table import SortedTable
+
+CHANGE_TYPE_COL = "_change_type"
+
+
+def _payload_fingerprint(df: DataFrame, cols: list[str]):
+    """A comparable fingerprint of the non-key payload.
+
+    Struct equality covers every type except MapType (not orderable in
+    Spark); fall back to a hash of the JSON rendering when maps appear.
+    """
+    has_map = any(isinstance(df.schema[c].dataType, MapType) for c in cols)
+    inner = F.struct(*[F.col(c) for c in cols])
+    return F.xxhash64(F.to_json(inner)) if has_map else inner
+
+
+def snapshot_diff(
+    table: SortedTable,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level changes from snapshot ``from_version`` to ``to_version``
+    (default: current). Returns the table schema plus ``_change_type``:
+    inserts and updates carry the new row (postimage), deletes the old.
+    """
+    import os
+
+    m_old = table.manifest(from_version)
+    m_new = table.manifest(to_version) if to_version is not None else table.manifest()
+    key = m_new.key
+
+    old_names = {e.name for e in m_old.files}
+    new_names = {e.name for e in m_new.files}
+    removed = [os.path.join(table.path, n) for n in sorted(old_names - new_names)]
+    added = [os.path.join(table.path, n) for n in sorted(new_names - old_names)]
+
+    schema_df = table.read(version=m_new.version if to_version is not None else None)
+    cols = schema_df.columns
+    payload_cols = [c for c in cols if c != key]
+
+    spark = table.spark
+    empty = spark.createDataFrame([], schema_df.schema)
+    old = spark.read.parquet(*removed) if removed else empty
+    new = spark.read.parquet(*added) if added else empty
+
+    o = old.select(
+        F.col(key),
+        F.struct(*[F.col(c) for c in cols]).alias("_old_row"),
+        _payload_fingerprint(old, payload_cols).alias("_old_fp"),
+    )
+    n = new.select(
+        F.col(key),
+        F.struct(*[F.col(c) for c in cols]).alias("_new_row"),
+        _payload_fingerprint(new, payload_cols).alias("_new_fp"),
+    )
+
+    j = o.join(n, on=key, how="full_outer")
+    change = (
+        F.when(F.col("_old_row").isNull(), F.lit("insert"))
+        .when(F.col("_new_row").isNull(), F.lit("delete"))
+        .when(~F.col("_old_fp").eqNullSafe(F.col("_new_fp")), F.lit("update_postimage"))
+    )
+    row = F.when(F.col("_new_row").isNull(), F.col("_old_row")).otherwise(F.col("_new_row"))
+    return (
+        j.withColumn(CHANGE_TYPE_COL, change)
+        .filter(F.col(CHANGE_TYPE_COL).isNotNull())
+        .select(
+            *[row.getField(c).alias(c) for c in cols],
+            F.col(CHANGE_TYPE_COL),
+        )
+    )
