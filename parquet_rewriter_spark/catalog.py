@@ -135,12 +135,19 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    # partial-aggregate lineitem down to (l_orderkey, rev) BEFORE the
+    # fact-fact join: the shuffle then carries one narrow pair per order
+    # instead of every lineitem row (map-side combine does most of the
+    # reduction); the dim hops stay broadcast, shuffle-free.
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        rev.join(o, rev.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
     )
 
 
