@@ -34,10 +34,23 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts ns-long → timestamp."""
+    if name == "events":
+        ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
     return df
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Make TIMESTAMP(NANOS) parquet columns readable on ANY session.
+
+    The engine's own session factory sets this at build time, but callers
+    (the correctness driver in particular) hand us vanilla sessions —
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a runtime SQL conf, so we
+    set it here, right before the read that needs it.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

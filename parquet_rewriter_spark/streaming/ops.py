@@ -30,7 +30,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parquet_rewriter_spark.sources.readers import normalize_events_ts
+from parquet_rewriter_spark.sources.readers import ensure_nanos_as_long, normalize_events_ts
 
 
 def stream_events(
@@ -46,6 +46,7 @@ def stream_events(
     for multi-batch tests (watermark advancement, late-data drop).
     """
     path = os.path.join(sf_dir, "events.parquet")
+    ensure_nanos_as_long(spark)
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # FileStreamSource wants a directory or glob; turn the last char
