@@ -47,22 +47,41 @@ _PRIORITY = "__src_priority"
 _RN = "__rn"
 
 
-def apply_mutations(base: DataFrame, mutations: DataFrame, key: str) -> DataFrame:
+def apply_mutations(
+    base: DataFrame, mutations: DataFrame, key: str, seq_col: str | None = None
+) -> DataFrame:
     """Logical merge: mutations win over base rows on key collision.
 
     ``mutations`` = base schema + an ``op`` column in {UPSERT, DELETE}.
     Pure DataFrame expression (union + window), so Catalyst plans one
     hash shuffle on ``key``; no Python in the hot path.
+
+    Duplicate keys WITHIN one mutation batch: the reference rejects such
+    input outright (ascending-strict key discipline,
+    ParquetRewriter.java:256-258); we accept it but resolve it
+    deterministically rather than by arbitrary partition order — pass
+    ``seq_col`` (higher sequence wins, e.g. a CDC offset) for
+    caller-defined order, else the tiebreak is (DELETE over UPSERT, then
+    row-hash): a fixed, rerun-stable winner with zero extra shuffles.
     """
     base_cols = base.columns
     mut = mutations
     if OP_COLUMN not in mut.columns:
         mut = mut.withColumn(OP_COLUMN, F.lit(OP_UPSERT))
-    unioned = (
-        mut.select(*base_cols, OP_COLUMN).withColumn(_PRIORITY, F.lit(0))
-        .unionByName(base.withColumn(OP_COLUMN, F.lit(OP_UPSERT)).withColumn(_PRIORITY, F.lit(1)))
-    )
-    w = Window.partitionBy(key).orderBy(F.col(_PRIORITY))
+    if seq_col is not None:
+        tiebreak = [F.col(seq_col).desc_nulls_last()]
+        mut_cols = [*base_cols, OP_COLUMN, seq_col]
+        base_seq = F.lit(None)
+    else:
+        tiebreak = [F.col(OP_COLUMN), F.xxhash64(*base_cols)]
+        mut_cols = [*base_cols, OP_COLUMN]
+        base_seq = None
+    unioned = mut.select(*mut_cols).withColumn(_PRIORITY, F.lit(0))
+    base_u = base.withColumn(OP_COLUMN, F.lit(OP_UPSERT)).withColumn(_PRIORITY, F.lit(1))
+    if base_seq is not None:
+        base_u = base_u.withColumn(seq_col, base_seq.cast(unioned.schema[seq_col].dataType))
+    unioned = unioned.unionByName(base_u)
+    w = Window.partitionBy(key).orderBy(F.col(_PRIORITY), *tiebreak)
     return (
         unioned.withColumn(_RN, F.row_number().over(w))
         .filter((F.col(_RN) == 1) & (F.col(OP_COLUMN) != OP_DELETE))
@@ -98,47 +117,48 @@ def plan_dirty_files(
     ``key_min <= k <= key_max`` — exactly the reference's seek decision
     (ParquetRewriter.java:263-283), lifted from row-group to file.
 
-    Files' ranges are sorted by key_min; a vectorized searchsorted
-    assigns each distinct mutation key its candidate file(s); ranges may
-    overlap after gap-inserting merges, so we probe the (rare) overlap
-    window conservatively.
+    The test is per-FILE, not per-key: sort each batch's keys once, then
+    file i is dirty iff a key lands inside [key_min_i, key_max_i], i.e.
+    ``searchsorted(keys, key_min, "left") < searchsorted(keys, key_max,
+    "right")``. Two binary searches per file — exact for arbitrarily
+    overlapping/nested ranges (which gap-inserting merges do produce),
+    with no overlap-depth heuristic to undershoot, and O(F log K) per
+    batch however pathological the manifest.
     """
     key = manifest.key
     entries = sorted(manifest.files, key=lambda e: (e.key_min, e.key_max))
     if not entries:
         return [], []
 
-    mins = [e.key_min for e in entries]
-    maxs = [e.key_max for e in entries]
-
     import numpy as np
 
-    mins_arr = np.asarray(mins)
-    maxs_arr = np.asarray(maxs)
-    # With overlapping ranges, a key can fall in any file whose min <= k
-    # at index <= searchsorted(mins, k); bound the backward probe by the
-    # max overlap depth so the common (disjoint) case stays O(1) per key.
-    depth = 1
-    running_max = maxs_arr[0]
-    for i in range(1, len(entries)):
-        d = 1
-        while i - d >= 0 and maxs_arr[i - d] >= mins_arr[i]:
-            d += 1
-        depth = max(depth, d)
-        running_max = max(running_max, maxs_arr[i])
+    # pd.Series (not np.asarray) so typed keys coerce to the same dtype
+    # family the Arrow batches produce (datetime64 for timestamps,
+    # object for date/Decimal) — mixed-dtype searchsorted is UB.
+    # Timestamp bounds from parquet footers are tz-AWARE (isAdjustedToUTC)
+    # while Arrow hands the executor tz-NAIVE session-local values, so
+    # render bounds naive in the session zone before shipping them.
+    tz = spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
+
+    def _bounds(vals: list) -> "pd.Series":
+        s = pd.Series(vals)
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            s = s.dt.tz_convert(tz).dt.tz_localize(None)
+        return s.to_numpy()
+
+    mins_arr = _bounds([e.key_min for e in entries])
+    maxs_arr = _bounds([e.key_max for e in entries])
 
     def find_dirty(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = set()
+        hit = np.zeros(len(mins_arr), dtype=bool)
         for pdf in batches:
-            ks = pdf["k"].to_numpy()
-            pos = np.searchsorted(mins_arr, ks, side="right") - 1
-            for back in range(depth):
-                idx = pos - back
-                ok = (idx >= 0) & (ks >= np.take(mins_arr, np.clip(idx, 0, None))) & (
-                    ks <= np.take(maxs_arr, np.clip(idx, 0, None))
-                )
-                out.update(np.unique(idx[ok]).tolist())
-        yield pd.DataFrame({"file_idx": sorted(int(i) for i in out)})
+            ks = np.unique(pdf["k"].dropna().to_numpy())
+            if len(ks) == 0:
+                continue
+            lo = np.searchsorted(ks, mins_arr, side="left")
+            hi = np.searchsorted(ks, maxs_arr, side="right")
+            hit |= lo < hi
+        yield pd.DataFrame({"file_idx": np.nonzero(hit)[0].astype("int64")})
 
     # No pre-distinct on keys (that would be a full shuffle of the
     # mutation set just to dedupe searchsorted probes) and no
@@ -168,15 +188,29 @@ def merge_into_table(
     passthrough: clean bytes are never read, the analog of
     ``writer.appendRowGroup(raw)`` at ParquetRewriter.java:317).
 
-    Returns merge metrics (the reference exposes nanosecond phase
-    counters, ParquetRewriter.java:349-359; we expose file/row counts).
+    Returns merge metrics: file/row counts plus per-phase wall-times
+    (``t_plan_s`` / ``t_write_s`` / ``t_commit_s``), mirroring the
+    reference's phase counters (ParquetRewriter.java:349-359). "Write"
+    covers read-merge-write — Spark executes the lazy merge plan inside
+    the write job, so the phases aren't separable without breaking the
+    pipeline.
     """
     import os
+    import time
 
     spark = table.spark
     m = table.manifest()
     key = m.key
+    # The mutation stream is consumed twice — once by the planning pass,
+    # once by the merge itself. Persist so an expensive upstream (a CDC
+    # read, a join) computes once; MEMORY_AND_DISK spills instead of
+    # recomputing when the batch outgrows executor memory.
+    from pyspark import StorageLevel
+
+    mutations.persist(StorageLevel.MEMORY_AND_DISK)
+    t0 = time.monotonic()
     dirty, clean = plan_dirty_files(spark, m, mutations)
+    t_plan = time.monotonic() - t0
 
     if dirty:
         base_dirty = spark.read.parquet(*[os.path.join(table.path, e.name) for e in dirty])
@@ -193,10 +227,14 @@ def merge_into_table(
     # No isEmpty() pre-check (an extra Spark action): an empty merge
     # writes an empty staging dir and _adopt_staged drops zero-row
     # files, so the empty case costs nothing extra on the common path.
+    t0 = time.monotonic()
     staging = table._write_sorted(merged, key, mrpf)
+    mutations.unpersist()
     new_entries = table._adopt_staged(staging, key)
     n_new_rows = sum(e.rows for e in new_entries)
+    t_write = time.monotonic() - t0
 
+    t0 = time.monotonic()
     files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
     table._commit_manifest(
         Manifest(
@@ -206,6 +244,7 @@ def merge_into_table(
             schema_json=m.schema_json or merged.schema.json(),
         )
     )
+    t_commit = time.monotonic() - t0
     return {
         "version": m.version + 1,
         "files_total": len(m.files),
@@ -213,4 +252,7 @@ def merge_into_table(
         "files_clean_passthrough": len(clean),
         "files_written": len(new_entries),
         "rows_rewritten": n_new_rows,
+        "t_plan_s": round(t_plan, 4),
+        "t_write_s": round(t_write, 4),
+        "t_commit_s": round(t_commit, 4),
     }

@@ -29,6 +29,9 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # INT64-micros timestamps (INT96 has no usable footer stats and is
+    # deprecated; micros match the oracle's / pyarrow's unit)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
 }
 

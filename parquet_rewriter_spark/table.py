@@ -27,6 +27,9 @@ they may overlap — zone-map pruning stays correct, just less selective.
 
 from __future__ import annotations
 
+import base64
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -52,6 +55,43 @@ class ManifestEntry:
     key_max: Any
 
 
+def _encode_key_bound(v: Any) -> Any:
+    """JSON-encode a zone-map bound so it round-trips with its TYPE.
+
+    ``json.dumps(default=str)`` would silently stringify date/timestamp/
+    Decimal bounds; a reloaded manifest would then compare string bounds
+    against native mutation keys in plan_dirty_files and misclassify
+    files. Non-JSON-native types get a tagged envelope instead; anything
+    unrecognized raises at commit time rather than corrupting planning.
+    """
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):  # before date — datetime IS a date
+        return {"__t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__t": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"__t": "dec", "v": str(v)}
+    if isinstance(v, (bytes, bytearray)):
+        return {"__t": "bin", "v": base64.b64encode(bytes(v)).decode("ascii")}
+    raise TypeError(f"unsupported key-bound type for manifest: {type(v).__name__}")
+
+
+def _decode_key_bound(v: Any) -> Any:
+    if isinstance(v, dict) and "__t" in v:
+        tag, s = v["__t"], v["v"]
+        if tag == "ts":
+            return datetime.datetime.fromisoformat(s)
+        if tag == "date":
+            return datetime.date.fromisoformat(s)
+        if tag == "dec":
+            return decimal.Decimal(s)
+        if tag == "bin":
+            return base64.b64decode(s)
+        raise ValueError(f"unknown key-bound tag {tag!r}")
+    return v
+
+
 @dataclass
 class Manifest:
     version: int
@@ -62,24 +102,35 @@ class Manifest:
     schema_json: str | None = None
 
     def to_json(self) -> str:
+        files = []
+        for f in self.files:
+            d = asdict(f)
+            d["key_min"] = _encode_key_bound(d["key_min"])
+            d["key_max"] = _encode_key_bound(d["key_max"])
+            files.append(d)
         return json.dumps(
             {
                 "version": self.version,
                 "key": self.key,
                 "schema_json": self.schema_json,
-                "files": [asdict(f) for f in self.files],
+                "files": files,
             },
             indent=1,
-            default=str,
         )
 
     @staticmethod
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
+        files = []
+        for f in d["files"]:
+            f = dict(f)
+            f["key_min"] = _decode_key_bound(f["key_min"])
+            f["key_max"] = _decode_key_bound(f["key_max"])
+            files.append(ManifestEntry(**f))
         return Manifest(
             version=d["version"],
             key=d["key"],
-            files=[ManifestEntry(**f) for f in d["files"]],
+            files=files,
             schema_json=d.get("schema_json"),
         )
 
@@ -199,6 +250,11 @@ class SortedTable:
         num_files: int | None = None,
     ) -> str:
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        # INT96 timestamps (Spark's legacy default) carry no usable footer
+        # min/max — a timestamp KEY would hard-fail stats collection.
+        # Write INT64 micros; set here (not only the session factory) so
+        # externally-built sessions get correct tables too.
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         writer = df
         if num_files is not None:
             writer = writer.repartitionByRange(num_files, F.col(key))

@@ -144,6 +144,91 @@ def test_dirty_file_pruning_scales_with_dirty_fraction(spark, tmp_path):
     _validate(t, base, {5000: b"q" * 20}, set())
 
 
+def test_dirty_planning_nested_overlapping_ranges(spark, tmp_path):
+    """Regression (round-2 ADVICE): a wide file whose range NESTS over
+    later narrow files must be found dirty even when an intermediate
+    file breaks the contiguous-overlap chain. Ranges [(0,10000),
+    (2000,2100), (3000,3100)], mutation key 5000 → ONLY the wide file
+    contains it; the old chain-bounded probe returned an empty dirty set
+    and the merge would have duplicated the key."""
+    from parquet_rewriter_spark.table import Manifest, ManifestEntry
+
+    m = Manifest(
+        version=0,
+        key="k",
+        files=[
+            ManifestEntry(name="wide.parquet", rows=1, bytes=1, key_min=0, key_max=10000),
+            ManifestEntry(name="n1.parquet", rows=1, bytes=1, key_min=2000, key_max=2100),
+            ManifestEntry(name="n2.parquet", rows=1, bytes=1, key_min=3000, key_max=3100),
+        ],
+    )
+    muts = spark.createDataFrame([(5000,)], "k long")
+    dirty, clean = plan_dirty_files(spark, m, muts)
+    assert [e.name for e in dirty] == ["wide.parquet"]
+    # key inside a narrow file hits BOTH it and the enclosing wide file
+    muts2 = spark.createDataFrame([(2050,)], "k long")
+    dirty2, _ = plan_dirty_files(spark, m, muts2)
+    assert {e.name for e in dirty2} == {"wide.parquet", "n1.parquet"}
+    # end-to-end: a real table whose layout produces a nested range
+    t, base = _mk_table(spark, tmp_path, list(range(0, 1000)), max_records_per_file=100)
+    # gap-insert a wide span (head + tail keys in one merge makes a wide file)
+    wide = {-5: b"w" * 20, 5000: b"w" * 20}
+    merge_into_table(t, _mutations_df(spark, wide, set()))
+    # now mutate a key strictly between the wide file's bounds but outside
+    # every narrow file — the wide file must be rewritten, key stays unique
+    ups = {1500: b"u" * 20}
+    merge_into_table(t, _mutations_df(spark, ups, set()))
+    _validate(t, base, {**wide, **ups}, set())
+
+
+def test_intra_batch_duplicate_keys_deterministic(spark, tmp_path):
+    """Upsert + delete of the SAME key in one batch resolves
+    deterministically (DELETE wins — the fixed tiebreak), and an explicit
+    seq_col overrides it (highest sequence wins)."""
+    from parquet_rewriter_spark.operators.merge import apply_mutations
+
+    base = spark.createDataFrame([(1, b"old"), (2, b"keep")], "key long, value binary")
+    muts = spark.createDataFrame(
+        [(1, b"new", "UPSERT"), (1, None, "DELETE")],
+        "key long, value binary, op string",
+    )
+    for _ in range(3):  # rerun-stable
+        got = {r["key"]: bytes(r["value"]) for r in apply_mutations(base, muts, "key").collect()}
+        assert got == {2: b"keep"}  # DELETE beat the same-batch UPSERT
+    seq_muts = spark.createDataFrame(
+        [(1, None, "DELETE", 1), (1, b"new", "UPSERT", 2)],
+        "key long, value binary, op string, seq long",
+    )
+    got = {
+        r["key"]: bytes(r["value"])
+        for r in apply_mutations(base, seq_muts, "key", seq_col="seq").collect()
+    }
+    assert got == {1: b"new", 2: b"keep"}  # seq=2 UPSERT outranks seq=1 DELETE
+
+
+def test_timestamp_keyed_table_manifest_roundtrip(spark, tmp_path):
+    """Zone-map bounds of a timestamp key must round-trip the manifest
+    JSON as timestamps (not strings) and still prune correctly after
+    reload (round-2 ADVICE: default=str silently stringified them)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [Row(ts=t0 + datetime.timedelta(minutes=i), v=i) for i in range(500)]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "ts_t"), df, "ts", max_records_per_file=100
+    )
+    m = SortedTable(spark, t.path).manifest()  # fresh object → JSON reload
+    assert all(isinstance(e.key_min, datetime.datetime) for e in m.files)
+    probe = t0 + datetime.timedelta(minutes=250)
+    muts = spark.createDataFrame([Row(ts=probe, v=9999, op="UPSERT")], "ts timestamp, v long, op string")
+    dirty, clean = plan_dirty_files(spark, m, muts)
+    assert len(dirty) == 1 and len(clean) == len(m.files) - 1
+    merge_into_table(t, muts)
+    got = {r["ts"]: r["v"] for r in t.read().collect()}
+    assert got[probe] == 9999 and len(got) == 500
+
+
 def test_sequential_merges_and_vacuum(spark, tmp_path):
     keys = list(range(0, 1000))
     t, base = _mk_table(spark, tmp_path, keys)
