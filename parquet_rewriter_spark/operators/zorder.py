@@ -8,20 +8,27 @@ that, so each file covers a small hyper-rectangle of (A, B) space —
 per-file min/max stay tight on BOTH columns and a filter on either one
 prunes files (the same trick Delta/Iceberg OPTIMIZE ZORDER uses).
 
-Spark shape: rank-normalize each column with ntile (bounded 2^bits
-buckets, computed per column), interleave bits with JVM-side shiftleft/
-bitwiseOR expressions (whole-stage codegen, no Python), then
-range-partition + sort by the Morton code. The ntile windows are global
-sorts of single columns — at 100 TB replace with approx_percentile
-boundaries + width_bucket (no global sort); the interleave and layout
-stages are identical.
+Spark shape, all scale-safe (nothing funnels through one partition):
+1. per column, approximate quantile BOUNDARIES (one aggregation pass,
+   driver receives 2^bits-1 doubles — bounded, independent of row count);
+2. per row, bucket id = unrolled binary search of the value against the
+   literal boundary array — ``bits`` iterations of when/element_at,
+   constant-folded array, whole-stage codegen, no shuffle at all;
+3. interleave bucket bits into the Morton code with shiftleft/bitwiseOR;
+4. range-partition + sort by the code (sampling-based range exchange —
+   the only shuffle, and a balanced one).
+
+An earlier version rank-normalized with ``ntile`` over a global
+``Window.orderBy(col)`` — one partition per z-ordered column; that shape
+is exactly what this module exists to avoid at 100 TB.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import DateType, NumericType, TimestampType
 
 
 def morton_interleave(cols: list[Column], bits: int = 16) -> Column:
@@ -39,21 +46,69 @@ def morton_interleave(cols: list[Column], bits: int = 16) -> Column:
     return reduce(lambda a, x: a.bitwiseOR(x), parts)
 
 
-def zorder_by(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
+def _as_double(df: DataFrame, col: str) -> Column:
+    """Numeric view of a z-order column (quantiles need doubles)."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, NumericType):
+        return F.col(col).cast("double")
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col)).cast("double")
+    if isinstance(dt, DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+    raise TypeError(
+        f"zorder_by supports numeric/date/timestamp columns; {col!r} is {dt.simpleString()}"
+    )
+
+
+def _with_bucket_col(
+    df: DataFrame, out_col: str, value: Column, boundaries: list[float], bits: int
+) -> DataFrame:
+    """Bucket id in [0, 2^bits) = count of boundaries < value, via an
+    unrolled binary search: ``bits`` when/element_at steps against a
+    constant-folded literal array — O(bits) per row, zero shuffles.
+
+    The accumulator is MATERIALIZED as a column between steps: a purely
+    functional fold would copy the previous step's tree ~3× per level
+    (~3^bits nodes — planner blow-up); per-level withColumn keeps growth
+    linear and the whole chain still fuses into one codegen stage.
+    """
+    arr = F.lit(boundaries)
+    vcol = f"{out_col}__v"
+    out = df.withColumn(vcol, value).withColumn(out_col, F.lit(0))
+    for level in range(bits - 1, -1, -1):
+        cand = F.col(out_col) + F.lit(2 ** level)
+        # boundary between buckets cand-1 and cand is boundaries[cand-1],
+        # i.e. 1-based element_at(arr, cand); strict > keeps the mapping
+        # monotone with duplicate boundaries (skew collapses to 1 bucket)
+        out = out.withColumn(
+            out_col,
+            F.when(F.col(vcol) > F.element_at(arr, cand.cast("int")), cand).otherwise(
+                F.col(out_col)
+            ),
+        )
+    return out.drop(vcol)
+
+
+def zorder_by(df: DataFrame, cols: list[str], bits: int = 12, rel_err: float = 0.0001) -> DataFrame:
     """Add a ``__z`` Morton-code column over ``cols``.
 
-    Each column is rank-normalized to [0, 2^bits) with ntile — value
-    distribution doesn't matter (skew, negatives, arbitrary ranges all
-    flatten to uniform bucket ids). ntile is a global single-column
-    sort; see module docstring for the approx-boundary scale variant.
+    Each column is rank-normalized to [0, 2^bits) by its approximate
+    quantile boundaries — value distribution doesn't matter (skew,
+    negatives, arbitrary ranges all flatten to near-uniform bucket ids).
+    One aggregation pass computes every column's boundaries; bucket
+    assignment is pure codegen (see _bucket_expr).
     """
+    n_bounds = 2 ** bits - 1
+    probs = [(i + 1) / (2 ** bits) for i in range(n_bounds)]
+    # one job, all columns at once; driver holds cols × (2^bits - 1)
+    # doubles — bounded by the bit width, not the data
+    num = df.select(*[_as_double(df, c).alias(c) for c in cols])
+    all_bounds = num.approxQuantile(cols, probs, rel_err)
     out = df
     bucket_cols = []
-    for c in cols:
+    for c, bounds in zip(cols, all_bounds):
         bname = f"__zb_{c}"
-        out = out.withColumn(
-            bname, F.ntile(2 ** bits).over(Window.orderBy(F.col(c))) - 1
-        )
+        out = _with_bucket_col(out, bname, _as_double(df, c), bounds, bits)
         bucket_cols.append(bname)
     out = out.withColumn("__z", morton_interleave([F.col(b) for b in bucket_cols], bits))
     return out.drop(*bucket_cols)

@@ -59,6 +59,20 @@ def test_merge_is_single_shuffle(spark, sf_dir):
     assert "Arguments: SinglePartition" not in p  # nothing collapses to one task
 
 
+def test_zorder_has_no_global_window_sort(spark, sf_dir):
+    """zorder_by must not rank-normalize through a Window.orderBy —
+    that funnels the table into ONE partition per z-ordered column. The
+    quantile-boundary + codegen binary-search shape plans zero Window
+    nodes and zero single-partition exchanges."""
+    from parquet_rewriter_spark.operators.zorder import zorder_by
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = plan_of(zorder_by(orders, ["o_custkey", "o_totalprice"], bits=8))
+    assert "Window" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "Exchange" not in p, p  # bucket assignment is shuffle-free
+
+
 def test_asof_join_has_no_cartesian(spark, sf_dir):
     p = plan_of(get("purchase_asof_click").fn(spark, sf_dir))
     assert "CartesianProduct" not in p
