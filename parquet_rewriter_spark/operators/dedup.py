@@ -265,22 +265,108 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
+    chunk_rows: int = 4096,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold — brute-force shape for
-    correctness; the LSH-bucketed scale path is
-    operators.similarity.ann_lsh_topk. Returns (id_a, id_b, cos_sim)."""
+    """EXACT pairs with cosine >= threshold, as a blocked matrix product
+    (operators.blockmatrix) — no row-level cross join: each side is
+    chunked, every (chunk, chunk) block is one BLAS matmul, shuffle is
+    rows × chunk-count not rows × rows. Exact threshold search is
+    inherently O(n²) FLOPs; measured on the fixtures the 0.45 threshold
+    has ZERO margin (noise pairs at 0.449 vs matches at 0.452), so a
+    candidate stage with total recall cannot prune — for HIGH thresholds
+    where pruning does work, use embedding_near_dup_lsh.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b."""
+    from parquet_rewriter_spark.operators.blockmatrix import block_self_pairs
+
+    return block_self_pairs(df, id_col, vec_col, threshold, chunk_rows=chunk_rows)
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.8,
+    target_recall: float = 0.95,
+    rows_per_table: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs via banded random-hyperplane LSH — the
+    scale path for high thresholds. Candidates = pairs whose sign
+    signatures collide in ANY of T tables of r hyperplanes (the same
+    OR-of-ANDs banding as MinHash); each candidate is then verified with
+    the exact cosine, so precision is total and recall ≈
+    1-(1-p^r)^T with p = 1 - arccos(threshold)/π.
+
+    (r, T) auto-tune from (threshold, target_recall): r is chosen so a
+    NOISE pair (cos≈0, p=1/2) collides rarely (bucket selectivity 2^-r),
+    then T is the smallest table count reaching target_recall at the
+    threshold. Low thresholds make p→0.5 and T explode — that is the
+    LSH impossibility, not an implementation limit; this function
+    raises if the tuned plan would out-cost brute force.
+    Returns (id_a, id_b, cos_sim)."""
+    import math
+
     from parquet_rewriter_spark.functions.vector import as_double, cosine
+    from parquet_rewriter_spark.operators.similarity import hyperplanes
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    r = rows_per_table or 8
+    t_tables = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p ** r)))
+    # candidate mass ≈ T/2^r of all pairs (noise collision rate); if
+    # that exceeds ~1, banding generates MORE work than brute force
+    if t_tables / (2 ** r) >= 1.0:
+        raise ValueError(
+            f"LSH cannot reach recall {target_recall} at threshold {threshold} "
+            f"without exceeding brute-force cost (needs {t_tables} tables of {r} planes); "
+            "use embedding_near_dup_pairs (exact blocked matmul) instead"
+        )
+    # probe the vector dim lazily from one row? — caller data defines it;
+    # hyperplanes need dim: take it from the first row (bounded action).
+    dim = len(df.select(as_double(vec_col).alias("v")).first()["v"])
+    planes = hyperplanes(dim, r * t_tables, seed)
+
+    from parquet_rewriter_spark.functions.vector import dot as _dot
 
     v = df.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
-    a, b = v.alias("a"), v.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cos, 4).alias("cos_sim"),
+    # per table: r sign bits → one long key; explode to (table, sig)
+    sigs = []
+    for t in range(t_tables):
+        bits = []
+        for b in range(r):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t * r + b]])
+            bits.append(
+                F.shiftleft(
+                    F.when(_dot(F.col("v"), plane) >= 0, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                    b,
+                )
+            )
+        sig = bits[0]
+        for x in bits[1:]:
+            sig = sig.bitwiseOR(x)
+        sigs.append(sig)
+    v = v.persist()
+    # band keys WITHOUT the vector payload — the T-way explode and the
+    # bucket self-join shuffle 3 longs per row, not the embedding
+    banded = v.select("id", F.posexplode(F.array(*sigs)).alias("table", "sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify: fetch vectors for candidates only
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -184,18 +184,77 @@ def knn_join(
     right_id: str,
     vec_col: str,
     k: int = 5,
+    chunk_rows: int = 4096,
 ) -> DataFrame:
-    """For each left vector, its k nearest right vectors by cosine —
-    brute force (cross join + per-left top-k window). Use bucketed
-    variants beyond ~10⁴×10⁶; this is the exact small-side baseline.
+    """EXACT kNN join: for each left vector, its k nearest right vectors
+    by cosine — blocked matrix product (operators.blockmatrix), not a
+    row-level crossJoin: one BLAS matmul + per-row heap per (left-part ×
+    right-chunk) block, so only ~k(+rounding ties) rows per left per
+    right-CHUNK reach the final rank, and the shuffle is rows ×
+    chunk-count, never rows × rows. Exact kNN is inherently O(|L|·|R|)
+    FLOPs; the sub-linear-scan path is knn_join_ivf.
+    Returns (left_id, right_id, cos_sim, rank); rank ties break on
+    rounded cos then neighbor id (engine-portable cutoff)."""
+    from parquet_rewriter_spark.operators.blockmatrix import block_topk_join
+
+    out = block_topk_join(left, right, left_id, right_id, vec_col, k, chunk_rows=chunk_rows)
+    w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
+    out_right = right_id if right_id != left_id else f"{right_id}_nn"
+    return (
+        out.select("lid", "rid", F.round("raw_cos", 4).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("lid").alias(left_id),
+            F.col("rid").alias(out_right),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def knn_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """APPROXIMATE kNN join via shared IVF cells — the bucketed scale
+    path: train centroids once (bounded driver sample of the right
+    side), assign RIGHT rows to their cell, duplicate LEFT rows to their
+    ``n_probe`` nearest cells, equi-join on the cell id, per-left top-k.
+    The join shuffles |L|·n_probe + |R| rows on the cell key — never
+    |L|·|R| — and at rest the right side is written partitioned by
+    ``centroid_id`` so probing is partition pruning. Recall vs the exact
+    join is data-dependent (tested in test_llm_ops.py).
     Returns (left_id, right_id, cos_sim, rank)."""
-    l = left.select(F.col(left_id).alias("lid"), as_double(vec_col).alias("lv"))
-    r = right.select(F.col(right_id).alias("rid"), as_double(vec_col).alias("rv"))
+    from pyspark.sql.functions import pandas_udf
+
+    C = kmeans_centroids(right, vec_col, n_centroids=n_centroids, seed=seed)
+    r = ivf_assign(
+        right.select(F.col(right_id).alias("rid"), as_double(vec_col).alias("rv")), "rv", C
+    )
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1)[:, : min(n_probe, len(C))]
+        return pd.Series(list(order.astype("int32")))
+
+    l = left.select(F.col(left_id).alias("lid"), as_double(vec_col).alias("lv")).withColumn(
+        "centroid_id", F.explode(probe_cells(F.col("lv")))
+    )
     sim = cosine(F.col("lv"), F.col("rv"))
     w = Window.partitionBy("lid").orderBy(F.col("cos_sim").desc(), F.col("rid"))
     out_right = right_id if right_id != left_id else f"{right_id}_nn"
     return (
-        l.crossJoin(r)
+        l.join(r, "centroid_id")
         .select("lid", "rid", F.round(sim, 4).alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -188,6 +188,119 @@ def test_knn_join_small(spark, emb):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_block_kernels_have_no_row_level_cross_join(spark, emb):
+    """The exact similarity paths must plan as the blocked cogroup —
+    no CartesianProduct and no per-row BroadcastNestedLoopJoin of the
+    two DATA relations (the only nested loop allowed is the tiny
+    block-grid broadcast)."""
+    from parquet_rewriter_spark.operators.dedup import embedding_near_dup_pairs
+    from parquet_rewriter_spark.plans import plan_of
+
+    pairs_plan = plan_of(embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.45))
+    knn_plan = plan_of(knn_join(emb.limit(20), emb, "vec_id", "vec_id", "embedding", k=3))
+    for p in (pairs_plan, knn_plan):
+        assert "CartesianProduct" not in p, p
+        assert "FlatMapCoGroupsInPandas" in p, p
+
+
+def test_embedding_near_dup_blocked_matches_bruteforce(spark, emb):
+    """Blocked matmul == the row-level brute force, bit-for-bit at the
+    rounded output, across chunk counts (1 chunk = single block; small
+    chunks = many blocks exercising the triangle + dedup logic)."""
+    from parquet_rewriter_spark.functions.vector import as_double, cosine
+    from parquet_rewriter_spark.operators.dedup import embedding_near_dup_pairs
+
+    v = emb.select(F.col("vec_id").alias("id"), as_double("embedding").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    brute = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .collect()
+    }
+    for chunk_rows in (100, 10_000_000):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in embedding_near_dup_pairs(
+                emb, "vec_id", "embedding", 0.4, chunk_rows=chunk_rows
+            ).collect()
+        }
+        assert got == brute, (chunk_rows, len(got), len(brute))
+
+
+def test_embedding_near_dup_lsh_high_threshold(spark):
+    """Banded hyperplane LSH at a HIGH threshold: precision total (every
+    pair verified), recall >= target on planted near-dups; low
+    thresholds must raise (the documented LSH impossibility)."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.dedup import embedding_near_dup_lsh
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    vid = 0
+    planted = []
+    for i in range(40):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, [float(x) for x in v]))
+        if i < 15:  # plant a near-dup: tiny perturbation → cos ≈ 0.99+
+            w = v + 0.05 * rng.standard_normal(32)
+            w = w / np.linalg.norm(w)
+            rows.append((vid + 1000, [float(x) for x in w]))
+            planted.append((vid, vid + 1000))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_lsh(
+            df, "vec_id", "embedding", threshold=0.9, target_recall=0.99
+        ).collect()
+    }
+    truly_high = {
+        p
+        for p in planted
+        # verify the perturbation actually kept cos >= 0.9
+        if float(
+            np.dot(
+                dict(rows)[p[0]], dict(rows)[p[1]]
+            )
+        )
+        >= 0.9
+    }
+    recall = len(truly_high & got) / max(1, len(truly_high))
+    assert recall >= 0.9, (recall, len(truly_high))
+    with pytest.raises(ValueError, match="brute-force"):
+        embedding_near_dup_lsh(df, "vec_id", "embedding", threshold=0.3, target_recall=0.999)
+
+
+def test_knn_join_ivf_recall_vs_exact(spark, emb):
+    """Bucketed IVF kNN join: with generous probing its neighbor sets
+    overlap the exact join's heavily; with narrow probing it still
+    returns k rows per left (structure intact)."""
+    from parquet_rewriter_spark.operators.similarity import knn_join_ivf
+
+    left = emb.filter(F.col("vec_id") < 20)
+    exact = {}
+    for r in knn_join(left, emb, "vec_id", "vec_id", "embedding", k=3).collect():
+        exact.setdefault(r[0], set()).add(r[1])
+    approx = {}
+    for r in knn_join_ivf(
+        left, emb, "vec_id", "vec_id", "embedding", k=3, n_centroids=8, n_probe=6
+    ).collect():
+        approx.setdefault(r[0], set()).add(r[1])
+    assert set(approx) == set(exact)
+    hits = sum(len(exact[l] & approx[l]) for l in exact)
+    total = sum(len(exact[l]) for l in exact)
+    assert hits / total >= 0.7, f"IVF kNN recall too low: {hits}/{total}"
+
+
 def test_exact_dedup_keeps_lowest_id(spark):
     rows = [(5, "x"), (2, "x"), (9, "y"), (1, "z"), (3, "z")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
