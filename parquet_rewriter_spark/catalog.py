@@ -1835,11 +1835,46 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- helpers
 
+# Queries the round-1 correctness snapshot never reached (it covered 50
+# of 68 registered queries, in registration order) — surface these FIRST
+# so a capped driver run confirms them; the rest keep definition order.
+_VERIFY_FIRST = (
+    "table_changes_feed",
+    "zorder_then_filter_scan",
+    "compact_then_scan",
+    "csv_roundtrip_agg",
+    "json_roundtrip_agg",
+    "orc_roundtrip_agg",
+    "order_value_percentiles",
+    "customer_balance_deciles",
+    "status_pivot_by_priority",
+    "priority_grouping_sets",
+    "weighted_avg_discount",
+    "rolling_30d_revenue",
+    "knn_join_sample",
+    "frame_sample_offsets",
+    "user_event_type_map",
+    "events_props_keyset",
+    "customer_order_breadth",
+    "approx_distinct_users",
+)
+
+
+def _ordered() -> list[str]:
+    first = [n for n in _VERIFY_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in _VERIFY_FIRST]
+    return first + rest
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered()}
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle.strip() for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: REGISTRY[name].oracle.strip()
+        for name in _ordered()
+        if REGISTRY[name].oracle
+    }

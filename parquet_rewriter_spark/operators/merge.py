@@ -235,18 +235,25 @@ def merge_into_table(
     t_write = time.monotonic() - t0
 
     t0 = time.monotonic()
-    files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
-    table._commit_manifest(
-        Manifest(
-            version=m.version + 1,
-            key=key,
-            files=files,
-            schema_json=m.schema_json or merged.schema.json(),
+    if dirty or new_entries:
+        files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
+        table._commit_manifest(
+            Manifest(
+                version=m.version + 1,
+                key=key,
+                files=files,
+                schema_json=m.schema_json or merged.schema.json(),
+            )
         )
-    )
+        version = m.version + 1
+    else:
+        # nothing changed (e.g. an empty streaming micro-batch): no new
+        # snapshot version — keeps foreachBatch heartbeats from churning
+        # time-travel history
+        version = m.version
     t_commit = time.monotonic() - t0
     return {
-        "version": m.version + 1,
+        "version": version,
         "files_total": len(m.files),
         "files_dirty": len(dirty),
         "files_clean_passthrough": len(clean),

@@ -54,11 +54,14 @@ def skew_safe_count_distinct(
 
     Rewrite: dedup on (group, x) — cardinality spreads over all
     (group, x) pairs, not per-group — then a plain count. Two light
-    shuffles instead of one skewed one.
+    shuffles instead of one skewed one. NULLs in ``distinct_col`` are
+    excluded, matching SQL ``count(DISTINCT x)`` (a bare count(1) after
+    the distinct would count the null row).
     """
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     return (
         df.select(*group_cols, distinct_col)
+        .filter(F.col(distinct_col).isNotNull())
         .distinct()
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias(alias))

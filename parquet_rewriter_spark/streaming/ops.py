@@ -173,7 +173,13 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_s)
+        # awaitTermination returns False on timeout — a silent partial
+        # memory table would feed wrong results into oracle comparison
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within {timeout_s}s"
+            )
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -315,8 +321,9 @@ def stream_merge_into_table(
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
-        if mut.isEmpty():
-            return
+        # no isEmpty() pre-check: that is a full extra action per
+        # micro-batch; an empty mutation set costs merge_into_table
+        # nothing (zero dirty files, zero-row write dropped on adopt)
         merge_into_table(table, mut)
 
     q = (
