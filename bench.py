@@ -113,6 +113,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "merge_scaling": merge_scaling(spark, sf_dir),
+        "small_merge": small_merge_bench(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
@@ -179,6 +180,58 @@ def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
             out[f"{label}_files_passthrough"] = stats["files_clean_passthrough"]
         finally:
             shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def small_merge_bench(spark, sf_dir: str) -> dict[str, float]:
+    """The reference's headline trick, measured: a 1-row upsert against
+    a multi-row-group file. The row-group splice path (no Spark job,
+    only the touched row group merged) vs the distributed path (full
+    part-file rewrite through a shuffle job)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import Manifest, ManifestEntry, SortedTable
+
+    n, rg = 200_000, 10_000  # reference row-group size (README.md:94)
+    tbl = pa.table({
+        "key": pa.array(range(n), pa.int64()),
+        "value": pa.array([i * 3 for i in range(n)], pa.int64()),
+    })
+    out: dict[str, float] = {}
+    for label, allow in [("splice_1row", True), ("distributed_1row", False)]:
+        for timed in (False, True):  # first pass warms the plan shapes
+            d = tempfile.mkdtemp(prefix=f"prs_bench_{label}_")
+            try:
+                fname = "part-base.parquet"
+                pq.write_table(tbl, os.path.join(d, fname), row_group_size=rg)
+                t = SortedTable(spark, d)
+                t._commit_manifest(Manifest(
+                    version=0, key="key",
+                    files=[ManifestEntry(
+                        name=fname, rows=n,
+                        bytes=os.path.getsize(os.path.join(d, fname)),
+                        key_min=0, key_max=n - 1,
+                    )],
+                    schema_json=spark.read.parquet(os.path.join(d, fname)).schema.json(),
+                ))
+                muts = spark.createDataFrame(
+                    [(n // 2, -1, "UPSERT")], "key long, value long, op string"
+                )
+                t0 = time.perf_counter()
+                stats = merge_into_table(t, muts, allow_splice=allow)
+                if timed:
+                    out[label] = round(time.perf_counter() - t0, 3)
+                    if allow:
+                        out["splice_rgs_rewritten"] = stats.get("rgs_rewritten", -1)
+                        out["splice_rgs_copied"] = stats.get("rgs_copied", -1)
+                        assert stats["path"] == "rowgroup_splice", stats
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
     return out
 
 

@@ -919,11 +919,14 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_near_pairs", None, "dedup", "simhash")
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit, built-in bit ops) near pairs within hamming ≤ 12,
-    prefix-blocked. Rows-only (hash family not portable to SQL)."""
+    pigeonhole-blocked (13 blocks → at least one matches exactly, so
+    recall is TOTAL by construction). Rows-only (hash family not
+    portable to SQL); recall is asserted against brute-force hamming in
+    tests/test_llm_ops.py."""
     from parquet_rewriter_spark.operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=12, prefix_bits=8)
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
 
 
 @query(

@@ -241,22 +241,48 @@ def simhash_near_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Pairs with SimHash hamming distance <= max_hamming, blocked by
-    the top ``prefix_bits`` of the fingerprint (near-identical docs
-    share the prefix with high probability; rotate prefixes for full
-    recall at scale — this single-block variant is the demo shape).
-    Returns (id_a, id_b, hamming)."""
-    fps = simhash(df, id_col, text_col).withColumn(
-        "prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    """Pairs with SimHash hamming distance <= max_hamming — TOTAL recall
+    by pigeonhole blocking (Manku/Jain/Sarma, WWW 2007): split the
+    64-bit fingerprint into ``max_hamming + 1`` blocks; a pair differing
+    in at most ``max_hamming`` bits can corrupt at most that many
+    blocks, so AT LEAST ONE block matches exactly. Candidates therefore
+    come from a self-equi-join on (block_idx, block_value) — every
+    qualifying pair is guaranteed to be a candidate (no probabilistic
+    prefix luck), and a random pair collides on a given block with
+    probability 2^-(64/(h+1)). Each candidate is verified with the exact
+    XOR popcount. Returns (id_a, id_b, hamming).
+
+    Selectivity note: blocks get narrower as ``max_hamming`` grows
+    (64/(h+1) bits); past h≈8 the blocks are so short that candidate
+    mass approaches all-pairs — inherent to the guarantee, not a flaw.
+    """
+    b = n_blocks or (max_hamming + 1)
+    w = 64 // b
+    fps = simhash(df, id_col, text_col).persist()
+    block_vals = []
+    for i in range(b):
+        width = w if i < b - 1 else 64 - w * (b - 1)  # last block absorbs remainder
+        mask = (1 << width) - 1 if width < 64 else -1
+        block_vals.append(
+            F.shiftrightunsigned("simhash", i * w).bitwiseAND(F.lit(mask))
+        )
+    exploded = fps.select(
+        "id", "simhash", F.posexplode(F.array(*block_vals)).alias("blk", "val")
     )
-    a, b = fps.alias("a"), fps.alias("b")
+    a, bb = exploded.alias("a"), exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, (F.col("a.prefix") == F.col("b.prefix")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            bb,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -179,6 +179,7 @@ def merge_into_table(
     table: SortedTable,
     mutations: DataFrame,
     max_records_per_file: int | None = None,
+    allow_splice: bool = True,
 ) -> dict:
     """R3+R4+R5+R6+R13: merge a mutation stream into a SortedTable.
 
@@ -187,6 +188,13 @@ def merge_into_table(
     manifest flip keeping clean entries verbatim (file-granularity raw
     passthrough: clean bytes are never read, the analog of
     ``writer.appendRowGroup(raw)`` at ParquetRewriter.java:317).
+
+    Small merges take the ROW-GROUP-granularity driver fast path
+    (operators/splice.py — the reference's appendRowGroup trick): when
+    the mutation batch is small and the dirty files are range-disjoint,
+    only the row groups a key actually hits are merged, with no Spark
+    job at all. Every precondition failure falls back to the
+    distributed path; ``allow_splice=False`` forces it off.
 
     Returns merge metrics: file/row counts plus per-phase wall-times
     (``t_plan_s`` / ``t_write_s`` / ``t_commit_s``), mirroring the
@@ -211,6 +219,12 @@ def merge_into_table(
     t0 = time.monotonic()
     dirty, clean = plan_dirty_files(spark, m, mutations)
     t_plan = time.monotonic() - t0
+
+    if allow_splice and dirty:
+        res = _try_splice(table, m, dirty, clean, mutations, key, t_plan)
+        if res is not None:
+            mutations.unpersist()
+            return res
 
     if dirty:
         base_dirty = spark.read.parquet(*[os.path.join(table.path, e.name) for e in dirty])
@@ -262,4 +276,51 @@ def merge_into_table(
         "t_plan_s": round(t_plan, 4),
         "t_write_s": round(t_write, 4),
         "t_commit_s": round(t_commit, 4),
+        "path": "distributed",
+    }
+
+
+def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
+    """Row-group fast path; returns metrics dict or None to fall back."""
+    import time
+
+    from parquet_rewriter_spark.operators import splice as sp
+
+    if not sp.splice_preconditions(dirty, 0):
+        return None  # structural checks first (file count, disjointness)
+    try:
+        t0 = time.monotonic()
+        # one action fetches the batch AND proves it is small: cap+1
+        # rows of overflow sentinel — no separate count() job
+        mut_pdf = mutations.limit(sp.MAX_SPLICE_MUTATIONS + 1).toPandas()
+        if len(mut_pdf) > sp.MAX_SPLICE_MUTATIONS:
+            return None
+        new_entries, rg_stats = sp.splice_merge(table, dirty, mut_pdf, key)
+        t_write = time.monotonic() - t0
+    except Exception:
+        return None  # any dtype/stats/overlap surprise → distributed path
+
+    t0 = time.monotonic()
+    files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
+    table._commit_manifest(
+        Manifest(
+            version=m.version + 1,
+            key=key,
+            files=files,
+            schema_json=m.schema_json,
+        )
+    )
+    t_commit = time.monotonic() - t0
+    return {
+        "version": m.version + 1,
+        "files_total": len(m.files),
+        "files_dirty": len(dirty),
+        "files_clean_passthrough": len(clean),
+        "files_written": len(new_entries),
+        "rows_rewritten": sum(e.rows for e in new_entries),
+        "t_plan_s": round(t_plan, 4),
+        "t_write_s": round(t_write, 4),
+        "t_commit_s": round(t_commit, 4),
+        "path": "rowgroup_splice",
+        **rg_stats,
     }

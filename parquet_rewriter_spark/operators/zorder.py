@@ -89,16 +89,24 @@ def _with_bucket_col(
     return out.drop(vcol)
 
 
-def zorder_by(df: DataFrame, cols: list[str], bits: int = 12, rel_err: float = 0.0001) -> DataFrame:
+def zorder_by(df: DataFrame, cols: list[str], bits: int = 8, rel_err: float | None = None) -> DataFrame:
     """Add a ``__z`` Morton-code column over ``cols``.
 
     Each column is rank-normalized to [0, 2^bits) by its approximate
     quantile boundaries — value distribution doesn't matter (skew,
     negatives, arbitrary ranges all flatten to near-uniform bucket ids).
     One aggregation pass computes every column's boundaries; bucket
-    assignment is pure codegen (see _bucket_expr).
+    assignment is pure codegen (see _with_bucket_col).
+
+    ``bits=8`` → 2^16 cells for two columns: plenty of resolution for
+    any realistic file count (the layout's pruning granularity is the
+    FILE); higher bits mostly buy slower quantile summaries. ``rel_err``
+    defaults to a quarter-bucket (1/2^(bits+2)) — boundary error smaller
+    than the bucket width it feeds.
     """
     n_bounds = 2 ** bits - 1
+    if rel_err is None:
+        rel_err = 1.0 / (2 ** (bits + 2))
     probs = [(i + 1) / (2 ** bits) for i in range(n_bounds)]
     # one job, all columns at once; driver holds cols × (2^bits - 1)
     # doubles — bounded by the bit width, not the data
@@ -119,7 +127,7 @@ def zorder_write(
     path: str,
     cols: list[str],
     num_files: int,
-    bits: int = 12,
+    bits: int = 8,
 ) -> None:
     """Write ``df`` z-ordered on ``cols`` into ``num_files`` range-
     partitioned files: each file covers a compact (A, B) rectangle, so

@@ -74,8 +74,28 @@ def test_simhash_deterministic_and_discriminative(spark):
     assert ham(fp1[1], fp1[2]) < ham(fp1[1], fp1[3])  # near docs closer
 
 
+def test_simhash_near_pairs_total_recall_vs_bruteforce(spark, docs):
+    """Pigeonhole blocking guarantees recall: the blocked pairs at
+    max_hamming=3 must EQUAL the brute-force XOR-popcount pairs."""
+    d = docs.filter(F.col("doc_id") % 3 == 0)  # keep the n² check cheap
+    fps = {r.id: r.simhash for r in simhash(d, "doc_id", "text").collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    ids = sorted(fps)
+    brute = {
+        (x, y): ham(fps[x], fps[y])
+        for i, x in enumerate(ids)
+        for y in ids[i + 1:]
+        if ham(fps[x], fps[y]) <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == brute, (len(got), len(brute))
+
+
 def test_simhash_near_pairs_runs(spark, docs):
-    out = simhash_near_pairs(docs, "doc_id", "text", max_hamming=12, prefix_bits=8)
+    out = simhash_near_pairs(docs, "doc_id", "text", max_hamming=12)
     rows = out.collect()
     for r in rows:
         assert r.id_a < r.id_b and r.hamming <= 12

@@ -229,6 +229,98 @@ def test_timestamp_keyed_table_manifest_roundtrip(spark, tmp_path):
     assert got[probe] == 9999 and len(got) == 500
 
 
+def _mk_multi_rg_table(spark, tmp_path, n=1000, rg=100):
+    """One part-file with n/rg row groups — built with pyarrow so row
+    group boundaries are controlled (Spark writes one rg per file at
+    these sizes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_rewriter_spark.table import Manifest, ManifestEntry
+
+    path = os.path.join(str(tmp_path), "rg_t")
+    os.makedirs(path)
+    rng = random.Random(5)
+    keys = list(range(n))
+    vals = [bytes(rng.randrange(256) for _ in range(20)) for _ in keys]
+    tbl = pa.table({"key": pa.array(keys, pa.int64()), "value": pa.array(vals, pa.binary())})
+    fname = "part-base.parquet"
+    pq.write_table(tbl, os.path.join(path, fname), row_group_size=rg)
+    t = SortedTable(spark, path)
+    t._commit_manifest(
+        Manifest(
+            version=0,
+            key="key",
+            files=[
+                ManifestEntry(
+                    name=fname,
+                    rows=n,
+                    bytes=os.path.getsize(os.path.join(path, fname)),
+                    key_min=0,
+                    key_max=n - 1,
+                )
+            ],
+            schema_json=spark.read.parquet(os.path.join(path, fname)).schema.json(),
+        )
+    )
+    return t, dict(zip(keys, vals))
+
+
+def test_splice_rewrites_only_touched_row_groups(spark, tmp_path):
+    """A 1-key upsert against a 10-row-group file must take the splice
+    path, rewrite exactly ONE row group, and preserve every untouched
+    row group's boundaries, key range and contents."""
+    import pyarrow.parquet as pq
+
+    t, base = _mk_multi_rg_table(spark, tmp_path)
+    res = merge_into_table(t, _mutations_df(spark, {555: b"z" * 20}, set()))
+    assert res["path"] == "rowgroup_splice", res
+    assert res["rgs_rewritten"] == 1 and res["rgs_copied"] == 9, res
+    assert res["files_written"] == 1
+    _validate(t, base, {555: b"z" * 20}, set())
+    new = [e for e in t.manifest().files][0]
+    pf = pq.ParquetFile(os.path.join(t.path, new.name))
+    assert pf.metadata.num_row_groups == 10
+    for rg in range(10):
+        md = pf.metadata.row_group(rg)
+        assert md.num_rows == 100
+        st = md.column(0).statistics
+        assert (st.min, st.max) == (rg * 100, rg * 100 + 99)
+        if rg != 5:  # untouched groups: exact original contents
+            got = pf.read_row_group(rg).to_pydict()
+            assert got["key"] == list(range(rg * 100, rg * 100 + 100))
+            assert [bytes(v) for v in got["value"]] == [base[k] for k in got["key"]]
+
+
+def test_splice_matches_distributed_path(spark, tmp_path):
+    """Same mixed mutation batch through both paths → identical tables
+    (inserts into gaps, head/tail inserts, deletes, replacements)."""
+    ups = {0: b"h" * 20, 550: b"r" * 20, 999: b"t" * 20, 5000: b"i" * 20, -3: b"n" * 20}
+    deletes = {10, 200, 999_999}
+    t1, base = _mk_multi_rg_table(spark, tmp_path / "a")
+    r1 = merge_into_table(t1, _mutations_df(spark, ups, deletes))
+    t2, _ = _mk_multi_rg_table(spark, tmp_path / "b")
+    r2 = merge_into_table(t2, _mutations_df(spark, ups, deletes), allow_splice=False)
+    assert r1["path"] == "rowgroup_splice" and r2["path"] == "distributed"
+    got1 = {(r["key"], bytes(r["value"])) for r in t1.read().collect()}
+    got2 = {(r["key"], bytes(r["value"])) for r in t2.read().collect()}
+    assert got1 == got2
+    _validate(t1, base, ups, deletes - {999_999})
+
+
+def test_splice_declines_duplicate_keys_and_large_batches(spark, tmp_path):
+    """Duplicate keys within the batch (tiebreak is a Spark expression)
+    must fall back to the distributed path."""
+    t, base = _mk_multi_rg_table(spark, tmp_path)
+    muts = spark.createDataFrame(
+        [Row(key=5, value=b"a" * 20, op="UPSERT"), Row(key=5, value=None, op="DELETE")],
+        "key long, value binary, op string",
+    )
+    res = merge_into_table(t, muts)
+    assert res["path"] == "distributed"
+    _validate(t, base, {}, {5})  # DELETE wins the deterministic tiebreak
+
+
 def test_sequential_merges_and_vacuum(spark, tmp_path):
     keys = list(range(0, 1000))
     t, base = _mk_table(spark, tmp_path, keys)
