@@ -146,11 +146,18 @@ def plan_dirty_files(
             s = s.dt.tz_convert(tz).dt.tz_localize(None)
         return s.to_numpy()
 
-    mins_arr = _bounds([e.key_min for e in entries])
-    maxs_arr = _bounds([e.key_max for e in entries])
+    # torrent-broadcast the bounds (one copy per EXECUTOR) rather than
+    # capturing them in the task closure (one serialized copy per TASK:
+    # at 10^6 manifest entries that is ~16 MB × every task — measured
+    # 11 s vs ~1 s at local[32])
+    bcast = spark.sparkContext.broadcast(
+        (_bounds([e.key_min for e in entries]), _bounds([e.key_max for e in entries]))
+    )
+    n_files = len(entries)
 
     def find_dirty(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hit = np.zeros(len(mins_arr), dtype=bool)
+        mins_arr, maxs_arr = bcast.value
+        hit = np.zeros(n_files, dtype=bool)
         for pdf in batches:
             ks = np.unique(pdf["k"].dropna().to_numpy())
             if len(ks) == 0:
@@ -170,6 +177,7 @@ def plan_dirty_files(
         int(r.file_idx)
         for r in keys_df.mapInPandas(find_dirty, schema="file_idx long").collect()
     }
+    bcast.unpersist()  # bounds are single-use; free executor copies eagerly
     dirty = [e for i, e in enumerate(entries) if i in dirty_idx]
     clean = [e for i, e in enumerate(entries) if i not in dirty_idx]
     return dirty, clean

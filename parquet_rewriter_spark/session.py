@@ -66,4 +66,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
     return spark

@@ -34,6 +34,9 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; normalizes events.ts ns-long → timestamp."""
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)  # caller sessions: make the package importable on workers
     if name == "events":
         ensure_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -46,6 +46,9 @@ def stream_events(
     for multi-batch tests (watermark advancement, late-data drop).
     """
     path = os.path.join(sf_dir, "events.parquet")
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)  # stateful kernels import this package on workers
     ensure_nanos_as_long(spark)
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):

@@ -139,6 +139,9 @@ class SortedTable:
     """A key-sorted, manifest-tracked Parquet table."""
 
     def __init__(self, spark: SparkSession, path: str):
+        from parquet_rewriter_spark.ship import ensure_shipped
+
+        ensure_shipped(spark)  # merge/compact kernels import this package on workers
         self.spark = spark
         self.path = path
 
