@@ -68,18 +68,32 @@ def apply_mutations(
     mut = mutations
     if OP_COLUMN not in mut.columns:
         mut = mut.withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    # The tiebreak only discriminates among MUTATION rows (base keys are
+    # unique by table invariant, and _PRIORITY already ranks mutations
+    # before base), so the per-row hash / seq is computed on the small
+    # mutation side only; base rows carry a constant — at scale this
+    # skips hashing every column of the big side.
+    _TB = "__tiebreak"
     if seq_col is not None:
         tiebreak = [F.col(seq_col).desc_nulls_last()]
         mut_cols = [*base_cols, OP_COLUMN, seq_col]
-        base_seq = F.lit(None)
+        unioned = mut.select(*mut_cols).withColumn(_PRIORITY, F.lit(0))
+        base_u = base.withColumn(OP_COLUMN, F.lit(OP_UPSERT)).withColumn(_PRIORITY, F.lit(1))
+        base_u = base_u.withColumn(
+            seq_col, F.lit(None).cast(unioned.schema[seq_col].dataType)
+        )
     else:
-        tiebreak = [F.col(OP_COLUMN), F.xxhash64(*base_cols)]
-        mut_cols = [*base_cols, OP_COLUMN]
-        base_seq = None
-    unioned = mut.select(*mut_cols).withColumn(_PRIORITY, F.lit(0))
-    base_u = base.withColumn(OP_COLUMN, F.lit(OP_UPSERT)).withColumn(_PRIORITY, F.lit(1))
-    if base_seq is not None:
-        base_u = base_u.withColumn(seq_col, base_seq.cast(unioned.schema[seq_col].dataType))
+        tiebreak = [F.col(OP_COLUMN), F.col(_TB)]
+        unioned = (
+            mut.select(*base_cols, OP_COLUMN)
+            .withColumn(_PRIORITY, F.lit(0))
+            .withColumn(_TB, F.xxhash64(*base_cols))
+        )
+        base_u = (
+            base.withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+            .withColumn(_PRIORITY, F.lit(1))
+            .withColumn(_TB, F.lit(0).cast("long"))
+        )
     unioned = unioned.unionByName(base_u)
     w = Window.partitionBy(key).orderBy(F.col(_PRIORITY), *tiebreak)
     return (
