@@ -1722,6 +1722,52 @@ def compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_compact_then_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 500 = 7
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 500 = 13
+    ) GROUP BY o_orderstatus
+    """,
+    "storage", "compaction",
+)
+def incremental_compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental compaction: fragment the layout with two small
+    tail-insert merges, heal ONLY the undersized files
+    (operators/compact.py:compact_incremental — adequately-sized files
+    pass through by name, cost ∝ small-file fraction), then scan.
+    Oracle: aggregate over orders plus the two inserted row sets."""
+    from parquet_rewriter_spark.operators.compact import compact_incremental
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("inc_compact"), o, key="o_orderkey", max_records_per_file=2_000
+    )
+    for i, mod in enumerate((7, 13)):
+        muts = (
+            o.filter(F.col("o_orderkey") % 500 == mod)
+            .withColumn("o_orderkey", F.col("o_orderkey") + (i + 1) * 10_000_000)
+            .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+        )
+        merge_into_table(t, muts, allow_splice=False)
+    compact_incremental(t, target_records_per_file=2_000, min_fill=0.5)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "table_changes_feed",
     """
     SELECT o_orderkey AS key, 'update_postimage' AS change_type,
@@ -1842,6 +1888,7 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of 68 registered queries, in registration order) — surface these FIRST
 # so a capped driver run confirms them; the rest keep definition order.
 _VERIFY_FIRST = (
+    "incremental_compact_then_scan",
     "table_changes_feed",
     "zorder_then_filter_scan",
     "compact_then_scan",

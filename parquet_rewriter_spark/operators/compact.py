@@ -1,4 +1,5 @@
-"""Compaction — the reference's bulk re-chunk loop (R15).
+"""Compaction — the reference's bulk re-chunk loop (R15), plus the
+scale path the reference never needed: INCREMENTAL compaction.
 
 Reference: rewrite 100% of row groups at a new target size via
 ``while(isNextBlockAvailable()){loadAndMutateNextBlock(); flushMutatedBlock();}``
@@ -7,6 +8,16 @@ distributed job — read everything, range-repartition on the key,
 sorted write, manifest flip. Catalyst/AQE pick the scan parallelism;
 ``repartitionByRange`` samples the key distribution so output files are
 size-balanced even under key skew.
+
+``compact_incremental`` applies the engine's dirty-fraction philosophy
+to layout maintenance: repeated small merges fragment the table into
+undersized files, and at 100 TB a full re-chunk to heal them is a
+non-starter. Only files below ``min_fill × target`` are rewritten; every
+adequately-sized file passes through untouched (not read, not even
+listed to Spark). Cost therefore tracks the SMALL-FILE fraction, not
+table size — the same contract merge has for dirty files. Rewriting any
+subset of files is safe because each key lives in exactly one file
+(merge invariant), so compaction is pure row re-arrangement.
 """
 
 from __future__ import annotations
@@ -37,4 +48,59 @@ def compact(
         "files_before": len(m.files),
         "files_after": len(entries),
         "rows": sum(e.rows for e in entries),
+    }
+
+
+def compact_incremental(
+    table: SortedTable,
+    target_records_per_file: int,
+    min_fill: float = 0.5,
+) -> dict:
+    """Rewrite ONLY undersized files (rows < min_fill × target) into
+    target-sized files; adequately-sized files pass through untouched.
+
+    Selection is pure manifest arithmetic on the driver — no data read,
+    no Spark job, O(files) — so planning stays cheap at million-file
+    manifests. The rewrite is one distributed job over the undersized
+    subset, range-partitioned on the key so the healed files stay
+    key-contiguous WITHIN that subset. (An output file can span the key
+    gap around a passthrough file when two undersized runs straddle it —
+    zone maps stay exact, pruning marginally looser; the alternative,
+    one job per run, does not survive manifests with thousands of runs.)
+    """
+    import os
+
+    m = table.manifest()
+    threshold = max(1, int(target_records_per_file * min_fill))
+    small = [e for e in m.files if e.rows < threshold]
+    keep = [e for e in m.files if e.rows >= threshold]
+    if len(small) < 2:  # nothing to heal (a single small file can't merge with itself)
+        return {
+            "version": m.version,
+            "files_before": len(m.files),
+            "files_compacted": 0,
+            "files_passthrough": len(m.files),
+            "files_written": 0,
+            "rows_rewritten": 0,
+        }
+    total_rows = sum(e.rows for e in small)
+    n_files = max(1, -(-total_rows // target_records_per_file))  # ceil
+    df = table.spark.read.parquet(*[os.path.join(table.path, e.name) for e in small])
+    staging = table._write_sorted(df, m.key, target_records_per_file, n_files)
+    new_entries = table._adopt_staged(staging, m.key)
+    table._commit_manifest(
+        Manifest(
+            version=m.version + 1,
+            key=m.key,
+            files=sorted(keep + new_entries, key=lambda e: (e.key_min, e.name)),
+            schema_json=m.schema_json,
+        )
+    )
+    return {
+        "version": m.version + 1,
+        "files_before": len(m.files),
+        "files_compacted": len(small),
+        "files_passthrough": len(keep),
+        "files_written": len(new_entries),
+        "rows_rewritten": sum(e.rows for e in new_entries),
     }

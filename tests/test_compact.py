@@ -54,3 +54,54 @@ def test_compact_after_merge_restores_file_sizes(spark, tmp_path, sf_dir):
     assert t.read().count() == n_total
     # no duplicate keys after the full cycle
     assert t.read().select("o_orderkey").distinct().count() == n_total
+
+
+def test_incremental_compact_touches_only_undersized_files(spark, tmp_path, sf_dir):
+    """Fragment the layout with small tail-insert merges, then heal it
+    incrementally: adequately-sized files must survive BY NAME (never
+    read, never rewritten); content must be unchanged."""
+    from parquet_rewriter_spark.operators.compact import compact_incremental
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "ti"), orders, key="o_orderkey", max_records_per_file=2000
+    )
+    for batch in range(4):  # four tiny tail-insert merges → four small files
+        muts = (
+            orders.limit(30)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000 + batch * 1000)
+            .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+        )
+        merge_into_table(t, muts, allow_splice=False)
+    m_before = t.manifest()
+    big_names = {e.name for e in m_before.files if e.rows >= 1000}
+    small_names = {e.name for e in m_before.files if e.rows < 1000}
+    assert len(small_names) >= 2, "fixture should have fragmented the layout"
+    before = sorted(r.o_orderkey for r in t.read().select("o_orderkey").collect())
+
+    stats = compact_incremental(t, target_records_per_file=2000, min_fill=0.5)
+
+    assert stats["files_compacted"] == len(small_names)
+    assert stats["files_passthrough"] == len(big_names)
+    m_after = t.manifest()
+    names_after = {e.name for e in m_after.files}
+    assert big_names <= names_after  # untouched files survive by name
+    assert not (small_names & names_after)  # small files all replaced
+    after = sorted(r.o_orderkey for r in t.read().select("o_orderkey").collect())
+    assert after == before
+    # healed files actually reach the fill threshold
+    new = [e for e in m_after.files if e.name not in big_names]
+    assert all(e.rows >= 120 for e in new) and len(new) < len(small_names)
+
+
+def test_incremental_compact_noop_below_two_small_files(spark, tmp_path, sf_dir):
+    from parquet_rewriter_spark.operators.compact import compact_incremental
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "tn"), orders, key="o_orderkey", max_records_per_file=2000
+    )
+    v = t.manifest().version
+    stats = compact_incremental(t, target_records_per_file=2000)
+    assert stats["files_compacted"] == 0 and t.manifest().version == v
