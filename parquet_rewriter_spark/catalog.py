@@ -1722,6 +1722,37 @@ def compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "key_range_scan",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey BETWEEN 2000 AND 6999
+    GROUP BY o_orderpriority
+    """,
+    "storage", "scan",
+)
+def key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary read pattern (seekToKey + stats skip,
+    ParquetRewriter.java:253-301) as a query operator: SortedTable
+    key-range read with DRIVER-side manifest pruning — non-overlapping
+    files are dropped before Spark lists them (tests/test_time_travel.py
+    pins the inputFiles set)."""
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("range_scan"), o, key="o_orderkey", max_records_per_file=1_000
+    )
+    return (
+        t.read_range(2000, 6999)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "incremental_compact_then_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
@@ -1888,6 +1919,7 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of 68 registered queries, in registration order) — surface these FIRST
 # so a capped driver run confirms them; the rest keep definition order.
 _VERIFY_FIRST = (
+    "key_range_scan",
     "incremental_compact_then_scan",
     "table_changes_feed",
     "zorder_then_filter_scan",

@@ -244,6 +244,43 @@ class SortedTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*paths)
 
+    def read_range(
+        self,
+        lower: Any = None,
+        upper: Any = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Key-range scan with MANIFEST pruning — the reference's primary
+        read pattern (``seekToKey`` + stats skip, ParquetRewriter.java:
+        253-301) as a query-time operator. Files whose [key_min, key_max]
+        misses the bound are dropped on the DRIVER, before Spark ever
+        lists them: at a million-file manifest the scan job only sees the
+        overlapping handful (parquet row-group stats then prune further
+        inside each file). Bounds are inclusive; either side may be None.
+        """
+        m = self.manifest(version)
+        entries = [
+            e
+            for e in m.files
+            if (upper is None or e.key_min <= upper)
+            and (lower is None or e.key_max >= lower)
+        ]
+        if not entries:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m.schema_json))
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, e.name) for e in entries]
+        )
+        # residual predicate (pushed to the parquet scan) — manifest
+        # pruning is file-granular, rows outside the bound remain
+        if lower is not None:
+            df = df.filter(F.col(m.key) >= lower)
+        if upper is not None:
+            df = df.filter(F.col(m.key) <= upper)
+        return df
+
     # ---------- write internals ----------
     def _write_sorted(
         self,

@@ -66,3 +66,36 @@ def test_vacuum_never_deletes_files_of_retained_versions(spark, table):
     table.vacuum(retain_versions=2)
     # both snapshots still fully readable after GC
     assert table.read(version=0).count() == table.read(version=1).count() + 100
+
+
+def test_read_range_prunes_files_on_the_driver(spark, table):
+    """Manifest pruning: the scan's inputFiles must be exactly the files
+    whose key range overlaps the bound, and results must match a full
+    read + filter."""
+    m = table.manifest()
+    lo, hi = 250, 449
+    overlapping = {
+        e.name for e in m.files if e.key_min <= hi and e.key_max >= lo
+    }
+    assert 0 < len(overlapping) < len(m.files), "bound should prune something"
+
+    df = table.read_range(lo, hi)
+    scanned = {p.rsplit("/", 1)[-1] for p in df.inputFiles()}
+    assert scanned == overlapping
+
+    expect = sorted(
+        r.o_orderkey
+        for r in table.read().filter(F.col("o_orderkey").between(lo, hi)).collect()
+    )
+    got = sorted(r.o_orderkey for r in df.collect())
+    assert got == expect and got[0] >= lo and got[-1] <= hi
+
+
+def test_read_range_open_bounds_and_miss(spark, table):
+    n = table.read().count()
+    assert table.read_range(None, None).count() == n
+    assert table.read_range(500, None).count() == n - 500
+    assert table.read_range(None, 99).count() == 100
+    empty = table.read_range(10_000_000, 20_000_000)
+    assert empty.count() == 0
+    assert empty.schema == table.read().schema
