@@ -231,6 +231,38 @@ def merge_into_table(
     spark = table.spark
     m = table.manifest()
     key = m.key
+
+    # ---- additive schema evolution ----
+    # Mutations must carry every existing column (the reference's
+    # full-record upsert contract); EXTRA mutation columns evolve the
+    # table schema. Only dirty files are rewritten with the wider
+    # schema — clean files keep their bytes, and read() null-fills the
+    # new columns via the manifest's stored schema.
+    import json as _json
+
+    from pyspark.sql.types import StructField, StructType
+
+    table_schema = (
+        StructType.fromJson(_json.loads(m.schema_json)) if m.schema_json else None
+    )
+    new_fields: list[StructField] = []
+    if table_schema is not None:
+        base_names = {f.name for f in table_schema.fields}
+        mut_data = [c for c in mutations.columns if c != OP_COLUMN]
+        missing = [f.name for f in table_schema.fields if f.name not in mut_data]
+        if missing:
+            raise ValueError(
+                f"mutations must carry every table column; missing {missing} "
+                "(upserts are full records — the reference's contract)"
+            )
+        new_fields = [
+            StructField(f.name, f.dataType, True)
+            for f in mutations.schema.fields
+            if f.name not in base_names and f.name != OP_COLUMN
+        ]
+        read_schema = StructType(list(table_schema.fields) + new_fields)
+    else:
+        read_schema = None
     # The mutation stream is consumed twice — once by the planning pass,
     # once by the merge itself. Persist so an expensive upstream (a CDC
     # read, a join) computes once; MEMORY_AND_DISK spills instead of
@@ -242,21 +274,26 @@ def merge_into_table(
     dirty, clean = plan_dirty_files(spark, m, mutations)
     t_plan = time.monotonic() - t0
 
-    if allow_splice and dirty:
+    if allow_splice and dirty and not new_fields:
         res = _try_splice(table, m, dirty, clean, mutations, key, t_plan)
         if res is not None:
             mutations.unpersist()
             return res
 
     if dirty:
-        base_dirty = spark.read.parquet(*[os.path.join(table.path, e.name) for e in dirty])
+        reader = spark.read if read_schema is None else spark.read.schema(read_schema)
+        base_dirty = reader.parquet(*[os.path.join(table.path, e.name) for e in dirty])
         merged = apply_mutations(base_dirty, mutations, key)
     else:
         # Pure-insert merge (all keys fall in gaps / head / tail).
         mut = mutations
         if OP_COLUMN not in mut.columns:
             mut = mut.withColumn(OP_COLUMN, F.lit(OP_UPSERT))
-        base_cols = [c for c in mut.columns if c != OP_COLUMN]
+        base_cols = (
+            [f.name for f in read_schema.fields]
+            if read_schema is not None
+            else [c for c in mut.columns if c != OP_COLUMN]
+        )
         merged = mut.filter(F.col(OP_COLUMN) != OP_DELETE).select(*base_cols)
 
     mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
@@ -278,7 +315,11 @@ def merge_into_table(
                 version=m.version + 1,
                 key=key,
                 files=files,
-                schema_json=m.schema_json or merged.schema.json(),
+                schema_json=(
+                    read_schema.json()
+                    if read_schema is not None
+                    else (m.schema_json or merged.schema.json())
+                ),
             )
         )
         version = m.version + 1

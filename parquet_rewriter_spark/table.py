@@ -242,7 +242,20 @@ class SortedTable:
 
             schema = StructType.fromJson(json.loads(m.schema_json))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        return self._reader(m).parquet(*paths)
+
+    def _reader(self, m: Manifest):
+        """Reader pinned to the snapshot's stored schema: files written
+        before an additive schema evolution lack the newer columns and
+        the parquet source null-fills them; also skips footer schema
+        inference entirely (one less driver-side file open at scale)."""
+        if m.schema_json is None:
+            return self.spark.read
+        from pyspark.sql.types import StructType
+
+        return self.spark.read.schema(
+            StructType.fromJson(json.loads(m.schema_json))
+        )
 
     def read_range(
         self,
@@ -270,7 +283,7 @@ class SortedTable:
 
             schema = StructType.fromJson(json.loads(m.schema_json))
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(
+        df = self._reader(m).parquet(
             *[os.path.join(self.path, e.name) for e in entries]
         )
         # residual predicate (pushed to the parquet scan) — manifest

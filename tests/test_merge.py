@@ -420,3 +420,39 @@ def test_merge_all_types_roundtrip(spark, tmp_path):
         assert g.struct_field.a == r.struct_field.a and g.struct_field.b == r.struct_field.b
     g = got[2]  # untouched survivor keeps its payload
     assert g.string_field == "s2-0" and g.decimal_field == decimal.Decimal("2.00")
+
+
+def test_merge_evolves_schema_with_new_column(spark, tmp_path):
+    """Additive schema evolution: mutations carrying an extra column
+    widen the table; clean files keep their bytes (null-filled on read),
+    dirty/new files carry values; time travel sees the old schema."""
+    keys = list(range(1000))
+    t, base = _mk_table(spark, tmp_path, keys)
+    clean_before = {e.name for e in t.manifest().files}
+
+    muts = spark.createDataFrame(
+        [Row(key=5, value=b"e" * 20, tag="hot", op="UPSERT"),
+         Row(key=2000, value=b"n" * 20, tag="new", op="UPSERT")],
+        "key long, value binary, tag string, op string",
+    )
+    merge_into_table(t, muts)
+
+    df = t.read()
+    assert df.columns == ["key", "value", "tag"]
+    got = {r.key: r.tag for r in df.filter(F.col("key").isin(5, 2000, 7)).collect()}
+    assert got == {5: "hot", 2000: "new", 7: None}
+    assert df.count() == 1001
+    # untouched files survive by name; old snapshot keeps the old schema
+    assert clean_before - {e.name for e in t.manifest().files} != clean_before
+    assert t.read(version=0).columns == ["key", "value"]
+    # next merge WITHOUT the evolved column is rejected (full-record contract)
+    bad = spark.createDataFrame([Row(key=6, value=b"x" * 20, op="UPSERT")],
+                                "key long, value binary, op string")
+    with pytest.raises(ValueError, match="missing"):
+        merge_into_table(t, bad)
+    # with it, merging into the evolved table works — including files
+    # that predate the evolution (read_schema null-fills them)
+    ok = spark.createDataFrame([Row(key=6, value=b"y" * 20, tag=None, op="UPSERT")],
+                               "key long, value binary, tag string, op string")
+    merge_into_table(t, ok, allow_splice=False)
+    assert t.read().filter(F.col("key") == 6).first().value == b"y" * 20
