@@ -145,8 +145,16 @@ def minhash_lsh_pairs(
     from parquet_rewriter_spark.operators.util import ensure_parallelism
 
     rows = num_hashes // bands
-    sh_rows = _shingle_rows(ensure_parallelism(df), id_col, text_col, shingle_n)
-    mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    src = ensure_parallelism(df)
+    # hash each shingle string ONCE to 64 bits, then derive the
+    # num_hashes family members by re-hashing the 8-byte value — the
+    # string (15-30+ bytes) is digested once instead of num_hashes
+    # times; xxhash64∘xxhash64 is still a uniform family, so the
+    # min-sketch property is unchanged
+    sh_rows = _shingle_rows(src, id_col, text_col, shingle_n).select(
+        "id", F.xxhash64("sh").alias("sh64")
+    )
+    mins = [F.min(F.xxhash64("sh64", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     # signatures: num_hashes longs per doc — tiny relative to the corpus.
     # Persisted because both the bucketing branch and (via cand) the
     # verify branch hang off it; without the persist the whole
@@ -184,15 +192,21 @@ def minhash_lsh_pairs(
         .persist()
     )
     # Verify: exact Jaccard, but only for candidate docs — semi-join the
-    # shingle rows down to candidates before building sets, so set
-    # materialization is O(candidates), not O(corpus).
+    # CORPUS down to candidates before shingling (the semi-join won't
+    # push below the explode on its own), so both the explode and the
+    # set materialization are O(candidates), not O(corpus). Sets hold
+    # the 64-bit shingle hashes, not strings — array_intersect over
+    # longs, and collisions at 64 bits are negligible.
     cand_ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
+    cand_docs = src.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
     sets = (
-        sh_rows.join(cand_ids, "id", "left_semi")
+        _shingle_rows(cand_docs, id_col, text_col, shingle_n)
         .groupBy("id")
-        .agg(F.collect_set("sh").alias("s"))
+        .agg(F.collect_set(F.xxhash64("sh")).alias("s"))
     )
     jac = (
         F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
