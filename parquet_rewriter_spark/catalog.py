@@ -1952,12 +1952,247 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- pipeline operators 2
+
+
+@query(
+    "user_session_stats",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_idx, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events_total,
+           max(n_events) AS max_session_events, sum(dur_us) AS total_dur_us
+    FROM sessions GROUP BY user_id
+    """,
+    "sessionize", "events", "windows",
+)
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) + per-user rollup: gap
+    detection, session numbering, and BOTH aggregations ride one hash
+    exchange on user_id (operators/sessionize.py). Durations are µs
+    integers end-to-end — exact in Spark and the oracle alike."""
+    from parquet_rewriter_spark.operators.sessionize import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap_minutes=30.0)
+    per_session = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events_total"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+    )
+
+
+_SPLIT_U = "((doc_id % 2147483648) * 2654435761 + 0) % 4294967296 / 4294967296.0"
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    SELECT CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
+                WHEN {_SPLIT_U} < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(doc_id) AS id_checksum
+    FROM documents GROUP BY 1, 2
+    """,
+    "sampling", "split",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by multiplicative hash of doc_id
+    (operators/sampling.py) — a pure projection (no shuffle, no RNG),
+    stable under retries/repartitioning; id_checksum proves the oracle
+    assigns the IDENTICAL rows, not just the same counts."""
+    from parquet_rewriter_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    f"""
+    WITH u AS (
+        SELECT lang, doc_id, {_SPLIT_U} AS u FROM documents
+    ),
+    r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM u
+    )
+    SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_checksum
+    FROM r WHERE rn <= ceil(n * 0.1) GROUP BY lang
+    """,
+    "sampling", "stratified",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fraction stratified sample: lowest 10% of hash(doc_id) per
+    lang stratum — exact counts (unlike Bernoulli sampleBy) and fully
+    reproducible; one shuffle on the stratum column."""
+    from parquet_rewriter_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    samp = stratified_sample(d, ["lang"], 0.1, "doc_id")
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+@query(
+    "doc_tfidf_topterms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(nd.n_docs::DOUBLE / dfreq.dfreq), 4) AS tfidf
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+    "text", "tfidf",
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions/text.py): one
+    corpus-sized shuffle (doc×term counts), vocabulary-sized document
+    frequencies broadcast back, per-doc top-k ranked on the rounded
+    score so Spark and the oracle order identically."""
+    from parquet_rewriter_spark.functions.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@query(
+    "orders_snapshot_diff",
+    """
+    WITH r AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 5
+                    THEN round(o_totalprice + 10, 2) ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 != 3
+        UNION ALL
+        SELECT -o_orderkey - 1 AS o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 3
+    ),
+    l AS (SELECT o_orderkey, o_totalprice FROM orders),
+    d AS (
+        SELECT CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                    WHEN r.o_orderkey IS NULL THEN 'removed'
+                    WHEN l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS diff_status
+        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    )
+    SELECT diff_status, count(*) AS n_keys FROM d GROUP BY diff_status
+    """,
+    "diff", "reconciliation",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot reconciliation (operators/diff.py): synthesize a
+    second snapshot with ~1% deletes (re-keyed as adds), ~1% price
+    changes, then classify every key via one full-outer join with
+    null-safe struct comparison. The general-input complement of the
+    manifest-pruned table_changes CDC feed."""
+    from parquet_rewriter_spark.operators.diff import diff_summary
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    changed_price = F.when(
+        F.col("o_orderkey") % 101 == 5, F.round(F.col("o_totalprice") + 10, 2)
+    ).otherwise(F.col("o_totalprice"))
+    kept = (
+        o.filter(F.col("o_orderkey") % 97 != 3)
+        .select("o_orderkey", changed_price.alias("o_totalprice"))
+    )
+    added = o.filter(F.col("o_orderkey") % 97 == 3).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_totalprice"
+    )
+    return diff_summary(o, kept.unionAll(added), "o_orderkey")
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", '{m}' AS metric, {expr} AS value FROM lineitem"""
+    for c in _PROFILE_COLS
+    for m, expr in (
+        ("n_rows", "CAST(count(*) AS DOUBLE)"),
+        ("n_null", f"CAST(count(*) - count({c}) AS DOUBLE)"),
+        ("n_distinct", f"CAST(count(DISTINCT {c}) AS DOUBLE)"),
+        ("min", f"round(CAST(min({c}) AS DOUBLE), 4)"),
+        ("max", f"round(CAST(max({c}) AS DOUBLE), 4)"),
+        ("mean", f"round(avg({c}), 4)"),
+    )
+)
+
+
+@query(
+    "lineitem_numeric_profile",
+    _PROFILE_ORACLE,
+    "profiling", "quality",
+)
+def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE aggregation pass over the scan
+    (operators/profile.py): all metrics for all columns in a single
+    partial+final hash agg, unpivoted via stack (zero-shuffle
+    generator). exact_distinct=True here so the oracle can replay it;
+    the default is HyperLogLog++ for 100 TB inputs."""
+    from parquet_rewriter_spark.operators.profile import profile_numeric
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact_distinct=True,
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Queries the round-1 correctness snapshot never reached (it covered 50
 # of 68 registered queries, in registration order) — surface these FIRST
 # so a capped driver run confirms them; the rest keep definition order.
 _VERIFY_FIRST = (
+    "user_session_stats",
+    "train_val_test_split",
+    "stratified_sample_docs",
+    "doc_tfidf_topterms",
+    "orders_snapshot_diff",
+    "lineitem_numeric_profile",
     "schema_evolution_scan",
     "key_range_scan",
     "incremental_compact_then_scan",

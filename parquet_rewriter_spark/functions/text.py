@@ -108,3 +108,56 @@ def shingles(text: Column | str, n: int = 3) -> Column:
             )
         )
     )
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    ndigits: int = 4,
+):
+    """Top-``k`` TF-IDF terms per document: (doc_id, term, tfidf, rk).
+
+    Shape (three stages, each a single shuffle or less):
+    1. explode tokens → groupBy(doc, term) count — the only
+       corpus-sized shuffle, with map-side partial aggregation;
+    2. document frequency = groupBy(term) over the (doc, term) pairs —
+       vocabulary-sized output, explicitly broadcast back (vocabulary ≪
+       corpus; if the vocab outgrows the broadcast threshold drop the
+       hint and it degrades to a shuffle join, nothing breaks);
+    3. per-doc top-k via row_number over (tfidf DESC, term) — ranking
+       on the ROUNDED score keeps the ordering reproducible across
+       engines (the DuckDB oracle replays it bit-for-bit).
+
+    idf = ln(N / df_t) — the classic form; N is broadcast as a 1-row
+    relation, never a driver round-trip.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                ndigits,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tfidf", "rk")
+    )

@@ -1,0 +1,133 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines: hash-based train/val/test splits and exact-fraction
+stratified samples.
+
+Reproducibility is the contract: a split must assign the same row to
+the same bucket on every run, on any cluster size, regardless of
+partitioning — so everything here keys off a *deterministic hash of a
+stable key column*, never off ``rand()`` (which changes under retry /
+re-partitioning) and never off row position.
+
+Two hash families:
+
+- ``portable_unit`` — Knuth multiplicative hashing on integer keys,
+  expressible in ANSI SQL (the DuckDB oracle replays it exactly).
+  Mixing is adequate for split assignment (the low bits of ``k *
+  2654435761 mod 2^64`` are well distributed for sequential keys).
+- ``unit_interval`` — xxhash64-based, better mixing, any key type;
+  Spark-only (no SQL oracle), preferred in production.
+
+Scale shape: split assignment is a pure projection (no shuffle, no
+action — whole-stage codegen). Stratified sampling shuffles once on
+the strata columns; per-stratum exact fractions come from a window
+count, not a driver-side group enumeration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# Knuth's multiplicative constant (golden-ratio reciprocal × 2^32)
+_KNUTH = 2654435761
+_M64 = 2 ** 64
+
+
+def portable_unit(key: Column | str, salt: int = 0) -> Column:
+    """Deterministic value in [0, 1) from an integer key — the ANSI-SQL
+    portable family: ``((key % 2^31) * 2654435761 + salt) % 2^32 /
+    2^32``. Every intermediate stays below 2^63 (2^31 · 2^31.3 ≈
+    2^62.3), so signed BIGINT arithmetic is exact in both Spark and any
+    ANSI engine — :func:`portable_unit_sql` is the literal replay.
+
+    For an odd multiplier, ``k ↦ k·C mod 2^32`` is a bijection on the
+    low 32 bits, so sequential keys scatter uniformly — adequate for
+    split assignment; use :func:`unit_interval` when you need
+    avalanche-grade mixing.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    k31 = F.pmod(kc.cast("long"), F.lit(2 ** 31))
+    bucket = F.pmod(k31 * F.lit(_KNUTH) + F.lit(salt), F.lit(2 ** 32))
+    return bucket / F.lit(float(2 ** 32))
+
+
+def portable_unit_sql(key_expr: str, salt: int = 0) -> str:
+    """The exact ANSI-SQL replay of :func:`portable_unit` (DuckDB/ANSI
+    ``%`` is signed remainder; key columns in the fixtures are
+    non-negative so pmod == %)."""
+    return (
+        f"((({key_expr}) % 2147483648) * {_KNUTH} + {salt}) % 4294967296"
+        f" / 4294967296.0"
+    )
+
+
+def unit_interval(key: Column | str, salt: int = 0) -> Column:
+    """xxhash64-based value in [0, 1) — any key type, production-grade
+    mixing; not SQL-portable (Spark-only hash family)."""
+    h = F.xxhash64(key, F.lit(salt))
+    # map signed 64-bit to [0,1): shift into unsigned range via /2 twice
+    return (F.shiftrightunsigned(h, 1).cast("double") * 2.0 + (h.bitwiseAND(F.lit(1))).cast("double")) / F.lit(float(_M64))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    portable: bool = True,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by
+    deterministic hash of ``key`` — pure projection, zero shuffles,
+    stable under retries and repartitioning.
+
+    ``weights`` maps split name → fraction; fractions must sum to ~1.
+    Rows land in splits by cumulative-threshold on the unit hash, so
+    enlarging one split keeps every other assignment stable ONLY for
+    the splits before it in insertion order — standard contract
+    (document your split order).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = portable_unit(key, salt) if portable else unit_interval(key, salt)
+    names = list(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    thresholds: list[tuple[str, float]] = []
+    for n in names[:-1]:
+        cum += weights[n]
+        thresholds.append((n, cum))
+    for n, t in reversed(thresholds):
+        expr = F.when(u < F.lit(t), F.lit(n)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    fraction: float,
+    key: str,
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Exact-fraction deterministic sample per stratum: within each
+    stratum, rows are ranked by hash(key) and the lowest
+    ``ceil(fraction * n_stratum)`` are kept. Unlike ``df.sampleBy``
+    (Bernoulli — approximate counts, RNG-seeded per partition), this is
+    exact and reproducible: same rows every run.
+
+    One shuffle on the strata columns (window); rank + count run in the
+    same window pass. Per-stratum skew is the usual window caveat — a
+    single giant stratum serializes through one task; salt the strata
+    upstream if one group dominates.
+    """
+    u = (portable_unit(key, salt) if portable else unit_interval(key, salt)).alias("__u")
+    w = Window.partitionBy(*strata)
+    ranked = (
+        df.withColumn("__u", u)
+        .withColumn("__rn", F.row_number().over(w.orderBy(F.col("__u"), F.col(key))))
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(
+        F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction))
+    ).drop("__u", "__rn", "__n")
