@@ -1792,6 +1792,130 @@ def key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "secondary_zonemap_scan",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+      AND o_totalprice >= 100000
+    GROUP BY o_orderpriority
+    """,
+    "storage", "zonemap",
+)
+def secondary_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary zone maps: the manifest tracks per-file min/max for
+    NON-key columns (table.py stats_cols), and read_where prunes files
+    on the DRIVER against those bounds — the reference's key-stats skip
+    (ParquetRewriter.java:253-301) generalized to any tracked column.
+    Here orders is keyed on o_orderkey but filtered on (o_orderdate,
+    o_totalprice); pruning selectivity tracks how clustered the layout
+    is, correctness never does (stat-less files are always kept and the
+    residual predicate is pushed into the scan)."""
+    import datetime as dt
+
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark,
+        _scratch("zonemap_orders"),
+        o,
+        key="o_orderkey",
+        max_records_per_file=2_000,
+        stats_cols=["o_orderdate", "o_totalprice"],
+    )
+    return (
+        t.read_where(
+            {
+                "o_orderdate": (
+                    dt.datetime(1996, 1, 1),
+                    dt.datetime(1996, 12, 31, 23, 59, 59),
+                ),
+                "o_totalprice": (100_000.0, None),
+            }
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "incremental_matview_refresh",
+    """
+    WITH cents AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    ),
+    mutated AS (
+      SELECT o_orderdate,
+             CASE WHEN o_orderkey % 10 = 3 THEN price_cents + 100000
+                  ELSE price_cents END AS price_cents
+      FROM cents WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_orderdate, price_cents + 50000 FROM cents WHERE o_orderkey % 100 = 11
+    )
+    SELECT o_orderdate AS order_day, count(*) AS n_orders,
+           round(sum(price_cents) / 100.0, 2) AS revenue
+    FROM mutated GROUP BY o_orderdate
+    """,
+    "mutation", "cdc", "matview",
+)
+def incremental_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/matview.py):
+    materialize daily order count+revenue, apply a mutation batch to the
+    BASE table (update %10=3 at +$1000, delete %10=7, insert +$500
+    copies of %100=11 shifted past the tail), then refresh the view from
+    the commit's change feed — signed per-group deltas merged into the
+    view, never a full re-aggregation. Revenue is maintained in integer
+    CENTS: exact view maintenance needs an order-independent sum, which
+    doubles don't give (float addition drifts by summation order) —
+    integer/decimal is the standard MV answer. The oracle recomputes the
+    final aggregate from scratch; matching proves the fold is exact."""
+    from parquet_rewriter_spark.operators.matview import MaterializedAggregate
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    base = SortedTable.create(
+        spark, _scratch("mv_base"), o, key="o_orderkey", max_records_per_file=5_000
+    )
+    mv = MaterializedAggregate(
+        base,
+        _scratch("mv_view"),
+        group_col="o_orderdate",
+        aggs={"n_orders": ("count",), "cents": ("sum", "price_cents")},
+    )
+    mv.build()
+    ups = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("price_cents", F.col("price_cents") + F.lit(100_000))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 100 == 11)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("price_cents", F.col("price_cents") + F.lit(50_000))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn(OP_COLUMN, F.lit("DELETE"))
+    merge_into_table(base, ups.unionByName(ins).unionByName(dels))
+    mv.refresh()
+    return mv.read().select(
+        F.col("o_orderdate").alias("order_day"),
+        F.col("n_orders"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+    )
+
+
+@query(
     "incremental_compact_then_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
@@ -2187,6 +2311,8 @@ def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of 68 registered queries, in registration order) — surface these FIRST
 # so a capped driver run confirms them; the rest keep definition order.
 _VERIFY_FIRST = (
+    "secondary_zonemap_scan",
+    "incremental_matview_refresh",
     "user_session_stats",
     "train_val_test_split",
     "stratified_sample_docs",

@@ -39,10 +39,16 @@ def snapshot_diff(
     table: SortedTable,
     from_version: int,
     to_version: int | None = None,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Row-level changes from snapshot ``from_version`` to ``to_version``
     (default: current). Returns the table schema plus ``_change_type``:
     inserts and updates carry the new row (postimage), deletes the old.
+
+    ``include_preimage=True`` additionally emits an ``update_preimage``
+    row (the old image) for every update — the Delta-CDF full form,
+    required by consumers that maintain state from the feed (e.g.
+    incremental aggregates need the old value to retract).
     """
     import os
 
@@ -76,17 +82,25 @@ def snapshot_diff(
     )
 
     j = o.join(n, on=key, how="full_outer")
-    change = (
-        F.when(F.col("_old_row").isNull(), F.lit("insert"))
-        .when(F.col("_new_row").isNull(), F.lit("delete"))
-        .when(~F.col("_old_fp").eqNullSafe(F.col("_new_fp")), F.lit("update_postimage"))
+    # one array of (change_type, row) per key, exploded — lets an update
+    # emit preimage AND postimage from a single pass over the join
+    ev = lambda t, r: F.struct(F.lit(t).alias("t"), F.col(r).alias("r"))  # noqa: E731
+    upd = (
+        F.array(ev("update_preimage", "_old_row"), ev("update_postimage", "_new_row"))
+        if include_preimage
+        else F.array(ev("update_postimage", "_new_row"))
     )
-    row = F.when(F.col("_new_row").isNull(), F.col("_old_row")).otherwise(F.col("_new_row"))
+    changes = (
+        F.when(F.col("_old_row").isNull(), F.array(ev("insert", "_new_row")))
+        .when(F.col("_new_row").isNull(), F.array(ev("delete", "_old_row")))
+        .when(~F.col("_old_fp").eqNullSafe(F.col("_new_fp")), upd)
+    )
+    ex = F.explode(changes).alias("_ch")
     return (
-        j.withColumn(CHANGE_TYPE_COL, change)
-        .filter(F.col(CHANGE_TYPE_COL).isNotNull())
+        j.filter(changes.isNotNull())
+        .select(ex)
         .select(
-            *[row.getField(c).alias(c) for c in cols],
-            F.col(CHANGE_TYPE_COL),
+            *[F.col("_ch.r").getField(c).alias(c) for c in cols],
+            F.col("_ch.t").alias(CHANGE_TYPE_COL),
         )
     )

@@ -41,6 +41,7 @@ def compact(
             key=m.key,
             files=sorted(entries, key=lambda e: (e.key_min, e.name)),
             schema_json=m.schema_json or df.schema.json(),
+            stats_cols=m.stats_cols,
         )
     )
     return {
@@ -94,6 +95,7 @@ def compact_incremental(
             key=m.key,
             files=sorted(keep + new_entries, key=lambda e: (e.key_min, e.name)),
             schema_json=m.schema_json,
+            stats_cols=m.stats_cols,
         )
     )
     return {

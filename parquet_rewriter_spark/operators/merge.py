@@ -320,6 +320,7 @@ def merge_into_table(
                     if read_schema is not None
                     else (m.schema_json or merged.schema.json())
                 ),
+                stats_cols=m.stats_cols,
             )
         )
         version = m.version + 1
@@ -371,6 +372,7 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
             key=key,
             files=files,
             schema_json=m.schema_json,
+            stats_cols=m.stats_cols,
         )
     )
     t_commit = time.monotonic() - t0

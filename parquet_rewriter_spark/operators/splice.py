@@ -104,6 +104,7 @@ def splice_merge(
         mut_pdf = mut_pdf.assign(**{OP_COLUMN: OP_UPSERT})
     if mut_pdf[key].duplicated().any():
         raise ValueError("duplicate mutation keys — distributed tiebreak required")
+    stats_cols = tuple(table.manifest().stats_cols)
 
     # assign each mutation to the (unique, ranges disjoint) dirty file
     # containing its key; the rest are pure inserts
@@ -147,7 +148,7 @@ def splice_merge(
                     writer.write_table(t, row_group_size=max(1, t.num_rows))
                 rgs_rewritten += 1
         os.replace(tmp, os.path.join(table.path, new_name))
-        st = _footer_stats(os.path.join(table.path, new_name), key)
+        st = _footer_stats(os.path.join(table.path, new_name), key, stats_cols)
         if st.num_rows == 0:
             os.remove(os.path.join(table.path, new_name))
         else:
@@ -160,6 +161,7 @@ def splice_merge(
                     bytes=st.num_bytes,
                     key_min=st.key_min,
                     key_max=st.key_max,
+                    col_stats={c: list(mm) for c, mm in st.col_stats.items()},
                 )
             )
 
@@ -173,7 +175,7 @@ def splice_merge(
         tmp = os.path.join(table.path, f"_splice-{new_name}")
         pq.write_table(pa.Table.from_pandas(ins, schema=schema, preserve_index=False), tmp)
         os.replace(tmp, os.path.join(table.path, new_name))
-        st = _footer_stats(os.path.join(table.path, new_name), key)
+        st = _footer_stats(os.path.join(table.path, new_name), key, stats_cols)
         from parquet_rewriter_spark.table import ManifestEntry
 
         entries.append(
@@ -183,6 +185,7 @@ def splice_merge(
                 bytes=st.num_bytes,
                 key_min=st.key_min,
                 key_max=st.key_max,
+                col_stats={c: list(mm) for c, mm in st.col_stats.items()},
             )
         )
 

@@ -23,7 +23,7 @@ manifest sidecar (table.py) so steady-state merges read **zero** footers.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Iterator
 
 import pyarrow.parquet as pq
@@ -34,33 +34,57 @@ DISTRIBUTED_THRESHOLD = 4096
 
 @dataclass(frozen=True)
 class FileStats:
-    """Key-column zone map for one Parquet part-file."""
+    """Key-column zone map for one Parquet part-file, plus optional
+    SECONDARY column zone maps (``col_stats``: col → (min, max))."""
 
     path: str
     num_rows: int
     num_bytes: int
     key_min: Any
     key_max: Any
+    col_stats: dict = field(default_factory=dict)
 
 
-def _footer_stats(path: str, key: str) -> FileStats:
+def _footer_stats(path: str, key: str, stats_cols: tuple[str, ...] = ()) -> FileStats:
     f = pq.ParquetFile(path)
     md = f.metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     if key not in idx:
         raise ValueError(f"key column {key!r} not in {path}")
-    col = idx[key]
-    kmin = kmax = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(col).statistics
-        if st is None or not st.has_min_max:
-            # Same contract as the reference: no stats on the key column
-            # is a hard error (ParquetRewriter.java:246-249).
-            raise ValueError(f"missing min/max statistics for {key!r} in {path} row group {rg}")
-        kmin = st.min if kmin is None else min(kmin, st.min)
-        kmax = st.max if kmax is None else max(kmax, st.max)
+
+    def _minmax(col: int, required: bool) -> tuple[Any, Any] | None:
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            if st is None or not st.has_min_max:
+                if required:
+                    # Same contract as the reference: no stats on the key
+                    # column is a hard error (ParquetRewriter.java:246-249).
+                    raise ValueError(
+                        f"missing min/max statistics for {key!r} in {path} row group {rg}"
+                    )
+                return None  # secondary stats are best-effort (no pruning)
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return lo, hi
+
+    kmin, kmax = _minmax(idx[key], required=True)
+    col_stats: dict = {}
+    for c in stats_cols:
+        if c == key or c not in idx:
+            continue  # absent column (pre-schema-evolution file): no stats → never pruned
+        mm = _minmax(idx[c], required=False)
+        if mm is not None:
+            col_stats[c] = mm
     size = os.path.getsize(path)
-    return FileStats(path=path, num_rows=md.num_rows, num_bytes=size, key_min=kmin, key_max=kmax)
+    return FileStats(
+        path=path,
+        num_rows=md.num_rows,
+        num_bytes=size,
+        key_min=kmin,
+        key_max=kmax,
+        col_stats=col_stats,
+    )
 
 
 def list_parquet_files(table_path: str) -> list[str]:
@@ -75,20 +99,25 @@ def list_parquet_files(table_path: str) -> list[str]:
 
 
 def collect_file_stats(
-    spark: SparkSession, table_path: str, key: str, files: list[str] | None = None
+    spark: SparkSession,
+    table_path: str,
+    key: str,
+    files: list[str] | None = None,
+    stats_cols: tuple[str, ...] | list[str] = (),
 ) -> list[FileStats]:
     """Per-file key zone maps; distributed above DISTRIBUTED_THRESHOLD files."""
     files = files if files is not None else list_parquet_files(table_path)
+    stats_cols = tuple(stats_cols)
     if len(files) <= DISTRIBUTED_THRESHOLD:
-        return [_footer_stats(p, key) for p in files]
+        return [_footer_stats(p, key, stats_cols) for p in files]
     # Distributed footer scan: ship the file list, read footers on executors.
     sc = spark.sparkContext
     n_slices = max(1, len(files) // 64)
 
     def part(paths: Iterator[str]) -> Iterator[tuple]:
         for p in paths:
-            s = _footer_stats(p, key)
-            yield (s.path, s.num_rows, s.num_bytes, s.key_min, s.key_max)
+            s = _footer_stats(p, key, stats_cols)
+            yield (s.path, s.num_rows, s.num_bytes, s.key_min, s.key_max, s.col_stats)
 
     rows = sc.parallelize(files, n_slices).mapPartitions(part).collect()
     return [FileStats(*r) for r in sorted(rows)]

@@ -53,6 +53,10 @@ class ManifestEntry:
     bytes: int
     key_min: Any
     key_max: Any
+    # secondary zone maps: col → [min, max] for the manifest's stats_cols.
+    # Best-effort — a file missing an entry (written pre-evolution, or no
+    # footer stats for the column) is simply never pruned on that column.
+    col_stats: dict[str, list] = field(default_factory=dict)
 
 
 def _encode_key_bound(v: Any) -> Any:
@@ -100,6 +104,9 @@ class Manifest:
     # StructType JSON — lets an all-rows-deleted (zero-file) snapshot
     # still be read as an empty, correctly-typed relation
     schema_json: str | None = None
+    # columns (beyond the key) whose per-file min/max zone maps are
+    # maintained across merges/compactions for read_where pruning
+    stats_cols: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         files = []
@@ -107,12 +114,17 @@ class Manifest:
             d = asdict(f)
             d["key_min"] = _encode_key_bound(d["key_min"])
             d["key_max"] = _encode_key_bound(d["key_max"])
+            d["col_stats"] = {
+                c: [_encode_key_bound(v) for v in mm]
+                for c, mm in (d.get("col_stats") or {}).items()
+            }
             files.append(d)
         return json.dumps(
             {
                 "version": self.version,
                 "key": self.key,
                 "schema_json": self.schema_json,
+                "stats_cols": self.stats_cols,
                 "files": files,
             },
             indent=1,
@@ -126,12 +138,17 @@ class Manifest:
             f = dict(f)
             f["key_min"] = _decode_key_bound(f["key_min"])
             f["key_max"] = _decode_key_bound(f["key_max"])
+            f["col_stats"] = {
+                c: [_decode_key_bound(v) for v in mm]
+                for c, mm in (f.get("col_stats") or {}).items()
+            }
             files.append(ManifestEntry(**f))
         return Manifest(
             version=d["version"],
             key=d["key"],
             files=files,
             schema_json=d.get("schema_json"),
+            stats_cols=d.get("stats_cols") or [],
         )
 
 
@@ -207,23 +224,30 @@ class SortedTable:
         key: str,
         max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
         num_files: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "SortedTable":
         """Write ``df`` as a new sorted table (R12 sorted write).
 
         ``repartitionByRange(key)`` gives range-disjoint files,
         ``sortWithinPartitions(key)`` the in-file order — together the
         reference's sorted-by-PK invariant, distributed.
+
+        ``stats_cols`` opts extra columns into per-file min/max zone maps
+        (secondary to the key's), maintained across merges/compactions
+        and used by ``read_where`` for driver-side file pruning.
         """
         os.makedirs(path, exist_ok=True)
         t = cls(spark, path)
+        stats_cols = list(stats_cols or [])
         staging = t._write_sorted(df, key, max_records_per_file, num_files)
-        entries = t._adopt_staged(staging, key)
+        entries = t._adopt_staged(staging, key, stats_cols=stats_cols)
         t._commit_manifest(
             Manifest(
                 version=0,
                 key=key,
                 files=sorted(entries, key=lambda e: (e.key_min, e.name)),
                 schema_json=df.schema.json(),
+                stats_cols=stats_cols,
             )
         )
         return t
@@ -294,6 +318,72 @@ class SortedTable:
             df = df.filter(F.col(m.key) <= upper)
         return df
 
+    def read_where(
+        self,
+        predicates: dict[str, tuple[Any, Any]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan with driver-side file pruning on SECONDARY zone maps.
+
+        ``predicates`` maps column → (lower, upper) inclusive range
+        bounds (either side may be None). Files whose manifest-recorded
+        min/max for a predicate column miss the range are dropped on the
+        driver before Spark lists them — the key's zone-map trick
+        (ParquetRewriter.java:253-301) generalized to any column the
+        table tracks via ``stats_cols``. Pruning selectivity depends on
+        the physical layout: clustered/Z-ordered columns prune well,
+        uncorrelated columns not at all — correctness never depends on
+        it, because a file with no recorded stats is always kept and the
+        residual predicate is pushed into the parquet scan.
+        """
+        m = self.manifest(version)
+
+        # Footer timestamp bounds are tz-AWARE (parquet isAdjustedToUTC)
+        # while query bounds are session-local naive — same mismatch
+        # plan_dirty_files handles; render aware bounds naive in the
+        # session zone before comparing.
+        tz = self.spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
+
+        def _norm(v: Any) -> Any:
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                from zoneinfo import ZoneInfo
+
+                return v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
+            return v
+
+        def keep(e: ManifestEntry) -> bool:
+            for col, (lo, hi) in predicates.items():
+                if col == m.key:
+                    cmin, cmax = e.key_min, e.key_max
+                else:
+                    mm = e.col_stats.get(col)
+                    if mm is None:
+                        continue  # no stats: cannot prune this file on this column
+                    cmin, cmax = mm
+                cmin, cmax = _norm(cmin), _norm(cmax)
+                if (hi is not None and cmin > _norm(hi)) or (
+                    lo is not None and cmax < _norm(lo)
+                ):
+                    return False
+            return True
+
+        entries = [e for e in m.files if keep(e)]
+        if not entries:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m.schema_json))
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self._reader(m).parquet(
+                *[os.path.join(self.path, e.name) for e in entries]
+            )
+        for col, (lo, hi) in predicates.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
+
     # ---------- write internals ----------
     def _write_sorted(
         self,
@@ -321,11 +411,25 @@ class SortedTable:
         )
         return staging
 
-    def _adopt_staged(self, staging: str, key: str) -> list[ManifestEntry]:
-        """Move staged part-files into the table dir under fresh names."""
+    def _adopt_staged(
+        self, staging: str, key: str, stats_cols: list[str] | None = None
+    ) -> list[ManifestEntry]:
+        """Move staged part-files into the table dir under fresh names.
+
+        ``stats_cols=None`` means "inherit the current manifest's
+        stats_cols" — so merge/compact propagate secondary zone maps
+        without every call site threading them through.
+        """
+        if stats_cols is None:
+            try:
+                stats_cols = self.manifest().stats_cols
+            except FileNotFoundError:
+                stats_cols = []
         entries: list[ManifestEntry] = []
         staged = list_parquet_files(staging)
-        stats = collect_file_stats(self.spark, staging, key, files=staged)
+        stats = collect_file_stats(
+            self.spark, staging, key, files=staged, stats_cols=stats_cols
+        )
         for st in stats:
             if st.num_rows == 0:
                 continue
@@ -338,6 +442,7 @@ class SortedTable:
                     bytes=st.num_bytes,
                     key_min=st.key_min,
                     key_max=st.key_max,
+                    col_stats={c: list(mm) for c, mm in st.col_stats.items()},
                 )
             )
         shutil.rmtree(staging, ignore_errors=True)
