@@ -2013,6 +2013,59 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_table_changes",
+    """
+    SELECT o_orderkey AS key, 'update_preimage' AS change_type,
+           round(o_totalprice, 2) AS price, CAST(1 AS BIGINT) AS commit_version
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, 'update_postimage', round(o_totalprice + 1000.0, 2), CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, 'delete', round(o_totalprice, 2), CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 = 7
+    """,
+    "streaming", "cdc",
+)
+def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side change feed, consumed as a STREAM: two merges append
+    their row-level deltas (full preimage CDF form) to the table's
+    ``_changelog/`` (operators/cdc.py:write_changelog), and
+    ``stream_changes`` tails that directory as a schema-pinned
+    file-source stream — the Delta-CDF read pattern on plain parquet.
+    Drained with AvailableNow, the feed must equal the known mutation
+    sets of both commits, each stamped with its ``_commit_version``."""
+    from parquet_rewriter_spark.operators.cdc import (
+        CHANGE_TYPE_COL,
+        COMMIT_VERSION_COL,
+        stream_changes,
+    )
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.streaming import run_to_memory
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("cl_orders"), o, key="o_orderkey", max_records_per_file=5_000
+    )
+    ups = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    merge_into_table(t, ups, changelog=True)
+    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn(OP_COLUMN, F.lit("DELETE"))
+    merge_into_table(t, dels, changelog=True)
+    feed = stream_changes(t).select(
+        F.col("o_orderkey").alias("key"),
+        F.col(CHANGE_TYPE_COL).alias("change_type"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col(COMMIT_VERSION_COL).alias("commit_version"),
+    )
+    return run_to_memory(feed, state_partitions=None)
+
+
+@query(
     "csv_roundtrip_agg",
     """
     SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
@@ -2313,6 +2366,7 @@ def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = (
     "secondary_zonemap_scan",
     "incremental_matview_refresh",
+    "stream_table_changes",
     "user_session_stats",
     "train_val_test_split",
     "stratified_sample_docs",

@@ -16,12 +16,17 @@ scaling contract as the merge itself (README.md:111).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import MapType
 
 from parquet_rewriter_spark.table import SortedTable
 
 CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+CHANGELOG_DIR = "_changelog"
 
 
 def _payload_fingerprint(df: DataFrame, cols: list[str]):
@@ -50,8 +55,6 @@ def snapshot_diff(
     required by consumers that maintain state from the feed (e.g.
     incremental aggregates need the old value to retract).
     """
-    import os
-
     m_old = table.manifest(from_version)
     m_new = table.manifest(to_version) if to_version is not None else table.manifest()
     key = m_new.key
@@ -104,3 +107,49 @@ def snapshot_diff(
             F.col("_ch.t").alias(CHANGE_TYPE_COL),
         )
     )
+
+
+def write_changelog(table: SortedTable, from_version: int, to_version: int) -> str:
+    """Persist one commit's change rows to the table's append-only
+    changelog (``<table>/_changelog/``) in the full (preimage) CDF form,
+    stamped with ``_commit_version``.
+
+    This is the WRITE side of the change feed: each merge that opts in
+    appends its own delta, so downstream consumers tail a plain parquet
+    directory instead of re-diffing manifests. Cost is the same
+    O(churned bytes) as snapshot_diff — the files it reads were just
+    written/retired by the merge and are typically still in page cache.
+    """
+    feed = snapshot_diff(table, from_version, to_version, include_preimage=True)
+    out = os.path.join(table.path, CHANGELOG_DIR)
+    (
+        feed.withColumn(COMMIT_VERSION_COL, F.lit(to_version).cast("long"))
+        .write.mode("append")
+        .parquet(out)
+    )
+    return out
+
+
+def stream_changes(table: SortedTable) -> DataFrame:
+    """Structured-Streaming tail of the table's changelog: a file-source
+    stream over ``_changelog/`` with the table's CURRENT schema plus
+    (``_change_type``, ``_commit_version``). New commits' files are
+    discovered per micro-batch — the Delta-CDF read pattern on plain
+    parquet. Files written before an additive schema evolution null-fill
+    the newer columns (schema is pinned, not inferred — a stream cannot
+    infer, and footer inference is a driver-side scan anyway).
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    m = table.manifest()
+    base = StructType.fromJson(json.loads(m.schema_json))
+    schema = StructType(
+        list(base.fields)
+        + [
+            StructField(CHANGE_TYPE_COL, StringType(), True),
+            StructField(COMMIT_VERSION_COL, LongType(), True),
+        ]
+    )
+    path = os.path.join(table.path, CHANGELOG_DIR)
+    os.makedirs(path, exist_ok=True)  # empty log streams zero rows, not an error
+    return table.spark.readStream.schema(schema).parquet(path)

@@ -202,6 +202,7 @@ def merge_into_table(
     mutations: DataFrame,
     max_records_per_file: int | None = None,
     allow_splice: bool = True,
+    changelog: bool = False,
 ) -> dict:
     """R3+R4+R5+R6+R13: merge a mutation stream into a SortedTable.
 
@@ -210,6 +211,10 @@ def merge_into_table(
     manifest flip keeping clean entries verbatim (file-granularity raw
     passthrough: clean bytes are never read, the analog of
     ``writer.appendRowGroup(raw)`` at ParquetRewriter.java:317).
+
+    ``changelog=True`` appends this commit's row-level changes (full
+    preimage CDF form) to the table's ``_changelog/`` after the manifest
+    flip — see operators/cdc.py:write_changelog / stream_changes.
 
     Small merges take the ROW-GROUP-granularity driver fast path
     (operators/splice.py — the reference's appendRowGroup trick): when
@@ -278,6 +283,10 @@ def merge_into_table(
         res = _try_splice(table, m, dirty, clean, mutations, key, t_plan)
         if res is not None:
             mutations.unpersist()
+            if changelog:
+                from parquet_rewriter_spark.operators.cdc import write_changelog
+
+                write_changelog(table, m.version, res["version"])
             return res
 
     if dirty:
@@ -330,6 +339,10 @@ def merge_into_table(
         # time-travel history
         version = m.version
     t_commit = time.monotonic() - t0
+    if changelog and version != m.version:
+        from parquet_rewriter_spark.operators.cdc import write_changelog
+
+        write_changelog(table, m.version, version)
     return {
         "version": version,
         "files_total": len(m.files),

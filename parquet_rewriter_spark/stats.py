@@ -91,7 +91,10 @@ def list_parquet_files(table_path: str) -> list[str]:
     if os.path.isfile(table_path):
         return [table_path]
     out = []
-    for root, _dirs, files in os.walk(table_path):
+    for root, dirs, files in os.walk(table_path):
+        # metadata/sidecar subtrees (_changelog, _staging-*, _temporary)
+        # are not data files — vacuum must never sweep them
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
             if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
                 out.append(os.path.join(root, fn))

@@ -126,3 +126,70 @@ def test_dynamic_partition_overwrite_touches_only_incoming(spark, tmp_path, sf_d
     assert got.filter(F.col("o_month") == target).agg(F.sum("o_totalprice")).head()[0] == 0.0
     n_other = orders.filter(F.col("o_month") != target).count()
     assert got.filter(F.col("o_month") != target).count() == n_other
+
+
+# ---------------- write-side changelog + streaming tail ----------------
+
+
+def test_changelog_written_and_streamed(spark, table):
+    from parquet_rewriter_spark.operators.cdc import (
+        CHANGE_TYPE_COL,
+        CHANGELOG_DIR,
+        COMMIT_VERSION_COL,
+        stream_changes,
+    )
+    from parquet_rewriter_spark.streaming import run_to_memory
+
+    base = table.read()
+    ups = (
+        base.filter(F.col("o_orderkey") % 100 == 9)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(table, ups, changelog=True)
+    dels = base.filter(F.col("o_orderkey") % 100 == 42).withColumn(
+        OP_COLUMN, F.lit(OP_DELETE)
+    )
+    merge_into_table(table, dels, changelog=True)
+
+    assert os.path.isdir(os.path.join(table.path, CHANGELOG_DIR))
+    out = run_to_memory(stream_changes(table), state_partitions=None)
+    rows = out.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r[CHANGE_TYPE_COL], []).append(r)
+    assert len(by_type["update_preimage"]) == len(by_type["update_postimage"]) == 10
+    assert len(by_type["delete"]) == 10
+    assert all(r[COMMIT_VERSION_COL] == 1 for r in by_type["update_postimage"])
+    assert all(r[COMMIT_VERSION_COL] == 2 for r in by_type["delete"])
+    pre = {r["o_orderkey"]: r["o_totalprice"] for r in by_type["update_preimage"]}
+    post = {r["o_orderkey"]: r["o_totalprice"] for r in by_type["update_postimage"]}
+    assert all(post[k] == pre[k] * 2 for k in pre)
+
+
+def test_vacuum_keeps_changelog(spark, table):
+    from parquet_rewriter_spark.operators.cdc import CHANGELOG_DIR
+    from parquet_rewriter_spark.stats import list_parquet_files
+
+    base = table.read()
+    ups = (
+        base.filter(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(table, ups, changelog=True)
+    log_dir = os.path.join(table.path, CHANGELOG_DIR)
+    log_files_before = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".parquet")
+    )
+    assert log_files_before
+    removed = table.vacuum(retain_versions=1)
+    assert removed  # the rewritten files' old versions are gone...
+    log_files_after = sorted(
+        f for f in os.listdir(log_dir) if f.endswith(".parquet")
+    )
+    assert log_files_after == log_files_before  # ...the changelog is not
+    # and list_parquet_files never reports changelog files as table data
+    assert all(
+        not p.startswith(log_dir + os.sep) for p in list_parquet_files(table.path)
+    )
