@@ -60,6 +60,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "doc_sentences_udtf",
     "table_changes_feed",
+    "secondary_zonemap_scan",
+    "incremental_matview_refresh",
+    "stream_table_changes",
 ]
 
 

@@ -1843,6 +1843,44 @@ def secondary_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_pointlookup_scan",
+    """
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_custkey IN (42, 777, 1234)
+    GROUP BY o_custkey
+    """,
+    "storage", "bloom",
+)
+def bloom_pointlookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom filters (operators/bloom.py): o_custkey is
+    high-cardinality and UNCLUSTERED in an o_orderkey-sorted layout, so
+    zone maps cannot prune a customer lookup — every file's custkey
+    range overlaps. The bloom sidecar answers "might this file contain
+    custkey 42" per file with no false negatives; read_point scans only
+    candidate files with the exact predicate pushed to the survivors."""
+    from parquet_rewriter_spark.operators.bloom import read_point
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark,
+        _scratch("bloom_orders"),
+        o,
+        key="o_orderkey",
+        max_records_per_file=2_000,
+        bloom_cols=["o_custkey"],
+    )
+    return (
+        read_point(t, "o_custkey", [42, 777, 1234])
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "incremental_matview_refresh",
     """
     WITH cents AS (
@@ -1852,11 +1890,11 @@ def secondary_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mutated AS (
       SELECT o_orderdate,
-             CASE WHEN o_orderkey % 10 = 3 THEN price_cents + 100000
+             CASE WHEN o_orderkey BETWEEN 200 AND 299 THEN price_cents + 100000
                   ELSE price_cents END AS price_cents
-      FROM cents WHERE o_orderkey % 10 <> 7
+      FROM cents WHERE o_orderkey NOT BETWEEN 700 AND 749
       UNION ALL
-      SELECT o_orderdate, price_cents + 50000 FROM cents WHERE o_orderkey % 100 = 11
+      SELECT o_orderdate, price_cents + 50000 FROM cents WHERE o_orderkey < 100
     )
     SELECT o_orderdate AS order_day, count(*) AS n_orders,
            round(sum(price_cents) / 100.0, 2) AS revenue
@@ -1867,10 +1905,12 @@ def secondary_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance (operators/matview.py):
     materialize daily order count+revenue, apply a mutation batch to the
-    BASE table (update %10=3 at +$1000, delete %10=7, insert +$500
-    copies of %100=11 shifted past the tail), then refresh the view from
-    the commit's change feed — signed per-group deltas merged into the
-    view, never a full re-aggregation. Revenue is maintained in integer
+    BASE table (update keys 200-299 at +$1000, delete 700-749, insert
+    +$500 copies of keys <100 shifted past the tail — key-clustered so
+    the commit dirties one file, the cost model the refresh inherits),
+    then refresh the view from the commit's change feed — signed
+    per-group deltas merged into the view, never a full re-aggregation.
+    Revenue is maintained in integer
     CENTS: exact view maintenance needs an order-independent sum, which
     doubles don't give (float addition drifts by summation order) —
     integer/decimal is the standard MV answer. The oracle recomputes the
@@ -1893,19 +1933,21 @@ def incremental_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv.build()
     ups = (
-        o.filter(F.col("o_orderkey") % 10 == 3)
+        o.filter(F.col("o_orderkey").between(200, 299))
         .withColumn("price_cents", F.col("price_cents") + F.lit(100_000))
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
         .withColumn(OP_COLUMN, F.lit("UPSERT"))
     )
     ins = (
-        o.filter(F.col("o_orderkey") % 100 == 11)
+        o.filter(F.col("o_orderkey") < 100)
         .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
         .withColumn("price_cents", F.col("price_cents") + F.lit(50_000))
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
         .withColumn(OP_COLUMN, F.lit("UPSERT"))
     )
-    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn(OP_COLUMN, F.lit("DELETE"))
+    dels = o.filter(F.col("o_orderkey").between(700, 749)).withColumn(
+        OP_COLUMN, F.lit("DELETE")
+    )
     merge_into_table(base, ups.unionByName(ins).unionByName(dels))
     mv.refresh()
     return mv.read().select(
@@ -2017,13 +2059,13 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey AS key, 'update_preimage' AS change_type,
            round(o_totalprice, 2) AS price, CAST(1 AS BIGINT) AS commit_version
-    FROM orders WHERE o_orderkey % 10 = 3
+    FROM orders WHERE o_orderkey BETWEEN 200 AND 299
     UNION ALL
     SELECT o_orderkey, 'update_postimage', round(o_totalprice + 1000.0, 2), CAST(1 AS BIGINT)
-    FROM orders WHERE o_orderkey % 10 = 3
+    FROM orders WHERE o_orderkey BETWEEN 200 AND 299
     UNION ALL
     SELECT o_orderkey, 'delete', round(o_totalprice, 2), CAST(2 AS BIGINT)
-    FROM orders WHERE o_orderkey % 10 = 7
+    FROM orders WHERE o_orderkey BETWEEN 700 AND 749
     """,
     "streaming", "cdc",
 )
@@ -2034,7 +2076,11 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stream_changes`` tails that directory as a schema-pinned
     file-source stream — the Delta-CDF read pattern on plain parquet.
     Drained with AvailableNow, the feed must equal the known mutation
-    sets of both commits, each stamped with its ``_commit_version``."""
+    sets of both commits, each stamped with its ``_commit_version``.
+    Mutations are KEY-CLUSTERED ranges so each commit dirties one file
+    and the post-commit diff reads only that churn — the cost model this
+    feed is supposed to have (a scattered %10 pattern would dirty every
+    file and re-read the table per commit)."""
     from parquet_rewriter_spark.operators.cdc import (
         CHANGE_TYPE_COL,
         COMMIT_VERSION_COL,
@@ -2049,12 +2095,14 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _scratch("cl_orders"), o, key="o_orderkey", max_records_per_file=5_000
     )
     ups = (
-        o.filter(F.col("o_orderkey") % 10 == 3)
+        o.filter(F.col("o_orderkey").between(200, 299))
         .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
         .withColumn(OP_COLUMN, F.lit("UPSERT"))
     )
     merge_into_table(t, ups, changelog=True)
-    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn(OP_COLUMN, F.lit("DELETE"))
+    dels = o.filter(F.col("o_orderkey").between(700, 749)).withColumn(
+        OP_COLUMN, F.lit("DELETE")
+    )
     merge_into_table(t, dels, changelog=True)
     feed = stream_changes(t).select(
         F.col("o_orderkey").alias("key"),
@@ -2367,6 +2415,7 @@ _VERIFY_FIRST = (
     "secondary_zonemap_scan",
     "incremental_matview_refresh",
     "stream_table_changes",
+    "bloom_pointlookup_scan",
     "user_session_stats",
     "train_val_test_split",
     "stratified_sample_docs",

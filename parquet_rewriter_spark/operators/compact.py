@@ -42,6 +42,7 @@ def compact(
             files=sorted(entries, key=lambda e: (e.key_min, e.name)),
             schema_json=m.schema_json or df.schema.json(),
             stats_cols=m.stats_cols,
+            bloom_cols=m.bloom_cols,
         )
     )
     return {
@@ -96,6 +97,7 @@ def compact_incremental(
             files=sorted(keep + new_entries, key=lambda e: (e.key_min, e.name)),
             schema_json=m.schema_json,
             stats_cols=m.stats_cols,
+            bloom_cols=m.bloom_cols,
         )
     )
     return {

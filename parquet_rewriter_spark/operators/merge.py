@@ -330,6 +330,7 @@ def merge_into_table(
                     else (m.schema_json or merged.schema.json())
                 ),
                 stats_cols=m.stats_cols,
+                bloom_cols=m.bloom_cols,
             )
         )
         version = m.version + 1
@@ -386,9 +387,17 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
             files=files,
             schema_json=m.schema_json,
             stats_cols=m.stats_cols,
+            bloom_cols=m.bloom_cols,
         )
     )
     t_commit = time.monotonic() - t0
+    if m.bloom_cols and new_entries:
+        # keep the pruning contract: spliced files get bloom rows too.
+        # One small job over just these files — costs more than the
+        # splice itself saved only in the degenerate tiny-table case.
+        from parquet_rewriter_spark.operators.bloom import build_blooms
+
+        build_blooms(table, new_entries, m.bloom_cols)
     return {
         "version": m.version + 1,
         "files_total": len(m.files),

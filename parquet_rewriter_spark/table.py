@@ -107,6 +107,9 @@ class Manifest:
     # columns (beyond the key) whose per-file min/max zone maps are
     # maintained across merges/compactions for read_where pruning
     stats_cols: list[str] = field(default_factory=list)
+    # columns with per-file Bloom filters (sidecar _blooms/) for
+    # point-lookup file skipping — see operators/bloom.py
+    bloom_cols: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         files = []
@@ -125,6 +128,7 @@ class Manifest:
                 "key": self.key,
                 "schema_json": self.schema_json,
                 "stats_cols": self.stats_cols,
+                "bloom_cols": self.bloom_cols,
                 "files": files,
             },
             indent=1,
@@ -149,6 +153,7 @@ class Manifest:
             files=files,
             schema_json=d.get("schema_json"),
             stats_cols=d.get("stats_cols") or [],
+            bloom_cols=d.get("bloom_cols") or [],
         )
 
 
@@ -225,6 +230,7 @@ class SortedTable:
         max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
         num_files: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "SortedTable":
         """Write ``df`` as a new sorted table (R12 sorted write).
 
@@ -235,12 +241,17 @@ class SortedTable:
         ``stats_cols`` opts extra columns into per-file min/max zone maps
         (secondary to the key's), maintained across merges/compactions
         and used by ``read_where`` for driver-side file pruning.
+        ``bloom_cols`` opts columns into per-file Bloom filters (sidecar
+        ``_blooms/``) for point-lookup skipping (operators/bloom.py).
         """
         os.makedirs(path, exist_ok=True)
         t = cls(spark, path)
         stats_cols = list(stats_cols or [])
+        bloom_cols = list(bloom_cols or [])
         staging = t._write_sorted(df, key, max_records_per_file, num_files)
-        entries = t._adopt_staged(staging, key, stats_cols=stats_cols)
+        entries = t._adopt_staged(
+            staging, key, stats_cols=stats_cols, bloom_cols=bloom_cols
+        )
         t._commit_manifest(
             Manifest(
                 version=0,
@@ -248,6 +259,7 @@ class SortedTable:
                 files=sorted(entries, key=lambda e: (e.key_min, e.name)),
                 schema_json=df.schema.json(),
                 stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
             )
         )
         return t
@@ -412,19 +424,26 @@ class SortedTable:
         return staging
 
     def _adopt_staged(
-        self, staging: str, key: str, stats_cols: list[str] | None = None
+        self,
+        staging: str,
+        key: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> list[ManifestEntry]:
         """Move staged part-files into the table dir under fresh names.
 
-        ``stats_cols=None`` means "inherit the current manifest's
-        stats_cols" — so merge/compact propagate secondary zone maps
-        without every call site threading them through.
+        ``stats_cols=None`` / ``bloom_cols=None`` mean "inherit the
+        current manifest's" — so merge/compact propagate secondary zone
+        maps and bloom filters without every call site threading them.
         """
-        if stats_cols is None:
+        if stats_cols is None or bloom_cols is None:
             try:
-                stats_cols = self.manifest().stats_cols
+                m_cur = self.manifest()
+                inherit_stats, inherit_blooms = m_cur.stats_cols, m_cur.bloom_cols
             except FileNotFoundError:
-                stats_cols = []
+                inherit_stats, inherit_blooms = [], []
+            stats_cols = inherit_stats if stats_cols is None else stats_cols
+            bloom_cols = inherit_blooms if bloom_cols is None else bloom_cols
         entries: list[ManifestEntry] = []
         staged = list_parquet_files(staging)
         stats = collect_file_stats(
@@ -446,6 +465,10 @@ class SortedTable:
                 )
             )
         shutil.rmtree(staging, ignore_errors=True)
+        if bloom_cols and entries:
+            from parquet_rewriter_spark.operators.bloom import build_blooms
+
+            build_blooms(self, entries, bloom_cols)
         return entries
 
     # ---------- maintenance ----------
@@ -469,7 +492,26 @@ class SortedTable:
             if name not in live:
                 os.remove(p)
                 removed.append(name)
+        if removed:
+            self._vacuum_blooms(live)
         return removed
+
+    def _vacuum_blooms(self, live: set[str]) -> None:
+        """Rewrite the bloom sidecar keeping only live files' rows —
+        the append-only log would otherwise accrete rows for vacuumed
+        files forever (they are ignored by probes, but cost scan time)."""
+        from parquet_rewriter_spark.operators.bloom import BLOOM_DIR
+
+        side = os.path.join(self.path, BLOOM_DIR)
+        if not os.path.isdir(side):
+            return
+        tmp = side + f".tmp-{uuid.uuid4().hex}"
+        kept = self.spark.read.parquet(side).filter(F.col("file").isin(list(live)))
+        kept.write.parquet(tmp)
+        old = side + f".old-{uuid.uuid4().hex}"
+        os.rename(side, old)
+        os.rename(tmp, side)
+        shutil.rmtree(old, ignore_errors=True)
 
     def stats(self) -> dict[str, Any]:
         m = self.manifest()
