@@ -63,6 +63,7 @@ HEADLINE = [
     "secondary_zonemap_scan",
     "incremental_matview_refresh",
     "stream_table_changes",
+    "bloom_pointlookup_scan",
 ]
 
 

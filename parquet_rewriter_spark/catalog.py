@@ -1958,6 +1958,53 @@ def incremental_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_delete_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE NOT (o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F')
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "retention",
+)
+def retention_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete (operators/merge.py:delete_where) as a
+    retention sweep: age out finished orders older than a cutoff. The
+    ``prune`` ranges ride the secondary zone maps so the victim scan
+    reads only files whose o_orderdate range reaches below the cutoff;
+    the delete itself rewrites only files containing victims. Oracle:
+    aggregate over the surviving rows."""
+    import datetime as dt
+
+    from parquet_rewriter_spark.operators.merge import delete_where
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark,
+        _scratch("retention_orders"),
+        o,
+        key="o_orderkey",
+        max_records_per_file=2_000,
+        stats_cols=["o_orderdate"],
+    )
+    delete_where(
+        t,
+        (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderstatus") == "F"),
+        prune={"o_orderdate": (None, dt.datetime(1995, 12, 31, 23, 59, 59))},
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "incremental_compact_then_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
@@ -2416,6 +2463,7 @@ _VERIFY_FIRST = (
     "incremental_matview_refresh",
     "stream_table_changes",
     "bloom_pointlookup_scan",
+    "retention_delete_scan",
     "user_session_stats",
     "train_val_test_split",
     "stratified_sample_docs",

@@ -103,6 +103,28 @@ def apply_mutations(
     )
 
 
+def delete_where(
+    table: SortedTable,
+    condition,
+    prune: dict | None = None,
+    changelog: bool = False,
+) -> dict:
+    """Predicate delete: remove every current row matching ``condition``
+    (a Column or SQL string) — retention/TTL sweeps, GDPR erasure.
+
+    The victim scan is a normal snapshot read, so the predicate pushes
+    into the parquet scan; pass ``prune`` (read_where ranges, e.g.
+    ``{"ts": (None, cutoff)}``) to ALSO drop non-matching files on the
+    driver when the table tracks zone maps for the predicate columns —
+    a retention sweep then reads only the aged files. The delete itself
+    is a merge: only files containing victims are rewritten.
+    """
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    src = table.read_where(prune) if prune else table.read()
+    victims = src.filter(cond).withColumn(OP_COLUMN, F.lit(OP_DELETE))
+    return merge_into_table(table, victims, changelog=changelog)
+
+
 def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """R3: replace-or-insert by key (updates win)."""
     return apply_mutations(base, updates.withColumn(OP_COLUMN, F.lit(OP_UPSERT)), key)

@@ -312,6 +312,7 @@ def stream_merge_into_table(
     checkpoint_dir: str,
     epoch_fn: Callable[[DataFrame, int], DataFrame] | None = None,
     timeout_s: int = 300,
+    changelog: bool = False,
 ):
     """Streaming upsert: drive the batch mutation core from a stream via
     ``foreachBatch`` — each micro-batch is one mutation set applied with
@@ -327,7 +328,7 @@ def stream_merge_into_table(
         # no isEmpty() pre-check: that is a full extra action per
         # micro-batch; an empty mutation set costs merge_into_table
         # nothing (zero dirty files, zero-row write dropped on adopt)
-        merge_into_table(table, mut)
+        merge_into_table(table, mut, changelog=changelog)
 
     q = (
         stream.writeStream.foreachBatch(apply)

@@ -110,6 +110,9 @@ class Manifest:
     # columns with per-file Bloom filters (sidecar _blooms/) for
     # point-lookup file skipping — see operators/bloom.py
     bloom_cols: list[str] = field(default_factory=list)
+    # commit wall-time (ISO-8601 UTC), stamped at _commit_manifest —
+    # lets read_asof() time-travel by timestamp, not just version
+    committed_at: str | None = None
 
     def to_json(self) -> str:
         files = []
@@ -129,6 +132,7 @@ class Manifest:
                 "schema_json": self.schema_json,
                 "stats_cols": self.stats_cols,
                 "bloom_cols": self.bloom_cols,
+                "committed_at": self.committed_at,
                 "files": files,
             },
             indent=1,
@@ -154,6 +158,7 @@ class Manifest:
             schema_json=d.get("schema_json"),
             stats_cols=d.get("stats_cols") or [],
             bloom_cols=d.get("bloom_cols") or [],
+            committed_at=d.get("committed_at"),
         )
 
 
@@ -197,6 +202,32 @@ class SortedTable:
                 out.append(int(name[len("_manifest.v"):-len(".json")]))
         return sorted(out)
 
+    def version_asof(self, ts: "datetime.datetime | str") -> int:
+        """Newest retained version committed at or before ``ts`` —
+        timestamp-based time travel ("the table as of last midnight").
+        ``ts`` is a datetime (naive = UTC) or ISO-8601 string. Raises
+        when every retained snapshot is newer (or history was vacuumed
+        past the requested point)."""
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        best: int | None = None
+        for v in self.versions():  # ascending; commit times are monotonic
+            ca = self.manifest(v).committed_at
+            if ca is not None and datetime.datetime.fromisoformat(ca) > ts:
+                break
+            best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before {ts.isoformat()} in {self.path}"
+            )
+        return best
+
+    def read_asof(self, ts: "datetime.datetime | str") -> DataFrame:
+        """Snapshot read at a TIMESTAMP (version_asof + read)."""
+        return self.read(version=self.version_asof(ts))
+
     def _commit_manifest(self, m: Manifest) -> None:
         """Atomic manifest flip: temp file + rename (commit point).
 
@@ -205,6 +236,7 @@ class SortedTable:
         to concurrent merges; `read(version=)` is time travel. History
         is garbage-collected by vacuum(retain_versions=...).
         """
+        m.committed_at = datetime.datetime.now(datetime.timezone.utc).isoformat()
         snap = os.path.join(self.path, f"_manifest.v{m.version}.json")
         tmp = snap + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:

@@ -456,3 +456,33 @@ def test_merge_evolves_schema_with_new_column(spark, tmp_path):
                                "key long, value binary, tag string, op string")
     merge_into_table(t, ok, allow_splice=False)
     assert t.read().filter(F.col("key") == 6).first().value == b"y" * 20
+
+
+def test_delete_where_predicate(spark, tmp_path):
+    from parquet_rewriter_spark.operators.merge import delete_where
+    from parquet_rewriter_spark.table import SortedTable
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("status"),
+        (F.col("id") / 10).cast("long").alias("age"),
+    )
+    t = SortedTable.create(
+        spark,
+        str(tmp_path / "delw"),
+        df,
+        key="id",
+        max_records_per_file=1_000,
+        stats_cols=["age"],
+    )
+    # SQL-string predicate
+    res = delete_where(t, "status = 1 AND id < 2000")
+    assert res["files_dirty"] == 2  # victims live in the first two files only
+    assert t.read().filter((F.col("status") == 1) & (F.col("id") < 2000)).count() == 0
+    assert t.read().count() == 10_000 - 667
+
+    # zone-map-pruned retention sweep: age < 50 → ids < 500 → one file
+    res = delete_where(t, F.col("age") < 50, prune={"age": (None, 49)})
+    assert res["files_dirty"] == 1
+    assert t.read().filter(F.col("age") < 50).count() == 0

@@ -99,3 +99,35 @@ def test_read_range_open_bounds_and_miss(spark, table):
     empty = table.read_range(10_000_000, 20_000_000)
     assert empty.count() == 0
     assert empty.schema == table.read().schema
+
+
+def test_read_asof_timestamp(spark, tmp_path):
+    import datetime as dt
+
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1_000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t = SortedTable.create(spark, str(tmp_path / "asof"), df, key="id")
+    t0 = dt.datetime.now(dt.timezone.utc)
+    muts = (
+        spark.range(0, 10)
+        .select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    merge_into_table(t, muts)
+
+    # as of "now" → v1 (mutated); as of the pre-merge instant → v0
+    assert t.version_asof(dt.datetime.now(dt.timezone.utc)) == 1
+    assert t.version_asof(t0) == 0
+    assert t.read_asof(t0).filter(F.col("v") < 0).count() == 0
+    assert t.read_asof(dt.datetime.now(dt.timezone.utc)).filter(F.col("v") < 0).count() == 10
+    # ISO-string form and naive-UTC form both accepted
+    assert t.version_asof(t0.isoformat()) == 0
+    assert t.version_asof(t0.replace(tzinfo=None)) == 0
+    # before table creation → no snapshot
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.version_asof(t0 - dt.timedelta(days=1))
