@@ -2453,6 +2453,188 @@ def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- llm pipeline operators 3
+
+
+@query(
+    "doc_chunks",
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             CAST(greatest(1, floor((length(text) - 20 + 79) / 80.0)) AS BIGINT) AS nc
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, text, unnest(range(nc)) AS chunk_idx FROM n)
+    SELECT doc_id, chunk_idx,
+           substring(text, CAST(chunk_idx * 80 + 1 AS INT), 100) AS chunk,
+           length(substring(text, CAST(chunk_idx * 80 + 1 AS INT), 100)) AS chunk_len
+    FROM idx
+    """,
+    "llm", "chunking",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (functions/chunk.py): 100-char windows with
+    20-char overlap — the pre-tokenization step of context-window
+    packing. Chunk count is integer arithmetic, the explode is a
+    generator (no shuffle), the substring codegen: one narrow map stage
+    at any corpus size."""
+    from parquet_rewriter_spark.functions.chunk import chunk_text
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_text(d, "text", size=100, overlap=20)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.length("chunk").alias("chunk_len"),
+    )
+
+
+@query(
+    "pii_redaction_stats",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call 555-123-4567'
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    """,
+    "llm", "pii",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/pii.py): deterministic synthetic
+    emails/phones are injected into every 5th document (the fixture
+    corpus carries none), then counted and redacted with pure
+    regexp expressions — patterns restricted to the Java∩RE2 common
+    subset so the DuckDB oracle replays them byte-for-byte (md5 of the
+    redacted text must match)."""
+    from parquet_rewriter_spark.functions import pii
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return synth.select(
+        "doc_id",
+        pii.count_emails("t").cast("long").alias("n_emails"),
+        pii.count_phones("t").cast("long").alias("n_phones"),
+        F.md5(pii.redact("t")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "corpus_top_bigrams",
+    """
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM tok
+    )
+    SELECT bigram, count(*) AS n FROM b
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "llm", "ngram",
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 adjacent word pairs. The pair
+    generator is a per-row transform (no shuffle); one hash aggregate
+    + TakeOrderedAndProject does the rest — corpus-size-proportional
+    with a single shuffle, the shape n-gram LM stats need at scale."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        pairs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "contamination_check",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g8 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS g8
+        FROM tok WHERE len(t) >= 8
+      )
+    ),
+    bench AS (SELECT DISTINCT g8 FROM grams WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
+      FROM grams g JOIN bench b USING (g8)
+      WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 10 <> 0
+    """,
+    "llm", "contamination",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark contamination: flag training documents sharing
+    any word-8-gram with the held-out set (doc_id % 10 = 0 here; in a
+    real pipeline, the benchmark corpus). The benchmark gram set is
+    broadcast (it is the small side by construction), so the check is
+    one broadcast join over the training grams — no all-pairs document
+    comparison at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    g8 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 7), "
+        "i -> array_join(slice(split(text, ' '), i, 8), ' ')) "
+        "ELSE array() END"
+    )
+    grams = d.select("doc_id", F.explode(g8).alias("g8")).distinct()
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("g8").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    hits = (
+        train.join(F.broadcast(bench), "g8")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g8").alias("n_shared"))
+    )
+    base = d.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Queries the round-1 correctness snapshot never reached (it covered 50
@@ -2464,6 +2646,10 @@ _VERIFY_FIRST = (
     "stream_table_changes",
     "bloom_pointlookup_scan",
     "retention_delete_scan",
+    "doc_chunks",
+    "pii_redaction_stats",
+    "corpus_top_bigrams",
+    "contamination_check",
     "user_session_stats",
     "train_val_test_split",
     "stratified_sample_docs",

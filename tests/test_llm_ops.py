@@ -384,3 +384,63 @@ def test_winnow_pairs_finds_duplicates(spark):
         # winnowing density: ~2/(w+1) of gram count, never more than grams
         assert 1 <= n_fp <= len(rows[0][1])
         assert pairs[0].shared_fps == n_fp  # identical docs share all
+
+
+# ---------------- chunking + PII (pipeline 3) ----------------
+
+
+def test_chunk_text_covers_and_overlaps(spark):
+    from parquet_rewriter_spark.functions.chunk import chunk_text
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a" * 250), (2, "b" * 100), (3, "c" * 30), (4, "d" * 101)],
+        "doc_id long, text string",
+    )
+    out = chunk_text(df, "text", size=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    # 250 chars, step 80 → ceil(230/80)=3 chunks; last one short
+    assert [len(c) for _, c in sorted(by_doc[1])] == [100, 100, 90]
+    # adjacent chunks share exactly 20 chars of source span
+    c0, c1 = sorted(by_doc[1])[0][1], sorted(by_doc[1])[1][1]
+    assert c0[80:] == c1[:20]
+    assert [len(c) for _, c in sorted(by_doc[2])] == [100]  # exact fit → 1 chunk
+    assert [len(c) for _, c in sorted(by_doc[3])] == [30]  # short doc → 1 chunk
+    assert [len(c) for _, c in sorted(by_doc[4])] == [100, 21]  # 1 char past → 2
+    # reconstruction: de-overlapped concat equals the source
+    recon = "".join(
+        c if i == 0 else c[20:] for i, c in sorted(by_doc[4])
+    )
+    assert recon == "d" * 101
+
+
+def test_pii_redact_and_count(spark):
+    import pyspark.sql.functions as F
+
+    from parquet_rewriter_spark.functions import pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c_9@foo-bar.example.org today"),
+            (2, "call (555) 123-4567 or 555-123-4567 now"),
+            (3, "plain text, no pii"),
+            (4, "two addrs x@y.io z@w.co and 999.555.1234"),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: (r["e"], r["p"], r["red"])
+        for r in df.select(
+            "id",
+            pii.count_emails("t").alias("e"),
+            pii.count_phones("t").alias("p"),
+            pii.redact("t").alias("red"),
+        ).collect()
+    }
+    assert got[1] == (1, 0, "mail me at <EMAIL> today")
+    assert got[2][1] == 2 and got[2][2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == (0, 0, "plain text, no pii")
+    assert got[4][0] == 2 and got[4][1] == 1
+    assert got[4][2] == "two addrs <EMAIL> <EMAIL> and <PHONE>"
