@@ -131,3 +131,61 @@ def test_plan_report_shape(spark, sf_dir):
     assert r["broadcast_join"] is True
     assert r["pushed_filters"]  # scan-side predicate present
     assert isinstance(r["read_schema"], list) and r["read_schema"]
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunk explode must plan as a generator inside the scan stage —
+    zero exchanges; a chunker that shuffles cannot chunk 100 TB."""
+    from parquet_rewriter_spark.functions.chunk import chunk_text
+
+    d = load_table(spark, sf_dir, "documents")
+    p = plan_of(chunk_text(d, "text", size=100, overlap=20))
+    assert "Exchange" not in p, p
+    assert "Generate" in p  # the explode is a generator, not a join
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    """The held-out gram set must broadcast — a shuffled join of grams
+    against grams re-shuffles the whole training corpus."""
+    p = plan_of(get("contamination_check").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_pii_redaction_stays_jvm_side(spark, sf_dir):
+    """regexp count/replace must not fall back to Python evaluation."""
+    p = plan_of(get("pii_redaction_stats").fn(spark, sf_dir))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in p, p
+
+
+def test_matview_delta_is_single_aggregate_exchange(spark, tmp_path):
+    """The refresh's delta plan: one hash exchange for the group-by of
+    the change rows (plus the joins' broadcast) — the delta must never
+    re-shuffle proportionally to the base table."""
+    from parquet_rewriter_spark.operators.cdc import CHANGE_TYPE_COL, snapshot_diff
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(0, 5_000).select(
+        F.col("id"), (F.col("id") % 40).alias("grp"), F.lit(1.0).alias("val")
+    )
+    t = SortedTable.create(
+        spark, str(tmp_path / "pv"), df, key="id", max_records_per_file=1_000
+    )
+    muts = (
+        df.filter(F.col("id").between(100, 199))
+        .withColumn("val", F.lit(2.0))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    merge_into_table(t, muts)
+    changes = snapshot_diff(t, 0, 1, include_preimage=True)
+    sign = F.when(
+        F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = changes.groupBy("grp").agg(F.sum(sign * F.col("val")).alias("d"))
+    p = plan_of(delta)
+    # one aggregate exchange on grp; the diff's full-outer join may add
+    # its own key exchange — but nothing single-partition, no cartesian
+    assert "SinglePartition" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Arguments: hashpartitioning(grp") == 1, p
