@@ -42,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from parquet_rewriter_spark.stats import collect_file_stats, list_parquet_files
 
 MANIFEST_NAME = "_manifest.json"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first — reload the current
+    manifest, re-plan against it, and retry (optimistic concurrency)."""
 DEFAULT_MAX_RECORDS_PER_FILE = 1_000_000  # reference used 10k-record ROW GROUPS
 # (README.md:94); our row groups stay parquet-default-sized inside bigger files.
 
@@ -229,19 +234,37 @@ class SortedTable:
         return self.read(version=self.version_asof(ts))
 
     def _commit_manifest(self, m: Manifest) -> None:
-        """Atomic manifest flip: temp file + rename (commit point).
+        """Atomic manifest flip with optimistic concurrency.
 
-        Every commit also retains an immutable per-version snapshot
+        Every commit retains an immutable per-version snapshot
         (`_manifest.v{N}.json`) — readers pin a version and are immune
         to concurrent merges; `read(version=)` is time travel. History
         is garbage-collected by vacuum(retain_versions=...).
+
+        The snapshot file doubles as the commit LOCK: claiming version N
+        is an atomic `link` (create-exclusive) of the fully-written temp
+        file — if two writers race to version N, exactly one link
+        succeeds and the loser gets CommitConflictError to re-plan
+        against the winner's manifest. (On an object store the
+        equivalent is a conditional/if-none-match put — same protocol,
+        different primitive.) The mutable `_manifest.json` pointer is
+        then an ordinary atomic rename; it only ever moves forward,
+        because every writer must win its version claim first.
         """
         m.committed_at = datetime.datetime.now(datetime.timezone.utc).isoformat()
         snap = os.path.join(self.path, f"_manifest.v{m.version}.json")
         tmp = snap + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(m.to_json())
-        os.replace(tmp, snap)
+        try:
+            os.link(tmp, snap)  # atomic claim: fails iff the version exists
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflictError(
+                f"version {m.version} of {self.path} was committed by another "
+                "writer; reload the manifest and retry"
+            ) from None
+        os.remove(tmp)
         tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(m.to_json())

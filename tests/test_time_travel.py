@@ -131,3 +131,43 @@ def test_read_asof_timestamp(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.version_asof(t0 - dt.timedelta(days=1))
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    """Two writers racing to the same version: the loser must get
+    CommitConflictError, the winner's manifest must stand, and the
+    loser's orphaned data files must be vacuumable."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.table import CommitConflictError, SortedTable
+
+    df = spark.range(0, 2_000).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    t = SortedTable.create(spark, str(tmp_path / "occ"), df, key="id")
+
+    # simulate a competing writer claiming version 1 first
+    winner = t.manifest()
+    winner.version = 1
+    with open(os.path.join(t.path, "_manifest.v1.json"), "w") as fh:
+        fh.write(winner.to_json())
+
+    muts = (
+        spark.range(0, 5)
+        .select(F.col("id"), F.lit(0).cast("long").alias("v"))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    n_files_before = len(t.manifest().files)
+    with _pytest.raises(CommitConflictError):
+        merge_into_table(t, muts, allow_splice=False)
+
+    # the pointer manifest was not clobbered...
+    assert json.loads(open(t._manifest_path).read())["version"] == 0
+    # ...and the loser's staged-but-uncommitted files are garbage-collectable
+    removed = t.vacuum(retain_versions=10)
+    assert removed  # orphans swept
+    assert len(t.manifest().files) == n_files_before
+    assert t.read().count() == 2_000
