@@ -70,8 +70,13 @@ def snapshot_diff(
 
     spark = table.spark
     empty = spark.createDataFrame([], schema_df.schema)
-    old = spark.read.parquet(*removed) if removed else empty
-    new = spark.read.parquet(*added) if added else empty
+    # read churned files with the TO-version schema PINNED: files written
+    # before an additive schema evolution lack the newer columns and must
+    # null-fill (a bare read would fail selecting them); pinning also
+    # skips footer inference
+    reader = table._reader(m_new)
+    old = reader.parquet(*removed) if removed else empty
+    new = reader.parquet(*added) if added else empty
 
     o = old.select(
         F.col(key),

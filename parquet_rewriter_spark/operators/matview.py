@@ -104,9 +104,15 @@ class MaterializedAggregate:
         return out
 
     def build(self) -> SortedTable:
-        """Full materialization of the current base snapshot."""
+        """Full materialization of the current base snapshot. Rebuilds
+        in place if the view already exists (e.g. the refresh fallback
+        below)."""
+        import shutil
+
         v = self.base.manifest().version
         agg = self.base.read().groupBy(self.group_col).agg(*self._agg_exprs())
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
         kw = (
             {"max_records_per_file": self.max_records_per_file}
             if self.max_records_per_file
@@ -142,9 +148,21 @@ class MaterializedAggregate:
             return {"refreshed": False, "base_from": from_v, "base_to": cur_v}
 
         g = self.group_col
-        changes = snapshot_diff(
-            self.base, from_version=from_v, to_version=cur_v, include_preimage=True
-        )
+        try:
+            changes = snapshot_diff(
+                self.base, from_version=from_v, to_version=cur_v, include_preimage=True
+            )
+        except ValueError:
+            # base history vacuumed past our last refresh point — the
+            # delta is unrecoverable; fall back to a full rebuild (the
+            # one case where view cost is O(base), and it is explicit)
+            self.build()
+            return {
+                "refreshed": True,
+                "base_from": from_v,
+                "base_to": cur_v,
+                "rebuilt": True,
+            }
         sign = F.when(
             F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))

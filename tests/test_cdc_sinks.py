@@ -193,3 +193,22 @@ def test_vacuum_keeps_changelog(spark, table):
     assert all(
         not p.startswith(log_dir + os.sep) for p in list_parquet_files(table.path)
     )
+
+
+def test_snapshot_diff_across_schema_evolution(spark, table):
+    """Diffing across an additive-evolution commit: old files lack the
+    new column; the feed must render them in the CURRENT schema with
+    nulls, not fail."""
+    base = table.read()
+    ups = (
+        base.filter(F.col("o_orderkey") < 10)
+        .withColumn("vip_tier", F.lit("gold"))
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(table, ups)  # widens the schema
+    feed = snapshot_diff(table, 0, 1, include_preimage=True).collect()
+    pre = [r for r in feed if r["_change_type"] == "update_preimage"]
+    post = [r for r in feed if r["_change_type"] == "update_postimage"]
+    assert len(pre) == len(post) == 10
+    assert all(r["vip_tier"] is None for r in pre)  # preimage: column null-filled
+    assert all(r["vip_tier"] == "gold" for r in post)

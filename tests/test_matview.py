@@ -162,3 +162,34 @@ def test_refresh_cost_tracks_churn(spark, tmp_path):
     res = mv.refresh()
     assert res["files_dirty"] <= 2  # 10 adjacent groups → 1-2 view files touched
     assert res["files_clean_passthrough"] >= mv_files - 2
+
+
+def test_refresh_rebuilds_after_history_vacuum(spark, base, tmp_path):
+    """If base history was vacuumed past the view's refresh point, the
+    delta is unrecoverable — refresh must fall back to a full rebuild
+    and still produce the exact aggregate."""
+    mv = _mv(base, tmp_path)
+    mv.build()
+    for k in (1, 2):
+        muts = (
+            base.read()
+            .filter(F.col("id") % 500 == k)
+            .withColumn("val", F.col("val") + 10.0)
+            .withColumn(OP_COLUMN, F.lit("UPSERT"))
+        )
+        merge_into_table(base, muts)
+    base.vacuum(retain_versions=1)  # drops v0/v1 snapshots
+    res = mv.refresh()
+    assert res["refreshed"] and res.get("rebuilt")
+    assert _actual(mv) == _expected(base)
+    # and incremental refresh works again afterwards
+    muts = (
+        base.read()
+        .filter(F.col("id") % 500 == 3)
+        .withColumn("val", F.col("val") + 1.0)
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    merge_into_table(base, muts)
+    res2 = mv.refresh()
+    assert res2["refreshed"] and not res2.get("rebuilt")
+    assert _actual(mv) == _expected(base)
