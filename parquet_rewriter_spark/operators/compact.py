@@ -43,6 +43,7 @@ def compact(
             schema_json=m.schema_json or df.schema.json(),
             stats_cols=m.stats_cols,
             bloom_cols=m.bloom_cols,
+            operation="compact",
         )
     )
     return {
@@ -98,6 +99,7 @@ def compact_incremental(
             schema_json=m.schema_json,
             stats_cols=m.stats_cols,
             bloom_cols=m.bloom_cols,
+            operation="compact-incremental",
         )
     )
     return {

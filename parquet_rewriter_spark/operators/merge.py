@@ -125,6 +125,29 @@ def delete_where(
     return merge_into_table(table, victims, changelog=changelog)
 
 
+def merge_with_retry(
+    table: SortedTable,
+    mutations: DataFrame,
+    attempts: int = 3,
+    **kwargs,
+) -> dict:
+    """merge_into_table under optimistic concurrency: on
+    CommitConflictError, re-plan against the winner's manifest and
+    retry. Safe to repeat because a merge is a pure function of
+    (current manifest, mutation set) — the losing attempt's orphan
+    files are unreferenced and vacuumable.
+    """
+    from parquet_rewriter_spark.table import CommitConflictError
+
+    last: Exception | None = None
+    for _ in range(max(1, attempts)):
+        try:
+            return merge_into_table(table, mutations, **kwargs)
+        except CommitConflictError as e:  # noqa: PERF203 - retry loop
+            last = e
+    raise last  # type: ignore[misc]
+
+
 def upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """R3: replace-or-insert by key (updates win)."""
     return apply_mutations(base, updates.withColumn(OP_COLUMN, F.lit(OP_UPSERT)), key)
@@ -353,6 +376,7 @@ def merge_into_table(
                 ),
                 stats_cols=m.stats_cols,
                 bloom_cols=m.bloom_cols,
+                operation="merge",
             )
         )
         version = m.version + 1
@@ -410,6 +434,7 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
             schema_json=m.schema_json,
             stats_cols=m.stats_cols,
             bloom_cols=m.bloom_cols,
+            operation="merge (rowgroup-splice)",
         )
     )
     t_commit = time.monotonic() - t0

@@ -47,6 +47,8 @@ MANIFEST_NAME = "_manifest.json"
 class CommitConflictError(RuntimeError):
     """Another writer committed this version first — reload the current
     manifest, re-plan against it, and retry (optimistic concurrency)."""
+
+
 DEFAULT_MAX_RECORDS_PER_FILE = 1_000_000  # reference used 10k-record ROW GROUPS
 # (README.md:94); our row groups stay parquet-default-sized inside bigger files.
 
@@ -118,6 +120,9 @@ class Manifest:
     # commit wall-time (ISO-8601 UTC), stamped at _commit_manifest —
     # lets read_asof() time-travel by timestamp, not just version
     committed_at: str | None = None
+    # what produced this snapshot (create/merge/compact/...) — shown by
+    # history(); writers pass it via Manifest(..., operation=...)
+    operation: str | None = None
 
     def to_json(self) -> str:
         files = []
@@ -138,6 +143,7 @@ class Manifest:
                 "stats_cols": self.stats_cols,
                 "bloom_cols": self.bloom_cols,
                 "committed_at": self.committed_at,
+                "operation": self.operation,
                 "files": files,
             },
             indent=1,
@@ -164,6 +170,7 @@ class Manifest:
             stats_cols=d.get("stats_cols") or [],
             bloom_cols=d.get("bloom_cols") or [],
             committed_at=d.get("committed_at"),
+            operation=d.get("operation"),
         )
 
 
@@ -206,6 +213,25 @@ class SortedTable:
             if name.startswith("_manifest.v") and name.endswith(".json"):
                 out.append(int(name[len("_manifest.v"):-len(".json")]))
         return sorted(out)
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit log of retained snapshots, oldest first — version,
+        commit time, operation, file/row/byte totals. Driver-side
+        manifest reads only; O(retained versions)."""
+        out = []
+        for v in self.versions():
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": m.version,
+                    "committed_at": m.committed_at,
+                    "operation": m.operation,
+                    "num_files": len(m.files),
+                    "rows": sum(e.rows for e in m.files),
+                    "bytes": sum(e.bytes for e in m.files),
+                }
+            )
+        return out
 
     def version_asof(self, ts: "datetime.datetime | str") -> int:
         """Newest retained version committed at or before ``ts`` —
@@ -315,6 +341,7 @@ class SortedTable:
                 schema_json=df.schema.json(),
                 stats_cols=stats_cols,
                 bloom_cols=bloom_cols,
+                operation="create",
             )
         )
         return t

@@ -171,3 +171,71 @@ def test_commit_conflict_detection(spark, tmp_path):
     assert removed  # orphans swept
     assert len(t.manifest().files) == n_files_before
     assert t.read().count() == 2_000
+
+
+def test_history_and_operations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.compact import compact_incremental
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(0, 3_000).select(F.col("id"), (F.col("id") % 9).alias("v"))
+    t = SortedTable.create(spark, str(tmp_path / "hist"), df, key="id",
+                           max_records_per_file=500)
+    for lo in (10_000, 20_000):  # two undersized tail inserts → healable
+        muts = (
+            spark.range(lo, lo + 40)
+            .select(F.col("id"), (F.col("id") % 9).alias("v"))
+            .withColumn(OP_COLUMN, F.lit("UPSERT"))
+        )
+        merge_into_table(t, muts, allow_splice=False)
+    compact_incremental(t, target_records_per_file=500, min_fill=0.9)
+
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2, 3]
+    assert [e["operation"] for e in h] == [
+        "create", "merge", "merge", "compact-incremental",
+    ]
+    assert h[0]["rows"] == 3_000 and h[2]["rows"] == 3_080 == h[3]["rows"]
+    times = [e["committed_at"] for e in h]
+    assert all(times) and times == sorted(times)  # monotonic commit clock
+
+
+def test_concurrent_merges_one_wins_retry_succeeds(spark, tmp_path):
+    """Two real threads race a merge into the same table: at most one
+    commit per version claim, and with retries BOTH mutation sets land."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_with_retry
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(0, 5_000).select(F.col("id"), F.lit(0).cast("long").alias("src"))
+    t = SortedTable.create(spark, str(tmp_path / "race"), df, key="id",
+                           max_records_per_file=1_000)
+
+    errs = []
+
+    def writer(tag: int, lo: int, hi: int):
+        try:
+            muts = (
+                spark.range(lo, hi)
+                .select(F.col("id"), F.lit(tag).cast("long").alias("src"))
+                .withColumn(OP_COLUMN, F.lit("UPSERT"))
+            )
+            merge_with_retry(t, muts, attempts=5, allow_splice=False)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=(1, 100, 200))
+    t2 = threading.Thread(target=writer, args=(2, 3_100, 3_200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    got = t.read()
+    assert got.count() == 5_000
+    assert got.filter(F.col("src") == 1).count() == 100
+    assert got.filter(F.col("src") == 2).count() == 100
+    assert t.manifest().version == 2  # two commits, serialized by the claim
