@@ -173,6 +173,12 @@ class MaterializedAggregate:
                 for e, c in zip(self._agg_exprs(sign=sign), self.aggs)
             ]
         )
+        # deltas feed THREE consumers (the semi join, the outer join,
+        # and the view merge's dirty planning) — persist, or the
+        # churned-file diff + aggregation re-executes per consumer
+        from pyspark import StorageLevel
+
+        deltas.persist(StorageLevel.MEMORY_AND_DISK)
 
         mv = self.table()
         # current values for affected groups only — the semi join prunes
@@ -189,6 +195,9 @@ class MaterializedAggregate:
                 F.lit(OP_UPSERT)
             ),
         )
-        metrics = merge_into_table(mv, muts)
+        try:
+            metrics = merge_into_table(mv, muts)
+        finally:
+            deltas.unpersist()
         self._save_state(cur_v)
         return {"refreshed": True, "base_from": from_v, "base_to": cur_v, **metrics}

@@ -5,6 +5,7 @@ from parquet_rewriter_spark.streaming.ops import (
     sessionize_with_state,
     sliding_counts,
     stream_events,
+    stream_maintain_aggregate,
     stream_merge_into_table,
     stream_stream_interval_join,
     tumbling_counts,
@@ -18,6 +19,7 @@ __all__ = [
     "sessionize_with_state",
     "dedup_within_watermark",
     "run_to_memory",
+    "stream_maintain_aggregate",
     "stream_merge_into_table",
     "stream_stream_interval_join",
 ]

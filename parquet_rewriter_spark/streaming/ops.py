@@ -338,3 +338,36 @@ def stream_merge_into_table(
     )
     q.awaitTermination(timeout_s)
     return table
+
+
+def stream_maintain_aggregate(
+    stream: DataFrame,
+    matview,
+    checkpoint_dir: str,
+    epoch_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    timeout_s: int = 300,
+):
+    """Streaming materialized-view maintenance: each micro-batch merges
+    into the view's BASE table, then folds that commit's signed deltas
+    into the view (operators/matview.py) — the view stays current with
+    the stream at churn-proportional cost per batch, never re-reading
+    the base. The upstream merge + the view merge are both idempotent
+    manifest flips, so checkpoint replay after a crash re-applies
+    cleanly.
+    """
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from parquet_rewriter_spark.operators.merge import merge_into_table
+
+        mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
+        merge_into_table(matview.base, mut)
+        matview.refresh()
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return matview

@@ -553,6 +553,38 @@ class SortedTable:
             build_blooms(self, entries, bloom_cols)
         return entries
 
+    def clone(self, dst_path: str) -> "SortedTable":
+        """Zero-copy snapshot clone: hard-link the current snapshot's
+        data files into ``dst_path`` and write a fresh v0 manifest.
+
+        O(files) metadata work, no bytes moved — cheap dev/test copies
+        and branch-like workflows. Safe because data files are immutable
+        (merges write NEW files; vacuum unlinks, which leaves the
+        clone's links intact). On an object store the equivalent is a
+        manifest copy over shared immutable objects. Bloom sidecars are
+        rebuilt lazily if the clone re-opts in; secondary zone maps ride
+        along in the manifest itself.
+        """
+        m = self.manifest()
+        os.makedirs(dst_path, exist_ok=True)
+        for e in m.files:
+            os.link(
+                os.path.join(self.path, e.name), os.path.join(dst_path, e.name)
+            )
+        t = SortedTable(self.spark, dst_path)
+        t._commit_manifest(
+            Manifest(
+                version=0,
+                key=m.key,
+                files=list(m.files),
+                schema_json=m.schema_json,
+                stats_cols=list(m.stats_cols),
+                bloom_cols=[],  # sidecar not cloned; re-enable to rebuild
+                operation=f"clone of {self.path}@v{m.version}",
+            )
+        )
+        return t
+
     # ---------- maintenance ----------
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Garbage-collect: drop snapshot manifests beyond the newest

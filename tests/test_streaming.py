@@ -256,3 +256,41 @@ def test_stream_merge_changelog_feeds_matview(spark, tmp_path, sf_dir):
     feed = run_to_memory(stream_changes(tbl), state_partitions=None)
     versions = {r[COMMIT_VERSION_COL] for r in feed.select(COMMIT_VERSION_COL).distinct().collect()}
     assert versions == set(range(1, tbl.manifest().version + 1))
+
+
+def test_stream_maintain_aggregate_end_to_end(spark, tmp_path, sf_dir):
+    """One call keeps a materialized aggregate current with a stream:
+    micro-batches merge into the base and fold into the view."""
+    from parquet_rewriter_spark.operators.matview import MaterializedAggregate
+    from parquet_rewriter_spark.table import SortedTable
+
+    ev_batch = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev_batch.filter(F.col("event_id") % 3 == 0)
+    tbl = SortedTable.create(
+        spark, str(tmp_path / "sma_tbl"), base, key="event_id", max_records_per_file=500
+    )
+    mv = MaterializedAggregate(
+        tbl,
+        str(tmp_path / "sma_mv"),
+        group_col="user_id",
+        aggs={"n": ("count",), "total": ("sum", "value")},
+    )
+    mv.build()
+
+    ev_stream = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    from parquet_rewriter_spark.streaming import stream_maintain_aggregate
+
+    stream_maintain_aggregate(
+        ev_stream, mv, checkpoint_dir=str(tmp_path / "sma_ckpt"), timeout_s=240
+    )
+
+    want = {
+        (r["user_id"], r["n"], round(r["total"], 6))
+        for r in tbl.read()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {(r["user_id"], r["n"], round(r["total"], 6)) for r in mv.read().collect()}
+    assert got == want
+    assert tbl.read().count() == ev_batch.count()

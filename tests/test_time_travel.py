@@ -239,3 +239,40 @@ def test_concurrent_merges_one_wins_retry_succeeds(spark, tmp_path):
     assert got.filter(F.col("src") == 1).count() == 100
     assert got.filter(F.col("src") == 2).count() == 100
     assert t.manifest().version == 2  # two commits, serialized by the claim
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(0, 4_000).select(F.col("id"), (F.col("id") * 7).alias("v"))
+    src = SortedTable.create(
+        spark, str(tmp_path / "src"), df, key="id", max_records_per_file=1_000
+    )
+    dst = src.clone(str(tmp_path / "dst"))
+
+    # same content, hard-linked files (no byte copies)
+    assert dst.read().count() == 4_000
+    for e in dst.manifest().files:
+        s = os.stat(os.path.join(dst.path, e.name))
+        assert s.st_nlink >= 2
+    assert dst.manifest().operation.startswith("clone of ")
+
+    # mutate the clone: source unaffected (merges write NEW files)
+    muts = (
+        spark.range(0, 10)
+        .select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    merge_into_table(dst, muts, allow_splice=False)
+    assert dst.read().filter(F.col("v") < 0).count() == 10
+    assert src.read().filter(F.col("v") < 0).count() == 0
+
+    # vacuum the SOURCE: clone still reads (links keep bytes alive)
+    merge_into_table(src, muts, allow_splice=False)
+    src.vacuum(retain_versions=1)
+    assert dst.read().count() == 4_000
