@@ -2453,6 +2453,51 @@ def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_constraint_report",
+    """
+    WITH checks AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN NOT coalesce(o_totalprice > 0, false) THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1990-01-01', false) THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, false) THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false) THEN 1 ELSE 0 END) AS v4,
+             sum(CASE WHEN NOT coalesce(o_totalprice < 100000, false) THEN 1 ELSE 0 END) AS v5
+      FROM orders
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n AS n_rows,
+           round(1.0 - n_violations / CAST(n AS DOUBLE), 6) AS pass_rate
+    FROM (
+      SELECT 'positive_price' AS rule, v1 AS n_violations, n FROM checks
+      UNION ALL SELECT 'date_sane', v2, n FROM checks
+      UNION ALL SELECT 'custkey_not_null', v3, n FROM checks
+      UNION ALL SELECT 'status_domain', v4, n FROM checks
+      UNION ALL SELECT 'price_under_100k', v5, n FROM checks
+    )
+    """,
+    "quality", "constraints",
+)
+def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraints (operators/quality.py):
+    five rules over orders — including one that actually fails
+    (price_under_100k) — validated in ONE aggregation pass: a
+    sum(CASE...) per rule inside a single partial+final hash agg, then
+    stack-unpivoted. Rule count never changes the scan count."""
+    from parquet_rewriter_spark.operators.quality import check_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    return check_constraints(
+        o,
+        {
+            "positive_price": "o_totalprice > 0",
+            "date_sane": "o_orderdate >= TIMESTAMP '1990-01-01'",
+            "custkey_not_null": "o_custkey IS NOT NULL",
+            "status_domain": "o_orderstatus IN ('O','F','P')",
+            "price_under_100k": "o_totalprice < 100000",
+        },
+    )
+
+
 # ------------------------------------------------- llm pipeline operators 3
 
 
@@ -2650,6 +2695,7 @@ _VERIFY_FIRST = (
     "pii_redaction_stats",
     "corpus_top_bigrams",
     "contamination_check",
+    "orders_constraint_report",
     "user_session_stats",
     "train_val_test_split",
     "stratified_sample_docs",

@@ -186,3 +186,39 @@ def test_tfidf_top_terms_small_corpus(spark):
     # cherry tf=3 df=2 (3·ln1.5≈1.216) beats durian df=1 (ln3≈1.099)
     assert top == {1: "apple", 2: "banana", 3: "cherry"}
     assert all(r.rk == 1 for r in got)
+
+
+def test_enforce_constraints_split_and_tagging(spark):
+    import pyspark.sql.functions as F
+
+    from parquet_rewriter_spark.operators.quality import (
+        check_constraints,
+        enforce_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O"),
+            (2, -5.0, "O"),      # breaks positive
+            (3, 20.0, "X"),      # breaks domain
+            (4, None, "F"),      # NULL predicate → violation (unknown ≠ pass)
+            (5, -1.0, "Z"),      # breaks both
+        ],
+        "id long, price double, status string",
+    )
+    rules = {"positive": "price > 0", "domain": "status IN ('O','F','P')"}
+
+    rep = {r["rule"]: r["n_violations"] for r in check_constraints(df, rules).collect()}
+    assert rep == {"positive": 3, "domain": 2}
+
+    clean, bad = enforce_constraints(df, rules)
+    assert {r["id"] for r in clean.collect()} == {1}
+    tags = {r["id"]: sorted(r["_violated_rules"]) for r in bad.collect()}
+    assert tags == {
+        2: ["positive"],
+        3: ["domain"],
+        4: ["positive"],
+        5: ["domain", "positive"],
+    }
+    # clean side keeps the original schema exactly
+    assert clean.columns == df.columns
