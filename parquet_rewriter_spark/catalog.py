@@ -1576,7 +1576,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts,
            count(*) AS n_types,
-           sum(n) AS n_events
+           CAST(sum(n) AS BIGINT) AS n_events
     FROM (
       SELECT user_id, event_type, count(*) AS n
       FROM events GROUP BY user_id, event_type
@@ -2249,8 +2249,8 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
         FROM numbered GROUP BY user_id, session_idx
     )
-    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events_total,
-           max(n_events) AS max_session_events, sum(dur_us) AS total_dur_us
+    SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events_total,
+           max(n_events) AS max_session_events, CAST(sum(dur_us) AS BIGINT) AS total_dur_us
     FROM sessions GROUP BY user_id
     """,
     "sessionize", "events", "windows",
@@ -2285,7 +2285,7 @@ _SPLIT_U = "((doc_id % 2147483648) * 2654435761 + 0) % 4294967296 / 4294967296.0
     SELECT CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
                 WHEN {_SPLIT_U} < 0.9 THEN 'val'
                 ELSE 'test' END AS split,
-           lang, count(*) AS n_docs, sum(doc_id) AS id_checksum
+           lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM documents GROUP BY 1, 2
     """,
     "sampling", "split",
@@ -2317,7 +2317,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) OVER (PARTITION BY lang) AS n
         FROM u
     )
-    SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_checksum
+    SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM r WHERE rn <= ceil(n * 0.1) GROUP BY lang
     """,
     "sampling", "stratified",
@@ -2682,47 +2682,40 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- helpers
 
-# Queries the round-1 correctness snapshot never reached (it covered 50
-# of 68 registered queries, in registration order) — surface these FIRST
-# so a capped driver run confirms them; the rest keep definition order.
+# Driver-verify priority: the correctness snapshot caps at ~48 queries
+# per round (r01 covered 50, r02 covered 48), so surface the queries
+# with NO green driver verdict yet FIRST. For round 3 that is: the 12
+# events/streaming queries (red in r01 on the TIMESTAMP(NANOS) read,
+# unchecked in r02 — the ts normalization now handles the regenerated
+# µs/NTZ fixture too), the 4 round-2 reds (HUGEINT-vs-long hash skew,
+# fixed by BIGINT casts in the oracles), and the rows-only ops whose
+# weaker check should be re-recorded. Everything else keeps definition
+# order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    "secondary_zonemap_scan",
-    "incremental_matview_refresh",
-    "stream_table_changes",
-    "bloom_pointlookup_scan",
-    "retention_delete_scan",
-    "doc_chunks",
-    "pii_redaction_stats",
-    "corpus_top_bigrams",
-    "contamination_check",
-    "orders_constraint_report",
+    # red in r02 — fixed this round
     "user_session_stats",
     "train_val_test_split",
     "stratified_sample_docs",
-    "doc_tfidf_topterms",
-    "orders_snapshot_diff",
-    "lineitem_numeric_profile",
-    "schema_evolution_scan",
-    "key_range_scan",
-    "incremental_compact_then_scan",
-    "table_changes_feed",
-    "zorder_then_filter_scan",
-    "compact_then_scan",
-    "csv_roundtrip_agg",
-    "json_roundtrip_agg",
-    "orc_roundtrip_agg",
-    "order_value_percentiles",
-    "customer_balance_deciles",
-    "status_pivot_by_priority",
-    "priority_grouping_sets",
-    "weighted_avg_discount",
-    "rolling_30d_revenue",
-    "knn_join_sample",
-    "frame_sample_offsets",
     "user_event_type_map",
-    "events_props_keyset",
-    "customer_order_breadth",
-    "approx_distinct_users",
+    # events/streaming: red in r01 (nanos read), no verdict in r02
+    "events_json_extract",
+    "event_type_stats",
+    "hourly_event_counts",
+    "purchase_asof_click",
+    "events_within_5min_pairs",
+    "active_user_intersection",
+    "browsers_never_err",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_purchase_click_join",
+    # rows-only by design — keep their weaker check in every snapshot
+    "minhash_near_dup_pairs",
+    "simhash_near_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_decode_features",
 )
 
 

@@ -30,7 +30,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from parquet_rewriter_spark.sources.readers import ensure_nanos_as_long, normalize_events_ts
+from parquet_rewriter_spark.sources.readers import ensure_events_readable, normalize_events_ts
 
 
 def stream_events(
@@ -49,7 +49,7 @@ def stream_events(
     from parquet_rewriter_spark.ship import ensure_shipped
 
     ensure_shipped(spark)  # stateful kernels import this package on workers
-    ensure_nanos_as_long(spark)
+    ensure_events_readable(spark)
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # FileStreamSource wants a directory or glob; turn the last char

@@ -30,15 +30,28 @@ def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def _canon(v):
-    """Canonicalize a cell for cross-engine comparison."""
-    if v is None:
+    """Canonicalize a cell for cross-engine comparison.
+
+    Floats are TYPE-TAGGED so an integer-typed 123 never equals a
+    float-typed 123.0 — the driver's value hash distinguishes them (the
+    round-2 lesson: DuckDB ``sum(BIGINT)`` returns HUGEINT, which lands
+    in pandas as float64 and hash-mismatches a Spark long even when
+    every value is numerically identical).
+    """
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (float, np.floating)):
+        return ("f", round(float(v), 6))
+    if isinstance(v, (int, np.integer)):
+        return int(v)
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -47,24 +60,28 @@ def _canon(v):
 def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     sdf = fn(spark, sf_dir)
-    srows = sdf.collect()
-    scols = sdf.columns
+    # pandas on BOTH sides, like the driver: a Spark nullable-int column
+    # becomes float64 in pandas exactly as DuckDB's does, so the
+    # type-tagged float canon stays symmetric.
+    spdf = sdf.toPandas()
+    scols = list(spdf.columns)
     ddf = con.execute(sql).fetchdf()
     dcols = list(ddf.columns)
     problems = []
     if sorted(scols) != sorted(dcols):
         problems.append(f"columns differ: spark={sorted(scols)} duckdb={sorted(dcols)}")
         return problems
-    if len(srows) != len(ddf):
-        problems.append(f"row count: spark={len(srows)} duckdb={len(ddf)}")
+    if len(spdf) != len(ddf):
+        problems.append(f"row count: spark={len(spdf)} duckdb={len(ddf)}")
     cols = sorted(scols)
+    srecs = spdf.to_dict("records")
     sset = sorted(
-        (tuple(_canon(r[c]) for c in cols) for r in srows),
+        (tuple(_canon(r[c]) for c in cols) for r in srecs),
         key=lambda t: tuple((x is None, str(x)) for x in t),
     )
     drecs = ddf.to_dict("records")
     dset = sorted(
-        (tuple(_canon(None if (isinstance(r[c], float) and math.isnan(r[c])) else r[c]) for c in cols) for r in drecs),
+        (tuple(_canon(r[c]) for c in cols) for r in drecs),
         key=lambda t: tuple((x is None, str(x)) for x in t),
     )
     if sset != dset and not problems:

@@ -17,6 +17,7 @@ from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events, t
 def _vanilla(spark):
     fresh = spark.newSession()
     fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    fresh.conf.unset("spark.sql.session.timeZone")
     return fresh
 
 
