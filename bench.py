@@ -64,6 +64,10 @@ HEADLINE = [
     "incremental_matview_refresh",
     "stream_table_changes",
     "bloom_pointlookup_scan",
+    "near_dup_doc_clusters",
+    "bucketed_colocated_join",
+    "hot_key_split_join",
+    "skew_safe_distinct_users",
 ]
 
 

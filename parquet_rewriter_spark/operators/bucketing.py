@@ -22,15 +22,24 @@ def write_bucketed(
     num_buckets: int,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and optionally sorted) catalog table.
 
     Sorting within buckets lets the bucketed SortMergeJoin skip its sort
-    as well — scan → merge, nothing else.
+    as well — scan → merge, nothing else. ``path`` makes the table
+    EXTERNAL at an explicit location — use it when the session's default
+    warehouse directory (relative to the driver's cwd in local mode)
+    isn't a sane place to write.
     """
     w = df.write.bucketBy(num_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+        # an external table's metadata survives even if a previous run's
+        # files are gone; drop it so overwrite starts clean
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     w.mode(mode).format("parquet").saveAsTable(table_name)
 
 

@@ -1,0 +1,139 @@
+"""Near-duplicate clustering: connected components over a pair graph.
+
+The dedup operators (operators/dedup.py) emit PAIRS (id_a, id_b,
+similarity). A pipeline needs CLUSTERS: transitively-connected groups,
+one canonical survivor per group (the reference has no analog — this is
+LLM-pipeline north-star surface, the step between "found near-dups" and
+"dropped them from the training set").
+
+Algorithm: min-label propagation. Every node starts labeled with its
+own id; each round a node takes the minimum label among itself and its
+neighbors; at fixpoint every component carries its minimum member id as
+the cluster id. Rounds needed = graph diameter — near-dup components
+are near-cliques (every member pairs with most others), so 2-4 rounds
+in practice. For adversarial long-chain graphs the alternating
+large-star/small-star scheme (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) converges in O(log n) rounds with the
+same per-round join shape; the simple propagation is kept because the
+dedup workload never produces deep chains.
+
+Scale design (100 TB corpus):
+- state per round = one (id, comp) relation, two longs per node — far
+  smaller than the corpus (only docs that appear in a pair, plus
+  requested singletons);
+- each round is two hash shuffles (edge-label join on id, min-agg on
+  id) — no all-pairs, no driver-side graph;
+- convergence is detected with sum(comp), a monotonically decreasing
+  scalar: one cheap aggregate per round instead of a changed-rows
+  anti-join;
+- per-round persist + unpersist keeps each round's plan reading the
+  previous round's materialized state, and a periodic localCheckpoint
+  truncates the lineage chain so round k's plan doesn't nest k joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Truncate plan lineage every this-many rounds (each round otherwise
+# stacks its join on the previous round's plan tree).
+_CHECKPOINT_EVERY = 8
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label each node with the minimum id reachable through ``edges``.
+
+    Returns (id, component). ``nodes`` (single-column relation named
+    ``id_col``) optionally adds isolated nodes — each comes back as its
+    own singleton component; without it the node set is the ids
+    appearing in ``edges``.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't reach the
+    fixpoint (never expected for near-dup graphs; raise the cap for
+    long-chain graphs or switch to large-star/small-star).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    ids = sym.select(F.col("a").alias("id")).distinct()
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(id_col).alias("id"))).distinct()
+
+    labels = ids.select("id", F.col("id").alias("comp")).persist()
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    if prev_sum is None:  # empty graph
+        labels.unpersist()
+        return labels
+
+    for i in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        # labels only ever decrease, so the fixpoint is exactly
+        # "sum unchanged" — one scalar agg, no row-level diff
+        new_sum = new_labels.agg(F.sum("comp")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            # materialize the fixpoint, then release the loop cache —
+            # the result is two longs per node, the loop lineage isn't
+            out = labels.select("id", "comp").localCheckpoint(eager=True)
+            labels.unpersist()
+            return out
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(long-chain graph? raise max_iter)"
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for every doc in ``docs``: (doc_id,
+    cluster_id, n_members, is_canonical).
+
+    ``cluster_id`` = minimum doc_id of the component (docs without any
+    pair are singleton clusters of themselves); ``is_canonical`` marks
+    the one survivor a dedup pipeline keeps per cluster. n_members rides
+    a groupBy on cluster_id (component count ≪ corpus) broadcast back.
+    """
+    comp = connected_components(
+        pairs, src, dst, nodes=docs.select(id_col), id_col=id_col
+    )
+    assign = comp.select(
+        F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
+    )
+    sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        assign.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "n_members",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
