@@ -68,6 +68,8 @@ HEADLINE = [
     "bucketed_colocated_join",
     "hot_key_split_join",
     "skew_safe_distinct_users",
+    "pack_training_sequences",
+    "doc_repetition_scores",
 ]
 
 

@@ -2722,6 +2722,112 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_training_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' '))::BIGINT AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tok,
+             COALESCE(CAST(sum(n_tok) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS bef
+      FROM t
+    )
+    SELECT doc_id, shard,
+           CAST(bef // 2048 AS BIGINT) AS seq_id,
+           CAST(bef % 2048 AS BIGINT) AS seq_offset,
+           (bef % 2048 + n_tok) > 2048 AS spans_boundary
+    FROM c
+    """,
+    "llm", "packing",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (operators/packing.py): docs
+    concatenate in id order within hash shards and cut every 2048
+    tokens — each doc gets its (shard, seq_id, seq_offset) placement,
+    spans_boundary marks docs the materializer splits. Sharding keeps
+    the window a balanced hash exchange instead of one global sort; the
+    assignment is a pure function of (ids, token counts), so the SQL
+    oracle replays it exactly."""
+    from parquet_rewriter_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        d,
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")),
+        max_tokens=2048,
+        num_shards=8,
+        shard_col=(F.col("doc_id") % 8),
+    )
+    return packed.select("doc_id", "shard", "seq_id", "seq_offset", "spans_boundary")
+
+
+@query(
+    "doc_repetition_scores",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+      WHERE len(t) >= 3
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
+      FROM grams GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           round(CASE WHEN s.n_grams IS NULL THEN 0.0
+                      ELSE 1.0 - s.n_distinct::DOUBLE / s.n_grams END, 4)
+               AS dup_ratio,
+           COALESCE(1.0 - s.n_distinct::DOUBLE / s.n_grams > 0.2, FALSE)
+               AS is_repetitive
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    """,
+    "llm", "quality", "repetition",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicate word
+    3-grams per doc (1 - distinct/total). Explode → one hash agg with
+    count + count_distinct per doc — no UDF, no per-doc set beyond the
+    aggregation's own state; docs shorter than 3 tokens score 0."""
+    d = _t(spark, sf_dir, "documents")
+    g3 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> array_join(slice(split(text, ' '), i, 3), ' ')) "
+        "ELSE array() END"
+    )
+    stats = (
+        d.select("doc_id", F.explode(g3).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct("g").alias("n_distinct"),
+        )
+    )
+    ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(F.coalesce(ratio, F.lit(0.0)), 4).alias("dup_ratio"),
+            F.coalesce(ratio > 0.2, F.lit(False)).alias("is_repetitive"),
+        )
+    )
+
+
 # ------------------------------------------------- layout + skew operators in the gate
 
 
@@ -2833,6 +2939,8 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = (
     # new this round — need their first verdict
     "near_dup_doc_clusters",
+    "pack_training_sequences",
+    "doc_repetition_scores",
     "bucketed_colocated_join",
     "hot_key_split_join",
     "skew_safe_distinct_users",
