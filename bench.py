@@ -70,6 +70,7 @@ HEADLINE = [
     "skew_safe_distinct_users",
     "pack_training_sequences",
     "doc_repetition_scores",
+    "incremental_dedup_index",
 ]
 
 

@@ -941,6 +941,34 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(d, pairs)
 
 
+@query("incremental_dedup_index", None, "dedup", "index", "incremental", "lsh")
+def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTENT MinHash index
+    (operators/dedup_index.py): signatures live in a SortedTable keyed
+    by doc_id and are maintained by the engine's own merge core — build
+    over the corpus once, `add` an ingest batch (signatures the batch
+    only; dirty-file pruning bounds the rewrite), then screen a probe
+    batch against the whole index without re-signaturing the corpus.
+    Probe docs are exact copies of corpus docs, so each must hit its
+    original at est_jaccard 1.0 (plus its ingested twin where one
+    exists). Hash family isn't SQL-portable → rows-only; the
+    estimate-vs-true-Jaccard band is tested in tests/test_dedup_index.py."""
+    from parquet_rewriter_spark.operators.dedup_index import MinhashDedupIndex
+
+    d = _t(spark, sf_dir, "documents")
+    idx = MinhashDedupIndex.build(
+        spark, _scratch("mh_index"), d, num_hashes=32, bands=16
+    )
+    ingest = d.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    idx.add(ingest)
+    probe = d.filter(F.col("doc_id") % 9 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    return idx.near_dups_of(probe, threshold=0.9)
+
+
 @query("minhash_near_dup_pairs", None, "dedup", "minhash", "lsh")
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection over a corpus with injected
@@ -2939,6 +2967,7 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = (
     # new this round — need their first verdict
     "near_dup_doc_clusters",
+    "incremental_dedup_index",
     "pack_training_sequences",
     "doc_repetition_scores",
     "bucketed_colocated_join",

@@ -59,8 +59,14 @@ def connected_components(
     fixpoint (never expected for near-dup graphs; raise the cap for
     long-chain graphs or switch to large-star/small-star).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # persist the symmetric edge list: EVERY round joins against it, and
+    # the upstream pair generation (an LSH bucket join, a Jaccard
+    # verify, ...) is usually the most expensive plan in the query —
+    # without the persist it would re-run once per round
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist()
     )
     ids = sym.select(F.col("a").alias("id")).distinct()
     if nodes is not None:
@@ -70,6 +76,7 @@ def connected_components(
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     if prev_sum is None:  # empty graph
         labels.unpersist()
+        sym.unpersist()
         return labels
 
     for i in range(max_iter):
@@ -98,8 +105,10 @@ def connected_components(
             # the result is two longs per node, the loop lineage isn't
             out = labels.select("id", "comp").localCheckpoint(eager=True)
             labels.unpersist()
+            sym.unpersist()
             return out
         prev_sum = new_sum
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(long-chain graph? raise max_iter)"

@@ -189,3 +189,58 @@ def test_matview_delta_is_single_aggregate_exchange(spark, tmp_path):
     assert "SinglePartition" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("Arguments: hashpartitioning(grp") == 1, p
+
+
+def test_bucketed_join_query_only_exchanges_for_agg(spark, sf_dir):
+    """bucketed_colocated_join: the fact-fact join itself is co-located
+    (no exchange on either input); the only exchange left belongs to the
+    post-join aggregation."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = get("bucketed_colocated_join").fn(spark, sf_dir)
+        p = plan_of(df)
+        n_exchanges = count_exchanges(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2, p  # both scans read bucketed
+    # the aggregation's exchange is the ONLY one — the join itself is
+    # satisfied by the co-located bucketed scans
+    assert n_exchanges == 1, p
+
+
+def test_hot_key_split_join_broadcasts_hot_half(spark, sf_dir):
+    p = plan_of(get("hot_key_split_join").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # the hot half never shuffles
+    assert "CartesianProduct" not in p
+
+
+def test_cluster_round_is_two_exchanges(spark):
+    """One connected-components round = edge-label join + min-agg: the
+    label state must never funnel through a single partition."""
+    edges = spark.range(0, 1000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = spark.range(0, 1001).select("id", F.col("id").alias("comp"))
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    nbr = (
+        sym.join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("comp").alias("nbr_comp"))
+    )
+    p = plan_of(nbr)
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_packing_window_is_sharded_not_global(spark, sf_dir):
+    """pack_training_sequences: the running-sum window partitions by
+    shard — a global (unpartitioned) window sort would be the
+    single-partition scale-killer."""
+    p = plan_of(get("pack_training_sequences").fn(spark, sf_dir))
+    assert "SinglePartition" not in p, p
+    assert "partitionBy" not in p or "shard" in p
+    assert "Window" in p
