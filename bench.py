@@ -71,6 +71,12 @@ HEADLINE = [
     "pack_training_sequences",
     "doc_repetition_scores",
     "incremental_dedup_index",
+    "bm25_search",
+    "fuzzy_part_match",
+    "quality_weighted_sample",
+    "heavy_hitter_tokens",
+    "scd2_customer_status_history",
+    "ann_pq_topk",
 ]
 
 

@@ -2953,6 +2953,190 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_safe_count_distinct(e, "event_type", "user_id")
 
 
+
+# ------------------------------------------------------- search / fuzzy / sketch
+
+from parquet_rewriter_spark.operators.search import bm25_sql
+
+_BM25_TERMS = ["join", "window", "scan"]
+
+
+@query(
+    "bm25_search",
+    bm25_sql(_BM25_TERMS, k=15),
+    "search", "bm25", "inverted-index",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/search.py): the inverted
+    index is a (term, doc_id, tf) relation built by explode + hash agg;
+    a query touches only its own terms' postings and finishes with
+    TakeOrderedAndProject top-k. At 100 TB the postings are persisted
+    bucketed by term, turning each query into a |query-terms|-partition
+    scan."""
+    from parquet_rewriter_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=15)
+
+
+@query(
+    "fuzzy_part_match",
+    """
+    WITH names AS (
+      SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.s AS name_a, b.s AS name_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS edit_dist
+    FROM names a JOIN names b
+      ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+    WHERE levenshtein(a.s, b.s) <= 1
+    """,
+    "fuzzy", "join", "blocking",
+)
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join with LOSSLESS q-gram blocking
+    (operators/fuzzy.py, Gravano count-filter): candidates come from a
+    shared-bigram join + length band, verified by levenshtein — never
+    the n² cross join the all-pairs oracle runs. Upstream distinct()
+    collapses the name column first (64 distinct names here; at corpus
+    scale the distinct universe is what you block, not the rows)."""
+    from parquet_rewriter_spark.operators.fuzzy import fuzzy_self_join
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("id"))
+        .select("id", F.col("p_name").alias("s"))
+    )
+    return fuzzy_self_join(names, "id", "s", max_dist=1, q=2).withColumn(
+        "edit_dist", F.col("edit_dist").cast("int")
+    )
+
+
+@query(
+    "quality_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             -ln(greatest(((doc_id % 2147483648) * 2654435761 + 7) % 4294967296
+                          / 4294967296.0, 1.1641532182693481e-10))
+             / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM keyed ORDER BY es_key, doc_id LIMIT 50
+    """,
+    "sampling", "weighted",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential arrival keys over the portable unit hash,
+    operators/sampling.py:weighted_sample): inclusion probability
+    proportional to a quality weight (n_chars here), exactly k rows,
+    identical selection on any cluster size — the training-mix sampler.
+    Plan is one TakeOrderedAndProject, no full-table shuffle."""
+    from parquet_rewriter_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", k=50, salt=7).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20
+    """,
+    "sketch", "heavy-hitters",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens via a Space-Saving sketch
+    (operators/sketch.py): capacity-bounded per-partition summaries
+    (mapInPandas, no shuffle), one tiny merge agg, then an EXACT rescore
+    of only the sketch's candidates — the full token universe is never
+    grouped. The oracle is the exact top-k, which the
+    sketch-with-rescore provably reproduces when the summary guarantee
+    holds (capacity >> k)."""
+    from parquet_rewriter_spark.operators.sketch import heavy_hitters_topk
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return heavy_hitters_topk(toks, "token", k=20, capacity=1024)
+
+
+@query(
+    "scd2_customer_status_history",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    starts AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM ordered
+      WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM starts
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+    """,
+    "scd2", "window", "cdc",
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each customer's
+    order-status run into a validity interval (valid_from, valid_to,
+    is_current) — the history-table shape a warehouse derives from a
+    change feed. Two window passes over ONE shuffle on custkey (both
+    windows share the partitioning, so Catalyst reuses the exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    starts = (
+        o.select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("o_orderstatus") != F.col("prev_status"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return starts.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    )
+
+
+@query("ann_pq_topk", None, "similarity", "ann", "pq", "compression")
+def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:ann_pq_topk):
+    vectors compressed to 8 one-byte codes (32x vs the 64-dim float
+    fixture; ratio grows with dim), scored by ADC table lookup, exact-reranked top-10
+    from the top-100 PQ candidates.
+    Rows-only (k-means hash family is not SQL-portable); recall vs the
+    exact path is asserted in tests/test_llm_ops.py."""
+    from parquet_rewriter_spark.operators.similarity import ann_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ann_pq_topk(e, "vec_id", "embedding", qv, k=10, m=8, n_codes=64, rerank=100)
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -2965,7 +3149,14 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # new this round — need their first verdict
+    # new in round 3 — need their first verdict
+    "bm25_search",
+    "fuzzy_part_match",
+    "quality_weighted_sample",
+    "heavy_hitter_tokens",
+    "scd2_customer_status_history",
+    "ann_pq_topk",
+    # new in round 2's tail — never driver-checked (r01/r02 snapshots missed them)
     "near_dup_doc_clusters",
     "incremental_dedup_index",
     "pack_training_sequences",

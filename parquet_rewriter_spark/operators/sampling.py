@@ -131,3 +131,48 @@ def stratified_sample(
     return ranked.filter(
         F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction))
     ).drop("__u", "__rn", "__n")
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis, IPL 2006): every row draws an exponential arrival time
+    ``e = -ln(u) / w`` from its deterministic unit hash ``u`` and the
+    ``k`` smallest arrivals win — each row's inclusion probability is
+    proportional to its weight, and the draw is reproducible on any
+    cluster size (no RNG state, no row order dependence).
+
+    This is the training-mix primitive: sample documents proportional
+    to a quality/importance score, exactly k of them, same k on every
+    rerun. One TakeOrderedAndProject (per-partition heap + k-row driver
+    merge) — no shuffle of the full table, no global sort.
+
+    Non-positive weights are excluded (their arrival time is +inf).
+    Returns the sampled rows with the ``__es_key`` arrival time kept
+    for auditability.
+    """
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    u = portable_unit(key, salt) if portable else unit_interval(key, salt)
+    # u == 0 would make -ln(u) infinite; the hash families emit
+    # multiples of 2^-32 in [0,1), so floor u at 2^-33 (keeps ln finite
+    # and preserves order within the family's quantization)
+    e = -F.log(F.greatest(u, F.lit(2.0 ** -33))) / wc
+    return (
+        df.filter(wc > 0)
+        .withColumn("__es_key", e)
+        .orderBy(F.col("__es_key"), F.col(key))
+        .limit(k)
+    )
+
+
+def weighted_sample_key_sql(key_expr: str, weight_expr: str, salt: int = 0) -> str:
+    """ANSI-SQL replay of the Efraimidis–Spirakis arrival time used by
+    :func:`weighted_sample` (pair with ORDER BY key, {key_expr} LIMIT k)."""
+    u = portable_unit_sql(key_expr, salt)
+    return f"-ln(greatest({u}, 1.1641532182693481e-10)) / ({weight_expr})"

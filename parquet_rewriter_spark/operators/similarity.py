@@ -265,3 +265,140 @@ def knn_join_ivf(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011). Beyond-reference LLM-pipeline
+# surface: compresses each d-dim float vector to m one-byte codes (d·4
+# bytes → m bytes, 16× at d=16/m=4) while supporting approximate
+# inner-product search directly on the codes via ADC (asymmetric
+# distance computation: a per-query m×256 lookup table).
+#
+# Scale shape (100 TB of embeddings):
+#  - codebooks are trained DRIVER-SIDE on a bounded sample (m · 256 · d
+#    floats — KB-scale) and shipped to executors inside the UDF closure;
+#  - encoding is one Arrow-batched matmul per sub-space per batch — a
+#    pure projection, no shuffle; the codes column is what you persist;
+#  - a query scans codes (m bytes/row instead of 4d), scores via table
+#    lookup, and finishes with the same TakeOrderedAndProject top-k as
+#    the exact path. Combine with IVF cells (partition pruning) for
+#    sub-linear scans: IVF prunes *rows*, PQ shrinks *bytes per row*.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 8,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train ``m`` sub-space codebooks of ``n_codes`` centroids each by
+    plain (L2) k-means on a bounded driver-side sample of row-normalized
+    vectors. Returns an (m, n_codes, d/m) float64 array. Deterministic:
+    fixed seed + fixed sample order."""
+    rows = df.select(as_double(vec_col).alias("v")).limit(sample_rows).collect()
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[rng.choice(len(S), size=min(n_codes, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, : len(C)] = C
+        if len(C) < n_codes:  # degenerate tiny sample: pad by repetition
+            books[j, len(C):] = C[0]
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks: np.ndarray) -> DataFrame:
+    """Adds ``pq_code`` (array<tinyint>, length m): nearest sub-space
+    centroid per block of the row-normalized vector. Arrow-batched —
+    one (batch × n_codes) distance matmul per sub-space."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = B.shape
+
+    @pandas_udf("array<tinyint>")
+    def encode(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.int8)
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            # ||s - c||² = ||s||² - 2s·c + ||c||²; ||s||² constant per row
+            d2 = -2.0 * (S @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.int8)
+        return pd.Series(list(codes))
+
+    return df.withColumn("pq_code", encode(as_double(vec_col)))
+
+
+def ann_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 0,
+    codebooks: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ approximate top-k by inner product: encode the table (m bytes
+    per row), score each row as the sum of per-sub-space ``query ·
+    centroid[code]`` table lookups, take the top ``max(k, rerank)``
+    by approximate score, then (if ``rerank`` > 0) re-score those few
+    candidates exactly and return the exact-scored top ``k`` — the
+    standard PQ + exact-rerank pipeline. Returns (id, cos_sim) with
+    cos_sim from the APPROXIMATE score when rerank=0."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = codebooks if codebooks is not None else pq_train_codebooks(
+        df, vec_col, m=m, n_codes=n_codes, seed=seed
+    )
+    mm, n_codes_b, sub = B.shape
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    # ADC lookup table: dtable[j, c] = q_subj · codebook[j][c]
+    dtable = np.stack(
+        [B[j] @ qv[j * sub : (j + 1) * sub] for j in range(mm)]
+    )  # (m, n_codes)
+
+    @pandas_udf("double")
+    def adc_score(codes: pd.Series) -> pd.Series:
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.Series(dtable[np.arange(mm)[None, :], C].sum(axis=1))
+
+    enc = pq_encode(df, vec_col, B)
+    n_cand = max(k, rerank)
+    cand = (
+        enc.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"),
+                   F.round(adc_score("pq_code"), 4).alias("pq_sim"))
+        .orderBy(F.col("pq_sim").desc(), F.col("id"))
+        .limit(n_cand)
+    )
+    if not rerank:
+        return cand.select("id", F.col("pq_sim").alias("cos_sim"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select("id", F.round(cosine(F.col("v"), q), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
