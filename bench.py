@@ -77,6 +77,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "scd2_customer_status_history",
     "ann_pq_topk",
+    "incremental_bm25_search",
 ]
 
 

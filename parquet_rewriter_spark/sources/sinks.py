@@ -61,3 +61,26 @@ def overwrite_partitions(
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))
         w.parquet(path)
+
+
+def drop_partition_dirs(spark, path: str, partition_col: str, values: list) -> int:
+    """Remove the partition directories ``{path}/{partition_col}={v}``.
+
+    Dynamic partition overwrite replaces only partitions PRESENT in the
+    written frame — a maintained partition whose content shrinks to
+    zero rows is never written, so its stale files would survive.
+    Callers that reconcile a derived layout must drop such
+    now-empty partitions explicitly. Uses the Hadoop FileSystem API, so
+    it works on any supported storage, not just local disk. Returns the
+    number of directories actually removed."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    removed = 0
+    for v in values:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
+        fs = p.getFileSystem(conf)
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed += 1
+    return removed
