@@ -78,6 +78,7 @@ HEADLINE = [
     "scd2_customer_status_history",
     "ann_pq_topk",
     "incremental_bm25_search",
+    "mor_delete_scan",
 ]
 
 
@@ -132,6 +133,7 @@ def main() -> None:
         "queries": timings,
         "merge_scaling": merge_scaling(spark, sf_dir),
         "small_merge": small_merge_bench(spark, sf_dir),
+        "mor_delete": mor_delete_bench(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
@@ -198,6 +200,82 @@ def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
             out[f"{label}_files_passthrough"] = stats["files_clean_passthrough"]
         finally:
             shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def mor_delete_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Merge-on-read vs copy-on-write delete cost: tombstone 0.5% of
+    lineitem's keys (spread across EVERY file, the worst case for
+    zone-map pruning — a CoW delete must rewrite the whole table) and
+    compare wall time + files rewritten. The DV path's write volume is
+    the tombstone keys themselves; the CoW path rewrites every dirty
+    file. Also times the read-side overhead the tombstones add, and the
+    materialize step that pays the deferred rewrite."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.deletion_vectors import (
+        delete_keys_mor,
+        materialize_deletes,
+    )
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_DELETE, merge_into_table
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "li_key", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    victims = li.filter(F.col("l_orderkey") % 200 == 0).select("li_key")
+    out: dict[str, float] = {}
+
+    for label, timed in [("warm", False), ("timed", True)]:
+        d_mor = tempfile.mkdtemp(prefix="prs_bench_mor_")
+        d_cow = tempfile.mkdtemp(prefix="prs_bench_cow_")
+        try:
+            t_mor = SortedTable.create(spark, d_mor, li, key="li_key",
+                                       max_records_per_file=8_000)
+            t_cow = SortedTable.create(spark, d_cow, li, key="li_key",
+                                       max_records_per_file=8_000)
+
+            t0 = time.perf_counter()
+            stats = delete_keys_mor(t_mor, victims)
+            dv_s = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            n_live = t_mor.read().count()
+            dv_read_s = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            mat = materialize_deletes(t_mor)
+            mat_s = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            cow = merge_into_table(
+                t_cow,
+                victims.withColumnRenamed("li_key", "k")
+                .join(li, F.col("k") == F.col("li_key"), "inner")
+                .drop("k")
+                .withColumn(OP_COLUMN, F.lit(OP_DELETE)),
+                allow_splice=False,
+            )
+            cow_s = time.perf_counter() - t0
+            if timed:
+                out = {
+                    "dv_delete": round(dv_s, 3),
+                    "dv_rows": stats["dv_rows_added"],
+                    "dv_files_rewritten": 0,
+                    "dv_read_overhead_scan": round(dv_read_s, 3),
+                    "rows_after": n_live,
+                    "materialize": round(mat_s, 3),
+                    "materialize_files_rewritten": mat["files_rewritten"],
+                    "cow_delete": round(cow_s, 3),
+                    "cow_files_rewritten": cow["files_written"],
+                }
+        finally:
+            shutil.rmtree(d_mor, ignore_errors=True)
+            shutil.rmtree(d_cow, ignore_errors=True)
     return out
 
 

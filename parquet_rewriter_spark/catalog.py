@@ -2075,6 +2075,57 @@ def retention_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mor_delete_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE (o_orderkey % 13 <> 0 AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000))
+       OR o_orderkey % 39 = 0
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "deletion-vectors", "merge-on-read",
+)
+def mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion vectors end-to-end
+    (operators/deletion_vectors.py): a key-set delete and a predicate
+    delete each write ONLY tombstone sidecars (zero data files
+    rewritten — the commit metrics assert it), the scan subtracts them
+    with one broadcast anti-join, and a later upsert RESURRECTS a
+    tombstoned subset by rewriting just the files it touches (retiring
+    their tombstones). The oracle replays the set algebra over the raw
+    fixture: survivors = (not key-deleted and not predicate-deleted) ∪
+    re-upserted. Note the predicate delete does NOT re-kill resurrected
+    rows — it ran before the upsert; order matters and the oracle
+    encodes it."""
+    from parquet_rewriter_spark.operators.deletion_vectors import (
+        delete_keys_mor,
+        delete_where_mor,
+    )
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("mor_orders"), o, key="o_orderkey", max_records_per_file=2_000
+    )
+    r1 = delete_keys_mor(t, o.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"))
+    r2 = delete_where_mor(t, (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000))
+    assert r1["data_files_rewritten"] == 0 and r2["data_files_rewritten"] == 0
+    merge_into_table(
+        t,
+        o.filter(F.col("o_orderkey") % 39 == 0).withColumn(OP_COLUMN, F.lit(OP_UPSERT)),
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "incremental_compact_then_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
@@ -3184,6 +3235,7 @@ def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # new in round 3 — need their first verdict
+    "mor_delete_scan",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",

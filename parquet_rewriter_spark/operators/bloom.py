@@ -202,7 +202,8 @@ def read_point(table: "SortedTable", col: str, values: Sequence[Any]) -> DataFra
 
         schema = StructType.fromJson(json.loads(table.manifest().schema_json))
         return table.spark.createDataFrame([], schema)
-    df = table._reader(table.manifest()).parquet(
-        *[os.path.join(table.path, n) for n in cand]
+    m = table.manifest()
+    df = table.apply_dv(
+        table._reader(m).parquet(*[os.path.join(table.path, n) for n in cand]), m
     )
     return df.filter(F.col(col).isin(list(values)))

@@ -78,6 +78,37 @@ def snapshot_diff(
     old = reader.parquet(*removed) if removed else empty
     new = reader.parquet(*added) if added else empty
 
+    # Merge-on-read deletion vectors: each snapshot's logical contents
+    # are (files − tombstones), so subtract each side's own DV set from
+    # its churned-file read. A key tombstoned in BOTH versions was
+    # already dead before the window and emits nothing.
+    dv_old = table.dv_keys(m_old)
+    dv_new = table.dv_keys(m_new)
+    if dv_old is not None:
+        old = old.join(dv_old.select(key).distinct(), on=key, how="left_anti")
+    if dv_new is not None:
+        new = new.join(dv_new.select(key).distinct(), on=key, how="left_anti")
+
+    # A DV-only delete commit changes NO data files — the churn scope
+    # must additionally include rows tombstoned (between the versions)
+    # in files present in BOTH snapshots. Per-file dv_rows counters in
+    # the manifests name those files without reading any sidecar; only
+    # the grown files are then read, semi-joined to the new tombstones.
+    old_dv_rows = {e.name: e.dv_rows for e in m_old.files}
+    grown = [
+        e.name
+        for e in m_new.files
+        if e.name in old_names and e.dv_rows > old_dv_rows.get(e.name, 0)
+    ]
+    if grown:
+        delta = dv_new.filter(F.col("file").isin(grown)).select(key).distinct()
+        if dv_old is not None:
+            delta = delta.join(dv_old.select(key), on=key, how="left_anti")
+        tomb_rows = reader.parquet(
+            *[os.path.join(table.path, n) for n in grown]
+        ).join(delta, on=key, how="left_semi")
+        old = old.unionByName(tomb_rows) if removed else tomb_rows
+
     o = old.select(
         F.col(key),
         F.struct(*[F.col(c) for c in cols]).alias("_old_row"),

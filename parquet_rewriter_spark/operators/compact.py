@@ -32,7 +32,7 @@ def compact(
 ) -> dict:
     """Rewrite the whole table at a new file/row-group size."""
     m = table.manifest()
-    df = table.read()
+    df = table.read()  # applies merge-on-read DVs: the rewrite makes them physical
     staging = table._write_sorted(df, m.key, max_records_per_file, num_files)
     entries = table._adopt_staged(staging, m.key)
     table._commit_manifest(
@@ -43,6 +43,7 @@ def compact(
             schema_json=m.schema_json or df.schema.json(),
             stats_cols=m.stats_cols,
             bloom_cols=m.bloom_cols,
+            dv_files=[],  # every tombstone materialized by the full rewrite
             operation="compact",
         )
     )
@@ -89,8 +90,17 @@ def compact_incremental(
     total_rows = sum(e.rows for e in small)
     n_files = max(1, -(-total_rows // target_records_per_file))  # ceil
     df = table.spark.read.parquet(*[os.path.join(table.path, e.name) for e in small])
+    # tombstones of the rewritten subset become physical here; tombstones
+    # of passthrough files carry forward via retain_dv
+    dv = table.dv_keys(m, files={e.name for e in small if e.dv_rows})
+    if dv is not None:
+        from pyspark.sql import functions as F
+
+        df = df.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
     staging = table._write_sorted(df, m.key, target_records_per_file, n_files)
     new_entries = table._adopt_staged(staging, m.key)
+    from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
+
     table._commit_manifest(
         Manifest(
             version=m.version + 1,
@@ -99,6 +109,7 @@ def compact_incremental(
             schema_json=m.schema_json,
             stats_cols=m.stats_cols,
             bloom_cols=m.bloom_cols,
+            dv_files=retain_dv(table, m, {e.name for e in keep}),
             operation="compact-incremental",
         )
     )

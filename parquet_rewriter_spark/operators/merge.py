@@ -324,7 +324,15 @@ def merge_into_table(
     dirty, clean = plan_dirty_files(spark, m, mutations)
     t_plan = time.monotonic() - t0
 
-    if allow_splice and dirty and not new_fields:
+    # Tombstoned dirty files (merge-on-read DVs) disqualify the splice
+    # fast path — it copies row groups verbatim and would resurrect
+    # deleted rows; the distributed path applies + retires their DVs.
+    if (
+        allow_splice
+        and dirty
+        and not new_fields
+        and not any(e.dv_rows for e in dirty)
+    ):
         res = _try_splice(table, m, dirty, clean, mutations, key, t_plan)
         if res is not None:
             mutations.unpersist()
@@ -337,6 +345,14 @@ def merge_into_table(
     if dirty:
         reader = spark.read if read_schema is None else spark.read.schema(read_schema)
         base_dirty = reader.parquet(*[os.path.join(table.path, e.name) for e in dirty])
+        # merge-on-read deletion vectors: subtract tombstones of the
+        # dirty files before merging — the rewrite makes them physical
+        # (their sidecar entries are retired at commit below)
+        dv = table.dv_keys(m, files={e.name for e in dirty if e.dv_rows})
+        if dv is not None:
+            base_dirty = base_dirty.join(
+                dv.select(key).distinct(), on=key, how="left_anti"
+            )
         merged = apply_mutations(base_dirty, mutations, key)
     else:
         # Pure-insert merge (all keys fall in gaps / head / tail).
@@ -363,6 +379,8 @@ def merge_into_table(
 
     t0 = time.monotonic()
     if dirty or new_entries:
+        from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
+
         files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
         table._commit_manifest(
             Manifest(
@@ -376,6 +394,7 @@ def merge_into_table(
                 ),
                 stats_cols=m.stats_cols,
                 bloom_cols=m.bloom_cols,
+                dv_files=retain_dv(table, m, {e.name for e in clean}),
                 operation="merge",
             )
         )
@@ -426,6 +445,8 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
 
     t0 = time.monotonic()
     files = sorted(clean + new_entries, key=lambda e: (e.key_min, e.name))
+    # splice is only taken when no DIRTY file is tombstoned, so every
+    # dv'd file survives in `clean` and the sidecar list carries over
     table._commit_manifest(
         Manifest(
             version=m.version + 1,
@@ -434,6 +455,7 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
             schema_json=m.schema_json,
             stats_cols=m.stats_cols,
             bloom_cols=m.bloom_cols,
+            dv_files=list(m.dv_files),
             operation="merge (rowgroup-splice)",
         )
     )

@@ -64,6 +64,11 @@ class ManifestEntry:
     # Best-effort — a file missing an entry (written pre-evolution, or no
     # footer stats for the column) is simply never pruned on that column.
     col_stats: dict[str, list] = field(default_factory=dict)
+    # merge-on-read deletion vectors: number of this file's rows that are
+    # logically deleted via the snapshot's DV sidecars (_dv/). 0 = none.
+    # The keys themselves live in the manifest-level dv_files; this count
+    # is what tells merge/compaction the file needs materializing.
+    dv_rows: int = 0
 
 
 def _encode_key_bound(v: Any) -> Any:
@@ -117,6 +122,13 @@ class Manifest:
     # columns with per-file Bloom filters (sidecar _blooms/) for
     # point-lookup file skipping — see operators/bloom.py
     bloom_cols: list[str] = field(default_factory=list)
+    # merge-on-read deletion-vector sidecars (relative paths under the
+    # table dir, each a parquet dir of (file, <key>) tombstones) active
+    # for THIS snapshot — see operators/deletion_vectors.py. Append-only
+    # across delete commits; rewritten (filtered) when a merge/compact
+    # drops a tombstoned file. Versioned like data files: historical
+    # manifests keep their own list, so time travel sees pre-delete rows.
+    dv_files: list[str] = field(default_factory=list)
     # commit wall-time (ISO-8601 UTC), stamped at _commit_manifest —
     # lets read_asof() time-travel by timestamp, not just version
     committed_at: str | None = None
@@ -142,6 +154,7 @@ class Manifest:
                 "schema_json": self.schema_json,
                 "stats_cols": self.stats_cols,
                 "bloom_cols": self.bloom_cols,
+                "dv_files": self.dv_files,
                 "committed_at": self.committed_at,
                 "operation": self.operation,
                 "files": files,
@@ -169,6 +182,7 @@ class Manifest:
             schema_json=d.get("schema_json"),
             stats_cols=d.get("stats_cols") or [],
             bloom_cols=d.get("bloom_cols") or [],
+            dv_files=d.get("dv_files") or [],
             committed_at=d.get("committed_at"),
             operation=d.get("operation"),
         )
@@ -350,7 +364,9 @@ class SortedTable:
         """Read a snapshot (manifest-listed files only); ``version=None``
         is the current snapshot, an int time-travels to that commit.
         A zero-file snapshot (everything deleted) reads as an empty,
-        correctly-typed relation via the manifest's stored schema."""
+        correctly-typed relation via the manifest's stored schema.
+        Merge-on-read deletion vectors (if any) are applied here — see
+        ``dv_keys`` / operators/deletion_vectors.py."""
         m = self.manifest(version)
         paths = self.file_paths(m)
         if not paths:
@@ -360,7 +376,38 @@ class SortedTable:
 
             schema = StructType.fromJson(json.loads(m.schema_json))
             return self.spark.createDataFrame([], schema)
-        return self._reader(m).parquet(*paths)
+        return self.apply_dv(self._reader(m).parquet(*paths), m)
+
+    # ---------- merge-on-read deletion vectors ----------
+    def dv_keys(
+        self, m: Manifest | None = None, files: set[str] | None = None
+    ) -> DataFrame | None:
+        """The snapshot's tombstoned keys as a (file, <key>) DataFrame,
+        or None when the snapshot carries no deletion vectors.
+        ``files`` restricts to tombstones of those data files (smaller
+        build side when only a file subset is being read/merged)."""
+        m = m or self.manifest()
+        if not m.dv_files or (files is not None and not files):
+            return None
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, p) for p in m.dv_files]
+        )
+        if files is not None:
+            dv = dv.filter(F.col("file").isin(sorted(files)))
+        return dv
+
+    def apply_dv(self, df: DataFrame, m: Manifest | None = None) -> DataFrame:
+        """Drop tombstoned rows from a snapshot scan (one anti-join on
+        the key; correct table-wide because keys are unique, so a
+        tombstone can only ever match the row it was written for). The
+        DV set is tiny relative to the table — Spark auto-broadcasts it
+        under the usual threshold, so at scale this is a broadcast anti
+        join on the scan, not a shuffle."""
+        m = m or self.manifest()
+        dv = self.dv_keys(m)
+        if dv is None:
+            return df
+        return df.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
 
     def _reader(self, m: Manifest):
         """Reader pinned to the snapshot's stored schema: files written
@@ -401,8 +448,11 @@ class SortedTable:
 
             schema = StructType.fromJson(json.loads(m.schema_json))
             return self.spark.createDataFrame([], schema)
-        df = self._reader(m).parquet(
-            *[os.path.join(self.path, e.name) for e in entries]
+        df = self.apply_dv(
+            self._reader(m).parquet(
+                *[os.path.join(self.path, e.name) for e in entries]
+            ),
+            m,
         )
         # residual predicate (pushed to the parquet scan) — manifest
         # pruning is file-granular, rows outside the bound remain
@@ -468,8 +518,11 @@ class SortedTable:
             schema = StructType.fromJson(json.loads(m.schema_json))
             df = self.spark.createDataFrame([], schema)
         else:
-            df = self._reader(m).parquet(
-                *[os.path.join(self.path, e.name) for e in entries]
+            df = self.apply_dv(
+                self._reader(m).parquet(
+                    *[os.path.join(self.path, e.name) for e in entries]
+                ),
+                m,
             )
         for col, (lo, hi) in predicates.items():
             if lo is not None:
@@ -571,6 +624,12 @@ class SortedTable:
             os.link(
                 os.path.join(self.path, e.name), os.path.join(dst_path, e.name)
             )
+        for rel in m.dv_files:  # DV sidecars are dirs of immutable parts
+            src_dir, dst_dir = os.path.join(self.path, rel), os.path.join(dst_path, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for part in os.listdir(src_dir):
+                if not part.startswith(("_", ".")):
+                    os.link(os.path.join(src_dir, part), os.path.join(dst_dir, part))
         t = SortedTable(self.spark, dst_path)
         t._commit_manifest(
             Manifest(
@@ -580,6 +639,7 @@ class SortedTable:
                 schema_json=m.schema_json,
                 stats_cols=list(m.stats_cols),
                 bloom_cols=[],  # sidecar not cloned; re-enable to rebuild
+                dv_files=list(m.dv_files),
                 operation=f"clone of {self.path}@v{m.version}",
             )
         )
@@ -598,14 +658,25 @@ class SortedTable:
             if v not in keep_versions:
                 os.remove(os.path.join(self.path, f"_manifest.v{v}.json"))
         live = {e.name for e in self.manifest().files}
+        live_dv: set[str] = set(self.manifest().dv_files)
         for v in keep_versions:
-            live.update(e.name for e in self.manifest(v).files)
+            mv = self.manifest(v)
+            live.update(e.name for e in mv.files)
+            live_dv.update(mv.dv_files)
         removed = []
         for p in list_parquet_files(self.path):
             name = os.path.basename(p)
             if name not in live:
                 os.remove(p)
                 removed.append(name)
+        # DV sidecars referenced by no retained snapshot are dead weight
+        dv_root = os.path.join(self.path, "_dv")
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                rel = f"_dv/{name}"
+                if rel not in live_dv:
+                    shutil.rmtree(os.path.join(dv_root, name), ignore_errors=True)
+                    removed.append(rel)
         if removed:
             self._vacuum_blooms(live)
         return removed
@@ -629,10 +700,13 @@ class SortedTable:
 
     def stats(self) -> dict[str, Any]:
         m = self.manifest()
+        dv_rows = sum(e.dv_rows for e in m.files)
         return {
             "version": m.version,
             "key": m.key,
             "num_files": len(m.files),
-            "rows": sum(e.rows for e in m.files),
+            "rows": sum(e.rows for e in m.files) - dv_rows,  # live rows
             "bytes": sum(e.bytes for e in m.files),
+            "dv_rows": dv_rows,
+            "dv_files": len(m.dv_files),
         }
