@@ -79,6 +79,7 @@ HEADLINE = [
     "ann_pq_topk",
     "incremental_bm25_search",
     "mor_delete_scan",
+    "conditional_merge_scan",
 ]
 
 

@@ -2126,6 +2126,74 @@ def mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "conditional_merge_scan",
+    """
+    WITH survivors AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+    ),
+    ins AS (
+      SELECT 'N' AS o_orderstatus, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_totalprice > 150000
+    )
+    SELECT o_orderstatus, count(*) AS n_orders, round(sum(p), 2) AS revenue
+    FROM (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "merge", "conditional",
+)
+def conditional_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO with WHEN clauses
+    (operators/merge_conditional.py): WHEN MATCHED AND t.status='F'
+    THEN DELETE, WHEN MATCHED THEN UPDATE SET price=s.price, WHEN NOT
+    MATCHED AND s.price>150k THEN INSERT — first clause wins, untouched
+    rows pass through, and at the table level only files whose key
+    range overlaps a source key are rewritten (zone-map planning).
+    Source: every 7th order with a 10% price bump (updates/deletes) ∪
+    every 11th order re-keyed negative (insert candidates). The oracle
+    replays the clause algebra in SQL over the raw fixture."""
+    from parquet_rewriter_spark.operators.merge_conditional import (
+        merge_conditional_into_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("condmerge_orders"), o, key="o_orderkey",
+        max_records_per_file=2_000,
+    )
+    src = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0)
+            .withColumn("o_orderkey", -(F.col("o_orderkey") + 1))
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    merge_conditional_into_table(
+        t,
+        src,
+        matched=[
+            ("t.o_orderstatus = 'F'", "delete", None),
+            (None, "update", {"o_totalprice": "s.o_totalprice"}),
+        ],
+        not_matched=[("s.o_totalprice > 150000", None)],
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "incremental_compact_then_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
@@ -3236,6 +3304,7 @@ def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = (
     # new in round 3 — need their first verdict
     "mor_delete_scan",
+    "conditional_merge_scan",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",
