@@ -80,6 +80,7 @@ HEADLINE = [
     "incremental_bm25_search",
     "mor_delete_scan",
     "conditional_merge_scan",
+    "canonical_dedup_survivors",
 ]
 
 

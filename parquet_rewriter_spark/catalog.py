@@ -941,6 +941,57 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(d, pairs)
 
 
+@query(
+    "canonical_dedup_survivors",
+    f"""
+    WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars, list_distinct({_TOK}) AS s
+               FROM documents WHERE n_chars < 200),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    ranked AS (
+      SELECT d.doc_id, d.n_chars, comp.cluster_id,
+             row_number() OVER (PARTITION BY comp.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY comp.cluster_id) - 1 AS n_dups_dropped
+      FROM d JOIN comp USING (doc_id)
+    )
+    SELECT doc_id, n_chars, cluster_id, n_dups_dropped
+    FROM ranked WHERE rn = 1
+    """,
+    "dedup", "cluster", "canonical", "quality",
+)
+def canonical_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup (operators/cluster.py:canonical_dedup): the
+    near-dup clusters of the Jaccard pair graph each surrender all but
+    their highest-quality member (quality = n_chars here — longest doc
+    wins, doc_id breaks ties rerun-stably). Oracle: DuckDB recursive-CTE
+    closure + the same rank window. This is the step between "found
+    near-dups" and "training corpus": survivors ∪ singletons, with the
+    per-survivor count of dropped dups."""
+    from parquet_rewriter_spark.operators.cluster import canonical_dedup
+    from parquet_rewriter_spark.operators.dedup import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
+    pairs = jaccard_pairs(d, "doc_id", "text", 0.4, block_cols=["lang"], shingle_n=1)
+    return canonical_dedup(d, pairs, quality="n_chars").select(
+        "doc_id", "n_chars", "cluster_id", "n_dups_dropped"
+    )
+
+
 @query("incremental_dedup_index", None, "dedup", "index", "incremental", "lsh")
 def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a PERSISTENT MinHash index
@@ -3305,6 +3356,7 @@ _VERIFY_FIRST = (
     # new in round 3 — need their first verdict
     "mor_delete_scan",
     "conditional_merge_scan",
+    "canonical_dedup_survivors",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",

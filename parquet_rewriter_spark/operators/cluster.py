@@ -38,7 +38,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def connected_components(
@@ -139,4 +139,51 @@ def near_dup_clusters(
             "n_members",
             (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
         )
+    )
+
+
+def canonical_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: Column | str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The dedup pipeline's last mile: keep the BEST doc per near-dup
+    cluster, not an arbitrary one.
+
+    ``near_dup_clusters`` marks the minimum-id member canonical — fine
+    for determinism, wrong for training data, where the survivor should
+    be the highest-quality member (longest, cleanest, best source).
+    This takes a ``quality`` expression (Column or SQL string over the
+    doc columns), ranks each cluster by (quality DESC, id ASC — the id
+    makes equal-quality picks rerun-stable), and returns the surviving
+    corpus: every doc column, plus ``cluster_id`` and ``n_dups_dropped``
+    (cluster size − 1, what this survivor's win cost the corpus).
+
+    Cost beyond component labeling: one hash shuffle on cluster_id for
+    the rank window. Unpaired docs are their own singleton cluster and
+    always survive — the operator never drops a doc that had no
+    near-dup, however low its quality (quality FILTERING is a separate
+    concern from dedup).
+    """
+    q = F.expr(quality) if isinstance(quality, str) else quality
+    comp = connected_components(
+        pairs, src, dst, nodes=docs.select(id_col), id_col=id_col
+    )
+    assign = docs.join(
+        comp.select(F.col("id").alias(id_col), F.col("comp").alias("cluster_id")),
+        on=id_col,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(q.desc(), F.col(id_col))
+    # rank + size share the cluster_id partitioning → one exchange
+    return (
+        assign.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_dups_dropped",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")) - F.lit(1),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )

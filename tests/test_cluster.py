@@ -89,3 +89,29 @@ def test_near_dup_clusters_shape(spark):
     assert rows[0]["is_canonical"] and not rows[3]["is_canonical"]
     for i in (1, 2, 4):  # singletons
         assert rows[i]["cluster_id"] == i and rows[i]["n_members"] == 1 and rows[i]["is_canonical"]
+
+
+def test_canonical_dedup_keeps_best_per_cluster(spark):
+    from parquet_rewriter_spark.operators.cluster import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 50.0)],
+        "doc_id long, quality double",
+    )
+    # cluster {1,2,3} (chain), singleton {4}, singleton {5}
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in canonical_dedup(docs, pairs, "quality").collect()}
+    assert set(out) == {2, 4, 5}  # best of cluster + all singletons
+    assert out[2].n_dups_dropped == 2
+    assert out[4].n_dups_dropped == 0 and out[5].n_dups_dropped == 0
+
+
+def test_canonical_dedup_tiebreak_is_stable(spark):
+    from parquet_rewriter_spark.operators.cluster import canonical_dedup
+
+    docs = spark.createDataFrame(
+        [(7, 1.0), (8, 1.0), (9, 1.0)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(7, 8), (8, 9)], "id_a long, id_b long")
+    out = canonical_dedup(docs, pairs, "quality").collect()
+    assert len(out) == 1 and out[0].doc_id == 7  # equal quality → lowest id
