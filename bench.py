@@ -81,6 +81,7 @@ HEADLINE = [
     "mor_delete_scan",
     "conditional_merge_scan",
     "canonical_dedup_survivors",
+    "stream_heavy_hitter_tokens",
 ]
 
 

@@ -3243,6 +3243,58 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_heavy_hitter_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, count(*) AS n_occurrences
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20
+    """,
+    "streaming", "sketch", "heavy-hitters", "stateful",
+)
+def stream_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters as a CUSTOM stateful operator
+    (streaming/ops.py:stream_heavy_hitters): documents arrive as a file
+    stream, tokens hash-shard into 8 groups, and each shard maintains a
+    capacity-bounded Space-Saving summary in applyInPandasWithState
+    state — bounded memory however many distinct tokens the stream
+    carries, update-mode emissions per micro-batch. After the drain the
+    newest per-shard summaries name the candidates; an exact batch
+    rescore of only those candidates reproduces the true top-20 (same
+    guarantee as the batch sketch twin, which shares this oracle)."""
+    from parquet_rewriter_spark.streaming.ops import (
+        final_heavy_hitter_summary,
+        run_to_memory,
+        stream_heavy_hitters,
+        stream_table,
+    )
+
+    docs = stream_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    emissions = run_to_memory(
+        stream_heavy_hitters(toks, "token", n_shards=8, capacity=1024),
+        output_mode="update",
+    )
+    summary = final_heavy_hitter_summary(emissions)
+    lb = summary.select((F.col("count") - F.col("err")).alias("lb"))
+    kth = lb.orderBy(F.col("lb").desc()).limit(20).agg(F.min("lb")).first()[0]
+    cand = [r["item"] for r in summary.filter(F.col("count") >= kth).collect()]
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(cand))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
     "scd2_customer_status_history",
     """
     WITH ordered AS (
@@ -3357,6 +3409,7 @@ _VERIFY_FIRST = (
     "mor_delete_scan",
     "conditional_merge_scan",
     "canonical_dedup_survivors",
+    "stream_heavy_hitter_tokens",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",

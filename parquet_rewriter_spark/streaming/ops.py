@@ -28,28 +28,29 @@ import os
 import uuid
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_rewriter_spark.sources.readers import ensure_events_readable, normalize_events_ts
 
 
-def stream_events(
+def stream_table(
     spark: SparkSession,
     sf_dir: str,
+    name: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over the events fixture.
+    """File-source stream over any fixture table.
 
     Schema is taken from a batch read of the same path (a stream cannot
-    infer), including the ns→µs normalization of ``ts``
-    (sources/readers.py). ``maxFilesPerTrigger`` simulates arrival order
-    for multi-batch tests (watermark advancement, late-data drop).
+    infer). ``maxFilesPerTrigger`` simulates arrival order for
+    multi-batch tests (watermark advancement, late-data drop).
     """
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     from parquet_rewriter_spark.ship import ensure_shipped
 
     ensure_shipped(spark)  # stateful kernels import this package on workers
-    ensure_events_readable(spark)
+    if name == "events":
+        ensure_events_readable(spark)
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # FileStreamSource wants a directory or glob; turn the last char
@@ -58,7 +59,19 @@ def stream_events(
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return normalize_events_ts(reader.parquet(path))
+    return reader.parquet(path)
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Events stream with the ns→µs ``ts`` normalization
+    (sources/readers.py) applied on top of ``stream_table``."""
+    return normalize_events_ts(
+        stream_table(spark, sf_dir, "events", max_files_per_trigger)
+    )
 
 
 def tumbling_counts(
@@ -303,6 +316,99 @@ def sessionize_with_state(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def stream_heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    n_shards: int = 8,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Streaming Space-Saving heavy hitters as a custom stateful
+    operator (applyInPandasWithState over hash shards).
+
+    The item universe is hash-partitioned into ``n_shards`` groups, and
+    each shard's state is one capacity-bounded Space-Saving summary
+    (operators/sketch.py has the batch twin and the guarantee math).
+    Because shards partition the universe disjointly, each shard's
+    summary carries the full Space-Saving guarantee for ITS items —
+    the union of shard summaries is a valid global summary with
+    state bounded at n_shards × capacity counters, however many
+    distinct items the stream carries.
+
+    Emits the shard's full current summary each micro-batch (update
+    semantics), stamped with a per-shard ``seq`` so a consumer keeps
+    only the newest emission per shard: see
+    ``final_heavy_hitter_summary``. No watermark/timeout — frequency
+    state never expires; capacity is the memory bound.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "shard int, seq long, item string, count long, err long"
+    state_schema = "seq long, items array<string>, counts array<long>, errs array<long>"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        counters: dict = {}
+        errs: dict = {}
+        seq = 0
+        if state.exists:
+            seq, s_items, s_counts, s_errs = state.get
+            counters = dict(zip(s_items, s_counts))
+            errs = dict(zip(s_items, s_errs))
+        for pdf in pdfs:
+            vc = pdf[item_col].value_counts()
+            for item, cnt in vc.items():
+                cnt = int(cnt)
+                if item in counters:
+                    counters[item] += cnt
+                elif len(counters) < capacity:
+                    counters[item] = cnt
+                    errs[item] = 0
+                else:
+                    evict = min(counters, key=counters.get)
+                    base = counters.pop(evict)
+                    errs.pop(evict)
+                    counters[item] = base + cnt
+                    errs[item] = base
+        seq += 1
+        keys = list(counters.keys())
+        state.update(
+            (seq, keys, [int(counters[i]) for i in keys], [int(errs[i]) for i in keys])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [int(key_tuple[0])] * len(keys),
+                "seq": [seq] * len(keys),
+                "item": keys,
+                "count": [int(counters[i]) for i in keys],
+                "err": [int(errs[i]) for i in keys],
+            }
+        )
+
+    sharded = items.select(F.col(item_col).alias(item_col)).withColumn(
+        "__shard", F.pmod(F.xxhash64(item_col), F.lit(n_shards)).cast("int")
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_heavy_hitter_summary(emissions: DataFrame) -> DataFrame:
+    """Batch-side finalizer for a drained ``stream_heavy_hitters`` run:
+    keep each shard's NEWEST emission (max seq) — the summary as of the
+    last micro-batch — and return (item, count, err) rows."""
+    w = Window.partitionBy("shard")
+    return (
+        emissions.withColumn("__mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("__mx"))
+        .select("item", "count", "err")
     )
 
 

@@ -294,3 +294,45 @@ def test_stream_maintain_aggregate_end_to_end(spark, tmp_path, sf_dir):
     got = {(r["user_id"], r["n"], round(r["total"], 6)) for r in mv.read().collect()}
     assert got == want
     assert tbl.read().count() == ev_batch.count()
+
+
+def test_stream_heavy_hitters_matches_exact_across_batches(spark, tmp_path, sf_dir):
+    """State carries across micro-batches: 3 files, one per trigger; the
+    final per-shard summaries (capacity >> distinct) hold exact counts."""
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.streaming.ops import (
+        final_heavy_hitter_summary,
+        run_to_memory,
+        stream_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "hh_src")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    toks = stream.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    emissions = run_to_memory(
+        stream_heavy_hitters(toks, "token", n_shards=4, capacity=4096),
+        output_mode="update",
+    )
+    assert emissions.select("seq").agg(F.max("seq")).first()[0] >= 2  # multi-batch
+    got = {
+        r["item"]: r["count"]
+        for r in final_heavy_hitter_summary(emissions).collect()
+    }
+    exact = {
+        r["token"]: r["n"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exact  # capacity exceeded distinct count → summary is exact
