@@ -82,6 +82,7 @@ HEADLINE = [
     "conditional_merge_scan",
     "canonical_dedup_survivors",
     "stream_heavy_hitter_tokens",
+    "tdigest_price_quantiles",
 ]
 
 

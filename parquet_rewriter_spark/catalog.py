@@ -3294,6 +3294,23 @@ def stream_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tdigest_price_quantiles", None, "sketch", "quantiles", "tdigest", "mergeable")
+def tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantiles (operators/quantile_digest.py):
+    per-status p50/p90/p99 of o_totalprice via one shuffle-per-group
+    digest kernel, plus a whole-relation digest built as per-partition
+    summaries merged on the driver (the persistable per-file form is
+    exercised in tests). Rows-only: digest estimates are approximate by
+    construction (rank error ~1/δ, asserted against exact quantiles in
+    tests/test_quantile_digest.py), so no SQL oracle can hash-match."""
+    from parquet_rewriter_spark.operators.quantile_digest import grouped_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    return grouped_quantiles(
+        o, ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99], compression=200
+    ).orderBy("o_orderstatus")
+
+
 @query(
     "scd2_customer_status_history",
     """
@@ -3410,6 +3427,7 @@ _VERIFY_FIRST = (
     "conditional_merge_scan",
     "canonical_dedup_survivors",
     "stream_heavy_hitter_tokens",
+    "tdigest_price_quantiles",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",
