@@ -539,6 +539,62 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchase_asof_click_nearest",
+    """
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, max(value) AS click_value FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT p.event_id, round(m.click_value, 2) AS click_value,
+           CAST(date_diff('second', m.ts, p.ts) AS BIGINT) AS delta_s
+    FROM p LEFT JOIN LATERAL (
+      SELECT c.ts, c.click_value
+      FROM c
+      WHERE c.user_id = p.user_id
+        AND abs(date_diff('second', c.ts, p.ts)) <= 600
+      ORDER BY abs(date_diff('second', c.ts, p.ts)), (c.ts > p.ts), c.ts
+      LIMIT 1
+    ) m ON true
+    """,
+    "join", "asof", "nearest", "tolerance", "events",
+)
+def purchase_asof_click_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with a 10-minute tolerance
+    (operators/joins.py): each purchase gets the click closest in time
+    (either side, ties prefer the prior click — merge_asof semantics),
+    or NULLs when no click lands within the bound. Still one shuffle on
+    user_id: both frame directions run over the same window
+    partitioning. Oracle: DuckDB LATERAL picking min |Δt| with the same
+    tie rule."""
+    from parquet_rewriter_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        value_cols=["click_value"],
+        suffix="_m",
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+        keep_match_col=True,
+    )
+    return joined.select(
+        "event_id",
+        F.round(F.col("click_value_m"), 2).alias("click_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_m")).alias("delta_s"),
+    )
+
+
+@query(
     "events_within_5min_pairs",
     """
     WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
@@ -3428,6 +3484,7 @@ _VERIFY_FIRST = (
     "canonical_dedup_survivors",
     "stream_heavy_hitter_tokens",
     "tdigest_price_quantiles",
+    "purchase_asof_click_nearest",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",

@@ -24,29 +24,51 @@ def asof_join(
     by: Sequence[str] | str = (),
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    keep_match_col: bool = False,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``on`` <= left.``on`` within the same ``by`` group (inclusive match,
-    like DuckDB/Pandas ``ASOF JOIN``/``merge_asof``).
+    """For each left row, attach ONE right row within the same ``by``
+    group, chosen by ``direction`` (like Pandas ``merge_asof``):
 
-    Spark-first plan: union both sides tagged, then one window pass with
-    ``last(..., ignorenulls=True)`` over ``(by) ORDER BY (on, side)`` —
-    a single shuffle on ``by``, no O(n·m) theta join, scales linearly.
-    At equal ``on`` the right row sorts first (side 0) so it is visible
-    to the left row, matching the inclusive >= contract.
+    - ``backward`` (default): greatest right ``on`` <= left ``on``;
+    - ``forward``: smallest right ``on`` >= left ``on``;
+    - ``nearest``: whichever of the two is closer in time (ties go
+      backward, the merge_asof convention).
+
+    ``tolerance`` (an interval Column, e.g. ``F.expr("INTERVAL 10
+    MINUTES")``) null-outs matches farther than the bound — the carried
+    columns stay NULL exactly as if no right row existed.
+    ``keep_match_col=True`` keeps the matched right timestamp as
+    ``{on}{suffix}``.
+
+    Spark-first plan: union both sides tagged, then window passes with
+    ``last``/``first(..., ignorenulls=True)`` over ``(by) ORDER BY (on,
+    side)`` — a single shuffle on ``by`` (nearest runs two frame
+    directions over the SAME partitioning, so still one exchange), no
+    O(n·m) theta join. At equal ``on`` the right row is visible to the
+    left row in both directions (inclusive match).
 
     ``right`` must be unique per (by, on) — pre-aggregate if not, or the
     carried value is pick-of-equal-ties.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     value_cols = list(value_cols if value_cols is not None else
                       [c for c in right.columns if c != on and c not in by])
 
-    carried = [f"{c}{suffix}" for c in value_cols]
+    # the matched right timestamp rides under an internal name (the
+    # user-facing f"{on}{suffix}" would collide with left's own column
+    # when suffix="") and is exposed/dropped at the end
+    match_on = "__asof_match_on"
+    value_cols = [c for c in value_cols if c != on]
+    carried = [f"{c}{suffix}" for c in value_cols] + [match_on]
     r = right.select(
         *by,
         F.col(on).alias(on),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(on).alias(match_on),
     ).withColumn(_SIDE, F.lit(0))
     l = left.withColumn(_SIDE, F.lit(1))
     for c in carried:
@@ -58,15 +80,70 @@ def asof_join(
     unioned = l.select(*left.columns, _SIDE, *carried).unionByName(
         r.select(*left.columns, _SIDE, *carried)
     )
-    w = (
+    # backward frame: right rows (side 0) sort before the left row at
+    # equal `on`, so the inclusive match is inside the preceding frame;
+    # forward frame mirrors it (left first, following frame).
+    w_back = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col(_SIDE).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     out = unioned
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        pick = F.last if direction == "backward" else F.first
+        for c in carried:
+            out = out.withColumn(c, pick(c, ignorenulls=True).over(w))
+        out = out.filter(F.col(_SIDE) == 1)
+        if tolerance is not None:
+            dt = (
+                F.col(on) - F.col(match_on)
+                if direction == "backward"
+                else F.col(match_on) - F.col(on)
+            )
+            in_tol = F.col(match_on).isNotNull() & (dt <= tolerance)
+            for c in carried:
+                out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    else:  # nearest: both frames over one partitioning, pick the closer
+        b_cols = [f"__b_{c}" for c in carried]
+        f_cols = [f"__f_{c}" for c in carried]
+        for c, bc, fc in zip(carried, b_cols, f_cols):
+            out = out.withColumn(bc, F.last(c, ignorenulls=True).over(w_back))
+            out = out.withColumn(fc, F.first(c, ignorenulls=True).over(w_fwd))
+        out = out.filter(F.col(_SIDE) == 1)
+        b_on, f_on = f"__b_{match_on}", f"__f_{match_on}"
+        b_dt = F.col(on) - F.col(b_on)
+        f_dt = F.col(f_on) - F.col(on)
+        if tolerance is not None:
+            b_ok = F.col(b_on).isNotNull() & (b_dt <= tolerance)
+            f_ok = F.col(f_on).isNotNull() & (f_dt <= tolerance)
+        else:
+            b_ok = F.col(b_on).isNotNull()
+            f_ok = F.col(f_on).isNotNull()
+        use_b = b_ok & (~f_ok | (b_dt <= f_dt))  # tie → backward
+        use_f = f_ok & ~use_b
+        for c, bc, fc in zip(carried, b_cols, f_cols):
+            out = out.withColumn(
+                c,
+                F.when(use_b, F.col(bc)).when(use_f, F.col(fc)),
+            )
+        out = out.drop(*b_cols, *f_cols)
+    out = out.drop(_SIDE)
+    if keep_match_col:
+        public = f"{on}{suffix}"
+        if public in out.columns and public != match_on:
+            raise ValueError(
+                f"keep_match_col would overwrite column {public!r}; use a suffix"
+            )
+        out = out.withColumnRenamed(match_on, public)
+    else:
+        out = out.drop(match_on)
+    return out
 
 
 def range_join(
