@@ -83,6 +83,10 @@ HEADLINE = [
     "canonical_dedup_survivors",
     "stream_heavy_hitter_tokens",
     "tdigest_price_quantiles",
+    "purchase_asof_click_nearest",
+    "hourly_value_gapfilled",
+    "user_purchase_funnel",
+    "mixture_token_budget_sample",
 ]
 
 

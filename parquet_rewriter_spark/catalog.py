@@ -595,6 +595,91 @@ def purchase_asof_click_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hourly_value_gapfilled",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(bucket) lo, max(bucket) hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds b
+    )
+    SELECT g.event_type, g.bucket,
+           coalesce(h.n, CAST(0 AS BIGINT)) AS n_events,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN hourly h USING (event_type, bucket)
+    """,
+    "timeseries", "gapfill", "resample", "events",
+)
+def hourly_value_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py:
+    resample_fill): each event type's irregular stream lands on an
+    hourly grid spanning ITS OWN bounds (sequence + explode — no
+    driver-side calendar), empty buckets get n_events=0 and
+    forward-fill the last seen hourly sum. Grid join + fill window
+    share one hash partitioning on the key. Oracle: DuckDB
+    generate_series + IGNORE NULLS window."""
+    from parquet_rewriter_spark.operators.timeseries import resample_fill
+
+    e = _t(spark, sf_dir, "events")
+    out = resample_fill(
+        e,
+        key="event_type",
+        ts="ts",
+        step="1 hour",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+        fill=["sum_value"],
+    )
+    return out.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("sum_value").alias("filled_value"),
+    )
+
+
+@query(
+    "user_purchase_funnel",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_completed
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+    "timeseries", "funnel", "events",
+)
+def user_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase
+    (operators/timeseries.py:funnel_counts): per user, each step must
+    fire strictly after the previous step's matched time. ONE shuffle
+    on user_id — per-step sorted time arrays as aggregates, chain
+    resolved with JVM-side array filter/element_at — vs the textbook
+    3-join/3-shuffle formulation the oracle uses."""
+    from parquet_rewriter_spark.operators.timeseries import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        e, key="user_id", ts="ts", step_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+
+
+@query(
     "events_within_5min_pairs",
     """
     WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events)
@@ -1046,6 +1131,41 @@ def canonical_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(d, pairs, quality="n_chars").select(
         "doc_id", "n_chars", "cluster_id", "n_dups_dropped"
     )
+
+
+@query(
+    "mixture_token_budget_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296 / 4294967296.0,
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM ranked
+    WHERE coalesce(cum_before, 0) <
+          (CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2500.0 ELSE 1200.0 END)
+    """,
+    "sampling", "mixture", "curriculum", "llm",
+)
+def mixture_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture sampling
+    (operators/sampling.py:mixture_sample): build a training mix by
+    taking docs per source — in deterministic portable-hash order —
+    until each source's char budget is met (2500 chars for src0-9,
+    1200 for src10-19; ≤1 doc overshoot). The oracle replays the
+    exclusive running-total predicate with the same hash ordering."""
+    from parquet_rewriter_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    budgets = {f"src{i}": (2500.0 if i < 10 else 1200.0) for i in range(20)}
+    return mixture_sample(
+        d, source_col="source", weight_col="n_chars", budgets=budgets, key="doc_id"
+    ).select("doc_id", "source", "n_chars")
 
 
 @query("incremental_dedup_index", None, "dedup", "index", "incremental", "lsh")
@@ -1822,6 +1942,17 @@ def events_props_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate: build a SortedTable in a scratch dir, run the storage operator,
 # and return a relational result the oracle can replay on the raw table.
 
+
+def _scaled_mrpf(df, n_files: int = 8) -> int:
+    """Scratch-table file sizing: target a constant file COUNT across
+    scale factors instead of a fixed rows-per-file. A 2k-rows/file
+    setting calibrated at sf0.01 (8 files) explodes into 75 files at
+    sf0.1 — the composite queries then measure fixture construction,
+    not the operator. count() over parquet is footer-only (no column
+    scan), so the calibration costs one metadata action."""
+    n = df.count()
+    return max(1, -(-n // n_files))
+
 def _scratch(name: str) -> str:
     import shutil
     import tempfile
@@ -1885,9 +2016,9 @@ def compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
-        spark, _scratch("compact"), o, key="o_orderkey", max_records_per_file=5_000
+        spark, _scratch("compact"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o, 16)
     )
-    compact(t, max_records_per_file=20_000)
+    compact(t, max_records_per_file=_scaled_mrpf(o, 4))
     return (
         t.read()
         .groupBy("o_orderstatus")
@@ -1919,7 +2050,7 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
-        spark, _scratch("schema_evo"), o, key="o_orderkey", max_records_per_file=2_000
+        spark, _scratch("schema_evo"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
     )
     muts = (
         o.filter(F.col("o_orderkey") % 100 == 1)
@@ -1956,7 +2087,7 @@ def key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
-        spark, _scratch("range_scan"), o, key="o_orderkey", max_records_per_file=1_000
+        spark, _scratch("range_scan"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o, 16)
     )
     return (
         t.read_range(2000, 6999)
@@ -1998,7 +2129,7 @@ def secondary_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch("zonemap_orders"),
         o,
         key="o_orderkey",
-        max_records_per_file=2_000,
+        max_records_per_file=_scaled_mrpf(o, 12),
         stats_cols=["o_orderdate", "o_totalprice"],
     )
     return (
@@ -2044,7 +2175,7 @@ def bloom_pointlookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch("bloom_orders"),
         o,
         key="o_orderkey",
-        max_records_per_file=2_000,
+        max_records_per_file=_scaled_mrpf(o, 12),
         bloom_cols=["o_custkey"],
     )
     return (
@@ -2100,7 +2231,7 @@ def incremental_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
     )
     base = SortedTable.create(
-        spark, _scratch("mv_base"), o, key="o_orderkey", max_records_per_file=5_000
+        spark, _scratch("mv_base"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
     )
     mv = MaterializedAggregate(
         base,
@@ -2162,7 +2293,7 @@ def retention_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scratch("retention_orders"),
         o,
         key="o_orderkey",
-        max_records_per_file=2_000,
+        max_records_per_file=_scaled_mrpf(o),
         stats_cols=["o_orderdate"],
     )
     delete_where(
@@ -2213,7 +2344,7 @@ def mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
-        spark, _scratch("mor_orders"), o, key="o_orderkey", max_records_per_file=2_000
+        spark, _scratch("mor_orders"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
     )
     r1 = delete_keys_mor(t, o.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"))
     r2 = delete_where_mor(t, (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000))
@@ -2270,7 +2401,7 @@ def conditional_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
         spark, _scratch("condmerge_orders"), o, key="o_orderkey",
-        max_records_per_file=2_000,
+        max_records_per_file=_scaled_mrpf(o),
     )
     src = (
         o.filter(F.col("o_orderkey") % 7 == 0)
@@ -2326,7 +2457,7 @@ def incremental_compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame
 
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
-        spark, _scratch("inc_compact"), o, key="o_orderkey", max_records_per_file=2_000
+        spark, _scratch("inc_compact"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
     )
     for i, mod in enumerate((7, 13)):
         muts = (
@@ -2335,7 +2466,7 @@ def incremental_compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame
             .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
         )
         merge_into_table(t, muts, allow_splice=False)
-    compact_incremental(t, target_records_per_file=2_000, min_fill=0.5)
+    compact_incremental(t, target_records_per_file=_scaled_mrpf(o), min_fill=0.5)
     return (
         t.read()
         .groupBy("o_orderstatus")
@@ -2375,7 +2506,7 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
-        spark, _scratch("cdc_orders"), o, key="o_orderkey", max_records_per_file=5_000
+        spark, _scratch("cdc_orders"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
     )
     ups = (
         o.filter(F.col("o_orderkey") % 10 == 3)
@@ -2435,7 +2566,7 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     t = SortedTable.create(
-        spark, _scratch("cl_orders"), o, key="o_orderkey", max_records_per_file=5_000
+        spark, _scratch("cl_orders"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
     )
     ups = (
         o.filter(F.col("o_orderkey").between(200, 299))
@@ -3485,6 +3616,9 @@ _VERIFY_FIRST = (
     "stream_heavy_hitter_tokens",
     "tdigest_price_quantiles",
     "purchase_asof_click_nearest",
+    "hourly_value_gapfilled",
+    "user_purchase_funnel",
+    "mixture_token_budget_sample",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",

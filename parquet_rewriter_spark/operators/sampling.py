@@ -171,6 +171,67 @@ def weighted_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    budgets: dict,
+    key: str,
+    salt: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """Token-budgeted mixture sampling — the training-mix step that
+    turns "40% web, 30% code, 30% books" into an actual corpus: from
+    each source, take documents (in deterministic hash order) until
+    that source's ``weight_col`` budget (tokens/chars/bytes) is met.
+
+    Inclusion rule: a doc survives iff the EXCLUSIVE running total of
+    earlier picks from its source is still under budget — so each
+    source may overshoot by at most one document (the standard
+    take-until-budget contract; no doc is split). Sources missing from
+    ``budgets`` contribute nothing; a source smaller than its budget is
+    taken whole.
+
+    Deterministic and cluster-shape-independent: the per-source order
+    is hash(key), not partition order, so the same corpus comes back on
+    every rerun — resumable curriculum builds. One shuffle on
+    ``source_col`` (window); a single dominant source serializes
+    through one task — the usual window-skew caveat (sub-shard such a
+    source upstream and give each shard a budget slice).
+    """
+    u = portable_unit(key, salt) if portable else unit_interval(key, salt)
+    pairs: list[Column] = []
+    for s, b in budgets.items():
+        pairs.extend([F.lit(s), F.lit(float(b))])
+    budget = F.create_map(*pairs)[F.col(source_col)]
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__u"), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("__u", u)
+        .withColumn("__cum_before", F.sum(weight_col).over(w))
+        .filter(
+            budget.isNotNull()
+            & (F.coalesce(F.col("__cum_before"), F.lit(0.0)) < budget)
+        )
+        .drop("__u", "__cum_before")
+    )
+
+
+def mixture_sample_sql(
+    key_expr: str, source_expr: str, weight_expr: str, budget_case: str, salt: int = 0
+) -> str:
+    """ANSI-SQL replay of :func:`mixture_sample`'s survival predicate,
+    as a full query fragment: callers embed
+    ``WHERE coalesce(cum_before, 0) < ({budget_case})`` over a window
+    ``sum({weight_expr}) OVER (PARTITION BY {source_expr} ORDER BY
+    {portable_hash}, {key_expr} ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)``. Returned string is the hash ORDER BY expression."""
+    return portable_unit_sql(key_expr, salt)
+
+
 def weighted_sample_key_sql(key_expr: str, weight_expr: str, salt: int = 0) -> str:
     """ANSI-SQL replay of the Efraimidis–Spirakis arrival time used by
     :func:`weighted_sample` (pair with ORDER BY key, {key_expr} LIMIT k)."""

@@ -1,0 +1,154 @@
+"""Time-series regularization: gap filling + forward fill + funnels.
+
+North-star analytics surface over the ``events`` fixture (the reference
+has no time concept at all). Everything here is built-in DataFrame ops:
+
+- ``resample_fill`` — put an irregular per-key event stream onto a
+  regular time grid (``sequence`` + explode generates each key's grid
+  between its own bounds — no driver-side calendar), aggregate per
+  bucket, then forward-fill empty buckets with
+  ``last(..., ignorenulls=True)`` over the key's time order. One
+  shuffle on the key for the grid join + one window over the same
+  partitioning (Catalyst reuses the exchange).
+- ``funnel`` — ordered step matching (view → click → purchase):
+  per-key minimal timestamps of each step AFTER the previous step's
+  match, computed as chained conditional aggregates over ONE hash
+  shuffle on the key (collect each step's candidate times per key via
+  min/filter aggregates, not joins).
+
+Scale notes: the grid explode emits (span/step) rows per key — bounded
+by wall-clock span, not event count; skewed keys (one key with a year
+of data at minute grain) produce 525k grid rows, still constant per
+key. The funnel's single-shuffle shape beats the textbook 3-join
+formulation by 2 exchanges and is immune to step-cardinality skew.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def resample_fill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    step: str,
+    aggs: dict[str, Column],
+    fill: Sequence[str] = (),
+) -> DataFrame:
+    """Regularize ``df`` onto a per-key ``step`` grid (e.g. '1 hour').
+
+    ``aggs`` maps output column → aggregate expression evaluated per
+    (key, bucket); buckets with no events carry NULL aggregates, except
+    columns named in ``fill`` which forward-fill from the key's last
+    non-empty bucket. The grid spans each key's own [min, max] bucket
+    (no global calendar — a key active for one day costs one day of
+    rows).
+    """
+    bucket = F.date_trunc(_trunc_unit(step), F.col(ts))
+    per_bucket = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(key, "__bucket")
+        .agg(*[a.alias(c) for c, a in aggs.items()])
+    )
+    bounds = per_bucket.groupBy(key).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("__bucket"),
+    )
+    out = grid.join(per_bucket, on=[key, "__bucket"], how="left")
+    if fill:
+        w = (
+            Window.partitionBy(key)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in fill:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumnRenamed("__bucket", "bucket")
+
+
+def _trunc_unit(step: str) -> str:
+    unit = step.strip().split()[-1].rstrip("s").lower()
+    allowed = {"minute", "hour", "day", "week", "month"}
+    if unit not in allowed:
+        raise ValueError(f"unsupported resample step {step!r} (unit {unit!r})")
+    return unit
+
+
+def funnel(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    step_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel: per key, the earliest time each step fired
+    STRICTLY AFTER the previous step's matched time (step 1 is its
+    earliest occurrence overall). Returns one row per key with
+    ``t_<i>_<step>`` timestamps (NULL once the chain breaks).
+
+    Plan: ONE shuffle — per (key) collect each step's sorted event
+    times as an aggregate array (sort_array ∘ collect_list of the
+    step's times only), then resolve the chain with array higher-order
+    ``filter``/``element_at`` expressions, all JVM-side codegen. Array
+    state per key = that key's event count for the funnel's steps —
+    the same bound sessionization carries.
+    """
+    aggs = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(step_col) == s, F.col(ts)))
+        ).alias(f"__ts_{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = events.filter(F.col(step_col).isin(list(steps))).groupBy(key).agg(*aggs)
+    prev: Column | None = None
+    out_cols = []
+    for i, s in enumerate(steps):
+        arr = F.col(f"__ts_{i}")
+        if prev is None:
+            t = F.try_element_at(arr, F.lit(1))
+        else:
+            after = F.filter(arr, lambda x: prev.isNotNull() & (x > prev))
+            t = F.try_element_at(after, F.lit(1))
+        name = f"t_{i + 1}_{s}"
+        g = g.withColumn(name, t)
+        prev = F.col(name)
+        out_cols.append(name)
+    return g.select(key, *out_cols)
+
+
+def funnel_counts(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    step_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel summary: how many keys completed each prefix of
+    ``steps`` in order. One row per step with its completion count —
+    the usual conversion-funnel report."""
+    f = funnel(events, key, ts, step_col, steps)
+    aggs = [
+        F.count(F.col(f"t_{i + 1}_{s}")).alias(f"n_{i + 1}")
+        for i, s in enumerate(steps)
+    ]
+    wide = f.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("step_name"),
+            F.col(f"n_{i + 1}").alias("n_completed"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("r"))
+        .select("r.step", "r.step_name", "r.n_completed")
+    )

@@ -222,3 +222,29 @@ def test_enforce_constraints_split_and_tagging(spark):
     }
     # clean side keeps the original schema exactly
     assert clean.columns == df.columns
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    from parquet_rewriter_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 50 else "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = mixture_sample(
+        df, "source", "n_chars", {"a": 95.0, "b": 1000.0}, key="doc_id"
+    )
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # a: exclusive-cum < 95 → 10 docs (cum_before of 10th pick is 90);
+    # b: budget exceeds the source → taken whole
+    assert len(by_src["a"]) == 10
+    assert len(by_src["b"]) == 50
+    # deterministic under repartitioning
+    again = mixture_sample(
+        df.repartition(7), "source", "n_chars", {"a": 95.0, "b": 1000.0}, key="doc_id"
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+    # unknown sources contribute nothing
+    none = mixture_sample(df, "source", "n_chars", {"zzz": 100.0}, key="doc_id")
+    assert none.count() == 0
