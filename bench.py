@@ -142,6 +142,7 @@ def main() -> None:
         "merge_scaling": merge_scaling(spark, sf_dir),
         "small_merge": small_merge_bench(spark, sf_dir),
         "mor_delete": mor_delete_bench(spark, sf_dir),
+        "rowgroup_codec_sweep": rowgroup_codec_sweep(sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
@@ -284,6 +285,50 @@ def mor_delete_bench(spark, sf_dir: str) -> dict[str, float]:
         finally:
             shutil.rmtree(d_mor, ignore_errors=True)
             shutil.rmtree(d_cow, ignore_errors=True)
+    return out
+
+
+def rowgroup_codec_sweep(sf_dir: str) -> dict[str, dict]:
+    """Mirror of the reference's published micro-benchmark
+    (BASELINE.md rows 3-5; README.md:90-101 + the three
+    rowgroup_size/throughput graphs): single Parquet file, row-group
+    size × codec swept, reporting file-size overhead and EFFECTIVE
+    (uncompressed-bytes/sec) read + write throughput. The reference ran
+    this single-threaded on one file; the faithful mirror is a
+    driver-side pyarrow sweep, not a Spark job — the numbers answer the
+    same storage-format question (where does row-group overhead flatten,
+    which codec is CPU-bound) for OUR fixture corpus.
+
+    Expected shape (the reference's findings to reproduce): file size
+    flattens approaching ~10k rows/row-group; reads suffer at small row
+    groups; gzip is the CPU-bound worst writer."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    raw_mb = tbl.nbytes / 1e6
+    out: dict[str, dict] = {"corpus_rows": tbl.num_rows, "raw_mb": round(raw_mb, 1)}
+    d = tempfile.mkdtemp(prefix="prs_bench_rgsweep_")
+    try:
+        for codec in ("snappy", "zstd", "gzip"):
+            for rg in (1_000, 10_000, 100_000):
+                path = os.path.join(d, f"{codec}_{rg}.parquet")
+                for timed in (False, True):  # first pass warms page cache/JIT
+                    t0 = time.perf_counter()
+                    pq.write_table(tbl, path, row_group_size=rg, compression=codec)
+                    w_s = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    pq.read_table(path)
+                    r_s = time.perf_counter() - t0
+                out[f"{codec}_rg{rg}"] = {
+                    "file_mb": round(os.path.getsize(path) / 1e6, 2),
+                    "write_mb_s": round(raw_mb / w_s, 1),
+                    "read_mb_s": round(raw_mb / r_s, 1),
+                }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return out
 
 

@@ -3499,6 +3499,42 @@ def tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_enriched_nation_revenue",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_purchases,
+           round(sum(e.value), 2) AS revenue
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name
+    """,
+    "streaming", "join", "broadcast", "enrichment",
+)
+def stream_enriched_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins two STATIC
+    dimension tables (customer → nation, both broadcast — no shuffle of
+    the stream, no stream-state) before a windowless global aggregate.
+    This is the canonical streaming-ETL shape: per-record enrichment
+    costs one broadcast hash probe per dim, and the only stateful op is
+    the final aggregate. Drained via AvailableNow; oracle is the batch
+    join."""
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    enriched = ev.join(c, ev.user_id == c.c_custkey).join(
+        n, F.col("c_nationkey") == n.n_nationkey
+    )
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@query(
     "scd2_customer_status_history",
     """
     WITH ordered AS (
@@ -3619,6 +3655,7 @@ _VERIFY_FIRST = (
     "hourly_value_gapfilled",
     "user_purchase_funnel",
     "mixture_token_budget_sample",
+    "stream_enriched_nation_revenue",
     "incremental_bm25_search",
     "bm25_search",
     "fuzzy_part_match",
