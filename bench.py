@@ -87,6 +87,12 @@ HEADLINE = [
     "hourly_value_gapfilled",
     "user_purchase_funnel",
     "mixture_token_budget_sample",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_last_shipper",
 ]
 
 

@@ -244,3 +244,37 @@ def test_packing_window_is_sharded_not_global(spark, sf_dir):
     assert "SinglePartition" not in p, p
     assert "partitionBy" not in p or "shard" in p
     assert "Window" in p
+
+
+def test_tpch_q7_facts_never_broadcast_never_cartesian(spark, sf_dir):
+    """Q7's two-sided nation filter must reach the fact scans through
+    broadcast dims; the lineitem⨝orders join stays a shuffle join and
+    nothing degenerates to a cartesian product."""
+    p = plan_of(get("q7_volume_shipping").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q11_single_lineitem_scan(spark, sf_dir):
+    """The global-total scalar subquery must re-aggregate the per-part
+    partials, not rescan lineitem: exactly one lineitem scan in the
+    plan."""
+    p = plan_of(get("q11_important_parts").fn(spark, sf_dir))
+    assert p.count("lineitem.parquet") <= 1, p
+
+
+def test_tpch_q17_avg_broadcasts_back(spark, sf_dir):
+    """The correlated per-part avg decorrelates to a broadcast join —
+    no shuffle of the brand-filtered fact against its own aggregate."""
+    p = plan_of(get("q17_small_quantity_revenue").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q21_exists_via_windows_no_self_join_explosion(spark, sf_dir):
+    """EXISTS/NOT EXISTS decorrelate to windows over l_orderkey: the
+    plan must contain window nodes and no nested-loop/cartesian join."""
+    p = plan_of(get("q21_last_shipper").fn(spark, sf_dir))
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p  # ORDER BY+LIMIT as top-k heap
