@@ -93,6 +93,9 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_last_shipper",
+    "segment_dedup_docs",
+    "doc_stable_ids",
+    "semantic_dedup_survivors",
 ]
 
 

@@ -3965,6 +3965,126 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- corpus pipeline ops v3
+
+
+@query(
+    "segment_dedup_docs",
+    """
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i*10+1):((i+1)*10)], ' ') AS seg
+      FROM docs, LATERAL (
+        SELECT unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i
+      )
+    ),
+    firsts AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id AS id,
+           count(*) AS n_segs,
+           count(*) FILTER (rn = 1) AS n_kept,
+           coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1), '')
+             AS dedup_text
+    FROM firsts GROUP BY doc_id
+    """,
+    "llm-pipeline", "dedup", "segment",
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-segment removal (C4-style paragraph dedup,
+    parameterized to 10-word windows for the single-line fixture): a
+    segment survives only at its first (doc_id, pos) occurrence; docs
+    are reconstructed from their surviving segments in order."""
+    from parquet_rewriter_spark.operators.dedup import segment_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return segment_dedup(d, "doc_id", "text", words_per_segment=10)
+
+
+@query(
+    "doc_stable_ids",
+    """
+    SELECT doc_id, lang,
+           row_number() OVER (ORDER BY lang, doc_id) - 1 AS stable_id
+    FROM documents
+    """,
+    "llm-pipeline", "ids", "zipwithindex",
+)
+def doc_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global ids equal to row_number()-1 over (lang, doc_id) —
+    but produced WITHOUT the single-partition global sort: range
+    partition + per-partition counts + offset-shifted local indices
+    (operators/ids.py). The oracle IS the global row_number, so a hash
+    match proves the distributed assignment is exact."""
+    from parquet_rewriter_spark.operators.ids import assign_contiguous_ids
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_contiguous_ids(d, ["lang", "doc_id"], id_col="stable_id")
+
+
+@query(
+    "semantic_dedup_survivors",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (  -- identical pair rule to the embedding_near_dup_pairs oracle
+      SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+      ) WHERE cos_sim >= 0.45
+    ),
+    edges AS (  -- undirected, small-id labels propagate upward
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (  -- transitive closure: every id a node can reach
+      SELECT s AS id, d AS r FROM edges
+      UNION
+      SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+    ),
+    comp AS (
+      SELECT v.vec_id,
+             least(v.vec_id, coalesce(min(reach.r), v.vec_id)) AS cluster_id
+      FROM embeddings v LEFT JOIN reach ON v.vec_id = reach.id
+      GROUP BY v.vec_id
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           min(vec_id) AS survivor_id
+    FROM comp GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+    "llm-pipeline", "dedup", "semantic", "embedding",
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: exact cosine pairs (blocked
+    matmul — operators/blockmatrix, no row cross-join) → connected
+    components (min-label propagation, operators/cluster.py) → one
+    survivor per multi-member cluster. The DuckDB oracle recomputes
+    components via a recursive transitive closure, so a hash match
+    proves both the pair recall AND the component labeling."""
+    from parquet_rewriter_spark.operators.cluster import near_dup_clusters
+    from parquet_rewriter_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45)
+    clusters = near_dup_clusters(e, pairs, id_col="vec_id")
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("survivor_id"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -4035,6 +4155,9 @@ _VERIFY_FIRST = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_last_shipper",
+    "segment_dedup_docs",
+    "doc_stable_ids",
+    "semantic_dedup_survivors",
 )
 
 

@@ -487,3 +487,62 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_segment: int = 10,
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level exact dedup with document
+    reconstruction — the C4/RefinedWeb "repeated paragraph removal"
+    step. Real corpora segment on paragraph breaks; the fixture's texts
+    are single-line, so the segment unit is a fixed window of
+    ``words_per_segment`` consecutive words (pass a different splitter
+    upstream for \\n\\n-delimited data — the dedup core is identical).
+
+    A segment survives only at its FIRST corpus occurrence, ordered by
+    (doc id, position) — deterministic and rerun-stable. Every doc comes
+    back with its surviving segments re-joined in original order (docs
+    whose every segment was seen earlier come back empty — candidates
+    for dropping).
+
+    Plan shape (the 100 TB story):
+    - segmentation is pure codegen: split + slice/transform — no UDF,
+      no shuffle;
+    - first-occurrence = one row_number window partitioned BY SEGMENT
+      TEXT (hash shuffle on the segment — the only corpus-sized
+      shuffle; skew only if one segment repeats millions of times, in
+      which case it is exactly the boilerplate the op exists to kill);
+    - reassembly = groupBy(doc) of (pos, seg) pairs — second shuffle,
+      carries only SURVIVING segments.
+    Returns (id, n_segs, n_kept, dedup_text).
+    """
+    words = F.split(F.col(text_col), sep)
+    n_segs = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_segment + 1, words_per_segment), sep
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("id", "pos")
+    marked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.array_sort(
+        F.collect_list(F.when(F.col("rn") == 1, F.struct("pos", "seg")))
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(kept_struct, lambda s: s["seg"]), sep
+            ).alias("dedup_text"),
+        )
+    )

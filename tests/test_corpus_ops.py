@@ -1,0 +1,114 @@
+"""Round-3 corpus ops: segment dedup, contiguous ids, semantic dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.dedup import segment_dedup
+from parquet_rewriter_spark.operators.ids import assign_contiguous_ids
+from parquet_rewriter_spark.plans import plan_of
+from parquet_rewriter_spark.sources.readers import load_table
+
+
+def test_assign_contiguous_ids_equals_global_row_number(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    got = assign_contiguous_ids(o, ["o_custkey", "o_orderkey"], num_partitions=7)
+    rows = got.orderBy("stable_id").collect()
+    want = sorted((r.o_custkey, r.o_orderkey) for r in rows)
+    assert [(r.o_custkey, r.o_orderkey) for r in rows] == want
+    ids = [r.stable_id for r in rows]
+    assert ids == list(range(len(rows)))  # dense, 0-based, gap-free
+
+
+def test_assign_contiguous_ids_single_row_and_skew(spark):
+    one = spark.createDataFrame([(42,)], "k long")
+    assert assign_contiguous_ids(one, ["k"], num_partitions=4).first().stable_id == 0
+    # heavily duplicated range keys still land deterministically because
+    # the full tuple is unique
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("k")
+    )
+    got = assign_contiguous_ids(df, ["g", "k"], num_partitions=5)
+    rows = got.orderBy("stable_id").collect()
+    assert [(r.g, r.k) for r in rows] == sorted((r.g, r.k) for r in rows)
+    assert [r.stable_id for r in rows] == list(range(1000))
+
+
+def test_assign_contiguous_ids_no_single_partition_exchange(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    p = plan_of(assign_contiguous_ids(o, ["o_orderkey"], num_partitions=8))
+    # the sorted input is checkpointed (Scan ExistingRDD) — the id pass
+    # itself must be a narrow MapInPandas with no global funnel
+    assert "Arguments: SinglePartition" not in p
+    assert "MapInPandas" in p and "Sort" not in p.split("MapInPandas")[0]
+
+
+def test_segment_dedup_first_occurrence_and_reconstruction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # segs (k=3): "a b c", "d e f"
+            (2, "a b c x y z"),   # "a b c" repeats -> dropped
+            (3, "x y z a b c"),   # both repeat -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in segment_dedup(docs, "doc_id", "text", 3).collect()}
+    assert out[1].n_segs == 2 and out[1].n_kept == 2
+    assert out[1].dedup_text == "a b c d e f"
+    assert out[2].n_kept == 1 and out[2].dedup_text == "x y z"
+    assert out[3].n_kept == 0 and out[3].dedup_text == ""
+
+
+def test_segment_dedup_kept_segments_globally_unique(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = segment_dedup(d, "doc_id", "text", 10)
+    # re-segment the deduped texts: no segment may appear twice anywhere
+    words = F.split("dedup_text", " ")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / 10).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    re_seg = (
+        out.filter(F.col("dedup_text") != "")
+        .select(F.explode(segs).alias("seg"))
+    )
+    dup = re_seg.groupBy("seg").count().filter(F.col("count") > 1).count()
+    # NOTE: reconstruction joins surviving segments, so re-slicing can
+    # recombine words across original segment boundaries; exact segment
+    # uniqueness therefore holds on the ORIGINAL segmentation:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("id", "pos")
+    first = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(F.split("text", " ")) / 10).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.split("text", " "), i * 10 + 1, 10), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .count()
+    )
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    assert first == total_kept
+    assert dup >= 0  # re-sliced check is advisory; the exact check is above
+
+
+def test_segment_dedup_total_segments_conserved(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = segment_dedup(d, "doc_id", "text", 10)
+    n_docs = d.count()
+    assert out.count() == n_docs  # every doc comes back, even if empty
+    segs_direct = d.select(
+        F.ceil(F.size(F.split("text", " ")) / 10).cast("long").alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert out.agg(F.sum("n_segs")).first()[0] == segs_direct
