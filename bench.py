@@ -96,6 +96,10 @@ HEADLINE = [
     "segment_dedup_docs",
     "doc_stable_ids",
     "semantic_dedup_survivors",
+    "wap_publish_scan",
+    "lineitem_unpivot_measures",
+    "purchase_error_overlap",
+    "stream_value_anomalies",
 ]
 
 

@@ -4085,6 +4085,203 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wap_publish_scan",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    -- batch 1 (every 30th key, totalprice negated) FAILS the audit and
+    -- must leave no trace; batch 2 (every 15th key, price+1000) passes
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM base
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM merged GROUP BY o_orderstatus
+    """,
+    "storage", "wap", "quality", "governance",
+)
+def wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (operators/wap.py): a poisoned batch
+    (negative prices) is staged on a zero-copy clone, fails its audit,
+    and is discarded without the main table ever changing; a clean
+    batch then publishes. The oracle is the final expected state — a
+    hash match proves the rejected batch left NO trace AND the
+    accepted one fully landed."""
+    from parquet_rewriter_spark.operators.wap import write_audit_publish
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    t = SortedTable.create(
+        spark, _scratch("wap_orders"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 16),
+    )
+    rules = {"price_nonneg": "o_totalprice >= 0"}
+    bad = o.filter(F.col("o_orderkey") % 30 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    r1 = write_audit_publish(t, bad, rules, audit_changed_only=True)
+    assert not r1["published"] and r1["failed_rules"] == ["price_nonneg"]
+    good = o.filter(F.col("o_orderkey") % 15 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    r2 = write_audit_publish(t, good, rules, audit_changed_only=True)
+    assert r2["published"], r2
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "lineitem_unpivot_measures",
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    )
+    """,
+    "relational", "unpivot", "melt",
+)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot/melt (the inverse of pivot): aggregate first
+    (5 rows), then ``DataFrame.unpivot`` — the melt never touches the
+    fact table, and unpivot itself is a zero-shuffle projection
+    (Expand node)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+@query(
+    "purchase_error_overlap",
+    """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id,
+             ts - INTERVAL 2 MINUTE AS p_start, ts + INTERVAL 2 MINUTE AS p_end
+      FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT event_id AS e_id, user_id,
+             ts - INTERVAL 2 MINUTE AS e_start, ts + INTERVAL 2 MINUTE AS e_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.p_id, e.e_id, p.user_id,
+           (epoch_us(least(p.p_end, e.e_end))
+            - epoch_us(greatest(p.p_start, e.e_start))) // 1000000 AS overlap_s
+    FROM p JOIN e ON p.user_id = e.user_id
+     AND p.p_start <= e.e_end AND e.e_start <= p.p_end
+    """,
+    "join", "interval-overlap", "binned",
+)
+def purchase_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (operators/joins.py:interval_join): ±2-min
+    windows around purchases vs errors of the same user. The oracle is
+    the bare inequality join; the Spark plan is bin-bucketed — one hash
+    shuffle on (user, time-bin), no cross join, overlap-start filter
+    instead of a dedup shuffle."""
+    from parquet_rewriter_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    two = F.expr("INTERVAL 2 MINUTES")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        (F.col("ts") - two).alias("p_start"),
+        (F.col("ts") + two).alias("p_end"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        (F.col("ts") - two).alias("e_start"),
+        (F.col("ts") + two).alias("e_end"),
+    )
+    j = interval_join(
+        p, e, "p_start", "p_end", "e_start", "e_end",
+        by="user_id", bin_seconds=240,
+    )
+    return j.select(
+        F.col("l.p_id").alias("p_id"),
+        F.col("r.e_id").alias("e_id"),
+        F.col("l.user_id").alias("user_id"),
+        (
+            (
+                F.least(F.unix_micros("l.p_end"), F.unix_micros("r.e_end"))
+                - F.greatest(F.unix_micros("l.p_start"), F.unix_micros("r.e_start"))
+            )
+            / F.lit(1_000_000)
+        ).cast("long").alias("overlap_s"),
+    )
+
+
+@query(
+    "stream_value_anomalies",
+    """
+    WITH baseline AS (
+      SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2) AS value,
+           round((e.value - b.mu) / b.sigma, 4) AS zscore
+    FROM events e JOIN baseline b ON e.event_type = b.event_type
+    WHERE abs(e.value - b.mu) > 2.5 * b.sigma
+    """,
+    "streaming", "anomaly", "stream-static",
+)
+def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection against a STATIC baseline: per-type
+    mean/σ computed batch-side (the "trained profile"), broadcast into
+    the stream; each record is flagged stateless-ly when it deviates
+    > 2.5σ. No stream state at all — the shape that scales to any
+    event rate. Drained via AvailableNow; oracle is the batch join."""
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events
+
+    base = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("mu"),
+            F.stddev_pop("value").alias("sigma"),
+        )
+    )
+    ev = stream_events(spark, sf_dir)
+    flagged = (
+        ev.join(F.broadcast(base), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("zscore"),
+        )
+    )
+    return run_to_memory(flagged, output_mode="append")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -4158,6 +4355,10 @@ _VERIFY_FIRST = (
     "segment_dedup_docs",
     "doc_stable_ids",
     "semantic_dedup_survivors",
+    "wap_publish_scan",
+    "lineitem_unpivot_measures",
+    "purchase_error_overlap",
+    "stream_value_anomalies",
 )
 
 

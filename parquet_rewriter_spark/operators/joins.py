@@ -170,3 +170,58 @@ def range_join(
         cond = cond & (F.col(f"{left_alias}.{b}") == F.col(f"{right_alias}.{b}"))
     cond = cond & (F.col(f"{right_alias}.{on}") > lower) & (F.col(f"{right_alias}.{on}") <= upper)
     return l.join(r, cond, "inner")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: Sequence[str] | str = (),
+    bin_seconds: int = 3600,
+    left_alias: str = "l",
+    right_alias: str = "r",
+) -> DataFrame:
+    """Interval-OVERLAP join (genomics/sessions shape):
+    ``l.start <= r.end AND r.start <= l.end`` (+ optional equi keys),
+    WITHOUT the cross-join a bare inequality predicate would plan.
+
+    Each interval explodes into the fixed-width time bins it covers
+    (``sequence`` over epoch-bin ids — pure codegen); candidates meet
+    only inside an equal (keys…, bin) bucket — one hash shuffle on the
+    bucket, never all-pairs. A pair overlapping several shared bins
+    would match repeatedly, so the join keeps exactly the bin that
+    contains the OVERLAP START (``greatest(l.start, r.start)``) — a
+    filter, not a distinct: no second shuffle for dedup.
+
+    ``bin_seconds`` trades shuffle fan-out (intervals explode into
+    ``duration/bin`` rows) against bucket selectivity; set it near the
+    TYPICAL interval length. Correct for any interval/bin ratio.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    w = F.lit(int(bin_seconds))
+
+    def binned(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = (F.unix_timestamp(F.col(start)) / w).cast("long")
+        hi = (F.unix_timestamp(F.col(end)) / w).cast("long")
+        return df.withColumn("__bin", F.explode(F.sequence(lo, hi)))
+
+    l = binned(left, l_start, l_end).alias(left_alias)
+    r = binned(right, r_start, r_end).alias(right_alias)
+    lc = lambda c: F.col(f"{left_alias}.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"{right_alias}.{c}")  # noqa: E731
+    cond = lc("__bin") == rc("__bin")
+    for b in by:
+        cond = cond & (lc(b) == rc(b))
+    overlap_start = F.greatest(F.unix_timestamp(lc(l_start)), F.unix_timestamp(rc(r_start)))
+    return (
+        l.join(r, cond, "inner")
+        .filter(
+            (F.unix_timestamp(lc(l_start)) <= F.unix_timestamp(rc(r_end)))
+            & (F.unix_timestamp(rc(r_start)) <= F.unix_timestamp(lc(l_end)))
+            & ((overlap_start / w).cast("long") == lc("__bin"))
+        )
+        .drop("__bin")
+    )

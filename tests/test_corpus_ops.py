@@ -112,3 +112,48 @@ def test_segment_dedup_total_segments_conserved(spark, sf_dir):
         F.ceil(F.size(F.split("text", " ")) / 10).cast("long").alias("n")
     ).agg(F.sum("n")).first()[0]
     assert out.agg(F.sum("n_segs")).first()[0] == segs_direct
+
+
+def test_interval_join_matches_naive_overlap(spark):
+    import datetime as dt
+
+    from parquet_rewriter_spark.operators.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows_l = [(i, base + dt.timedelta(seconds=90 * i),
+               base + dt.timedelta(seconds=90 * i + 400)) for i in range(40)]
+    rows_r = [(j, base + dt.timedelta(seconds=130 * j + 7),
+               base + dt.timedelta(seconds=130 * j + 50)) for j in range(40)]
+    L = spark.createDataFrame(rows_l, "lid long, ls timestamp, le timestamp")
+    R = spark.createDataFrame(rows_r, "rid long, rs timestamp, re timestamp")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(L, R, "ls", "le", "rs", "re", bin_seconds=120)
+        .select("l.lid", "r.rid").collect()
+    }
+    want = {
+        (a, b)
+        for a, sa, ea in rows_l
+        for b, sb, eb in rows_r
+        if sa <= eb and sb <= ea
+    }
+    assert got == want and want  # non-trivial overlap set
+
+
+def test_interval_join_long_intervals_smaller_bins(spark):
+    # intervals much longer than a bin: pairs share MANY bins but must
+    # appear exactly once (overlap-start filter, no distinct)
+    import datetime as dt
+
+    from parquet_rewriter_spark.operators.joins import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    L = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(hours=4))], "lid long, ls timestamp, le timestamp"
+    )
+    R = spark.createDataFrame(
+        [(2, base + dt.timedelta(hours=1), base + dt.timedelta(hours=6))],
+        "rid long, rs timestamp, re timestamp",
+    )
+    out = interval_join(L, R, "ls", "le", "rs", "re", bin_seconds=600).collect()
+    assert len(out) == 1

@@ -278,3 +278,16 @@ def test_tpch_q21_exists_via_windows_no_self_join_explosion(spark, sf_dir):
     assert "Window" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p  # ORDER BY+LIMIT as top-k heap
+
+
+def test_interval_join_is_binned_not_cartesian(spark, sf_dir):
+    p = plan_of(get("purchase_error_overlap").fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Explode" in p or "Generate" in p  # bin fan-out present
+
+
+def test_unpivot_is_expand_no_shuffle_after_agg(spark, sf_dir):
+    p = plan_of(get("lineitem_unpivot_measures").fn(spark, sf_dir))
+    assert "Expand" in p
+    # only the aggregate's exchange: the melt adds none
+    assert p.count("Exchange") <= 2
