@@ -100,6 +100,7 @@ HEADLINE = [
     "lineitem_unpivot_measures",
     "purchase_error_overlap",
     "stream_value_anomalies",
+    "schema_ddl_lifecycle_scan",
 ]
 
 

@@ -4282,6 +4282,55 @@ def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(flagged, output_mode="append")
 
 
+@query(
+    "schema_ddl_lifecycle_scan",
+    """
+    -- final state after: create -> ADD COLUMN p_score -> merge scores
+    -- for p_partkey%4=0 -> DROP COLUMN p_retailprice -> RESTORE to the
+    -- pre-drop version (so p_retailprice is back, scores retained)
+    SELECT p_type, count(*) AS n_parts,
+           round(sum(CASE WHEN p_partkey % 4 = 0 THEN p_size * 1.5 END), 2)
+             AS score_sum,
+           round(sum(p_retailprice), 2) AS retail_sum
+    FROM part GROUP BY p_type
+    """,
+    "storage", "ddl", "schema-evolution", "restore",
+)
+def schema_ddl_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DDL lifecycle on the mutation core: ADD COLUMN
+    null-fills without touching a file; a merge then writes values for
+    a quarter of the keys; DROP COLUMN hides a physical column; RESTORE
+    rolls back to the pre-drop snapshot as a new commit. The oracle is
+    the expected final state — proving the add survived the merge, the
+    drop was non-destructive, and restore recovered the hidden bytes."""
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    p = _t(spark, sf_dir, "part")
+    t = SortedTable.create(
+        spark, _scratch("ddl_part"), p, key="p_partkey",
+        max_records_per_file=_scaled_mrpf(p, 8),
+    )
+    t.add_column("p_score", "double")
+    muts = t.read().filter(F.col("p_partkey") % 4 == 0).withColumn(
+        "p_score", F.col("p_size") * 1.5
+    )
+    merge_into_table(t, muts)
+    v_before_drop = t.manifest().version
+    t.drop_column("p_retailprice")
+    assert "p_retailprice" not in t.read().columns
+    t.restore(v_before_drop)
+    return (
+        t.read()
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_score"), 2).alias("score_sum"),
+            F.round(F.sum("p_retailprice"), 2).alias("retail_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -4359,6 +4408,7 @@ _VERIFY_FIRST = (
     "lineitem_unpivot_measures",
     "purchase_error_overlap",
     "stream_value_anomalies",
+    "schema_ddl_lifecycle_scan",
 )
 
 

@@ -116,9 +116,20 @@ def splice_merge(
 
     entries: list = []
     rgs_rewritten = rgs_copied = 0
+    mut_data_cols = {c for c in mut_pdf.columns if c != OP_COLUMN}
     for i, e in enumerate(dirty):
         src = os.path.join(table.path, e.name)
         pf = pq.ParquetFile(src)
+        # the splice writes with the FILE's physical schema — if the
+        # table evolved (add/drop column) past what this file carries,
+        # copying row groups verbatim would silently drop or misalign
+        # the evolved columns. Bail to the distributed merge, which
+        # reads through the manifest-pinned schema.
+        if set(pf.schema_arrow.names) != mut_data_cols:
+            raise ValueError(
+                f"schema drift between {e.name} and mutation batch — "
+                "distributed merge required"
+            )
         rg_mins, rg_maxs = _rg_key_bounds(pf.metadata, key)
         fmuts = mut_pdf.iloc[np.nonzero(assigned == i)[0]]
         fkeys = fmuts[key].to_numpy()

@@ -645,6 +645,84 @@ class SortedTable:
         )
         return t
 
+    # ---------- metadata-only DDL ----------
+    def restore(self, version: int) -> int:
+        """Roll the table back to snapshot ``version`` as a NEW commit
+        (the prior history stays intact — restore is itself
+        time-travelable and vacuum-safe). O(1) data work: the commit
+        re-lists the old snapshot's immutable files."""
+        target = self.manifest(version)
+        cur = self.manifest()
+        self._commit_manifest(
+            Manifest(
+                version=cur.version + 1,
+                key=target.key,
+                files=list(target.files),
+                schema_json=target.schema_json,
+                stats_cols=list(target.stats_cols),
+                bloom_cols=list(target.bloom_cols),
+                dv_files=list(target.dv_files),
+                operation=f"restore-v{version}",
+            )
+        )
+        return cur.version + 1
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """Metadata-only ADD COLUMN: append a nullable field to the
+        manifest schema. No file is touched — the pinned-schema reader
+        (_reader) null-fills the column for every existing file; the
+        next merge writes it physically for rewritten files."""
+        from pyspark.sql.types import StructField, StructType
+
+        from pyspark.sql.types import _parse_datatype_string  # public-API parser
+
+        m = self.manifest()
+        if m.schema_json is None:
+            raise ValueError("table has no recorded schema")
+        schema = StructType.fromJson(json.loads(m.schema_json))
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        schema = StructType(
+            list(schema.fields) + [StructField(name, _parse_datatype_string(dtype), True)]
+        )
+        return self._commit_schema(m, schema, f"add-column {name}")
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN: remove the field from the manifest
+        schema. Bytes stay in place; the pinned-schema reader simply
+        never projects them (and merges physically shed the column from
+        files they rewrite). Caveat of parquet-by-name resolution: re-
+        adding the SAME name with a DIFFERENT type later would clash
+        with old files' physical type — re-add with the original type,
+        or compact first."""
+        from pyspark.sql.types import StructType
+
+        m = self.manifest()
+        if name == m.key:
+            raise ValueError(f"cannot drop the table key {name!r}")
+        if m.schema_json is None:
+            raise ValueError("table has no recorded schema")
+        old_fields = StructType.fromJson(json.loads(m.schema_json)).fields
+        schema_fields = [f for f in old_fields if f.name != name]
+        if len(schema_fields) == len(old_fields):
+            raise ValueError(f"no such column {name!r}")
+        return self._commit_schema(m, StructType(schema_fields), f"drop-column {name}")
+
+    def _commit_schema(self, m: Manifest, schema, operation: str) -> int:
+        self._commit_manifest(
+            Manifest(
+                version=m.version + 1,
+                key=m.key,
+                files=list(m.files),
+                schema_json=schema.json(),
+                stats_cols=[c for c in m.stats_cols if c in {f.name for f in schema.fields}],
+                bloom_cols=[c for c in m.bloom_cols if c in {f.name for f in schema.fields}],
+                dv_files=list(m.dv_files),
+                operation=operation,
+            )
+        )
+        return m.version + 1
+
     # ---------- maintenance ----------
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Garbage-collect: drop snapshot manifests beyond the newest
