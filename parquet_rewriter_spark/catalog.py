@@ -4387,12 +4387,6 @@ _VERIFY_FIRST = (
     "stream_session_windows",
     "stream_dedup_events",
     "stream_purchase_click_join",
-    # rows-only by design — keep their weaker check in every snapshot
-    "minhash_near_dup_pairs",
-    "simhash_near_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_decode_features",
     # new in round 3 — fill the remaining snapshot slots; the tail
     # rolls over to the next round's snapshot
     "q7_volume_shipping",
@@ -4409,6 +4403,13 @@ _VERIFY_FIRST = (
     "purchase_error_overlap",
     "stream_value_anomalies",
     "schema_ddl_lifecycle_scan",
+    # rows-only by design — their weaker driver check re-records when a
+    # snapshot has slots left (r01/r02 already recorded them)
+    "minhash_near_dup_pairs",
+    "simhash_near_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_decode_features",
 )
 
 

@@ -520,7 +520,9 @@ def segment_dedup(
       carries only SURVIVING segments.
     Returns (id, n_segs, n_kept, dedup_text).
     """
-    words = F.split(F.col(text_col), sep)
+    # null text → empty string: posexplode of a null array would DROP
+    # the doc from the output, breaking the every-doc-returns contract
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     n_segs = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),

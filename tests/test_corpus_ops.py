@@ -157,3 +157,12 @@ def test_interval_join_long_intervals_smaller_bins(spark):
     )
     out = interval_join(L, R, "ls", "le", "rs", "re", bin_seconds=600).collect()
     assert len(out) == 1
+
+
+def test_segment_dedup_null_text_doc_survives(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.id: r for r in segment_dedup(docs, "doc_id", "text", 3).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_kept <= out[2].n_segs
