@@ -101,6 +101,11 @@ HEADLINE = [
     "purchase_error_overlap",
     "stream_value_anomalies",
     "schema_ddl_lifecycle_scan",
+    "training_shard_summary",
+    "doc_lm_scores",
+    "user_decayed_value",
+    "incremental_distinct_users",
+    "stream_quality_route_summary",
 ]
 
 

@@ -10,11 +10,25 @@ The scalable pattern (RDD ``zipWithIndex``, rebuilt DataFrame-native):
 
 1. range-partition + sort by the order key — one shuffle, the same
    total order a global sort would produce, but split across N tasks;
-2. count rows per partition — a bounded N-row aggregate collected to
-   the driver (N = partition count, never data-sized);
-3. cumulative-sum the counts into per-partition START OFFSETS;
-4. one Arrow-batched ``mapInPandas`` pass adds ``offset + local index``
-   per partition — no further shuffle, preserves the sorted order.
+2. FREEZE the physical partition id into a data column and eagerly
+   localCheckpoint — from here on, "which partition a row belonged
+   to" is a fact in the data, not a property of whatever stage later
+   evaluates it;
+3. count rows per frozen pid — a bounded N-row aggregate collected to
+   the driver (N = partition count, never data-sized) — and
+   cumulative-sum the counts into per-pid START OFFSETS;
+4. one Arrow-batched ``mapInPandas`` pass adds ``offset[pid] + local
+   index``, reading pid FROM THE ROWS — no further shuffle, preserves
+   the sorted order.
+
+Step 2/4's "pid as data" is load-bearing, not style: an earlier
+version read ``TaskContext.partitionId()`` inside the UDF, which is
+the STAGE partition index — correct standalone, silently wrong the
+moment the operator is embedded under a plan that renumbers child
+partitions (``exceptAll``/``intersectAll``/``union`` place the second
+child's partitions AFTER the first child's, shifting every stage id).
+Frozen-column pids survive any plan context; the UDF even tolerates
+partition coalescing by grouping each batch on the pid value.
 
 The order key must be a TOTAL order (unique tuple) — ties spanning a
 partition boundary would make the assignment layout-dependent. The
@@ -28,6 +42,8 @@ from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+_PID = "_prs_frozen_pid"
+
 
 def assign_contiguous_ids(
     df: DataFrame,
@@ -40,36 +56,43 @@ def assign_contiguous_ids(
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
-        .localCheckpoint(eager=False)
-        # checkpoint pins ONE materialization: the count pass and the id
-        # pass must see identical partition contents (RangePartitioner
-        # re-samples per job otherwise). Cost = one executor-local write
-        # of the already-shuffled data, not a second shuffle.
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+        # eager: exactly ONE materialization decides both the range
+        # boundaries and the frozen pids (RangePartitioner re-samples
+        # per job otherwise). Cost = one executor-local write of the
+        # already-shuffled data, not a second shuffle.
     )
-    pid = F.spark_partition_id()
     counts = {
         r["p"]: r["c"]
-        for r in part.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("c")).collect()
+        for r in part.groupBy(F.col(_PID).alias("p")).agg(F.count(F.lit(1)).alias("c")).collect()
     }  # bounded: one row per partition
     offsets: dict[int, int] = {}
     acc = 0
     for p in sorted(counts):
         offsets[p] = acc
         acc += counts[p]
-    out_schema = part.withColumn(id_col, F.lit(0).cast("long")).schema
+    out_schema = part.drop(_PID).withColumn(id_col, F.lit(0).cast("long")).schema
     bc = spark.sparkContext.broadcast(offsets)
 
     def add_ids(pdfs: Iterator) -> Iterator:
-        # one partition per call-sequence; TaskContext gives its id
-        from pyspark import TaskContext
-
         import numpy as np
 
-        base = bc.value.get(TaskContext.get().partitionId(), 0)
-        seen = 0
+        base = bc.value
+        seen: dict[int, int] = {}
         for pdf in pdfs:
-            pdf[id_col] = np.arange(base + seen, base + seen + len(pdf), dtype="int64")
-            seen += len(pdf)
-            yield pdf
+            # rows carry their frozen pid; group on it (constant within
+            # a batch in the normal case, mixed only if partitions were
+            # coalesced — handled either way, order preserved)
+            out = pdf.drop(columns=[_PID])
+            ids = np.empty(len(pdf), dtype="int64")
+            for pid, grp in pdf.groupby(_PID, sort=False):
+                s = seen.get(pid, 0)
+                ids[grp.index.to_numpy()] = np.arange(
+                    base[pid] + s, base[pid] + s + len(grp), dtype="int64"
+                )
+                seen[pid] = s + len(grp)
+            out[id_col] = ids
+            yield out
 
     return part.mapInPandas(add_ids, schema=out_schema)

@@ -152,3 +152,49 @@ def funnel_counts(
         wide.select(F.explode(F.array(*pairs)).alias("r"))
         .select("r.step", "r.step_name", "r.n_completed")
     )
+
+
+def decayed_agg(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    half_life: str = "7 days",
+) -> DataFrame:
+    """Exponentially-decayed per-key aggregate (recency-weighted score).
+
+    Recommendation/abuse/feature pipelines want "activity, weighted
+    toward now": weight(t) = 0.5 ** (age / half_life), measured from
+    the newest event in the relation. Two stages, both scale-safe:
+
+    1. reference time = ``max(ts)`` — a 2-phase global aggregate
+       producing ONE row, broadcast-joined back (no window, no
+       collect);
+    2. one hash shuffle on ``key``: sum(value·w), sum(w), count, and
+       the age of each key's newest event.
+
+    Decay math is done in double seconds JVM-side; a half-life is the
+    natural parameterization (λ = ln2 / half_life) because "7-day
+    half-life" is reviewable and unit-safe.
+    """
+    unit, amount = _parse_duration_s(half_life)
+    ref = events.agg(F.max(ts).alias("_ref_ts"))
+    age_s = (F.unix_micros(F.col("_ref_ts")) - F.unix_micros(F.col(ts))) / F.lit(1e6)
+    w = F.pow(F.lit(0.5), age_s / F.lit(unit * amount))
+    return (
+        events.join(F.broadcast(ref))
+        .groupBy(key)
+        .agg(
+            F.sum(F.col(value) * w).alias("decayed_sum"),
+            F.sum(w).alias("decayed_weight"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(age_s).alias("newest_age_s"),
+        )
+    )
+
+
+def _parse_duration_s(spec: str) -> tuple[float, float]:
+    """'7 days' → (86400.0, 7.0); supports seconds/minutes/hours/days."""
+    amount_s, unit_s = spec.split()
+    units = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}
+    return units[unit_s.rstrip("s")], float(amount_s)

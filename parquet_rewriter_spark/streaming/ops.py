@@ -477,3 +477,46 @@ def stream_maintain_aggregate(
     )
     q.awaitTermination(timeout_s)
     return matview
+
+
+def stream_quality_route(
+    stream: DataFrame,
+    rules: dict[str, str],
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+):
+    """Data-contract enforcement on ingest: route each micro-batch into
+    a CLEAN sink and a QUARANTINE sink (rows tagged with every failed
+    rule) via ``operators/quality.enforce_constraints`` — the streaming
+    twin of the batch (clean, violations) split, so bad rows never
+    reach downstream consumers but are never dropped either.
+
+    Shape: ``foreachBatch`` with one persist per batch (two sinks read
+    the same split — persisting avoids re-scanning the source twice),
+    plain parquet appends. Restart semantics are at-least-once into the
+    sinks (appends are not transactional); route into SortedTables via
+    ``stream_merge_into_table`` when exactly-once matters. Stateless —
+    no watermark, no state store; scales with batch size only.
+    """
+    from parquet_rewriter_spark.operators.quality import enforce_constraints
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            clean, viol = enforce_constraints(batch_df, rules)
+            clean.write.mode("append").parquet(clean_dir)
+            viol.write.mode("append").parquet(quarantine_dir)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"quality router did not finish within {timeout_s}s")
