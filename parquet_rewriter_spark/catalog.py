@@ -4541,6 +4541,125 @@ def stream_quality_route_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.unionByName(per_rule)
 
 
+@query(
+    "lineitem_correlations",
+    """
+    SELECT col_a, col_b, round(r, 4) AS corr_r, n
+    FROM (
+      SELECT count(*) AS n,
+             corr(l_quantity, l_extendedprice) AS r_qty_price,
+             corr(l_quantity, l_discount)      AS r_qty_disc,
+             corr(l_quantity, l_tax)           AS r_qty_tax,
+             corr(l_extendedprice, l_discount) AS r_price_disc,
+             corr(l_extendedprice, l_tax)      AS r_price_tax,
+             corr(l_discount, l_tax)           AS r_disc_tax
+      FROM lineitem
+    ) s, LATERAL (VALUES
+      ('l_quantity', 'l_extendedprice', s.r_qty_price),
+      ('l_quantity', 'l_discount',      s.r_qty_disc),
+      ('l_quantity', 'l_tax',           s.r_qty_tax),
+      ('l_extendedprice', 'l_discount', s.r_price_disc),
+      ('l_extendedprice', 'l_tax',      s.r_price_tax),
+      ('l_discount', 'l_tax',           s.r_disc_tax)
+    ) v(col_a, col_b, r)
+    """,
+    "profiling", "statistics",
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's numeric
+    measures — the feature-drift / profiling companion to
+    `lineitem_numeric_profile`. ALL 6 pairs come out of ONE partial+final
+    hash aggregation (each `corr` is a streaming co-moment aggregate),
+    stack-unpivoted into tidy (col_a, col_b, r) rows: the pair count
+    never changes the scan count, same discipline as operators/profile.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.corr(a, b).alias(f"r_{i}") for i, (a, b) in enumerate(pairs)],
+    )
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.round(F.col(f"r_{i}"), 4).alias("corr_r"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("p"), "n")
+        .select("p.col_a", "p.col_b", "p.corr_r", "n")
+    )
+
+
+_SCD2_HISTORY_CTE = """
+    ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    starts AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM ordered
+      WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status, valid_from,
+             lead(valid_from) OVER w2 AS valid_to
+      FROM starts
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
+    )
+"""
+
+
+@query(
+    "scd2_pointintime_status",
+    f"""
+    WITH {_SCD2_HISTORY_CTE},
+    snaps AS (
+      SELECT unnest([TIMESTAMP '1996-01-01', TIMESTAMP '1997-01-01',
+                     TIMESTAMP '1998-01-01', TIMESTAMP '1999-01-01',
+                     TIMESTAMP '2000-01-01', TIMESTAMP '2001-01-01']) AS snap_ts
+    )
+    SELECT s.snap_ts, h.status, count(*) AS n_customers
+    FROM hist h JOIN snaps s
+      ON h.valid_from <= s.snap_ts
+     AND (h.valid_to > s.snap_ts OR h.valid_to IS NULL)
+    GROUP BY s.snap_ts, h.status
+    """,
+    "scd2", "temporal-join", "pit",
+)
+def scd2_pointintime_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: the SCD2 customer-status history
+    probed at yearly snapshot dates — "how many customers were in each
+    status as of Jan 1" — the PIT-correctness shape every feature store
+    needs. The snapshot dim is a 6-row broadcast against the
+    interval-validity predicate (each history row joins ≤ |snapshots|
+    rows, never a blowup), then ONE hash aggregation on
+    (snapshot, status). History build = one custkey shuffle as in
+    scd2_customer_status_history."""
+    hist = scd2_customer_status_history(spark, sf_dir)
+    snaps = spark.createDataFrame(
+        [(f"{y}-01-01",) for y in range(1996, 2002)], "d string"
+    ).select(F.to_timestamp("d").alias("snap_ts"))
+    return (
+        hist.join(
+            F.broadcast(snaps),
+            (F.col("valid_from") <= F.col("snap_ts"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("snap_ts"))),
+        )
+        .groupBy("snap_ts", "status")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -4554,6 +4673,8 @@ def stream_quality_route_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # newest (round-3 tail) — need their first verdict
+    "lineitem_correlations",
+    "scd2_pointintime_status",
     "training_shard_summary",
     "doc_lm_scores",
     "user_decayed_value",

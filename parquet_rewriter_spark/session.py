@@ -25,6 +25,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # runtime bloom-filter join pruning: when one join side carries a
+    # selective filter, inject a bloom filter of its join keys into the
+    # OTHER side's scan — rows that can't match die before the shuffle.
+    # Inert on local fixtures (creation-side threshold keeps it off for
+    # tiny inputs); at 100 TB it's the semi-join-reduction analog of the
+    # reference's dirty-file pruning. Injection behavior is pinned in
+    # tests/test_plans.py with lowered thresholds.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",

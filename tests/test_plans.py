@@ -291,3 +291,42 @@ def test_unpivot_is_expand_no_shuffle_after_agg(spark, sf_dir):
     assert "Expand" in p
     # only the aggregate's exchange: the melt adds none
     assert p.count("Exchange") <= 2
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """The session enables runtime bloom-filter join pruning
+    (session.py). With the size thresholds lowered to local scale,
+    a selective filter on one shuffle-join side must inject a bloom
+    filter of its join keys into the other side's scan — the rows that
+    cannot match die before the shuffle. (At the default thresholds the
+    rule only fires on 10 GB+ application sides, i.e. real clusters.)"""
+    from parquet_rewriter_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan_of(j)
+        assert "bloomfilter" in p.lower() or "bloom_filter" in p.lower(), p
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
