@@ -108,6 +108,8 @@ HEADLINE = [
     "stream_quality_route_summary",
     "lineitem_correlations",
     "scd2_pointintime_status",
+    "partition_pruned_scan",
+    "python_ds_key_range_scan",
 ]
 
 

@@ -4660,6 +4660,84 @@ def scd2_pointintime_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "partition_pruned_scan",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    "storage", "partitioning", "pruning",
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition layout + partition pruning: orders written
+    `o_orderstatus=X/` partitioned (sources/sinks.py), then a
+    status-filtered aggregate. The filter resolves against DIRECTORY
+    NAMES during planning — non-matching partitions are never listed,
+    let alone read (`PartitionFilters` in the scan node, pinned in
+    tests/test_plans.py). The directory-partition twin of the
+    manifest's zone-map file pruning: both turn a predicate into
+    "don't even open it"."""
+    from parquet_rewriter_spark.sources.sinks import write_partitioned
+
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("part_prune")
+    write_partitioned(o, path, ["o_orderstatus"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "python_ds_key_range_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+    GROUP BY o_orderstatus
+    """,
+    "sources", "python-datasource", "zone-map",
+)
+def python_ds_key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SortedTable surfaced as a first-class Spark format via the
+    Python DataSource API (sources/pyds.py): a key-range read plans ONE
+    InputPartition per zone-map-overlapping file (non-matching files
+    never become tasks) and each task's pyarrow read skips row groups
+    by footer stats before the exact vectorized residual filter — the
+    reference's seekToKey economics implemented inside the source.
+    Oracle: the same range predicate over the raw relation (the layout
+    + source are lossless)."""
+    from parquet_rewriter_spark.sources.pyds import register
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = SortedTable.create(
+        spark, _scratch("pyds"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 8),
+    )
+    register(spark)
+    df = (
+        spark.read.format("sorted_table")
+        .option("path", t.path)
+        .option("key_lo", "1000")
+        .option("key_hi", "2999")
+        .load()
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -4673,6 +4751,8 @@ def scd2_pointintime_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # newest (round-3 tail) — need their first verdict
+    "python_ds_key_range_scan",
+    "partition_pruned_scan",
     "lineitem_correlations",
     "scd2_pointintime_status",
     "training_shard_summary",

@@ -330,3 +330,19 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """The hive-partitioned scan must carry the status predicate as a
+    PartitionFilter (resolved against directory names at planning time)
+    and read only the matching partition's files."""
+    df = get("partition_pruned_scan").fn(spark, sf_dir)
+    p = plan_of(df)
+    pf = p.split("PartitionFilters", 1)
+    assert len(pf) == 2, p
+    # the equality literal must be IN the partition filter (planning-time
+    # directory pruning), not just a post-scan Filter node
+    assert "o_orderstatus" in pf[1][:200] and "F" in pf[1][:200], p
+    # and the data filter must NOT re-appear as a pushed data predicate —
+    # partition columns aren't stored in the data files at all
+    assert "EqualTo(o_orderstatus" not in p.split("PushedFilters", 1)[-1][:200], p
