@@ -110,6 +110,7 @@ HEADLINE = [
     "scd2_pointintime_status",
     "partition_pruned_scan",
     "python_ds_key_range_scan",
+    "stream_purchase_click_leftjoin",
 ]
 
 

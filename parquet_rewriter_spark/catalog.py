@@ -4541,6 +4541,41 @@ def stream_quality_route_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.unionByName(per_rule)
 
 
+@query("stream_purchase_click_leftjoin", None, "streaming", "join", "outer")
+def stream_purchase_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with its
+    click within the 30-min window when one exists — unmatched
+    purchases null-emit only after the watermark proves no match can
+    still arrive (bounded state, no double counting). Rows-only: the
+    null-emission set depends on the final watermark position, which
+    SQL cannot replay; the emission semantics are pinned in
+    tests/test_streaming.py against the batch left join."""
+    from parquet_rewriter_spark.streaming import (
+        run_to_memory,
+        stream_events,
+        stream_stream_interval_join,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, key="user_id", how="left_outer"
+    )
+    return run_to_memory(
+        joined.select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_id_r").alias("click_id"),
+            F.col("event_id_r").isNotNull().alias("matched"),
+        )
+    )
+
+
 @query(
     "lineitem_correlations",
     """
@@ -4752,6 +4787,7 @@ def python_ds_key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = (
     # newest (round-3 tail) — need their first verdict
     "python_ds_key_range_scan",
+    "stream_purchase_click_leftjoin",
     "partition_pruned_scan",
     "lineitem_correlations",
     "scd2_pointintime_status",

@@ -211,13 +211,23 @@ def stream_stream_interval_join(
     max_delay: str = "30 minutes",
     watermark: str = "1 hour",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right rows within ``max_delay`` BEFORE
-    each left row, per key.
+    """Stream-stream join: right rows within ``max_delay`` BEFORE each
+    left row, per key. ``how`` may be ``inner`` or ``left_outer``.
 
     Both sides carry watermarks and the join condition bounds the event
     times against each other — the two things Spark needs to know when
     buffered state on either side can be dropped (unbounded otherwise).
+
+    ``left_outer`` adds attribution semantics ("every purchase, with
+    its click if one came"): a left row that found no match is emitted
+    null-extended only once the watermark proves no future right row
+    can still match it — i.e., null rows arrive LATE by up to the
+    watermark delay, and rows younger than the final watermark stay
+    buffered (emitted on the run's trailing no-data batch, or never,
+    for a truncated drain). Exactly the semantics a feature pipeline
+    needs to not double-count; pinned in tests/test_streaming.py.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = (
@@ -233,7 +243,9 @@ def stream_stream_interval_join(
             >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return l.join(r, cond, "inner")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
+    return l.join(r, cond, how)
 
 
 def sessionize_with_state(

@@ -336,3 +336,88 @@ def test_stream_heavy_hitters_matches_exact_across_batches(spark, tmp_path, sf_d
         .collect()
     }
     assert got == exact  # capacity exceeded distinct count → summary is exact
+
+
+def test_stream_left_outer_join_emission_semantics(spark, sf_dir):
+    """LEFT OUTER stream-stream join, drained with AvailableNow:
+
+    1. every emitted matched row is a true batch-join match (no
+       spurious matches, no duplicates);
+    2. every emitted null row is a purchase with NO click in its
+       window (nulls are never wrong);
+    3. completeness without boundary fragility: null emission must be
+       DOWNWARD-CLOSED in event time — every unmatched purchase at
+       least as old as the youngest null actually emitted is emitted
+       too (no holes), and the emitted set covers the vast majority of
+       unmatched purchases (only rows near the stream's end may stay
+       buffered; the exact cutoff is Spark's state-eviction cadence,
+       not a contract to pin).
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.streaming.ops import (
+        run_to_memory,
+        stream_events,
+        stream_stream_interval_join,
+    )
+
+    ev_stream = stream_events(spark, sf_dir)
+    purchases = ev_stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev_stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = run_to_memory(
+        stream_stream_interval_join(
+            purchases, clicks, key="user_id", how="left_outer"
+        ).select(
+            F.col("event_id").alias("pid"),
+            F.col("ts").alias("pts"),
+            F.col("event_id_r").alias("cid"),
+        )
+    ).collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "user_id"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("ts").alias("cts"), "user_id"
+    )
+    batch_pairs = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (p.user_id == c.user_id)
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    matched = {(r["pid"], r["cid"]) for r in out if r["cid"] is not None}
+    assert matched == batch_pairs  # (1): inner part exact, no dups
+
+    batch_matched_pids = {pid for pid, _ in batch_pairs}
+    null_pids = [r["pid"] for r in out if r["cid"] is None]
+    assert len(null_pids) == len(set(null_pids))  # each null emitted once
+    assert not (set(null_pids) & batch_matched_pids)  # (2)
+
+    null_set = set(null_pids)
+    unmatched = {
+        r["pid"]: r["pts"]
+        for r in p.collect()
+        if r["pid"] not in batch_matched_pids
+    }
+    assert null_set, "no outer rows emitted at all"
+    youngest_emitted = max(
+        r["pts"] for r in out if r["cid"] is None
+    )
+    holes = {
+        pid for pid, pts in unmatched.items()
+        if pts < youngest_emitted and pid not in null_set
+    }
+    assert not holes  # (3a): downward-closed, no skipped expirations
+    assert len(null_set) >= 0.9 * len(unmatched), (
+        len(null_set), len(unmatched)
+    )  # (3b): only the stream's tail may stay buffered
