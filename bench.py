@@ -111,6 +111,8 @@ HEADLINE = [
     "partition_pruned_scan",
     "python_ds_key_range_scan",
     "stream_purchase_click_leftjoin",
+    "vacuum_then_scan",
+    "timestamp_asof_scan",
 ]
 
 
