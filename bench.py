@@ -113,6 +113,7 @@ HEADLINE = [
     "stream_purchase_click_leftjoin",
     "vacuum_then_scan",
     "timestamp_asof_scan",
+    "nb_lang_confusion",
 ]
 
 

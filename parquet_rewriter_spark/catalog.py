@@ -4878,6 +4878,63 @@ def timestamp_asof_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "nb_lang_confusion",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (SELECT w, lang, count(*) AS c FROM tok GROUP BY w, lang),
+    n_lang AS (SELECT lang, sum(c) AS n_l FROM counts GROUP BY lang),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    v AS (SELECT count(*) AS v FROM vocab),
+    grid AS (SELECT vocab.w, n_lang.lang, n_lang.n_l FROM vocab CROSS JOIN n_lang),
+    lik AS (
+      SELECT g.w, g.lang,
+             ln((coalesce(c.c, 0) + 1.0) / (g.n_l + v.v)) AS log_pwl
+      FROM grid g LEFT JOIN counts c ON g.w = c.w AND g.lang = c.lang CROSS JOIN v
+    ),
+    priors AS (
+      SELECT lang,
+             ln(count(*)::DOUBLE / (SELECT count(*) FROM documents)) AS log_prior
+      FROM documents GROUP BY lang
+    ),
+    tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    ll AS (
+      SELECT t.doc_id, l.lang, sum(l.log_pwl) AS ll
+      FROM tok2 t JOIN lik l USING (w) GROUP BY t.doc_id, l.lang
+    ),
+    scored AS (
+      SELECT ll.doc_id, ll.lang, round(ll.ll + p.log_prior, 6) AS score
+      FROM ll JOIN priors p USING (lang)
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, lang) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT d.lang, p.pred, count(*) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.pred
+    """,
+    "llm", "classifier", "naive-bayes",
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes language classifier trained AND applied relationally
+    (functions/classify.py): add-one-smoothed token likelihoods from
+    one aggregation, token-keyed shuffle-join inference, per-doc argmax
+    on rounded scores. The confusion matrix vs the fixture labels is
+    the output; the oracle replays training and inference in SQL —
+    "model training as a query", no ML library, no Python in the plan."""
+    from parquet_rewriter_spark.functions.classify import confusion_matrix
+
+    return confusion_matrix(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -4895,6 +4952,7 @@ _VERIFY_FIRST = (
     "stream_purchase_click_leftjoin",
     "vacuum_then_scan",
     "timestamp_asof_scan",
+    "nb_lang_confusion",
     "partition_pruned_scan",
     "lineitem_correlations",
     "scd2_pointintime_status",

@@ -276,3 +276,31 @@ def test_contiguous_ids_survive_plan_embedding(spark, sf_dir):
     # second-child position is the one that breaks stage partition ids
     assert want.exceptAll(got).count() == 0
     assert got.exceptAll(want).count() == 0
+
+
+# ------------------------------------------------------------- naive bayes
+
+
+def test_nb_classifier_separates_synthetic_languages(spark):
+    from parquet_rewriter_spark.functions.classify import (
+        confusion_matrix,
+        predict_nb,
+        train_nb,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "der hund läuft schnell durch den wald " * 3, "de"))
+        rows.append((100 + i, "the dog runs quickly through the woods " * 3, "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cm = {(r["lang"], r["pred"]): r["n_docs"] for r in
+          confusion_matrix(docs, "doc_id", "text", "lang").collect()}
+    assert cm == {("de", "de"): 20, ("en", "en"): 20}  # perfectly separable
+
+    # a fresh doc in one language scores to that language
+    lik, priors = train_nb(docs, "text", "lang")
+    probe = spark.createDataFrame(
+        [(999, "der wald und der hund")], "doc_id long, text string"
+    )
+    p = predict_nb(probe, lik, priors, "doc_id", "text", "lang").first()
+    assert p["pred"] == "de"
