@@ -4935,6 +4935,109 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gopher_quality_flags",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
+    per AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    doc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(c * length(t)) AS BIGINT) AS char_sum,
+             max(c) AS top_cnt,
+             CAST(sum(CASE WHEN t IN ({_SW}) THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(char_sum::DOUBLE / n_tokens, 4) AS mean_tok_len,
+           round(top_cnt::DOUBLE / n_tokens, 4) AS top_tok_ratio,
+           stop_hits,
+           n_tokens BETWEEN 10 AND 100000 AS len_ok,
+           char_sum::DOUBLE / n_tokens BETWEEN 2.0 AND 10.0 AS wlen_ok,
+           top_cnt::DOUBLE / n_tokens <= 0.25 AS rep_ok,
+           stop_hits >= 1 AS stop_ok,
+           (n_tokens BETWEEN 10 AND 100000)
+             AND (char_sum::DOUBLE / n_tokens BETWEEN 2.0 AND 10.0)
+             AND (top_cnt::DOUBLE / n_tokens <= 0.25)
+             AND (stop_hits >= 1) AS keep
+    FROM doc
+    """,
+    "llm", "quality", "filter", "gopher",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule filter (functions/filters.py): token
+    count band, mean-token-length band, top-token repetition cap, and
+    stopword presence — every metric from ONE explode + two map-side-
+    combining hash aggs (the repetition ratio needs per-token counts, so
+    the others ride the same shuffle for free). Flags + keep verdict per
+    doc; the oracle replays the full rule algebra over unnest."""
+    from parquet_rewriter_spark.functions.filters import gopher_doc_metrics
+
+    return gopher_doc_metrics(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "badword_filter_summary",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN len(list_intersect({_TOK},
+                ['crash','panic','corrupt'])) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           round(sum(CASE WHEN len(list_intersect({_TOK},
+                ['crash','panic','corrupt'])) > 0 THEN 1 ELSE 0 END)::DOUBLE
+                / count(*), 4) AS flagged_frac
+    FROM documents
+    GROUP BY lang
+    """,
+    "llm", "quality", "filter", "c4",
+)
+def badword_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter: ``arrays_overlap`` against an inline
+    blocklist — pure codegen projection, zero shuffles before the
+    summary agg (functions/filters.py:badword_flag). Per-lang flagged
+    counts; the keep/drop split itself is a filter on the same column."""
+    from parquet_rewriter_spark.functions.filters import badword_flag
+
+    d = _t(spark, sf_dir, "documents")
+    flag = badword_flag("text").cast("int")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flag).cast("long").alias("n_flagged"),
+        F.round(F.sum(flag) / F.count(F.lit(1)), 4).alias("flagged_frac"),
+    )
+
+
+@query(
+    "corpus_training_order",
+    f"""
+    SELECT * FROM (
+      SELECT row_number() OVER (ORDER BY {{u}}, doc_id) AS train_rank,
+             doc_id, source
+      FROM documents
+    ) WHERE train_rank <= 50
+    """.format(u="((doc_id % 2147483648) * 2654435761 + 7919) % 4294967296 / 4294967296.0"),
+    "llm", "shuffle", "training-order",
+)
+def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    portable-hash sort key (operators/sampling.py:portable_unit — no
+    RNG, rerun-stable on any partitioning), and the epoch order is the
+    sort by it. At scale the full order is materialized by
+    ``repartitionByRange(hash)`` + local sort (no single-partition
+    global sort); here the query surfaces the first 50 docs of epoch
+    order via TakeOrderedAndProject (per-partition heaps, no shuffle of
+    the full table)."""
+    from parquet_rewriter_spark.operators.sampling import portable_unit
+
+    d = _t(spark, sf_dir, "documents")
+    u = portable_unit("doc_id", salt=7919)
+    top = d.select(u.alias("u"), "doc_id", "source").orderBy("u", "doc_id").limit(50)
+    # rank the surviving 50 rows (tiny — single partition by construction)
+    w = Window.orderBy("u", "doc_id")
+    return top.select(F.row_number().over(w).alias("train_rank"), "doc_id", "source")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
