@@ -5038,6 +5038,35 @@ def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(F.row_number().over(w).alias("train_rank"), "doc_id", "source")
 
 
+@query(
+    "stream_user_totals",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    "streaming", "stateful", "transformWithState",
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful running totals per user via Spark 4's
+    ``transformWithStateInPandas`` (typed ValueState handles; falls
+    back to ``applyInPandasWithState`` with identical semantics when
+    the TWS protobuf runtime is absent — streaming/ops.py:
+    user_totals_tws). The fixture is one file → one micro-batch → one
+    update-mode emission per user, so the final table equals the batch
+    GROUP BY and the oracle is exact; multi-batch state carry is pinned
+    in test_streaming.py."""
+    from parquet_rewriter_spark.streaming.ops import (
+        run_to_memory,
+        stream_events,
+        user_totals_tws,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(user_totals_tws(ev), output_mode="update")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5050,7 +5079,11 @@ def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # newest (round-3 tail) — need their first verdict
+    # newest (round 3) — need their first verdict
+    "gopher_quality_flags",
+    "badword_filter_summary",
+    "corpus_training_order",
+    "stream_user_totals",
     "python_ds_key_range_scan",
     "stream_purchase_click_leftjoin",
     "vacuum_then_scan",

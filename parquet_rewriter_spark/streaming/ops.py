@@ -532,3 +532,102 @@ def stream_quality_route(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"quality router did not finish within {timeout_s}s")
+
+
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` needs protobuf on the Python side
+    (its state-server protocol is proto-encoded); absent in this
+    container, present on real clusters — detect, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_totals_tws(
+    events: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    ts: str = "ts",
+    force_fallback: bool = False,
+) -> DataFrame:
+    """Per-key running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful API (successor to
+    ``applyInPandasWithState``: typed state handles, RocksDB-ready
+    state store) — with an ``applyInPandasWithState`` fallback of
+    identical semantics when the TWS Python runtime (protobuf) is
+    unavailable, so the operator contract is testable everywhere.
+
+    Each micro-batch folds its rows into per-key state (n_events,
+    total_value) and emits ONE row per touched key with the running
+    totals (update semantics: latest emission per key is current).
+
+    Scale: state is O(distinct keys) × 16 bytes; emissions are
+    O(touched keys per batch), not O(rows). The shuffle is the groupBy
+    hash exchange any stateful op pays; size state partitions via
+    ``run_to_memory(state_partitions=...)``.
+    """
+    out_schema = f"{key} long, n_events long, total_value double"
+    wm = events.withWatermark(ts, watermark)
+
+    if _tws_available() and not force_fallback:
+        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._totals = handle.getValueState("totals", "n long, total double")
+
+            def handleInputRows(self, key_tuple, rows, timerValues):
+                import pandas as pd
+
+                n, total = 0, 0.0
+                prev = self._totals.get()
+                if prev is not None:
+                    n, total = int(prev[0]), float(prev[1])
+                for pdf in rows:
+                    n += len(pdf)
+                    total += float(pdf[value_col].sum())
+                self._totals.update((n, total))
+                yield pd.DataFrame(
+                    {key: [key_tuple[0]], "n_events": [n], "total_value": [round(total, 2)]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return wm.groupBy(key).transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+
+    # Fallback: same contract on the older arbitrary-state API.
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        seen = False
+        for pdf in pdfs:
+            seen = True
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        if not seen:
+            return
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return wm.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

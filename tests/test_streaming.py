@@ -421,3 +421,44 @@ def test_stream_left_outer_join_emission_semantics(spark, sf_dir):
     assert len(null_set) >= 0.9 * len(unmatched), (
         len(null_set), len(unmatched)
     )  # (3b): only the stream's tail may stay buffered
+
+
+def test_user_totals_tws_state_carries_across_batches(spark, tmp_path, sf_dir):
+    """user_totals_tws (transformWithStateInPandas, or its semantics-
+    identical fallback): 3 files → 3 triggers; the LAST emission per
+    user equals the batch GROUP BY totals, and at least one user is
+    touched in multiple batches (proving state accumulation, not
+    per-batch recompute)."""
+    from pyspark.sql import Window
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, user_totals_tws
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "tws_src")
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    emissions = run_to_memory(user_totals_tws(stream), output_mode="update").cache()
+    # >1 emission for some user == state carried across triggers
+    multi = (
+        emissions.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi > 0
+    # last (= max n_events: totals only grow) emission per user == batch agg
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    last = (
+        emissions.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    assert _rows(last, ["user_id", "n_events", "total_value"]) == _rows(
+        batch, ["user_id", "n_events", "total_value"]
+    )
+    emissions.unpersist()
