@@ -154,27 +154,29 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    # Plan warmup: run every headline query once against the smallest
-    # fixture first. Each distinct plan shape pays Janino codegen + JVM
-    # JIT on first execution (~5-8 s for the wide minhash/stream plans);
-    # steady-state 100 TB throughput — what the timed loop estimates —
-    # never includes that one-time cost. sf0.001 inputs keep the warmup
-    # pass cheap while compiling the same generated code paths.
+    # Plan warmup, INTERLEAVED with the timed run: warm each query at
+    # the smallest fixture immediately before timing it at sf_dir. Each
+    # distinct plan shape pays Janino codegen + JVM JIT on first
+    # execution (~5-8 s for the wide minhash/stream plans); steady-state
+    # 100 TB throughput — what the timed loop estimates — never includes
+    # that one-time cost. Interleaving matters: Spark's codegen class
+    # cache holds ~100 entries, so a warm-everything-then-time-everything
+    # loop over 90+ queries evicts each query's compiled classes before
+    # its timed run (observed: minhash 14.8 s batched vs 3.7 s
+    # interleaved — the "timed" number was mostly recompilation).
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
-        if name in catalog.REGISTRY:
-            try:
-                catalog.REGISTRY[name].fn(spark, warm_dir).count()
-            except Exception:  # noqa: BLE001 - warmup must never fail the bench
-                pass
-            _reset_session_litter(spark)
 
     timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in catalog.REGISTRY]
     for name in names:
         fn = catalog.REGISTRY[name].fn
+        try:
+            fn(spark, warm_dir).count()
+        except Exception:  # noqa: BLE001 - warmup must never fail the bench
+            pass
+        _reset_session_litter(spark)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()

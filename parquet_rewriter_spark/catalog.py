@@ -5067,6 +5067,184 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(user_totals_tws(ev), output_mode="update")
 
 
+@query(
+    "nation_revenue_trend",
+    """
+    WITH monthly AS (
+      SELECT n_name,
+             date_trunc('month', o_orderdate) AS m,
+             sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, date_trunc('month', o_orderdate)
+    ),
+    xy AS (
+      SELECT n_name,
+             CAST(row_number() OVER (PARTITION BY n_name ORDER BY m) AS DOUBLE) AS x,
+             CAST(rev AS DOUBLE) AS y
+      FROM monthly
+    ),
+    fit AS (
+      SELECT n_name, count(*) AS n_months,
+             (count(*) * sum(x*y) - sum(x) * sum(y))
+               / (count(*) * sum(x*x) - sum(x) * sum(x)) AS slope,
+             sum(x) AS sx, sum(y) AS sy, CAST(count(*) AS DOUBLE) AS cnt
+      FROM xy GROUP BY n_name
+    )
+    SELECT n_name, n_months,
+           round(slope, 4) AS slope,
+           round((sy - slope * sx) / cnt, 4) AS intercept,
+           round((sy + slope * (cnt * (cnt + 1) - sx)) / cnt, 4)
+             AS next_month_forecast
+    FROM fit
+    """,
+    "timeseries", "regression", "forecast",
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend as relational algebra: monthly revenue per
+    nation → closed-form least squares (slope/intercept from the five
+    classic sums) + next-month forecast — ONE window for the month
+    index and ONE hash agg per nation; no ML library, no Python, no
+    per-group fitting loop. The month index rides row_number over the
+    per-nation month order (both engines agree: months are distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("m")
+    xy = monthly.select(
+        "n_name",
+        F.row_number().over(w).cast("double").alias("x"),
+        F.col("rev").cast("double").alias("y"),
+    )
+    cnt, sx, sy, sxy, sxx = (
+        F.count(F.lit(1)).cast("double"),
+        F.sum("x"),
+        F.sum("y"),
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("x") * F.col("x")),
+    )
+    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    intercept = (sy - slope * sx) / cnt
+    forecast = (sy + slope * (cnt * (cnt + 1) - sx)) / cnt
+    return xy.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(forecast, 4).alias("next_month_forecast"),
+    )
+
+
+@query(
+    "order_value_histogram",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           round(bucket * 50000.0, 1) AS lo,
+           round((bucket + 1) * 50000.0, 1) AS hi,
+           count(*) AS n_orders
+    FROM b GROUP BY bucket
+    """,
+    "histogram", "profile",
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram as one map-side-combining hash agg: bucket
+    id from integer arithmetic on the scanned column (codegen, no UDF,
+    no sort), top bucket clamps the tail. 10 buckets of width 50k; the
+    shuffle moves ≤10 rows per partition regardless of table size."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9))
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 50000.0, 1).alias("lo"),
+            F.round((F.col("bucket") + 1) * 50000.0, 1).alias("hi"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "part_entity_resolution",
+    """
+    WITH RECURSIVE names AS (
+      SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.id AS ia, b.id AS ib FROM names a JOIN names b
+      ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+      WHERE levenshtein(a.s, b.s) <= 1
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+    reach(id, r) AS (
+      SELECT id, id FROM names
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    name_ent AS (SELECT n.s, c.component FROM names n JOIN comp c USING (id))
+    SELECT cn.s AS entity_name,
+           count(DISTINCT ne.s) AS n_variants,
+           count(*) AS n_parts,
+           round(sum(p.p_retailprice), 2) AS total_retail
+    FROM part p
+    JOIN name_ent ne ON p.p_name = ne.s
+    JOIN names cn ON cn.id = ne.component
+    GROUP BY cn.s
+    """,
+    "entity-resolution", "fuzzy", "cluster", "composition",
+)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution as a composition of three existing
+    operators: blocked fuzzy self-join (operators/fuzzy.py — q-gram
+    count-filter, never n²) finds name variants at edit distance ≤1,
+    connected components (operators/cluster.py — min-label propagation)
+    merges transitive variants into entities, and a canonical name
+    (the minimum-id member's) labels each entity's rollup over the base
+    rows. The oracle replays it with all-pairs levenshtein + a
+    recursive-CTE closure — the distributed plan does the same work
+    with blocking + bounded label propagation."""
+    from parquet_rewriter_spark.operators.cluster import connected_components
+    from parquet_rewriter_spark.operators.fuzzy import fuzzy_self_join
+
+    p = _t(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("id"))
+        .select("id", F.col("p_name").alias("s"))
+        .persist()
+    )
+    pairs = fuzzy_self_join(names, "id", "s", max_dist=1, q=2)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b", nodes=names.select("id")
+    )
+    name_ent = names.join(comp, "id").select("s", "comp")
+    canon = names.select(F.col("id").alias("comp"), F.col("s").alias("entity_name"))
+    out = (
+        p.join(name_ent, p.p_name == name_ent.s)
+        .join(F.broadcast(canon), "comp")
+        .groupBy("entity_name")
+        .agg(
+            F.countDistinct("s").alias("n_variants"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_retail"),
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries

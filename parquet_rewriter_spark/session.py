@@ -41,6 +41,12 @@ ENGINE_CONFS: dict[str, str] = {
     # deprecated; micros match the oracle's / pyarrow's unit)
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Generated-class cache: default 100 entries. A session that runs
+    # many distinct wide plans (the bench: 90+ queries, several codegen
+    # stages each) evicts and RECOMPILES constantly; each entry is just
+    # a classloader reference, so a few thousand is cheap and makes
+    # repeated plan shapes hit compiled code.
+    "spark.sql.codegen.cache.maxEntries": "4096",
 }
 
 
