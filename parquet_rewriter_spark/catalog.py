@@ -5245,6 +5245,32 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("ann_ivf_index_lifecycle", None, "ann", "index", "incremental", "storage")
+def ann_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent IVF ANN index on the mutation core
+    (operators/ann_index.py): create → add a probe-identical vector →
+    delete the previous best hit → query. The composite cell-major key
+    makes probes manifest-pruned key-range scans (the reference's
+    seekToKey), and add/delete rewrite only touched cells' files.
+    Rows-only: centroids are driver-trained (not SQL-replayable);
+    recall/pruning/incrementality are pinned in tests/test_ann_index.py.
+    Result: top-10 (id, cos_sim) — must contain the added id with
+    cos_sim 1.0 and never the deleted id."""
+    from parquet_rewriter_spark.operators.ann_index import IVFVectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    idx = IVFVectorIndex.create(
+        spark, _scratch("ivf_index"), emb, n_cells=8, max_records_per_file=1024
+    )
+    added = spark.createDataFrame(
+        [(10_000_000, qvec, -1)], "vec_id long, embedding array<float>, label int"
+    )
+    idx.add(added)
+    idx.delete([int(idx.topk(qvec, k=1, n_probe=8).first()["id"])])
+    return idx.topk(qvec, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5258,6 +5284,10 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # newest (round 3) — need their first verdict
+    "ann_ivf_index_lifecycle",
+    "nation_revenue_trend",
+    "order_value_histogram",
+    "part_entity_resolution",
     "gopher_quality_flags",
     "badword_filter_summary",
     "corpus_training_order",
