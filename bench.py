@@ -114,6 +114,16 @@ HEADLINE = [
     "vacuum_then_scan",
     "timestamp_asof_scan",
     "nb_lang_confusion",
+    "gopher_quality_flags",
+    "badword_filter_summary",
+    "corpus_training_order",
+    "stream_user_totals",
+    "nation_revenue_trend",
+    "order_value_histogram",
+    "part_entity_resolution",
+    "part_copurchase_pagerank",
+    "ann_ivf_index_lifecycle",
+    "txn_exactly_once_scan",
 ]
 
 

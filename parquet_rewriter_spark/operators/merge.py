@@ -248,6 +248,7 @@ def merge_into_table(
     max_records_per_file: int | None = None,
     allow_splice: bool = True,
     changelog: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """R3+R4+R5+R6+R13: merge a mutation stream into a SortedTable.
 
@@ -280,6 +281,25 @@ def merge_into_table(
 
     spark = table.spark
     m = table.manifest()
+    if txn is not None:
+        # exactly-once idempotence: (app, epoch) at or below the table's
+        # recorded watermark has already been applied — a foreachBatch
+        # replay after a crash must be a no-op, even for non-idempotent
+        # mutation streams (signed deltas). The watermark commits in the
+        # SAME manifest flip as the data, so there is no torn state.
+        app, epoch = txn
+        last = m.txns.get(app)
+        if last is not None and epoch <= last:
+            return {
+                "version": m.version,
+                "files_total": len(m.files),
+                "files_dirty": 0,
+                "files_clean_passthrough": len(m.files),
+                "files_written": 0,
+                "rows_rewritten": 0,
+                "skipped_txn_replay": True,
+                "path": "txn_skip",
+            }
     key = m.key
 
     # ---- additive schema evolution ----
@@ -333,7 +353,7 @@ def merge_into_table(
         and not new_fields
         and not any(e.dv_rows for e in dirty)
     ):
-        res = _try_splice(table, m, dirty, clean, mutations, key, t_plan)
+        res = _try_splice(table, m, dirty, clean, mutations, key, t_plan, txn=txn)
         if res is not None:
             mutations.unpersist()
             if changelog:
@@ -396,6 +416,7 @@ def merge_into_table(
                 bloom_cols=m.bloom_cols,
                 dv_files=retain_dv(table, m, {e.name for e in clean}),
                 operation="merge",
+                txns={**m.txns, txn[0]: txn[1]} if txn else {},
             )
         )
         version = m.version + 1
@@ -423,7 +444,7 @@ def merge_into_table(
     }
 
 
-def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
+def _try_splice(table, m, dirty, clean, mutations, key, t_plan, txn=None) -> dict | None:
     """Row-group fast path; returns metrics dict or None to fall back."""
     import time
 
@@ -457,6 +478,7 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan) -> dict | None:
             bloom_cols=m.bloom_cols,
             dv_files=list(m.dv_files),
             operation="merge (rowgroup-splice)",
+            txns={**m.txns, txn[0]: txn[1]} if txn else {},
         )
     )
     t_commit = time.monotonic() - t0

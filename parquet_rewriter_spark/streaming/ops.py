@@ -431,6 +431,7 @@ def stream_merge_into_table(
     epoch_fn: Callable[[DataFrame, int], DataFrame] | None = None,
     timeout_s: int = 300,
     changelog: bool = False,
+    txn_app: str | None = None,
 ):
     """Streaming upsert: drive the batch mutation core from a stream via
     ``foreachBatch`` — each micro-batch is one mutation set applied with
@@ -446,7 +447,12 @@ def stream_merge_into_table(
         # no isEmpty() pre-check: that is a full extra action per
         # micro-batch; an empty mutation set costs merge_into_table
         # nothing (zero dirty files, zero-row write dropped on adopt)
-        merge_into_table(table, mut, changelog=changelog)
+        merge_into_table(
+            table,
+            mut,
+            changelog=changelog,
+            txn=(txn_app, epoch_id) if txn_app else None,
+        )
 
     q = (
         stream.writeStream.foreachBatch(apply)
@@ -478,8 +484,11 @@ def stream_maintain_aggregate(
         from parquet_rewriter_spark.operators.merge import merge_into_table
 
         mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
-        merge_into_table(matview.base, mut)
-        matview.refresh()
+        res = merge_into_table(
+            matview.base, mut, txn=("matview_stream", epoch_id)
+        )
+        if not res.get("skipped_txn_replay"):
+            matview.refresh()
 
     q = (
         stream.writeStream.foreachBatch(apply)

@@ -135,6 +135,13 @@ class Manifest:
     # what produced this snapshot (create/merge/compact/...) — shown by
     # history(); writers pass it via Manifest(..., operation=...)
     operation: str | None = None
+    # streaming transaction watermarks: app_id → highest epoch applied.
+    # The Delta txn (appId, version) pattern on plain parquet: a merge
+    # tagged (app, epoch) is SKIPPED when epoch ≤ txns[app], which makes
+    # foreachBatch replays after a crash exactly-once even for
+    # NON-idempotent mutation streams (signed matview deltas). Writers
+    # that don't set it inherit the previous snapshot's map at commit.
+    txns: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         files = []
@@ -157,6 +164,7 @@ class Manifest:
                 "dv_files": self.dv_files,
                 "committed_at": self.committed_at,
                 "operation": self.operation,
+                "txns": self.txns,
                 "files": files,
             },
             indent=1,
@@ -185,6 +193,7 @@ class Manifest:
             dv_files=d.get("dv_files") or [],
             committed_at=d.get("committed_at"),
             operation=d.get("operation"),
+            txns=d.get("txns") or {},
         )
 
 
@@ -292,6 +301,14 @@ class SortedTable:
         because every writer must win its version claim first.
         """
         m.committed_at = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        if not m.txns and m.version > 0:
+            # carry the txn watermarks forward through commits that
+            # don't know about them (compact, DDL, WAP, DV deletes…) —
+            # otherwise a compaction would reopen the door to replays
+            try:
+                m.txns = dict(self.manifest(m.version - 1).txns)
+            except Exception:  # noqa: BLE001 - pre-txn manifests / vacuumed history
+                pass
         snap = os.path.join(self.path, f"_manifest.v{m.version}.json")
         tmp = snap + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:

@@ -1,0 +1,96 @@
+"""Manifest transaction watermarks: exactly-once merge replay semantics
+(the Delta txn (appId, version) pattern on the plain-parquet core)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.compact import compact
+from parquet_rewriter_spark.operators.merge import merge_into_table
+from parquet_rewriter_spark.sources.readers import load_table
+from parquet_rewriter_spark.table import SortedTable
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    return SortedTable.create(
+        spark, str(tmp_path / "t"), orders, key="o_orderkey", max_records_per_file=500
+    )
+
+
+def _mut(spark, table, key, custkey):
+    base = table.read()
+    row = base.filter(F.col("o_orderkey") == 0).drop("o_orderkey").first()
+    data = [(key, custkey) + tuple(row)[1:]]
+    return spark.createDataFrame(data, base.schema).withColumn("op", F.lit("UPSERT"))
+
+
+def test_txn_replay_is_skipped(spark, table):
+    mut = _mut(spark, table, -1, 111)
+    r1 = merge_into_table(table, mut, txn=("app", 7))
+    v1 = table.manifest().version
+    assert table.manifest().txns == {"app": 7}
+    # same epoch again — crash-replay: no commit, no data change
+    r2 = merge_into_table(table, _mut(spark, table, -1, 999), txn=("app", 7))
+    assert r2.get("skipped_txn_replay") is True
+    assert table.manifest().version == v1
+    assert table.read().filter("o_orderkey = -1").first()["o_custkey"] == 111
+    # lower epoch also skipped
+    r3 = merge_into_table(table, _mut(spark, table, -1, 999), txn=("app", 3))
+    assert r3.get("skipped_txn_replay") is True
+    # next epoch applies
+    r4 = merge_into_table(table, _mut(spark, table, -1, 222), txn=("app", 8))
+    assert not r4.get("skipped_txn_replay")
+    assert table.read().filter("o_orderkey = -1").first()["o_custkey"] == 222
+    assert table.manifest().txns == {"app": 8}
+
+
+def test_txn_apps_are_independent(spark, table):
+    merge_into_table(table, _mut(spark, table, -1, 1), txn=("app_a", 5))
+    r = merge_into_table(table, _mut(spark, table, -2, 2), txn=("app_b", 1))
+    assert not r.get("skipped_txn_replay")
+    assert table.manifest().txns == {"app_a": 5, "app_b": 1}
+
+
+def test_txn_survives_compaction_and_untagged_merges(spark, table):
+    merge_into_table(table, _mut(spark, table, -1, 1), txn=("app", 7))
+    merge_into_table(table, _mut(spark, table, -3, 3))  # untagged merge
+    compact(table, max_records_per_file=1000)
+    assert table.manifest().txns == {"app": 7}  # carried forward
+    r = merge_into_table(table, _mut(spark, table, -1, 999), txn=("app", 7))
+    assert r.get("skipped_txn_replay") is True
+
+
+def test_txn_on_splice_path(spark, table):
+    """A 1-row merge takes the row-group splice fast path; the txn
+    watermark must commit through it too."""
+    r1 = merge_into_table(table, _mut(spark, table, 10, 123), txn=("s", 1))
+    assert table.manifest().txns == {"s": 1}
+    r2 = merge_into_table(table, _mut(spark, table, 10, 456), txn=("s", 1))
+    assert r2.get("skipped_txn_replay") is True
+    assert table.read().filter("o_orderkey = 10").first()["o_custkey"] == 123
+
+
+def test_stream_merge_exactly_once_with_nonidempotent_epoch_fn(
+    spark, table, tmp_path, sf_dir
+):
+    """Simulated foreachBatch crash-replay: applying the same epoch's
+    NON-idempotent mutation (an increment) twice must mutate once."""
+    base_bal = table.read().filter("o_orderkey = 5").first()["o_custkey"]
+
+    def incremented(epoch):
+        cur = table.read().filter("o_orderkey = 5").first()
+        m = (
+            spark.createDataFrame([tuple(cur)], table.read().schema)
+            .withColumn("o_custkey", F.col("o_custkey") + 100)
+            .withColumn("op", F.lit("UPSERT"))
+        )
+        return merge_into_table(table, m, txn=("inc", epoch))
+
+    incremented(1)
+    incremented(1)  # replay of epoch 1 — must not double-increment
+    assert table.read().filter("o_orderkey = 5").first()["o_custkey"] == base_bal + 100
+    incremented(2)
+    assert table.read().filter("o_orderkey = 5").first()["o_custkey"] == base_bal + 200
