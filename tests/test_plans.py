@@ -346,3 +346,41 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
     # and the data filter must NOT re-appear as a pushed data predicate —
     # partition columns aren't stored in the data files at all
     assert "EqualTo(o_orderstatus" not in p.split("PushedFilters", 1)[-1][:200], p
+
+
+def test_gopher_filter_is_two_hash_aggs_one_wide_exchange(spark, sf_dir):
+    """The rule metrics ride ONE explode + token-level and doc-level
+    hash aggs; only the doc_id exchange is wide (the token-level agg
+    keys contain doc_id, so Catalyst reuses the same partitioning)."""
+    df = get("gopher_quality_flags").fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "Generate" in p and "explode" in p
+    assert count_exchanges(df) <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_badword_filter_has_no_preagg_shuffle(spark, sf_dir):
+    """arrays_overlap is a codegen projection — the only exchange is
+    the per-lang summary aggregation's."""
+    df = get("badword_filter_summary").fn(spark, sf_dir)
+    p = plan_of(df)
+    assert count_exchanges(df) <= 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_training_order_is_take_ordered(spark, sf_dir):
+    """Epoch-order head must be per-partition heaps, not a global sort
+    of the corpus."""
+    p = plan_of(get("corpus_training_order").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pagerank_iterations_have_no_cartesian_or_python(spark, sf_dir):
+    p = plan_of(get("part_copurchase_pagerank").fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_entity_resolution_join_is_blocked_not_cartesian(spark, sf_dir):
+    p = plan_of(get("part_entity_resolution").fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
