@@ -5494,4163 +5494,6 @@ _VERIFY_FIRST = (
     "ann_ivf_topk",
     "multimodal_decode_features",
 )
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode pipeline over binary payloads
-    (deterministic stub decoder — media libs absent; the distributed
-    plumbing is the thing under test). Rows-only."""
-    from parquet_rewriter_spark.sources.multimodal import blob_table, decode_image
-
-    d = _t(spark, sf_dir, "documents")
-    return decode_image(blob_table(d, "doc_id", "text"), fake=True).select(
-        "media_id", "n_bytes", "width", "height"
-    )
-
-
-# ---------------------------------------------------------------- streaming
-# Each entry runs a Structured Streaming query to completion with
-# Trigger.AvailableNow into a memory sink (streaming/ops.run_to_memory),
-# making the stream's output a deterministic function of the fixture —
-# and therefore oracle-able with plain batch SQL.
-
-@query(
-    "stream_tumbling_counts",
-    """
-    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-    "streaming", "window", "watermark",
-)
-def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1h event-time windows over a file-source stream, with a
-    1h watermark bounding state; complete-mode drain matches batch
-    GROUP BY exactly (streaming/ops.py)."""
-    from parquet_rewriter_spark.streaming import run_to_memory, stream_events, tumbling_counts
-
-    ev = stream_events(spark, sf_dir)
-    return run_to_memory(tumbling_counts(ev), output_mode="complete")
-
-
-@query(
-    "stream_sliding_counts",
-    """
-    SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
-             - INTERVAL 5 MINUTE * off AS window_start,
-           count(*) AS n_events
-    FROM events, UNNEST([0, 1]) AS t(off)
-    GROUP BY 1
-    """,
-    "streaming", "window", "sliding",
-)
-def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 10m/5m windows — each event lands in 2 overlapping
-    windows (oracle: explicit 2-slide expansion)."""
-    from parquet_rewriter_spark.streaming import run_to_memory, sliding_counts, stream_events
-
-    ev = stream_events(spark, sf_dir)
-    return run_to_memory(sliding_counts(ev), output_mode="complete")
-
-
-@query(
-    "stream_session_windows",
-    """
-    WITH m AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                       >= INTERVAL 30 MINUTE
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), g AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value ROWS UNBOUNDED PRECEDING) AS sess
-      FROM m
-    )
-    SELECT user_id,
-           min(ts) AS session_start,
-           max(ts) + INTERVAL 30 MINUTE AS session_end,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM g GROUP BY user_id, sess
-    """,
-    "streaming", "session-window",
-)
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows (30m inactivity gap) — Spark's
-    session_window merges state incrementally; the oracle is the classic
-    gaps-and-islands rewrite. Session end = last event + gap."""
-    from parquet_rewriter_spark.streaming import run_to_memory, session_window_stats, stream_events
-
-    ev = stream_events(spark, sf_dir)
-    return run_to_memory(session_window_stats(ev), output_mode="complete")
-
-
-@query(
-    "stream_dedup_events",
-    """
-    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
-    FROM events
-    """,
-    "streaming", "dedup", "watermark",
-)
-def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming dedup: the stream unioned with a copy of every
-    5th event (exact duplicate rows) and collapsed back to the original
-    relation by dropDuplicatesWithinWatermark(event_id)."""
-    from parquet_rewriter_spark.streaming import dedup_within_watermark, run_to_memory, stream_events
-
-    ev = stream_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value")
-    dups = ev.filter(F.col("event_id") % 5 == 0)
-    return run_to_memory(dedup_within_watermark(ev.unionByName(dups), ["event_id"]))
-
-
-@query(
-    "stream_purchase_click_join",
-    """
-    SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS click_id,
-           CAST(l.ts AS TIMESTAMP) AS purchase_ts, CAST(r.ts AS TIMESTAMP) AS click_ts
-    FROM events l JOIN events r
-      ON l.user_id = r.user_id
-     AND l.event_type = 'purchase' AND r.event_type = 'click'
-     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
-     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
-    """,
-    "streaming", "stream-stream-join",
-)
-def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join (purchases ⨝ clicks ≤30m before, per
-    user) — watermarks on both sides bound the buffered state; drained
-    with AvailableNow it equals the batch range join (the oracle)."""
-    from parquet_rewriter_spark.streaming import run_to_memory, stream_events, stream_stream_interval_join
-
-    ev = stream_events(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
-    joined = stream_stream_interval_join(purchases, clicks, key="user_id")
-    return run_to_memory(
-        joined.select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("event_id_r").alias("click_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("ts_r").alias("click_ts"),
-        )
-    )
-
-
-# ---------------------------------------------------------------- set ops / cube
-
-@query(
-    "status_cube",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "aggregation", "cube",
-)
-def status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dims — all 4 grouping-set combinations in one
-    shuffle (Spark expands grouping sets before the exchange)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-    )
-
-
-@query(
-    "active_user_intersection",
-    """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    "setops",
-)
-def active_user_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct semantics) of two filtered scans of the same
-    table — one shuffle on the set key."""
-    ev = _t(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return clickers.intersect(buyers)
-
-
-@query(
-    "browsers_never_err",
-    """
-    SELECT user_id FROM events WHERE event_type = 'view'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
-    """,
-    "setops",
-)
-def browsers_never_err(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — viewers with no error events."""
-    ev = _t(spark, sf_dir, "events")
-    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
-    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
-    return viewers.subtract(erroring)
-
-
-@query(
-    "embedding_array_stats",
-    """
-    SELECT vec_id,
-           CAST(len(embedding) AS INT) AS dim,
-           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS vec_sum,
-           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 4) AS vec_max,
-           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
-    FROM embeddings
-    """,
-    "array-functions",
-)
-def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Higher-order array functions (aggregate/transform) over the
-    embedding column — JVM-side, no Python (functions/vector.py)."""
-    from parquet_rewriter_spark.functions.vector import norm
-
-    e = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    return e.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
-        F.round(F.array_max(v), 4).alias("vec_max"),
-        F.round(norm("embedding"), 4).alias("l2_norm"),
-    )
-
-
-# ---------------------------------------------------------------- aggregation breadth
-
-@query(
-    "customer_order_breadth",
-    """
-    SELECT o_custkey,
-           count(DISTINCT o_orderstatus) AS n_statuses,
-           string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_custkey HAVING count(*) >= 8
-    """,
-    "aggregation", "collect",
-)
-def customer_order_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count_distinct + collect_list (canonicalized to a sorted joined
-    string so the value-hash is engine-portable) + HAVING."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.count_distinct("o_orderstatus").alias("n_statuses"),
-            F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias("statuses"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .filter(F.col("n_orders") >= 8)
-    )
-
-
-@query(
-    "priority_grouping_sets",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-    """,
-    "aggregation", "grouping-sets", "sql",
-)
-def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS through the SQL surface (spark.sql over
-    registered views) — one shuffle, expand-before-exchange."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                                (o_orderstatus, o_orderpriority))
-        """
-    )
-
-
-@query(
-    "weighted_avg_discount",
-    """
-    SELECT l_returnflag,
-           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    "aggregation", "pandas-udf", "udaf",
-)
-def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-agg Pandas UDF (Arrow-batched UDAF): quantity-weighted
-    average discount. The Python path is the demo; the identical
-    built-in expression is the production form (functions beat UDFs)."""
-    from parquet_rewriter_spark.functions.udafs import weighted_mean
-
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(weighted_mean("l_discount", "l_quantity"), 6).alias("wavg_discount")
-    )
-
-
-@query(
-    "rolling_30d_revenue",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS rev_30d
-    FROM orders
-    """,
-    "window", "range-frame",
-)
-def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame window (time-based, not row-count): per-customer
-    trailing-30-day revenue — rangeBetween over epoch seconds."""
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-30 * 86400, 0)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_30d"),
-    )
-
-
-@query(
-    "knn_join_sample",
-    """
-    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20),
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT * FROM (
-      SELECT q.vec_id AS qid, e.vec_id AS nid,
-             round(list_dot_product(q.v, e.v)
-                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY q.vec_id
-                                ORDER BY round(list_dot_product(q.v, e.v)
-                                  / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 4) DESC,
-                                e.vec_id) AS rank
-      FROM q, e
-    ) WHERE rank <= 3
-    """,
-    "similarity", "knn-join",
-)
-def knn_join_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch kNN join: 3 nearest neighbors (self included, rank 1) for
-    each of 20 query vectors — broadcast small query side, per-query
-    top-k via window. Rank ties break on rounded cos then neighbor id
-    on BOTH sides, so the cutoff is engine-portable."""
-    from parquet_rewriter_spark.operators.similarity import knn_join
-
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20)
-    out = knn_join(q, e, "vec_id", "vec_id", "embedding", k=3)
-    qid, nid = out.columns[0], out.columns[1]
-    return out.select(
-        F.col(qid).alias("qid"), F.col(nid).alias("nid"), "cos_sim", "rank"
-    )
-
-
-@query(
-    "frame_sample_offsets",
-    """
-    SELECT doc_id AS media_id, (n - 1) * 1024 AS frame_offset
-    FROM documents,
-         UNNEST(range(1, CAST(ceil(greatest(octet_length(CAST(text AS BLOB)), 1) / 1024.0) AS BIGINT) + 1)) AS t(n)
-    """,
-    "multimodal", "expansion",
-)
-def frame_sample_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N mapInPandas expansion (video frame sampling stub): one row
-    per 1 KiB 'frame' of each payload; the offsets are oracled, the
-    per-frame digest is engine-local."""
-    from parquet_rewriter_spark.sources.multimodal import blob_table, frame_sample
-
-    d = _t(spark, sf_dir, "documents")
-    return frame_sample(blob_table(d, "doc_id", "text"), every_n_bytes=1024).select(
-        "media_id", "frame_offset"
-    )
-
-
-@query(
-    "order_value_percentiles",
-    """
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-           round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    """,
-    "aggregation", "percentile",
-)
-def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (SURVEY.md §2.2 aggregation row)
-    via the built-in `percentile` aggregate — linear interpolation,
-    matching DuckDB's quantile_cont. At 100 TB swap for
-    `percentile_approx` (mergeable sketch, no per-group sort buffer);
-    this entry pins the exact semantics."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
-        F.round(F.percentile("o_totalprice", F.lit(0.50)), 2).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-@query(
-    "customer_balance_deciles",
-    """
-    SELECT decile, count(*) AS n_customers,
-           round(min(c_acctbal), 2) AS min_bal,
-           round(max(c_acctbal), 2) AS max_bal,
-           round(sum(c_acctbal), 2) AS sum_bal
-    FROM (
-      SELECT c_acctbal,
-             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
-      FROM customer
-    ) GROUP BY decile
-    """,
-    "window", "ntile",
-)
-def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile deciles over account balance (deterministic tiebreak on
-    c_custkey). A global ORDER BY window is a single-partition sort —
-    fine for a dimension table; for a 100 TB fact column compute decile
-    boundaries with approx_percentile and bucket by range instead (no
-    global sort). This entry pins the exact ntile semantics."""
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
-        )
-    )
-
-
-@query(
-    "status_pivot_by_priority",
-    """
-    SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
-    FROM orders GROUP BY o_orderpriority
-    """,
-    "aggregation", "pivot",
-)
-def status_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide) with an explicit value list — the explicit list
-    skips the extra distinct-values job Spark otherwise runs before it
-    can even plan, leaving just the two-phase pivot aggregate."""
-    o = _t(spark, sf_dir, "orders")
-    p = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
-    )
-    return p.select(
-        "o_orderpriority",
-        F.col("F").alias("rev_f"),
-        F.col("O").alias("rev_o"),
-        F.col("P").alias("rev_p"),
-    )
-
-
-@query(
-    "approx_distinct_users",
-    """
-    SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
-    FROM events GROUP BY event_type
-    """,
-    "aggregation", "approx",
-)
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count;
-    the oracled contract is `exact value + sketch within 10%`. At
-    100 TB the sketch is the production path — mergeable partial
-    aggregates, no exact distinct shuffle of the full key set."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count_distinct("user_id").alias("n_users"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
-        )
-        .select(
-            "event_type",
-            "n_users",
-            (F.abs(F.col("n_approx") - F.col("n_users"))
-             <= 0.1 * F.col("n_users")).alias("approx_ok"),
-        )
-    )
-
-
-@query(
-    "user_event_type_map",
-    """
-    SELECT user_id,
-           string_agg(event_type || ':' || n, ',' ORDER BY event_type) AS type_counts,
-           count(*) AS n_types,
-           CAST(sum(n) AS BIGINT) AS n_events
-    FROM (
-      SELECT user_id, event_type, count(*) AS n
-      FROM events GROUP BY user_id, event_type
-    ) GROUP BY user_id
-    """,
-    "map", "higher-order",
-)
-def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-typed column surface (SURVEY.md §2.2 scalar-fns row): build a
-    per-user map<event_type, count> with map_from_entries, then read it
-    back through map_entries + transform + map_keys/map_values —
-    canonicalized to a sorted string so the hash is engine-portable."""
-    e = _t(spark, sf_dir, "events")
-    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    m = F.map_from_entries(F.array_sort(F.collect_list(F.struct("event_type", "n"))))
-    return (
-        counts.groupBy("user_id")
-        .agg(m.alias("type_map"))
-        .select(
-            "user_id",
-            F.array_join(
-                F.transform(
-                    F.map_entries("type_map"),
-                    lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
-                ),
-                ",",
-            ).alias("type_counts"),
-            F.size(F.map_keys("type_map")).alias("n_types"),
-            F.aggregate(
-                F.map_values("type_map"), F.lit(0).cast("long"), lambda acc, x: acc + x
-            ).alias("n_events"),
-        )
-    )
-
-
-@query(
-    "events_props_keyset",
-    """
-    SELECT array_to_string(list_sort(json_keys(props)), ',') AS keyset,
-           count(*) AS n_events
-    FROM events GROUP BY keyset
-    """,
-    "map", "json",
-)
-def events_props_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json → MapType on the semi-structured props column, then
-    map_keys — the schema-on-read promotion SURVEY.md §1.3 flags for
-    events.props."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.select(
-            F.array_join(
-                F.array_sort(
-                    F.map_keys(F.from_json("props", "map<string,string>"))
-                ),
-                ",",
-            ).alias("keyset")
-        )
-        .groupBy("keyset")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-
-
-# ---------------------------------------------------------------- storage ops in the gate
-# These run the mutation/storage layer end-to-end inside the correctness
-# gate: build a SortedTable in a scratch dir, run the storage operator,
-# and return a relational result the oracle can replay on the raw table.
-
-
-def _scaled_mrpf(df, n_files: int = 8) -> int:
-    """Scratch-table file sizing: target a constant file COUNT across
-    scale factors instead of a fixed rows-per-file. A 2k-rows/file
-    setting calibrated at sf0.01 (8 files) explodes into 75 files at
-    sf0.1 — the composite queries then measure fixture construction,
-    not the operator. count() over parquet is footer-only (no column
-    scan), so the calibration costs one metadata action."""
-    n = df.count()
-    return max(1, -(-n // n_files))
-
-def _scratch(name: str) -> str:
-    import shutil
-    import tempfile
-
-    d = os.path.join(tempfile.gettempdir(), f"prs_catalog_{name}")
-    shutil.rmtree(d, ignore_errors=True)
-    return d
-
-
-@query(
-    "zorder_then_filter_scan",
-    """
-    SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders
-    WHERE o_totalprice BETWEEN 50000 AND 100000 AND o_custkey < 500
-    GROUP BY o_orderstatus
-    """,
-    "storage", "zorder",
-)
-def zorder_then_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) layout end-to-end: rewrite orders z-ordered on
-    (o_custkey, o_totalprice), then run a two-dimensional selective
-    filter over the rewritten files — both predicates prune files via
-    footer min/max because each file covers a compact rectangle of the
-    key space (multi-column zone maps; plain key-sort prunes only its
-    one sort column). Oracle replays the same filter+agg on the
-    original table — a lossless layout rewrite makes them identical."""
-    from parquet_rewriter_spark.operators.zorder import zorder_write
-
-    o = _t(spark, sf_dir, "orders")
-    path = _scratch("zorder_orders")
-    zorder_write(o, path, ["o_custkey", "o_totalprice"], num_files=16)
-    back = spark.read.parquet(path)
-    return (
-        back.filter(
-            F.col("o_totalprice").between(50000, 100000) & (F.col("o_custkey") < 500)
-        )
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "compact_then_scan",
-    """
-    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-    FROM orders GROUP BY o_orderstatus
-    """,
-    "storage", "compaction",
-)
-def compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R15 bulk re-chunk: orders → SortedTable (small files) → compact to
-    4× file size → scan the compacted snapshot. Content must be
-    byte-for-byte the original relation (oracle: plain aggregate)."""
-    from parquet_rewriter_spark.operators.compact import compact
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("compact"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o, 16)
-    )
-    compact(t, max_records_per_file=_scaled_mrpf(o, 4))
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "schema_evolution_scan",
-    """
-    SELECT o_orderstatus,
-           count(CASE WHEN o_orderkey % 100 = 1 THEN 'gold' END) AS n_vip,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_orderstatus
-    """,
-    "storage", "schema-evolution",
-)
-def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Additive schema evolution through merge: upsert full records
-    carrying a NEW column (vip_tier) for 1% of keys — only dirty files
-    are rewritten with the wider schema; untouched files keep their
-    bytes and read() null-fills the new column from the manifest schema
-    (operators/merge.py + table.py:_reader)."""
-    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("schema_evo"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
-    )
-    muts = (
-        o.filter(F.col("o_orderkey") % 100 == 1)
-        .withColumn("vip_tier", F.lit("gold"))
-        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
-    )
-    merge_into_table(t, muts)
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count("vip_tier").alias("n_vip"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-@query(
-    "key_range_scan",
-    """
-    SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-    FROM orders WHERE o_orderkey BETWEEN 2000 AND 6999
-    GROUP BY o_orderpriority
-    """,
-    "storage", "scan",
-)
-def key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's primary read pattern (seekToKey + stats skip,
-    ParquetRewriter.java:253-301) as a query operator: SortedTable
-    key-range read with DRIVER-side manifest pruning — non-overlapping
-    files are dropped before Spark lists them (tests/test_time_travel.py
-    pins the inputFiles set)."""
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("range_scan"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o, 16)
-    )
-    return (
-        t.read_range(2000, 6999)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "secondary_zonemap_scan",
-    """
-    SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-    FROM orders
-    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
-      AND o_totalprice >= 100000
-    GROUP BY o_orderpriority
-    """,
-    "storage", "zonemap",
-)
-def secondary_zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary zone maps: the manifest tracks per-file min/max for
-    NON-key columns (table.py stats_cols), and read_where prunes files
-    on the DRIVER against those bounds — the reference's key-stats skip
-    (ParquetRewriter.java:253-301) generalized to any tracked column.
-    Here orders is keyed on o_orderkey but filtered on (o_orderdate,
-    o_totalprice); pruning selectivity tracks how clustered the layout
-    is, correctness never does (stat-less files are always kept and the
-    residual predicate is pushed into the scan)."""
-    import datetime as dt
-
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark,
-        _scratch("zonemap_orders"),
-        o,
-        key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o, 12),
-        stats_cols=["o_orderdate", "o_totalprice"],
-    )
-    return (
-        t.read_where(
-            {
-                "o_orderdate": (
-                    dt.datetime(1996, 1, 1),
-                    dt.datetime(1996, 12, 31, 23, 59, 59),
-                ),
-                "o_totalprice": (100_000.0, None),
-            }
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "bloom_pointlookup_scan",
-    """
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-    FROM orders WHERE o_custkey IN (42, 777, 1234)
-    GROUP BY o_custkey
-    """,
-    "storage", "bloom",
-)
-def bloom_pointlookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-file Bloom filters (operators/bloom.py): o_custkey is
-    high-cardinality and UNCLUSTERED in an o_orderkey-sorted layout, so
-    zone maps cannot prune a customer lookup — every file's custkey
-    range overlaps. The bloom sidecar answers "might this file contain
-    custkey 42" per file with no false negatives; read_point scans only
-    candidate files with the exact predicate pushed to the survivors."""
-    from parquet_rewriter_spark.operators.bloom import read_point
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark,
-        _scratch("bloom_orders"),
-        o,
-        key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o, 12),
-        bloom_cols=["o_custkey"],
-    )
-    return (
-        read_point(t, "o_custkey", [42, 777, 1234])
-        .groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "incremental_matview_refresh",
-    """
-    WITH cents AS (
-      SELECT o_orderkey, o_orderdate,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-      FROM orders
-    ),
-    mutated AS (
-      SELECT o_orderdate,
-             CASE WHEN o_orderkey BETWEEN 200 AND 299 THEN price_cents + 100000
-                  ELSE price_cents END AS price_cents
-      FROM cents WHERE o_orderkey NOT BETWEEN 700 AND 749
-      UNION ALL
-      SELECT o_orderdate, price_cents + 50000 FROM cents WHERE o_orderkey < 100
-    )
-    SELECT o_orderdate AS order_day, count(*) AS n_orders,
-           round(sum(price_cents) / 100.0, 2) AS revenue
-    FROM mutated GROUP BY o_orderdate
-    """,
-    "mutation", "cdc", "matview",
-)
-def incremental_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance (operators/matview.py):
-    materialize daily order count+revenue, apply a mutation batch to the
-    BASE table (update keys 200-299 at +$1000, delete 700-749, insert
-    +$500 copies of keys <100 shifted past the tail — key-clustered so
-    the commit dirties one file, the cost model the refresh inherits),
-    then refresh the view from the commit's change feed — signed
-    per-group deltas merged into the view, never a full re-aggregation.
-    Revenue is maintained in integer
-    CENTS: exact view maintenance needs an order-independent sum, which
-    doubles don't give (float addition drifts by summation order) —
-    integer/decimal is the standard MV answer. The oracle recomputes the
-    final aggregate from scratch; matching proves the fold is exact."""
-    from parquet_rewriter_spark.operators.matview import MaterializedAggregate
-    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders").withColumn(
-        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
-    )
-    base = SortedTable.create(
-        spark, _scratch("mv_base"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
-    )
-    mv = MaterializedAggregate(
-        base,
-        _scratch("mv_view"),
-        group_col="o_orderdate",
-        aggs={"n_orders": ("count",), "cents": ("sum", "price_cents")},
-    )
-    mv.build()
-    ups = (
-        o.filter(F.col("o_orderkey").between(200, 299))
-        .withColumn("price_cents", F.col("price_cents") + F.lit(100_000))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
-        .withColumn(OP_COLUMN, F.lit("UPSERT"))
-    )
-    ins = (
-        o.filter(F.col("o_orderkey") < 100)
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
-        .withColumn("price_cents", F.col("price_cents") + F.lit(50_000))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
-        .withColumn(OP_COLUMN, F.lit("UPSERT"))
-    )
-    dels = o.filter(F.col("o_orderkey").between(700, 749)).withColumn(
-        OP_COLUMN, F.lit("DELETE")
-    )
-    merge_into_table(base, ups.unionByName(ins).unionByName(dels))
-    mv.refresh()
-    return mv.read().select(
-        F.col("o_orderdate").alias("order_day"),
-        F.col("n_orders"),
-        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-    )
-
-
-@query(
-    "retention_delete_scan",
-    """
-    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-    FROM orders
-    WHERE NOT (o_orderdate < TIMESTAMP '1996-01-01' AND o_orderstatus = 'F')
-    GROUP BY o_orderstatus
-    """,
-    "mutation", "retention",
-)
-def retention_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate delete (operators/merge.py:delete_where) as a
-    retention sweep: age out finished orders older than a cutoff. The
-    ``prune`` ranges ride the secondary zone maps so the victim scan
-    reads only files whose o_orderdate range reaches below the cutoff;
-    the delete itself rewrites only files containing victims. Oracle:
-    aggregate over the surviving rows."""
-    import datetime as dt
-
-    from parquet_rewriter_spark.operators.merge import delete_where
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark,
-        _scratch("retention_orders"),
-        o,
-        key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o),
-        stats_cols=["o_orderdate"],
-    )
-    delete_where(
-        t,
-        (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderstatus") == "F"),
-        prune={"o_orderdate": (None, dt.datetime(1995, 12, 31, 23, 59, 59))},
-    )
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "mor_delete_scan",
-    """
-    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-    FROM orders
-    WHERE (o_orderkey % 13 <> 0 AND NOT (o_orderstatus = 'F' AND o_totalprice < 50000))
-       OR o_orderkey % 39 = 0
-    GROUP BY o_orderstatus
-    """,
-    "mutation", "deletion-vectors", "merge-on-read",
-)
-def mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read deletion vectors end-to-end
-    (operators/deletion_vectors.py): a key-set delete and a predicate
-    delete each write ONLY tombstone sidecars (zero data files
-    rewritten — the commit metrics assert it), the scan subtracts them
-    with one broadcast anti-join, and a later upsert RESURRECTS a
-    tombstoned subset by rewriting just the files it touches (retiring
-    their tombstones). The oracle replays the set algebra over the raw
-    fixture: survivors = (not key-deleted and not predicate-deleted) ∪
-    re-upserted. Note the predicate delete does NOT re-kill resurrected
-    rows — it ran before the upsert; order matters and the oracle
-    encodes it."""
-    from parquet_rewriter_spark.operators.deletion_vectors import (
-        delete_keys_mor,
-        delete_where_mor,
-    )
-    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("mor_orders"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
-    )
-    r1 = delete_keys_mor(t, o.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"))
-    r2 = delete_where_mor(t, (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000))
-    assert r1["data_files_rewritten"] == 0 and r2["data_files_rewritten"] == 0
-    merge_into_table(
-        t,
-        o.filter(F.col("o_orderkey") % 39 == 0).withColumn(OP_COLUMN, F.lit(OP_UPSERT)),
-    )
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "conditional_merge_scan",
-    """
-    WITH survivors AS (
-      SELECT o_orderstatus,
-             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
-                  ELSE o_totalprice END AS p
-      FROM orders
-      WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
-    ),
-    ins AS (
-      SELECT 'N' AS o_orderstatus, o_totalprice AS p
-      FROM orders WHERE o_orderkey % 11 = 0 AND o_totalprice > 150000
-    )
-    SELECT o_orderstatus, count(*) AS n_orders, round(sum(p), 2) AS revenue
-    FROM (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
-    GROUP BY o_orderstatus
-    """,
-    "mutation", "merge", "conditional",
-)
-def conditional_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta-style MERGE INTO with WHEN clauses
-    (operators/merge_conditional.py): WHEN MATCHED AND t.status='F'
-    THEN DELETE, WHEN MATCHED THEN UPDATE SET price=s.price, WHEN NOT
-    MATCHED AND s.price>150k THEN INSERT — first clause wins, untouched
-    rows pass through, and at the table level only files whose key
-    range overlaps a source key are rewritten (zone-map planning).
-    Source: every 7th order with a 10% price bump (updates/deletes) ∪
-    every 11th order re-keyed negative (insert candidates). The oracle
-    replays the clause algebra in SQL over the raw fixture."""
-    from parquet_rewriter_spark.operators.merge_conditional import (
-        merge_conditional_into_table,
-    )
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("condmerge_orders"), o, key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o),
-    )
-    src = (
-        o.filter(F.col("o_orderkey") % 7 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
-        .unionByName(
-            o.filter(F.col("o_orderkey") % 11 == 0)
-            .withColumn("o_orderkey", -(F.col("o_orderkey") + 1))
-            .withColumn("o_orderstatus", F.lit("N"))
-        )
-    )
-    merge_conditional_into_table(
-        t,
-        src,
-        matched=[
-            ("t.o_orderstatus = 'F'", "delete", None),
-            (None, "update", {"o_totalprice": "s.o_totalprice"}),
-        ],
-        not_matched=[("s.o_totalprice > 150000", None)],
-    )
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "incremental_compact_then_scan",
-    """
-    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-    FROM (
-      SELECT o_orderstatus, o_totalprice FROM orders
-      UNION ALL
-      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 500 = 7
-      UNION ALL
-      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 500 = 13
-    ) GROUP BY o_orderstatus
-    """,
-    "storage", "compaction",
-)
-def incremental_compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental compaction: fragment the layout with two small
-    tail-insert merges, heal ONLY the undersized files
-    (operators/compact.py:compact_incremental — adequately-sized files
-    pass through by name, cost ∝ small-file fraction), then scan.
-    Oracle: aggregate over orders plus the two inserted row sets."""
-    from parquet_rewriter_spark.operators.compact import compact_incremental
-    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("inc_compact"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
-    )
-    for i, mod in enumerate((7, 13)):
-        muts = (
-            o.filter(F.col("o_orderkey") % 500 == mod)
-            .withColumn("o_orderkey", F.col("o_orderkey") + (i + 1) * 10_000_000)
-            .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
-        )
-        merge_into_table(t, muts, allow_splice=False)
-    compact_incremental(t, target_records_per_file=_scaled_mrpf(o), min_fill=0.5)
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "table_changes_feed",
-    """
-    SELECT o_orderkey AS key, 'update_postimage' AS change_type,
-           round(o_totalprice + 1000.0, 2) AS price
-    FROM orders WHERE o_orderkey % 10 = 3
-    UNION ALL
-    SELECT o_orderkey, 'delete', round(o_totalprice, 2)
-    FROM orders WHERE o_orderkey % 10 = 7
-    UNION ALL
-    SELECT o_orderkey - 1000000, 'insert', round(o_totalprice, 2)
-    FROM orders WHERE o_orderkey < 5
-    """,
-    "mutation", "cdc",
-)
-def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC between snapshots: orders → SortedTable, merge a known
-    mutation set (update %10=3 at +1000, delete %10=7, insert copies of
-    the head keys shifted to -1e6), then snapshot_diff(v0, v1) must
-    reproduce exactly that mutation set — the inverse of the
-    reference's validateMutations reconstruction
-    (ParquetRewriterTests.java:215-244). Reads only churned files, so
-    the feed costs O(dirty bytes), not O(table bytes)."""
-    from parquet_rewriter_spark.operators.cdc import snapshot_diff
-    from parquet_rewriter_spark.operators.merge import merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("cdc_orders"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
-    )
-    ups = (
-        o.filter(F.col("o_orderkey") % 10 == 3)
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
-        .withColumn("op", F.lit("UPSERT"))
-    )
-    ins = (
-        o.filter(F.col("o_orderkey") < 5)
-        .withColumn("o_orderkey", F.col("o_orderkey") - F.lit(1_000_000))
-        .withColumn("op", F.lit("UPSERT"))
-    )
-    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn("op", F.lit("DELETE"))
-    merge_into_table(t, ups.unionByName(ins).unionByName(dels))
-    feed = snapshot_diff(t, from_version=0, to_version=1)
-    return feed.select(
-        F.col("o_orderkey").alias("key"),
-        F.col("_change_type").alias("change_type"),
-        F.round("o_totalprice", 2).alias("price"),
-    )
-
-
-@query(
-    "stream_table_changes",
-    """
-    SELECT o_orderkey AS key, 'update_preimage' AS change_type,
-           round(o_totalprice, 2) AS price, CAST(1 AS BIGINT) AS commit_version
-    FROM orders WHERE o_orderkey BETWEEN 200 AND 299
-    UNION ALL
-    SELECT o_orderkey, 'update_postimage', round(o_totalprice + 1000.0, 2), CAST(1 AS BIGINT)
-    FROM orders WHERE o_orderkey BETWEEN 200 AND 299
-    UNION ALL
-    SELECT o_orderkey, 'delete', round(o_totalprice, 2), CAST(2 AS BIGINT)
-    FROM orders WHERE o_orderkey BETWEEN 700 AND 749
-    """,
-    "streaming", "cdc",
-)
-def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-side change feed, consumed as a STREAM: two merges append
-    their row-level deltas (full preimage CDF form) to the table's
-    ``_changelog/`` (operators/cdc.py:write_changelog), and
-    ``stream_changes`` tails that directory as a schema-pinned
-    file-source stream — the Delta-CDF read pattern on plain parquet.
-    Drained with AvailableNow, the feed must equal the known mutation
-    sets of both commits, each stamped with its ``_commit_version``.
-    Mutations are KEY-CLUSTERED ranges so each commit dirties one file
-    and the post-commit diff reads only that churn — the cost model this
-    feed is supposed to have (a scattered %10 pattern would dirty every
-    file and re-read the table per commit)."""
-    from parquet_rewriter_spark.operators.cdc import (
-        CHANGE_TYPE_COL,
-        COMMIT_VERSION_COL,
-        stream_changes,
-    )
-    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
-    from parquet_rewriter_spark.streaming import run_to_memory
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("cl_orders"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
-    )
-    ups = (
-        o.filter(F.col("o_orderkey").between(200, 299))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
-        .withColumn(OP_COLUMN, F.lit("UPSERT"))
-    )
-    merge_into_table(t, ups, changelog=True)
-    dels = o.filter(F.col("o_orderkey").between(700, 749)).withColumn(
-        OP_COLUMN, F.lit("DELETE")
-    )
-    merge_into_table(t, dels, changelog=True)
-    feed = stream_changes(t).select(
-        F.col("o_orderkey").alias("key"),
-        F.col(CHANGE_TYPE_COL).alias("change_type"),
-        F.round("o_totalprice", 2).alias("price"),
-        F.col(COMMIT_VERSION_COL).alias("commit_version"),
-    )
-    return run_to_memory(feed, state_partitions=None)
-
-
-@query(
-    "csv_roundtrip_agg",
-    """
-    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
-    FROM nation GROUP BY n_regionkey
-    """,
-    "sources", "csv",
-)
-def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV sink+source round-trip (header + explicit schema on read —
-    schema inference is a driver-side full scan; never at scale)."""
-    n = _t(spark, sf_dir, "nation")
-    path = _scratch("csv_nation")
-    n.write.option("header", True).csv(path)
-    back = spark.read.option("header", True).schema(n.schema).csv(path)
-    return back.groupBy("n_regionkey").agg(
-        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
-    )
-
-
-@query(
-    "orc_roundtrip_agg",
-    """
-    SELECT s_nationkey, count(*) AS n_suppliers,
-           round(sum(s_acctbal), 2) AS sum_bal
-    FROM supplier GROUP BY s_nationkey
-    """,
-    "sources", "orc",
-)
-def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC sink+source round-trip — the columnar secondary format
-    (typed, footer-described, predicate-pushdown-capable like Parquet).
-    The oracle replays the aggregate on the original Parquet: a lossless
-    round-trip makes them identical."""
-    s = _t(spark, sf_dir, "supplier")
-    path = _scratch("orc_supplier")
-    s.write.mode("overwrite").orc(path)
-    back = spark.read.orc(path)
-    return back.groupBy("s_nationkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
-    )
-
-
-@query(
-    "json_roundtrip_agg",
-    """
-    SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
-    FROM supplier GROUP BY s_nationkey
-    """,
-    "sources", "json",
-)
-def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-lines sink+source round-trip with explicit schema."""
-    s = _t(spark, sf_dir, "supplier")
-    path = _scratch("json_supplier")
-    s.write.json(path)
-    back = spark.read.schema(s.schema).json(path)
-    return back.groupBy("s_nationkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
-    )
-
-
-# ------------------------------------------------- pipeline operators 2
-
-
-@query(
-    "user_session_stats",
-    """
-    WITH marked AS (
-        SELECT user_id, ts,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ),
-    numbered AS (
-        SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
-        FROM marked
-    ),
-    sessions AS (
-        SELECT user_id, session_idx, count(*) AS n_events,
-               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
-        FROM numbered GROUP BY user_id, session_idx
-    )
-    SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events_total,
-           max(n_events) AS max_session_events, CAST(sum(dur_us) AS BIGINT) AS total_dur_us
-    FROM sessions GROUP BY user_id
-    """,
-    "sessionize", "events", "windows",
-)
-def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization (30-min gap) + per-user rollup: gap
-    detection, session numbering, and BOTH aggregations ride one hash
-    exchange on user_id (operators/sessionize.py). Durations are µs
-    integers end-to-end — exact in Spark and the oracle alike."""
-    from parquet_rewriter_spark.operators.sessionize import sessionize
-
-    e = _t(spark, sf_dir, "events")
-    s = sessionize(e, "user_id", "ts", gap_minutes=30.0)
-    per_session = s.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
-    )
-    return per_session.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").alias("n_events_total"),
-        F.max("n_events").alias("max_session_events"),
-        F.sum("dur_us").alias("total_dur_us"),
-    )
-
-
-_SPLIT_U = "((doc_id % 2147483648) * 2654435761 + 0) % 4294967296 / 4294967296.0"
-
-
-@query(
-    "train_val_test_split",
-    f"""
-    SELECT CASE WHEN {_SPLIT_U} < 0.8 THEN 'train'
-                WHEN {_SPLIT_U} < 0.9 THEN 'val'
-                ELSE 'test' END AS split,
-           lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-    FROM documents GROUP BY 1, 2
-    """,
-    "sampling", "split",
-)
-def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 80/10/10 split by multiplicative hash of doc_id
-    (operators/sampling.py) — a pure projection (no shuffle, no RNG),
-    stable under retries/repartitioning; id_checksum proves the oracle
-    assigns the IDENTICAL rows, not just the same counts."""
-    from parquet_rewriter_spark.operators.sampling import hash_split
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-        .groupBy("split", "lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
-    )
-
-
-@query(
-    "stratified_sample_docs",
-    f"""
-    WITH u AS (
-        SELECT lang, doc_id, {_SPLIT_U} AS u FROM documents
-    ),
-    r AS (
-        SELECT lang, doc_id,
-               row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn,
-               count(*) OVER (PARTITION BY lang) AS n
-        FROM u
-    )
-    SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-    FROM r WHERE rn <= ceil(n * 0.1) GROUP BY lang
-    """,
-    "sampling", "stratified",
-)
-def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-fraction stratified sample: lowest 10% of hash(doc_id) per
-    lang stratum — exact counts (unlike Bernoulli sampleBy) and fully
-    reproducible; one shuffle on the stratum column."""
-    from parquet_rewriter_spark.operators.sampling import stratified_sample
-
-    d = _t(spark, sf_dir, "documents")
-    samp = stratified_sample(d, ["lang"], 0.1, "doc_id")
-    return samp.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_sampled"), F.sum("doc_id").alias("id_checksum")
-    )
-
-
-@query(
-    "doc_tfidf_topterms",
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-    dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
-    nd AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-        SELECT tf.doc_id, tf.term,
-               round(tf.tf * ln(nd.n_docs::DOUBLE / dfreq.dfreq), 4) AS tfidf
-        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
-    ),
-    ranked AS (
-        SELECT doc_id, term, tfidf,
-               row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY tfidf DESC, term) AS rk
-        FROM scored
-    )
-    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
-    """,
-    "text", "tfidf",
-)
-def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (functions/text.py): one
-    corpus-sized shuffle (doc×term counts), vocabulary-sized document
-    frequencies broadcast back, per-doc top-k ranked on the rounded
-    score so Spark and the oracle order identically."""
-    from parquet_rewriter_spark.functions.text import tfidf_top_terms
-
-    d = _t(spark, sf_dir, "documents")
-    return tfidf_top_terms(d, "doc_id", "text", k=3)
-
-
-@query(
-    "orders_snapshot_diff",
-    """
-    WITH r AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 101 = 5
-                    THEN round(o_totalprice + 10, 2) ELSE o_totalprice END AS o_totalprice
-        FROM orders WHERE o_orderkey % 97 != 3
-        UNION ALL
-        SELECT -o_orderkey - 1 AS o_orderkey, o_totalprice
-        FROM orders WHERE o_orderkey % 97 = 3
-    ),
-    l AS (SELECT o_orderkey, o_totalprice FROM orders),
-    d AS (
-        SELECT CASE WHEN l.o_orderkey IS NULL THEN 'added'
-                    WHEN r.o_orderkey IS NULL THEN 'removed'
-                    WHEN l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
-                         THEN 'unchanged'
-                    ELSE 'changed' END AS diff_status
-        FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
-    )
-    SELECT diff_status, count(*) AS n_keys FROM d GROUP BY diff_status
-    """,
-    "diff", "reconciliation",
-)
-def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed snapshot reconciliation (operators/diff.py): synthesize a
-    second snapshot with ~1% deletes (re-keyed as adds), ~1% price
-    changes, then classify every key via one full-outer join with
-    null-safe struct comparison. The general-input complement of the
-    manifest-pruned table_changes CDC feed."""
-    from parquet_rewriter_spark.operators.diff import diff_summary
-
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    changed_price = F.when(
-        F.col("o_orderkey") % 101 == 5, F.round(F.col("o_totalprice") + 10, 2)
-    ).otherwise(F.col("o_totalprice"))
-    kept = (
-        o.filter(F.col("o_orderkey") % 97 != 3)
-        .select("o_orderkey", changed_price.alias("o_totalprice"))
-    )
-    added = o.filter(F.col("o_orderkey") % 97 == 3).select(
-        (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_totalprice"
-    )
-    return diff_summary(o, kept.unionAll(added), "o_orderkey")
-
-
-_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-_PROFILE_ORACLE = "\nUNION ALL\n".join(
-    f"""SELECT '{c}' AS "column", '{m}' AS metric, {expr} AS value FROM lineitem"""
-    for c in _PROFILE_COLS
-    for m, expr in (
-        ("n_rows", "CAST(count(*) AS DOUBLE)"),
-        ("n_null", f"CAST(count(*) - count({c}) AS DOUBLE)"),
-        ("n_distinct", f"CAST(count(DISTINCT {c}) AS DOUBLE)"),
-        ("min", f"round(CAST(min({c}) AS DOUBLE), 4)"),
-        ("max", f"round(CAST(max({c}) AS DOUBLE), 4)"),
-        ("mean", f"round(avg({c}), 4)"),
-    )
-)
-
-
-@query(
-    "lineitem_numeric_profile",
-    _PROFILE_ORACLE,
-    "profiling", "quality",
-)
-def lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling in ONE aggregation pass over the scan
-    (operators/profile.py): all metrics for all columns in a single
-    partial+final hash agg, unpivoted via stack (zero-shuffle
-    generator). exact_distinct=True here so the oracle can replay it;
-    the default is HyperLogLog++ for 100 TB inputs."""
-    from parquet_rewriter_spark.operators.profile import profile_numeric
-
-    li = _t(spark, sf_dir, "lineitem")
-    return profile_numeric(
-        li,
-        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        exact_distinct=True,
-    )
-
-
-@query(
-    "orders_constraint_report",
-    """
-    WITH checks AS (
-      SELECT count(*) AS n,
-             sum(CASE WHEN NOT coalesce(o_totalprice > 0, false) THEN 1 ELSE 0 END) AS v1,
-             sum(CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '1990-01-01', false) THEN 1 ELSE 0 END) AS v2,
-             sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, false) THEN 1 ELSE 0 END) AS v3,
-             sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), false) THEN 1 ELSE 0 END) AS v4,
-             sum(CASE WHEN NOT coalesce(o_totalprice < 100000, false) THEN 1 ELSE 0 END) AS v5
-      FROM orders
-    )
-    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n AS n_rows,
-           round(1.0 - n_violations / CAST(n AS DOUBLE), 6) AS pass_rate
-    FROM (
-      SELECT 'positive_price' AS rule, v1 AS n_violations, n FROM checks
-      UNION ALL SELECT 'date_sane', v2, n FROM checks
-      UNION ALL SELECT 'custkey_not_null', v3, n FROM checks
-      UNION ALL SELECT 'status_domain', v4, n FROM checks
-      UNION ALL SELECT 'price_under_100k', v5, n FROM checks
-    )
-    """,
-    "quality", "constraints",
-)
-def orders_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality constraints (operators/quality.py):
-    five rules over orders — including one that actually fails
-    (price_under_100k) — validated in ONE aggregation pass: a
-    sum(CASE...) per rule inside a single partial+final hash agg, then
-    stack-unpivoted. Rule count never changes the scan count."""
-    from parquet_rewriter_spark.operators.quality import check_constraints
-
-    o = _t(spark, sf_dir, "orders")
-    return check_constraints(
-        o,
-        {
-            "positive_price": "o_totalprice > 0",
-            "date_sane": "o_orderdate >= TIMESTAMP '1990-01-01'",
-            "custkey_not_null": "o_custkey IS NOT NULL",
-            "status_domain": "o_orderstatus IN ('O','F','P')",
-            "price_under_100k": "o_totalprice < 100000",
-        },
-    )
-
-
-# ------------------------------------------------- llm pipeline operators 3
-
-
-@query(
-    "doc_chunks",
-    """
-    WITH n AS (
-      SELECT doc_id, text,
-             CAST(greatest(1, floor((length(text) - 20 + 79) / 80.0)) AS BIGINT) AS nc
-      FROM documents
-    ),
-    idx AS (SELECT doc_id, text, unnest(range(nc)) AS chunk_idx FROM n)
-    SELECT doc_id, chunk_idx,
-           substring(text, CAST(chunk_idx * 80 + 1 AS INT), 100) AS chunk,
-           length(substring(text, CAST(chunk_idx * 80 + 1 AS INT), 100)) AS chunk_len
-    FROM idx
-    """,
-    "llm", "chunking",
-)
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document chunking (functions/chunk.py): 100-char windows with
-    20-char overlap — the pre-tokenization step of context-window
-    packing. Chunk count is integer arithmetic, the explode is a
-    generator (no shuffle), the substring codegen: one narrow map stage
-    at any corpus size."""
-    from parquet_rewriter_spark.functions.chunk import chunk_text
-
-    d = _t(spark, sf_dir, "documents")
-    out = chunk_text(d, "text", size=100, overlap=20)
-    return out.select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        "chunk",
-        F.length("chunk").alias("chunk_len"),
-    )
-
-
-@query(
-    "pii_redaction_stats",
-    r"""
-    WITH synth AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 5 = 0
-                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                       || '@example.com or call 555-123-4567'
-                  ELSE text END AS t
-      FROM documents
-    )
-    SELECT doc_id,
-           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(t, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
-           md5(regexp_replace(
-                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
-    FROM synth
-    """,
-    "llm", "pii",
-)
-def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing (functions/pii.py): deterministic synthetic
-    emails/phones are injected into every 5th document (the fixture
-    corpus carries none), then counted and redacted with pure
-    regexp expressions — patterns restricted to the Java∩RE2 common
-    subset so the DuckDB oracle replays them byte-for-byte (md5 of the
-    redacted text must match)."""
-    from parquet_rewriter_spark.functions import pii
-
-    d = _t(spark, sf_dir, "documents")
-    synth = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com or call 555-123-4567"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("t"),
-    )
-    return synth.select(
-        "doc_id",
-        pii.count_emails("t").cast("long").alias("n_emails"),
-        pii.count_phones("t").cast("long").alias("n_phones"),
-        F.md5(pii.redact("t")).alias("redacted_md5"),
-    )
-
-
-@query(
-    "corpus_top_bigrams",
-    """
-    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
-    b AS (
-      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
-      FROM tok
-    )
-    SELECT bigram, count(*) AS n FROM b
-    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
-    """,
-    "llm", "ngram",
-)
-def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus n-gram statistics: top-20 adjacent word pairs. The pair
-    generator is a per-row transform (no shuffle); one hash aggregate
-    + TakeOrderedAndProject does the rest — corpus-size-proportional
-    with a single shuffle, the shape n-gram LM stats need at scale."""
-    d = _t(spark, sf_dir, "documents")
-    pairs = d.select(
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1))) "
-                "ELSE array() END"
-            )
-        ).alias("bigram")
-    )
-    return (
-        pairs.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("bigram"))
-        .limit(20)
-    )
-
-
-@query(
-    "contamination_check",
-    """
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    grams AS (
-      SELECT DISTINCT doc_id, g8 FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))) AS g8
-        FROM tok WHERE len(t) >= 8
-      )
-    ),
-    bench AS (SELECT DISTINCT g8 FROM grams WHERE doc_id % 10 = 0),
-    hits AS (
-      SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
-      FROM grams g JOIN bench b USING (g8)
-      WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id
-    )
-    SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-           coalesce(h.n_shared, 0) > 0 AS contaminated
-    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-    WHERE d.doc_id % 10 <> 0
-    """,
-    "llm", "contamination",
-)
-def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/benchmark contamination: flag training documents sharing
-    any word-8-gram with the held-out set (doc_id % 10 = 0 here; in a
-    real pipeline, the benchmark corpus). The benchmark gram set is
-    broadcast (it is the small side by construction), so the check is
-    one broadcast join over the training grams — no all-pairs document
-    comparison at any scale."""
-    d = _t(spark, sf_dir, "documents")
-    g8 = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 7), "
-        "i -> array_join(slice(split(text, ' '), i, 8), ' ')) "
-        "ELSE array() END"
-    )
-    grams = d.select("doc_id", F.explode(g8).alias("g8")).distinct()
-    bench = grams.filter(F.col("doc_id") % 10 == 0).select("g8").distinct()
-    train = grams.filter(F.col("doc_id") % 10 != 0)
-    hits = (
-        train.join(F.broadcast(bench), "g8")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g8").alias("n_shared"))
-    )
-    base = d.filter(F.col("doc_id") % 10 != 0).select("doc_id")
-    return base.join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
-        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
-    )
-
-
-@query(
-    "pack_training_sequences",
-    """
-    WITH t AS (
-      SELECT doc_id, doc_id % 8 AS shard,
-             len(string_split(text, ' '))::BIGINT AS n_tok
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, shard, n_tok,
-             COALESCE(CAST(sum(n_tok) OVER (
-                 PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ) AS BIGINT), 0) AS bef
-      FROM t
-    )
-    SELECT doc_id, shard,
-           CAST(bef // 2048 AS BIGINT) AS seq_id,
-           CAST(bef % 2048 AS BIGINT) AS seq_offset,
-           (bef % 2048 + n_tok) > 2048 AS spans_boundary
-    FROM c
-    """,
-    "llm", "packing",
-)
-def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pretraining sequence packing (operators/packing.py): docs
-    concatenate in id order within hash shards and cut every 2048
-    tokens — each doc gets its (shard, seq_id, seq_offset) placement,
-    spans_boundary marks docs the materializer splits. Sharding keeps
-    the window a balanced hash exchange instead of one global sort; the
-    assignment is a pure function of (ids, token counts), so the SQL
-    oracle replays it exactly."""
-    from parquet_rewriter_spark.operators.packing import pack_sequences
-
-    d = _t(spark, sf_dir, "documents")
-    packed = pack_sequences(
-        d,
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")),
-        max_tokens=2048,
-        num_shards=8,
-        shard_col=(F.col("doc_id") % 8),
-    )
-    return packed.select("doc_id", "shard", "seq_id", "seq_offset", "spans_boundary")
-
-
-@query(
-    "doc_repetition_scores",
-    """
-    WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    grams AS (
-      SELECT doc_id,
-             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
-      FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
-      WHERE len(t) >= 3
-    ),
-    stats AS (
-      SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
-      FROM grams GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           COALESCE(s.n_grams, 0) AS n_grams,
-           round(CASE WHEN s.n_grams IS NULL THEN 0.0
-                      ELSE 1.0 - s.n_distinct::DOUBLE / s.n_grams END, 4)
-               AS dup_ratio,
-           COALESCE(1.0 - s.n_distinct::DOUBLE / s.n_grams > 0.2, FALSE)
-               AS is_repetitive
-    FROM documents d LEFT JOIN stats s USING (doc_id)
-    """,
-    "llm", "quality", "repetition",
-)
-def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filter: fraction of duplicate word
-    3-grams per doc (1 - distinct/total). Explode → one hash agg with
-    count + count_distinct per doc — no UDF, no per-doc set beyond the
-    aggregation's own state; docs shorter than 3 tokens score 0."""
-    d = _t(spark, sf_dir, "documents")
-    g3 = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> array_join(slice(split(text, ' '), i, 3), ' ')) "
-        "ELSE array() END"
-    )
-    stats = (
-        d.select("doc_id", F.explode(g3).alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count_distinct("g").alias("n_distinct"),
-        )
-    )
-    ratio = 1.0 - F.col("n_distinct").cast("double") / F.col("n_grams")
-    return (
-        d.select("doc_id")
-        .join(stats, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.round(F.coalesce(ratio, F.lit(0.0)), 4).alias("dup_ratio"),
-            F.coalesce(ratio > 0.2, F.lit(False)).alias("is_repetitive"),
-        )
-    )
-
-
-# ------------------------------------------------- layout + skew operators in the gate
-
-
-@query(
-    "bucketed_colocated_join",
-    """
-    SELECT o_orderpriority, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-    "layout", "bucketing", "join",
-)
-def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-fact join through a BUCKETED layout (operators/bucketing.py):
-    both tables written hash-bucketed on the order key, so the join
-    plans over the co-located bucketed scans with no Exchange on either
-    side — the 100 TB strategy of paying the shuffle once at layout
-    time. The post-join aggregation is the only exchange left (pinned
-    in tests/test_plans.py). Oracle replays the plain join — a layout
-    rewrite is lossless."""
-    from parquet_rewriter_spark.operators.bucketing import bucketed_join, write_bucketed
-
-    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey")
-    l = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "okey")
-    write_bucketed(o, "prs_cat_b_orders", "okey", 8, path=_scratch("bkt_orders"))
-    write_bucketed(l, "prs_cat_b_lineitem", "okey", 8, path=_scratch("bkt_lineitem"))
-    j = bucketed_join(spark, "prs_cat_b_lineitem", "prs_cat_b_orders", on="okey")
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
-    )
-
-
-@query(
-    "hot_key_split_join",
-    """
-    WITH skewed AS (
-      SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
-             l_extendedprice, l_discount
-      FROM lineitem
-    )
-    SELECT o_orderpriority, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM skewed JOIN orders ON k = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-    "skew", "join",
-)
-def hot_key_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skewed fact join via hot/cold splitting (operators/skew.py):
-    25% of lineitem rows are remapped onto ONE order key — the straggler
-    shape that stalls a plain shuffle join at scale. hot_keys finds the
-    heavy keys in one bounded aggregation; their rows ride a broadcast
-    join (never shuffled), the cold rest takes the normal path, and the
-    union equals the plain join — which is exactly what the oracle
-    computes."""
-    from parquet_rewriter_spark.operators.skew import hot_cold_split_join
-
-    l = _t(spark, sf_dir, "lineitem").select(
-        F.when(F.col("l_orderkey") % 4 == 0, F.lit(0))
-        .otherwise(F.col("l_orderkey"))
-        .alias("o_orderkey"),
-        "l_extendedprice",
-        "l_discount",
-    )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    j = hot_cold_split_join(l, o, "o_orderkey", hot_min_count=10_000)
-    return j.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
-    )
-
-
-@query(
-    "skew_safe_distinct_users",
-    """
-    SELECT event_type, count(DISTINCT user_id) AS n_distinct
-    FROM events GROUP BY event_type
-    """,
-    "skew", "aggregation",
-)
-def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count(DISTINCT) via the distinct-first rewrite
-    (operators/skew.skew_safe_count_distinct): dedup on (group, value)
-    spreads a heavy group over all its value pairs, then a light count —
-    no per-group distinct set ever materializes in one task."""
-    from parquet_rewriter_spark.operators.skew import skew_safe_count_distinct
-
-    e = _t(spark, sf_dir, "events")
-    return skew_safe_count_distinct(e, "event_type", "user_id")
-
-
-
-# ------------------------------------------------------- search / fuzzy / sketch
-
-from parquet_rewriter_spark.operators.search import bm25_sql
-
-_BM25_TERMS = ["join", "window", "scan"]
-
-
-@query(
-    "bm25_search",
-    bm25_sql(_BM25_TERMS, k=15),
-    "search", "bm25", "inverted-index",
-)
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranked retrieval (operators/search.py): the inverted
-    index is a (term, doc_id, tf) relation built by explode + hash agg;
-    a query touches only its own terms' postings and finishes with
-    TakeOrderedAndProject top-k. At 100 TB the postings are persisted
-    bucketed by term, turning each query into a |query-terms|-partition
-    scan."""
-    from parquet_rewriter_spark.operators.search import bm25_topk
-
-    d = _t(spark, sf_dir, "documents")
-    return bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=15)
-
-
-@query(
-    "fuzzy_part_match",
-    """
-    WITH names AS (
-      SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name
-    )
-    SELECT a.id AS id_a, b.id AS id_b, a.s AS name_a, b.s AS name_b,
-           CAST(levenshtein(a.s, b.s) AS INTEGER) AS edit_dist
-    FROM names a JOIN names b
-      ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
-    WHERE levenshtein(a.s, b.s) <= 1
-    """,
-    "fuzzy", "join", "blocking",
-)
-def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy self-join with LOSSLESS q-gram blocking
-    (operators/fuzzy.py, Gravano count-filter): candidates come from a
-    shared-bigram join + length band, verified by levenshtein — never
-    the n² cross join the all-pairs oracle runs. Upstream distinct()
-    collapses the name column first (64 distinct names here; at corpus
-    scale the distinct universe is what you block, not the rows)."""
-    from parquet_rewriter_spark.operators.fuzzy import fuzzy_self_join
-
-    names = (
-        _t(spark, sf_dir, "part")
-        .groupBy("p_name")
-        .agg(F.min("p_partkey").alias("id"))
-        .select("id", F.col("p_name").alias("s"))
-    )
-    return fuzzy_self_join(names, "id", "s", max_dist=1, q=2).withColumn(
-        "edit_dist", F.col("edit_dist").cast("int")
-    )
-
-
-@query(
-    "quality_weighted_sample",
-    f"""
-    WITH keyed AS (
-      SELECT doc_id, lang, source, n_chars,
-             -ln(greatest(((doc_id % 2147483648) * 2654435761 + 7) % 4294967296
-                          / 4294967296.0, 1.1641532182693481e-10))
-             / n_chars AS es_key
-      FROM documents WHERE n_chars > 0
-    )
-    SELECT doc_id, lang, source, n_chars
-    FROM keyed ORDER BY es_key, doc_id LIMIT 50
-    """,
-    "sampling", "weighted",
-)
-def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement (Efraimidis-
-    Spirakis exponential arrival keys over the portable unit hash,
-    operators/sampling.py:weighted_sample): inclusion probability
-    proportional to a quality weight (n_chars here), exactly k rows,
-    identical selection on any cluster size — the training-mix sampler.
-    Plan is one TakeOrderedAndProject, no full-table shuffle."""
-    from parquet_rewriter_spark.operators.sampling import weighted_sample
-
-    d = _t(spark, sf_dir, "documents")
-    return weighted_sample(d, "doc_id", "n_chars", k=50, salt=7).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-@query(
-    "heavy_hitter_tokens",
-    """
-    WITH toks AS (
-      SELECT unnest(string_split(text, ' ')) AS token FROM documents
-    )
-    SELECT token, count(*) AS n_occurrences
-    FROM toks WHERE token <> ''
-    GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20
-    """,
-    "sketch", "heavy-hitters",
-)
-def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 corpus tokens via a Space-Saving sketch
-    (operators/sketch.py): capacity-bounded per-partition summaries
-    (mapInPandas, no shuffle), one tiny merge agg, then an EXACT rescore
-    of only the sketch's candidates — the full token universe is never
-    grouped. The oracle is the exact top-k, which the
-    sketch-with-rescore provably reproduces when the summary guarantee
-    holds (capacity >> k)."""
-    from parquet_rewriter_spark.operators.sketch import heavy_hitters_topk
-
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
-        F.col("token") != ""
-    )
-    return heavy_hitters_topk(toks, "token", k=20, capacity=1024)
-
-
-@query(
-    "stream_heavy_hitter_tokens",
-    """
-    WITH toks AS (
-      SELECT unnest(string_split(text, ' ')) AS token FROM documents
-    )
-    SELECT token, count(*) AS n_occurrences
-    FROM toks WHERE token <> ''
-    GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 20
-    """,
-    "streaming", "sketch", "heavy-hitters", "stateful",
-)
-def stream_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming heavy hitters as a CUSTOM stateful operator
-    (streaming/ops.py:stream_heavy_hitters): documents arrive as a file
-    stream, tokens hash-shard into 8 groups, and each shard maintains a
-    capacity-bounded Space-Saving summary in applyInPandasWithState
-    state — bounded memory however many distinct tokens the stream
-    carries, update-mode emissions per micro-batch. After the drain the
-    newest per-shard summaries name the candidates; an exact batch
-    rescore of only those candidates reproduces the true top-20 (same
-    guarantee as the batch sketch twin, which shares this oracle)."""
-    from parquet_rewriter_spark.streaming.ops import (
-        final_heavy_hitter_summary,
-        run_to_memory,
-        stream_heavy_hitters,
-        stream_table,
-    )
-
-    docs = stream_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
-        F.col("token") != ""
-    )
-    emissions = run_to_memory(
-        stream_heavy_hitters(toks, "token", n_shards=8, capacity=1024),
-        output_mode="update",
-    )
-    summary = final_heavy_hitter_summary(emissions)
-    lb = summary.select((F.col("count") - F.col("err")).alias("lb"))
-    kth = lb.orderBy(F.col("lb").desc()).limit(20).agg(F.min("lb")).first()[0]
-    cand = [r["item"] for r in summary.filter(F.col("count") >= kth).collect()]
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").isin(cand))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
-        .limit(20)
-    )
-
-
-@query("tdigest_price_quantiles", None, "sketch", "quantiles", "tdigest", "mergeable")
-def tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable t-digest quantiles (operators/quantile_digest.py):
-    per-status p50/p90/p99 of o_totalprice via one shuffle-per-group
-    digest kernel, plus a whole-relation digest built as per-partition
-    summaries merged on the driver (the persistable per-file form is
-    exercised in tests). Rows-only: digest estimates are approximate by
-    construction (rank error ~1/δ, asserted against exact quantiles in
-    tests/test_quantile_digest.py), so no SQL oracle can hash-match."""
-    from parquet_rewriter_spark.operators.quantile_digest import grouped_quantiles
-
-    o = _t(spark, sf_dir, "orders")
-    return grouped_quantiles(
-        o, ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99], compression=200
-    ).orderBy("o_orderstatus")
-
-
-@query(
-    "stream_enriched_nation_revenue",
-    """
-    SELECT n.n_name AS nation, count(*) AS n_purchases,
-           round(sum(e.value), 2) AS revenue
-    FROM events e
-    JOIN customer c ON c.c_custkey = e.user_id
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    WHERE e.event_type = 'purchase'
-    GROUP BY n.n_name
-    """,
-    "streaming", "join", "broadcast", "enrichment",
-)
-def stream_enriched_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment: the events stream joins two STATIC
-    dimension tables (customer → nation, both broadcast — no shuffle of
-    the stream, no stream-state) before a windowless global aggregate.
-    This is the canonical streaming-ETL shape: per-record enrichment
-    costs one broadcast hash probe per dim, and the only stateful op is
-    the final aggregate. Drained via AvailableNow; oracle is the batch
-    join."""
-    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events
-
-    ev = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    c = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
-    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
-    enriched = ev.join(c, ev.user_id == c.c_custkey).join(
-        n, F.col("c_nationkey") == n.n_nationkey
-    )
-    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
-        F.count(F.lit(1)).alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("revenue"),
-    )
-    return run_to_memory(agg, output_mode="complete")
-
-
-@query(
-    "scd2_customer_status_history",
-    """
-    WITH ordered AS (
-      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-             lag(o_orderstatus) OVER w AS prev_status
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ),
-    starts AS (
-      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
-      FROM ordered
-      WHERE prev_status IS NULL OR o_orderstatus <> prev_status
-    )
-    SELECT o_custkey AS custkey, o_orderstatus AS status, valid_from,
-           lead(valid_from) OVER w2 AS valid_to,
-           (lead(valid_from) OVER w2 IS NULL) AS is_current
-    FROM starts
-    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
-    """,
-    "scd2", "window", "cdc",
-)
-def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type 2 build: compress each customer's
-    order-status run into a validity interval (valid_from, valid_to,
-    is_current) — the history-table shape a warehouse derives from a
-    change feed. Two window passes over ONE shuffle on custkey (both
-    windows share the partitioning, so Catalyst reuses the exchange)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    starts = (
-        o.select(
-            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
-            F.lag("o_orderstatus").over(w).alias("prev_status"),
-        )
-        .filter(
-            F.col("prev_status").isNull()
-            | (F.col("o_orderstatus") != F.col("prev_status"))
-        )
-    )
-    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return starts.select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w2).alias("valid_to"),
-        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
-    )
-
-
-@query("ann_pq_topk", None, "similarity", "ann", "pq", "compression")
-def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (operators/similarity.py:ann_pq_topk):
-    vectors compressed to 8 one-byte codes (32x vs the 64-dim float
-    fixture; ratio grows with dim), scored by ADC table lookup, exact-reranked top-10
-    from the top-100 PQ candidates.
-    Rows-only (k-means hash family is not SQL-portable); recall vs the
-    exact path is asserted in tests/test_llm_ops.py."""
-    from parquet_rewriter_spark.operators.similarity import ann_pq_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return ann_pq_topk(e, "vec_id", "embedding", qv, k=10, m=8, n_codes=64, rerank=100)
-
-
-@query(
-    "incremental_bm25_search",
-    bm25_sql(
-        _BM25_TERMS, k=15,
-        table="(SELECT * FROM documents WHERE (doc_id % 11) <> 3) corpus_final",
-    ),
-    "search", "bm25", "incremental", "index", "cdc",
-)
-def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 served from a PERSISTENT, incrementally-maintained index
-    (operators/search_index.py): docs live in a SortedTable (the
-    mutation core), postings in a term-bucketed derived layout refreshed
-    from the table's own CDC feed — refresh cost ∝ batch + touched
-    buckets, never corpus. The sequence: build over a corpus that is
-    missing some docs and has STALE text for others → one upsert batch
-    fixes both → one delete batch retires docs → search. The oracle
-    recomputes BM25 from scratch over the final corpus, so a hash match
-    proves the incremental index converged to the from-scratch state."""
-    from parquet_rewriter_spark.operators.search_index import SearchIndex
-
-    d = _t(spark, sf_dir, "documents")
-    stale = d.withColumn(
-        "text",
-        F.when(F.col("doc_id") % 5 == 0, F.substring("text", 1, 40)).otherwise(
-            F.col("text")
-        ),
-    ).filter(F.col("doc_id") % 7 != 0)
-    idx = SearchIndex.build(spark, _scratch("bm25_index"), stale, n_buckets=16)
-    batch = d.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 5 == 0))
-    idx.add(batch)
-    idx.remove(d.filter(F.col("doc_id") % 11 == 3).select("doc_id"))
-    return idx.search(_BM25_TERMS, k=15)
-
-
-# --------------------------------------------- TPC-H decorrelation shapes
-#
-# The oracles below are written in the classic TPC-H style — correlated
-# scalar subqueries, EXISTS/NOT EXISTS with correlated inequality — the
-# forms a reference user's SQL frontend produces. The Spark builders
-# show the engine-side DECORRELATION each form needs to run distributed:
-# a correlated scalar agg becomes a grouped pre-aggregate joined back
-# (broadcast when small); a global scalar becomes a 1-row broadcast
-# cross join; EXISTS/NOT EXISTS over the same fact becomes window
-# functions over the correlation key (one shuffle, no self-join).
-# Catalyst performs the same rewrites on spark.sql() input; doing them
-# explicitly keeps the physical plan pinned and testable.
-
-
-@query(
-    "q7_volume_shipping",
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
-      FROM supplier
-      JOIN lineitem ON s_suppkey = l_suppkey
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN customer ON c_custkey = o_custkey
-      JOIN nation n1 ON s_nationkey = n1.n_nationkey
-      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        AND n2.n_name IN ('NATION_1', 'NATION_2')
-        AND n1.n_name <> n2.n_name
-    ) shipping
-    GROUP BY supp_nation, cust_nation, l_year
-    """,
-    "tpch", "join", "broadcast",
-)
-def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral trade volume between two nations by ship
-    year. Both nation filters are applied BEFORE the fact joins (via the
-    broadcast dims), so the lineitem⨝orders shuffle carries only the
-    ~2/25ths of rows belonging to the two nations — filter-through-dim
-    pushdown, the pattern that matters when lineitem is 100 TB."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_1", "NATION_2")
-    )
-    # dim-side pruning first: suppliers/customers of the two nations are
-    # small → broadcast them into the fact scans (semi-join pushdown)
-    s2 = s.join(F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
-                s.s_nationkey == F.col("n_nationkey")).select("s_suppkey", "supp_nation")
-    c2 = c.join(F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
-                c.c_nationkey == F.col("n_nationkey")).select("c_custkey", "cust_nation")
-    return (
-        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c2), o.o_custkey == c2.c_custkey)
-        .filter(F.col("supp_nation") != F.col("cust_nation"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-
-
-@query(
-    "q8_market_share",
-    """
-    SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
-    FROM (
-      SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
-             n2.n_name AS supp_nation
-      FROM part
-      JOIN lineitem ON p_partkey = l_partkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN orders   ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      JOIN region   ON n1.n_regionkey = r_regionkey
-      JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
-    ) all_nations
-    GROUP BY o_year
-    """,
-    "tpch", "join", "conditional-agg",
-)
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 (adapted to the fixture's columns): NATION_3's share of
-    AMERICA-region PROMO-part purchase volume per order year. The
-    numerator/denominator pair decorrelates into ONE conditional
-    aggregation (sum(when)/sum) — a single pass, no second join back."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    cust_in_region = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("c_custkey")
-    )
-    supp_nation = s.join(
-        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
-        s.s_nationkey == F.col("n_nationkey"),
-    ).select("s_suppkey", "supp_nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"), "left_semi")
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / F.sum(vol),
-                6,
-            ).alias("mkt_share")
-        )
-    )
-
-
-@query(
-    "q11_important_parts",
-    """
-    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING sum(l_extendedprice * l_quantity) >
-           (SELECT sum(l_extendedprice * l_quantity) * 0.00084 FROM lineitem)
-    """,
-    "tpch", "scalar-subquery", "decorrelation",
-)
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape (partsupp-free fixture → lineitem value): parts
-    whose total traded value exceeds a fraction of the GLOBAL total.
-    The correlated-free scalar subquery decorrelates to a 1-row
-    aggregate cross-joined (broadcast) into the HAVING filter; the base
-    grouped aggregate is computed ONCE and reused for both sides via a
-    self-contained two-level agg — not two scans of lineitem."""
-    li = _t(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv")
-    ).localCheckpoint(eager=False)  # both consumers read the materialized agg
-    # global total = sum of the per-part partials (re-aggregates the
-    # small grouped result, NOT the base table — one lineitem scan)
-    total = per_part.agg(F.sum("pv").alias("tv"))
-    return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("pv") > F.col("tv") * 0.00084)
-        .select("l_partkey", F.round("pv", 2).alias("part_value"))
-    )
-
-
-@query(
-    "q15_top_supplier",
-    """
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1996-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    "tpch", "scalar-subquery", "view-reuse",
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with max quarterly revenue. The revenue
-    view is computed once and cached for its two uses (max + filter);
-    the scalar max broadcasts into the filter. Ship-date predicate is
-    pushed to the parquet scan."""
-    li = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    rev = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        )
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
-        )
-        .localCheckpoint(eager=False)  # reuse: max + equality filter, one computation
-    )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
-    return (
-        rev.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
-    )
-
-
-@query(
-    "q17_small_quantity_revenue",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    WHERE p_brand = 'Brand#12'
-      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
-                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-    """,
-    "tpch", "correlated-subquery", "decorrelation",
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: revenue from small-quantity orders of one brand. The
-    correlated per-part avg decorrelates to a grouped pre-aggregate
-    over ONLY the brand's parts (semi-join pruning before the avg — at
-    100 TB the avg never touches the other brands' rows), broadcast
-    back into the quantity filter."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select("p_partkey")
-    brand_li = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey")).drop("p_partkey")
-    avg_q = brand_li.groupBy(F.col("l_partkey").alias("ap")).agg(
-        (F.avg("l_quantity") * 0.5).alias("qlim")
-    )
-    return (
-        brand_li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ap"))
-        .filter(F.col("l_quantity") < F.col("qlim"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
-    )
-
-
-@query(
-    "q21_last_shipper",
-    """
-    SELECT s_name, count(*) AS numwait
-    FROM supplier
-    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-    JOIN orders ON o_orderkey = l1.l_orderkey
-    WHERE o_orderstatus = 'F'
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > l1.l_shipdate)
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name
-    LIMIT 10
-    """,
-    "tpch", "exists", "not-exists", "window-decorrelation",
-)
-def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (fixture has no receipt/commit dates → "last to
-    ship" stands in for "late"): lineitems on multi-supplier 'F' orders
-    where NO other supplier shipped later. Both correlated subqueries
-    (EXISTS + NOT EXISTS with inequality) decorrelate into WINDOW
-    functions over l_orderkey — one shuffle on the correlation key, no
-    self-joins:
-      EXISTS(other supplier)         → count(distinct supplier) ≥ 2, via
-                                       dense_rank over two orderings
-                                       (distinct-count has no window form)
-      NOT EXISTS(other shipped later) → my shipdate ≥ max(OTHER suppliers'
-                                       shipdate), computed as a two-level
-                                       per-(order,supplier) max + top-2
-                                       ranking per order."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    s = _t(spark, sf_dir, "supplier")
-    flines = li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi")
-    # per-(order, supplier) max shipdate — collapses the fact before any
-    # window work (map-side combine on the shuffle)
-    per_supp = flines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("supp_max")
-    )
-    w = Window.partitionBy("l_orderkey").orderBy(F.col("supp_max").desc())
-    ranked = per_supp.select(
-        "l_orderkey",
-        "l_suppkey",
-        "supp_max",
-        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("n_supps"),
-        F.max("supp_max").over(Window.partitionBy("l_orderkey")).alias("max1"),
-        F.row_number().over(w).alias("rk"),
-    )
-    # max shipdate among the OTHER suppliers = overall max, unless I am
-    # its unique holder — then it is the 2nd-ranked supplier's max
-    second = ranked.filter(F.col("rk") == 2).select(
-        F.col("l_orderkey").alias("o2"), F.col("supp_max").alias("max2")
-    )
-    omax = (
-        ranked.filter(F.col("n_supps") >= 2)  # EXISTS: another supplier
-        .join(second, ranked.l_orderkey == F.col("o2"), "left")
-        .select(
-            F.col("l_orderkey").alias("wo"),
-            F.col("l_suppkey").alias("ws"),
-            F.when(F.col("supp_max") < F.col("max1"), F.col("max1"))
-            .otherwise(F.col("max2"))
-            .alias("other_max"),
-        )
-    )
-    # NOT EXISTS is evaluated PER l1 ROW (its own shipdate, not the
-    # supplier's max): join the per-(order,supplier) other_max back to
-    # the fact rows and keep only rows shipped at-or-after every other
-    # supplier's last shipment
-    # shuffle join on the correlation key (omax is fact-proportional —
-    # never broadcast); both sides hash-partition on l_orderkey
-    qual = flines.join(
-        omax,
-        (flines.l_orderkey == F.col("wo")) & (flines.l_suppkey == F.col("ws")),
-    ).filter(F.col("l_shipdate") >= F.col("other_max"))
-    return (
-        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
-        .limit(10)
-    )
-
-
-# ------------------------------------------------- corpus pipeline ops v3
-
-
-@query(
-    "segment_dedup_docs",
-    """
-    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    segs AS (
-      SELECT doc_id, i AS pos,
-             array_to_string(w[(i*10+1):((i+1)*10)], ' ') AS seg
-      FROM docs, LATERAL (
-        SELECT unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) AS i
-      )
-    ),
-    firsts AS (
-      SELECT doc_id, pos, seg,
-             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-      FROM segs
-    )
-    SELECT doc_id AS id,
-           count(*) AS n_segs,
-           count(*) FILTER (rn = 1) AS n_kept,
-           coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (rn = 1), '')
-             AS dedup_text
-    FROM firsts GROUP BY doc_id
-    """,
-    "llm-pipeline", "dedup", "segment",
-)
-def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide repeated-segment removal (C4-style paragraph dedup,
-    parameterized to 10-word windows for the single-line fixture): a
-    segment survives only at its first (doc_id, pos) occurrence; docs
-    are reconstructed from their surviving segments in order."""
-    from parquet_rewriter_spark.operators.dedup import segment_dedup
-
-    d = _t(spark, sf_dir, "documents")
-    return segment_dedup(d, "doc_id", "text", words_per_segment=10)
-
-
-@query(
-    "doc_stable_ids",
-    """
-    SELECT doc_id, lang,
-           row_number() OVER (ORDER BY lang, doc_id) - 1 AS stable_id
-    FROM documents
-    """,
-    "llm-pipeline", "ids", "zipwithindex",
-)
-def doc_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense global ids equal to row_number()-1 over (lang, doc_id) —
-    but produced WITHOUT the single-partition global sort: range
-    partition + per-partition counts + offset-shifted local indices
-    (operators/ids.py). The oracle IS the global row_number, so a hash
-    match proves the distributed assignment is exact."""
-    from parquet_rewriter_spark.operators.ids import assign_contiguous_ids
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return assign_contiguous_ids(d, ["lang", "doc_id"], id_col="stable_id")
-
-
-@query(
-    "semantic_dedup_survivors",
-    """
-    WITH RECURSIVE e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    pairs AS (  -- identical pair rule to the embedding_near_dup_pairs oracle
-      SELECT * FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-      ) WHERE cos_sim >= 0.45
-    ),
-    edges AS (  -- undirected, small-id labels propagate upward
-      SELECT id_a AS s, id_b AS d FROM pairs
-      UNION ALL SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (  -- transitive closure: every id a node can reach
-      SELECT s AS id, d AS r FROM edges
-      UNION
-      SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
-    ),
-    comp AS (
-      SELECT v.vec_id,
-             least(v.vec_id, coalesce(min(reach.r), v.vec_id)) AS cluster_id
-      FROM embeddings v LEFT JOIN reach ON v.vec_id = reach.id
-      GROUP BY v.vec_id
-    )
-    SELECT cluster_id, count(*) AS n_members,
-           min(vec_id) AS survivor_id
-    FROM comp GROUP BY cluster_id
-    HAVING count(*) > 1
-    """,
-    "llm-pipeline", "dedup", "semantic", "embedding",
-)
-def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: exact cosine pairs (blocked
-    matmul — operators/blockmatrix, no row cross-join) → connected
-    components (min-label propagation, operators/cluster.py) → one
-    survivor per multi-member cluster. The DuckDB oracle recomputes
-    components via a recursive transitive closure, so a hash match
-    proves both the pair recall AND the component labeling."""
-    from parquet_rewriter_spark.operators.cluster import near_dup_clusters
-    from parquet_rewriter_spark.operators.dedup import embedding_near_dup_pairs
-
-    e = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45)
-    clusters = near_dup_clusters(e, pairs, id_col="vec_id")
-    return (
-        clusters.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("vec_id").alias("survivor_id"),
-        )
-        .filter(F.col("n_members") > 1)
-    )
-
-
-@query(
-    "wap_publish_scan",
-    """
-    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
-    -- batch 1 (every 30th key, totalprice negated) FAILS the audit and
-    -- must leave no trace; batch 2 (every 15th key, price+1000) passes
-    merged AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-             CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice + 1000
-                  ELSE o_totalprice END AS o_totalprice,
-             o_orderdate, o_orderpriority
-      FROM base
-    )
-    SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM merged GROUP BY o_orderstatus
-    """,
-    "storage", "wap", "quality", "governance",
-)
-def wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-audit-publish (operators/wap.py): a poisoned batch
-    (negative prices) is staged on a zero-copy clone, fails its audit,
-    and is discarded without the main table ever changing; a clean
-    batch then publishes. The oracle is the final expected state — a
-    hash match proves the rejected batch left NO trace AND the
-    accepted one fully landed."""
-    from parquet_rewriter_spark.operators.wap import write_audit_publish
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
-    t = SortedTable.create(
-        spark, _scratch("wap_orders"), o, key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o, 16),
-    )
-    rules = {"price_nonneg": "o_totalprice >= 0"}
-    bad = o.filter(F.col("o_orderkey") % 30 == 0).withColumn(
-        "o_totalprice", -F.col("o_totalprice")
-    )
-    r1 = write_audit_publish(t, bad, rules, audit_changed_only=True)
-    assert not r1["published"] and r1["failed_rules"] == ["price_nonneg"]
-    good = o.filter(F.col("o_orderkey") % 15 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + 1000
-    )
-    r2 = write_audit_publish(t, good, rules, audit_changed_only=True)
-    assert r2["published"], r2
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "lineitem_unpivot_measures",
-    """
-    WITH agg AS (
-      SELECT l_returnflag,
-             round(sum(l_quantity), 2)      AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price,
-             round(sum(l_discount), 2)      AS sum_disc
-      FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l_returnflag, measure, value FROM (
-      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
-      UNION ALL
-      SELECT l_returnflag, 'sum_price', sum_price FROM agg
-      UNION ALL
-      SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
-    )
-    """,
-    "relational", "unpivot", "melt",
-)
-def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long unpivot/melt (the inverse of pivot): aggregate first
-    (5 rows), then ``DataFrame.unpivot`` — the melt never touches the
-    fact table, and unpivot itself is a zero-shuffle projection
-    (Expand node)."""
-    li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
-    )
-    return agg.unpivot(
-        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
-    )
-
-
-@query(
-    "purchase_error_overlap",
-    """
-    WITH p AS (
-      SELECT event_id AS p_id, user_id,
-             ts - INTERVAL 2 MINUTE AS p_start, ts + INTERVAL 2 MINUTE AS p_end
-      FROM events WHERE event_type = 'purchase'
-    ),
-    e AS (
-      SELECT event_id AS e_id, user_id,
-             ts - INTERVAL 2 MINUTE AS e_start, ts + INTERVAL 2 MINUTE AS e_end
-      FROM events WHERE event_type = 'error'
-    )
-    SELECT p.p_id, e.e_id, p.user_id,
-           (epoch_us(least(p.p_end, e.e_end))
-            - epoch_us(greatest(p.p_start, e.e_start))) // 1000000 AS overlap_s
-    FROM p JOIN e ON p.user_id = e.user_id
-     AND p.p_start <= e.e_end AND e.e_start <= p.p_end
-    """,
-    "join", "interval-overlap", "binned",
-)
-def purchase_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-OVERLAP join (operators/joins.py:interval_join): ±2-min
-    windows around purchases vs errors of the same user. The oracle is
-    the bare inequality join; the Spark plan is bin-bucketed — one hash
-    shuffle on (user, time-bin), no cross join, overlap-start filter
-    instead of a dedup shuffle."""
-    from parquet_rewriter_spark.operators.joins import interval_join
-
-    ev = _t(spark, sf_dir, "events")
-    two = F.expr("INTERVAL 2 MINUTES")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"),
-        "user_id",
-        (F.col("ts") - two).alias("p_start"),
-        (F.col("ts") + two).alias("p_end"),
-    )
-    e = ev.filter(F.col("event_type") == "error").select(
-        F.col("event_id").alias("e_id"),
-        "user_id",
-        (F.col("ts") - two).alias("e_start"),
-        (F.col("ts") + two).alias("e_end"),
-    )
-    j = interval_join(
-        p, e, "p_start", "p_end", "e_start", "e_end",
-        by="user_id", bin_seconds=240,
-    )
-    return j.select(
-        F.col("l.p_id").alias("p_id"),
-        F.col("r.e_id").alias("e_id"),
-        F.col("l.user_id").alias("user_id"),
-        (
-            (
-                F.least(F.unix_micros("l.p_end"), F.unix_micros("r.e_end"))
-                - F.greatest(F.unix_micros("l.p_start"), F.unix_micros("r.e_start"))
-            )
-            / F.lit(1_000_000)
-        ).cast("long").alias("overlap_s"),
-    )
-
-
-@query(
-    "stream_value_anomalies",
-    """
-    WITH baseline AS (
-      SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
-      FROM events GROUP BY event_type
-    )
-    SELECT e.event_id, e.event_type,
-           round(e.value, 2) AS value,
-           round((e.value - b.mu) / b.sigma, 4) AS zscore
-    FROM events e JOIN baseline b ON e.event_type = b.event_type
-    WHERE abs(e.value - b.mu) > 2.5 * b.sigma
-    """,
-    "streaming", "anomaly", "stream-static",
-)
-def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming anomaly detection against a STATIC baseline: per-type
-    mean/σ computed batch-side (the "trained profile"), broadcast into
-    the stream; each record is flagged stateless-ly when it deviates
-    > 2.5σ. No stream state at all — the shape that scales to any
-    event rate. Drained via AvailableNow; oracle is the batch join."""
-    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events
-
-    base = (
-        _t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.avg("value").alias("mu"),
-            F.stddev_pop("value").alias("sigma"),
-        )
-    )
-    ev = stream_events(spark, sf_dir)
-    flagged = (
-        ev.join(F.broadcast(base), "event_type")
-        .filter(F.abs(F.col("value") - F.col("mu")) > 2.5 * F.col("sigma"))
-        .select(
-            "event_id",
-            "event_type",
-            F.round("value", 2).alias("value"),
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("zscore"),
-        )
-    )
-    return run_to_memory(flagged, output_mode="append")
-
-
-@query(
-    "schema_ddl_lifecycle_scan",
-    """
-    -- final state after: create -> ADD COLUMN p_score -> merge scores
-    -- for p_partkey%4=0 -> DROP COLUMN p_retailprice -> RESTORE to the
-    -- pre-drop version (so p_retailprice is back, scores retained)
-    SELECT p_type, count(*) AS n_parts,
-           round(sum(CASE WHEN p_partkey % 4 = 0 THEN p_size * 1.5 END), 2)
-             AS score_sum,
-           round(sum(p_retailprice), 2) AS retail_sum
-    FROM part GROUP BY p_type
-    """,
-    "storage", "ddl", "schema-evolution", "restore",
-)
-def schema_ddl_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-only DDL lifecycle on the mutation core: ADD COLUMN
-    null-fills without touching a file; a merge then writes values for
-    a quarter of the keys; DROP COLUMN hides a physical column; RESTORE
-    rolls back to the pre-drop snapshot as a new commit. The oracle is
-    the expected final state — proving the add survived the merge, the
-    drop was non-destructive, and restore recovered the hidden bytes."""
-    from parquet_rewriter_spark.operators.merge import merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    p = _t(spark, sf_dir, "part")
-    t = SortedTable.create(
-        spark, _scratch("ddl_part"), p, key="p_partkey",
-        max_records_per_file=_scaled_mrpf(p, 8),
-    )
-    t.add_column("p_score", "double")
-    muts = t.read().filter(F.col("p_partkey") % 4 == 0).withColumn(
-        "p_score", F.col("p_size") * 1.5
-    )
-    merge_into_table(t, muts)
-    v_before_drop = t.manifest().version
-    t.drop_column("p_retailprice")
-    assert "p_retailprice" not in t.read().columns
-    t.restore(v_before_drop)
-    return (
-        t.read()
-        .groupBy("p_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("p_score"), 2).alias("score_sum"),
-            F.round(F.sum("p_retailprice"), 2).alias("retail_sum"),
-        )
-    )
-
-
-# --------------------------------------------- round-3 tail: export / LM / sketches
-
-
-@query(
-    "training_shard_summary",
-    """
-    WITH t AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
-    ),
-    r AS (
-      SELECT doc_id, n_tok,
-             (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 8 AS shard
-      FROM t
-    )
-    SELECT shard::INT AS shard, count(*) AS n_docs,
-           sum(n_tok)::BIGINT AS total_tokens
-    FROM r GROUP BY shard ORDER BY shard
-    """,
-    "llm", "export", "sharding",
-)
-def training_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Balanced training-shard export (operators/export.py): round-robin
-    over the descending-token-count total order — LPT-style balance
-    with NO single-partition sort (the rank comes from the
-    range-partitioned contiguous-id pass). The oracle replays the
-    assignment with the window function the operator deliberately
-    avoids; per-shard totals must agree exactly."""
-    from parquet_rewriter_spark.operators.export import assign_shards, shard_summary
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
-    )
-    sharded = assign_shards(d, n_shards=8, size_col="n_tok", tiebreak_cols=["doc_id"])
-    return (
-        shard_summary(sharded, size_col="n_tok")
-        .select("shard", "n_docs", F.col("total_size").alias("total_tokens"))
-    )
-
-
-@query(
-    "doc_lm_scores",
-    """
-    WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    big AS (
-      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-      FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
-      WHERE len(t) >= 2
-    ),
-    c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
-    c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1),
-    v AS (SELECT count(DISTINCT x) AS v FROM (SELECT unnest(t) AS x FROM tok)),
-    s AS (
-      SELECT b.doc_id, count(*) AS n_bigrams,
-             round(avg(ln((n12 + 1.0) / (n1 + v.v))), 4) AS avg_logp
-      FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-      GROUP BY b.doc_id
-    )
-    SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
-           COALESCE(s.avg_logp, 0.0) AS avg_logp
-    FROM documents d LEFT JOIN s USING (doc_id)
-    """,
-    "llm", "quality", "language-model",
-)
-def doc_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality scores: every doc scored under an
-    add-one-smoothed bigram model trained on the corpus itself
-    (functions/lm.py) — one model aggregation + n-gram-keyed shuffle
-    joins, all JVM-side, replayed exactly by the oracle."""
-    from parquet_rewriter_spark.functions.lm import score_documents
-
-    return score_documents(_t(spark, sf_dir, "documents"))
-
-
-@query(
-    "user_decayed_value",
-    """
-    WITH ref AS (SELECT max(ts) AS rts FROM events)
-    SELECT user_id,
-           round(sum(value * pow(0.5, (epoch_us(rts) - epoch_us(ts)) / 1e6
-                                      / (7 * 86400))), 4) AS decayed_sum,
-           round(sum(pow(0.5, (epoch_us(rts) - epoch_us(ts)) / 1e6
-                               / (7 * 86400))), 4) AS decayed_weight,
-           count(*) AS n_events
-    FROM events, ref
-    GROUP BY user_id
-    """,
-    "timeseries", "decay",
-)
-def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-decayed per-user activity (7-day half-life,
-    referenced to the newest event): recency-weighted scoring with a
-    1-row broadcast for the reference time and ONE hash shuffle on
-    user_id (operators/timeseries.py:decayed_agg)."""
-    from parquet_rewriter_spark.operators.timeseries import decayed_agg
-
-    ev = _t(spark, sf_dir, "events")
-    return decayed_agg(ev, key="user_id", ts="ts", value="value").select(
-        "user_id",
-        F.round("decayed_sum", 4).alias("decayed_sum"),
-        F.round("decayed_weight", 4).alias("decayed_weight"),
-        "n_events",
-    )
-
-
-@query(
-    "incremental_distinct_users",
-    """
-    WITH merged AS (
-      SELECT user_id FROM events
-      UNION ALL
-      SELECT user_id + 100000 FROM events WHERE event_type = 'signup'
-    )
-    SELECT count(DISTINCT user_id) AS exact_users,
-           TRUE AS within_5pct, TRUE AS index_complete
-    FROM merged
-    """,
-    "storage", "sketch", "distinct-index",
-)
-def incremental_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-file HLL sketch sidecar on the mutation core
-    (operators/distinct_index.py): build events as a SortedTable, index
-    user_id, merge a batch of NEW users (insert-only upserts), refresh
-    — the refresh sketches ONLY the commit's new files — then estimate
-    distinct users from the sketch union. The oracle checks the exact
-    count; the booleans assert the estimate landed within the 5% band
-    and that the refresh covered every live file (both computed, not
-    assumed, on the Spark side)."""
-    from parquet_rewriter_spark.operators.distinct_index import (
-        estimate_distinct,
-        refresh_distinct_index,
-    )
-    from parquet_rewriter_spark.operators.merge import merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    ev = _t(spark, sf_dir, "events")
-    t = SortedTable.create(
-        spark, _scratch("distinct_idx"), ev, key="event_id",
-        max_records_per_file=_scaled_mrpf(ev, 8),
-    )
-    refresh_distinct_index(t, ["user_id"])
-    muts = (
-        ev.filter(F.col("event_type") == "signup")
-        .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000))
-        .withColumn("user_id", F.col("user_id") + F.lit(100_000))
-    )
-    merge_into_table(t, muts)
-    refresh_distinct_index(t, ["user_id"])
-    est = estimate_distinct(t, "user_id")
-    exact = t.read().select(F.count_distinct("user_id")).first()[0]
-    within = est is not None and abs(est - exact) / exact <= 0.05
-    return spark.createDataFrame(
-        [(int(exact), bool(within), est is not None)],
-        "exact_users long, within_5pct boolean, index_complete boolean",
-    )
-
-
-@query(
-    "stream_quality_route_summary",
-    """
-    WITH flags AS (
-      SELECT CASE WHEN NOT coalesce(value < 100, FALSE) THEN 1 ELSE 0 END AS v1,
-             CASE WHEN NOT coalesce(event_type <> 'error', FALSE) THEN 1 ELSE 0 END AS v2
-      FROM events
-    )
-    SELECT 'clean' AS rule,
-           sum(CASE WHEN v1 = 0 AND v2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_rows
-    FROM flags
-    UNION ALL
-    SELECT 'type_not_error', sum(v2)::BIGINT FROM flags
-    UNION ALL
-    SELECT 'value_under_100', sum(v1)::BIGINT FROM flags
-    """,
-    "streaming", "quality", "routing",
-)
-def stream_quality_route_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-contract routing on ingest (streaming/ops.py:
-    stream_quality_route): the events stream is split per micro-batch
-    into clean and quarantine sinks, quarantine rows tagged with every
-    failed rule. The summary — clean row count + per-rule violation
-    counts read back from the SINKS — must equal the batch CASE-sum
-    replay, proving no row was lost or double-routed."""
-    import shutil
-
-    from parquet_rewriter_spark.streaming.ops import stream_events, stream_quality_route
-
-    base = _scratch("quality_route")
-    clean_dir = os.path.join(base, "clean")
-    quar_dir = os.path.join(base, "quarantine")
-    ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
-    rules = {
-        "value_under_100": "value < 100",
-        "type_not_error": "event_type <> 'error'",
-    }
-    stream_quality_route(
-        stream_events(spark, sf_dir), rules, clean_dir, quar_dir, ckpt
-    )
-    clean_n = spark.read.parquet(clean_dir).count()
-    per_rule = (
-        spark.read.parquet(quar_dir)
-        .select(F.explode("_violated_rules").alias("rule"))
-        .groupBy("rule")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
-    one = spark.createDataFrame([("clean", clean_n)], "rule string, n_rows long")
-    return one.unionByName(per_rule)
-
-
-@query("stream_purchase_click_leftjoin", None, "streaming", "join", "outer")
-def stream_purchase_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join: every purchase, with its
-    click within the 30-min window when one exists — unmatched
-    purchases null-emit only after the watermark proves no match can
-    still arrive (bounded state, no double counting). Rows-only: the
-    null-emission set depends on the final watermark position, which
-    SQL cannot replay; the emission semantics are pinned in
-    tests/test_streaming.py against the batch left join."""
-    from parquet_rewriter_spark.streaming import (
-        run_to_memory,
-        stream_events,
-        stream_stream_interval_join,
-    )
-
-    ev = stream_events(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    joined = stream_stream_interval_join(
-        purchases, clicks, key="user_id", how="left_outer"
-    )
-    return run_to_memory(
-        joined.select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("event_id_r").alias("click_id"),
-            F.col("event_id_r").isNotNull().alias("matched"),
-        )
-    )
-
-
-@query(
-    "lineitem_correlations",
-    """
-    SELECT col_a, col_b, round(r, 4) AS corr_r, n
-    FROM (
-      SELECT count(*) AS n,
-             corr(l_quantity, l_extendedprice) AS r_qty_price,
-             corr(l_quantity, l_discount)      AS r_qty_disc,
-             corr(l_quantity, l_tax)           AS r_qty_tax,
-             corr(l_extendedprice, l_discount) AS r_price_disc,
-             corr(l_extendedprice, l_tax)      AS r_price_tax,
-             corr(l_discount, l_tax)           AS r_disc_tax
-      FROM lineitem
-    ) s, LATERAL (VALUES
-      ('l_quantity', 'l_extendedprice', s.r_qty_price),
-      ('l_quantity', 'l_discount',      s.r_qty_disc),
-      ('l_quantity', 'l_tax',           s.r_qty_tax),
-      ('l_extendedprice', 'l_discount', s.r_price_disc),
-      ('l_extendedprice', 'l_tax',      s.r_price_tax),
-      ('l_discount', 'l_tax',           s.r_disc_tax)
-    ) v(col_a, col_b, r)
-    """,
-    "profiling", "statistics",
-)
-def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlation matrix over the fact table's numeric
-    measures — the feature-drift / profiling companion to
-    `lineitem_numeric_profile`. ALL 6 pairs come out of ONE partial+final
-    hash aggregation (each `corr` is a streaming co-moment aggregate),
-    stack-unpivoted into tidy (col_a, col_b, r) rows: the pair count
-    never changes the scan count, same discipline as operators/profile.py."""
-    li = _t(spark, sf_dir, "lineitem")
-    pairs = [
-        ("l_quantity", "l_extendedprice"),
-        ("l_quantity", "l_discount"),
-        ("l_quantity", "l_tax"),
-        ("l_extendedprice", "l_discount"),
-        ("l_extendedprice", "l_tax"),
-        ("l_discount", "l_tax"),
-    ]
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.corr(a, b).alias(f"r_{i}") for i, (a, b) in enumerate(pairs)],
-    )
-    rows = [
-        F.struct(
-            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
-            F.round(F.col(f"r_{i}"), 4).alias("corr_r"),
-        )
-        for i, (a, b) in enumerate(pairs)
-    ]
-    return (
-        agg.select(F.explode(F.array(*rows)).alias("p"), "n")
-        .select("p.col_a", "p.col_b", "p.corr_r", "n")
-    )
-
-
-_SCD2_HISTORY_CTE = """
-    ordered AS (
-      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
-             lag(o_orderstatus) OVER w AS prev_status
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ),
-    starts AS (
-      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
-      FROM ordered
-      WHERE prev_status IS NULL OR o_orderstatus <> prev_status
-    ),
-    hist AS (
-      SELECT o_custkey AS custkey, o_orderstatus AS status, valid_from,
-             lead(valid_from) OVER w2 AS valid_to
-      FROM starts
-      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)
-    )
-"""
-
-
-@query(
-    "scd2_pointintime_status",
-    f"""
-    WITH {_SCD2_HISTORY_CTE},
-    snaps AS (
-      SELECT unnest([TIMESTAMP '1996-01-01', TIMESTAMP '1997-01-01',
-                     TIMESTAMP '1998-01-01', TIMESTAMP '1999-01-01',
-                     TIMESTAMP '2000-01-01', TIMESTAMP '2001-01-01']) AS snap_ts
-    )
-    SELECT s.snap_ts, h.status, count(*) AS n_customers
-    FROM hist h JOIN snaps s
-      ON h.valid_from <= s.snap_ts
-     AND (h.valid_to > s.snap_ts OR h.valid_to IS NULL)
-    GROUP BY s.snap_ts, h.status
-    """,
-    "scd2", "temporal-join", "pit",
-)
-def scd2_pointintime_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time (temporal) join: the SCD2 customer-status history
-    probed at yearly snapshot dates — "how many customers were in each
-    status as of Jan 1" — the PIT-correctness shape every feature store
-    needs. The snapshot dim is a 6-row broadcast against the
-    interval-validity predicate (each history row joins ≤ |snapshots|
-    rows, never a blowup), then ONE hash aggregation on
-    (snapshot, status). History build = one custkey shuffle as in
-    scd2_customer_status_history."""
-    hist = scd2_customer_status_history(spark, sf_dir)
-    snaps = spark.createDataFrame(
-        [(f"{y}-01-01",) for y in range(1996, 2002)], "d string"
-    ).select(F.to_timestamp("d").alias("snap_ts"))
-    return (
-        hist.join(
-            F.broadcast(snaps),
-            (F.col("valid_from") <= F.col("snap_ts"))
-            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("snap_ts"))),
-        )
-        .groupBy("snap_ts", "status")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@query(
-    "partition_pruned_scan",
-    """
-    SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders WHERE o_orderstatus = 'F'
-    GROUP BY o_orderpriority
-    """,
-    "storage", "partitioning", "pruning",
-)
-def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style partition layout + partition pruning: orders written
-    `o_orderstatus=X/` partitioned (sources/sinks.py), then a
-    status-filtered aggregate. The filter resolves against DIRECTORY
-    NAMES during planning — non-matching partitions are never listed,
-    let alone read (`PartitionFilters` in the scan node, pinned in
-    tests/test_plans.py). The directory-partition twin of the
-    manifest's zone-map file pruning: both turn a predicate into
-    "don't even open it"."""
-    from parquet_rewriter_spark.sources.sinks import write_partitioned
-
-    o = _t(spark, sf_dir, "orders")
-    path = _scratch("part_prune")
-    write_partitioned(o, path, ["o_orderstatus"])
-    return (
-        spark.read.parquet(path)
-        .filter(F.col("o_orderstatus") == "F")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "python_ds_key_range_scan",
-    """
-    SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
-    GROUP BY o_orderstatus
-    """,
-    "sources", "python-datasource", "zone-map",
-)
-def python_ds_key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SortedTable surfaced as a first-class Spark format via the
-    Python DataSource API (sources/pyds.py): a key-range read plans ONE
-    InputPartition per zone-map-overlapping file (non-matching files
-    never become tasks) and each task's pyarrow read skips row groups
-    by footer stats before the exact vectorized residual filter — the
-    reference's seekToKey economics implemented inside the source.
-    Oracle: the same range predicate over the raw relation (the layout
-    + source are lossless)."""
-    from parquet_rewriter_spark.sources.pyds import register
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
-    )
-    t = SortedTable.create(
-        spark, _scratch("pyds"), o, key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o, 8),
-    )
-    register(spark)
-    df = (
-        spark.read.format("sorted_table")
-        .option("path", t.path)
-        .option("key_lo", "1000")
-        .option("key_hi", "2999")
-        .load()
-    )
-    return df.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-    )
-
-
-@query(
-    "vacuum_then_scan",
-    """
-    WITH final AS (
-      SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 100 = 0 THEN 0.0 ELSE o_totalprice END
-                 AS o_totalprice
-      FROM orders WHERE o_orderkey % 100 <> 1
-    )
-    SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue,
-           TRUE AS files_collected, TRUE AS single_version
-    FROM final GROUP BY o_orderstatus
-    """,
-    "storage", "vacuum", "lifecycle",
-)
-def vacuum_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Storage GC closes the lifecycle: create → two mutation commits
-    (zero-priced upserts, then deletes) → vacuum(retain_versions=1).
-    The vacuum must actually collect garbage (superseded data files
-    removed, old manifests dropped — both computed, not assumed) while
-    the surviving snapshot still reads EXACTLY the merged relation the
-    oracle replays. Cost model: vacuum is driver-side manifest set
-    arithmetic + unlinks — rows ∝ retained files, no data read."""
-    from parquet_rewriter_spark.operators.merge import (
-        OP_COLUMN,
-        OP_DELETE,
-        merge_into_table,
-    )
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    t = SortedTable.create(
-        spark, _scratch("vacuum"), o, key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o, 8),
-    )
-    merge_into_table(
-        t, o.filter(F.col("o_orderkey") % 100 == 0).withColumn("o_totalprice", F.lit(0.0))
-    )
-    merge_into_table(
-        t,
-        o.filter(F.col("o_orderkey") % 100 == 1).withColumn(OP_COLUMN, F.lit(OP_DELETE)),
-    )
-    n_versions_before = len(t.versions())
-    removed = t.vacuum(retain_versions=1)
-    collected = bool(removed) and n_versions_before > 1
-    single = len(t.versions()) == 1
-    return (
-        t.read()
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-        .select(
-            "o_orderstatus", "n_orders", "revenue",
-            F.lit(collected).alias("files_collected"),
-            F.lit(single).alias("single_version"),
-        )
-    )
-
-
-@query(
-    "timestamp_asof_scan",
-    """
-    SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
-    FROM orders GROUP BY o_orderstatus
-    """,
-    "storage", "time-travel", "asof",
-)
-def timestamp_asof_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp time travel: capture a wall-clock instant after the
-    initial commit, run a destructive merge (zero out every 10th
-    order), then `read_asof(t)` — the as-of read resolves to the
-    pre-merge snapshot and must reproduce the ORIGINAL relation the
-    oracle aggregates, proving mutations never rewrite history.
-    Resolution is driver-side commit-log arithmetic (table.py:
-    version_asof); no data read to pick the version."""
-    from parquet_rewriter_spark.operators.merge import merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    t = SortedTable.create(
-        spark, _scratch("asof"), o, key="o_orderkey",
-        max_records_per_file=_scaled_mrpf(o, 8),
-    )
-    t_before = t.history()[-1]["committed_at"]
-    merge_into_table(
-        t, o.filter(F.col("o_orderkey") % 10 == 0).withColumn("o_totalprice", F.lit(0.0))
-    )
-    return (
-        t.read_asof(t_before)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
-    )
-
-
-@query(
-    "nb_lang_confusion",
-    """
-    WITH tok AS (
-      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
-    ),
-    counts AS (SELECT w, lang, count(*) AS c FROM tok GROUP BY w, lang),
-    n_lang AS (SELECT lang, sum(c) AS n_l FROM counts GROUP BY lang),
-    vocab AS (SELECT DISTINCT w FROM counts),
-    v AS (SELECT count(*) AS v FROM vocab),
-    grid AS (SELECT vocab.w, n_lang.lang, n_lang.n_l FROM vocab CROSS JOIN n_lang),
-    lik AS (
-      SELECT g.w, g.lang,
-             ln((coalesce(c.c, 0) + 1.0) / (g.n_l + v.v)) AS log_pwl
-      FROM grid g LEFT JOIN counts c ON g.w = c.w AND g.lang = c.lang CROSS JOIN v
-    ),
-    priors AS (
-      SELECT lang,
-             ln(count(*)::DOUBLE / (SELECT count(*) FROM documents)) AS log_prior
-      FROM documents GROUP BY lang
-    ),
-    tok2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-    ll AS (
-      SELECT t.doc_id, l.lang, sum(l.log_pwl) AS ll
-      FROM tok2 t JOIN lik l USING (w) GROUP BY t.doc_id, l.lang
-    ),
-    scored AS (
-      SELECT ll.doc_id, ll.lang, round(ll.ll + p.log_prior, 6) AS score
-      FROM ll JOIN priors p USING (lang)
-    ),
-    pred AS (
-      SELECT doc_id, lang AS pred FROM (
-        SELECT *, row_number() OVER (PARTITION BY doc_id
-                                     ORDER BY score DESC, lang) AS rk
-        FROM scored
-      ) WHERE rk = 1
-    )
-    SELECT d.lang, p.pred, count(*) AS n_docs
-    FROM documents d JOIN pred p USING (doc_id)
-    GROUP BY d.lang, p.pred
-    """,
-    "llm", "classifier", "naive-bayes",
-)
-def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Naive-Bayes language classifier trained AND applied relationally
-    (functions/classify.py): add-one-smoothed token likelihoods from
-    one aggregation, token-keyed shuffle-join inference, per-doc argmax
-    on rounded scores. The confusion matrix vs the fixture labels is
-    the output; the oracle replays training and inference in SQL —
-    "model training as a query", no ML library, no Python in the plan."""
-    from parquet_rewriter_spark.functions.classify import confusion_matrix
-
-    return confusion_matrix(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
-    )
-
-
-@query(
-    "gopher_quality_flags",
-    f"""
-    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS t FROM documents),
-    per AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
-    doc AS (
-      SELECT doc_id,
-             CAST(sum(c) AS BIGINT) AS n_tokens,
-             CAST(sum(c * length(t)) AS BIGINT) AS char_sum,
-             max(c) AS top_cnt,
-             CAST(sum(CASE WHEN t IN ({_SW}) THEN c ELSE 0 END) AS BIGINT) AS stop_hits
-      FROM per GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens,
-           round(char_sum::DOUBLE / n_tokens, 4) AS mean_tok_len,
-           round(top_cnt::DOUBLE / n_tokens, 4) AS top_tok_ratio,
-           stop_hits,
-           n_tokens BETWEEN 10 AND 100000 AS len_ok,
-           char_sum::DOUBLE / n_tokens BETWEEN 2.0 AND 10.0 AS wlen_ok,
-           top_cnt::DOUBLE / n_tokens <= 0.25 AS rep_ok,
-           stop_hits >= 1 AS stop_ok,
-           (n_tokens BETWEEN 10 AND 100000)
-             AND (char_sum::DOUBLE / n_tokens BETWEEN 2.0 AND 10.0)
-             AND (top_cnt::DOUBLE / n_tokens <= 0.25)
-             AND (stop_hits >= 1) AS keep
-    FROM doc
-    """,
-    "llm", "quality", "filter", "gopher",
-)
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style quality-rule filter (functions/filters.py): token
-    count band, mean-token-length band, top-token repetition cap, and
-    stopword presence — every metric from ONE explode + two map-side-
-    combining hash aggs (the repetition ratio needs per-token counts, so
-    the others ride the same shuffle for free). Flags + keep verdict per
-    doc; the oracle replays the full rule algebra over unnest."""
-    from parquet_rewriter_spark.functions.filters import gopher_doc_metrics
-
-    return gopher_doc_metrics(_t(spark, sf_dir, "documents"))
-
-
-@query(
-    "badword_filter_summary",
-    f"""
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(CASE WHEN len(list_intersect({_TOK},
-                ['crash','panic','corrupt'])) > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_flagged,
-           round(sum(CASE WHEN len(list_intersect({_TOK},
-                ['crash','panic','corrupt'])) > 0 THEN 1 ELSE 0 END)::DOUBLE
-                / count(*), 4) AS flagged_frac
-    FROM documents
-    GROUP BY lang
-    """,
-    "llm", "quality", "filter", "c4",
-)
-def badword_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style blocklist filter: ``arrays_overlap`` against an inline
-    blocklist — pure codegen projection, zero shuffles before the
-    summary agg (functions/filters.py:badword_flag). Per-lang flagged
-    counts; the keep/drop split itself is a filter on the same column."""
-    from parquet_rewriter_spark.functions.filters import badword_flag
-
-    d = _t(spark, sf_dir, "documents")
-    flag = badword_flag("text").cast("int")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(flag).cast("long").alias("n_flagged"),
-        F.round(F.sum(flag) / F.count(F.lit(1)), 4).alias("flagged_frac"),
-    )
-
-
-@query(
-    "corpus_training_order",
-    f"""
-    SELECT * FROM (
-      SELECT row_number() OVER (ORDER BY {{u}}, doc_id) AS train_rank,
-             doc_id, source
-      FROM documents
-    ) WHERE train_rank <= 50
-    """.format(u="((doc_id % 2147483648) * 2654435761 + 7919) % 4294967296 / 4294967296.0"),
-    "llm", "shuffle", "training-order",
-)
-def corpus_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global training-order shuffle: every doc gets a
-    portable-hash sort key (operators/sampling.py:portable_unit — no
-    RNG, rerun-stable on any partitioning), and the epoch order is the
-    sort by it. At scale the full order is materialized by
-    ``repartitionByRange(hash)`` + local sort (no single-partition
-    global sort); here the query surfaces the first 50 docs of epoch
-    order via TakeOrderedAndProject (per-partition heaps, no shuffle of
-    the full table)."""
-    from parquet_rewriter_spark.operators.sampling import portable_unit
-
-    d = _t(spark, sf_dir, "documents")
-    u = portable_unit("doc_id", salt=7919)
-    top = d.select(u.alias("u"), "doc_id", "source").orderBy("u", "doc_id").limit(50)
-    # rank the surviving 50 rows (tiny — single partition by construction)
-    w = Window.orderBy("u", "doc_id")
-    return top.select(F.row_number().over(w).alias("train_rank"), "doc_id", "source")
-
-
-@query(
-    "stream_user_totals",
-    """
-    SELECT user_id,
-           count(*) AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events GROUP BY user_id
-    """,
-    "streaming", "stateful", "transformWithState",
-)
-def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary-stateful running totals per user via Spark 4's
-    ``transformWithStateInPandas`` (typed ValueState handles; falls
-    back to ``applyInPandasWithState`` with identical semantics when
-    the TWS protobuf runtime is absent — streaming/ops.py:
-    user_totals_tws). The fixture is one file → one micro-batch → one
-    update-mode emission per user, so the final table equals the batch
-    GROUP BY and the oracle is exact; multi-batch state carry is pinned
-    in test_streaming.py."""
-    from parquet_rewriter_spark.streaming.ops import (
-        run_to_memory,
-        stream_events,
-        user_totals_tws,
-    )
-
-    ev = stream_events(spark, sf_dir)
-    return run_to_memory(user_totals_tws(ev), output_mode="update")
-
-
-@query(
-    "nation_revenue_trend",
-    """
-    WITH monthly AS (
-      SELECT n_name,
-             date_trunc('month', o_orderdate) AS m,
-             sum(o_totalprice) AS rev
-      FROM orders JOIN customer ON o_custkey = c_custkey
-                  JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY n_name, date_trunc('month', o_orderdate)
-    ),
-    xy AS (
-      SELECT n_name,
-             CAST(row_number() OVER (PARTITION BY n_name ORDER BY m) AS DOUBLE) AS x,
-             CAST(rev AS DOUBLE) AS y
-      FROM monthly
-    ),
-    fit AS (
-      SELECT n_name, count(*) AS n_months,
-             (count(*) * sum(x*y) - sum(x) * sum(y))
-               / (count(*) * sum(x*x) - sum(x) * sum(x)) AS slope,
-             sum(x) AS sx, sum(y) AS sy, CAST(count(*) AS DOUBLE) AS cnt
-      FROM xy GROUP BY n_name
-    )
-    SELECT n_name, n_months,
-           round(slope, 4) AS slope,
-           round((sy - slope * sx) / cnt, 4) AS intercept,
-           round((sy + slope * (cnt * (cnt + 1) - sx)) / cnt, 4)
-             AS next_month_forecast
-    FROM fit
-    """,
-    "timeseries", "regression", "forecast",
-)
-def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group OLS trend as relational algebra: monthly revenue per
-    nation → closed-form least squares (slope/intercept from the five
-    classic sums) + next-month forecast — ONE window for the month
-    index and ONE hash agg per nation; no ML library, no Python, no
-    per-group fitting loop. The month index rides row_number over the
-    per-nation month order (both engines agree: months are distinct)."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_nationkey", "n_name", F.date_trunc("month", "o_orderdate").alias("m"))
-        .agg(F.sum("o_totalprice").alias("rev"))
-    )
-    w = Window.partitionBy("n_name").orderBy("m")
-    xy = monthly.select(
-        "n_name",
-        F.row_number().over(w).cast("double").alias("x"),
-        F.col("rev").cast("double").alias("y"),
-    )
-    cnt, sx, sy, sxy, sxx = (
-        F.count(F.lit(1)).cast("double"),
-        F.sum("x"),
-        F.sum("y"),
-        F.sum(F.col("x") * F.col("y")),
-        F.sum(F.col("x") * F.col("x")),
-    )
-    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
-    intercept = (sy - slope * sx) / cnt
-    forecast = (sy + slope * (cnt * (cnt + 1) - sx)) / cnt
-    return xy.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("n_months"),
-        F.round(slope, 4).alias("slope"),
-        F.round(intercept, 4).alias("intercept"),
-        F.round(forecast, 4).alias("next_month_forecast"),
-    )
-
-
-@query(
-    "order_value_histogram",
-    """
-    WITH b AS (
-      SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket
-      FROM orders
-    )
-    SELECT bucket,
-           round(bucket * 50000.0, 1) AS lo,
-           round((bucket + 1) * 50000.0, 1) AS hi,
-           count(*) AS n_orders
-    FROM b GROUP BY bucket
-    """,
-    "histogram", "profile",
-)
-def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram as one map-side-combining hash agg: bucket
-    id from integer arithmetic on the scanned column (codegen, no UDF,
-    no sort), top bucket clamps the tail. 10 buckets of width 50k; the
-    shuffle moves ≤10 rows per partition regardless of table size."""
-    o = _t(spark, sf_dir, "orders")
-    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(9))
-    return (
-        o.select(bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .select(
-            "bucket",
-            F.round(F.col("bucket") * 50000.0, 1).alias("lo"),
-            F.round((F.col("bucket") + 1) * 50000.0, 1).alias("hi"),
-            "n_orders",
-        )
-    )
-
-
-@query(
-    "part_entity_resolution",
-    """
-    WITH RECURSIVE names AS (
-      SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name
-    ),
-    pairs AS (
-      SELECT a.id AS ia, b.id AS ib FROM names a JOIN names b
-      ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
-      WHERE levenshtein(a.s, b.s) <= 1
-    ),
-    edges AS (SELECT ia AS a, ib AS b FROM pairs
-              UNION SELECT ib, ia FROM pairs),
-    reach(id, r) AS (
-      SELECT id, id FROM names
-      UNION
-      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-    name_ent AS (SELECT n.s, c.component FROM names n JOIN comp c USING (id))
-    SELECT cn.s AS entity_name,
-           count(DISTINCT ne.s) AS n_variants,
-           count(*) AS n_parts,
-           round(sum(p.p_retailprice), 2) AS total_retail
-    FROM part p
-    JOIN name_ent ne ON p.p_name = ne.s
-    JOIN names cn ON cn.id = ne.component
-    GROUP BY cn.s
-    """,
-    "entity-resolution", "fuzzy", "cluster", "composition",
-)
-def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end entity resolution as a composition of three existing
-    operators: blocked fuzzy self-join (operators/fuzzy.py — q-gram
-    count-filter, never n²) finds name variants at edit distance ≤1,
-    connected components (operators/cluster.py — min-label propagation)
-    merges transitive variants into entities, and a canonical name
-    (the minimum-id member's) labels each entity's rollup over the base
-    rows. The oracle replays it with all-pairs levenshtein + a
-    recursive-CTE closure — the distributed plan does the same work
-    with blocking + bounded label propagation."""
-    from parquet_rewriter_spark.operators.cluster import connected_components
-    from parquet_rewriter_spark.operators.fuzzy import fuzzy_self_join
-
-    p = _t(spark, sf_dir, "part")
-    names = (
-        p.groupBy("p_name")
-        .agg(F.min("p_partkey").alias("id"))
-        .select("id", F.col("p_name").alias("s"))
-        .persist()
-    )
-    pairs = fuzzy_self_join(names, "id", "s", max_dist=1, q=2)
-    comp = connected_components(
-        pairs.select("id_a", "id_b"), "id_a", "id_b", nodes=names.select("id")
-    )
-    name_ent = names.join(comp, "id").select("s", "comp")
-    canon = names.select(F.col("id").alias("comp"), F.col("s").alias("entity_name"))
-    out = (
-        p.join(name_ent, p.p_name == name_ent.s)
-        .join(F.broadcast(canon), "comp")
-        .groupBy("entity_name")
-        .agg(
-            F.countDistinct("s").alias("n_variants"),
-            F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("p_retailprice"), 2).alias("total_retail"),
-        )
-    )
-    return out
-
-
-@query("ann_ivf_index_lifecycle", None, "ann", "index", "incremental", "storage")
-def ann_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persistent IVF ANN index on the mutation core
-    (operators/ann_index.py): create → add a probe-identical vector →
-    delete the previous best hit → query. The composite cell-major key
-    makes probes manifest-pruned key-range scans (the reference's
-    seekToKey), and add/delete rewrite only touched cells' files.
-    Rows-only: centroids are driver-trained (not SQL-replayable);
-    recall/pruning/incrementality are pinned in tests/test_ann_index.py.
-    Result: top-10 (id, cos_sim) — must contain the added id with
-    cos_sim 1.0 and never the deleted id."""
-    from parquet_rewriter_spark.operators.ann_index import IVFVectorIndex
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
-    idx = IVFVectorIndex.create(
-        spark, _scratch("ivf_index"), emb, n_cells=8, max_records_per_file=1024
-    )
-    added = spark.createDataFrame(
-        [(10_000_000, qvec, -1)], "vec_id long, embedding array<float>, label int"
-    )
-    idx.add(added)
-    idx.delete([int(idx.topk(qvec, k=1, n_probe=8).first()["id"])])
-    return idx.topk(qvec, k=10, n_probe=4)
-
-
-_PR_D = 0.85
-_PR_ITERS = 3
-
-
-@query(
-    "part_copurchase_pagerank",
-    f"""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
-      SELECT a.l_partkey AS a, b.l_partkey AS b
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-      GROUP BY 1, 2
-    ),
-    nodes AS (SELECT DISTINCT a AS id FROM pairs),
-    deg AS (SELECT a AS id, count(*) AS out_deg FROM pairs GROUP BY a),
-    n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-    pr0 AS (SELECT id, 1.0 AS pr FROM nodes),
-    pr1 AS (
-      SELECT nodes.id,
-             (1 - {_PR_D}) + {_PR_D} * coalesce(sum(p.pr / d.out_deg * (SELECT n FROM n)), 0)
-               / (SELECT n FROM n) AS pr
-      FROM nodes
-      LEFT JOIN pairs e ON e.b = nodes.id
-      LEFT JOIN pr0 p ON p.id = e.a
-      LEFT JOIN deg d ON d.id = e.a
-      GROUP BY nodes.id
-    ),
-    pr2 AS (
-      SELECT nodes.id,
-             (1 - {_PR_D}) + {_PR_D} * coalesce(sum(p.pr / d.out_deg), 0) AS pr
-      FROM nodes
-      LEFT JOIN pairs e ON e.b = nodes.id
-      LEFT JOIN pr1 p ON p.id = e.a
-      LEFT JOIN deg d ON d.id = e.a
-      GROUP BY nodes.id
-    ),
-    pr3 AS (
-      SELECT nodes.id,
-             (1 - {_PR_D}) + {_PR_D} * coalesce(sum(p.pr / d.out_deg), 0) AS pr
-      FROM nodes
-      LEFT JOIN pairs e ON e.b = nodes.id
-      LEFT JOIN pr2 p ON p.id = e.a
-      LEFT JOIN deg d ON d.id = e.a
-      GROUP BY nodes.id
-    )
-    SELECT id AS l_partkey, round(pr, 4) AS pagerank
-    FROM pr3
-    ORDER BY round(pr, 4) DESC, l_partkey LIMIT 20
-    """,
-    "graph", "pagerank", "iterative",
-)
-def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted-graph PageRank as relational algebra: the co-purchase
-    graph (parts sharing an order) built with one self-join on the
-    order key, then three power iterations — each ONE
-    contribution join + ONE hash agg on the node id, the classic
-    distributed shape (edges partitioned by dst; at scale, pre-hash-
-    partition edges once and every iteration reuses that layout without
-    re-shuffling — same discipline as operators/cluster.py's label
-    propagation). Normalized so ranks are O(1): init pr=1, dangling
-    mass dropped (documented simplification both engines share). The
-    oracle unrolls the same three iterations in SQL."""
-    li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .persist()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e = edges.join(deg, "src")  # (src, dst, out_deg) — reused every iteration
-    pr = edges.select(F.col("src").alias("id")).distinct().withColumn("pr", F.lit(1.0))
-    for _ in range(_PR_ITERS):
-        contrib = (
-            e.join(pr, e.src == pr.id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("out_deg")).alias("mass"))
-        )
-        pr = (
-            pr.select("id")
-            .join(contrib, pr.id == contrib.dst, "left")
-            .select(
-                "id",
-                (F.lit(1 - _PR_D) + F.lit(_PR_D) * F.coalesce("mass", F.lit(0.0))).alias("pr"),
-            )
-        )
-    out = (
-        pr.select(
-            F.col("id").alias("l_partkey"), F.round("pr", 4).alias("pagerank")
-        )
-        .orderBy(F.col("pagerank").desc(), "l_partkey")
-        .limit(20)
-    )
-    return out
-
-
-@query(
-    "txn_exactly_once_scan",
-    """
-    SELECT o_orderstatus,
-           count(*) AS n_orders,
-           round(sum(CASE WHEN o_orderkey % 50 = 9 THEN o_totalprice + 1000.0
-                          ELSE o_totalprice END), 2) AS total_price
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-    "mutation", "streaming", "exactly-once", "txn",
-)
-def txn_exactly_once_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once merge replay through manifest txn watermarks (the
-    Delta (appId, version) pattern, table.py:Manifest.txns): epoch 1
-    adds +1000 to keys ≡9 (mod 50) — a NON-idempotent increment — and
-    is then REPLAYED (crash between commit and checkpoint write). The
-    replay must be skipped: the oracle is the base with the increment
-    applied exactly once. A double-apply (+2000) hash-mismatches."""
-    from parquet_rewriter_spark.operators.merge import merge_into_table
-    from parquet_rewriter_spark.table import SortedTable
-
-    o = _t(spark, sf_dir, "orders")
-    t = SortedTable.create(
-        spark, _scratch("txn_once"), o, key="o_orderkey", max_records_per_file=_scaled_mrpf(o)
-    )
-
-    def increment_epoch(epoch: int) -> dict:
-        mut = (
-            t.read()
-            .filter(F.col("o_orderkey") % 50 == 9)
-            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-            .withColumn("op", F.lit("UPSERT"))
-        )
-        return merge_into_table(t, mut, txn=("txn_demo", epoch))
-
-    increment_epoch(1)
-    replay = increment_epoch(1)  # crash-replay of the same epoch
-    assert replay.get("skipped_txn_replay") is True
-    return t.read().groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-    )
-
-
-# ---------------------------------------------------------------- helpers
-
-# Driver-verify priority: the correctness snapshot caps at ~48 queries
-# per round (r01 covered 50, r02 covered 48), so surface the queries
-# with NO green driver verdict yet FIRST. For round 3 that is: the 12
-# events/streaming queries (red in r01 on the TIMESTAMP(NANOS) read,
-# unchecked in r02 — the ts normalization now handles the regenerated
-# µs/NTZ fixture too), the 4 round-2 reds (HUGEINT-vs-long hash skew,
-# fixed by BIGINT casts in the oracles), and the rows-only ops whose
-# weaker check should be re-recorded. Everything else keeps definition
-# order and rotates through the remaining slots.
-_VERIFY_FIRST = (
-    # newest (round 3) — need their first verdict
-    "ann_ivf_index_lifecycle",
-    "part_copurchase_pagerank",
-    "txn_exactly_once_scan",
-    "nation_revenue_trend",
-    "order_value_histogram",
-    "part_entity_resolution",
-    "gopher_quality_flags",
-    "badword_filter_summary",
-    "corpus_training_order",
-    "stream_user_totals",
-    "python_ds_key_range_scan",
-    "stream_purchase_click_leftjoin",
-    "vacuum_then_scan",
-    "timestamp_asof_scan",
-    "nb_lang_confusion",
-    "partition_pruned_scan",
-    "lineitem_correlations",
-    "scd2_pointintime_status",
-    "training_shard_summary",
-    "doc_lm_scores",
-    "user_decayed_value",
-    "incremental_distinct_users",
-    "stream_quality_route_summary",
-    # new in round 3 — need their first verdict
-    "mor_delete_scan",
-    "conditional_merge_scan",
-    "canonical_dedup_survivors",
-    "stream_heavy_hitter_tokens",
-    "tdigest_price_quantiles",
-    "purchase_asof_click_nearest",
-    "hourly_value_gapfilled",
-    "user_purchase_funnel",
-    "mixture_token_budget_sample",
-    "stream_enriched_nation_revenue",
-    "incremental_bm25_search",
-    "bm25_search",
-    "fuzzy_part_match",
-    "quality_weighted_sample",
-    "heavy_hitter_tokens",
-    "scd2_customer_status_history",
-    "ann_pq_topk",
-    # new in round 2's tail — never driver-checked (r01/r02 snapshots missed them)
-    "near_dup_doc_clusters",
-    "incremental_dedup_index",
-    "pack_training_sequences",
-    "doc_repetition_scores",
-    "bucketed_colocated_join",
-    "hot_key_split_join",
-    "skew_safe_distinct_users",
-    # red in r02 — fixed this round
-    "user_session_stats",
-    "train_val_test_split",
-    "stratified_sample_docs",
-    "user_event_type_map",
-    # events/streaming: red in r01 (nanos read), no verdict in r02
-    "events_json_extract",
-    "event_type_stats",
-    "hourly_event_counts",
-    "purchase_asof_click",
-    "events_within_5min_pairs",
-    "active_user_intersection",
-    "browsers_never_err",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_purchase_click_join",
-    # new in round 3 — fill the remaining snapshot slots; the tail
-    # rolls over to the next round's snapshot
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_last_shipper",
-    "segment_dedup_docs",
-    "doc_stable_ids",
-    "semantic_dedup_survivors",
-    "wap_publish_scan",
-    "lineitem_unpivot_measures",
-    "purchase_error_overlap",
-    "stream_value_anomalies",
-    "schema_ddl_lifecycle_scan",
-    # rows-only by design — their weaker driver check re-records when a
-    # snapshot has slots left (r01/r02 already recorded them)
-    "minhash_near_dup_pairs",
-    "simhash_near_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_decode_features",
-)
 
 
 def _ordered() -> list[str]:
