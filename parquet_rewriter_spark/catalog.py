@@ -5416,6 +5416,49 @@ def txn_exactly_once_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hidden_partition_event_scan",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE user_id = 7
+      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-05 00:00:00'
+    GROUP BY event_type
+    """,
+    "partitioning", "pruning", "hidden-partitioning",
+)
+def hidden_partition_event_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style hidden partitioning (sources/partitioning.py):
+    events written partitioned by day(ts) x bucket(user_id, 8) — but
+    the QUERY only states base-column predicates. The reader derives
+    the partition predicates from the saved transform spec, so the scan
+    directory-prunes to 3 days x 1 bucket at plan time (PartitionFilters
+    — pinned in test_plans.py) while the row predicate pushes into the
+    surviving files. Same result as the unpartitioned oracle scan."""
+    import datetime as dt
+
+    from parquet_rewriter_spark.sources.partitioning import (
+        read_hidden_partitioned,
+        write_hidden_partitioned,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = _scratch("hidden_part_events")
+    write_hidden_partitioned(ev, path, [("day", "ts"), ("bucket", "user_id", 8)])
+    lo = dt.datetime(2024, 1, 2)
+    hi = dt.datetime(2024, 1, 5) - dt.timedelta(microseconds=1)
+    df = read_hidden_partitioned(
+        spark, path, eq={"user_id": 7}, ranges={"ts": (lo, hi)}
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5429,6 +5472,7 @@ def txn_exactly_once_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # round-3 additions — need their first verdict
+    "hidden_partition_event_scan",
     "ann_ivf_index_lifecycle",
     "part_copurchase_pagerank",
     "txn_exactly_once_scan",

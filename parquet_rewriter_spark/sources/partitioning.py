@@ -1,0 +1,128 @@
+"""Hidden (transform) partitioning — Iceberg-style layout where the
+PARTITION columns are derived from data columns (day(ts), bucket(id)),
+and readers never mention them: query predicates on the BASE columns
+are translated into partition-directory predicates automatically.
+
+Why it matters at 100 TB: hive layouts force every query author to
+know the physical layout (`WHERE event_date = ...` next to `WHERE ts
+BETWEEN ...` — forget one and you scan the table). With a transform
+spec saved NEXT TO the data (`_partition_spec.json`), the reader
+derives `p_day_ts IN (...)` from a ts range and `p_bucket_user_id = h`
+from a user_id equality, so planning-time directory pruning happens on
+every query, not just the disciplined ones.
+
+Supported transforms (each pure, order-preserving where pruning needs
+it): ``day`` (timestamp → 'yyyy-MM-dd' string) and ``bucket[N]``
+(xxhash64 mod N). Both are computed by JVM expressions at write AND at
+predicate-derivation time, so the mapping can never drift.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SPEC_NAME = "_partition_spec.json"
+
+
+def _pcol(transform: str, col: str) -> str:
+    return f"p_{transform}_{col}"
+
+
+def _transform_expr(transform: str, col: str, n: int | None):
+    if transform == "day":
+        return F.date_format(F.col(col), "yyyy-MM-dd")
+    if transform == "bucket":
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(n))
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def write_hidden_partitioned(
+    df: DataFrame,
+    path: str,
+    spec: list[tuple],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` partitioned by DERIVED columns.
+
+    ``spec``: list of ("day", col) or ("bucket", col, n). The derived
+    columns are appended for the write only; the spec sidecar lets
+    ``read_hidden_partitioned`` reconstruct them for pruning.
+    """
+    out = df
+    pcols = []
+    for s in spec:
+        transform, col = s[0], s[1]
+        n = s[2] if len(s) > 2 else None
+        name = _pcol(transform, col)
+        out = out.withColumn(name, _transform_expr(transform, col, n))
+        pcols.append(name)
+    out.write.mode(mode).partitionBy(*pcols).parquet(path)
+    with open(os.path.join(path, SPEC_NAME), "w") as fh:
+        json.dump([list(s) for s in spec], fh)
+
+
+def read_hidden_partitioned(
+    spark: SparkSession,
+    path: str,
+    eq: dict[str, Any] | None = None,
+    ranges: dict[str, tuple[Any, Any]] | None = None,
+) -> DataFrame:
+    """Read with automatic partition-predicate derivation.
+
+    ``eq``: base-column equality predicates; ``ranges``: inclusive
+    (lo, hi) base-column ranges. Each is applied as a ROW predicate
+    (pushed to the parquet scan) AND — when the spec has a transform
+    over that column — as a derived PARTITION predicate, which Catalyst
+    turns into planning-time directory pruning (PartitionFilters).
+    """
+    with open(os.path.join(path, SPEC_NAME)) as fh:
+        spec = [tuple(s) for s in json.load(fh)]
+    df = spark.read.parquet(path)
+    eq = eq or {}
+    ranges = ranges or {}
+
+    for col, v in eq.items():
+        df = df.filter(F.col(col) == F.lit(v))
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+
+    for s in spec:
+        transform, col = s[0], s[1]
+        n = s[2] if len(s) > 2 else None
+        name = _pcol(transform, col)
+        if transform == "bucket" and col in eq:
+            # same JVM hash at plan time: filter on the literal's
+            # bucket. xxhash64 is TYPE-sensitive — the literal must be
+            # cast to the column's exact type or the buckets disagree
+            # (int 7 and bigint 7 hash differently).
+            lit = F.lit(eq[col]).cast(df.schema[col].dataType)
+            df = df.filter(F.col(name) == F.pmod(F.xxhash64(lit), F.lit(n)))
+        elif transform == "day" and col in ranges:
+            lo, hi = ranges[col]
+            lo_d = _day_str(lo)
+            hi_d = _day_str(hi)
+            if lo_d is not None:
+                df = df.filter(F.col(name) >= lo_d)
+            if hi_d is not None:
+                df = df.filter(F.col(name) <= hi_d)
+        elif transform == "day" and col in eq:
+            df = df.filter(F.col(name) == _day_str(eq[col]))
+    return df
+
+
+def _day_str(v: Any) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v[:10]
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.strftime("%Y-%m-%d")
+    raise ValueError(f"cannot derive day partition bound from {type(v)}")
