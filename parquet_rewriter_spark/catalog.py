@@ -4576,6 +4576,39 @@ def stream_purchase_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("stream_purchase_click_fulljoin", None, "streaming", "join", "outer")
+def stream_purchase_click_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the reconciliation
+    shape: every purchase AND every click, matched where the 30-min
+    window allows; unmatched rows of EITHER stream null-emit exactly
+    once, after the watermark proves no partner can still arrive.
+    Rows-only (null-emission timing isn't SQL-replayable); both-side
+    emission correctness is pinned in tests/test_streaming.py."""
+    from parquet_rewriter_spark.streaming import (
+        run_to_memory,
+        stream_events,
+        stream_stream_interval_join,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, key="user_id", how="full_outer"
+    )
+    return run_to_memory(
+        joined.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_id_r").alias("click_id"),
+            (F.col("event_id").isNotNull() & F.col("event_id_r").isNotNull()).alias("matched"),
+        )
+    )
+
+
 @query(
     "lineitem_correlations",
     """
@@ -5459,6 +5492,48 @@ def hidden_partition_event_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gdpr_forget_customer_scan",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           TRUE AS erased_everywhere
+    FROM orders
+    WHERE o_custkey <> 421
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "gdpr", "retention", "vacuum",
+)
+def gdpr_forget_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as a storage lifecycle: predicate delete of
+    one customer's orders (victim scan pushes the predicate into the
+    parquet scan; only victim-bearing files rewrite), then vacuum the
+    PRE-DELETE snapshots — erasure is not real while time travel can
+    resurrect the rows. The proof rides the result: every RETAINED
+    version is scanned for residuals and the count folds into the
+    ``erased_everywhere`` boolean the oracle expects TRUE (a single
+    surviving row anywhere in retained history hash-mismatches)."""
+    from parquet_rewriter_spark.operators.merge import delete_where
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("gdpr"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    delete_where(t, F.col("o_custkey") == 421)
+    t.vacuum(retain_versions=1)  # pre-delete history must be collectable
+    residual = 0
+    for v in t.versions():
+        residual += t.read(version=v).filter(F.col("o_custkey") == 421).count()
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.lit(residual == 0).alias("erased_everywhere"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5472,6 +5547,8 @@ def hidden_partition_event_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # round-3 additions — need their first verdict
+    "gdpr_forget_customer_scan",
+    "stream_purchase_click_fulljoin",
     "hidden_partition_event_scan",
     "ann_ivf_index_lifecycle",
     "part_copurchase_pagerank",

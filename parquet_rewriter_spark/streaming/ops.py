@@ -228,6 +228,11 @@ def stream_stream_interval_join(
     buffered (emitted on the run's trailing no-data batch, or never,
     for a truncated drain). Exactly the semantics a feature pipeline
     needs to not double-count; pinned in tests/test_streaming.py.
+
+    ``full_outer`` null-emits BOTH sides under the same watermark
+    discipline — audit/reconciliation shape ("every purchase and every
+    click, matched where possible"): unmatched rows of either stream
+    surface exactly once, once no match can still arrive for them.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = (
@@ -243,7 +248,7 @@ def stream_stream_interval_join(
             >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {max_delay}")
         )
     )
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join type: {how}")
     return l.join(r, cond, how)
 

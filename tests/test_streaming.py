@@ -462,3 +462,60 @@ def test_user_totals_tws_state_carries_across_batches(spark, tmp_path, sf_dir):
         batch, ["user_id", "n_events", "total_value"]
     )
     emissions.unpersist()
+
+
+def test_stream_full_outer_join_emission_semantics(spark, sf_dir):
+    """Full-outer stream-stream interval join: the inner part equals the
+    batch join; null-extended rows on BOTH sides are only ever rows the
+    batch join also leaves unmatched (never a false null for a matched
+    row) — watermark-bounded state, Spark decides emission timing."""
+    from parquet_rewriter_spark.streaming.ops import (
+        run_to_memory,
+        stream_events,
+        stream_stream_interval_join,
+    )
+
+    ev_b = load_table(spark, sf_dir, "events")
+    purchases_b = ev_b.filter(F.col("event_type") == "purchase")
+    clicks_b = ev_b.filter(F.col("event_type") == "click")
+    batch_inner = purchases_b.alias("l").join(
+        clicks_b.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 30 minutes")),
+    )
+    matched_left = {r[0] for r in batch_inner.select("l.event_id").distinct().collect()}
+    matched_right = {r[0] for r in batch_inner.select("r.event_id").distinct().collect()}
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(
+        stream_stream_interval_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            key="user_id",
+            how="full_outer",
+        )
+    ).cache()
+    # inner part == batch inner (count is pair-exact)
+    inner = out.filter(F.col("event_id").isNotNull() & F.col("event_id_r").isNotNull())
+    assert inner.count() == batch_inner.count()
+    # a null-extended left row is never one the batch join matched
+    null_left = {
+        r[0]
+        for r in out.filter(F.col("event_id_r").isNull())
+        .select("event_id")
+        .collect()
+    }
+    assert not (null_left & matched_left)
+    # symmetric for the right side
+    null_right = {
+        r[0]
+        for r in out.filter(F.col("event_id").isNull())
+        .select("event_id_r")
+        .collect()
+    }
+    assert not (null_right & matched_right)
+    # both sides actually produced null emissions (the fixture has
+    # purchases without recent clicks and clicks followed by none)
+    assert null_left and null_right
+    out.unpersist()
