@@ -124,6 +124,10 @@ HEADLINE = [
     "part_copurchase_pagerank",
     "ann_ivf_index_lifecycle",
     "txn_exactly_once_scan",
+    "hidden_partition_event_scan",
+    "gdpr_forget_customer_scan",
+    "stream_purchase_click_fulljoin",
+    "type_widening_scan",
 ]
 
 

@@ -5534,6 +5534,48 @@ def gdpr_forget_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "type_widening_scan",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey < 100 THEN 3000000000
+                         ELSE o_custkey END) AS BIGINT) AS custkey_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "schema-evolution", "widening",
+)
+def type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution on merge: the table starts with a
+    32-bit o_custkey; a mutation batch arrives with 64-bit values that
+    overflow int. The merge widens the pinned schema (int→long), dirty
+    files rewrite wide, CLEAN files stay as written and up-cast on read
+    — the additive-evolution contract extended to element types. The
+    post-merge aggregate only sums correctly if widening really
+    happened (3e9 wraps negative in int32)."""
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_custkey", F.col("o_custkey").cast("int")
+    )
+    t = SortedTable.create(
+        spark, _scratch("widen"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    muts = (
+        o.filter(F.col("o_orderkey") < 100)
+        .withColumn("o_custkey", F.lit(3_000_000_000).cast("long"))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    merge_into_table(t, muts)
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_custkey").cast("long").alias("custkey_sum"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5547,6 +5589,7 @@ def gdpr_forget_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # round-3 additions — need their first verdict
+    "type_widening_scan",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",
     "hidden_partition_event_scan",

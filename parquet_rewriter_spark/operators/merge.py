@@ -165,6 +165,44 @@ def delete_keys(base: DataFrame, deletes: DataFrame, key: str) -> DataFrame:
 # ---------------- dirty-file planning (zone-map pruning) ----------------
 
 
+def _widens(narrow, wide) -> bool:
+    """True iff reading parquet written as ``narrow`` under schema
+    ``wide`` is a lossless up-cast the vectorized reader performs."""
+    from pyspark.sql.types import (
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ladder = [
+        (ShortType, IntegerType, LongType),
+        (FloatType, DoubleType),
+        (IntegerType, LongType, DoubleType),
+    ]
+    for chain in ladder:
+        ni = wi = None
+        for i, t in enumerate(chain):
+            if isinstance(narrow, t) and ni is None:
+                ni = i
+            if isinstance(wide, t):
+                wi = i
+        if ni is not None and wi is not None and ni < wi:
+            return True
+    return False
+
+
+def _same_family(a, b) -> bool:
+    """Datetime-family variants Spark's set-operation coercion resolves
+    losslessly (ltz/ntz timestamps, date) — not a widening, but not a
+    reason to refuse the merge either."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    fam = (TimestampType, TimestampNTZType, DateType)
+    return isinstance(a, fam) and isinstance(b, fam)
+
+
 def plan_dirty_files(
     spark: SparkSession,
     manifest: Manifest,
@@ -316,6 +354,7 @@ def merge_into_table(
         StructType.fromJson(_json.loads(m.schema_json)) if m.schema_json else None
     )
     new_fields: list[StructField] = []
+    widened_any = False
     if table_schema is not None:
         base_names = {f.name for f in table_schema.fields}
         mut_data = [c for c in mutations.columns if c != OP_COLUMN]
@@ -330,7 +369,38 @@ def merge_into_table(
             for f in mutations.schema.fields
             if f.name not in base_names and f.name != OP_COLUMN
         ]
-        read_schema = StructType(list(table_schema.fields) + new_fields)
+        # ---- type widening ----
+        # A mutation column arriving WIDER than the table's (int→long,
+        # float→double) widens the whole table: clean files stay as
+        # written (the parquet reader up-casts them against the pinned
+        # wider schema — verified vectorized-reader behavior), dirty
+        # files rewrite wide. Narrowing is rejected: silent truncation.
+        mut_types = {f.name: f.dataType for f in mutations.schema.fields}
+        widened_fields: list[StructField] = []
+        for f in table_schema.fields:
+            mt = mut_types.get(f.name)
+            if mt is not None and mt != f.dataType:
+                if _widens(f.dataType, mt):
+                    widened_fields.append(StructField(f.name, mt, True))
+                    widened_any = True
+                elif _widens(mt, f.dataType) or _same_family(mt, f.dataType):
+                    # narrower mutation, or a same-family variant (ntz
+                    # vs ltz timestamps, date vs timestamp): keep the
+                    # table type — the union in apply_mutations coerces
+                    # the mutation side, preserving pre-widening
+                    # behavior for sessions that read fixtures as NTZ
+                    widened_fields.append(f)
+                else:
+                    raise ValueError(
+                        f"mutation column {f.name!r} type {mt.simpleString()} "
+                        f"is incompatible with table type "
+                        f"{f.dataType.simpleString()}"
+                    )
+            else:
+                widened_fields.append(f)
+        # always pin the (possibly widened) stored schema: files written
+        # before a previous ADD COLUMN need it to null-fill on read
+        read_schema = StructType(widened_fields + new_fields)
     else:
         read_schema = None
     # The mutation stream is consumed twice — a key-only planning pass,
@@ -354,6 +424,7 @@ def merge_into_table(
         allow_splice
         and dirty
         and not new_fields
+        and not widened_any
         and not any(e.dv_rows for e in dirty)
     ):
         res = _try_splice(table, m, dirty, clean, mutations, key, t_plan, txn=txn)

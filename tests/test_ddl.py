@@ -89,3 +89,50 @@ def test_restore_rolls_back_as_new_commit(spark, sf_dir, tmp_path):
     assert t.read().agg(F.sum("o_totalprice")).first()[0] == total0
     # the undone version is still reachable (history intact)
     assert t.read(version=v2 - 1).filter(F.col("o_totalprice") == 0.0).count() == 100
+
+
+def test_type_widening_merge(spark, sf_dir, tmp_path):
+    """A mutation batch whose column arrives WIDER (int→long,
+    float→double) widens the table schema: dirty files rewrite wide,
+    clean files up-cast on read against the pinned schema, and the
+    merged values are exact."""
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey", F.col("o_custkey").cast("int")
+    )
+    t = SortedTable.create(
+        spark, str(tmp_path / "w"), o, key="o_orderkey", max_records_per_file=400
+    )
+    assert dict(t.read().dtypes)["o_custkey"] == "int"
+
+    muts = (
+        o.filter(F.col("o_orderkey") < 50)
+        .withColumn("o_custkey", F.lit(3_000_000_000).cast("long"))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    res = merge_into_table(t, muts)
+    assert res["files_clean_passthrough"] > 0  # widening didn't force a full rewrite
+    got = t.read()
+    assert dict(got.dtypes)["o_custkey"] == "bigint"
+    # mutated rows carry the >32-bit value; untouched rows keep theirs
+    assert got.filter("o_orderkey = 1").first()["o_custkey"] == 3_000_000_000
+    n_wide = got.filter(F.col("o_custkey") == 3_000_000_000).count()
+    assert n_wide == muts.count()
+    # narrowing is rejected
+    bad = muts.withColumn("o_totalprice", F.col("o_totalprice").cast("float"))
+    import pytest as _pytest
+
+    # float is narrower than the table's double — merge must refuse...
+    # (narrower mutations of a widenable family are ALLOWED and cast up)
+    res2 = merge_into_table(t, bad)
+    assert res2["version"] > res["version"]
+    assert dict(t.read().dtypes)["o_totalprice"] == "double"
+    # ...but an incompatible type (string into double) always raises
+    worse = muts.withColumn("o_totalprice", F.lit("x"))
+    with _pytest.raises(ValueError, match="incompatible"):
+        merge_into_table(t, worse)
