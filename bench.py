@@ -128,6 +128,8 @@ HEADLINE = [
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",
     "type_widening_scan",
+    "benchmark_containment_scores",
+    "order_value_quartile_buckets",
 ]
 
 

@@ -5576,6 +5576,120 @@ def type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "benchmark_containment_scores",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g3 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))) AS g3
+        FROM tok WHERE len(t) >= 3
+      )
+    ),
+    bench AS (SELECT DISTINCT g3 FROM grams WHERE doc_id % 10 = 0),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM grams
+            WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_shared
+      FROM grams g JOIN bench b USING (g3)
+      WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           round(coalesce(h.n_shared, 0)::DOUBLE / t.n_grams, 4) AS containment
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    "llm", "contamination", "containment",
+)
+def benchmark_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED contamination (Lee et al. / GPT-3 appendix style): per
+    training doc, the FRACTION of its distinct word-3-grams contained
+    in the benchmark gram set — a containment score, not a boolean, so
+    thresholds are a downstream policy choice. Plan: distinct-gram
+    explode (one shuffle on (doc, gram)), benchmark side aggregated
+    then broadcast into the hit join, two map-combining aggs."""
+    from parquet_rewriter_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("t")).filter(F.size("t") >= 3)
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)),
+            )
+        ).alias("g3"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") % 10 == 0).select("g3").distinct()
+    train = grams.filter(F.col("doc_id") % 10 != 0)
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "g3")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.round(F.coalesce("n_shared", F.lit(0)) / F.col("n_grams"), 4).alias(
+            "containment"
+        ),
+    )
+
+
+@query(
+    "order_value_quartile_buckets",
+    """
+    WITH b AS (
+      SELECT round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS q1,
+             round(percentile_cont(0.50) WITHIN GROUP (ORDER BY o_totalprice), 2) AS q2,
+             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 2) AS q3
+      FROM orders
+    )
+    SELECT CASE WHEN o_totalprice <= q1 THEN 0
+                WHEN o_totalprice <= q2 THEN 1
+                WHEN o_totalprice <= q3 THEN 2
+                ELSE 3 END AS quartile,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+    """,
+    "profile", "discretization", "quantile",
+)
+def order_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (feature binning): EXACT interpolated
+    quartile boundaries from one aggregation, broadcast back as a 1-row
+    dimension, bucket by comparison — the standard two-pass binning
+    shape (at 100 TB swap the exact percentile for percentile_approx
+    and nothing else changes). Boundaries rounded to 2dp on both
+    engines so the bucket edges are bit-identical."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 0)
+        .when(F.col("o_totalprice") <= F.col("q2"), 1)
+        .when(F.col("o_totalprice") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5590,6 +5704,8 @@ def type_widening_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = (
     # round-3 additions — need their first verdict
     "type_widening_scan",
+    "benchmark_containment_scores",
+    "order_value_quartile_buckets",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",
     "hidden_partition_event_scan",
