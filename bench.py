@@ -130,6 +130,7 @@ HEADLINE = [
     "type_widening_scan",
     "benchmark_containment_scores",
     "order_value_quartile_buckets",
+    "replica_sync_scan",
 ]
 
 

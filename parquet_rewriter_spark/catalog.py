@@ -5690,6 +5690,63 @@ def order_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "replica_sync_scan",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey % 10 <> 7
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "cdc", "replication", "exactly-once",
+)
+def replica_sync_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table replication over the CDC feed
+    (operators/replicate.py): seed a replica from a snapshot, churn the
+    SOURCE (upsert keys ≡3 with doubled price, delete keys ≡7), sync —
+    the catch-up reads only churned source files and merges
+    zone-map-pruned into the replica, bookmarked exactly-once by a
+    (replica, src-version) txn watermark — then double-fire the sync to
+    prove the replay no-ops. The aggregate runs on the REPLICA; the
+    oracle replays the source mutations directly."""
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.operators.replicate import replicate
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    src = SortedTable.create(
+        spark, _scratch("repl_src"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    dst_path = _scratch("repl_dst")
+    replicate(src, dst_path)
+
+    ups = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 7).withColumn("op", F.lit("DELETE"))
+    merge_into_table(src, ups.unionByName(dels))
+
+    r = replicate(src, dst_path)
+    assert r["mode"] == "incremental"
+    r2 = replicate(src, dst_path)  # double-fire
+    assert r2["mode"] == "noop"
+    return (
+        SortedTable(spark, dst_path)
+        .read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5706,6 +5763,7 @@ _VERIFY_FIRST = (
     "type_widening_scan",
     "benchmark_containment_scores",
     "order_value_quartile_buckets",
+    "replica_sync_scan",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",
     "hidden_partition_event_scan",
