@@ -105,3 +105,42 @@ def test_incremental_compact_noop_below_two_small_files(spark, tmp_path, sf_dir)
     v = t.manifest().version
     stats = compact_incremental(t, target_records_per_file=2000)
     assert stats["files_compacted"] == 0 and t.manifest().version == v
+
+
+def test_layout_report_drives_compaction(spark, sf_dir, tmp_path):
+    """Fragment a table with merges, read the layout report, compact,
+    and watch the health numbers recover — the report is the scheduler
+    input, so its fields must track reality exactly."""
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.compact import compact
+    from parquet_rewriter_spark.operators.layout import table_layout_report
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "lay"), o, key="o_orderkey", max_records_per_file=400
+    )
+    n0 = o.count()
+    # fragmenting merges: gap inserts (brand-new keys) land as tiny
+    # fresh files — three head-insert batches → three small files
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    for i, base in enumerate((-10, max_key + 10, max_key + 100)):
+        mut = (
+            o.limit(2)
+            .withColumn("o_orderkey", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("op", F.lit("UPSERT"))
+        )
+        merge_into_table(t, mut, allow_splice=False)
+        n0 += 2
+    before = table_layout_report(t, target_rows=400).first()
+    assert before["n_rows"] == n0
+    assert before["n_small_files"] > 0
+    compact(t, max_records_per_file=400)
+    after = table_layout_report(t, target_rows=400).first()
+    assert after["n_small_files"] < before["n_small_files"]
+    assert after["n_files"] <= before["n_files"]
+    assert after["max_key_overlap_depth"] <= before["max_key_overlap_depth"]
+    assert after["n_rows"] == n0
