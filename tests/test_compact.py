@@ -144,3 +144,38 @@ def test_layout_report_drives_compaction(spark, sf_dir, tmp_path):
     assert after["n_files"] <= before["n_files"]
     assert after["max_key_overlap_depth"] <= before["max_key_overlap_depth"]
     assert after["n_rows"] == n0
+
+
+def test_auto_optimize_policy(spark, sf_dir, tmp_path):
+    """Healthy table → no action (one manifest read); many small files
+    → incremental heal; deep key overlap → full compaction."""
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.maintenance import auto_optimize
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "opt"), o, key="o_orderkey", max_records_per_file=400
+    )
+    r = auto_optimize(t, target_rows=400)
+    assert r["action"] == "none"
+
+    # inject small-file litter via gap inserts beyond the key range
+    max_key = o.agg(F.max("o_orderkey")).first()[0]
+    for base in range(1, 6):
+        mut = (
+            o.limit(1)
+            .withColumn("o_orderkey", F.lit(max_key + base * 10))
+            .withColumn("op", F.lit("UPSERT"))
+        )
+        merge_into_table(t, mut, allow_splice=False)
+    r2 = auto_optimize(t, target_rows=400)
+    assert r2["action"] in ("compact_incremental", "compact_full")
+    assert r2["after"]["n_small_files"] < r2["before"]["n_small_files"]
+    n = t.read().count()
+    r3 = auto_optimize(t, target_rows=400)
+    assert r3["action"] == "none"
+    assert t.read().count() == n
