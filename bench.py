@@ -131,6 +131,7 @@ HEADLINE = [
     "benchmark_containment_scores",
     "order_value_quartile_buckets",
     "replica_sync_scan",
+    "stream_matview_user_totals",
 ]
 
 

@@ -5692,6 +5692,7 @@ def order_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "replica_sync_scan",
+    "stream_matview_user_totals",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -5747,6 +5748,61 @@ def replica_sync_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_matview_user_totals",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    "streaming", "matview", "incremental", "exactly-once",
+)
+def stream_matview_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance end-to-end
+    (streaming/ops.py:stream_maintain_aggregate): a third of the events
+    seed a SortedTable with a per-user count/sum view built on it; the
+    FULL event stream then flows through foreachBatch — each
+    micro-batch merges into the base (txn-watermarked exactly-once) and
+    folds ONLY that commit's signed CDC deltas into the view. The final
+    view must equal the one-shot GROUP BY over all events, which is
+    exactly the oracle."""
+    import tempfile
+    import uuid as _uuid
+
+    from parquet_rewriter_spark.operators.matview import MaterializedAggregate
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_maintain_aggregate,
+        stream_table,
+    )
+    from parquet_rewriter_spark.sources.readers import normalize_events_ts
+    from parquet_rewriter_spark.table import SortedTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    tbl = SortedTable.create(
+        spark, _scratch("smv_base"), base, key="event_id",
+        max_records_per_file=_scaled_mrpf(ev),
+    )
+    mv = MaterializedAggregate(
+        tbl,
+        _scratch("smv_view"),
+        group_col="user_id",
+        aggs={"n_events": ("count",), "total_value": ("sum", "value")},
+    )
+    mv.build()
+    stream = normalize_events_ts(stream_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "value"
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"smv_ckpt_{_uuid.uuid4().hex[:8]}_")
+    stream_maintain_aggregate(stream, mv, checkpoint_dir=ckpt, timeout_s=240)
+    return mv.read().select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5764,6 +5820,7 @@ _VERIFY_FIRST = (
     "benchmark_containment_scores",
     "order_value_quartile_buckets",
     "replica_sync_scan",
+    "stream_matview_user_totals",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",
     "hidden_partition_event_scan",
