@@ -132,6 +132,8 @@ HEADLINE = [
     "order_value_quartile_buckets",
     "replica_sync_scan",
     "stream_matview_user_totals",
+    "stream_csv_ingest_counts",
+    "stream_user_value_ewma",
 ]
 
 

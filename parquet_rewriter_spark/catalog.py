@@ -5693,6 +5693,8 @@ def order_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "replica_sync_scan",
     "stream_matview_user_totals",
+    "stream_csv_ingest_counts",
+    "stream_user_value_ewma",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -5750,6 +5752,8 @@ def replica_sync_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_matview_user_totals",
+    "stream_csv_ingest_counts",
+    "stream_user_value_ewma",
     """
     SELECT user_id,
            count(*) AS n_events,
@@ -5803,6 +5807,77 @@ def stream_matview_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_csv_ingest_counts",
+    "stream_user_value_ewma",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "streaming", "sources", "csv",
+)
+def stream_csv_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming from CSV (the landing-zone ingest shape):
+    orders written as a 3-file CSV drop-zone, streamed with a pinned
+    schema (inference on a stream is impossible, and on a landing zone
+    it is a full pre-scan), drained with AvailableNow through a
+    complete-mode aggregation — equal to the batch GROUP BY, which is
+    the oracle. Same pattern as the parquet streams; only the source
+    format changes."""
+    from parquet_rewriter_spark.streaming.ops import run_to_memory
+
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("csv_stream_orders")
+    o.repartition(3).write.option("header", True).csv(path)
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", "1")
+        .csv(path)
+    )
+    agg = stream.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_user_value_ewma",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN rn = 1 THEN value * pow(0.7, n - 1)
+                          ELSE 0.3 * value * pow(0.7, n - rn) END), 4) AS ewma
+    FROM seq GROUP BY user_id
+    """,
+    "streaming", "stateful", "ewma", "order-sensitive",
+)
+def stream_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE custom streaming state (streaming/ops.py:
+    user_value_ewma): per-user EWMA folded in event-time order across
+    micro-batches — running totals commute, EWMA does not, so this pins
+    that the state pipeline preserves order. The oracle is the EWMA
+    closed form (x_1·(1-α)^(n-1) + Σ α·(1-α)^(n-i)·x_i) as one window +
+    one aggregation."""
+    from parquet_rewriter_spark.streaming.ops import (
+        run_to_memory,
+        stream_events,
+        user_value_ewma,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(user_value_ewma(ev, alpha=0.3), output_mode="update")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5821,6 +5896,8 @@ _VERIFY_FIRST = (
     "order_value_quartile_buckets",
     "replica_sync_scan",
     "stream_matview_user_totals",
+    "stream_csv_ingest_counts",
+    "stream_user_value_ewma",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",
     "hidden_partition_event_scan",

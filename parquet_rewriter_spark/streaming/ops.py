@@ -645,3 +645,61 @@ def user_totals_tws(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_value_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    key: str = "user_id",
+    value_col: str = "value",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Order-sensitive per-key state: exponentially weighted moving
+    average of ``value`` in EVENT-TIME order, carried across
+    micro-batches (EWMA_1 = x_1; EWMA_i = α·x_i + (1-α)·EWMA_{i-1}).
+
+    Unlike running totals (commutative — any order works), EWMA is
+    order-dependent, so the processor sorts each batch by (ts, tiebreak)
+    and folds onto the carried state; cross-batch order holds because
+    the file source delivers files in order and the fixture's event
+    times are file-ordered (for out-of-order arrivals, buffer within
+    the watermark before folding — same state shape, larger state).
+    Emits one row per touched key per batch (update semantics).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} long, n_events long, ewma double"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, ewma = state.get if state.exists else (0, None)
+        rows = []
+        for pdf in pdfs:
+            cols = [ts, value_col] + (["event_id"] if "event_id" in pdf else [])
+            rows.append(pdf[cols])
+        if not rows:
+            return
+        sort_cols = [ts] + (["event_id"] if "event_id" in rows[0] else [])
+        batch = pd.concat(rows).sort_values(sort_cols, kind="mergesort")
+        for v in batch[value_col]:
+            v = float(v)
+            ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+            n += 1
+        state.update((n, float(ewma)))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "ewma": [round(ewma, 4)]}
+        )
+
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="n long, ewma double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -519,3 +519,61 @@ def test_stream_full_outer_join_emission_semantics(spark, sf_dir):
     # purchases without recent clicks and clicks followed by none)
     assert null_left and null_right
     out.unpersist()
+
+
+def test_user_value_ewma_multibatch_order(spark, tmp_path, sf_dir):
+    """EWMA state is order-sensitive: 3 time-sliced files, one per
+    trigger (so batches arrive in event-time order); the last emission
+    per user equals the single-pass EWMA over the batch ordering."""
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, user_value_ewma
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    # time-sliced files: file i holds the i-th third of event time
+    q1, q2 = (
+        ev.selectExpr(
+            "percentile(unix_micros(ts), 0.33) p1",
+            "percentile(unix_micros(ts), 0.66) p2",
+        ).first()
+    )
+    src = str(tmp_path / "ewma_src")
+    us = F.unix_micros(F.col("ts"))
+    (
+        ev.withColumn(
+            "slice",
+            F.when(us <= q1, 0).when(us <= q2, 1).otherwise(2),
+        )
+        .repartition(1)
+        .sortWithinPartitions("slice", "ts")
+        .write.partitionBy("slice")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/slice=*")
+    )
+    from pyspark.sql import Window
+
+    emissions = run_to_memory(user_value_ewma(stream, alpha=0.3), output_mode="update").cache()
+    assert emissions.groupBy("user_id").count().filter("count > 1").count() > 0
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    last = (
+        emissions.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("user_id", "n_events", "ewma")
+    )
+    # single-pass reference in pandas
+    import pandas as pd
+
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    ref = {}
+    for r in pdf.itertuples():
+        n, e = ref.get(r.user_id, (0, None))
+        e = float(r.value) if e is None else 0.3 * float(r.value) + 0.7 * e
+        ref[r.user_id] = (n + 1, e)
+    got = {r["user_id"]: (r["n_events"], r["ewma"]) for r in last.collect()}
+    assert set(got) == set(ref)
+    for u, (n, e) in ref.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - round(e, 4)) < 1e-6
+    emissions.unpersist()
