@@ -5692,9 +5692,6 @@ def order_value_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "replica_sync_scan",
-    "stream_matview_user_totals",
-    "stream_csv_ingest_counts",
-    "stream_user_value_ewma",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -5752,8 +5749,6 @@ def replica_sync_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_matview_user_totals",
-    "stream_csv_ingest_counts",
-    "stream_user_value_ewma",
     """
     SELECT user_id,
            count(*) AS n_events,
@@ -5809,7 +5804,6 @@ def stream_matview_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_csv_ingest_counts",
-    "stream_user_value_ewma",
     """
     SELECT o_orderstatus,
            count(*) AS n_orders,

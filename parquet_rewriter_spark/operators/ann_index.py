@@ -136,7 +136,13 @@ class IVFVectorIndex:
         """Upsert vectors (new or re-embedded). Re-embedded vectors may
         land in a DIFFERENT cell than their live row, so stale rows are
         deleted first via the Bloom point-lookup — both phases are
-        merges that rewrite only the touched cells' files."""
+        merges that rewrite only the touched cells' files.
+
+        Contract: ``add`` is for INCREMENTAL batches — the batch's
+        distinct ids are collected to the driver for the stale lookup
+        (like any point-delete API), so size batches to millions, not
+        billions; a corpus-scale load is ``create``/rebuild, which never
+        collects ids."""
         meta = self._meta()
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         ids = [r[0] for r in df.select(id_col).distinct().collect()]
