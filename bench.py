@@ -134,6 +134,9 @@ HEADLINE = [
     "stream_matview_user_totals",
     "stream_csv_ingest_counts",
     "stream_user_value_ewma",
+    "weekly_cohort_retention",
+    "per_source_sample_k",
+    "order_price_mad_outliers",
 ]
 
 

@@ -5872,6 +5872,139 @@ def stream_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(user_value_ewma(ev, alpha=0.3), output_mode="update")
 
 
+@query(
+    "weekly_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS act_week
+      FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.act_week) AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_week, date_diff('week', f.cohort_week, a.act_week)
+    """,
+    "analytics", "retention", "cohort",
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics shape:
+    users bucketed by first-seen week, activity counted per (cohort,
+    week offset). Two aggregations share one hash exchange on user_id
+    (first-week agg and the distinct-activity dedup both key on it);
+    the final (cohort, offset) rollup is a second, tiny exchange. The
+    first-week relation stays broadcast-size (one row per user) at any
+    event volume."""
+    ev = _t(spark, sf_dir, "events").select("user_id", F.date_trunc("week", "ts").alias("w"))
+    firsts = ev.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                (F.unix_micros("w") - F.unix_micros("cohort_week"))
+                / (7 * 24 * 3600 * 1_000_000)
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "per_source_sample_k",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 2147483648) * 2654435761 + 99) % 4294967296, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    "sampling", "reservoir", "per-group",
+)
+def per_source_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-group sampling (the fixed-budget companion to the
+    fraction-based stratified_sample): rank by a deterministic portable
+    hash within each group, keep the k lowest — rerun-stable on any
+    partitioning, no RNG, one hash exchange on the group key (vs true
+    reservoir sampling's sequential pass, which doesn't distribute).
+    k=20 docs per source."""
+    from parquet_rewriter_spark.operators.sampling import portable_unit
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(portable_unit("doc_id", salt=99), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@query(
+    "order_price_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderstatus,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+      FROM orders GROUP BY o_orderstatus
+    ),
+    mad AS (
+      SELECT o.o_orderstatus,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(o.o_totalprice - m.med)) AS mad,
+             max(m.med) AS med
+      FROM orders o JOIN med m USING (o_orderstatus)
+      GROUP BY o.o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN abs(o.o_totalprice - m.med) > 5 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(m.med), 2) AS median_price,
+           round(max(m.mad), 2) AS mad_price
+    FROM orders o JOIN mad m USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+    "profile", "outliers", "robust-stats",
+)
+def order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation
+    (two exact-median passes — median, then median of |x - median| —
+    each one agg with the 1-row-per-group result broadcast back into
+    the join), flagging rows beyond 5·MAD. The classic robust
+    alternative to z-scores when the tail itself corrupts the mean.
+    At scale, swap exact medians for percentile_approx unchanged."""
+    o = _t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    mad = (
+        o.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"),
+            F.max("med").alias("med"),
+        )
+    )
+    j = o.join(F.broadcast(mad), "o_orderstatus")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.abs(F.col("o_totalprice") - F.col("med")) > 5 * F.col("mad"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_outliers"),
+        F.round(F.max("med"), 2).alias("median_price"),
+        F.round(F.max("mad"), 2).alias("mad_price"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -5885,6 +6018,9 @@ def stream_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # round-3 additions — need their first verdict
+    "weekly_cohort_retention",
+    "per_source_sample_k",
+    "order_price_mad_outliers",
     "type_widening_scan",
     "benchmark_containment_scores",
     "order_value_quartile_buckets",
