@@ -137,6 +137,7 @@ HEADLINE = [
     "weekly_cohort_retention",
     "per_source_sample_k",
     "order_price_mad_outliers",
+    "suppliers_covering_brand",
 ]
 
 

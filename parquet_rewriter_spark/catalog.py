@@ -6005,6 +6005,46 @@ def order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "suppliers_covering_brand",
+    """
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_brand = 'Brand#1'
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
+        )
+    )
+    """,
+    "relational-division", "subquery", "join",
+)
+def suppliers_covering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the textbook double-NOT-EXISTS): suppliers
+    that have shipped EVERY part of Brand#1. Decorrelated Spark shape:
+    count the distinct brand parts each supplier ships (one semi-joined
+    agg after a broadcast of the brand's part list) and compare with
+    the brand's total — the division collapses to two aggregates and
+    one broadcast, no correlated per-supplier probing."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    sup = _t(spark, sf_dir, "supplier")
+    total = p.select(F.countDistinct("p_partkey").alias("n_total"))
+    per_supp = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+    covering = per_supp.crossJoin(F.broadcast(total)).filter(
+        F.col("n_parts") == F.col("n_total")
+    )
+    return (
+        sup.join(covering, sup.s_suppkey == covering.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -6018,6 +6058,7 @@ def order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
     # round-3 additions — need their first verdict
+    "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
     "order_price_mad_outliers",

@@ -418,3 +418,22 @@ def test_hidden_partitioning_derives_partition_filters(spark, sf_dir, tmp_path):
     }
     # (a day×bucket dir can be absent at tiny SF — subset, non-empty)
     assert scanned and scanned <= {"2024-01-02", "2024-01-03", "2024-01-04"}
+
+
+def test_relational_division_decorrelates(spark, sf_dir):
+    """Double-NOT-EXISTS division must run as aggregates + broadcasts —
+    no correlated per-row probing, no cartesian, no Python."""
+    df = get("suppliers_covering_brand").fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_mad_outliers_broadcasts_group_stats(spark, sf_dir):
+    """The per-group median/MAD relations are 1-row-per-group — they
+    must broadcast back into the fact scan, never shuffle it."""
+    df = get("order_price_mad_outliers").fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
