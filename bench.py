@@ -89,9 +89,17 @@ HEADLINE = [
     "mixture_token_budget_sample",
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue",
     "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
     "q15_top_supplier",
+    "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
+    "q19_bracketed_disjunction_revenue",
+    "q20_dominant_shippers",
     "q21_last_shipper",
     "segment_dedup_docs",
     "doc_stable_ids",
@@ -193,6 +201,7 @@ def main() -> None:
         warm_dir = sf_dir
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     names = [n for n in HEADLINE if n in catalog.REGISTRY]
     for name in names:
         fn = catalog.REGISTRY[name].fn
@@ -201,24 +210,39 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - warmup must never fail the bench
             pass
         _reset_session_litter(spark)
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        # a failing query records an error line instead of killing the
+        # whole bench — the driver must always get its one JSON line
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            assert n >= 0
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
         _reset_session_litter(spark)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+
+    def _safe(fn, *args):
+        try:
+            return fn(*args)
+        except Exception as ex:  # noqa: BLE001
+            return {"error": f"{type(ex).__name__}: {str(ex)[:300]}"}
+
+    report = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "merge_scaling": merge_scaling(spark, sf_dir),
-        "small_merge": small_merge_bench(spark, sf_dir),
-        "mor_delete": mor_delete_bench(spark, sf_dir),
-        "rowgroup_codec_sweep": rowgroup_codec_sweep(sf_dir),
+        "merge_scaling": _safe(merge_scaling, spark, sf_dir),
+        "small_merge": _safe(small_merge_bench, spark, sf_dir),
+        "mor_delete": _safe(mor_delete_bench, spark, sf_dir),
+        "rowgroup_codec_sweep": _safe(rowgroup_codec_sweep, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        report["query_errors"] = errors
+    print(json.dumps(report))
     spark.stop()
 
 

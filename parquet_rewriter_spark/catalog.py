@@ -1901,7 +1901,7 @@ def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 ",",
             ).alias("type_counts"),
-            F.size(F.map_keys("type_map")).alias("n_types"),
+            F.size(F.map_keys("type_map")).cast("long").alias("n_types"),
             F.aggregate(
                 F.map_values("type_map"), F.lit(0).cast("long"), lambda acc, x: acc + x
             ).alias("n_events"),
@@ -3962,6 +3962,335 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    "tpch", "join", "star",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (fixture has no partsupp → supply cost proxied as
+    0.6·p_retailprice): profit per supplier-nation per ship year. Plan:
+    the selective p_name filter runs FIRST and the surviving part keys
+    broadcast into the lineitem scan (with runtime bloom pruning the
+    fact side at 100 TB); supplier and nation broadcast too, so the only
+    shuffle is the final (nation, year) aggregate — partial map-side
+    combine collapses the fact before it moves."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(max(c_acctbal), 2) AS acctbal
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "tpch", "join", "topk",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. The date filter prunes orders at the parquet scan; the
+    returnflag filter prunes lineitem the same way; the filtered orders
+    side is quarter-sized so it broadcasts into the fact join, and
+    nation broadcasts into the group keys. One shuffle (the customer
+    aggregate), then TakeOrderedAndProject for the top-20 — no global
+    sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+    "tpch", "join", "conditional-agg",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (fixture has no shipmode → l_linestatus stands
+    in): late shipments (>90 days after order) split by order priority
+    class. The late predicate correlates both sides, so it evaluates
+    post-join; the join itself shuffles on orderkey with the priority
+    column reduced to a boolean BEFORE the aggregate's map-side
+    combine."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    "tpch", "outer-join", "histogram",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (comment filter → priority filter): distribution of
+    non-5-LOW order counts per customer INCLUDING zero-order customers
+    — the left outer join is the point (count(o_orderkey) counts only
+    matched rows). Two aggregates, each one shuffle; the second input
+    is customer-sized, the histogram is tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o.select("o_custkey", "o_orderkey"),
+               c.c_custkey == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_revenue_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    "tpch", "join", "ratio",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo parts' share of one month's revenue. The month
+    filter reaches the lineitem scan (row-group pruning on the shipdate
+    zone maps — the read-side analog of R5); part reduces to a
+    (p_partkey, is_promo boolean) broadcast; numerator and denominator
+    ride ONE aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("is_promo"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch", "anti-join", "count-distinct",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp → lineitem as the supplier-part
+    relation): distinct suppliers per (brand, type, size), excluding
+    suppliers in deficit. NOT IN decorrelates to a broadcast anti-join
+    (the exclusion set is supplier-sized and non-null, so NOT IN ≡
+    anti); part's triple filter broadcasts; count(distinct) shuffles
+    once on the group keys with Spark's two-phase distinct expansion."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_bracketed_disjunction_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch", "disjunction", "pushdown",
+)
+def q19_bracketed_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: three disjunctive brand/size/quantity brackets. The
+    part-only implication of the disjunction (brand ∈ {1,2,3}) is
+    factored out MANUALLY and pushed to the part scan — Catalyst does
+    not infer per-side implications of a cross-table OR — so part
+    shrinks to three brands before broadcasting; the full bracket
+    predicate evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    j = li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
+@query(
+    "q20_dominant_shippers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'SMALL'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (SELECT l_partkey, sum(sq) AS tq FROM sp GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM sp JOIN tot USING (l_partkey)
+      WHERE sq > 0.5 * tq
+    )
+    """,
+    "tpch", "nested-agg", "semi-join",
+)
+def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty → shipped quantity): suppliers that
+    shipped over half of some SMALL part's 1996 volume. The inner
+    nested aggregate reuses ITS OWN partitioning: per-(supplier, part)
+    sums, then per-part totals joined back on l_partkey — both sides of
+    that join are already hashed on l_partkey, and the qualifying
+    supplier set IN-reduces to a distinct broadcast semi-join against
+    supplier. l_quantity values are small integers, so the 0.5·total
+    comparison is exact in binary on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    s = _t(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    tot = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        sp.join(tot, "l_partkey")
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
     )
 
 
@@ -6057,7 +6386,36 @@ def suppliers_covering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
+    # red in r01/r02 — the fixes must get their green verdict first:
+    # r01's TIMESTAMP(NANOS) read and r02's TIMESTAMP_NTZ session conf
+    # (driver sets spark.sql.timestampType=TIMESTAMP_NTZ; readers.py
+    # now casts via the TimestampType object), plus the r02 HUGEINT
+    # hash skew fixed by BIGINT casts in the oracles
+    "user_session_stats",
+    "train_val_test_split",
+    "stratified_sample_docs",
+    "user_event_type_map",
+    "events_json_extract",
+    "event_type_stats",
+    "hourly_event_counts",
+    "purchase_asof_click",
+    "events_within_5min_pairs",
+    "active_user_intersection",
+    "browsers_never_err",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_events",
+    "stream_purchase_click_join",
     # round-3 additions — need their first verdict
+    "q9_profit_by_nation_year",
+    "q10_returned_revenue",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_variety",
+    "q19_bracketed_disjunction_revenue",
+    "q20_dominant_shippers",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
@@ -6082,25 +6440,6 @@ _VERIFY_FIRST = (
     "badword_filter_summary",
     "corpus_training_order",
     "stream_user_totals",
-    # red in r01 (TIMESTAMP(NANOS) read), no verdict since; the ts
-    # normalization now handles the regenerated µs/NTZ fixture too
-    "events_json_extract",
-    "event_type_stats",
-    "hourly_event_counts",
-    "purchase_asof_click",
-    "events_within_5min_pairs",
-    "active_user_intersection",
-    "browsers_never_err",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_purchase_click_join",
-    # hash-mismatch in r02 (HUGEINT/ordering skew), fixed in round 2
-    "user_session_stats",
-    "train_val_test_split",
-    "stratified_sample_docs",
-    "user_event_type_map",
     # round-2/3 tail — registered but never driver-checked
     "python_ds_key_range_scan",
     "stream_purchase_click_leftjoin",

@@ -80,16 +80,22 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     TIMESTAMP type: ``withWatermark`` and ``unix_micros`` reject
     TIMESTAMP_NTZ outright.
     """
+    from pyspark.sql.types import TimestampType
+
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         # integer-divide ns → µs: `/` would be double division, and at
         # ~1.7e18 ns a double only carries ~µs*100 precision — `div`
         # keeps it exact (ts is post-epoch, so trunc == floor)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dt == "timestamp_ntz":
+    elif dt != "timestamp":
         # NTZ → LTZ via the session zone (pinned UTC by
-        # ensure_events_readable): same wall clock, watermark-capable
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # ensure_events_readable): same wall clock, watermark-capable.
+        # Cast via the TYPE OBJECT, not the "timestamp" keyword — under
+        # spark.sql.timestampType=TIMESTAMP_NTZ (which the correctness
+        # driver sets) the keyword resolves to NTZ and the cast becomes
+        # a no-op, leaving downstream unix_micros/withWatermark broken.
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

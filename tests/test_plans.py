@@ -280,6 +280,46 @@ def test_tpch_q21_exists_via_windows_no_self_join_explosion(spark, sf_dir):
     assert "TakeOrderedAndProject" in p  # ORDER BY+LIMIT as top-k heap
 
 
+def test_tpch_q9_all_dims_broadcast_one_shuffle(spark, sf_dir):
+    """Q9's three dimension joins (part, supplier, nation) must all
+    broadcast; the only exchange is the final (nation, year) aggregate's
+    — the fact table moves exactly once."""
+    p = plan_of(get("q9_profit_by_nation_year").fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "SortMergeJoin" not in p
+    assert p.count("Arguments: hashpartitioning") == 1, p
+
+
+def test_tpch_q10_topk_is_take_ordered_orders_broadcast(spark, sf_dir):
+    """The quarter-filtered orders side must broadcast into the fact
+    join, and the ORDER BY + LIMIT 20 must plan as a top-k heap, not a
+    global sort."""
+    p = plan_of(get("q10_returned_revenue").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalLimit" not in p
+
+
+def test_tpch_q19_brand_disjunction_pushed_to_part_scan(spark, sf_dir):
+    """The factored brand-IN implication of the three OR brackets must
+    reach the part parquet scan as a pushed filter (Catalyst can't infer
+    it from the cross-table OR — the query factors it manually)."""
+    p = plan_of(get("q19_bracketed_disjunction_revenue").fn(spark, sf_dir))
+    part_scan = [seg for seg in p.split("Scan parquet")[1:] if "part.parquet" in seg.split("Location")[0] or "part.parquet" in seg]
+    assert part_scan, p
+    assert "p_brand" in part_scan[0].split("PushedFilters")[1].split("]")[0], p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q20_nested_agg_reuses_partitioning(spark, sf_dir):
+    """The per-part total joins back to the per-(supplier, part) sums on
+    l_partkey without a cartesian/nested-loop degeneration, and the
+    qualifying-supplier set semi-joins supplier."""
+    p = plan_of(get("q20_dominant_shippers").fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p or "left_semi" in p.lower(), p
+
+
 def test_interval_join_is_binned_not_cartesian(spark, sf_dir):
     p = plan_of(get("purchase_error_overlap").fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
