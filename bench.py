@@ -75,6 +75,7 @@ HEADLINE = [
     "fuzzy_part_match",
     "quality_weighted_sample",
     "heavy_hitter_tokens",
+    "cms_token_frequency_bounds",
     "scd2_customer_status_history",
     "ann_pq_topk",
     "incremental_bm25_search",

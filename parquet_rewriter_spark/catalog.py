@@ -3430,6 +3430,74 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cms_token_frequency_bounds",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n
+              FROM tok WHERE t <> '' GROUP BY t),
+    probes AS (SELECT t, exact_n FROM exact
+               ORDER BY exact_n DESC, t LIMIT 15),
+    js AS (SELECT unnest(generate_series(0, 2)) AS j),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5(t || ':' || CAST(j + 1 AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS bucket,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM tok CROSS JOIN js
+      WHERE t <> ''
+      GROUP BY 1, 2
+    ),
+    probe_cells AS (
+      SELECT p.t, p.exact_n, js.j,
+             ('0x' || substr(md5(p.t || ':' || CAST(js.j + 1 AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS bucket
+      FROM probes p CROSS JOIN js
+    )
+    SELECT pc.t AS token, max(pc.exact_n) AS exact_n,
+           CAST(min(c.cnt) AS BIGINT) AS cms_est,
+           CAST(min(c.cnt) AS BIGINT) - max(pc.exact_n) AS overcount
+    FROM probe_cells pc JOIN cells c ON c.j = pc.j AND c.bucket = pc.bucket
+    GROUP BY pc.t
+    """,
+    "sketch", "count-min", "mergeable",
+)
+def cms_token_frequency_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates for the corpus's exact
+    top-15 tokens (operators/countmin.py, depth 3 × width 1024). The
+    sketch's md5-bridge hash family is engine-portable, so the oracle
+    replays the ENTIRE construction cell-for-cell — every counter, every
+    bucket, every min — not just the final numbers. ``overcount`` (est −
+    exact, always ≥ 0) exposes the sketch's one-sided error budget.
+    Scale shape: the sketch is ≤ 3·1024 rows whatever the corpus size —
+    built with one hash aggregate whose map-side combine caps per-
+    partition output at d·w counters — and lookups broadcast it."""
+    from parquet_rewriter_spark.operators.countmin import (
+        countmin_build,
+        countmin_lookup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    sketch = countmin_build(tok, "t", depth=3, width=1024)
+    probes = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "t")
+        .limit(15)
+    )
+    est = countmin_lookup(sketch, probes, "t", depth=3, width=1024)
+    return est.select(
+        F.col("t").alias("token"),
+        "exact_n",
+        F.col("est").cast("long").alias("cms_est"),
+        (F.col("est").cast("long") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@query(
     "stream_heavy_hitter_tokens",
     """
     WITH toks AS (
@@ -6416,6 +6484,7 @@ _VERIFY_FIRST = (
     "q16_supplier_part_variety",
     "q19_bracketed_disjunction_revenue",
     "q20_dominant_shippers",
+    "cms_token_frequency_bounds",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
