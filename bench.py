@@ -88,6 +88,7 @@ HEADLINE = [
     "hourly_value_gapfilled",
     "user_purchase_funnel",
     "mixture_token_budget_sample",
+    "contrastive_negative_pairs",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

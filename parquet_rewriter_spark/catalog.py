@@ -3498,6 +3498,60 @@ def cms_token_frequency_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contrastive_negative_pairs",
+    """
+    WITH n AS (SELECT count(*) AS n_items FROM documents),
+    anch AS (SELECT doc_id, lang FROM documents WHERE doc_id % 97 = 0),
+    cand AS (
+      SELECT a.doc_id, a.lang, js.j AS salt,
+             ((a.doc_id % 2147483648) * 2654435761 + js.j + 1)
+               % 4294967296 % n.n_items AS neg_id
+      FROM anch a
+      CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j) js
+      CROSS JOIN n
+    ),
+    surv AS (
+      SELECT c.doc_id, c.salt, c.neg_id, d.lang AS neg_lang,
+             row_number() OVER (PARTITION BY c.doc_id ORDER BY c.salt) AS rk
+      FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+      WHERE c.neg_id <> c.doc_id AND d.lang <> c.lang
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS neg_rank, neg_id, neg_lang
+    FROM surv WHERE rk <= 3
+    """,
+    "sampling", "contrastive", "training",
+)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (operators/sampling.py:
+    negative_samples): 3 negatives per anchor doc, drawn by Knuth-hash
+    over the contiguous doc_id space, rejecting same-language docs as
+    positives. Pure-projection candidate generation + one equi join to
+    fetch the negative's attributes + one rank window — reproducible on
+    any cluster shape, and the oracle replays every draw. The sampled
+    pair list is what a contrastive embedding trainer consumes."""
+    from parquet_rewriter_spark.operators.sampling import negative_samples
+
+    d = _t(spark, sf_dir, "documents")
+    n_items = d.count()
+    anchors = d.select("doc_id", "lang").filter(F.col("doc_id") % 97 == 0)
+    items = d.select("doc_id", F.col("lang").alias("neg_lang"))
+    out = negative_samples(
+        anchors,
+        items,
+        "doc_id",
+        n_items,
+        k=3,
+        reject=F.col("neg_lang") == F.col("lang"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "neg_id",
+        "neg_lang",
+    )
+
+
+@query(
     "stream_heavy_hitter_tokens",
     """
     WITH toks AS (
@@ -6485,6 +6539,7 @@ _VERIFY_FIRST = (
     "q19_bracketed_disjunction_revenue",
     "q20_dominant_shippers",
     "cms_token_frequency_bounds",
+    "contrastive_negative_pairs",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

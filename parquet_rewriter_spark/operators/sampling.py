@@ -237,3 +237,74 @@ def weighted_sample_key_sql(key_expr: str, weight_expr: str, salt: int = 0) -> s
     :func:`weighted_sample` (pair with ORDER BY key, {key_expr} LIMIT k)."""
     u = portable_unit_sql(key_expr, salt)
     return f"-ln(greatest({u}, 1.1641532182693481e-10)) / ({weight_expr})"
+
+
+def negative_samples(
+    anchors: DataFrame,
+    items: DataFrame,
+    id_col: str,
+    n_items: int,
+    k: int,
+    reject: Column | None = None,
+    oversample: int = 3,
+    neg_col: str = "neg_id",
+    rank_col: str = "neg_rank",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every anchor row with ``k`` pseudo-random items drawn from a
+    0..n_items-1 contiguous id space (the contract ``doc_stable_ids``
+    establishes), REJECTING candidates the ``reject`` predicate marks as
+    positives (same near-dup cluster, same source, the anchor itself —
+    any expression over the anchor's and the joined item's columns).
+
+    Candidate j for anchor a is ``knuth_hash(a, salt=j+1) mod n_items``
+    — a pure projection, so the draw is identical on every rerun and on
+    any cluster shape, and the whole op is replayable in ANSI SQL
+    (:func:`portable_unit_sql`'s integer bucket before the unit
+    division). Each anchor fans out to ``k·oversample`` candidates; the
+    ones surviving rejection keep their salt order and the first ``k``
+    win — a window rank per anchor. Self-pairs are always rejected.
+
+    Scale shape: fan-out is a codegen'd generate (no shuffle); fetching
+    item attributes is ONE equi shuffle join on the item id (item side
+    hashed once, at corpus scale this is the canonical join); the rank
+    window shuffles on the anchor id. Anchors with fewer than ``k``
+    survivors (pathological reject predicates) come back short —
+    callers needing exact-k should raise ``oversample``. The modulo
+    draw carries the usual ≤ n_items/2³² bias — irrelevant for
+    training negatives.
+    """
+    a_id = F.col(id_col)
+    cands = anchors.select(
+        *anchors.columns,
+        F.posexplode(
+            F.array(*[
+                F.pmod(
+                    F.pmod(a_id.cast("long"), F.lit(2 ** 31)) * F.lit(_KNUTH)
+                    + F.lit(j + 1),
+                    F.lit(2 ** 32),
+                )
+                % F.lit(n_items)
+                for j in range(k * oversample)
+            ])
+        ).alias("__salt", neg_col),
+    ).filter(F.col(neg_col) != a_id)
+    fetched = cands.join(
+        items.withColumnRenamed(id_col, neg_col), neg_col, "inner"
+    )
+    if reject is not None:
+        fetched = fetched.filter(~reject)
+    w = Window.partitionBy(a_id).orderBy("__salt")
+    return (
+        fetched.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop("__salt")
+    )
+
+
+def negative_candidate_sql(key_expr: str, j: int, n_items: int) -> str:
+    """ANSI replay of one :func:`negative_samples` candidate draw."""
+    return (
+        f"((({key_expr}) % 2147483648) * {_KNUTH} + {j + 1})"
+        f" % 4294967296 % {n_items}"
+    )

@@ -106,6 +106,41 @@ def test_stratified_sample_exact_fraction(spark):
     assert counts == {"a": 10, "b": 4}  # ceil(37 * 0.1) = 4
 
 
+def test_negative_samples_deterministic_and_rejecting(spark):
+    from parquet_rewriter_spark.operators.sampling import negative_samples
+
+    n = 200
+    items = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("grp_item")
+    )
+    anchors = items.filter(F.col("k") % 10 == 0).select(
+        "k", F.col("grp_item").alias("grp")
+    )
+    out = negative_samples(
+        anchors,
+        items,
+        "k",
+        n,
+        k=3,
+        reject=F.col("grp_item") == F.col("grp"),
+    ).select("k", "neg_rank", "neg_id", "grp", "grp_item")
+    rows = out.collect()
+    # never the anchor itself, never the rejected group, ranks 1..3
+    for r in rows:
+        assert r.neg_id != r.k
+        assert r.grp_item != r.grp
+        assert 1 <= r.neg_rank <= 3
+    # deterministic: a second run draws the identical pair list
+    again = negative_samples(
+        anchors, items, "k", n, k=3,
+        reject=F.col("grp_item") == F.col("grp"),
+    ).select("k", "neg_rank", "neg_id", "grp", "grp_item")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # full k for every anchor (reject rate 1/4, 9 candidates)
+    per_anchor = out.groupBy("k").count().collect()
+    assert all(r["count"] == 3 for r in per_anchor)
+
+
 # -------------------------------------------------------------------- diff
 
 
