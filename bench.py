@@ -76,6 +76,7 @@ HEADLINE = [
     "quality_weighted_sample",
     "heavy_hitter_tokens",
     "cms_token_frequency_bounds",
+    "stream_cms_token_frequencies",
     "scd2_customer_status_history",
     "ann_pq_topk",
     "incremental_bm25_search",

@@ -3429,9 +3429,9 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_topk(toks, "token", k=20, capacity=1024)
 
 
-@query(
-    "cms_token_frequency_bounds",
-    """
+# shared by the batch and streaming Count-Min queries: the streaming
+# fold is a commutative counter sum, so both produce this exact result
+_CMS_ORACLE = """
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
                  FROM documents),
     exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n
@@ -3459,7 +3459,12 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(c.cnt) AS BIGINT) - max(pc.exact_n) AS overcount
     FROM probe_cells pc JOIN cells c ON c.j = pc.j AND c.bucket = pc.bucket
     GROUP BY pc.t
-    """,
+    """
+
+
+@query(
+    "cms_token_frequency_bounds",
+    _CMS_ORACLE,
     "sketch", "count-min", "mergeable",
 )
 def cms_token_frequency_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3482,6 +3487,56 @@ def cms_token_frequency_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t") != ""
     )
     sketch = countmin_build(tok, "t", depth=3, width=1024)
+    probes = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "t")
+        .limit(15)
+    )
+    est = countmin_lookup(sketch, probes, "t", depth=3, width=1024)
+    return est.select(
+        F.col("t").alias("token"),
+        "exact_n",
+        F.col("est").cast("long").alias("cms_est"),
+        (F.col("est").cast("long") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+@query(
+    "stream_cms_token_frequencies",
+    _CMS_ORACLE,
+    "streaming", "sketch", "count-min", "stateful",
+)
+def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min build as a STREAMING stateful aggregation: the
+    cell projection (operators/countmin.py:countmin_cells) feeds a
+    plain streaming groupBy-sum whose state is bounded at depth·width
+    rows BY CONSTRUCTION — the sketch property turned into a Structured
+    Streaming state bound, no custom stateful operator needed. Complete
+    mode re-emits the running sketch per micro-batch; after the drain
+    the newest emission IS the corpus sketch, cell-for-cell identical
+    to the batch build (counter addition commutes), so batch and stream
+    share one DuckDB oracle. Probing reuses the batch lookup."""
+    from parquet_rewriter_spark.operators.countmin import (
+        countmin_cells,
+        countmin_lookup,
+    )
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_table
+
+    docs = stream_table(spark, sf_dir, "documents")
+    tok_s = docs.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    sketch_stream = (
+        countmin_cells(tok_s, "t", depth=3, width=1024)
+        .groupBy("j", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+    sketch = run_to_memory(sketch_stream, output_mode="complete")
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
     probes = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("exact_n"))
@@ -6539,6 +6594,7 @@ _VERIFY_FIRST = (
     "q19_bracketed_disjunction_revenue",
     "q20_dominant_shippers",
     "cms_token_frequency_bounds",
+    "stream_cms_token_frequencies",
     "contrastive_negative_pairs",
     "suppliers_covering_brand",
     "weekly_cohort_retention",

@@ -64,6 +64,26 @@ def _bucket(item: Column, j: int, width: int) -> Column:
     return F.pmod(portable_string_hash(item, salt=j + 1), F.lit(width))
 
 
+def countmin_cells(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-row cell projection (j, bucket, __w) — the narrow codegen
+    stage shared by the batch build and the streaming aggregation
+    (each item fans out to its depth cells; no shuffle here)."""
+    item = F.col(item_col)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    return df.select(
+        F.posexplode(
+            F.array(*[_bucket(item, j, width) for j in range(depth)])
+        ).alias("j", "bucket"),
+        w.alias("__w"),
+    )
+
+
 def countmin_build(
     df: DataFrame,
     item_col: str,
@@ -75,15 +95,13 @@ def countmin_build(
 
     ``weight_col`` switches from occurrence counting to weighted sums
     (e.g. byte counts per URL). One wide stage + one hash aggregate.
+    On a STREAMING input the same plan is a stateful streaming
+    aggregation whose state is bounded at depth·width rows by
+    construction — run it in complete mode and the emitted relation IS
+    the running sketch (counter sums are order-independent, so the
+    drained stream matches the batch sketch cell-for-cell).
     """
-    item = F.col(item_col)
-    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    cells = df.select(
-        F.posexplode(
-            F.array(*[_bucket(item, j, width) for j in range(depth)])
-        ).alias("j", "bucket"),
-        w.alias("__w"),
-    )
+    cells = countmin_cells(df, item_col, depth, width, weight_col)
     return cells.groupBy("j", "bucket").agg(F.sum("__w").alias("cnt"))
 
 
