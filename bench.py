@@ -90,6 +90,7 @@ HEADLINE = [
     "user_purchase_funnel",
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",
+    "ivf_refined_cell_balance",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

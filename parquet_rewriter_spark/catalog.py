@@ -3553,6 +3553,48 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_refined_cell_balance",
+    None,
+    "similarity", "ivf", "kmeans", "iterative",
+)
+def ivf_refined_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means refinement of the IVF index
+    (operators/similarity.py:kmeans_refine_distributed): centroids
+    initialized on a bounded driver sample, then two Lloyd iterations
+    over the FULL embedding table — per iteration one Arrow-batched
+    assignment pass plus one k·dim-row aggregate; only the centroid
+    matrix ever reaches the driver. Output compares per-cell population
+    under sample-trained vs refined centroids — the balance that bounds
+    IVF probe cost at scale. Iterative + pandas-UDF, so no SQL oracle
+    (rows-only check); the numpy-reference equivalence is pinned in
+    tests/test_llm_ops.py."""
+    from parquet_rewriter_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        kmeans_refine_distributed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c0 = kmeans_centroids(emb, "embedding", n_centroids=16)
+    c1 = kmeans_refine_distributed(emb, "embedding", c0, iters=2)
+    before = (
+        ivf_assign(emb, "embedding", c0)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_sample_trained"))
+    )
+    after = (
+        ivf_assign(emb, "embedding", c1)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_refined"))
+    )
+    return before.join(after, "centroid_id", "full").select(
+        "centroid_id",
+        F.coalesce("n_sample_trained", F.lit(0)).alias("n_sample_trained"),
+        F.coalesce("n_refined", F.lit(0)).alias("n_refined"),
+    )
+
+
+@query(
     "contrastive_negative_pairs",
     """
     WITH n AS (SELECT count(*) AS n_items FROM documents),
@@ -6596,6 +6638,7 @@ _VERIFY_FIRST = (
     "cms_token_frequency_bounds",
     "stream_cms_token_frequencies",
     "contrastive_negative_pairs",
+    "ivf_refined_cell_balance",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

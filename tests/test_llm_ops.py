@@ -158,6 +158,48 @@ def test_ivf_finds_planted_neighbors(spark):
     assert recall >= 0.8, f"IVF recall on planted clusters too low: {recall}"
 
 
+def test_distributed_kmeans_refine_matches_numpy_reference(spark, emb):
+    """The distributed Lloyd iteration must compute the SAME centroids
+    a single-machine numpy implementation gets from identical init and
+    identical data — the distribution changes where the work runs, not
+    the math (tolerance covers float summation order)."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+        kmeans_refine_distributed,
+    )
+
+    C0 = kmeans_centroids(emb, "embedding", n_centroids=8)
+    got = kmeans_refine_distributed(emb, "embedding", C0, iters=2)
+
+    X = np.asarray(
+        [r[0] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = np.asarray(C0, dtype=np.float64)
+    for _ in range(2):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = C.copy()
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+        C = newC / np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-12)
+    assert np.allclose(got, C, atol=1e-9)
+
+    # refinement must not degrade the quantization objective (mean
+    # max-cosine to the assigned centroid) vs the sample-trained init
+    def objective(cent):
+        return float(np.mean(np.max(X @ np.asarray(cent).T, axis=1)))
+
+    assert objective(got) >= objective(C0) - 1e-9
+    # and the index built on refined centroids still assigns every row
+    n = ivf_assign(emb, "embedding", got).count()
+    assert n == emb.count()
+
+
 def test_ivf_on_fixture_embeddings_prunes_and_returns_k(spark, emb):
     """On the real fixture: k results, and the probed candidate set is a
     strict subset of the table (the scan actually pruned)."""
