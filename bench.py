@@ -134,6 +134,7 @@ HEADLINE = [
     "order_value_histogram",
     "part_entity_resolution",
     "part_copurchase_pagerank",
+    "copurchase_triangle_count",
     "ann_ivf_index_lifecycle",
     "txn_exactly_once_scan",
     "hidden_partition_event_scan",

@@ -3553,6 +3553,93 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copurchase_triangle_count",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+      GROUP BY node
+    ),
+    o AS (
+      SELECT CASE WHEN du.d * 16777216 + e0.u < dv.d * 16777216 + e0.v
+                  THEN e0.u ELSE e0.v END AS s,
+             CASE WHEN du.d * 16777216 + e0.u < dv.d * 16777216 + e0.v
+                  THEN e0.v ELSE e0.u END AS t
+      FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+    ),
+    r AS (SELECT node, d * 16777216 + node AS rank FROM deg),
+    wedges AS (
+      SELECT e1.s AS u, e1.t AS v, e2.t AS w
+      FROM o e1 JOIN o e2 ON e1.s = e2.s
+      JOIN r rv ON rv.node = e1.t
+      JOIN r rw ON rw.node = e2.t
+      WHERE rv.rank < rw.rank
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedges JOIN o ON o.s = wedges.v AND o.t = wedges.w
+    """,
+    "graph", "triangles", "join",
+)
+def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase graph via DEGREE-ORDERED
+    edge orientation (Suri & Vassilvitskii, "Counting triangles and the
+    curse of the last reducer", WWW 2011): every edge points from its
+    lower-(degree, id) endpoint, wedges pair the out-edges of each
+    apex, and a semi-check against the oriented edge set closes them.
+    The orientation is the scale story — wedge volume is Σ out-deg²
+    with out-degrees capped at O(√|E|), so a celebrity node never
+    produces a quadratic reducer. Three hash joins, no cartesian; the
+    oracle replays the identical orientation arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rank = (F.col("d") * F.lit(16777216) + F.col("node")).alias("rank")
+    r = deg.select("node", rank)
+    o = (
+        e0.join(r.withColumnRenamed("node", "u").withColumnRenamed("rank", "ru"), "u")
+        .join(r.withColumnRenamed("node", "v").withColumnRenamed("rank", "rv"), "v")
+        .select(
+            F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .persist()
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.s") == F.col("e2.s"))
+        .join(r.withColumnRenamed("node", "nv").withColumnRenamed("rank", "rkv"),
+              F.col("e1.t") == F.col("nv"))
+        .join(r.withColumnRenamed("node", "nw").withColumnRenamed("rank", "rkw"),
+              F.col("e2.t") == F.col("nw"))
+        .filter(F.col("rkv") < F.col("rkw"))
+        .select(F.col("e1.t").alias("wv"), F.col("e2.t").alias("ww"))
+    )
+    closed = wedges.join(
+        o, (o.s == F.col("wv")) & (o.t == F.col("ww")), "left_semi"
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
     "ivf_refined_cell_balance",
     None,
     "similarity", "ivf", "kmeans", "iterative",
@@ -6639,6 +6726,7 @@ _VERIFY_FIRST = (
     "stream_cms_token_frequencies",
     "contrastive_negative_pairs",
     "ivf_refined_cell_balance",
+    "copurchase_triangle_count",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
