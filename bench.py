@@ -91,6 +91,7 @@ HEADLINE = [
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",
     "ivf_refined_cell_balance",
+    "source_length_drift_ks",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

@@ -3553,6 +3553,52 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_length_drift_ks",
+    """
+    WITH g AS (SELECT DISTINCT source AS gs FROM documents),
+    tagged AS (
+      SELECT g.gs, d.n_chars AS v,
+             CASE WHEN d.source = g.gs THEN 1 ELSE 0 END AS in_src
+      FROM documents d CROSS JOIN g
+    ),
+    counts AS (
+      SELECT gs, v, CAST(sum(in_src) AS DOUBLE) AS ca,
+             CAST(sum(1 - in_src) AS DOUBLE) AS cb
+      FROM tagged GROUP BY gs, v
+    ),
+    cdfs AS (
+      SELECT gs,
+             sum(ca) OVER (PARTITION BY gs ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(ca) OVER (PARTITION BY gs) AS fa,
+             sum(cb) OVER (PARTITION BY gs ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(cb) OVER (PARTITION BY gs) AS fb,
+             sum(ca) OVER (PARTITION BY gs) AS na,
+             sum(cb) OVER (PARTITION BY gs) AS nb
+      FROM counts
+    )
+    SELECT gs AS source, CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(max(abs(fa - fb)), 6) AS ks_stat
+    FROM cdfs GROUP BY gs
+    """,
+    "drift", "monitoring", "ks",
+)
+def source_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitor (operators/drift.py): per-source two-sample
+    Kolmogorov–Smirnov statistic of the document-length distribution vs
+    the rest of the corpus — the check that catches a crawler update
+    silently shifting one source's length profile. CDFs, totals, and
+    the sup-gap all ride ONE hash exchange on the source key; counts
+    are exact integers so the oracle reproduces D bit-for-bit."""
+    from parquet_rewriter_spark.operators.drift import ks_drift_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_drift_by_group(d, "n_chars", "source")
+
+
+@query(
     "copurchase_triangle_count",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -6727,6 +6773,7 @@ _VERIFY_FIRST = (
     "contrastive_negative_pairs",
     "ivf_refined_cell_balance",
     "copurchase_triangle_count",
+    "source_length_drift_ks",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
