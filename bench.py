@@ -92,6 +92,8 @@ HEADLINE = [
     "contrastive_negative_pairs",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
+    "copurchase_reach_2hop",
+    "variant_props_stats",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

@@ -3553,6 +3553,76 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "copurchase_reach_2hop",
+    """
+    WITH RECURSIVE items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b USING (l_orderkey)
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    reach(part, hop) AS (
+      SELECT CAST(0 AS BIGINT) AS part, 0 AS hop
+      UNION ALL
+      SELECT e.v, reach.hop + 1
+      FROM e JOIN reach ON e.u = reach.part
+      WHERE reach.hop < 2
+    )
+    SELECT part, CAST(min(hop) AS BIGINT) AS min_hops,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM reach GROUP BY part
+    """,
+    "graph", "recursive-cte", "sql",
+)
+def copurchase_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native RECURSIVE CTE (Spark 4 SQL surface): parts reachable from
+    part 0 within two co-purchase hops, with min hop distance and path
+    multiplicity. Executed as literal SQL — the engine's recursion
+    (iterative union-all expansion, same shape the label-propagation
+    operator hand-rolls in operators/cluster.py) against DuckDB's
+    recursive CTE as oracle. The hop bound makes the recursion depth
+    static, so both engines terminate identically."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(REGISTRY["copurchase_reach_2hop"].oracle)
+
+
+@query(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(sum(json_extract(props, '$.k')::INTEGER) AS BIGINT) AS k_sum,
+           CAST(min(json_extract(props, '$.k')::INTEGER) AS BIGINT) AS k_min,
+           CAST(max(json_extract(props, '$.k')::INTEGER) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    "variant", "semi-structured", "json",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` once into a Variant column (binary-encoded,
+    shreddable — the open-format path for schema-on-read at scale,
+    cheaper than per-path string re-parsing), then typed
+    ``variant_get`` extractions feeding a plain aggregate. The oracle
+    reads the same paths with DuckDB's JSON extraction."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("p"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+@query(
     "source_length_drift_ks",
     """
     WITH g AS (SELECT DISTINCT source AS gs FROM documents),
@@ -6774,6 +6844,8 @@ _VERIFY_FIRST = (
     "ivf_refined_cell_balance",
     "copurchase_triangle_count",
     "source_length_drift_ks",
+    "copurchase_reach_2hop",
+    "variant_props_stats",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
