@@ -140,6 +140,7 @@ HEADLINE = [
     "copurchase_triangle_count",
     "ann_ivf_index_lifecycle",
     "txn_exactly_once_scan",
+    "multi_table_txn_scan",
     "hidden_partition_event_scan",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",

@@ -3553,6 +3553,80 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multi_table_txn_scan",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_final,
+           TRUE AS consistent_during_crash,
+           TRUE AS consistent_after
+    FROM orders WHERE o_orderkey % 10 <> 0
+    GROUP BY o_orderstatus
+    """,
+    "storage", "transaction", "multi-table",
+)
+def multi_table_txn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table atomic transaction (operators/txn_catalog.py): an
+    orders table and its status rollup pinned by a catalog pointer.
+    A simulated writer crash — the base table's delete merge lands but
+    the catalog never flips — must leave catalog readers on the OLD,
+    mutually-consistent pair (base group counts still equal the
+    rollup); the completed transaction then flips both pins in one
+    atomic commit. The result folds both consistency probes in as
+    booleans the oracle requires TRUE."""
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    a = SortedTable.create(spark, _scratch("txncat_orders"), o, key="o_orderkey")
+    summary = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+    b = SortedTable.create(spark, _scratch("txncat_summary"), summary,
+                           key="o_orderstatus")
+    cat = TransactionCatalog.create(
+        spark, _scratch("txncat_ptr"), {"orders": a, "summary": b}
+    )
+
+    def consistent() -> bool:
+        base_counts = (
+            cat.read("orders").groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_base"))
+        )
+        view = cat.read("summary")
+        return (
+            base_counts.join(view, "o_orderstatus", "full")
+            .filter(
+                F.coalesce("n_base", F.lit(-1)) != F.coalesce("n_orders", F.lit(-2))
+            )
+            .count()
+            == 0
+        )
+
+    # txn 1 — "crashes" after the base merge, before the catalog flip:
+    # the table's own head advances, catalog readers must not see it
+    from parquet_rewriter_spark.operators.merge import delete_where
+
+    delete_where(a, F.col("o_orderkey") % 10 == 0)
+    during_crash_ok = consistent()
+
+    # txn 2 — completes: refresh the rollup from the base's HEAD state,
+    # then flip both pins atomically
+    new_summary = (
+        a.read().groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(b, new_summary)
+    cat.commit({"orders": a.manifest().version, "summary": b.manifest().version})
+    after_ok = consistent()
+
+    return cat.read("summary").select(
+        "o_orderstatus",
+        F.col("n_orders").alias("n_final"),
+        F.lit(during_crash_ok).alias("consistent_during_crash"),
+        F.lit(after_ok).alias("consistent_after"),
+    )
+
+
+@query(
     "copurchase_reach_2hop",
     """
     WITH RECURSIVE items AS (
@@ -6846,6 +6920,7 @@ _VERIFY_FIRST = (
     "source_length_drift_ks",
     "copurchase_reach_2hop",
     "variant_props_stats",
+    "multi_table_txn_scan",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

@@ -94,3 +94,66 @@ def test_stream_merge_exactly_once_with_nonidempotent_epoch_fn(
     assert table.read().filter("o_orderkey = 5").first()["o_custkey"] == base_bal + 100
     incremented(2)
     assert table.read().filter("o_orderkey = 5").first()["o_custkey"] == base_bal + 200
+
+
+# ------------------------------------------- cross-table catalog txns
+
+
+def test_catalog_crash_isolation_and_atomic_flip(spark, table, tmp_path, sf_dir):
+    """A base-table merge whose transaction never commits the catalog
+    must be invisible to catalog readers; the completed commit flips
+    both pins at once."""
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+
+    summary = table.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    view = SortedTable.create(
+        spark, str(tmp_path / "view"), summary, key="o_orderstatus"
+    )
+    cat = TransactionCatalog.create(
+        spark, str(tmp_path / "cat"), {"base": table, "view": view}
+    )
+    n0 = cat.read("base").count()
+
+    # crash: base advances, catalog does not
+    from parquet_rewriter_spark.operators.merge import delete_where
+
+    delete_where(table, F.col("o_orderkey") % 3 == 0)
+    assert table.read().count() < n0          # the table head moved
+    assert cat.read("base").count() == n0     # catalog readers did not
+
+    # complete: refresh the view from the head, flip both pins atomically
+    new_summary = (
+        table.read().groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    merge_into_table(view, new_summary)
+    cat.commit({"base": table.manifest().version,
+                "view": view.manifest().version})
+    base_counts = {
+        r["o_orderstatus"]: r["n"]
+        for r in cat.read("base").groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    view_counts = {
+        r["o_orderstatus"]: r["n_orders"] for r in cat.read("view").collect()
+    }
+    assert base_counts == view_counts
+
+
+def test_catalog_commit_conflict_and_unknown_table(spark, table, tmp_path):
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+    from parquet_rewriter_spark.table import CommitConflictError
+
+    cat = TransactionCatalog.create(spark, str(tmp_path / "cat2"), {"base": table})
+    racer = TransactionCatalog(spark, str(tmp_path / "cat2"))
+    cat.commit({"base": table.manifest().version})
+    with pytest.raises(CommitConflictError):
+        # the racer re-claims the version the first commit just took
+        state = racer._state()
+        state["version"] -= 0  # racer saw the new state; rewind to race
+        racer._commit({**state, "version": state["version"]})
+    with pytest.raises(KeyError):
+        cat.commit({"nope": 1})
