@@ -141,6 +141,7 @@ HEADLINE = [
     "ann_ivf_index_lifecycle",
     "txn_exactly_once_scan",
     "multi_table_txn_scan",
+    "routed_scan_report",
     "hidden_partition_event_scan",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",

@@ -3553,6 +3553,69 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "routed_scan_report",
+    """
+    SELECT 'key_range' AS probe, 'zone_maps' AS strategy, TRUE AS pruned,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey BETWEEN 100 AND 500) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'price_band', 'zone_maps', FALSE,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice >= 0.0) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_point', 'bloom', TRUE,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IN (42, 777)) AS BIGINT)
+    UNION ALL
+    SELECT 'priority_filter', 'full_scan', FALSE,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+    """,
+    "storage", "router", "pruning",
+)
+def routed_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan routing (operators/router.py): one table carrying all three
+    skipping structures — key zone map, secondary zone maps on
+    o_totalprice, Bloom sidecar on o_custkey — and four probes that
+    must each pick the right one: the key range through ``read_where``
+    (driver-pruned, files skipped), the price band ALSO through
+    ``read_where`` but skipping nothing — o_totalprice is uncorrelated
+    with the key-sorted layout, the documented "pruning is a layout
+    property, correctness isn't" contract — the customer point lookup
+    through the Bloom candidates, and the untracked priority filter
+    through a full scan. Row counts prove the routing never changes
+    results; the ``pruned`` boolean records whether the chosen
+    structure actually skipped files."""
+    from parquet_rewriter_spark.operators.router import smart_read
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark,
+        _scratch("router_orders"),
+        o,
+        key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 12),
+        stats_cols=["o_totalprice"],
+        bloom_cols=["o_custkey"],
+    )
+    probes = [
+        ("key_range", dict(ranges={"o_orderkey": (100, 500)})),
+        ("price_band", dict(ranges={"o_totalprice": (0.0, None)})),
+        ("customer_point", dict(equals={"o_custkey": [42, 777]})),
+        ("priority_filter", dict(equals={"o_orderpriority": ["1-URGENT"]})),
+    ]
+    rows = []
+    for name, kwargs in probes:
+        df, rep = smart_read(t, **kwargs)
+        pruned = rep["files_scanned"] < rep["files_total"]
+        rows.append((name, rep["strategy"], pruned, df.count()))
+    return spark.createDataFrame(
+        rows, "probe string, strategy string, pruned boolean, n_rows long"
+    )
+
+
+@query(
     "multi_table_txn_scan",
     """
     SELECT o_orderstatus,
@@ -6921,6 +6984,7 @@ _VERIFY_FIRST = (
     "copurchase_reach_2hop",
     "variant_props_stats",
     "multi_table_txn_scan",
+    "routed_scan_report",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

@@ -127,3 +127,44 @@ def test_splice_path_records_secondary_stats(spark, tmp_path):
     m = t.manifest()
     spliced = [e for e in m.files if e.key_min <= 1_234 <= e.key_max]
     assert spliced and spliced[0].col_stats["bucket"][1] == 99
+
+
+# ------------------------------------------------------- scan routing
+
+
+def test_smart_read_routes_and_never_changes_results(spark, sf_dir, tmp_path):
+    from parquet_rewriter_spark.operators.router import smart_read
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "routed"), o, key="o_orderkey",
+        max_records_per_file=200, stats_cols=["o_totalprice"],
+        bloom_cols=["o_custkey"],
+    )
+    # key range → zone maps, strictly pruned, exact rows
+    df, rep = smart_read(t, ranges={"o_orderkey": (10, 60)})
+    assert rep["strategy"] == "zone_maps"
+    assert rep["files_scanned"] < rep["files_total"]
+    assert df.count() == o.filter("o_orderkey BETWEEN 10 AND 60").count()
+
+    # bloom equality on the unclustered column
+    df, rep = smart_read(t, equals={"o_custkey": [7]})
+    assert rep["strategy"] == "bloom"
+    assert df.count() == o.filter("o_custkey = 7").count()
+
+    # untracked column → full scan, still exact
+    df, rep = smart_read(t, equals={"o_orderstatus": ["F"]})
+    assert rep["strategy"] == "full_scan"
+    assert rep["files_scanned"] == rep["files_total"]
+    assert df.count() == o.filter("o_orderstatus = 'F'").count()
+
+    # combined: zone-mapped range + residual equality applies both
+    df, rep = smart_read(
+        t, ranges={"o_orderkey": (10, 600)}, equals={"o_orderstatus": ["F"]}
+    )
+    assert rep["strategy"] == "zone_maps"
+    assert df.count() == o.filter(
+        "o_orderkey BETWEEN 10 AND 600 AND o_orderstatus = 'F'"
+    ).count()
