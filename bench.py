@@ -142,6 +142,7 @@ HEADLINE = [
     "txn_exactly_once_scan",
     "multi_table_txn_scan",
     "routed_scan_report",
+    "doc_compression_quality",
     "hidden_partition_event_scan",
     "gdpr_forget_customer_scan",
     "stream_purchase_click_fulljoin",

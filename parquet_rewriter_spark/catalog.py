@@ -3553,6 +3553,33 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_compression_quality",
+    None,
+    "text", "quality", "compression",
+)
+def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate (functions/text.py:
+    compression_ratio): zlib ratio per document as the cheap
+    boilerplate detector — repetitive machine-generated text compresses
+    far below natural prose. Arrow-batched pandas UDF (zlib has no SQL
+    replay → rows-only check; the monotonicity contract —
+    repetitive ≪ natural — is property-tested). Flags the corpus tail
+    outside the [0.3, 0.95] band the usual pre-training filters keep."""
+    from parquet_rewriter_spark.functions.text import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        compression_ratio("text").alias("zlib_ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        "zlib_ratio",
+        (~F.col("zlib_ratio").between(0.3, 0.95)).alias("flagged"),
+    )
+
+
+@query(
     "routed_scan_report",
     """
     SELECT 'key_range' AS probe, 'zone_maps' AS strategy, TRUE AS pruned,
@@ -6985,6 +7012,7 @@ _VERIFY_FIRST = (
     "variant_props_stats",
     "multi_table_txn_scan",
     "routed_scan_report",
+    "doc_compression_quality",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

@@ -9,6 +9,7 @@ equivalent so the DuckDB oracle can replay it (catalog.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 # Per-language marker-word sets for the n-gram/stopword language-ID
@@ -64,6 +65,33 @@ def quality_score(text: Column | str) -> Column:
     stop_pen = 1.0 - stopword_ratio(t)
     len_norm = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
     return F.round(0.5 * diversity + 0.3 * stop_pen + 0.2 * len_norm, 4)
+
+
+def compression_ratio(text: Column | str, level: int = 6) -> Column:
+    """zlib-compressed-size / raw-size per document — the classic
+    cheap boilerplate detector (highly repetitive pages compress far
+    below natural text; Gopher and successors gate on it). Arrow-batched
+    pandas UDF: zlib is inherently per-string, but batches amortize the
+    exchange; output is deterministic for a fixed zlib level. No SQL
+    oracle exists for zlib — catalog entries using this are rows-only
+    and the monotonicity contract is property-tested."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return _ratio(F.col(text) if isinstance(text, str) else text)
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:

@@ -166,3 +166,29 @@ def test_segment_dedup_null_text_doc_survives(spark):
     out = {r.id: r for r in segment_dedup(docs, "doc_id", "text", 3).collect()}
     assert set(out) == {1, 2}
     assert out[2].n_kept <= out[2].n_segs
+
+
+def test_compression_ratio_separates_repetitive_from_natural(spark):
+    from pyspark.sql import Row
+
+    from parquet_rewriter_spark.functions.text import compression_ratio
+
+    rows = [
+        Row(id=1, text="spam " * 200),                      # pure repetition
+        Row(id=2, text="the quick brown fox jumps over the lazy dog and "
+                       "meanders through seventeen distinct meadow paths "
+                       "while cataloguing wildflower species by color"),
+        Row(id=3, text=""),
+        Row(id=4, text=None),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.id: r.ratio for r in df.select(
+        "id", compression_ratio("text").alias("ratio")).collect()}
+    assert got[1] < 0.1            # repetition collapses
+    assert got[2] > got[1] * 3     # natural text compresses far less
+    assert got[3] == 1.0           # empty → defined, not a crash
+    assert got[4] is None          # null propagates
+    # deterministic across runs
+    again = {r.id: r.ratio for r in df.select(
+        "id", compression_ratio("text").alias("ratio")).collect()}
+    assert got == again
