@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
+    "minhash_portable_near_dup_pairs",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "multimodal_decode_features",

@@ -3553,6 +3553,66 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_portable_near_dup_pairs",
+    f"""
+    WITH docs AS (SELECT * FROM {_DOCS_WITH_DUPS} AS dd),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+    sh AS (
+      SELECT doc_id, array_to_string(list_slice(w, j, j + 2), ' ') AS sh
+      FROM d, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(j)
+    ),
+    b AS (
+      SELECT doc_id, sh,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483648 AS base
+      FROM sh
+    ),
+    hs AS (
+      SELECT doc_id, i.i,
+             min((base * 2654435761 + i.i + 1) % 4294967296) AS h
+      FROM b CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    bandkeys AS (
+      SELECT doc_id, i // 3 AS band,
+             string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS bkey
+      FROM hs GROUP BY doc_id, i // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bandkeys a
+      JOIN bandkeys b2 ON a.band = b2.band AND a.bkey = b2.bkey
+                      AND a.doc_id < b2.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
+    WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.5
+    """,
+    "dedup", "minhash", "lsh", "portable",
+)
+def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the engine-portable hash family
+    (operators/dedup.py:minhash_lsh_pairs_portable): one md5 per
+    shingle, Knuth-derived 48-hash family, 16 string band keys, exact
+    string-Jaccard verify ≥0.5. Unlike the xxhash64 production twin
+    (`minhash_near_dup_pairs`, rows-only), the oracle replays the
+    ENTIRE sketch — signatures, buckets, candidates, verify — so the
+    hash compare certifies the LSH machinery itself, not just row
+    counts."""
+    from parquet_rewriter_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    d2 = _docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs_portable(
+        d2, "doc_id", "text", threshold=0.5, num_hashes=48, bands=16, shingle_n=3
+    )
+
+
+@query(
     "doc_compression_quality",
     None,
     "text", "quality", "compression",
@@ -7013,6 +7073,7 @@ _VERIFY_FIRST = (
     "multi_table_txn_scan",
     "routed_scan_report",
     "doc_compression_quality",
+    "minhash_portable_near_dup_pairs",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

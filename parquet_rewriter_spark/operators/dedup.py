@@ -220,6 +220,98 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 48,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with an ENGINE-PORTABLE hash family —
+    the variant the correctness gate can replay end-to-end in SQL
+    (signatures, band buckets, candidate set, verify — everything),
+    upgrading MinHash from a rows-only check to a full hash-compared
+    oracle. The production operator keeps xxhash64 (faster digests);
+    this one pays ONE md5 per shingle occurrence and derives the
+    num_hashes family members by Knuth multiplicative arithmetic on the
+    31-bit base — identical expressible math in any ANSI engine:
+
+        base  = md5_bridge(shingle) % 2^31
+        h_i   = (base * 2654435761 + i + 1) % 2^32
+        sig_i = min over shingles of h_i
+
+    Same distributed shape as the production path: codegen'd exploded
+    shingles → map-combining min aggregate (48 longs per doc on the
+    shuffle) → band-key self-join (band key = '_'-joined minima, a
+    string both engines render identically) → exact string-shingle
+    Jaccard verify over the semi-join-pruned candidates.
+    """
+    from parquet_rewriter_spark.operators.countmin import portable_string_hash
+    from parquet_rewriter_spark.operators.sampling import _KNUTH
+    from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+    rows = num_hashes // bands
+    src = ensure_parallelism(df)
+    sh_rows = _shingle_rows(src, id_col, text_col, shingle_n)
+    base = F.pmod(portable_string_hash(F.col("sh")), F.lit(2 ** 31))
+    hashed = sh_rows.select("id", base.alias("b"))
+    mins = [
+        F.min(F.pmod(F.col("b") * F.lit(_KNUTH) + F.lit(i + 1), F.lit(2 ** 32))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = hashed.groupBy("id").agg(*mins).persist()
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"h{band * rows + r}").cast("string") for r in range(rows)],
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    cand_ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    cand_docs = src.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    # string shingle sets (portable across engines, unlike xxhash64 sets)
+    sets = (
+        _shingle_rows(cand_docs, id_col, text_col, shingle_n)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("s"))
+    )
+    jac = (
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+        / F.size(F.array_union(F.col("sa"), F.col("sb")))
+    )
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over word tokens.
 

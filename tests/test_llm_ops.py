@@ -486,3 +486,26 @@ def test_pii_redact_and_count(spark):
     assert got[3] == (0, 0, "plain text, no pii")
     assert got[4][0] == 2 and got[4][1] == 1
     assert got[4][2] == "two addrs <EMAIL> <EMAIL> and <PHONE>"
+
+
+def test_portable_minhash_finds_all_injected_duplicates(spark, docs):
+    """The portable-family variant must bucket identical texts together
+    in every band — all injected exact duplicates surface with
+    jaccard 1.0, and every reported pair clears the verify threshold."""
+    from parquet_rewriter_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.unionByName(dups)
+    pairs = minhash_lsh_pairs_portable(
+        corpus, "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    expected = {
+        (r.doc_id, r.doc_id + 1_000_000)
+        for r in docs.filter(F.col("doc_id") % 7 == 0).select("doc_id").collect()
+    }
+    for pair in expected:
+        assert pair in got and got[pair] == 1.0
+    assert all(j >= 0.5 for j in got.values())
