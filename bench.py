@@ -43,6 +43,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_near_dup_pairs",
     "minhash_portable_near_dup_pairs",
+    "simhash_portable_near_pairs",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "multimodal_decode_features",

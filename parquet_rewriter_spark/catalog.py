@@ -3613,6 +3613,48 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "simhash_portable_near_pairs",
+    f"""
+    WITH docs AS (SELECT * FROM {_DOCS_WITH_DUPS} AS dd),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    bitsum AS (
+      SELECT doc_id, bb.b, sum(((h >> bb.b) & 1) * 2 - 1) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS f
+      FROM bitsum GROUP BY doc_id
+    ),
+    blk AS (
+      SELECT doc_id, f, k.k, (f >> (12 * k.k)) & 4095 AS bv
+      FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM blk a
+    JOIN blk b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+    "dedup", "simhash", "portable",
+)
+def simhash_portable_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the engine-portable hash family
+    (operators/dedup.py:simhash_portable_near_pairs): 48-bit
+    fingerprints from md5-bridge token hashes, 4 pigeonhole blocks
+    (total recall at Hamming ≤ 3 by construction), popcount verify.
+    The oracle reproduces fingerprints, blocks, candidates, and
+    distances bit-for-bit — the xxhash64 production twin
+    (`simhash_near_pairs`) stays rows-only for speed."""
+    from parquet_rewriter_spark.operators.dedup import simhash_portable_near_pairs
+
+    d2 = _docs_with_dups(spark, sf_dir)
+    return simhash_portable_near_pairs(d2, "doc_id", "text", max_hamming=3)
+
+
+@query(
     "doc_compression_quality",
     None,
     "text", "quality", "compression",
@@ -7074,6 +7116,7 @@ _VERIFY_FIRST = (
     "routed_scan_report",
     "doc_compression_quality",
     "minhash_portable_near_dup_pairs",
+    "simhash_portable_near_pairs",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

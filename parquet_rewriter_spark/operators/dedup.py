@@ -312,6 +312,83 @@ def minhash_lsh_pairs_portable(
     )
 
 
+def simhash_portable_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 48,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-pairs with the ENGINE-PORTABLE hash family — the
+    oracle-replayable twin of :func:`simhash_near_pairs` (same upgrade
+    the portable MinHash got): token hashes come from the md5 bridge
+    (low 60 hex-parsed bits; fingerprints use the low ``bits`` of it),
+    so a SQL engine reproduces fingerprints, pigeonhole blocks,
+    candidates, and Hamming distances bit-for-bit.
+
+    Pigeonhole recall guarantee unchanged: with ``blocks`` >
+    ``max_hamming``, any pair within the bound shares at least one
+    intact block. Shape: exploded token rows → ``bits`` map-combining
+    sign-vote aggregates (one shuffle on the doc id) → block-key
+    self-join → popcount verify. Returns (id_a, id_b, hamming).
+    """
+    from parquet_rewriter_spark.operators.countmin import portable_string_hash
+    from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+    assert bits % blocks == 0
+    width = bits // blocks
+    rows = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    h = portable_string_hash(F.col("t"))
+    votes = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = rows.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    fps = per_doc.select("id", fp.alias("fp")).persist()
+    mask = (1 << width) - 1
+    blk = fps.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", k * width).bitwiseAND(F.lit(mask))
+                    for k in range(blocks)
+                ]
+            )
+        ).alias("blk", "bv"),
+    )
+    a, b2 = blk.alias("a"), blk.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b2,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over word tokens.
 

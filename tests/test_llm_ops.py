@@ -509,3 +509,38 @@ def test_portable_minhash_finds_all_injected_duplicates(spark, docs):
     for pair in expected:
         assert pair in got and got[pair] == 1.0
     assert all(j >= 0.5 for j in got.values())
+
+
+def test_portable_simhash_blocked_equals_bruteforce(spark, docs):
+    """Portable-family pigeonhole blocking keeps the total-recall
+    guarantee: blocked pairs at max_hamming=3 must EQUAL brute force
+    over the same fingerprint definition."""
+    from parquet_rewriter_spark.operators.countmin import portable_string_hash
+    from parquet_rewriter_spark.operators.dedup import simhash_portable_near_pairs
+
+    d = docs.filter(F.col("doc_id") % 3 == 0)
+    # reference fingerprints straight from the definition
+    rows = d.select("doc_id", F.explode(F.split("text", " ")).alias("t")).select(
+        "doc_id", portable_string_hash(F.col("t")).alias("h")
+    ).collect()
+    votes: dict = {}
+    for r in rows:
+        v = votes.setdefault(r.doc_id, [0] * 48)
+        for b in range(48):
+            v[b] += 1 if (r.h >> b) & 1 else -1
+    fps = {
+        k: sum((1 << b) for b in range(48) if v[b] > 0) for k, v in votes.items()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    ids = sorted(fps)
+    brute = {
+        (x, y): ham(fps[x], fps[y])
+        for i, x in enumerate(ids)
+        for y in ids[i + 1:]
+        if ham(fps[x], fps[y]) <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_portable_near_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == brute, (len(got), len(brute))
