@@ -256,6 +256,15 @@ class SortedTable:
             )
         return out
 
+    @staticmethod
+    def _parse_ts(ts: "datetime.datetime | str") -> "datetime.datetime":
+        """ISO string or datetime → aware UTC datetime (naive = UTC)."""
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return ts
+
     def version_asof(self, ts: "datetime.datetime | str") -> int:
         """Newest retained version committed at or before ``ts`` —
         timestamp-based time travel ("the table as of last midnight").
@@ -741,14 +750,38 @@ class SortedTable:
         return m.version + 1
 
     # ---------- maintenance ----------
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
-        """Garbage-collect: drop snapshot manifests beyond the newest
-        ``retain_versions`` and delete data files referenced by no
-        retained snapshot. retain_versions=1 keeps only the current
-        snapshot (the pre-time-travel behavior)."""
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        retain_asof: "datetime.datetime | str | None" = None,
+    ) -> list[str]:
+        """Garbage-collect: drop snapshot manifests beyond the retention
+        policy and delete data files referenced by no retained snapshot.
+
+        Two policies, combinable (a snapshot survives if EITHER keeps
+        it): ``retain_versions`` keeps the newest N (=1 is the
+        pre-time-travel behavior); ``retain_asof`` keeps every snapshot
+        committed at or after the given instant PLUS the newest one
+        before it — the Delta-style time-based retention, preserving
+        ``read_asof(t)`` for every t ≥ retain_asof (the straddling
+        snapshot is what an as-of read at exactly ``retain_asof``
+        resolves to, so it must survive)."""
         retain_versions = max(1, retain_versions)
         versions = self.versions()
         keep_versions = versions[-retain_versions:] if versions else []
+        if retain_asof is not None:
+            cut = self._parse_ts(retain_asof)
+            straddler = None
+            for v in versions:
+                at = self._parse_ts(self.manifest(v).committed_at)
+                if at >= cut:
+                    if v not in keep_versions:
+                        keep_versions.append(v)
+                elif straddler is None or v > straddler:
+                    straddler = v
+            if straddler is not None and straddler not in keep_versions:
+                keep_versions.append(straddler)
+            keep_versions.sort()
         for v in versions:
             if v not in keep_versions:
                 os.remove(os.path.join(self.path, f"_manifest.v{v}.json"))

@@ -276,3 +276,39 @@ def test_clone_is_zero_copy_and_independent(spark, tmp_path):
     merge_into_table(src, muts, allow_splice=False)
     src.vacuum(retain_versions=1)
     assert dst.read().count() == 4_000
+
+
+def test_vacuum_time_based_retention_keeps_asof_reads(spark, sf_dir, tmp_path):
+    """retain_asof must keep every snapshot committed at/after the cut
+    PLUS the straddling one before it, so read_asof(t) works for every
+    t >= cut; older history is collected."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "tt"), o, key="o_orderkey",
+                           max_records_per_file=500)
+    for k in (1, 2):
+        muts = o.filter(F.col("o_orderkey") % (k * 5) == 0).withColumn(
+            "o_totalprice", F.lit(float(k))
+        ).withColumn("op", F.lit("UPSERT"))
+        merge_into_table(t, muts)
+    versions = t.versions()
+    assert len(versions) == 3  # v0 create + 2 merges
+    # cut strictly after v1's commit: v0 collected, v1 kept (straddler), v2 kept
+    cut_iso = t.manifest(versions[1]).committed_at
+    cut = datetime.datetime.fromisoformat(cut_iso) + datetime.timedelta(microseconds=1)
+    t.vacuum(retain_versions=1, retain_asof=cut)
+    assert t.versions() == versions[1:]
+    # as-of reads at/after the cut still resolve (to the straddler)
+    assert t.read_asof(cut).count() == t.read(version=versions[1]).count()
+    # reads of the collected snapshot fail like any vacuumed time travel
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.manifest(versions[0])
