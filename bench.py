@@ -96,6 +96,7 @@ HEADLINE = [
     "source_length_drift_ks",
     "copurchase_reach_2hop",
     "variant_props_stats",
+    "stream_drift_alerts",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

@@ -3613,6 +3613,81 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_drift_alerts",
+    """
+    WITH dec AS (
+      SELECT d, round(qs[d], 6) AS q
+      FROM (SELECT quantile_cont(value,
+                     [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+            FROM events),
+           UNNEST([1,2,3,4,5,6,7,8,9]) AS t(d)
+    ),
+    win AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+             value
+      FROM events
+    ),
+    gaps AS (
+      SELECT w.window_start, dec.d,
+             abs(dec.d / 10.0
+                 - sum(CASE WHEN w.value <= dec.q THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*)) AS gap,
+             count(*) AS n
+      FROM win w CROSS JOIN dec
+      GROUP BY w.window_start, dec.d
+    )
+    SELECT window_start, CAST(max(n) AS BIGINT) AS n_events,
+           round(max(gap), 6) AS ks_stat,
+           max(gap) > 0.15 AS drifted
+    FROM gaps GROUP BY window_start
+    """,
+    "streaming", "drift", "monitoring",
+)
+def stream_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per 6-hour event-time window, an
+    approximate two-sample KS of the window's value distribution
+    against the WHOLE-corpus baseline, evaluated at the baseline's nine
+    deciles — the standard streaming approximation (the sup over a
+    fixed quantile grid lower-bounds the true KS and needs only nine
+    conditional counters per window, stateless beyond the windowed
+    aggregate). Baseline deciles come from one bounded batch aggregate
+    and ride the streaming plan as literals; the windowed counts are a
+    PLAIN streaming aggregation (complete mode), state = windows ×
+    10 longs. Oracle replays grid, counts, and sup exactly."""
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events
+
+    e = _t(spark, sf_dir, "events")
+    decs = [
+        round(q, 6)
+        for q in e.select(
+            F.percentile("value", F.array(*[F.lit(d / 10.0) for d in range(1, 10)]))
+        ).first()[0]
+    ]
+    ev = stream_events(spark, sf_dir)
+    counters = [
+        F.sum(F.when(F.col("value") <= F.lit(q), 1).otherwise(0)).alias(f"c{i}")
+        for i, q in enumerate(decs)
+    ]
+    win = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), *counters)
+    )
+    drained = run_to_memory(win, output_mode="complete")
+    gap = F.greatest(
+        *[
+            F.abs(F.lit((i + 1) / 10.0) - F.col(f"c{i}") / F.col("n"))
+            for i in range(9)
+        ]
+    )
+    return drained.select(
+        F.col("w.start").alias("window_start"),
+        F.col("n").alias("n_events"),
+        F.round(gap, 6).alias("ks_stat"),
+        (gap > 0.15).alias("drifted"),
+    )
+
+
+@query(
     "simhash_portable_near_pairs",
     f"""
     WITH docs AS (SELECT * FROM {_DOCS_WITH_DUPS} AS dd),
@@ -7117,6 +7192,7 @@ _VERIFY_FIRST = (
     "doc_compression_quality",
     "minhash_portable_near_dup_pairs",
     "simhash_portable_near_pairs",
+    "stream_drift_alerts",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
