@@ -46,7 +46,11 @@ def ks_drift_by_group(
         F.col(value_col).alias("__v"),
         (F.col(group_col) == F.col("__g")).cast("int").alias("__in"),
     )
-    counts = tagged.groupBy("__g", "__v").agg(
+    # Pre-partition on the group key alone: hash(g) satisfies the
+    # (g, v) aggregate's clustering requirement AND the window's, so the
+    # counts agg and the CDF windows share ONE data exchange instead of
+    # exchanging on (g, v) and re-exchanging on g.
+    counts = tagged.repartition(F.col("__g")).groupBy("__g", "__v").agg(
         F.sum("__in").cast("double").alias("__ca"),
         F.sum(1 - F.col("__in")).cast("double").alias("__cb"),
     )

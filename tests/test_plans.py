@@ -320,6 +320,58 @@ def test_tpch_q20_nested_agg_reuses_partitioning(spark, sf_dir):
     assert "LeftSemi" in p or "left_semi" in p.lower(), p
 
 
+def test_cms_lookup_broadcasts_sketch(spark, sf_dir):
+    """Point-frequency lookups must broadcast the (tiny) sketch, never
+    shuffle the probe side against it."""
+    from parquet_rewriter_spark.operators.countmin import (
+        countmin_build,
+        countmin_lookup,
+    )
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+    )
+    sketch = countmin_build(tok, "t", 3, 256)
+    probes = tok.groupBy("t").count().limit(10)
+    p = plan_of(countmin_lookup(sketch, probes, "t", 3, 256))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ks_drift_single_exchange_on_group_key(spark, sf_dir):
+    """CDFs, totals, and the sup-gap must all ride one hash exchange on
+    the group key (plus the broadcast of the tiny group list)."""
+    from parquet_rewriter_spark.operators.drift import ks_drift_by_group
+
+    d = load_table(spark, sf_dir, "documents")
+    p = plan_of(ks_drift_by_group(d, "n_chars", "source"))
+    # two hash exchanges: the tiny group-list distinct and ONE data
+    # exchange on the group key shared by the counts agg, the CDF
+    # windows, and the final per-group aggregate
+    assert p.count("Arguments: hashpartitioning") == 2, p
+    assert "BroadcastNestedLoopJoin" in p  # the tiny group-list fan-out
+    assert "Arguments: SinglePartition" not in p
+
+
+def test_negative_sampling_candidates_are_projection(spark, sf_dir):
+    """Candidate generation must be a generate/explode (no shuffle
+    before the attribute-fetch join); the only exchanges are the equi
+    join and the per-anchor rank window."""
+    from parquet_rewriter_spark.operators.sampling import negative_samples
+
+    d = load_table(spark, sf_dir, "documents")
+    anchors = d.select("doc_id", "lang").filter(F.col("doc_id") % 97 == 0)
+    items = d.select("doc_id", F.col("lang").alias("neg_lang"))
+    out = negative_samples(
+        anchors, items, "doc_id", 1000, k=3,
+        reject=F.col("neg_lang") == F.col("lang"),
+    )
+    p = plan_of(out)
+    assert "Generate" in p  # posexplode candidate fan-out
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_interval_join_is_binned_not_cartesian(spark, sf_dir):
     p = plan_of(get("purchase_error_overlap").fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
