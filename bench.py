@@ -248,6 +248,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sf_scaling": _safe(sf_scaling_probe, spark),
         "merge_scaling": _safe(merge_scaling, spark, sf_dir),
         "small_merge": _safe(small_merge_bench, spark, sf_dir),
         "mor_delete": _safe(mor_delete_bench, spark, sf_dir),
@@ -258,6 +259,41 @@ def main() -> None:
         report["query_errors"] = errors
     print(json.dumps(report))
     spark.stop()
+
+
+def sf_scaling_probe(spark) -> dict[str, dict[str, float]]:
+    """Empirical scale-up curve: representative plan shapes timed at
+    every available fixture scale (100× data span). The signal the
+    100 TB story rests on: scan-agg and join walls should grow far
+    slower than data (fixed job overhead amortizes out), and nothing
+    should bend superlinearly. Each (query, sf) cell is warmed once at
+    the smallest fixture and measured on its own."""
+    shapes = [
+        "pricing_summary",        # scan + pushdown filter + hash agg
+        "revenue_by_nation",      # broadcast star join
+        "top3_orders_per_customer",  # window rank per group
+        "dedup_exact_docs",       # corpus-wide dedup shuffle
+    ]
+    sfs = [d for d in ("sf0.001", "sf0.01", "sf0.1")
+           if os.path.isdir(f"/root/testdata/{d}")]
+    out: dict[str, dict[str, float]] = {}
+    for name in shapes:
+        if name not in catalog.REGISTRY:
+            continue
+        fn = catalog.REGISTRY[name].fn
+        row: dict[str, float] = {}
+        for sf in sfs:
+            path = f"/root/testdata/{sf}"
+            try:
+                fn(spark, path).count()  # warm plan + page cache
+                t0 = time.perf_counter()
+                fn(spark, path).count()
+                row[sf] = round(time.perf_counter() - t0, 3)
+            except Exception:  # noqa: BLE001
+                row[sf] = -1.0
+        _reset_session_litter(spark)
+        out[name] = row
+    return out
 
 
 def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
