@@ -97,6 +97,7 @@ HEADLINE = [
     "copurchase_reach_2hop",
     "variant_props_stats",
     "stream_drift_alerts",
+    "stream_pyds_table_changes",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

@@ -3613,6 +3613,70 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_pyds_table_changes",
+    """
+    SELECT o_orderkey AS key, 'update_preimage' AS change_type,
+           round(o_totalprice, 2) AS price, CAST(1 AS BIGINT) AS commit_version
+    FROM orders WHERE o_orderkey BETWEEN 300 AND 399
+    UNION ALL
+    SELECT o_orderkey, 'update_postimage', round(o_totalprice + 500.0, 2), CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey BETWEEN 300 AND 399
+    UNION ALL
+    SELECT o_orderkey, 'delete', round(o_totalprice, 2), CAST(2 AS BIGINT)
+    FROM orders WHERE o_orderkey BETWEEN 800 AND 849
+    """,
+    "streaming", "cdc", "python-datasource",
+)
+def stream_pyds_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changelog consumed through the PYTHON STREAMING DATA SOURCE
+    (sources/pyds.py:SortedTableChangesDataSource) instead of the
+    file-source tail: offsets are the table's own COMMIT VERSIONS
+    ({"version": N}), so restarts resume exactly after the last commit
+    processed and replays are reproducible by construction — the
+    Spark-4 streaming DataSource API carrying the engine's commit log
+    as its offset domain. Same two-merge scenario as the file-source
+    twin (`stream_table_changes`); the drained feed must equal both
+    commits' known mutation sets."""
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
+    from parquet_rewriter_spark.sources.pyds import register_changes
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("pyds_cl_orders"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    ups = (
+        o.filter(F.col("o_orderkey").between(300, 399))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500.0))
+        .withColumn(OP_COLUMN, F.lit("UPSERT"))
+    )
+    merge_into_table(t, ups, changelog=True)
+    dels = o.filter(F.col("o_orderkey").between(800, 849)).withColumn(
+        OP_COLUMN, F.lit("DELETE")
+    )
+    merge_into_table(t, dels, changelog=True)
+
+    import uuid
+
+    register_changes(spark)
+    name = f"pyds_changes_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("sorted_table_changes")
+        .option("path", t.path).load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("_change_type").alias("change_type"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+@query(
     "stream_drift_alerts",
     """
     WITH dec AS (
@@ -7198,6 +7262,7 @@ _VERIFY_FIRST = (
     "minhash_portable_near_dup_pairs",
     "simhash_portable_near_pairs",
     "stream_drift_alerts",
+    "stream_pyds_table_changes",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

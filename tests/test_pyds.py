@@ -95,3 +95,75 @@ def test_version_option_time_travels(spark, sf_dir):
         assert _read_ds(spark, t.path, version=v0).count() == n0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------ streaming changelog source
+
+
+def test_changes_stream_matches_batch_feed_and_resumes(spark, sf_dir, tmp_path):
+    """The commit-version-offset streaming source must deliver exactly
+    the changelog's rows, and a checkpointed restart must deliver ONLY
+    commits that landed after the first drain."""
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.sources.pyds import register_changes
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "feed"), o, key="o_orderkey",
+                           max_records_per_file=500)
+    for k in (3, 5):
+        muts = o.filter(F.col("o_orderkey") % 50 == k).withColumn(
+            "o_totalprice", F.lit(float(k))
+        ).withColumn("op", F.lit("UPSERT"))
+        merge_into_table(t, muts, changelog=True)
+
+    register_changes(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        before = set()
+        if os.path.isdir(out_dir):
+            before = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+        q = (
+            spark.readStream.format("sorted_table_changes")
+            .option("path", t.path).load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        new = [
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and f not in before
+        ]
+        return spark.read.parquet(*new) if new else None
+
+    got = drain()
+    batch = spark.read.parquet(str(tmp_path / "feed" / "_changelog"))
+    assert got.count() == batch.count()
+    assert (
+        got.groupBy("_change_type").count().orderBy("_change_type").collect()
+        == batch.groupBy("_change_type").count().orderBy("_change_type").collect()
+    )
+    # values survive the tuple hand-off: per-commit totalprice sums match
+    g = {r["_commit_version"]: r["s"] for r in got.groupBy("_commit_version")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()}
+    b = {r["_commit_version"]: r["s"] for r in batch.groupBy("_commit_version")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("s")).collect()}
+    assert g == b
+
+    # a third commit, then a resumed drain sees ONLY it
+    muts = o.filter(F.col("o_orderkey") % 50 == 7).withColumn(
+        "o_totalprice", F.lit(7.0)
+    ).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, changelog=True)
+    got2 = drain()
+    versions = {r["_commit_version"] for r in got2.select("_commit_version").distinct().collect()}
+    assert versions == {t.manifest().version}
