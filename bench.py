@@ -98,6 +98,7 @@ HEADLINE = [
     "variant_props_stats",
     "stream_drift_alerts",
     "stream_pyds_table_changes",
+    "constrained_merge_scan",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

@@ -3613,6 +3613,69 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "constrained_merge_scan",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           TRUE AS bad_batch_rejected
+    FROM (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey BETWEEN 400 AND 449
+                  THEN 99999.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+    "storage", "constraints", "governance",
+)
+def constrained_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline CHECK constraints on merge (operators/merge.py): a batch
+    carrying negative prices must be rejected atomically — version and
+    bytes untouched — and a clean batch through the same gate lands.
+    The oracle's expected table state contains ONLY the clean batch's
+    effect; ``bad_batch_rejected`` folds the rejection proof in."""
+    from parquet_rewriter_spark.operators.merge import (
+        ConstraintViolationError,
+        merge_into_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("constrained_orders"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    rules = {"price_positive": "o_totalprice > 0"}
+    bad = (
+        o.filter(F.col("o_orderkey").between(500, 549))
+        .withColumn("o_totalprice", F.lit(-5.0))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    v0 = t.manifest().version
+    rejected = False
+    try:
+        merge_into_table(t, bad, constraints=rules)
+    except ConstraintViolationError:
+        rejected = t.manifest().version == v0
+    good = (
+        o.filter(F.col("o_orderkey").between(400, 449))
+        .withColumn("o_totalprice", F.lit(99999.0))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    merge_into_table(t, good, constraints=rules)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn("bad_batch_rejected", F.lit(rejected))
+    )
+
+
+@query(
     "stream_pyds_table_changes",
     """
     SELECT o_orderkey AS key, 'update_preimage' AS change_type,
@@ -7263,6 +7326,7 @@ _VERIFY_FIRST = (
     "simhash_portable_near_pairs",
     "stream_drift_alerts",
     "stream_pyds_table_changes",
+    "constrained_merge_scan",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

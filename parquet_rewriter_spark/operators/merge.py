@@ -302,6 +302,15 @@ def plan_dirty_files(
     return dirty, clean
 
 
+class ConstraintViolationError(ValueError):
+    """A merge's mutation batch broke a declared CHECK constraint; the
+    table was not touched. ``violations`` maps rule → count."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(f"merge rejected by CHECK constraints: {violations}")
+
+
 def merge_into_table(
     table: SortedTable,
     mutations: DataFrame,
@@ -309,6 +318,7 @@ def merge_into_table(
     allow_splice: bool = True,
     changelog: bool = False,
     txn: tuple[str, int] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> dict:
     """R3+R4+R5+R6+R13: merge a mutation stream into a SortedTable.
 
@@ -335,12 +345,35 @@ def merge_into_table(
     covers read-merge-write — Spark executes the lazy merge plan inside
     the write job, so the phases aren't separable without breaking the
     pipeline.
+
+    ``constraints`` (rule name → SQL predicate over the mutation
+    columns) is the hard CHECK gate: UPSERT rows must satisfy every
+    predicate or the whole merge raises ``ConstraintViolationError``
+    BEFORE any file is touched — one extra aggregation over the
+    (batch-sized) mutation stream, the inline complement of the staged
+    write-audit-publish flow (operators/wap.py) and the quarantine
+    splitter (operators/quality.py). DELETE rows are exempt (their
+    payload columns are not being written).
     """
     import os
     import time
 
     spark = table.spark
     m = table.manifest()
+    if constraints:
+        from parquet_rewriter_spark.operators.quality import check_constraints
+
+        checked = mutations
+        if OP_COLUMN in mutations.columns:
+            checked = mutations.filter(F.col(OP_COLUMN) != OP_DELETE)
+        bad = {
+            r["rule"]: r["n_violations"]
+            for r in check_constraints(checked, constraints).collect()
+            # empty batch (e.g. all-DELETE) aggregates to NULL counts
+            if (r["n_violations"] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolationError(bad)
     if txn is not None:
         # exactly-once idempotence: (app, epoch) at or below the table's
         # recorded watermark has already been applied — a foreachBatch

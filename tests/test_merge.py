@@ -486,3 +486,42 @@ def test_delete_where_predicate(spark, tmp_path):
     res = delete_where(t, F.col("age") < 50, prune={"age": (None, 49)})
     assert res["files_dirty"] == 1
     assert t.read().filter(F.col("age") < 50).count() == 0
+
+
+def test_merge_check_constraints_reject_before_any_write(spark, sf_dir, tmp_path):
+    """A violating UPSERT batch must raise and leave the table version,
+    files, and contents untouched; DELETE rows are exempt; a clean
+    batch passes through the same gate."""
+    import pytest
+
+    from parquet_rewriter_spark.operators.merge import (
+        ConstraintViolationError,
+        merge_into_table,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "chk"), o, key="o_orderkey",
+                           max_records_per_file=500)
+    v0 = t.manifest().version
+    rules = {"price_positive": "o_totalprice > 0",
+             "priority_known": "o_orderpriority IS NOT NULL"}
+
+    bad = o.limit(5).withColumn("o_totalprice", F.lit(-1.0)).withColumn(
+        "op", F.lit("UPSERT"))
+    with pytest.raises(ConstraintViolationError) as ei:
+        merge_into_table(t, bad, constraints=rules)
+    assert ei.value.violations == {"price_positive": 5}
+    assert t.manifest().version == v0  # nothing committed
+
+    # DELETE rows skip payload checks even with absurd payload values
+    dels = o.limit(3).withColumn("o_totalprice", F.lit(-1.0)).withColumn(
+        "op", F.lit("DELETE"))
+    res = merge_into_table(t, dels, constraints=rules)
+    assert res["version"] == v0 + 1
+
+    ok = o.limit(4).withColumn("o_totalprice", F.lit(9.5)).withColumn(
+        "op", F.lit("UPSERT"))
+    res = merge_into_table(t, ok, constraints=rules)
+    assert res["version"] == v0 + 2
