@@ -47,6 +47,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "multimodal_decode_features",
+    "image_patch_grid",
     "stream_tumbling_counts",
     "stream_dedup_events",
     "stream_purchase_click_join",

@@ -3613,6 +3613,56 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "image_patch_grid",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             16 + n_chars % 64 AS width,
+             16 + (n_chars * 7) % 64 AS height
+      FROM documents
+    ),
+    g AS (
+      SELECT media_id, width, height,
+             greatest(CAST(floor((width - 16) / 16.0) AS INTEGER) + 1, 1) AS nx,
+             greatest(CAST(floor((height - 16) / 16.0) AS INTEGER) + 1, 1) AS ny
+      FROM dims
+    )
+    SELECT media_id,
+           CAST(ix.i * 16 AS BIGINT) AS patch_x,
+           CAST(iy.i * 16 AS BIGINT) AS patch_y,
+           16 AS patch_size
+    FROM g,
+         UNNEST(generate_series(0, nx - 1)) AS ix(i),
+         UNNEST(generate_series(0, ny - 1)) AS iy(i)
+    """,
+    "multimodal", "vision", "patches",
+)
+def image_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid sampling (sources/multimodal.py:patch_grid):
+    one row per 16×16 patch origin over each image's decoded
+    dimensions — the 2-D analog of frame sampling, pure codegen'd
+    sequence-explode arithmetic with no shuffle and no Python.
+    Dimensions here derive deterministically from doc metadata (the
+    container lacks image codecs — the decode UDF is the stubbed
+    boundary); the byte-level crop belongs inside decode_image."""
+    from parquet_rewriter_spark.sources.multimodal import patch_grid
+
+    d = _t(spark, sf_dir, "documents")
+    dims = d.select(
+        F.col("doc_id").alias("media_id"),
+        (16 + F.col("n_chars") % 64).cast("int").alias("width"),
+        (16 + (F.col("n_chars") * 7) % 64).cast("int").alias("height"),
+    )
+    out = patch_grid(dims, patch=16, stride=16)
+    return out.select(
+        "media_id",
+        F.col("patch_x").cast("long").alias("patch_x"),
+        F.col("patch_y").cast("long").alias("patch_y"),
+        F.col("patch_size").cast("int").alias("patch_size"),
+    )
+
+
+@query(
     "constrained_merge_scan",
     """
     SELECT o_orderstatus,
@@ -7327,6 +7377,7 @@ _VERIFY_FIRST = (
     "stream_drift_alerts",
     "stream_pyds_table_changes",
     "constrained_merge_scan",
+    "image_patch_grid",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",

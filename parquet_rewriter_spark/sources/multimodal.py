@@ -131,6 +131,54 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, fake: bool = True) ->
     )
 
 
+def patch_grid(
+    df: DataFrame,
+    patch: int = 16,
+    stride: int = 16,
+) -> DataFrame:
+    """Vision-transformer patch grid over decoded image dimensions: one
+    row per (media, x, y) patch origin covering the image with the
+    given ``patch`` size and ``stride`` (ViT-style non-overlapping when
+    stride == patch; dense overlapping crops when stride < patch).
+    PURE ARITHMETIC over the metadata columns — the 2-D analog of
+    frame_sample's 1-D stride — so it stays in codegen (explode of two
+    sequences), shuffles nothing, and is fully oracle-replayable; the
+    byte-level crop of each patch belongs in the decode UDF
+    (decode_image), which is where the container's missing image libs
+    are stubbed. Origins are clamped so every patch lies inside the
+    image; images smaller than ``patch`` yield a single (0, 0) origin.
+    """
+    nx = F.greatest(
+        F.floor((F.col("width") - patch) / stride).cast("int") + 1, F.lit(1)
+    )
+    ny = F.greatest(
+        F.floor((F.col("height") - patch) / stride).cast("int") + 1, F.lit(1)
+    )
+    return (
+        df.select("media_id", "width", "height", nx.alias("__nx"), ny.alias("__ny"))
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.explode(F.sequence(F.lit(0), F.col("__nx") - 1)).alias("__ix"),
+            "__ny",
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            (F.col("__ix") * stride).alias("patch_x"),
+            F.explode(F.sequence(F.lit(0), F.col("__ny") - 1)).alias("__iy"),
+        )
+        .select(
+            "media_id",
+            (F.col("patch_x")).alias("patch_x"),
+            (F.col("__iy") * stride).alias("patch_y"),
+            F.lit(patch).alias("patch_size"),
+        )
+    )
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Directory of media files → multimodal table (Spark's binaryFile
     source: distributed read, no driver byte shuffling)."""
