@@ -93,6 +93,7 @@ HEADLINE = [
     "user_purchase_funnel",
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",
+    "leakage_safe_split",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
     "copurchase_reach_2hop",

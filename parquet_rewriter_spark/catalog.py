@@ -3613,6 +3613,67 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct({_TOK}) AS s
+               FROM documents WHERE n_chars < 200),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    assigned AS (
+      SELECT comp.doc_id, comp.cluster_id,
+             CASE WHEN ((cluster_id % 2147483648) * 2654435761 + 0)
+                       % 4294967296 / 4294967296.0 < 0.9
+                  THEN 'train' ELSE 'test' END AS split
+      FROM comp
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM assigned GROUP BY split
+    """,
+    "sampling", "split", "dedup", "leakage",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split: hash-split by near-dup CLUSTER id
+    instead of doc id, so a document and its near-duplicates land in
+    the same split by construction — the contamination channel a plain
+    per-doc split leaves open (a test doc's near-twin in train is
+    leakage the contamination n-gram check may miss). Composition of
+    the pair graph (operators/dedup.py), connected components
+    (operators/cluster.py), and the portable hash split
+    (operators/sampling.py) — all machinery already gated
+    individually; id_checksum proves the oracle assigns the identical
+    documents."""
+    from parquet_rewriter_spark.operators.cluster import near_dup_clusters
+    from parquet_rewriter_spark.operators.dedup import jaccard_pairs
+    from parquet_rewriter_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
+    pairs = jaccard_pairs(d, "doc_id", "text", 0.4, block_cols=["lang"], shingle_n=1)
+    assign = near_dup_clusters(d, pairs).select("doc_id", "cluster_id")
+    split = hash_split(assign, "cluster_id", {"train": 0.9, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@query(
     "image_patch_grid",
     """
     WITH dims AS (
@@ -7378,6 +7439,7 @@ _VERIFY_FIRST = (
     "stream_pyds_table_changes",
     "constrained_merge_scan",
     "image_patch_grid",
+    "leakage_safe_split",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
