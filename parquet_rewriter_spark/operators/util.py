@@ -14,6 +14,13 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     inputs arrive well-partitioned and this is a no-op."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target * min_factor:
+    try:
+        # physical-plan partitioning, no RDD conversion (df.rdd builds
+        # the whole Python RDD wrapper per call — measurably slower on
+        # wide plans, the round-1 review's hot-path nit)
+        n = df._jdf.queryExecution().executedPlan().outputPartitioning().numPartitions()
+    except Exception:  # noqa: BLE001 - AQE/unknown partitioning: fall back
+        n = df.rdd.getNumPartitions()
+    if n < target * min_factor:
         return df.repartition(target)
     return df
