@@ -53,6 +53,7 @@ HEADLINE = [
     "stream_purchase_click_join",
     "compact_then_scan",
     "order_value_percentiles",
+    "weighted_median_price",
     "customer_balance_deciles",
     "status_pivot_by_priority",
     "approx_distinct_users",

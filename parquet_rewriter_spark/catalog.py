@@ -3613,6 +3613,57 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "weighted_median_price",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_extendedprice AS p, sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, p,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY p
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM g
+    )
+    SELECT l_returnflag, round(min(p), 2) AS weighted_median,
+           round(max(tw), 1) AS total_weight
+    FROM c WHERE cw >= tw / 2 GROUP BY l_returnflag
+    """,
+    "aggregation", "weighted-quantile",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: pre-aggregate
+    weights per distinct value (kills cumulative-sum tie ambiguity),
+    one running-weight window sharing the grouped exchange, pick the
+    first value whose cumulative weight crosses half the total.
+    Weights are small integers, so the half-total comparison is exact
+    in binary on both engines — the weighted analog of the exact
+    percentile query, without a full sort of the fact table (the window
+    runs over DISTINCT values per group, not rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
+        F.sum("l_quantity").alias("w")
+    )
+    wspec = Window.partitionBy("l_returnflag")
+    cum = g.select(
+        "l_returnflag",
+        "p",
+        F.sum("w").over(wspec.orderBy("p").rowsBetween(Window.unboundedPreceding,
+                                                       Window.currentRow)).alias("cw"),
+        F.sum("w").over(wspec).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("p"), 2).alias("weighted_median"),
+            F.round(F.max("tw"), 1).alias("total_weight"),
+        )
+    )
+
+
+@query(
     "leakage_safe_split",
     f"""
     WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct({_TOK}) AS s
@@ -7440,6 +7491,7 @@ _VERIFY_FIRST = (
     "constrained_merge_scan",
     "image_patch_grid",
     "leakage_safe_split",
+    "weighted_median_price",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
