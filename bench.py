@@ -95,6 +95,7 @@ HEADLINE = [
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",
     "leakage_safe_split",
+    "corpus_curation_pipeline",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
     "copurchase_reach_2hop",

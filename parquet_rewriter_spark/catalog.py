@@ -3613,6 +3613,91 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "corpus_curation_pipeline",
+    f"""
+    WITH RECURSIVE quality AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      WHERE n_chars BETWEEN 50 AND 199
+        AND len(string_split(text, ' ')) >= 8
+    ),
+    exact AS (
+      SELECT doc_id, text, lang, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+          FROM exact),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    canon AS (
+      SELECT e.doc_id, e.lang, e.text, comp.cluster_id
+      FROM exact e JOIN comp USING (doc_id)
+      WHERE e.doc_id = comp.cluster_id
+    ),
+    split AS (
+      SELECT *, CASE WHEN ((cluster_id % 2147483648) * 2654435761 + 0)
+                          % 4294967296 / 4294967296.0 < 0.9
+                     THEN 'train' ELSE 'test' END AS split
+      FROM canon
+    )
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM split GROUP BY split, lang
+    """,
+    "pipeline", "capstone", "dedup", "split",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the full corpus-curation pipeline as ONE verified
+    composition — quality gate (length + token-count) → exact dedup
+    (keep lowest id per text) → near-dup clustering → canonical
+    survivor per cluster → leakage-safe split by cluster id → per-split
+    token accounting. Every stage is an already-gated operator; this
+    entry proves they COMPOSE, with the DuckDB oracle replaying the
+    entire pipeline (including the recursive transitive closure) in one
+    statement. id_checksum certifies identical surviving documents, not
+    just identical counts."""
+    from parquet_rewriter_spark.functions.text import token_count
+    from parquet_rewriter_spark.operators.cluster import near_dup_clusters
+    from parquet_rewriter_spark.operators.dedup import exact_dedup, jaccard_pairs
+    from parquet_rewriter_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    quality = d.filter(
+        F.col("n_chars").between(50, 199) & (token_count("text") >= 8)
+    )
+    exact = exact_dedup(quality, ["text"], "doc_id")
+    pairs = jaccard_pairs(exact, "doc_id", "text", 0.4, block_cols=["lang"],
+                          shingle_n=1)
+    clusters = near_dup_clusters(exact, pairs)
+    canon = exact.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id", "cluster_id"),
+        "doc_id",
+    )
+    split = hash_split(canon, "cluster_id", {"train": 0.9, "test": 0.1})
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("total_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+@query(
     "weighted_median_price",
     """
     WITH g AS (
@@ -7492,6 +7577,7 @@ _VERIFY_FIRST = (
     "image_patch_grid",
     "leakage_safe_split",
     "weighted_median_price",
+    "corpus_curation_pipeline",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
