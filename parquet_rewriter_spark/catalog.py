@@ -3700,46 +3700,116 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "weighted_median_price",
     """
-    WITH g AS (
-      SELECT l_returnflag, l_extendedprice AS p, sum(l_quantity) AS w
+    WITH b AS (
+      SELECT l_returnflag, CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS bin,
+             sum(l_quantity) AS bw
       FROM lineitem GROUP BY 1, 2
     ),
-    c AS (
-      SELECT l_returnflag, p,
-             sum(w) OVER (PARTITION BY l_returnflag ORDER BY p
-                          ROWS UNBOUNDED PRECEDING) AS cw,
-             sum(w) OVER (PARTITION BY l_returnflag) AS tw
-      FROM g
+    bc AS (
+      SELECT l_returnflag, bin, bw,
+             sum(bw) OVER (PARTITION BY l_returnflag ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(bw) OVER (PARTITION BY l_returnflag) AS tw
+      FROM b
+    ),
+    star AS (
+      SELECT l_returnflag, min(bin) AS bstar, max(tw) AS tw
+      FROM bc WHERE cum >= tw / 2 GROUP BY l_returnflag
+    ),
+    below AS (
+      SELECT bc.l_returnflag, bc.cum - bc.bw AS below, star.tw, star.bstar
+      FROM bc JOIN star
+        ON bc.l_returnflag = star.l_returnflag AND bc.bin = star.bstar
+    ),
+    inbin AS (
+      SELECT li.l_returnflag, li.l_extendedprice AS p, sum(li.l_quantity) AS w,
+             max(below.below) AS below, max(below.tw) AS tw
+      FROM lineitem li JOIN below
+        ON li.l_returnflag = below.l_returnflag
+       AND CAST(floor(li.l_extendedprice / 64.0) AS BIGINT) = below.bstar
+      GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT l_returnflag, p, tw,
+             below + sum(w) OVER (PARTITION BY l_returnflag ORDER BY p
+                                  ROWS UNBOUNDED PRECEDING) AS cw
+      FROM inbin
     )
     SELECT l_returnflag, round(min(p), 2) AS weighted_median,
            round(max(tw), 1) AS total_weight
-    FROM c WHERE cw >= tw / 2 GROUP BY l_returnflag
+    FROM cc WHERE cw >= tw / 2 GROUP BY l_returnflag
     """,
-    "aggregation", "weighted-quantile",
+    "aggregation", "weighted-quantile", "two-phase",
 )
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted median price per return flag: pre-aggregate
-    weights per distinct value (kills cumulative-sum tie ambiguity),
-    one running-weight window sharing the grouped exchange, pick the
-    first value whose cumulative weight crosses half the total.
-    Weights are small integers, so the half-total comparison is exact
-    in binary on both engines — the weighted analog of the exact
-    percentile query, without a full sort of the fact table (the window
-    runs over DISTINCT values per group, not rows)."""
+    """EXACT quantity-weighted median per return flag, computed with
+    the two-phase binned search that survives 100 TB: phase one
+    aggregates weights into fixed-width value bins (one map-combining
+    shuffle; the bin relation is ~bins×groups rows) and walks the tiny
+    bin-level running sum to find the bin containing the half-weight
+    crossing; phase two re-aggregates ONLY the crossing bin's rows and
+    resolves the exact value inside it. No per-group sort of the fact
+    table ever happens — the naive single-window form funnels every
+    group's rows through one task, the classic unscalable shape this
+    query exists to avoid. Integer weights keep every comparison exact
+    in binary; division by 64 (a power of two) is exact in both
+    engines."""
     li = _t(spark, sf_dir, "lineitem")
-    g = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("p")).agg(
-        F.sum("l_quantity").alias("w")
+    bin_col = F.floor(F.col("l_extendedprice") / 64.0).cast("long")
+    b = li.groupBy("l_returnflag", bin_col.alias("bin")).agg(
+        F.sum("l_quantity").alias("bw")
     )
     wspec = Window.partitionBy("l_returnflag")
-    cum = g.select(
+    bc = b.select(
+        "l_returnflag",
+        "bin",
+        "bw",
+        F.sum("bw").over(
+            wspec.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("bw").over(wspec).alias("tw"),
+    )
+    star = (
+        bc.filter(F.col("cum") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("bin").alias("bstar"), F.max("tw").alias("tw_all"))
+    )
+    below = bc.join(
+        star.withColumnRenamed("l_returnflag", "rf"),
+        (bc.l_returnflag == F.col("rf")) & (bc.bin == F.col("bstar")),
+    ).select(
+        "rf",
+        (F.col("cum") - F.col("bw")).alias("below"),
+        F.col("tw_all").alias("tw"),
+        "bstar",
+    )
+    inbin = (
+        li.join(
+            F.broadcast(below),
+            (li.l_returnflag == F.col("rf")) & (bin_col == F.col("bstar")),
+        )
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("p"))
+        .agg(
+            F.sum("l_quantity").alias("w"),
+            F.max("below").alias("below"),
+            F.max("tw").alias("tw"),
+        )
+    )
+    cc = inbin.select(
         "l_returnflag",
         "p",
-        F.sum("w").over(wspec.orderBy("p").rowsBetween(Window.unboundedPreceding,
-                                                       Window.currentRow)).alias("cw"),
-        F.sum("w").over(wspec).alias("tw"),
+        "tw",
+        (
+            F.col("below")
+            + F.sum("w").over(
+                Window.partitionBy("l_returnflag")
+                .orderBy("p")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("cw"),
     )
     return (
-        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        cc.filter(F.col("cw") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(
             F.round(F.min("p"), 2).alias("weighted_median"),
