@@ -96,6 +96,8 @@ HEADLINE = [
     "contrastive_negative_pairs",
     "leakage_safe_split",
     "corpus_curation_pipeline",
+    "referential_orphans_report",
+    "rolling_7d_distinct_users",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
     "copurchase_reach_2hop",

@@ -3613,6 +3613,105 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "referential_orphans_report",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+    "quality", "referential-integrity", "anti-join",
+)
+def referential_orphans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: orphan counts for the three fact→dim
+    foreign keys, each a LEFT ANTI join (the NOT EXISTS decorrelation).
+    Parent key sets broadcast where dimension-sized (customer, part);
+    the lineitem→orders probe shuffles both sides on the key. The
+    cross-table complement of the single-table constraint engine
+    (operators/quality.py) — together they are the ingestion gate's
+    full rule surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    checks = [
+        ("lineitem->orders",
+         li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"),
+                 "left_anti"),
+         li),
+        ("orders->customer",
+         o.join(F.broadcast(c.select("c_custkey")),
+                o.o_custkey == F.col("c_custkey"), "left_anti"),
+         o),
+        ("lineitem->part",
+         li.join(F.broadcast(p.select("p_partkey")),
+                 li.l_partkey == F.col("p_partkey"), "left_anti"),
+         li),
+    ]
+    rows = [(name, orphans.count(), base.count()) for name, orphans, base in checks]
+    return spark.createDataFrame(rows, "fk string, n_orphans long, n_rows long")
+
+
+@query(
+    "rolling_7d_distinct_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             user_id
+      FROM events
+    ),
+    fan AS (
+      SELECT d + off.o AS win_day, user_id
+      FROM du, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS off(o)
+    ),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(f.win_day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS wau
+    FROM fan f JOIN days ON days.d = f.win_day
+    GROUP BY f.win_day
+    """,
+    "timeseries", "rolling-distinct", "wau",
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per day — the rolling-DISTINCT
+    aggregate a range window cannot express (window count_distinct is
+    unsupported, and distinct doesn't decompose over sliding frames).
+    Scalable shape: collapse events to distinct (day, user) FIRST (one
+    shuffle, map-side combine), fan each row into the 7 windows it
+    belongs to (codegen explode of a constant array — fan-out bounded
+    at 7×distinct-days-×-users, not 7×events), then one count-distinct
+    per window day, restricted to days that actually exist in the
+    data."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
+    ).distinct()
+    fan = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "d", "user_id"
+    ).select(F.date_add("d", F.col("o")).alias("win_day"), "user_id")
+    days = du.select("d").distinct()
+    return (
+        fan.join(F.broadcast(days), fan.win_day == days.d, "left_semi")
+        .groupBy(F.date_format("win_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@query(
     "corpus_curation_pipeline",
     f"""
     WITH RECURSIVE quality AS (
@@ -7648,6 +7747,8 @@ _VERIFY_FIRST = (
     "leakage_safe_split",
     "weighted_median_price",
     "corpus_curation_pipeline",
+    "referential_orphans_report",
+    "rolling_7d_distinct_users",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
