@@ -98,6 +98,7 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "referential_orphans_report",
     "rolling_7d_distinct_users",
+    "stream_window_approx_users",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
     "copurchase_reach_2hop",

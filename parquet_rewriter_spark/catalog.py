@@ -3613,6 +3613,52 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "stream_window_approx_users",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT window_start, CAST(n_exact AS BIGINT) AS n_exact,
+           TRUE AS approx_within_10pct
+    FROM w
+    """,
+    "streaming", "window", "approx-distinct", "sketch",
+)
+def stream_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct counting INSIDE a streaming windowed aggregate:
+    ``approx_count_distinct`` is a mergeable sketch, so Structured
+    Streaming folds it per window with bounded state (one sketch per
+    window, not a user set — the state bound exact streaming distinct
+    cannot offer). Drained complete-mode windows are compared against
+    the exact per-window distinct (computed batch-side), folding the
+    ≤10% HLL error contract into the oracle-checked output the same way
+    the batch `approx_distinct_users` query does."""
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    win = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("n_approx"))
+    )
+    drained = run_to_memory(win, output_mode="complete")
+    e = _t(spark, sf_dir, "events")
+    exact = e.groupBy(F.window("ts", "6 hours").alias("w")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        drained.join(exact, drained.w == exact.w)
+        .select(
+            drained.w.start.alias("window_start"),
+            "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact"))
+             <= 0.1 * F.col("n_exact")).alias("approx_within_10pct"),
+        )
+    )
+
+
+@query(
     "referential_orphans_report",
     """
     SELECT 'lineitem->orders' AS fk,
@@ -7749,6 +7795,7 @@ _VERIFY_FIRST = (
     "corpus_curation_pipeline",
     "referential_orphans_report",
     "rolling_7d_distinct_users",
+    "stream_window_approx_users",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
