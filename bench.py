@@ -99,6 +99,7 @@ HEADLINE = [
     "referential_orphans_report",
     "rolling_7d_distinct_users",
     "stream_window_approx_users",
+    "brand_association_rules",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
     "copurchase_reach_2hop",

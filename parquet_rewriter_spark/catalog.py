@@ -3613,6 +3613,79 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "brand_association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+    item AS (SELECT p_brand, count(*) AS supp FROM baskets GROUP BY 1),
+    pair AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS supp_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT pair.brand_a, pair.brand_b,
+           CAST(pair.supp_ab AS BIGINT) AS supp_ab,
+           round(pair.supp_ab::DOUBLE / ia.supp, 4) AS confidence_a_to_b,
+           round(pair.supp_ab::DOUBLE * n.n_baskets / (ia.supp * ib.supp), 4)
+             AS lift
+    FROM pair
+    JOIN item ia ON ia.p_brand = pair.brand_a
+    JOIN item ib ON ib.p_brand = pair.brand_b
+    CROSS JOIN n
+    WHERE pair.supp_ab >= 40
+    """,
+    "market-basket", "association-rules", "join",
+)
+def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at the BRAND level (25
+    brands → the pair space is bounded at 300 whatever the corpus
+    size): support, confidence, and lift per co-purchased brand pair.
+    Scale shape: distinct (basket, brand) first (one map-combining
+    shuffle), self-join on the basket key — fan-out is basket-size²,
+    bounded by the small per-order item count — then two broadcast
+    joins of the 25-row item-support relation. Integer supports keep
+    the ratios bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = baskets.select(F.count_distinct("l_orderkey").alias("n")).persist()
+    item = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("supp"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"),
+                 F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 40)
+    )
+    ia = item.select(F.col("p_brand").alias("brand_a"), F.col("supp").alias("supp_a"))
+    ib = item.select(F.col("p_brand").alias("brand_b"), F.col("supp").alias("supp_b"))
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "brand_a",
+            "brand_b",
+            "supp_ab",
+            F.round(F.col("supp_ab") / F.col("supp_a"), 4).alias("confidence_a_to_b"),
+            F.round(F.col("supp_ab") * F.col("n") / (F.col("supp_a") * F.col("supp_b")), 4)
+            .alias("lift"),
+        )
+    )
+
+
+@query(
     "stream_window_approx_users",
     """
     WITH w AS (
@@ -7796,6 +7869,7 @@ _VERIFY_FIRST = (
     "referential_orphans_report",
     "rolling_7d_distinct_users",
     "stream_window_approx_users",
+    "brand_association_rules",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
