@@ -3656,6 +3656,9 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_partkey == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
+        # four consumers (total, item supports, both self-join sides):
+        # without the persist each re-runs the scan+distinct pipeline
+        .persist()
     )
     n_baskets = baskets.select(F.count_distinct("l_orderkey").alias("n")).persist()
     item = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("supp"))
