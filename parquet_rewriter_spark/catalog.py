@@ -3821,7 +3821,7 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     du = e.select(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "user_id"
-    ).distinct()
+    ).distinct().persist()  # fan-out and the day list both read it
     fan = du.select(
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"), "d", "user_id"
     ).select(F.date_add("d", F.col("o")).alias("win_day"), "user_id")
@@ -3979,7 +3979,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_col = F.floor(F.col("l_extendedprice") / 64.0).cast("long")
     b = li.groupBy("l_returnflag", bin_col.alias("bin")).agg(
         F.sum("l_quantity").alias("bw")
-    )
+    ).persist()  # bins×groups rows; crossing search reads it twice
     wspec = Window.partitionBy("l_returnflag")
     bc = b.select(
         "l_returnflag",
@@ -5713,6 +5713,7 @@ def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("sq"))
+        .persist()  # consumed by the per-part total AND the back-join
     )
     tot = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     dominant = (
