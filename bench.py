@@ -100,6 +100,7 @@ HEADLINE = [
     "rolling_7d_distinct_users",
     "stream_window_approx_users",
     "brand_association_rules",
+    "dow_adjusted_revenue_anomalies",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
     "copurchase_reach_2hop",

@@ -3613,6 +3613,56 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "dow_adjusted_revenue_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT dow, avg(rev) AS dow_mean FROM daily GROUP BY dow
+    )
+    SELECT strftime(daily.d, '%Y-%m-%d') AS day, daily.dow,
+           round(daily.rev, 2) AS revenue,
+           round(daily.rev / prof.dow_mean, 4) AS seasonal_ratio,
+           (daily.rev / prof.dow_mean NOT BETWEEN 0.5 AND 1.5) AS anomalous
+    FROM daily JOIN prof ON prof.dow = daily.dow
+    WHERE daily.rev / prof.dow_mean NOT BETWEEN 0.8 AND 1.25
+    """,
+    "timeseries", "seasonality", "anomaly",
+)
+def dow_adjusted_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: daily revenue divided by
+    its day-of-week mean profile, flagging days whose deseasonalized
+    ratio leaves the band — the adjustment that stops every weekend
+    from reading as an anomaly. Two aggregates (daily rollup, then the
+    7-row profile broadcast back) and a codegen ratio; no windows, no
+    Python. Mean division is a single double op per day, so rounding
+    to 4 keeps both engines identical."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("d"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    prof = daily.groupBy("dow").agg(F.avg("rev").alias("dow_mean"))
+    ratio = F.col("rev") / F.col("dow_mean")
+    return (
+        daily.join(F.broadcast(prof), "dow")
+        .filter((ratio < 0.8) | (ratio > 1.25))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dow",
+            F.round("rev", 2).alias("revenue"),
+            F.round(ratio, 4).alias("seasonal_ratio"),
+            ((ratio < 0.5) | (ratio > 1.5)).alias("anomalous"),
+        )
+    )
+
+
+@query(
     "brand_association_rules",
     """
     WITH baskets AS (
@@ -7874,6 +7924,7 @@ _VERIFY_FIRST = (
     "rolling_7d_distinct_users",
     "stream_window_approx_users",
     "brand_association_rules",
+    "dow_adjusted_revenue_anomalies",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
