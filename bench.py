@@ -101,6 +101,7 @@ HEADLINE = [
     "stream_window_approx_users",
     "brand_association_rules",
     "dow_adjusted_revenue_anomalies",
+    "region_nation_revenue_shares",
     "ivf_refined_cell_balance",
     "source_length_drift_ks",
     "copurchase_reach_2hop",

@@ -3613,6 +3613,60 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "region_nation_revenue_shares",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (PARTITION BY region), 4)
+             AS share_of_region,
+           round(sum(rev) OVER (PARTITION BY region)
+                 / sum(rev) OVER (), 4) AS region_share_of_total
+    FROM rev
+    """,
+    "olap", "hierarchy", "ratio-to-parent",
+)
+def region_nation_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across the region → nation hierarchy: each
+    nation's share of its region and each region's share of the total,
+    in one pass. The fact collapses to a 25-row (region, nation)
+    aggregate FIRST (broadcast dims, map-side combine), so the two
+    ratio windows — including the global one, normally a
+    single-partition red flag — run over 25 rows, not the fact table.
+    The safe place for a global window is after the aggregate, never
+    before; the plan encodes that rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_region), 4).alias("share_of_region"),
+        F.round(F.sum("rev").over(w_region) / F.sum("rev").over(w_all), 4)
+        .alias("region_share_of_total"),
+    )
+
+
+@query(
     "dow_adjusted_revenue_anomalies",
     """
     WITH daily AS (
@@ -7925,6 +7979,7 @@ _VERIFY_FIRST = (
     "stream_window_approx_users",
     "brand_association_rules",
     "dow_adjusted_revenue_anomalies",
+    "region_nation_revenue_shares",
     "suppliers_covering_brand",
     "weekly_cohort_retention",
     "per_source_sample_k",
