@@ -3820,7 +3820,10 @@ def stream_window_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     win = (
         ev.groupBy(F.window("ts", "6 hours").alias("w"))
-        .agg(F.approx_count_distinct("user_id").alias("n_approx"))
+        # explicit rsd=0.02: the default 5% is a standard-deviation
+        # TARGET, not a per-window ≤10% bound — at 2% rsd a window
+        # outside 10% is a 5σ event, making the oracle's TRUE robust
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_approx"))
     )
     drained = run_to_memory(win, output_mode="complete")
     e = _t(spark, sf_dir, "events")
@@ -4372,7 +4375,9 @@ def stream_pyds_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .writeStream.format("memory").queryName(name)
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):  # timeout → partial sink, fail loudly
+        q.stop()
+        raise TimeoutError("sorted_table_changes stream did not drain in 120s")
     return spark.table(name).select(
         F.col("o_orderkey").alias("key"),
         F.col("_change_type").alias("change_type"),

@@ -56,9 +56,15 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         *[F.col(c).alias(f"b_{c}") for c in block_cols],
         _shingles(F.col(text_col), shingle_n).alias("s"),
-    )
+    ).withColumn("ns", F.size("s"))
     a, b = toks.alias("a"), toks.alias("b")
     cond = F.col("a.id") < F.col("b.id")
+    # size-ratio prefilter: J(A,B) >= t implies t·max(|A|,|B|) <= min —
+    # evaluated on two ints before the O(|A|+|B|) set ops, it discards
+    # most candidate pairs of a block for pennies and keeps a skewed
+    # block (many docs, one language) from paying full quadratic cost
+    cond = cond & (F.col("a.ns") * threshold <= F.col("b.ns"))
+    cond = cond & (F.col("b.ns") * threshold <= F.col("a.ns"))
     for c in block_cols:
         cond = cond & (F.col(f"a.b_{c}") == F.col(f"b.b_{c}"))
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
@@ -119,6 +125,53 @@ def minhash_signatures(
     )
 
 
+def _capped_bucket_pairs(
+    exploded: DataFrame,
+    bucket_cols: Sequence[str],
+    cap: int,
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """Bucket self-join with a per-bucket size cap — the guard against
+    the LSH degenerate case: a corpus with n identical documents puts
+    them all in ONE band bucket and a plain self-join materializes n²/2
+    matches before any filter can run (the join condition is the bucket
+    key, so the quadratic work happens inside the join itself).
+
+    Members are ranked within their bucket (row_number by id — one
+    shuffle on the bucket key, which the join pays anyway). The first
+    ``cap`` members pair all-with-all (full recall among them); members
+    beyond the cap get a STAR edge to the bucket's first member instead
+    of being dropped. Worst-case matches per bucket: cap²/2 + n — and
+    since near-dup consumers take pairs through connected components, a
+    mass-duplicate cluster is still recovered whole via the star hub.
+    Only pairs BOTH beyond the cap in every shared bucket are missed,
+    and those remain transitively connected through the hub.
+
+    Returns (id_a, id_b [, {c}_a, {c}_b per payload column]).
+    """
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col("id").asc())
+    r = exploded.withColumn("__r", F.row_number().over(w)).persist()
+    head = r.filter(F.col("__r") <= cap)
+    hub = r.filter(F.col("__r") == 1)
+    tail = r.filter(F.col("__r") > cap)
+
+    def _pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        a, b = left.alias("a"), right.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+        for c in bucket_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return a.join(b, cond).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload],
+        )
+
+    # hub.id is the bucket minimum (rank 1 by id), so hub < tail always
+    # holds and the star branch loses nothing to the id ordering
+    return _pairs(head, head).unionByName(_pairs(hub, tail))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -127,9 +180,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 48,
     bands: int = 16,
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified with
     true Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+
+    ``bucket_cap`` guards against mass-duplicate corpora (n identical
+    docs land in ONE band bucket → n²/2 join matches): see
+    :func:`_capped_bucket_pairs` for the head/star split that bounds a
+    bucket at cap²/2 + n matches while keeping every member reachable
+    through the bucket hub. Default None preserves exact all-pairs
+    candidate semantics.
 
     Pipeline: signatures → explode into ``bands`` band-keys → self-join
     on (band, band_sig) — candidates only meet inside a bucket, so the
@@ -177,20 +238,19 @@ def minhash_lsh_pairs(
     # inside a bucket, so the shuffle is on band keys, never all-pairs;
     # the join inputs re-derive from the persisted sigs, so banding is
     # recomputed from cache, not from the corpus.
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
+    if bucket_cap is not None:
+        raw = _capped_bucket_pairs(banded, ("band", "band_sig"), bucket_cap)
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        raw = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-        # consumed twice (id side-table + verify join) — persist keeps
-        # the bucket join from running twice
-        .persist()
-    )
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    # consumed twice (id side-table + verify join) — persist keeps
+    # the bucket join from running twice
+    cand = raw.distinct().persist()
     # Verify: exact Jaccard, but only for candidate docs — semi-join the
     # CORPUS down to candidates before shingling (the semi-join won't
     # push below the explode on its own), so both the explode and the
@@ -425,6 +485,7 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance <= max_hamming — TOTAL recall
     by pigeonhole blocking (Manku/Jain/Sarma, WWW 2007): split the
@@ -454,6 +515,18 @@ def simhash_near_pairs(
     exploded = fps.select(
         "id", "simhash", F.posexplode(F.array(*block_vals)).alias("blk", "val")
     )
+    if bucket_cap is not None:
+        # mass-duplicate guard — identical fingerprints share every
+        # block bucket; see _capped_bucket_pairs for the head/star split
+        raw = _capped_bucket_pairs(
+            exploded, ("blk", "val"), bucket_cap, payload=("simhash",)
+        )
+        ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        return (
+            raw.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     a, bb = exploded.alias("a"), exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

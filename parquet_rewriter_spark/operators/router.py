@@ -74,7 +74,7 @@ def smart_read(
         df = residual(table.read_where(zone_ranges))
         kept = [
             e for e in m.files
-            if _zone_keep(table, m, e, zone_ranges)
+            if table.zone_keep(m, e, zone_ranges)
         ]
         return df, {
             "strategy": "zone_maps",
@@ -110,30 +110,3 @@ def smart_read(
     }
 
 
-def _zone_keep(table, m, e, zone_ranges) -> bool:
-    """Mirror of read_where's per-file keep decision (for the report)."""
-    import datetime
-
-    tz = table.spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
-
-    def _norm(v):
-        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-            from zoneinfo import ZoneInfo
-
-            return v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
-        return v
-
-    for col, (lo, hi) in zone_ranges.items():
-        if col == m.key:
-            cmin, cmax = e.key_min, e.key_max
-        else:
-            mm = e.col_stats.get(col)
-            if mm is None:
-                continue
-            cmin, cmax = mm
-        cmin, cmax = _norm(cmin), _norm(cmax)
-        if (hi is not None and cmin > _norm(hi)) or (
-            lo is not None and cmax < _norm(lo)
-        ):
-            return False
-    return True

@@ -104,11 +104,30 @@ class TransactionCatalog:
         tmp = snap + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
+        pointer = os.path.join(self.path, _POINTER)
         try:
             os.link(tmp, snap)  # create-exclusive version claim
         except FileExistsError:
             os.unlink(tmp)
+            # Roll the existing claim forward before conflicting: a
+            # writer that crashed between link (claim) and replace
+            # (pointer flip) would otherwise wedge the catalog forever —
+            # every retry recomputes the same next version and loses the
+            # claim race against the orphan. Finishing the claimant's
+            # pointer flip is idempotent (same content) if it is merely
+            # in-flight, and unwedges it if it is dead; either way the
+            # caller re-reads an ADVANCED state and can retry.
+            try:
+                with open(snap) as fh:
+                    claimed = json.load(fh)
+                if claimed.get("version", -1) > self._state().get("version", -1):
+                    heal = snap + f".heal-{uuid.uuid4().hex}"
+                    with open(heal, "w") as fh:
+                        json.dump(claimed, fh)
+                    os.replace(heal, pointer)
+            except OSError:
+                pass
             raise CommitConflictError(
                 f"catalog version {state['version']} already committed"
             )
-        os.replace(tmp, os.path.join(self.path, _POINTER))
+        os.replace(tmp, pointer)

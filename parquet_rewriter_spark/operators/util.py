@@ -20,6 +20,11 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
         # wide plans, the round-1 review's hot-path nit)
         n = df._jdf.queryExecution().executedPlan().outputPartitioning().numPartitions()
     except Exception:  # noqa: BLE001 - AQE/unknown partitioning: fall back
+        n = 0
+    if n <= 0:
+        # UnknownPartitioning (parquet scans, AQE wrappers) reports 0
+        # partitions without raising — a non-positive count is "unknown",
+        # not "empty"; only then pay for the RDD conversion
         n = df.rdd.getNumPartitions()
     if n < target * min_factor:
         return df.repartition(target)

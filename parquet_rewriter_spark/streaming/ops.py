@@ -465,7 +465,9 @@ def stream_merge_into_table(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):  # timeout → partial state, fail loudly
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
     return table
 
 
@@ -501,7 +503,9 @@ def stream_maintain_aggregate(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):  # timeout → partial state, fail loudly
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
     return matview
 
 

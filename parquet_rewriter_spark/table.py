@@ -507,37 +507,7 @@ class SortedTable:
         residual predicate is pushed into the parquet scan.
         """
         m = self.manifest(version)
-
-        # Footer timestamp bounds are tz-AWARE (parquet isAdjustedToUTC)
-        # while query bounds are session-local naive — same mismatch
-        # plan_dirty_files handles; render aware bounds naive in the
-        # session zone before comparing.
-        tz = self.spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
-
-        def _norm(v: Any) -> Any:
-            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-                from zoneinfo import ZoneInfo
-
-                return v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
-            return v
-
-        def keep(e: ManifestEntry) -> bool:
-            for col, (lo, hi) in predicates.items():
-                if col == m.key:
-                    cmin, cmax = e.key_min, e.key_max
-                else:
-                    mm = e.col_stats.get(col)
-                    if mm is None:
-                        continue  # no stats: cannot prune this file on this column
-                    cmin, cmax = mm
-                cmin, cmax = _norm(cmin), _norm(cmax)
-                if (hi is not None and cmin > _norm(hi)) or (
-                    lo is not None and cmax < _norm(lo)
-                ):
-                    return False
-            return True
-
-        entries = [e for e in m.files if keep(e)]
+        entries = [e for e in m.files if self.zone_keep(m, e, predicates)]
         if not entries:
             from pyspark.sql.types import StructType
 
@@ -556,6 +526,40 @@ class SortedTable:
             if hi is not None:
                 df = df.filter(F.col(col) <= hi)
         return df
+
+    def zone_keep(self, m: "Manifest", e: "ManifestEntry",
+                  predicates: dict[str, tuple[Any, Any]]) -> bool:
+        """THE per-file zone-map keep decision — read_where prunes with
+        it and the scan router reports with it, so a report can never
+        silently diverge from actual pruning.
+
+        Footer timestamp bounds are tz-AWARE (parquet isAdjustedToUTC)
+        while query bounds are session-local naive — render aware bounds
+        naive in the session zone before comparing (same mismatch
+        plan_dirty_files handles)."""
+        tz = self.spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
+
+        def _norm(v: Any) -> Any:
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                from zoneinfo import ZoneInfo
+
+                return v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
+            return v
+
+        for col, (lo, hi) in predicates.items():
+            if col == m.key:
+                cmin, cmax = e.key_min, e.key_max
+            else:
+                mm = e.col_stats.get(col)
+                if mm is None:
+                    continue  # no stats: cannot prune this file on this column
+                cmin, cmax = mm
+            cmin, cmax = _norm(cmin), _norm(cmax)
+            if (hi is not None and cmin > _norm(hi)) or (
+                lo is not None and cmax < _norm(lo)
+            ):
+                return False
+        return True
 
     # ---------- write internals ----------
     def _write_sorted(

@@ -544,3 +544,57 @@ def test_portable_simhash_blocked_equals_bruteforce(spark, docs):
         for r in simhash_portable_near_pairs(d, "doc_id", "text", max_hamming=3).collect()
     }
     assert got == brute, (len(got), len(brute))
+
+
+def test_minhash_bucket_cap_bounds_mass_duplicate_blowup(spark):
+    """1,000 identical docs share every band bucket: uncapped, the
+    bucket self-join materializes ~500k matches. With bucket_cap the
+    pair count is bounded by C(cap,2) + (n - cap) star edges, and every
+    doc still reaches the cluster hub (connected components intact)."""
+    n = 1000
+    rows = [(i, "the same exact text repeated in every document") for i in range(n)]
+    rows += [(n + 1, "an entirely different and unrelated sentence")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 10
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.9, shingle_n=1, bucket_cap=cap
+    ).collect()
+    assert 0 < len(pairs) <= cap * (cap - 1) // 2 + (n - cap)
+    # star coverage: every duplicate doc appears in at least one pair
+    touched = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    assert touched == set(range(n))
+    # every pair is a true duplicate (verify step ran)
+    assert all(p.jaccard == 1.0 for p in pairs)
+    # hub star: doc 0 (bucket minimum) links every beyond-cap member
+    hub_links = {p.id_b for p in pairs if p.id_a == 0}
+    assert set(range(cap, n)) <= hub_links
+
+
+def test_simhash_bucket_cap_bounds_mass_duplicate_blowup(spark):
+    n = 500
+    rows = [(i, "identical fingerprint text for every single doc") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 8
+    pairs = simhash_near_pairs(
+        df, "doc_id", "text", max_hamming=3, bucket_cap=cap
+    ).collect()
+    assert 0 < len(pairs) <= cap * (cap - 1) // 2 + (n - cap)
+    touched = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    assert touched == set(range(n))
+    assert all(p.hamming == 0 for p in pairs)
+
+
+def test_jaccard_size_ratio_prefilter_keeps_results(spark):
+    """The size-ratio prefilter is implied by Jaccard >= t: results on
+    docs with very different lengths must be unchanged vs brute math."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g x"),     # J = 7/9 vs doc 1
+        (3, "a b"),                 # tiny: ratio-filtered against 1/2
+        (4, "z y x w v u t s r q p o n m l k j i h g f e d c b a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in jaccard_pairs(df, "doc_id", "text", 0.5, shingle_n=1).collect()}
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - round(7 / 9, 4)) < 1e-9

@@ -137,7 +137,7 @@ def test_changes_stream_matches_batch_feed_and_resumes(spark, sf_dir, tmp_path):
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "changes stream did not drain in 120s"
         new = [
             os.path.join(out_dir, f)
             for f in os.listdir(out_dir)
