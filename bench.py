@@ -343,11 +343,17 @@ def sf_scaling_probe(spark) -> dict[str, dict[str, float]]:
 def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
     """BASELINE.md operative target: merge cost must scale with the
     DIRTY FRACTION of the table, not table size (reference README:109-111
-    — 10% dirty ≪ full rewrite, 50% dirty ≈ ½ full rewrite). Measures
-    merge_into_table over the largest fixture (`lineitem`, keyed by the
-    surrogate unique key orderkey*10+linenumber) with mutation keys
-    clustered into 1% / 10% / 50% / 100% of the files — big enough that
-    rewrite work, not per-job overhead, dominates the timings."""
+    — 10% dirty ≪ full rewrite, 50% dirty ≈ ½ full rewrite).
+
+    The fixture lineitem alone (~600k rows at sf0.1) rewrites in well
+    under a second on 32 cores — every fraction bottoms out on the same
+    fixed per-job cost and the contract can't be observed. The bench
+    therefore measures over an 8× key-shifted inflation of lineitem
+    (~5M rows, ~80 files of 64k rows) so per-file rewrite work, not
+    job overhead, dominates; the base table is created ONCE and cloned
+    per fraction with a directory copy (a SortedTable is self-contained
+    under its path)."""
+    import os
     import shutil
     import tempfile
 
@@ -360,47 +366,83 @@ def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "li_key", F.col("l_orderkey") * 10 + F.col("l_linenumber")
     )
-    max_key = li.agg(F.max("li_key")).first()[0]
-
-    # untimed warmup merge: compile the plan shapes (searchsorted
-    # planning pass, union+window merge, range-partitioned write) so the
-    # timed loop measures merge work, not first-run codegen
-    wd = tempfile.mkdtemp(prefix="prs_bench_merge_warm_")
-    try:
-        wt = SortedTable.create(
-            spark, wd, li.filter(F.col("li_key") <= int(max_key * 0.01)),
-            key="li_key", max_records_per_file=8_000,
-        )
-        merge_into_table(
-            wt,
-            li.filter(F.col("li_key") <= int(max_key * 0.001))
-            .withColumn("l_extendedprice", F.lit(0.0)),
-        )
-    finally:
-        shutil.rmtree(wd, ignore_errors=True)
+    max_key = int(li.agg(F.max("li_key")).first()[0])
+    span = max_key + 10
+    # 8 key-shifted copies — same schema/distribution, 8× the rows
+    li8 = (
+        li.withColumn("__rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+        .withColumn("li_key", F.col("li_key") + F.col("__rep") * F.lit(span))
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * F.lit((span // 10) + 1))
+        .drop("__rep")
+    )
+    max8 = span * 8
 
     out: dict[str, float] = {}
-    for label, frac in [("dirty_1pct", 0.01), ("dirty_10pct", 0.10),
-                        ("dirty_50pct", 0.50), ("full_rewrite", 1.0)]:
-        d = tempfile.mkdtemp(prefix=f"prs_bench_merge_{label}_")
+    base = tempfile.mkdtemp(prefix="prs_bench_merge_base_")
+    try:
+        SortedTable.create(spark, base, li8, key="li_key",
+                           max_records_per_file=65_536)
+
+        # untimed warmup merge on a throwaway clone: compile the plan
+        # shapes (planning probe, union+window merge, range write) so
+        # the timed loop measures merge work, not first-run codegen
+        wd = tempfile.mkdtemp(prefix="prs_bench_merge_warm_")
         try:
-            t = SortedTable.create(spark, d, li, key="li_key",
-                                   max_records_per_file=8_000)
-            # mutations: every 20th order within the leading `frac` of
-            # the key space — clustered, so ~frac of files go dirty
-            muts = (
-                li.filter(
-                    (F.col("li_key") <= int(max_key * frac))
-                    & (F.col("l_orderkey") % 20 == 0)
-                ).withColumn("l_extendedprice", F.lit(0.0))
+            shutil.rmtree(wd, ignore_errors=True)
+            shutil.copytree(base, wd)
+            wt = SortedTable(spark, wd)
+            # small-key-set merge: warms the driver-side planning path +
+            # the union/window/range-write shapes
+            merge_into_table(
+                wt,
+                li8.filter(
+                    (F.col("li_key") <= int(max8 * 0.3))
+                    & (F.col("l_orderkey") % 40 == 0)
+                ).withColumn("l_extendedprice", F.lit(0.0)),
             )
-            t0 = time.perf_counter()
-            stats = merge_into_table(t, muts)
-            out[label] = round(time.perf_counter() - t0, 3)
-            out[f"{label}_files_rewritten"] = stats["files_written"]
-            out[f"{label}_files_passthrough"] = stats["files_clean_passthrough"]
+            # large-key-set merge: warms the DISTRIBUTED planning pass
+            # (mapInPandas searchsorted), which full_rewrite-scale
+            # mutation batches take — without this, the full case pays
+            # that plan's one-time codegen inside its timed window
+            merge_into_table(
+                wt,
+                li8.filter(F.col("l_orderkey") % 20 == 0)
+                .withColumn("l_extendedprice", F.lit(0.0)),
+            )
         finally:
-            shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(wd, ignore_errors=True)
+
+        for label, frac in [("dirty_1pct", 0.01), ("dirty_10pct", 0.10),
+                            ("dirty_50pct", 0.50), ("full_rewrite", 1.0)]:
+            d = tempfile.mkdtemp(prefix=f"prs_bench_merge_{label}_")
+            try:
+                shutil.rmtree(d, ignore_errors=True)
+                shutil.copytree(base, d)
+                t = SortedTable(spark, d)
+                # mutations: every 20th order within the leading `frac`
+                # of the key space — clustered, so ~frac of files go dirty
+                muts = (
+                    li8.filter(
+                        (F.col("li_key") <= int(max8 * frac))
+                        & (F.col("l_orderkey") % 20 == 0)
+                    ).withColumn("l_extendedprice", F.lit(0.0))
+                )
+                t0 = time.perf_counter()
+                # allow_splice=False: the 1%-dirty case would otherwise
+                # take the driver-side pyarrow splice fast path — a
+                # different code path benchmarked on its own in
+                # small_merge. The scaling curve compares the SAME
+                # distributed merge across dirty fractions.
+                stats = merge_into_table(t, muts, allow_splice=False)
+                out[label] = round(time.perf_counter() - t0, 3)
+                out[f"{label}_files_rewritten"] = stats["files_written"]
+                out[f"{label}_files_passthrough"] = stats["files_clean_passthrough"]
+                out[f"{label}_plan_s"] = round(stats.get("t_plan_s", 0), 3)
+                out[f"{label}_write_s"] = round(stats.get("t_write_s", 0), 3)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return out
 
 

@@ -42,7 +42,13 @@ from parquet_rewriter_spark.table import Manifest, ManifestEntry, SortedTable
 OP_COLUMN = "op"
 # plan_dirty_files plans driver-side when the mutation batch is at most
 # this many rows (one bounded toPandas of the KEY column only)
-SMALL_PLAN_KEYS = 8_192
+# Below this many mutation keys, dirty-file planning runs entirely on
+# the driver: one bounded limit+toPandas fetch of the KEY column, then
+# numpy searchsorted against the manifest bounds (microseconds at this
+# size — 128k longs is ~1 MB over Arrow). The distributed mapInPandas
+# pass only pays off when the key set is genuinely huge; below the cap
+# it costs an extra Spark job plus a one-time codegen compile.
+SMALL_PLAN_KEYS = 131_072
 OP_UPSERT = "UPSERT"
 OP_DELETE = "DELETE"
 
@@ -51,7 +57,12 @@ _RN = "__rn"
 
 
 def apply_mutations(
-    base: DataFrame, mutations: DataFrame, key: str, seq_col: str | None = None
+    base: DataFrame,
+    mutations: DataFrame,
+    key: str,
+    seq_col: str | None = None,
+    range_partition: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Logical merge: mutations win over base rows on key collision.
 
@@ -98,6 +109,26 @@ def apply_mutations(
             .withColumn(_TB, F.lit(0).cast("long"))
         )
     unioned = unioned.unionByName(base_u)
+    if range_partition:
+        # One exchange serves the dedup window AND the sorted write:
+        # RangePartitioning(key) satisfies the window's clustered-by-key
+        # requirement (all rows of a key land in one partition), so
+        # Catalyst plans range-exchange → local sort → window with NO
+        # hash exchange, and the output comes out key-clustered and
+        # key-sorted — exactly what the sorted file write needs. Without
+        # this the merge shuffles twice: hash for the window, then range
+        # (plus its sampling job) for the write.
+        # Partition count scales with the DIRTY span (merge passes the
+        # dirty file count): a 10%-dirty merge runs ~10% of the write
+        # tasks a full rewrite runs, so scheduling and writer overhead
+        # track the dirty fraction the way the reference's row-group
+        # costs do — instead of every merge paying the same fixed
+        # spark.sql.shuffle.partitions regardless of how little it
+        # rewrites.
+        if num_partitions:
+            unioned = unioned.repartitionByRange(num_partitions, F.col(key))
+        else:
+            unioned = unioned.repartitionByRange(F.col(key))
     w = Window.partitionBy(key).orderBy(F.col(_PRIORITY), *tiebreak)
     return (
         unioned.withColumn(_RN, F.row_number().over(w))
@@ -501,7 +532,9 @@ def merge_into_table(
             base_dirty = base_dirty.join(
                 dv.select(key).distinct(), on=key, how="left_anti"
             )
-        merged = apply_mutations(base_dirty, mutations, key)
+        merged = apply_mutations(base_dirty, mutations, key,
+                                 range_partition=True,
+                                 num_partitions=len(dirty))
     else:
         # Pure-insert merge (all keys fall in gaps / head / tail).
         mut = mutations
@@ -519,7 +552,8 @@ def merge_into_table(
     # writes an empty staging dir and _adopt_staged drops zero-row
     # files, so the empty case costs nothing extra on the common path.
     t0 = time.monotonic()
-    staging = table._write_sorted(merged, key, mrpf)
+    staging = table._write_sorted(merged, key, mrpf,
+                                  prepartitioned=bool(dirty))
     new_entries = table._adopt_staged(staging, key)
     n_new_rows = sum(e.rows for e in new_entries)
     t_write = time.monotonic() - t0

@@ -47,6 +47,14 @@ ENGINE_CONFS: dict[str, str] = {
     # a classloader reference, so a few thousand is cheap and makes
     # repeated plan shapes hit compiled code.
     "spark.sql.codegen.cache.maxEntries": "4096",
+    # File listing: past this many paths Spark launches a DISTRIBUTED
+    # listing job — measured ~250 ms of fixed latency per multi-file
+    # read on local[32] (a merge reading 80 dirty files pays it every
+    # time). Driver-side serial listing handles thousands of local/HDFS
+    # getFileStatus calls in milliseconds; the distributed path only
+    # pays off at object-store listing latencies × very large manifests,
+    # which 2048 still permits.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "2048",
 }
 
 

@@ -206,6 +206,15 @@ class SortedTable:
         ensure_shipped(spark)  # merge/compact kernels import this package on workers
         self.spark = spark
         self.path = path
+        # Externally-built sessions keep the 32-path default, making
+        # every multi-file manifest read launch a distributed LISTING
+        # job (~250 ms fixed). Same knob get_spark sets; idempotent.
+        try:
+            spark.conf.set(
+                "spark.sql.sources.parallelPartitionDiscovery.threshold", "2048"
+            )
+        except Exception:  # noqa: BLE001 - read-only conf contexts
+            pass
 
     # ---------- manifest ----------
     @property
@@ -568,6 +577,7 @@ class SortedTable:
         key: str,
         max_records_per_file: int,
         num_files: int | None = None,
+        prepartitioned: bool = False,
     ) -> str:
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         # INT96 timestamps (Spark's legacy default) carry no usable footer
@@ -576,7 +586,15 @@ class SortedTable:
         # externally-built sessions get correct tables too.
         self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         writer = df
-        if num_files is not None:
+        if prepartitioned:
+            # Caller guarantees df is already range-clustered on the key
+            # (merge range-partitions BEFORE its dedup window, so one
+            # exchange serves both) — adding another repartitionByRange
+            # here would shuffle the whole merge output a second time.
+            # The sortWithinPartitions below stays: it's optimized away
+            # when the upstream already sorted by key.
+            pass
+        elif num_files is not None:
             writer = writer.repartitionByRange(num_files, F.col(key))
         else:
             writer = writer.repartitionByRange(F.col(key))
