@@ -7929,100 +7929,34 @@ def suppliers_covering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # red in r01/r02 — the fixes must get their green verdict first:
-    # r01's TIMESTAMP(NANOS) read and r02's TIMESTAMP_NTZ session conf
-    # (driver sets spark.sql.timestampType=TIMESTAMP_NTZ; readers.py
-    # now casts via the TimestampType object), plus the r02 HUGEINT
-    # hash skew fixed by BIGINT casts in the oracles
-    "user_session_stats",
-    "train_val_test_split",
-    "stratified_sample_docs",
-    "user_event_type_map",
-    "events_json_extract",
-    "event_type_stats",
-    "hourly_event_counts",
-    "purchase_asof_click",
-    "events_within_5min_pairs",
-    "active_user_intersection",
-    "browsers_never_err",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_events",
-    "stream_purchase_click_join",
-    # round-3 additions — need their first verdict
-    "q9_profit_by_nation_year",
-    "q10_returned_revenue",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q16_supplier_part_variety",
-    "q19_bracketed_disjunction_revenue",
-    "q20_dominant_shippers",
-    "cms_token_frequency_bounds",
-    "stream_cms_token_frequencies",
-    "contrastive_negative_pairs",
-    "ivf_refined_cell_balance",
-    "copurchase_triangle_count",
-    "source_length_drift_ks",
-    "copurchase_reach_2hop",
-    "variant_props_stats",
-    "multi_table_txn_scan",
-    "routed_scan_report",
-    "doc_compression_quality",
-    "minhash_portable_near_dup_pairs",
-    "simhash_portable_near_pairs",
-    "stream_drift_alerts",
-    "stream_pyds_table_changes",
-    "constrained_merge_scan",
-    "image_patch_grid",
-    "leakage_safe_split",
-    "weighted_median_price",
-    "corpus_curation_pipeline",
-    "referential_orphans_report",
-    "rolling_7d_distinct_users",
-    "stream_window_approx_users",
-    "brand_association_rules",
-    "dow_adjusted_revenue_anomalies",
-    "region_nation_revenue_shares",
-    "suppliers_covering_brand",
-    "weekly_cohort_retention",
-    "per_source_sample_k",
-    "order_price_mad_outliers",
-    "type_widening_scan",
-    "benchmark_containment_scores",
-    "order_value_quartile_buckets",
-    "replica_sync_scan",
-    "stream_matview_user_totals",
-    "stream_csv_ingest_counts",
-    "stream_user_value_ewma",
-    "gdpr_forget_customer_scan",
-    "stream_purchase_click_fulljoin",
-    "hidden_partition_event_scan",
-    "ann_ivf_index_lifecycle",
-    "part_copurchase_pagerank",
-    "txn_exactly_once_scan",
-    "nation_revenue_trend",
-    "order_value_histogram",
-    "part_entity_resolution",
-    "gopher_quality_flags",
-    "badword_filter_summary",
-    "corpus_training_order",
-    "stream_user_totals",
-    # round-2/3 tail — registered but never driver-checked
-    "python_ds_key_range_scan",
-    "stream_purchase_click_leftjoin",
-    "vacuum_then_scan",
-    "timestamp_asof_scan",
-    "nb_lang_confusion",
-    "scd2_customer_status_history",
+    # Round-4 rotation: the driver verdicts only ~50 queries per round,
+    # and 75 registered queries had never received a driver-green row
+    # across r01-r03 (all were judge-verified locally in the r03 sweep,
+    # but the driver's own CORRECTNESS record is the currency). Front-
+    # load exactly that never-checked set — oracled queries first, the
+    # rows-only tail last so full-compare slots are not spent on weaker
+    # checks.
+    "purchase_asof_click_nearest",
+    "hourly_value_gapfilled",
+    "user_purchase_funnel",
     "near_dup_doc_clusters",
-    "incremental_dedup_index",
+    "canonical_dedup_survivors",
+    "mixture_token_budget_sample",
+    "mor_delete_scan",
+    "conditional_merge_scan",
     "pack_training_sequences",
     "doc_repetition_scores",
     "bucketed_colocated_join",
     "hot_key_split_join",
     "skew_safe_distinct_users",
+    "bm25_search",
+    "fuzzy_part_match",
+    "quality_weighted_sample",
+    "heavy_hitter_tokens",
+    "stream_heavy_hitter_tokens",
+    "stream_enriched_nation_revenue",
+    "scd2_customer_status_history",
+    "incremental_bm25_search",
     "q7_volume_shipping",
     "q8_market_share",
     "q11_important_parts",
@@ -8033,17 +7967,50 @@ _VERIFY_FIRST = (
     "doc_stable_ids",
     "semantic_dedup_survivors",
     "wap_publish_scan",
-    # beyond the ~48-slot snapshot cap — roll to the next round first
     "lineitem_unpivot_measures",
     "purchase_error_overlap",
     "stream_value_anomalies",
     "schema_ddl_lifecycle_scan",
-    # rows-only by design — weaker check re-records when slots remain
-    "minhash_near_dup_pairs",
-    "simhash_near_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "multimodal_decode_features",
+    "training_shard_summary",
+    "doc_lm_scores",
+    "user_decayed_value",
+    "incremental_distinct_users",
+    "stream_quality_route_summary",
+    "lineitem_correlations",
+    "scd2_pointintime_status",
+    "partition_pruned_scan",
+    "python_ds_key_range_scan",
+    "vacuum_then_scan",
+    "timestamp_asof_scan",
+    "nb_lang_confusion",
+    "gopher_quality_flags",
+    "badword_filter_summary",
+    "corpus_training_order",
+    "stream_user_totals",
+    "nation_revenue_trend",
+    "order_value_histogram",
+    "part_entity_resolution",
+    "part_copurchase_pagerank",
+    "txn_exactly_once_scan",
+    "hidden_partition_event_scan",
+    "gdpr_forget_customer_scan",
+    "type_widening_scan",
+    "benchmark_containment_scores",
+    "order_value_quartile_buckets",
+    "replica_sync_scan",
+    "stream_matview_user_totals",
+    "stream_csv_ingest_counts",
+    "stream_user_value_ewma",
+    "weekly_cohort_retention",
+    "per_source_sample_k",
+    "order_price_mad_outliers",
+    "suppliers_covering_brand",
+    "incremental_dedup_index",
+    "tdigest_price_quantiles",
+    "ann_pq_topk",
+    "stream_purchase_click_leftjoin",
+    "stream_purchase_click_fulljoin",
+    "ann_ivf_index_lifecycle",
 )
 
 
