@@ -612,6 +612,7 @@ def small_merge_bench(spark, sf_dir: str) -> dict[str, float]:
                     if allow:
                         out["splice_rgs_rewritten"] = stats.get("rgs_rewritten", -1)
                         out["splice_rgs_copied"] = stats.get("rgs_copied", -1)
+                        out["splice_raw_files"] = stats.get("files_raw_appended", 0)
                         assert stats["path"] == "rowgroup_splice", stats
             finally:
                 shutil.rmtree(d, ignore_errors=True)

@@ -18,12 +18,21 @@ against a few disjoint files:
 - no Spark job, no shuffle, no task scheduling — wall time tracks the
   dirty ROW GROUP size plus a sequential columnar copy of the file.
 
-Honesty note: public pyarrow has no raw appendRowGroup, so the clean
-row-group copy DECODES + RE-ENCODES (content-preserving, boundaries
-preserved, but not byte-identical and I/O ∝ file size). The win that
-remains — and that the bench measures — is skipping the distributed
-machinery and the merge compute for clean row groups. True byte splice
-needs parquet-mr-style internals that pyarrow does not expose.
+Clean row groups are copied as RAW BYTES — the reference's actual trick
+(``writer.appendRowGroup(rawStream, blockMeta, false)``,
+ParquetRewriter.java:317) — via the driver JVM's parquet-java through
+the py4j gateway (``spark._jvm...ParquetFileWriter.appendRowGroup``):
+rewritten row groups are encoded once into a small pyarrow "patch"
+file, then the output is assembled by appending raw row groups from the
+source file (clean) and the patch file (dirty) under the source's
+parquet schema and key-value metadata. Clean bytes are never decoded;
+the copied ranges are byte-identical (asserted in test_merge.py).
+Guard: the patch file's parquet schema body must equal the source's
+(pyarrow and parquet-mr agree for the primitive/string/timestamp types
+Spark writes; exotic types like small-precision decimals differ) — any
+mismatch, or any JVM surprise, falls back to the pyarrow
+decode-re-encode writer below, which preserves content and row-group
+boundaries but not bytes.
 
 The caller (merge_into_table) guards every precondition and falls back
 to the distributed path whenever one fails:
@@ -89,6 +98,69 @@ def _apply_pdf(base: pd.DataFrame, muts: pd.DataFrame, key: str) -> pd.DataFrame
     return out.sort_values(key, kind="mergesort").reset_index(drop=True)
 
 
+def _schema_body(msg_type) -> str:
+    """Parquet MessageType rendered WITHOUT the root message name —
+    Spark names the root ``spark_schema``, pyarrow ``schema``; the
+    fields are what raw row-group interchange requires to agree."""
+    s = msg_type.toString()
+    return s[s.index("{"):]
+
+
+def _raw_assemble(spark, src: str, patch: str | None, out_tmp: str,
+                  plan: list[tuple[str, int]]) -> None:
+    """Assemble ``out_tmp`` by appending RAW row groups from ``src``
+    ('src', i) and ``patch`` ('patch', i) in ``plan`` order, using
+    parquet-java on the driver JVM (py4j). The output keeps the source
+    file's parquet schema and key-value metadata (Spark's row-metadata
+    rides along). Raises on any mismatch; the caller falls back."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    HIn = jvm.org.apache.parquet.hadoop.util.HadoopInputFile
+    HOut = jvm.org.apache.parquet.hadoop.util.HadoopOutputFile
+    PFR = jvm.org.apache.parquet.hadoop.ParquetFileReader
+    PFW = jvm.org.apache.parquet.hadoop.ParquetFileWriter
+
+    fin = HIn.fromPath(Path(src), hconf)
+    rin = PFR.open(fin)
+    try:
+        src_footer = rin.getFooter()
+        schema = src_footer.getFileMetaData().getSchema()
+        pin = rp = patch_footer = None
+        if patch is not None:
+            pin = HIn.fromPath(Path(patch), hconf)
+            rp = PFR.open(pin)
+            patch_footer = rp.getFooter()
+            if _schema_body(
+                patch_footer.getFileMetaData().getSchema()
+            ) != _schema_body(schema):
+                raise ValueError("patch/source parquet schema mismatch")
+        writer = PFW(HOut.fromPath(Path(out_tmp), hconf), schema,
+                     PFW.Mode.valueOf("OVERWRITE"), 134217728, 8388608)
+        writer.start()
+        src_stream = fin.newStream()
+        patch_stream = pin.newStream() if pin is not None else None
+        try:
+            for which, idx in plan:
+                if which == "src":
+                    writer.appendRowGroup(
+                        src_stream, src_footer.getBlocks().get(idx), False
+                    )
+                else:
+                    writer.appendRowGroup(
+                        patch_stream, patch_footer.getBlocks().get(idx), False
+                    )
+        finally:
+            src_stream.close()
+            if patch_stream is not None:
+                patch_stream.close()
+        writer.end(src_footer.getFileMetaData().getKeyValueMetaData())
+    finally:
+        rin.close()
+        if patch is not None and rp is not None:
+            rp.close()
+
+
 def splice_merge(
     table: "SortedTable",
     dirty: list,
@@ -115,7 +187,7 @@ def splice_merge(
         assigned[inside] = i
 
     entries: list = []
-    rgs_rewritten = rgs_copied = 0
+    rgs_rewritten = rgs_copied = files_raw = 0
     mut_data_cols = {c for c in mut_pdf.columns if c != OP_COLUMN}
     for i, e in enumerate(dirty):
         src = os.path.join(table.path, e.name)
@@ -142,22 +214,55 @@ def splice_merge(
         )
         new_name = f"part-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(table.path, f"_splice-{new_name}")
-        with pq.ParquetWriter(tmp, pf.schema_arrow) as writer:
-            for rg in range(pf.metadata.num_row_groups):
-                hit = rg_of == rg
-                if not hit.any():
-                    t = pf.read_row_group(rg)
-                    writer.write_table(t, row_group_size=max(1, t.num_rows))
-                    rgs_copied += 1
-                    continue
-                base = pf.read_row_group(rg).to_pandas()
-                merged = _apply_pdf(base, fmuts.iloc[np.nonzero(hit)[0]], key)
-                if len(merged):
-                    t = pa.Table.from_pandas(
-                        merged, schema=pf.schema_arrow, preserve_index=False
-                    )
-                    writer.write_table(t, row_group_size=max(1, t.num_rows))
-                rgs_rewritten += 1
+        # Plan the output's row-group sequence and materialize ONLY the
+        # rewritten groups (in pandas). Clean groups are never decoded
+        # on the raw path below.
+        plan: list[tuple[str, int]] = []
+        patch_frames: list[pd.DataFrame] = []
+        for rg in range(pf.metadata.num_row_groups):
+            hit = rg_of == rg
+            if not hit.any():
+                plan.append(("src", rg))
+                continue
+            base = pf.read_row_group(rg).to_pandas()
+            merged = _apply_pdf(base, fmuts.iloc[np.nonzero(hit)[0]], key)
+            if len(merged):
+                plan.append(("patch", len(patch_frames)))
+                patch_frames.append(merged)
+            rgs_rewritten += 1
+        rgs_copied += sum(1 for which, _ in plan if which == "src")
+
+        patch_path = tmp + ".patch"
+        try:
+            if patch_frames:
+                with pq.ParquetWriter(patch_path, pf.schema_arrow) as pw:
+                    for mdf in patch_frames:
+                        t = pa.Table.from_pandas(
+                            mdf, schema=pf.schema_arrow, preserve_index=False
+                        )
+                        pw.write_table(t, row_group_size=max(1, t.num_rows))
+            try:
+                _raw_assemble(
+                    table.spark, src,
+                    patch_path if patch_frames else None, tmp, plan,
+                )
+                files_raw += 1
+            except Exception:  # noqa: BLE001 - schema/JVM surprise
+                # decode-re-encode fallback: content-preserving, same
+                # row-group boundaries, but clean bytes are re-encoded
+                with pq.ParquetWriter(tmp, pf.schema_arrow) as writer:
+                    for which, idx in plan:
+                        if which == "src":
+                            t = pf.read_row_group(idx)
+                        else:
+                            t = pa.Table.from_pandas(
+                                patch_frames[idx], schema=pf.schema_arrow,
+                                preserve_index=False,
+                            )
+                        writer.write_table(t, row_group_size=max(1, t.num_rows))
+        finally:
+            if os.path.exists(patch_path):
+                os.remove(patch_path)
         os.replace(tmp, os.path.join(table.path, new_name))
         st = _footer_stats(os.path.join(table.path, new_name), key, stats_cols)
         if st.num_rows == 0:
@@ -200,4 +305,8 @@ def splice_merge(
             )
         )
 
-    return entries, {"rgs_rewritten": rgs_rewritten, "rgs_copied": rgs_copied}
+    return entries, {
+        "rgs_rewritten": rgs_rewritten,
+        "rgs_copied": rgs_copied,
+        "files_raw_appended": files_raw,
+    }

@@ -525,3 +525,44 @@ def test_merge_check_constraints_reject_before_any_write(spark, sf_dir, tmp_path
         "op", F.lit("UPSERT"))
     res = merge_into_table(t, ok, constraints=rules)
     assert res["version"] == v0 + 2
+
+
+def test_splice_raw_appends_clean_row_groups_byte_identical(spark, tmp_path):
+    """The raw splice path (parquet-java appendRowGroup via py4j) must
+    copy every untouched row group's compressed bytes VERBATIM — the
+    reference's ParquetRewriter.java:317 contract, not just
+    content-equivalence."""
+    import pyarrow.parquet as pq
+
+    t, base = _mk_multi_rg_table(spark, tmp_path)
+    orig = os.path.join(t.path, "part-base.parquet")
+    with open(orig, "rb") as f:
+        orig_bytes = f.read()
+    orig_md = pq.ParquetFile(orig).metadata
+
+    res = merge_into_table(t, _mutations_df(spark, {555: b"z" * 20}, set()))
+    assert res["path"] == "rowgroup_splice", res
+    assert res.get("files_raw_appended") == 1, res
+
+    newf = os.path.join(t.path, t.manifest().files[0].name)
+    new_md = pq.ParquetFile(newf).metadata
+    with open(newf, "rb") as f:
+        new_bytes = f.read()
+    assert new_md.num_row_groups == orig_md.num_row_groups
+
+    # per-COLUMN-chunk comparison: appendRowGroup packs chunks
+    # contiguously, so inter-chunk gaps the source writer left (page
+    # index blocks) don't survive — the chunk bytes themselves must
+    for rg in range(orig_md.num_row_groups):
+        if rg == 5:
+            continue  # the one rewritten group (key 555)
+        for ci in range(orig_md.num_columns):
+            ca = orig_md.row_group(rg).column(ci)
+            cb = new_md.row_group(rg).column(ci)
+            sa = ca.dictionary_page_offset or ca.data_page_offset
+            sb = cb.dictionary_page_offset or cb.data_page_offset
+            assert ca.total_compressed_size == cb.total_compressed_size, (rg, ci)
+            la = ca.total_compressed_size
+            assert orig_bytes[sa:sa + la] == new_bytes[sb:sb + la], (
+                f"rg {rg} col {ci}: bytes differ"
+            )
