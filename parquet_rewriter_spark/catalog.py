@@ -6159,14 +6159,17 @@ def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     -- final state after: create -> ADD COLUMN p_score -> merge scores
     -- for p_partkey%4=0 -> DROP COLUMN p_retailprice -> RESTORE to the
-    -- pre-drop version (so p_retailprice is back, scores retained)
+    -- pre-drop version (so p_retailprice is back, scores retained) ->
+    -- RENAME COLUMN p_score TO quality_score (metadata-only) -> merge
+    -- MORE scores through the new name for p_partkey%4=2
     SELECT p_type, count(*) AS n_parts,
-           round(sum(CASE WHEN p_partkey % 4 = 0 THEN p_size * 1.5 END), 2)
+           round(sum(CASE WHEN p_partkey % 4 = 0 THEN p_size * 1.5
+                          WHEN p_partkey % 4 = 2 THEN p_size * 2.0 END), 2)
              AS score_sum,
            round(sum(p_retailprice), 2) AS retail_sum
     FROM part GROUP BY p_type
     """,
-    "storage", "ddl", "schema-evolution", "restore",
+    "storage", "ddl", "schema-evolution", "restore", "rename",
 )
 def schema_ddl_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only DDL lifecycle on the mutation core: ADD COLUMN
@@ -6192,12 +6195,20 @@ def schema_ddl_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.drop_column("p_retailprice")
     assert "p_retailprice" not in t.read().columns
     t.restore(v_before_drop)
+    # metadata-only RENAME (no file rewritten), then a merge that
+    # addresses the column by its NEW logical name — writers translate
+    # back to the stable physical name (table.py rename_map)
+    t.rename_column("p_score", "quality_score")
+    muts2 = t.read().filter(F.col("p_partkey") % 4 == 2).withColumn(
+        "quality_score", F.col("p_size") * 2.0
+    )
+    merge_into_table(t, muts2)
     return (
         t.read()
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("p_score"), 2).alias("score_sum"),
+            F.round(F.sum("quality_score"), 2).alias("score_sum"),
             F.round(F.sum("p_retailprice"), 2).alias("retail_sum"),
         )
     )

@@ -160,7 +160,7 @@ def candidate_files(
     if not os.path.isdir(side):
         return None
     live = {e.name for e in m_.files}
-    col_type = table.read().schema[col].dataType.simpleString()
+    col_type = table.read_physical().schema[col].dataType.simpleString()
     hashes = _hash_values(spark, col_type, values)  # (n_values, k)
     bch = spark.sparkContext.broadcast(hashes)
 
@@ -191,8 +191,12 @@ def candidate_files(
 
 def read_point(table: "SortedTable", col: str, values: Sequence[Any]) -> DataFrame:
     """Equality/IN scan: bloom-prune files, then apply the exact
-    predicate (pushed into the parquet reader) on the survivors."""
-    cand = candidate_files(table, col, values)
+    predicate (pushed into the parquet reader) on the survivors.
+    ``col`` is the LOGICAL name; blooms and files live in physical
+    name space (metadata-only renames)."""
+    m = table.manifest()
+    pcol = table.to_physical(col, m)
+    cand = candidate_files(table, pcol, values)
     if cand is None:
         return table.read().filter(F.col(col).isin(list(values)))
     if not cand:
@@ -200,10 +204,9 @@ def read_point(table: "SortedTable", col: str, values: Sequence[Any]) -> DataFra
 
         from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(json.loads(table.manifest().schema_json))
-        return table.spark.createDataFrame([], schema)
-    m = table.manifest()
+        schema = StructType.fromJson(json.loads(m.schema_json))
+        return table._to_logical(table.spark.createDataFrame([], schema), m)
     df = table.apply_dv(
         table._reader(m).parquet(*[os.path.join(table.path, n) for n in cand]), m
     )
-    return df.filter(F.col(col).isin(list(values)))
+    return table._to_logical(df.filter(F.col(pcol).isin(list(values))), m)

@@ -64,7 +64,14 @@ def snapshot_diff(
     removed = [os.path.join(table.path, n) for n in sorted(old_names - new_names)]
     added = [os.path.join(table.path, n) for n in sorted(new_names - old_names)]
 
-    schema_df = table.read(version=m_new.version if to_version is not None else None)
+    # PHYSICAL-name frame: the diff below reads churned files through
+    # _reader (physical) and unions against this schema — the changelog
+    # therefore stores physical column names (renames are presentation-
+    # layer; a changelog consumer of a renamed table sees the stable
+    # physical names, like Delta's CDF under column mapping)
+    schema_df = table.read_physical(
+        version=m_new.version if to_version is not None else None
+    )
     cols = schema_df.columns
     payload_cols = [c for c in cols if c != key]
 

@@ -32,7 +32,9 @@ def compact(
 ) -> dict:
     """Rewrite the whole table at a new file/row-group size."""
     m = table.manifest()
-    df = table.read()  # applies merge-on-read DVs: the rewrite makes them physical
+    # physical-name read: compaction rewrites files, and files keep
+    # PHYSICAL column names forever (rename_map is metadata-only)
+    df = table.read_physical()  # applies merge-on-read DVs: the rewrite makes them physical
     staging = table._write_sorted(df, m.key, max_records_per_file, num_files)
     entries = table._adopt_staged(staging, m.key)
     table._commit_manifest(

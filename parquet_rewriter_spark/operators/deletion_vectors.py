@@ -167,8 +167,14 @@ def delete_where_mor(table: SortedTable, condition, prune: dict | None = None) -
     tombstoned without rewriting. The MOR twin of merge.delete_where.
     """
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    m = table.manifest()
     src = table.read_where(prune) if prune else table.read()
-    return delete_keys_mor(table, src.filter(cond).select(table.manifest().key))
+    # src carries LOGICAL names; the tombstone sidecar stores the
+    # PHYSICAL key (it joins against physical file reads)
+    key_logical = (m.rename_map or {}).get(m.key, m.key)
+    return delete_keys_mor(
+        table, src.filter(cond).select(F.col(key_logical).alias(m.key))
+    )
 
 
 def materialize_deletes(table: SortedTable, max_records_per_file: int | None = None) -> dict:

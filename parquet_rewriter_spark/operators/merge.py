@@ -391,12 +391,26 @@ def merge_into_table(
 
     spark = table.spark
     m = table.manifest()
+    if m.rename_map:
+        # renamed tables: mutations arrive with LOGICAL column names;
+        # everything below (planning, splice, write, schema pinning)
+        # lives in PHYSICAL name space — translate once at the boundary.
+        # Runs after nothing: constraints below reference mutation
+        # columns by the names the CALLER used, i.e. logical — so the
+        # constraint check reads the logical frame captured here first.
+        logical_mutations = mutations
+        rev = {logical: phys for phys, logical in m.rename_map.items()}
+        mutations = mutations.select(
+            *[F.col(c).alias(rev.get(c, c)) for c in mutations.columns]
+        )
+    else:
+        logical_mutations = mutations
     if constraints:
         from parquet_rewriter_spark.operators.quality import check_constraints
 
-        checked = mutations
-        if OP_COLUMN in mutations.columns:
-            checked = mutations.filter(F.col(OP_COLUMN) != OP_DELETE)
+        checked = logical_mutations
+        if OP_COLUMN in logical_mutations.columns:
+            checked = logical_mutations.filter(F.col(OP_COLUMN) != OP_DELETE)
         bad = {
             r["rule"]: r["n_violations"]
             for r in check_constraints(checked, constraints).collect()

@@ -142,6 +142,17 @@ class Manifest:
     # NON-idempotent mutation streams (signed matview deltas). Writers
     # that don't set it inherit the previous snapshot's map at commit.
     txns: dict[str, int] = field(default_factory=dict)
+    # metadata-only RENAME COLUMN (Delta-style column mapping): physical
+    # (in-file) column name → logical (user-visible) name. Files are
+    # NEVER rewritten on rename — they keep writing/reading the physical
+    # name forever; readers project physical→logical as their last step
+    # and writers translate logical→physical mutations at entry.
+    # ``None`` means "writer didn't think about renames": _commit_manifest
+    # inherits the previous snapshot's map (same contract as txns), so a
+    # compact/merge/DDL commit can't silently drop a mapping. Writers
+    # that CHANGE the mapping (rename, drop of a renamed column) pass an
+    # explicit dict — possibly empty.
+    rename_map: dict[str, str] | None = None
 
     def to_json(self) -> str:
         files = []
@@ -165,6 +176,7 @@ class Manifest:
                 "committed_at": self.committed_at,
                 "operation": self.operation,
                 "txns": self.txns,
+                "rename_map": self.rename_map or {},
                 "files": files,
             },
             indent=1,
@@ -194,6 +206,7 @@ class Manifest:
             committed_at=d.get("committed_at"),
             operation=d.get("operation"),
             txns=d.get("txns") or {},
+            rename_map=d.get("rename_map") or {},
         )
 
 
@@ -319,6 +332,16 @@ class SortedTable:
         because every writer must win its version claim first.
         """
         m.committed_at = datetime.datetime.now(datetime.timezone.utc).isoformat()
+        if m.rename_map is None and m.version > 0:
+            # inherit the column-rename mapping through commits that
+            # don't know about it (merge, compact, WAP, DV deletes…) —
+            # dropping it would silently resurface physical names
+            try:
+                m.rename_map = dict(self.manifest(m.version - 1).rename_map or {})
+            except Exception:  # noqa: BLE001 - vacuumed history
+                m.rename_map = {}
+        if m.rename_map is None:
+            m.rename_map = {}
         if not m.txns and m.version > 0:
             # carry the txn watermarks forward through commits that
             # don't know about them (compact, DDL, WAP, DV deletes…) —
@@ -401,8 +424,19 @@ class SortedTable:
         A zero-file snapshot (everything deleted) reads as an empty,
         correctly-typed relation via the manifest's stored schema.
         Merge-on-read deletion vectors (if any) are applied here — see
-        ``dv_keys`` / operators/deletion_vectors.py."""
+        ``dv_keys`` / operators/deletion_vectors.py. Renamed columns
+        (``rename_map``) surface under their LOGICAL names."""
         m = self.manifest(version)
+        return self._to_logical(self.read_physical(version, m=m), m)
+
+    def read_physical(
+        self, version: int | None = None, m: Manifest | None = None
+    ) -> DataFrame:
+        """Snapshot read in PHYSICAL column names — the frame internal
+        rewrite paths (merge/compact/DV-materialize) must use, because
+        files and the pinned schema keep physical names forever; only
+        the user-facing ``read`` projects to logical names."""
+        m = m or self.manifest(version)
         paths = self.file_paths(m)
         if not paths:
             if m.schema_json is None:
@@ -412,6 +446,65 @@ class SortedTable:
             schema = StructType.fromJson(json.loads(m.schema_json))
             return self.spark.createDataFrame([], schema)
         return self.apply_dv(self._reader(m).parquet(*paths), m)
+
+    # ---------- column-rename mapping (metadata-only RENAME COLUMN) ----------
+    def _to_logical(self, df: DataFrame, m: Manifest) -> DataFrame:
+        """Project physical column names to logical ones (no-op without
+        a rename mapping — the overwhelmingly common case)."""
+        if not m.rename_map:
+            return df
+        return df.select(
+            *[F.col(c).alias(m.rename_map.get(c, c)) for c in df.columns]
+        )
+
+    def to_physical(self, name: str, m: Manifest | None = None) -> str:
+        """Logical → physical column name (identity when unmapped)."""
+        m = m or self.manifest()
+        if m.rename_map:
+            for phys, logical in m.rename_map.items():
+                if logical == name:
+                    return phys
+        return name
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename: no file is read or written — the
+        new manifest version maps the column's PHYSICAL name to the new
+        logical name (Delta-style column mapping). Readers project the
+        rename; mutation writers translate it back, so merges after a
+        rename still hit the same physical column. Returns the new
+        manifest version."""
+        from pyspark.sql.types import StructType
+
+        m = self.manifest()
+        if m.schema_json is None:
+            raise ValueError("rename_column requires a stored schema")
+        rm = dict(m.rename_map or {})
+        phys_fields = [
+            f.name for f in StructType.fromJson(json.loads(m.schema_json)).fields
+        ]
+        logical_to_phys = {rm.get(p, p): p for p in phys_fields}
+        if old not in logical_to_phys:
+            raise KeyError(f"no column named {old!r}")
+        if new in logical_to_phys:
+            raise ValueError(f"column {new!r} already exists")
+        p = logical_to_phys[old]
+        rm.pop(p, None)
+        if new != p:
+            rm[p] = new
+        self._commit_manifest(
+            Manifest(
+                version=m.version + 1,
+                key=m.key,
+                files=m.files,
+                schema_json=m.schema_json,
+                stats_cols=m.stats_cols,
+                bloom_cols=m.bloom_cols,
+                dv_files=list(m.dv_files),
+                operation=f"rename column ({old} -> {new})",
+                rename_map=rm,
+            )
+        )
+        return m.version + 1
 
     # ---------- merge-on-read deletion vectors ----------
     def dv_keys(
@@ -495,7 +588,7 @@ class SortedTable:
             df = df.filter(F.col(m.key) >= lower)
         if upper is not None:
             df = df.filter(F.col(m.key) <= upper)
-        return df
+        return self._to_logical(df, m)
 
     def read_where(
         self,
@@ -530,11 +623,12 @@ class SortedTable:
                 m,
             )
         for col, (lo, hi) in predicates.items():
+            pcol = self.to_physical(col, m)
             if lo is not None:
-                df = df.filter(F.col(col) >= lo)
+                df = df.filter(F.col(pcol) >= lo)
             if hi is not None:
-                df = df.filter(F.col(col) <= hi)
-        return df
+                df = df.filter(F.col(pcol) <= hi)
+        return self._to_logical(df, m)
 
     def zone_keep(self, m: "Manifest", e: "ManifestEntry",
                   predicates: dict[str, tuple[Any, Any]]) -> bool:
@@ -555,6 +649,8 @@ class SortedTable:
                 return v.astimezone(ZoneInfo(tz)).replace(tzinfo=None)
             return v
 
+        # predicates arrive with LOGICAL names; stats are physical
+        predicates = {self.to_physical(c, m): b for c, b in predicates.items()}
         for col, (lo, hi) in predicates.items():
             if col == m.key:
                 cmin, cmax = e.key_min, e.key_max
@@ -728,7 +824,11 @@ class SortedTable:
         if m.schema_json is None:
             raise ValueError("table has no recorded schema")
         schema = StructType.fromJson(json.loads(m.schema_json))
-        if name in {f.name for f in schema.fields}:
+        phys = {f.name for f in schema.fields}
+        logical = {(m.rename_map or {}).get(pn, pn) for pn in phys}
+        if name in phys or name in logical:
+            # physical clash: files already carry bytes under this name;
+            # logical clash: the read-side rename would emit duplicates
             raise ValueError(f"column {name!r} already exists")
         schema = StructType(
             list(schema.fields) + [StructField(name, _parse_datatype_string(dtype), True)]
@@ -746,17 +846,25 @@ class SortedTable:
         from pyspark.sql.types import StructType
 
         m = self.manifest()
-        if name == m.key:
+        pname = self.to_physical(name, m)  # drop accepts the LOGICAL name
+        if pname == m.key:
             raise ValueError(f"cannot drop the table key {name!r}")
         if m.schema_json is None:
             raise ValueError("table has no recorded schema")
         old_fields = StructType.fromJson(json.loads(m.schema_json)).fields
-        schema_fields = [f for f in old_fields if f.name != name]
+        schema_fields = [f for f in old_fields if f.name != pname]
         if len(schema_fields) == len(old_fields):
             raise ValueError(f"no such column {name!r}")
-        return self._commit_schema(m, StructType(schema_fields), f"drop-column {name}")
+        rm = dict(m.rename_map or {})
+        rm.pop(pname, None)  # a dropped column's mapping must not linger
+        return self._commit_schema(
+            m, StructType(schema_fields), f"drop-column {name}", rename_map=rm
+        )
 
-    def _commit_schema(self, m: Manifest, schema, operation: str) -> int:
+    def _commit_schema(
+        self, m: Manifest, schema, operation: str,
+        rename_map: dict[str, str] | None = None,
+    ) -> int:
         self._commit_manifest(
             Manifest(
                 version=m.version + 1,
@@ -767,6 +875,7 @@ class SortedTable:
                 bloom_cols=[c for c in m.bloom_cols if c in {f.name for f in schema.fields}],
                 dv_files=list(m.dv_files),
                 operation=operation,
+                rename_map=rename_map,
             )
         )
         return m.version + 1
