@@ -66,13 +66,31 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feat
 
 
+def _pil_decode(payload: bytes):  # pragma: no cover - PIL absent in CI container
+    """Real decode: dims + an 8-dim luminance-grid feature (mean pixel
+    value of a 4×2 downsample) — a deterministic, model-free feature
+    with the same shape as the stub's."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload))
+    width, height = img.size
+    small = img.convert("L").resize((4, 2))
+    feat = [round(px / 255.0, 6) for px in small.getdata()]
+    return width, height, feat
+
+
 def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     """payload → (width, height, feature vector) via mapInPandas.
 
-    Real decode requires PIL/libvips (not in this container) →
-    NotImplementedError unless fake=True. The mapInPandas shape — Arrow
-    batches in, per-batch pandas transform, no driver round-trip — is
-    exactly the production path; only the per-payload function swaps.
+    With PIL installed (import-guarded — absent in this container) the
+    decode is REAL: PIL opens each payload on the executor, dims come
+    from the image, and the 8-dim feature is a 4×2 luminance grid. The
+    mapInPandas shape — Arrow batches in, per-batch pandas transform,
+    no driver round-trip — is identical either way; ``fake=True``
+    forces the deterministic digest stub (the only option without PIL;
+    requesting real decode then raises NotImplementedError).
     """
     try:  # pragma: no cover - decoder libs absent in this container
         import PIL.Image  # noqa: F401
@@ -84,10 +102,12 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
             "real image decode needs PIL/libvips (not installed); pass fake=True "
             "for the deterministic stub decoder"
         )
+    use_real = have_pil and not fake
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pil_decode if use_real else _fake_decode
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -106,11 +126,52 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, fake: bool = True) -> DataFrame:
-    """Video frame sampling stub: emits one row per sampled 'frame'
-    (byte-offset stride stands in for time stride). Demonstrates the
-    1→N mapInPandas expansion shape used for real frame extraction."""
-    if not fake:  # pragma: no cover
-        raise NotImplementedError("real frame sampling needs ffmpeg (not installed)")
+    """Video frame sampling: one row per sampled frame via the 1→N
+    mapInPandas expansion shape.
+
+    ``fake=True`` (default; the only option in this container) strides
+    the payload BYTES — deterministic, library-free, same output shape.
+    ``fake=False`` requires ffmpeg on the executors (import-guarded):
+    frames are extracted at 1 fps through ``ffmpeg -i pipe:0`` per
+    payload, frame_offset is the frame index and frame_digest the frame
+    bytes' digest."""
+    if not fake:  # pragma: no cover - ffmpeg absent in this container
+        import shutil as _sh
+
+        if _sh.which("ffmpeg") is None:
+            raise NotImplementedError(
+                "real frame sampling needs ffmpeg on PATH (not installed); "
+                "use fake=True for the byte-stride stub"
+            )
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import subprocess
+
+            for pdf in batches:
+                ids, offs, sums = [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    proc = subprocess.run(
+                        ["ffmpeg", "-v", "error", "-i", "pipe:0",
+                         "-vf", "fps=1", "-f", "image2pipe",
+                         "-vcodec", "mjpeg", "pipe:1"],
+                        input=bytes(payload or b""), capture_output=True,
+                    )
+                    # split the MJPEG stream on JPEG SOI markers
+                    frames = [b"\xff\xd8" + f
+                              for f in proc.stdout.split(b"\xff\xd8") if f]
+                    for i, fr in enumerate(frames):
+                        ids.append(mid)
+                        offs.append(i)
+                        sums.append(hashlib.blake2b(fr, digest_size=8).hexdigest())
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_offset": offs, "frame_digest": sums}
+                )
+
+        from parquet_rewriter_spark.operators.util import ensure_parallelism
+
+        return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+            run_real, schema="media_id long, frame_offset long, frame_digest string"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

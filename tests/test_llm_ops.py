@@ -598,3 +598,21 @@ def test_jaccard_size_ratio_prefilter_keeps_results(spark):
            for r in jaccard_pairs(df, "doc_id", "text", 0.5, shingle_n=1).collect()}
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - round(7 / 9, 4)) < 1e-9
+
+
+def test_decode_image_real_path_with_pil(spark):
+    """Real decode path — runs wherever PIL exists, skips here."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL_Image.new("RGB", (32, 20), color=(120, 30, 200))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    bt = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id long, payload binary"
+    )
+    out = decode_image(bt, fake=False).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (32, 20)
+    assert len(r.feat) == 8 and all(0.0 <= v <= 1.0 for v in r.feat)
