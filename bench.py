@@ -124,6 +124,7 @@ HEADLINE = [
     "q20_dominant_shippers",
     "q21_last_shipper",
     "segment_dedup_docs",
+    "substring_dup_token_stats",
     "doc_stable_ids",
     "semantic_dedup_survivors",
     "wap_publish_scan",

@@ -5877,6 +5877,57 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substring_dup_token_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, i - 1 AS pos,
+             array_to_string(t[i:i+9], ' ') AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 8)) AS i) r
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    hit AS (SELECT doc_id, pos AS s, pos + 10 AS e FROM g JOIN dup USING (gram)),
+    cov AS (
+      SELECT doc_id,
+             GREATEST(e - GREATEST(s, COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)), 0)
+               AS covered
+      FROM hit
+    ),
+    per_doc AS (SELECT doc_id, SUM(covered) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (COALESCE(dup_tokens, 0) > 0) AS BIGINT)
+             AS docs_with_dups,
+           CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+           CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+           ROUND(SUM(COALESCE(dup_tokens, 0)) / SUM(len(t)), 6) AS dup_frac
+    FROM tok LEFT JOIN per_doc USING (doc_id)
+    GROUP BY source
+    """,
+    "llm-pipeline", "dedup", "substring", "lee-et-al",
+)
+def substring_dup_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring deduplication accounting (Lee et al. 2022): every
+    10-token gram occurring >= 2 times corpus-wide marks its span;
+    per-source stats over the UNIONED span coverage (the ordered
+    interval sweep as one window pass — no per-doc loops). Gram
+    counting is one gram-keyed groupBy with map-side partials, the hit
+    join a gram-keyed equi-join; at corpus scale the gram hashes first
+    (identical plan shape), here it joins by string so DuckDB replays
+    the whole pipeline cell-for-cell."""
+    from parquet_rewriter_spark.operators.dedup import substring_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_dup_stats(
+        d, "doc_id", "text", window=10, group_cols=["source"]
+    )
+
+
+@query(
     "doc_stable_ids",
     """
     SELECT doc_id, lang,

@@ -790,3 +790,94 @@ def segment_dedup(
             ).alias("dedup_text"),
         )
     )
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Token spans covered by EXACT substring duplication: every
+    ``window``-token gram occurring >= 2 times corpus-wide marks its
+    span (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — exact substring dedup at token-window grain; the
+    reference has no analog, this is LLM-pipeline surface).
+
+    Returns (id, s, e): token positions [s, e) covered by a duplicated
+    gram. Spans overlap; consumers union them (substring_dup_stats).
+
+    Scale shape: positions come from the same lambda-free
+    arrays_zip/posexplode layout as _shingle_rows (whole-stage codegen);
+    the duplicate-gram set is one gram-keyed groupBy (map-side partial
+    count) and the hit join is a gram-keyed equi-join — no all-pairs
+    anything. Grams join by STRING here so the correctness gate can
+    replay cell-for-cell in ANSI SQL; at corpus scale hash the gram
+    first (xxhash64) to shrink the shuffle key, identical plan shape.
+    """
+    tok = F.split(F.col(text_col), " ")
+    k = F.size(tok) - (window - 1)  # number of full grams; <=0 → none
+    zipped = F.arrays_zip(
+        *[F.slice(tok, i + 1, F.greatest(k, F.lit(1))) for i in range(window)]
+    )
+    pos_rows = (
+        df.select(F.col(id_col).alias("id"), k.alias("k"),
+                  F.posexplode(zipped).alias("pos", "z"))
+        .filter(F.col("pos") < F.col("k"))  # drop ragged tail / short docs
+        .select(
+            "id", "pos",
+            F.concat_ws(" ", *[F.col("z")[str(i)] for i in range(window)])
+            .alias("g"),
+        )
+    )
+    dup = pos_rows.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    return pos_rows.join(dup.select("g"), "g").select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + window).alias("e")
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group duplication accounting over the unioned span coverage:
+    (group..., n_docs, docs_with_dups, total_tokens, dup_tokens,
+    dup_frac). Span union = the classic ordered-interval sweep as ONE
+    window pass per doc (max-end-so-far), no per-doc loops."""
+    spans = substring_dup_spans(df, id_col, text_col, window)
+    w = (
+        Window.partitionBy("id").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = spans.withColumn(
+        "prev_e", F.coalesce(F.max("e").over(w), F.lit(0))
+    ).select(
+        "id",
+        F.greatest(
+            F.col("e") - F.greatest(F.col("s"), F.col("prev_e")), F.lit(0)
+        ).alias("covered"),
+    )
+    per_doc = covered.groupBy("id").agg(F.sum("covered").alias("dup_tokens"))
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in group_cols],
+        F.size(F.split(F.col(text_col), " ")).alias("n_tok"),
+    )
+    joined = docs.join(per_doc, "id", "left").withColumn(
+        "dup_tokens", F.coalesce("dup_tokens", F.lit(0))
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("dup_tokens") > 0).cast("long")).alias("docs_with_dups"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(F.sum("dup_tokens") / F.sum("n_tok"), 6).alias("dup_frac"),
+        )
+    )

@@ -616,3 +616,32 @@ def test_decode_image_real_path_with_pil(spark):
     r = out[0]
     assert (r.width, r.height) == (32, 20)
     assert len(r.feat) == 8 and all(0.0 <= v <= 1.0 for v in r.feat)
+
+
+def test_substring_dup_spans_and_stats(spark):
+    """Two docs share a 12-token run; with window=10 the three
+    overlapping duplicated grams must union to exactly 12 covered
+    tokens per doc, and unique docs must report zero."""
+    from parquet_rewriter_spark.operators.dedup import (
+        substring_dup_spans,
+        substring_dup_stats,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "intro text here " + shared + " tail one", "a"),
+        (2, "other beginning words " + shared + " ending two two", "a"),
+        (3, "completely unique sentence with many distinct tokens inside it", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    spans = substring_dup_spans(df, "doc_id", "text", window=10).collect()
+    assert {r.id for r in spans} == {1, 2}
+    stats = {
+        r.source: r
+        for r in substring_dup_stats(
+            df, "doc_id", "text", window=10, group_cols=["source"]
+        ).collect()
+    }
+    assert stats["a"].docs_with_dups == 2
+    assert stats["a"].dup_tokens == 24  # 12 covered tokens in each doc
+    assert stats["b"].dup_tokens == 0 and stats["b"].docs_with_dups == 0

@@ -529,3 +529,19 @@ def test_mad_outliers_broadcasts_group_stats(spark, sf_dir):
     p = plan_of(df)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_merge_range_partitioned_is_still_single_exchange(spark, sf_dir):
+    """The write-fused merge shape: range-partitioning the union BEFORE
+    the dedup window must satisfy the window's clustering requirement,
+    so the plan carries exactly ONE exchange (range), zero hash
+    exchanges — the window and the sorted file write share it."""
+    base = load_table(spark, sf_dir, "orders")
+    muts = base.filter(F.col("o_orderkey") % 17 == 0).withColumn("op", F.lit("UPSERT"))
+    p = plan_of(
+        apply_mutations(base, muts, "o_orderkey",
+                        range_partition=True, num_partitions=8)
+    )
+    assert p.count("Arguments: rangepartitioning") == 1, p
+    assert "Arguments: hashpartitioning" not in p, p
+    assert "Window" in p, p
