@@ -125,6 +125,7 @@ HEADLINE = [
     "q21_last_shipper",
     "segment_dedup_docs",
     "substring_dup_token_stats",
+    "distinct_sketch_users",
     "doc_stable_ids",
     "semantic_dedup_survivors",
     "wap_publish_scan",

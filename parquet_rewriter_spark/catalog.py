@@ -5877,6 +5877,46 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "distinct_sketch_users",
+    """
+    -- contract row: the sidecar-union estimate must land within 5% of
+    -- the exact distinct (HLL lgK=12 ~ 1.6% standard error, so 5% is
+    -- a >3-sigma bound), computed WITHOUT scanning a data file
+    SELECT 'all' AS label,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events
+    """,
+    "storage", "sketch", "zone-map", "approx-distinct",
+)
+def distinct_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count zone maps (operators/distinct_sketch.py): per-file
+    HLL sketches in a sidecar, unioned for a scan-free COUNT DISTINCT.
+    The query materializes events as a SortedTable, sketches each file
+    once, and answers the corpus-wide distinct-user question from
+    kilobytes of sidecar — the oracle recomputes the exact count and
+    the 5% contract is folded into the compared output."""
+    from parquet_rewriter_spark.operators.distinct_sketch import (
+        approx_distinct_range,
+        build_distinct_sketches,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    t = SortedTable.create(
+        spark, _scratch("distinct_sketch_events"), ev, key="event_id",
+        max_records_per_file=_scaled_mrpf(ev, 16),
+    )
+    build_distinct_sketches(t, ["user_id"])
+    approx = approx_distinct_range(t, "user_id")
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    return spark.createDataFrame(
+        [("all", int(exact), abs(approx - exact) <= 0.05 * exact)],
+        "label string, n_exact long, within_5pct boolean",
+    )
+
+
+@query(
     "substring_dup_token_stats",
     """
     WITH tok AS (

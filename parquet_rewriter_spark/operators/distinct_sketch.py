@@ -1,0 +1,128 @@
+"""Distinct-count zone maps: per-file mergeable HLL sketches in a
+sidecar, unioned at query time for SCAN-FREE approximate COUNT
+DISTINCT over any pruned file subset.
+
+The reference's zone maps answer "can this file contain key k?"
+(ParquetRewriter.java:253-301); this extends the same
+per-file-metadata idea to a distinct-count question: each data file
+carries a DataSketches HLL of a column, sketches are mergeable
+(union of sketches = sketch of the union, exactly), so the distinct
+count of ANY file subset — e.g. a manifest key range — is one union
+over a handful of kilobyte sidecar rows instead of a table scan.
+
+Incremental by construction: data files are immutable and sketch rows
+key by file name, so ``build_distinct_sketches`` computes sketches
+only for live files that lack one — a merge that rewrote 1% of files
+re-sketches 1%. Stale rows of retired files are ignored at query time
+(live-file filter, same pattern as the bloom sidecar) and cleaned by
+bloom-style vacuum of the sidecar if it ever accretes.
+
+All sketch math is JVM-side (`hll_sketch_agg` / `hll_union_agg` /
+`hll_sketch_estimate` — Apache DataSketches inside Spark); default
+lgConfigK=12 gives ~1.6% standard error at ~2.5 KB per sketch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+SKETCH_DIR = "_distinct"
+
+
+def _sidecar(table) -> str:
+    return os.path.join(table.path, SKETCH_DIR)
+
+
+def build_distinct_sketches(
+    table, cols: list[str], lgk: int = 12
+) -> int:
+    """Sketch every LIVE file missing a sidecar row for any of ``cols``
+    (logical names). One job over just those files: group by source
+    file, one HLL aggregate per column. Returns files sketched."""
+    spark = table.spark
+    m = table.manifest()
+    pcols = [table.to_physical(c, m) for c in cols]
+    have: set[tuple[str, str]] = set()
+    side = _sidecar(table)
+    if os.path.isdir(side):
+        have = {
+            (r["file"], r["col"])
+            for r in spark.read.parquet(side).select("file", "col").collect()
+        }
+    todo = [
+        e.name for e in m.files
+        if any((e.name, c) not in have for c in pcols)
+    ]
+    if not todo:
+        return 0
+    src = spark.read.parquet(*[os.path.join(table.path, n) for n in todo])
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    per_file = src.groupBy(fname.alias("file")).agg(
+        *[F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(c) for c in pcols]
+    )
+    rows = None
+    for c in pcols:
+        part = per_file.select(
+            "file", F.lit(c).alias("col"), F.col(c).alias("sketch")
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    rows.write.mode("append").parquet(side)
+    return len(todo)
+
+
+def approx_distinct_range(
+    table,
+    col: str,
+    lower: Any = None,
+    upper: Any = None,
+) -> int:
+    """Approximate COUNT(DISTINCT col) over the key range
+    [lower, upper] — file pruning from the manifest (driver-side, the
+    zone-map trick), then ONE union over the pruned files' kilobyte
+    sketches. No data file is read. Range grain is the FILE: rows of a
+    boundary file outside the range are included (document the grain;
+    exact range cuts need the scan path)."""
+    spark = table.spark
+    m = table.manifest()
+    pcol = table.to_physical(col, m)
+    keep = [
+        e.name for e in m.files
+        if (upper is None or e.key_min <= upper)
+        and (lower is None or e.key_max >= lower)
+    ]
+    if not keep:
+        return 0
+    side = _sidecar(table)
+    est = (
+        spark.read.parquet(side)
+        .filter((F.col("col") == pcol) & F.col("file").isin(keep))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n"))
+        .first()["n"]
+    )
+    return int(est or 0)
+
+
+def distinct_sketch_report(
+    table, col: str, ranges: list[tuple[str, Any, Any]]
+) -> DataFrame:
+    """(label, files_used, files_total, n_approx) per labelled key
+    range — the observable the catalog query oracles against an exact
+    recount."""
+    m = table.manifest()
+    out = []
+    for label, lo, hi in ranges:
+        keep = [
+            e.name for e in m.files
+            if (hi is None or e.key_min <= hi)
+            and (lo is None or e.key_max >= lo)
+        ]
+        out.append(
+            (label, len(keep), len(m.files),
+             approx_distinct_range(table, col, lo, hi))
+        )
+    return table.spark.createDataFrame(
+        out, "label string, files_used int, files_total int, n_approx long"
+    )

@@ -940,6 +940,86 @@ class SortedTable:
             self._vacuum_blooms(live)
         return removed
 
+    def fsck(self, repair: bool = False, min_age_s: float = 3600.0) -> dict:
+        """Storage-integrity check (and optional repair) for write
+        debris no snapshot references — the operational complement of
+        ``vacuum``, which only collects files RETIRED by commits:
+
+        - ``orphan_staging``: ``_staging-*`` dirs from a writer that
+          crashed between the write job and ``_adopt_staged``;
+        - ``orphan_tmp``: ``_splice-*`` / ``*.patch`` / ``*.tmp-*`` /
+          ``*.heal-*`` leftovers of interrupted splices and commits;
+        - ``orphan_data``: ``part-*.parquet`` referenced by NO retained
+          manifest (e.g. adopted by a commit that lost its version
+          race and was never retried);
+        - ``missing``: manifest-referenced files absent on disk —
+          REPORTED, never repaired (that is data loss, not debris).
+
+        ``repair=True`` deletes the orphan categories, but only items
+        older than ``min_age_s`` — an in-flight writer's staging dir
+        looks identical to a crashed one until it goes stale.
+        Everything here is driver-side file metadata: O(files), no
+        Spark job, safe to run concurrently with readers (orphans are
+        by definition invisible to them)."""
+        import time as _time
+
+        live: set[str] = set()
+        for v in self.versions():
+            try:
+                live.update(e.name for e in self.manifest(v).files)
+            except FileNotFoundError:  # pragma: no cover - race with vacuum
+                continue
+        now = _time.time()
+
+        def _stale(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= min_age_s
+            except OSError:
+                return False
+
+        report: dict[str, list[str]] = {
+            "orphan_staging": [], "orphan_tmp": [],
+            "orphan_data": [], "missing": [],
+        }
+        for name in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, name)
+            if name.startswith("_staging-") and os.path.isdir(full):
+                report["orphan_staging"].append(name)
+            elif (
+                name.startswith("_splice-")
+                or name.endswith(".patch")
+                or ".tmp-" in name
+                or ".heal-" in name
+            ):
+                report["orphan_tmp"].append(name)
+            elif (
+                name.startswith("part-")
+                and name.endswith(".parquet")
+                and name not in live
+            ):
+                report["orphan_data"].append(name)
+        report["missing"] = sorted(
+            n for n in {e.name for e in self.manifest().files}
+            if not os.path.exists(os.path.join(self.path, n))
+        )
+        if repair:
+            repaired = []
+            for name in report["orphan_staging"]:
+                full = os.path.join(self.path, name)
+                if _stale(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    repaired.append(name)
+            for name in report["orphan_tmp"] + report["orphan_data"]:
+                full = os.path.join(self.path, name)
+                if _stale(full):
+                    try:
+                        os.remove(full)
+                        repaired.append(name)
+                    except OSError:  # pragma: no cover
+                        pass
+            report["repaired"] = repaired
+        return report
+
     def _vacuum_blooms(self, live: set[str]) -> None:
         """Rewrite the bloom sidecar keeping only live files' rows —
         the append-only log would otherwise accrete rows for vacuumed

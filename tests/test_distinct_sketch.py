@@ -1,0 +1,73 @@
+"""Distinct-count zone maps: per-file HLL sketches, union-at-query.
+Covers estimate accuracy, file-range pruning, incremental refresh
+after a merge, and rename-mapping translation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.distinct_sketch import (
+    approx_distinct_range,
+    build_distinct_sketches,
+    distinct_sketch_report,
+)
+from parquet_rewriter_spark.operators.merge import merge_into_table
+from parquet_rewriter_spark.table import SortedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    # dense key 0..9999; user = k % 700 → 700 distinct overall
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 700).alias("user")
+    )
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=1_000)
+    return t
+
+
+def test_estimate_within_tolerance_and_scan_free_pruning(spark, table):
+    n = build_distinct_sketches(table, ["user"])
+    assert n == len(table.manifest().files) > 1
+    est = approx_distinct_range(table, "user")
+    assert abs(est - 700) <= 0.05 * 700
+    # pruned range: estimate grain is the FILE subset overlapping the
+    # range — compare against the exact distinct over those same files
+    rep = {r.label: r for r in distinct_sketch_report(
+        table, "user", [("head", 0, 499), ("all", None, None)]
+    ).collect()}
+    assert rep["head"].files_used < rep["head"].files_total
+    import os
+    m = table.manifest()
+    kept = [os.path.join(table.path, e.name) for e in m.files
+            if e.key_min <= 499]
+    exact_head = (
+        spark.read.parquet(*kept).select("user").distinct().count()
+    )
+    assert abs(rep["head"].n_approx - exact_head) <= max(2, 0.05 * exact_head)
+    assert abs(rep["all"].n_approx - 700) <= 0.05 * 700
+
+
+def test_incremental_refresh_after_merge(spark, table):
+    build_distinct_sketches(table, ["user"])
+    # dirty one file's range only
+    muts = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(9999).alias("user")
+    )
+    merge_into_table(table, muts, allow_splice=False)
+    n2 = build_distinct_sketches(table, ["user"])
+    assert 1 <= n2 < len(table.manifest().files)  # only rewritten files
+    est = approx_distinct_range(table, "user")
+    # users now: 700 originals minus none (only keys 0..99 overwritten,
+    # their old users 0..99 still appear at higher keys) plus 9999
+    assert abs(est - 701) <= 0.05 * 701
+
+
+def test_sketches_respect_rename_mapping(spark, table):
+    build_distinct_sketches(table, ["user"])
+    table.rename_column("user", "uid")
+    est = approx_distinct_range(table, "uid")
+    assert abs(est - 700) <= 0.05 * 700
+    # a refresh via the NEW name is a no-op (sidecar keyed physically)
+    assert build_distinct_sketches(table, ["uid"]) == 0

@@ -312,3 +312,51 @@ def test_vacuum_time_based_retention_keeps_asof_reads(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         t.manifest(versions[0])
+
+
+def test_fsck_detects_and_repairs_write_debris(spark, tmp_path):
+    """Crashed-writer debris (staging dirs, splice tmp, race-lost data
+    files) must be detected, and repaired only once stale; manifest-
+    referenced files and live data are never touched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=50)
+    # plant debris
+    os.makedirs(os.path.join(t.path, "_staging-deadbeef"))
+    open(os.path.join(t.path, "_splice-part-x.parquet"), "wb").write(b"x")
+    open(os.path.join(t.path, "part-orphan00.parquet"), "wb").write(b"x")
+    open(os.path.join(t.path, "_manifest.json.tmp-crashed"), "w").write("{}")
+
+    rep = t.fsck()
+    assert rep["orphan_staging"] == ["_staging-deadbeef"]
+    assert "_splice-part-x.parquet" in rep["orphan_tmp"]
+    assert "_manifest.json.tmp-crashed" in rep["orphan_tmp"]
+    assert rep["orphan_data"] == ["part-orphan00.parquet"]
+    assert rep["missing"] == []
+
+    # too fresh to repair: nothing deleted
+    rep2 = t.fsck(repair=True, min_age_s=3600)
+    assert rep2["repaired"] == []
+    assert os.path.isdir(os.path.join(t.path, "_staging-deadbeef"))
+
+    # stale: all debris removed, table still reads
+    rep3 = t.fsck(repair=True, min_age_s=0.0)
+    assert sorted(rep3["repaired"]) == sorted(
+        rep["orphan_staging"] + rep["orphan_tmp"] + rep["orphan_data"]
+    )
+    assert not os.path.exists(os.path.join(t.path, "_staging-deadbeef"))
+    assert t.read().count() == 100
+    assert t.fsck() == {
+        "orphan_staging": [], "orphan_tmp": [], "orphan_data": [], "missing": []
+    }
+
+    # missing file detection (report-only)
+    victim = t.manifest().files[0].name
+    os.remove(os.path.join(t.path, victim))
+    assert t.fsck()["missing"] == [victim]
