@@ -61,6 +61,7 @@ HEADLINE = [
     "orders_with_big_lineitem",
     "winnow_fingerprint_pairs",
     "zorder_then_filter_scan",
+    "hilbert_then_filter_scan",
     "ann_ivf_topk",
     "doc_sentences_udtf",
     "table_changes_feed",

@@ -2000,6 +2000,43 @@ def zorder_then_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hilbert_then_filter_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 100000 AND o_custkey < 500
+    GROUP BY o_orderstatus
+    """,
+    "storage", "hilbert", "clustering",
+)
+def hilbert_then_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout end-to-end (operators/zorder.py:hilbert_*):
+    unlike Morton, the Hilbert curve is CONTINUOUS, so each range-
+    partitioned file covers one compact CONNECTED region of
+    (o_custkey, o_totalprice) space and footer min/max prune strictly
+    tighter on average (Moon et al., TKDE 2001). Same lossless-rewrite
+    oracle as the Morton query: filter+agg results must be identical
+    to the original table's."""
+    from parquet_rewriter_spark.operators.zorder import hilbert_write
+
+    o = _t(spark, sf_dir, "orders")
+    path = _scratch("hilbert_orders")
+    hilbert_write(o, path, ["o_custkey", "o_totalprice"], num_files=16)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            F.col("o_totalprice").between(50000, 100000) & (F.col("o_custkey") < 500)
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "compact_then_scan",
     """
     SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue

@@ -82,6 +82,27 @@ def apply_mutations(
     mut = mutations
     if OP_COLUMN not in mut.columns:
         mut = mut.withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    else:
+        # op validation INSIDE the plan (raise_error folds into codegen —
+        # no extra job): a typo'd op ("delete", "D") would otherwise be
+        # silently treated as an upsert by the != DELETE filter below,
+        # resurrecting rows the caller meant to remove
+        mut = mut.withColumn(
+            OP_COLUMN,
+            F.when(
+                F.col(OP_COLUMN).isin(OP_UPSERT, OP_DELETE), F.col(OP_COLUMN)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"invalid mutation op (expected {OP_UPSERT!r} "
+                            f"or {OP_DELETE!r}): "
+                        ),
+                        F.col(OP_COLUMN),
+                    )
+                )
+            ),
+        )
     # The tiebreak only discriminates among MUTATION rows (base keys are
     # unique by table invariant, and _PRIORITY already ranks mutations
     # before base), so the per-row hash / seq is computed on the small

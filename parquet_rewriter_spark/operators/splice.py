@@ -174,6 +174,9 @@ def splice_merge(
     """
     if OP_COLUMN not in mut_pdf.columns:
         mut_pdf = mut_pdf.assign(**{OP_COLUMN: OP_UPSERT})
+    bad_ops = set(mut_pdf[OP_COLUMN].unique()) - {OP_UPSERT, OP_DELETE}
+    if bad_ops:  # same contract as apply_mutations' in-plan raise_error
+        raise ValueError(f"invalid mutation op values: {sorted(bad_ops)}")
     if mut_pdf[key].duplicated().any():
         raise ValueError("duplicate mutation keys — distributed tiebreak required")
     stats_cols = tuple(table.manifest().stats_cols)

@@ -163,3 +163,134 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_interleave_2d(x: Column, y: Column, bits: int = 8) -> Column:
+    """2-D Hilbert index of (already bucket-normalized) cell
+    coordinates — pure bitwise/when expressions, evaluated in codegen.
+
+    Morton's bit-interleave has 'seams': consecutive codes can jump
+    across the key space (the curve teleports at power-of-two
+    boundaries), so a range-partitioned file can cover two distant
+    rectangles. The Hilbert curve is CONTINUOUS — every successive cell
+    is an orthogonal neighbor — so equal-size code ranges map to more
+    compact regions and footer min/max prune strictly tighter on
+    average (Moon et al., "Analysis of the Clustering Properties of the
+    Hilbert Space-Filling Curve", TKDE 2001).
+
+    Classic top-down d2xy inverse, unrolled over ``bits`` levels: at
+    each level take the quadrant, add its curve offset (s² cells), and
+    apply the quadrant's reflection/swap to the remaining low bits.
+
+    NOTE: this purely-functional form duplicates the previous level's
+    (x, y) subtrees ~4× per level — fine as a standalone expression at
+    small ``bits`` (the algorithm pin in tests uses 4), but inside a
+    projection chain CollapseProject substitutes through it and the
+    plan explodes (OOMs a default-1g driver at bits≥5). Pipelines use
+    :func:`_hilbert_col`, which materializes per-level state as columns
+    for linear plan growth.
+    """
+    xx, yy = x.cast("long"), y.cast("long")
+    d = F.lit(0).cast("long")
+    for level in range(bits - 1, -1, -1):
+        s = F.lit(1 << level).cast("long")
+        rx = F.shiftright(xx, level).bitwiseAND(F.lit(1))
+        ry = F.shiftright(yy, level).bitwiseAND(F.lit(1))
+        d = d + s * s * ((F.lit(3) * rx).bitwiseXOR(ry))
+        # rotate the sub-quadrant: if ry==0 (and if rx==1, reflect), swap x/y
+        reflect = (ry == 0) & (rx == 1)
+        nx = F.when(reflect, s - 1 - xx).otherwise(xx)
+        ny = F.when(reflect, s - 1 - yy).otherwise(yy)
+        xx, yy = F.when(ry == 0, ny).otherwise(nx), F.when(ry == 0, nx).otherwise(ny)
+    return d
+
+
+def hilbert_by(
+    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float | None = None
+) -> DataFrame:
+    """Add a ``__h`` Hilbert-index column over exactly TWO columns —
+    the drop-in alternative to :func:`zorder_by` with tighter locality
+    (see hilbert_interleave_2d). Same rank-normalization front end: one
+    quantile pass, codegen bucket search, no shuffle."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_by is 2-D; use zorder_by for other arities")
+    n_bounds = 2 ** bits - 1
+    if rel_err is None:
+        rel_err = 1.0 / (2 ** (bits + 2))
+    probs = [(i + 1) / (2 ** bits) for i in range(n_bounds)]
+    accuracy = 65536 if rel_err <= 0 else max(100, int(round(1.0 / rel_err)))
+    num = df.select(*[_as_double(df, c).alias(c) for c in cols])
+    row = num.agg(
+        *[F.percentile_approx(c, F.lit(probs), F.lit(accuracy)).alias(c) for c in cols]
+    ).first()
+    out = df
+    bucket_cols = []
+    for c in cols:
+        bname = f"__hb_{c}"
+        out = _with_bucket_col(out, bname, _as_double(df, c), list(row[c]), bits)
+        bucket_cols.append(bname)
+    out = _hilbert_col(out, "__h", bucket_cols[0], bucket_cols[1], bits)
+    return out.drop(*bucket_cols)
+
+
+def _hilbert_col(df: DataFrame, out_col: str, xcol: str, ycol: str, bits: int) -> DataFrame:
+    """Materialized-state Hilbert index: the same xy2d recurrence as
+    :func:`hilbert_interleave_2d`, but each level's rotation state is a
+    COLUMN, not a nested expression. The purely-functional form
+    references the previous level's (x, y) trees four times per level —
+    ~4^bits node growth once CollapseProject substitutes through the
+    projection chain, which OOMs a default-1g driver at bits≥5 (the
+    _with_bucket_col lesson, squared). Per-level withColumn keeps the
+    plan linear in ``bits`` and everything still fuses into one codegen
+    stage."""
+    hx, hy, hh = f"{out_col}__x", f"{out_col}__y", out_col
+    rx, ry, nx, ny = (f"{out_col}__rx", f"{out_col}__ry",
+                      f"{out_col}__nx", f"{out_col}__ny")
+    out = (
+        df.withColumn(hx, F.col(xcol).cast("long"))
+        .withColumn(hy, F.col(ycol).cast("long"))
+        .withColumn(hh, F.lit(0).cast("long"))
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        out = (
+            out.withColumn(rx, F.shiftright(F.col(hx), level).bitwiseAND(F.lit(1)))
+            .withColumn(ry, F.shiftright(F.col(hy), level).bitwiseAND(F.lit(1)))
+        )
+        out = out.withColumn(
+            hh,
+            F.col(hh)
+            + F.lit(s * s).cast("long")
+            * (F.lit(3) * F.col(rx)).bitwiseXOR(F.col(ry)).cast("long"),
+        )
+        reflect = (F.col(ry) == 0) & (F.col(rx) == 1)
+        out = (
+            out.withColumn(nx, F.when(reflect, F.lit(s - 1) - F.col(hx)).otherwise(F.col(hx)))
+            .withColumn(ny, F.when(reflect, F.lit(s - 1) - F.col(hy)).otherwise(F.col(hy)))
+        )
+        out = (
+            out.withColumn(hx, F.when(F.col(ry) == 0, F.col(ny)).otherwise(F.col(nx)))
+            .withColumn(hy, F.when(F.col(ry) == 0, F.col(nx)).otherwise(F.col(ny)))
+        )
+    return out.drop(hx, hy, rx, ry, nx, ny)
+
+
+def hilbert_write(
+    df: DataFrame, path: str, cols: list[str], num_files: int,
+    bits: int | None = None,
+) -> None:
+    """:func:`zorder_write` with the Hilbert index — each output file
+    covers a CONTIGUOUS curve segment, i.e. one compact connected
+    region of (A, B) space."""
+    if bits is None:
+        import math
+
+        bits = min(8, max(4, math.ceil(math.log2(max(num_files, 2) * 64) / len(cols))))
+    (
+        hilbert_by(df, cols, bits)
+        .repartitionByRange(num_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

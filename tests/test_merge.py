@@ -566,3 +566,20 @@ def test_splice_raw_appends_clean_row_groups_byte_identical(spark, tmp_path):
             assert orig_bytes[sa:sa + la] == new_bytes[sb:sb + la], (
                 f"rg {rg} col {ci}: bytes differ"
             )
+
+
+def test_invalid_op_values_raise(spark, tmp_path):
+    """A typo'd op ("delete", "D") must raise, not silently upsert —
+    on BOTH the distributed path (in-plan raise_error) and the splice
+    path (driver-side check)."""
+    import pytest
+
+    t, _ = _mk_multi_rg_table(spark, tmp_path)
+    bad = spark.createDataFrame([(5, b"x" * 20, "delete")],
+                                "key long, value binary, op string")
+    with pytest.raises(Exception, match="invalid mutation op"):
+        merge_into_table(t, bad, allow_splice=False)
+    with pytest.raises(Exception, match="invalid mutation op"):
+        merge_into_table(t, bad)  # splice path
+    # table untouched either way
+    assert t.read().count() == 1000

@@ -73,3 +73,124 @@ def test_morton_code_orders_rectangles(spark):
     # locality: the four cells of each aligned 2x2 block are contiguous
     block = sorted(codes[(a, b)] for a, b in [(0, 0), (0, 1), (1, 0), (1, 1)])
     assert block == list(range(block[0], block[0] + 4))
+
+
+def _hilbert_ref(x, y, n):
+    """Reference d2xy→d (Wikipedia xy2d) for the correctness pin."""
+    rx = ry = 0
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_interleave_matches_reference_and_is_bijective(spark):
+    from parquet_rewriter_spark.operators.zorder import hilbert_interleave_2d
+
+    bits = 4
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.h
+        for r in grid.withColumn(
+            "h", hilbert_interleave_2d(F.col("x"), F.col("y"), bits)
+        ).collect()
+    }
+    ref = {(x, y): _hilbert_ref(x, y, n) for x in range(n) for y in range(n)}
+    assert got == ref
+    assert sorted(got.values()) == list(range(n * n))  # bijective
+    # the materialized-column variant (what pipelines actually run —
+    # linear plan growth) must compute the identical index
+    from parquet_rewriter_spark.operators.zorder import _hilbert_col
+
+    got2 = {
+        (r.x, r.y): r.h for r in _hilbert_col(grid, "h", "x", "y", bits).collect()
+    }
+    assert got2 == ref
+
+
+def test_hilbert_is_continuous_morton_is_not(spark):
+    """Every consecutive Hilbert index pair must be orthogonal
+    NEIGHBORS (step distance 1) — the locality property Morton lacks."""
+    from parquet_rewriter_spark.operators.zorder import hilbert_interleave_2d, morton_interleave
+
+    bits = 4
+    n = 1 << bits
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+    )
+    h = {
+        r.h: (r.x, r.y)
+        for r in grid.withColumn(
+            "h", hilbert_interleave_2d(F.col("x"), F.col("y"), bits)
+        ).collect()
+    }
+    steps = [
+        abs(h[i][0] - h[i + 1][0]) + abs(h[i][1] - h[i + 1][1])
+        for i in range(n * n - 1)
+    ]
+    assert set(steps) == {1}
+    m = {
+        r.m: (r.x, r.y)
+        for r in grid.withColumn(
+            "m", morton_interleave([F.col("x"), F.col("y")], bits)
+        ).collect()
+    }
+    msteps = [
+        abs(m[i][0] - m[i + 1][0]) + abs(m[i][1] - m[i + 1][1])
+        for i in range(n * n - 1)
+    ]
+    assert max(msteps) > 1  # Morton teleports at power-of-two seams
+
+
+def test_hilbert_write_prunes_box_queries(spark, sf_dir, tmp_path):
+    """Hilbert layout: a 2-D box predicate must prune a strict subset
+    of files via footer min/max — and never scan more files than an
+    unclustered layout."""
+    import pyarrow.parquet as pq
+
+    from parquet_rewriter_spark.operators.zorder import hilbert_write
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "hil")
+    hilbert_write(orders, p, ["o_custkey", "o_totalprice"], num_files=16)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) >= 8
+    lo_ck, hi_ck = 0, 200
+    lo_tp, hi_tp = 1000.0, 50000.0
+    kept = 0
+    for f in files:
+        md = pq.ParquetFile(os.path.join(p, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        keep = False
+        for rg in range(md.num_row_groups):
+            ck = md.row_group(rg).column(idx["o_custkey"]).statistics
+            tp = md.row_group(rg).column(idx["o_totalprice"]).statistics
+            if ck.min <= hi_ck and ck.max >= lo_ck and tp.min <= hi_tp and tp.max >= lo_tp:
+                keep = True
+        kept += keep
+    assert kept < len(files)  # the box prunes
+    got = (
+        spark.read.parquet(p)
+        .filter(
+            (F.col("o_custkey").between(lo_ck, hi_ck))
+            & (F.col("o_totalprice").between(lo_tp, hi_tp))
+        )
+        .count()
+    )
+    exp = orders.filter(
+        (F.col("o_custkey").between(lo_ck, hi_ck))
+        & (F.col("o_totalprice").between(lo_tp, hi_tp))
+    ).count()
+    assert got == exp
