@@ -91,6 +91,8 @@ HEADLINE = [
     "stream_heavy_hitter_tokens",
     "tdigest_price_quantiles",
     "purchase_asof_click_nearest",
+    "u_shape_attribution",
+    "event_transition_matrix",
     "hourly_value_gapfilled",
     "user_purchase_funnel",
     "mixture_token_budget_sample",

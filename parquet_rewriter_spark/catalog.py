@@ -539,6 +539,138 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u_shape_attribution",
+    """
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS t_id, user_id, CAST(ts AS TIMESTAMP) AS t_ts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.p_id, p.value, t.t_id, t.touch_type, t.t_ts
+      FROM p JOIN t USING (user_id)
+      WHERE t.t_ts > p.p_ts - INTERVAL 24 HOURS AND t.t_ts <= p.p_ts
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+             count(*) OVER (PARTITION BY p_id) AS n
+      FROM j
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(value * CASE WHEN n = 1 THEN 1.0
+                                  WHEN n = 2 THEN 0.5
+                                  WHEN rn = 1 OR rn = n THEN 0.4
+                                  ELSE 0.2 / (n - 2) END), 2)
+             AS attributed_value
+    FROM r GROUP BY touch_type
+    """,
+    "analytics", "attribution", "range-join", "window",
+)
+def u_shape_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shape) multi-touch attribution: every click or
+    view in the 24h before a purchase shares the purchase value — first
+    and last touch 40% each, middles split the remaining 20% (n=1 →
+    100%, n=2 → 50/50). The per-user time-band join is an equi-join on
+    user_id with the band as a post-filter (operators/joins.py
+    range_join — never a cross join); weights are two window passes
+    over the matched touches. The single-touch as-of queries pick ONE
+    touch; this distributes over ALL of them — the other half of the
+    ad-tech attribution surface."""
+    from parquet_rewriter_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts", "value"
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"), "user_id", "ts",
+        F.col("event_type").alias("touch_type"),
+    )
+    j = range_join(
+        p, t, by="user_id", on="ts",
+        lower=F.col("l.ts") - F.expr("INTERVAL 24 HOURS"),
+        upper=F.col("l.ts"),
+    ).select(
+        F.col("l.p_id").alias("p_id"), F.col("l.value").alias("value"),
+        F.col("r.t_id").alias("t_id"), F.col("r.touch_type").alias("touch_type"),
+        F.col("r.ts").alias("t_ts"),
+    )
+    w = Window.partitionBy("p_id")
+    r = j.withColumn(
+        "rn", F.row_number().over(w.orderBy("t_ts", "t_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    wt = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        r.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.col("value") * wt), 2).alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type
+      FROM seq WHERE prev_type IS NOT NULL
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(count(*) * 1.0 / SUM(count(*)) OVER (PARTITION BY from_type), 6)
+             AS p
+    FROM pairs GROUP BY from_type, to_type
+    """,
+    "analytics", "clickstream", "markov", "window",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream: lag() over (user, time) gives consecutive pairs — one
+    shuffle on user_id (map-side combine on the count) — then each
+    from-state row normalizes by its outgoing total via a 25-row window.
+    The journey-analysis complement of the funnel query: the funnel
+    checks ONE path, this measures every edge's probability."""
+    e = _t(spark, sf_dir, "events")
+    seq = e.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = (
+        seq.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+@query(
     "purchase_asof_click_nearest",
     """
     WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
