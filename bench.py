@@ -171,6 +171,7 @@ HEADLINE = [
     "order_value_quartile_buckets",
     "replica_sync_scan",
     "stream_matview_user_totals",
+    "stream_distinct_sketch_users",
     "stream_csv_ingest_counts",
     "stream_user_value_ewma",
     "weekly_cohort_retention",

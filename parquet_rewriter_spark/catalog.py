@@ -6086,6 +6086,56 @@ def distinct_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_distinct_sketch_users",
+    """
+    -- the sidecar estimate after ALL micro-batches have merged must
+    -- land within 5% of the exact distinct over the full stream
+    SELECT 'streamed' AS label,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_5pct
+    FROM events
+    """,
+    "streaming", "sketch", "approx-distinct", "storage",
+)
+def stream_distinct_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the distinct-count zone maps: events
+    stream into a SortedTable via foreachBatch merges (a third seeds
+    the table, pre-sketched), then ONE sidecar refresh sketches only
+    the files the stream's merges rewrote — file immutability makes the
+    refresh incremental for free, whether run per-epoch or after the
+    drain. The final scan-free estimate must match the exact distinct
+    over everything that flowed through, which is the oracle."""
+    import uuid as _uuid
+
+    from parquet_rewriter_spark.operators.distinct_sketch import (
+        approx_distinct_range,
+        build_distinct_sketches,
+    )
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_merge_into_table,
+        stream_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    tbl = SortedTable.create(
+        spark, _scratch("sds_base"), ev.filter(F.col("event_id") % 3 == 0),
+        key="event_id", max_records_per_file=_scaled_mrpf(ev, 8),
+    )
+    build_distinct_sketches(tbl, ["user_id"])
+    stream = stream_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ckpt = _scratch(f"sds_ckpt_{_uuid.uuid4().hex[:8]}")
+    stream_merge_into_table(stream, tbl, ckpt, txn_app="sds")
+    build_distinct_sketches(tbl, ["user_id"])
+    approx = approx_distinct_range(tbl, "user_id")
+    exact = ev.select(F.count_distinct("user_id")).first()[0]
+    return spark.createDataFrame(
+        [("streamed", int(exact), abs(approx - exact) <= 0.05 * exact)],
+        "label string, n_exact long, within_5pct boolean",
+    )
+
+
+@query(
     "substring_dup_token_stats",
     """
     WITH tok AS (
