@@ -149,22 +149,26 @@ class IVFVectorIndex:
         stale = self._locate(ids)
         from parquet_rewriter_spark.operators.merge import merge_into_table
 
-        res_del: dict[str, Any] = {}
+        ups = self._assign(df, id_col, vec_col).withColumn("op", F.lit("UPSERT"))
         if stale:
+            # ONE merge for both phases: stale rows carry OLD composite
+            # keys, re-embedded rows NEW ones — disjoint key sets, so
+            # deletes and upserts compose in a single mutation batch
+            # (half the commit/planning overhead of two merges). Schema
+            # fetched once (each .read() call re-lists the table files).
+            schema = self.table.read_physical().schema
             dels = self.spark.createDataFrame(
                 [(k,) for k in stale], f"{IDX_KEY} long"
             ).withColumn("op", F.lit("DELETE"))
-            schema_cols = [f.name for f in self.table.read().schema.fields]
-            for c in schema_cols:
-                if c not in (IDX_KEY, "op"):
-                    dels = dels.withColumn(
-                        c, F.lit(None).cast(dict(self.table.read().dtypes)[c])
-                    )
-            res_del = merge_into_table(self.table, dels.select(*schema_cols, "op"))
-        ups = self._assign(df, id_col, vec_col).withColumn("op", F.lit("UPSERT"))
-        res = merge_into_table(self.table, ups)
+            for f in schema.fields:
+                if f.name != IDX_KEY:
+                    dels = dels.withColumn(f.name, F.lit(None).cast(f.dataType))
+            cols = [f.name for f in schema.fields] + ["op"]
+            muts = ups.select(*cols).unionByName(dels.select(*cols))
+        else:
+            muts = ups
+        res = merge_into_table(self.table, muts)
         res["stale_deleted"] = len(stale)
-        res["delete_files_dirty"] = res_del.get("files_dirty", 0)
         return res
 
     def delete(self, ids: Sequence[int]) -> dict:
