@@ -294,3 +294,101 @@ def hilbert_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _hilbert_nd_col(
+    df: DataFrame, out_col: str, coord_cols: list[str], bits: int
+) -> DataFrame:
+    """N-dimensional Hilbert index via Skilling's transform
+    ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004):
+    undo the per-level rotations/reflections on the coordinate vector,
+    Gray-decode, then bit-interleave the transposed result (the Morton
+    combiner!). Everything is bitwise/when column ops with per-level
+    state MATERIALIZED as columns — linear plan growth in bits×dims
+    (see _hilbert_col for why the functional form is a planner bomb).
+    """
+    n = len(coord_cols)
+    xs = [f"{out_col}__c{i}" for i in range(n)]
+    out = df
+    for x, c in zip(xs, coord_cols):
+        out = out.withColumn(x, F.col(c).cast("long"))
+    t = f"{out_col}__t"
+    # inverse undo of rotations (coords → transpose), high bit down to 2^1
+    for level in range(bits - 1, 0, -1):
+        Q = 1 << level
+        P = Q - 1
+        for i in range(n):
+            qset = F.col(xs[i]).bitwiseAND(F.lit(Q)) != 0
+            # if bit set: invert low bits of x0; else swap low bits x0<->xi
+            out = out.withColumn(
+                t, F.col(xs[0]).bitwiseXOR(F.col(xs[i])).bitwiseAND(F.lit(P))
+            )
+            out = out.withColumn(
+                xs[0],
+                F.when(qset, F.col(xs[0]).bitwiseXOR(F.lit(P)))
+                .otherwise(F.col(xs[0]).bitwiseXOR(F.col(t))),
+            )
+            out = out.withColumn(
+                xs[i],
+                F.when(qset, F.col(xs[i]))
+                .otherwise(F.col(xs[i]).bitwiseXOR(F.col(t))),
+            )
+    # Gray encode
+    for i in range(1, n):
+        out = out.withColumn(xs[i], F.col(xs[i]).bitwiseXOR(F.col(xs[i - 1])))
+    # t = accumulated parity of the last coordinate's high bits
+    out = out.withColumn(t, F.lit(0).cast("long"))
+    for level in range(bits - 1, 0, -1):
+        Q = 1 << level
+        out = out.withColumn(
+            t,
+            F.when(
+                F.col(xs[n - 1]).bitwiseAND(F.lit(Q)) != 0,
+                F.col(t).bitwiseXOR(F.lit(Q - 1)),
+            ).otherwise(F.col(t)),
+        )
+    for i in range(n):
+        out = out.withColumn(xs[i], F.col(xs[i]).bitwiseXOR(F.col(t)))
+    # transpose-interleave: bit b of coord i lands at position
+    # b*n + (n-1-i) — coord 0 carries the MOST significant bits
+    parts = []
+    for b in range(bits):
+        for i in range(n):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(F.col(xs[i]), b).bitwiseAND(F.lit(1)),
+                    b * n + (n - 1 - i),
+                )
+            )
+    code = reduce(lambda a, x: a.bitwiseOR(x), parts)
+    return out.withColumn(out_col, code.cast("long")).drop(*xs, t)
+
+
+def hilbert_nd_by(
+    df: DataFrame, cols: list[str], bits: int = 6, rel_err: float | None = None
+) -> DataFrame:
+    """:func:`hilbert_by` for ANY arity ≥ 2 — adds a ``__h`` Hilbert
+    index over the rank-normalized columns via Skilling's transform.
+    Default 6 bits/dim: 3 dims → 2^18 cells, plenty at file granularity
+    (total index bits = bits × dims must stay < 63)."""
+    if len(cols) < 2:
+        raise ValueError("hilbert_nd_by needs at least two columns")
+    if bits * len(cols) >= 63:
+        raise ValueError("bits × dims must stay under 63 (long index)")
+    n_bounds = 2 ** bits - 1
+    if rel_err is None:
+        rel_err = 1.0 / (2 ** (bits + 2))
+    probs = [(i + 1) / (2 ** bits) for i in range(n_bounds)]
+    accuracy = 65536 if rel_err <= 0 else max(100, int(round(1.0 / rel_err)))
+    num = df.select(*[_as_double(df, c).alias(c) for c in cols])
+    row = num.agg(
+        *[F.percentile_approx(c, F.lit(probs), F.lit(accuracy)).alias(c) for c in cols]
+    ).first()
+    out = df
+    bucket_cols = []
+    for c in cols:
+        bname = f"__hnb_{c}"
+        out = _with_bucket_col(out, bname, _as_double(df, c), list(row[c]), bits)
+        bucket_cols.append(bname)
+    out = _hilbert_nd_col(out, "__h", bucket_cols, bits)
+    return out.drop(*bucket_cols)

@@ -194,3 +194,43 @@ def test_hilbert_write_prunes_box_queries(spark, sf_dir, tmp_path):
         & (F.col("o_totalprice").between(lo_tp, hi_tp))
     ).count()
     assert got == exp
+
+
+def test_hilbert_nd_is_continuous_and_bijective(spark):
+    """Skilling's N-D transform must produce a true Hilbert curve:
+    bijective over the grid and CONTINUOUS (consecutive indices are
+    orthogonal neighbors, step distance exactly 1) — checked in 3-D,
+    and in 2-D for parity with the dedicated 2-D implementation's
+    properties."""
+    from parquet_rewriter_spark.operators.zorder import _hilbert_nd_col
+
+    for dims, bits in ((2, 4), (3, 3)):
+        n = 1 << bits
+        import itertools
+
+        pts = list(itertools.product(range(n), repeat=dims))
+        cols = [f"c{i}" for i in range(dims)]
+        grid = spark.createDataFrame(pts, ", ".join(f"{c} int" for c in cols))
+        got = {
+            tuple(r[c] for c in cols): r.h
+            for r in _hilbert_nd_col(grid, "h", cols, bits).collect()
+        }
+        assert sorted(got.values()) == list(range(n ** dims)), (dims, bits)
+        by_d = {d: p for p, d in got.items()}
+        steps = [
+            sum(abs(a - b) for a, b in zip(by_d[i], by_d[i + 1]))
+            for i in range(n ** dims - 1)
+        ]
+        assert set(steps) == {1}, (dims, bits)
+
+
+def test_hilbert_nd_by_three_columns(spark, sf_dir):
+    from parquet_rewriter_spark.operators.zorder import hilbert_nd_by
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = hilbert_nd_by(orders, ["o_custkey", "o_totalprice", "o_orderkey"], bits=5)
+    assert "__h" in out.columns
+    n = out.count()
+    assert n == orders.count()
+    mx = out.agg(F.max("__h")).first()[0]
+    assert 0 <= mx < (1 << 15)
