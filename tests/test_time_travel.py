@@ -360,3 +360,31 @@ def test_fsck_detects_and_repairs_write_debris(spark, tmp_path):
     victim = t.manifest().files[0].name
     os.remove(os.path.join(t.path, victim))
     assert t.fsck()["missing"] == [victim]
+
+
+def test_validate_clean_and_corrupted(spark, tmp_path):
+    """validate(): a healthy table audits clean; an out-of-band file
+    swap (content not matching the manifest) is caught."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=500)
+    rep = t.validate()
+    assert rep["ok"] and rep["files"] >= 4, rep
+
+    # corrupt: overwrite one data file with another one's bytes —
+    # rows/min/max no longer match its manifest entry, and the stray
+    # copy duplicates every key of the source file
+    files = [e.name for e in t.manifest().files]
+    shutil.copyfile(
+        str(tmp_path / "t" / files[0]), str(tmp_path / "t" / files[1])
+    )
+    rep2 = t.validate()
+    assert not rep2["ok"]
+    assert rep2["manifest_mismatches"] >= 1
+    assert rep2["duplicate_keys"] == 500
