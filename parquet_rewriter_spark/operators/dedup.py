@@ -61,8 +61,10 @@ def jaccard_pairs(
     cond = F.col("a.id") < F.col("b.id")
     # size-ratio prefilter: J(A,B) >= t implies t·max(|A|,|B|) <= min —
     # evaluated on two ints before the O(|A|+|B|) set ops, it discards
-    # most candidate pairs of a block for pennies and keeps a skewed
-    # block (many docs, one language) from paying full quadratic cost
+    # length-mismatched pairs for pennies. On a length-HOMOGENEOUS
+    # fixture it prunes little and costs ~10% (measured at sf0.1); on a
+    # real corpus with heavy-tailed lengths it is the standard guard
+    # that keeps a hot block from paying full quadratic set-op cost
     cond = cond & (F.col("a.ns") * threshold <= F.col("b.ns"))
     cond = cond & (F.col("b.ns") * threshold <= F.col("a.ns"))
     for c in block_cols:
