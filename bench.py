@@ -145,6 +145,7 @@ HEADLINE = [
     "scd2_pointintime_status",
     "partition_pruned_scan",
     "python_ds_key_range_scan",
+    "python_ds_pushdown_scan",
     "stream_purchase_click_leftjoin",
     "vacuum_then_scan",
     "timestamp_asof_scan",

@@ -7000,6 +7000,50 @@ def python_ds_key_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "python_ds_pushdown_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderkey >= 2000 AND o_orderkey < 6000
+      AND o_totalprice <= 150000
+    GROUP BY o_orderstatus
+    """,
+    "sources", "python-datasource", "filter-pushdown",
+)
+def python_ds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter PUSHDOWN through the Python DataSource (Spark 4
+    pushFilters): the predicates arrive as ordinary .filter() calls —
+    no source options — and the source uses them to prune files (key
+    zone maps + secondary col_stats) and row groups (footer stats)
+    while returning every filter as unsupported so Spark re-applies the
+    exact comparisons. Same lossless oracle shape as the option-driven
+    range scan."""
+    from parquet_rewriter_spark.sources.pyds import register
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = SortedTable.create(
+        spark, _scratch("pyds_push"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 8), stats_cols=["o_totalprice"],
+    )
+    register(spark)
+    df = (
+        spark.read.format("sorted_table").option("path", t.path).load()
+        .filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 6000)
+            & (F.col("o_totalprice") <= 150000)
+        )
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
     "vacuum_then_scan",
     """
     WITH final AS (

@@ -47,11 +47,13 @@ FORMAT_NAME = "sorted_table"
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_path: str, key: str, lo, hi):
+    def __init__(self, file_path: str, key: str, lo, hi, preds=None):
         self.file_path = file_path
         self.key = key
         self.lo = lo
         self.hi = hi
+        # pushed per-column (lo, hi) bounds for row-group stat skipping
+        self.preds = preds or {}
 
 
 def _parse_bound(raw: str | None, lo: bool):
@@ -86,8 +88,29 @@ class SortedTableDataSource(DataSource):
             raise ValueError("sorted_table: manifest has no pinned schema")
         return StructType.fromJson(json.loads(m["schema_json"]))
 
-    def reader(self, schema: StructType) -> "SortedTableReader":
-        return SortedTableReader(self.options, self._manifest())
+    def reader(self, schema: StructType) -> "DataSourceReader":
+        # A reader that IMPLEMENTS pushFilters hard-fails when
+        # spark.sql.python.filterPushdown.enabled is false (the
+        # default) — so the pushdown-capable subclass is only handed
+        # out when the session allows it; register() flips the conf
+        # where possible, but an externally-built session may not.
+        enabled = "false"
+        try:  # pragma: no cover - depends on session context
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                enabled = sess.conf.get(
+                    "spark.sql.python.filterPushdown.enabled", "false"
+                )
+        except Exception:  # noqa: BLE001
+            pass
+        cls = (
+            SortedTablePushdownReader
+            if str(enabled).lower() == "true"
+            else SortedTableReader
+        )
+        return cls(self.options, self._manifest())
 
 
 class SortedTableReader(DataSourceReader):
@@ -97,24 +120,97 @@ class SortedTableReader(DataSourceReader):
         self.lo = _parse_bound(options.get("key_lo"), lo=True)
         self.hi = _parse_bound(options.get("key_hi"), lo=False)
         self.files = manifest["files"]
+        self.stats_cols = set(manifest.get("stats_cols") or [])
+        # pushed-filter bounds: col → [lo, hi] (either side may be None)
+        self._pushed: dict[str, list] = {}
+
+    def _record_filters(self, filters):
+        """Pruning-only filter pushdown (Spark 4 Python DataSource):
+        record single-column comparison bounds, then return EVERY filter
+        as unsupported so Spark re-applies the exact predicates — the
+        source uses the bounds solely to SKIP files (manifest zone maps,
+        incl. secondary stats_cols) and row groups (footer stats).
+        Returning them keeps semantics exact even though pruning is
+        best-effort, the same contract parquet's own stats pushdown has.
+        """
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col is None:
+                yield f
+                continue
+            v = getattr(f, "value", None)
+            if not isinstance(v, (int, float, str)):
+                yield f
+                continue
+            b = self._pushed.setdefault(col, [None, None])
+            # strict bounds relax to inclusive — pruning stays correct,
+            # Spark re-applies the strict comparison exactly
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                b[0] = v if b[0] is None else max(b[0], v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                b[1] = v if b[1] is None else min(b[1], v)
+            elif isinstance(f, EqualTo):
+                b[0] = v if b[0] is None else max(b[0], v)
+                b[1] = v if b[1] is None else min(b[1], v)
+            yield f
+
+    def _key_bounds(self) -> tuple:
+        lo, hi = self.lo, self.hi
+        pb = self._pushed.get(self.key)
+        if pb is not None:
+            if pb[0] is not None:
+                lo = pb[0] if lo is None else max(lo, pb[0])
+            if pb[1] is not None:
+                hi = pb[1] if hi is None else min(hi, pb[1])
+        return lo, hi
 
     def partitions(self) -> Sequence[InputPartition]:
         """Zone-map pruning at planning time: a partition exists ONLY
-        for files overlapping [key_lo, key_hi]."""
+        for files overlapping the key range (options ∩ pushed filters),
+        and — for columns the manifest tracks secondary stats on — only
+        for files whose col_stats overlap the pushed bounds."""
+        lo, hi = self._key_bounds()
         out = []
         for f in self.files:
             kmin, kmax = f["key_min"], f["key_max"]
             # tagged (non-JSON-native) bounds: range options unsupported,
             # never prune — correctness over cleverness
             plain = not isinstance(kmin, dict) and not isinstance(kmax, dict)
-            if plain and self.hi is not None and kmin is not None and kmin > self.hi:
+            if plain and hi is not None and kmin is not None and kmin > hi:
                 continue
-            if plain and self.lo is not None and kmax is not None and kmax < self.lo:
+            if plain and lo is not None and kmax is not None and kmax < lo:
                 continue
+            skip = False
+            for col, (plo, phi) in self._pushed.items():
+                if col == self.key or col not in self.stats_cols:
+                    continue
+                mm = (f.get("col_stats") or {}).get(col)
+                if not mm or isinstance(mm[0], dict) or isinstance(mm[1], dict):
+                    continue
+                if (phi is not None and mm[0] is not None and mm[0] > phi) or (
+                    plo is not None and mm[1] is not None and mm[1] < plo
+                ):
+                    skip = True
+                    break
+            if skip:
+                continue
+            preds = {
+                c: (b[0], b[1]) for c, b in self._pushed.items() if c != self.key
+            }
             out.append(
                 _FilePartition(
                     os.path.join(self.path, f["name"]), self.key,
-                    self.lo if plain else None, self.hi if plain else None,
+                    lo if plain else None, hi if plain else None,
+                    preds,
                 )
             )
         return out
@@ -128,6 +224,11 @@ class SortedTableReader(DataSourceReader):
 
         pf = pq.ParquetFile(partition.file_path)
         key_idx = pf.schema_arrow.get_field_index(partition.key)
+        pred_idx = {
+            c: pf.schema_arrow.get_field_index(c)
+            for c in partition.preds
+            if pf.schema_arrow.get_field_index(c) >= 0
+        }
         for rg in range(pf.num_row_groups):
             st = pf.metadata.row_group(rg).column(key_idx).statistics
             if st is not None and st.has_min_max:
@@ -135,6 +236,21 @@ class SortedTableReader(DataSourceReader):
                     continue  # row group entirely above the range
                 if partition.lo is not None and st.max < partition.lo:
                     continue  # entirely below
+            rg_skip = False
+            for c, (plo, phi) in partition.preds.items():
+                i = pred_idx.get(c)
+                if i is None:
+                    continue
+                cst = pf.metadata.row_group(rg).column(i).statistics
+                if cst is None or not cst.has_min_max:
+                    continue
+                if (phi is not None and cst.min > phi) or (
+                    plo is not None and cst.max < plo
+                ):
+                    rg_skip = True
+                    break
+            if rg_skip:
+                continue  # pushed secondary predicate misses this group
             tbl = pf.read_row_group(rg)
             mask = None
             if partition.lo is not None:
@@ -148,8 +264,25 @@ class SortedTableReader(DataSourceReader):
                 yield from tbl.to_batches()
 
 
+class SortedTablePushdownReader(SortedTableReader):
+    """The pushdown-capable variant: implementing ``pushFilters`` is a
+    hard opt-in (Spark refuses the reader when
+    spark.sql.python.filterPushdown.enabled is false), so it lives in a
+    subclass the DataSource only hands out under the conf."""
+
+    def pushFilters(self, filters):
+        return self._record_filters(filters)
+
+
 def register(spark) -> None:
-    """Idempotent format registration on any session."""
+    """Idempotent format registration on any session; also enables
+    Python-source filter pushdown (a plain runtime conf) so the
+    sorted_table reader can prune files and row groups from pushed
+    predicates."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 - read-only conf context
+        pass
     spark.dataSource.register(SortedTableDataSource)
 
 

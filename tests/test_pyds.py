@@ -167,3 +167,57 @@ def test_changes_stream_matches_batch_feed_and_resumes(spark, sf_dir, tmp_path):
     got2 = drain()
     versions = {r["_commit_version"] for r in got2.select("_commit_version").distinct().collect()}
     assert versions == {t.manifest().version}
+
+
+def test_batch_source_filter_pushdown_prunes_and_stays_exact(spark, tmp_path):
+    """pushFilters: key and secondary-stats comparisons must prune
+    partitions (files) at planning time and row groups at read time,
+    while results stay EXACT (Spark re-applies every filter)."""
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.sources.pyds import (
+        SortedTableDataSource,
+        register,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("grp"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=1_000, stats_cols=["v"])
+    register(spark)
+
+    out = (
+        spark.read.format("sorted_table").option("path", t.path).load()
+        .filter((F.col("k") >= 2_500) & (F.col("k") < 3_500) & (F.col("v") <= 5_900.0))
+    )
+    exp = df.filter("k >= 2500 and k < 3500 and v <= 5900.0")
+    assert out.count() == exp.count()
+    assert out.agg(F.sum("v")).first()[0] == exp.agg(F.sum("v")).first()[0]
+
+    # direct reader: pushed bounds must shrink the partition list
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from parquet_rewriter_spark.sources.pyds import SortedTablePushdownReader
+
+    src = SortedTableDataSource({"path": t.path})
+    reader = SortedTablePushdownReader({"path": t.path}, src._manifest())
+    n_all = len(reader.partitions())
+    unsupported = list(reader.pushFilters([
+        GreaterThanOrEqual(("k",), 2_500),
+        LessThan(("k",), 3_500),
+        LessThanOrEqual(("v",), 5_900.0),
+    ]))
+    assert len(unsupported) == 3  # pruning-only: Spark re-applies all
+    n_pruned = len(reader.partitions())
+    assert n_pruned < n_all
+    # v <= 5900 → k <= 2950: the key range [2500,3500) spans 2 files,
+    # the v bound cuts it to the one file covering 2000-2999
+    assert n_pruned == 1, (n_all, n_pruned)
