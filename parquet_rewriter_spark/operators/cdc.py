@@ -195,4 +195,12 @@ def stream_changes(table: SortedTable) -> DataFrame:
     )
     path = os.path.join(table.path, CHANGELOG_DIR)
     os.makedirs(path, exist_ok=True)  # empty log streams zero rows, not an error
-    return table.spark.readStream.schema(schema).parquet(path)
+    out = table.spark.readStream.schema(schema).parquet(path)
+    # changelog files store PHYSICAL column names (stable across
+    # renames, like Delta's CDF under column mapping); consumers of a
+    # renamed table still see the CURRENT logical names
+    if m.rename_map:
+        out = out.select(
+            *[F.col(c).alias(m.rename_map.get(c, c)) for c in out.columns]
+        )
+    return out

@@ -146,3 +146,33 @@ def test_mor_delete_after_rename(spark, tmp_path):
     assert res.get("files_rewritten", 0) == 0  # MoR: tombstones only
     assert t.read().filter("value < 10.0").count() == 0
     assert t.read().count() == 1000 - 5  # ids 0..4 have v<10
+
+
+def test_changelog_stream_surfaces_logical_names(spark, tmp_path):
+    """Changelog FILES keep stable physical names across renames (like
+    Delta CDF under column mapping); the stream_changes consumer maps
+    them to the CURRENT logical names."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.cdc import stream_changes
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "value")
+    muts = spark.createDataFrame([(3, -9.0, "x3")], "k long, value double, s string")
+    merge_into_table(t, muts, changelog=True, allow_splice=False)
+
+    name = f"mem_rename_cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_changes(t)
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table(name)
+    assert "value" in got.columns and "v" not in got.columns
+    vals = {r["value"] for r in got.filter("k = 3").collect()}
+    assert -9.0 in vals  # post-image carries the new value under the new name
+    assert 6.0 in vals   # preimage (k=3 had v = 3*2.0) rides along
