@@ -137,6 +137,7 @@ class SortedTableReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             LessThan,
             LessThanOrEqual,
         )
@@ -145,6 +146,17 @@ class SortedTableReader(DataSourceReader):
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
             if col is None:
+                yield f
+                continue
+            if isinstance(f, In):
+                vals = getattr(f, "value", None)
+                if vals and all(isinstance(x, (int, float, str)) for x in vals):
+                    # IN-list prunes as its value envelope [min, max] —
+                    # coarse but sound; Spark re-applies the exact IN
+                    b = self._pushed.setdefault(col, [None, None])
+                    lo_v, hi_v = min(vals), max(vals)
+                    b[0] = lo_v if b[0] is None else max(b[0], lo_v)
+                    b[1] = hi_v if b[1] is None else min(b[1], hi_v)
                 yield f
                 continue
             v = getattr(f, "value", None)

@@ -221,3 +221,28 @@ def test_batch_source_filter_pushdown_prunes_and_stays_exact(spark, tmp_path):
     # v <= 5900 → k <= 2950: the key range [2500,3500) spans 2 files,
     # the v bound cuts it to the one file covering 2000-2999
     assert n_pruned == 1, (n_all, n_pruned)
+
+
+def test_batch_source_in_filter_prunes_by_envelope(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import In
+
+    from parquet_rewriter_spark.sources.pyds import (
+        SortedTableDataSource,
+        SortedTablePushdownReader,
+        register,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=1_000)
+    register(spark)
+    out = (spark.read.format("sorted_table").option("path", t.path).load()
+           .filter(F.col("k").isin(42, 57, 333)))
+    assert sorted(r["k"] for r in out.collect()) == [42, 57, 333]
+
+    src = SortedTableDataSource({"path": t.path})
+    reader = SortedTablePushdownReader({"path": t.path}, src._manifest())
+    list(reader.pushFilters([In(("k",), (42, 57, 333))]))
+    assert len(reader.partitions()) == 1  # envelope [42, 333] → one file
