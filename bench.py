@@ -94,6 +94,7 @@ HEADLINE = [
     "u_shape_attribution",
     "event_transition_matrix",
     "hourly_value_gapfilled",
+    "hourly_value_ohlc",
     "user_purchase_funnel",
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",

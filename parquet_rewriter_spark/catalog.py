@@ -539,6 +539,56 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hourly_value_ohlc",
+    """
+    WITH e AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS hour_epoch,
+             CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT hour_epoch, value,
+             first_value(value) OVER (
+               PARTITION BY hour_epoch ORDER BY ts, event_id) AS open,
+             first_value(value) OVER (
+               PARTITION BY hour_epoch ORDER BY ts DESC, event_id DESC) AS close
+      FROM e
+    )
+    SELECT hour_epoch,
+           ROUND(max(open), 4) AS open,
+           ROUND(max(value), 4) AS high,
+           ROUND(min(value), 4) AS low,
+           ROUND(max(close), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY hour_epoch
+    """,
+    "timeseries", "downsample", "ohlc",
+)
+def hourly_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (candlestick bars): per hour, the first/last
+    value by (ts, event_id) via min_by/max_by over a STRUCT ordering
+    key — one map-combining aggregation, no window, no sort. The
+    classic financial resample expressed as a single groupBy; ties
+    broken deterministically by event_id so both engines pick the same
+    open/close."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+        )
+        .agg(
+            F.round(F.min_by("value", ord_key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", ord_key), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "u_shape_attribution",
     """
     WITH p AS (
