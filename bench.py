@@ -95,6 +95,8 @@ HEADLINE = [
     "event_transition_matrix",
     "hourly_value_gapfilled",
     "hourly_value_ohlc",
+    "ship_latency_percentiles",
+    "segment_revenue_concentration",
     "user_purchase_funnel",
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",

@@ -539,6 +539,98 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT l_returnflag,
+             date_diff('day', o_orderdate, l_shipdate) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(days, 0.5), 4) AS p50,
+           ROUND(quantile_cont(days, 0.9), 4) AS p90,
+           ROUND(quantile_cont(days, 0.99), 4) AS p99,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY l_returnflag
+    """,
+    "analytics", "percentiles", "join",
+)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per return flag: fact-fact
+    equi-join on the order key (both sides shuffle-joined; no broadcast
+    assumption at scale), then EXACT continuous percentiles — Spark's
+    percentile() and DuckDB's quantile_cont share interpolation
+    semantics, so the oracle matches to rounding."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+    )
+    return lat.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(days, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(days, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(days, 0.99)"), 4).alias("p99"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+
+
+@query(
+    "segment_revenue_concentration",
+    """
+    -- revenue concentration per market segment: share of the segment's
+    -- revenue owned by its top decile of customers (a Pareto/Gini-lite
+    -- measure), plus the customer counts behind it
+    WITH rev AS (
+      SELECT c_mktsegment, c_custkey, SUM(o_totalprice) AS r
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, r,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY r DESC, c_custkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM rev
+    )
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           ROUND(SUM(CASE WHEN rn * 10 <= n THEN r ELSE 0 END) / SUM(r), 6)
+             AS top_decile_share
+    FROM ranked GROUP BY c_mktsegment
+    """,
+    "analytics", "concentration", "window",
+)
+def segment_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (top-decile share) per market segment:
+    per-customer revenue rollup, a rank window within each segment, and
+    the decile share from one conditional sum — the Pareto question
+    every revenue team asks, with a deterministic rank tiebreak so both
+    engines agree exactly."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    ranked = rev.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.col("r").desc(), F.col("c_custkey")))
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    return ranked.groupBy("c_mktsegment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("rn") * 10 <= F.col("n"), F.col("r")).otherwise(0.0))
+            / F.sum("r"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+@query(
     "hourly_value_ohlc",
     """
     WITH e AS (
