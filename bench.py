@@ -179,6 +179,8 @@ HEADLINE = [
     "stream_csv_ingest_counts",
     "stream_user_value_ewma",
     "weekly_cohort_retention",
+    "signup_to_purchase_latency",
+    "source_quality_wilson",
     "per_source_sample_k",
     "order_price_mad_outliers",
     "suppliers_covering_brand",

@@ -539,6 +539,100 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "signup_to_purchase_latency",
+    """
+    WITH su AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_purchase_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= su.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST(LEAST(date_diff('day', su.signup_ts, fp.first_purchase_ts), 7)
+                AS BIGINT) AS days_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM su JOIN fp ON su.user_id = fp.user_id
+    GROUP BY 1
+    """,
+    "analytics", "cohort", "conversion-latency",
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert cohort curve: each user's first signup, their
+    first purchase AT OR AFTER it, and the day-gap histogram (capped at
+    a 7+ bucket). Two user-keyed min-aggregations and one join — the
+    aggregate-first shape that avoids shipping raw event pairs through
+    a window at corpus scale."""
+    e = _t(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        su.join(fp, "user_id")
+        .select(
+            F.least(
+                F.datediff(F.col("first_purchase_ts"), F.col("signup_ts")),
+                F.lit(7),
+            ).cast("long").alias("days_bucket")
+        )
+        .groupBy("days_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "source_quality_wilson",
+    """
+    -- rank sources by the Wilson lower bound of their long-doc rate:
+    -- the small-sample-safe ranking statistic (z = 1.96)
+    WITH pe AS (
+      SELECT source, count(*) AS n,
+             SUM(CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END) AS hits
+      FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n, CAST(hits AS BIGINT) AS hits,
+           ROUND((hits / n + 1.9208 / n
+                  - 1.96 * sqrt((hits / n) * (1 - hits / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lb
+    FROM pe
+    """,
+    "analytics", "quality", "wilson",
+)
+def source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-score lower bound of each source's long-document rate —
+    THE ranking statistic for proportions under unequal sample sizes
+    (plain rates over-rank tiny sources). One aggregation plus a
+    closed-form projection; z = 1.96 constants folded (z² = 3.8416)."""
+    d = _t(spark, sf_dir, "documents")
+    pe = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_chars") >= 150).cast("long")).alias("hits"),
+    )
+    p = F.col("hits") / F.col("n")
+    n = F.col("n")
+    wilson = (
+        (p + F.lit(1.9208) / n
+         - F.lit(1.96) * F.sqrt(p * (1 - p) / n + F.lit(0.9604) / (n * n)))
+        / (1 + F.lit(3.8416) / n)
+    )
+    return pe.select(
+        "source", F.col("n").cast("long").alias("n"),
+        F.col("hits").cast("long").alias("hits"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
+
+
+@query(
     "ship_latency_percentiles",
     """
     WITH lat AS (
