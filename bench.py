@@ -115,6 +115,7 @@ HEADLINE = [
     "stream_drift_alerts",
     "stream_pyds_table_changes",
     "constrained_merge_scan",
+    "cdc_ordered_merge_scan",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_profit_by_nation_year",

@@ -539,6 +539,79 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_ordered_merge_scan",
+    """
+    -- final state after ONE merge of a CDC batch carrying several
+    -- versions per key, resolved by sequence number (highest wins):
+    --   k%10=0: seq1 UPSERT price 0, seq2 UPSERT price 100 -> 100
+    --   k%7=0:  seq5 DELETE; k%14=0 adds seq6 UPSERT price 7 -> kept
+    WITH muts AS (
+      SELECT o_orderkey AS k, 'UPSERT' AS op, 2 AS seq, 100.0 AS price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'UPSERT', 1, 0.0 FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'DELETE', 5, NULL FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'UPSERT', 6, 7.0 FROM orders WHERE o_orderkey % 14 = 0
+    ),
+    winner AS (
+      SELECT k, op, price,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM muts
+    ),
+    final_muts AS (SELECT k, op, price FROM winner WHERE rn = 1),
+    merged AS (
+      SELECT o.o_orderstatus,
+             COALESCE(fm.price, o.o_totalprice) AS price,
+             COALESCE(fm.op, 'KEEP') AS op
+      FROM orders o LEFT JOIN final_muts fm ON o.o_orderkey = fm.k
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(price), 2) AS total
+    FROM merged WHERE op <> 'DELETE' GROUP BY o_orderstatus
+    """,
+    "storage", "cdc", "seq-ordering", "merge",
+)
+def cdc_ordered_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-ordered merge: one mutation batch carries SEVERAL versions
+    of a key (updates, then a delete, then a re-insert) and
+    ``merge_into_table(seq_col=...)`` resolves each key to its highest
+    sequence — the Debezium/CDC-offset contract, applied in a single
+    zone-map-pruned merge instead of one merge per version. The oracle
+    replays the winner-per-key resolution with a window and joins it
+    over the base relation."""
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("cdc_ordered"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 8),
+    )
+
+    def mk(filter_expr, op, seq, price):
+        b = o.filter(filter_expr)
+        if price is None:
+            b = b.withColumn("o_totalprice", F.lit(None).cast("double"))
+        else:
+            b = b.withColumn("o_totalprice", F.lit(price))
+        return b.withColumn("op", F.lit(op)).withColumn("seq", F.lit(seq).cast("long"))
+
+    muts = (
+        mk("o_orderkey % 10 = 0", "UPSERT", 2, 100.0)
+        .unionByName(mk("o_orderkey % 10 = 0", "UPSERT", 1, 0.0))
+        .unionByName(mk("o_orderkey % 7 = 0", "DELETE", 5, None))
+        .unionByName(mk("o_orderkey % 14 = 0", "UPSERT", 6, 7.0))
+    )
+    merge_into_table(t, muts, seq_col="seq")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "signup_to_purchase_latency",
     """
     WITH su AS (

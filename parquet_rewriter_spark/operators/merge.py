@@ -371,6 +371,7 @@ def merge_into_table(
     changelog: bool = False,
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
+    seq_col: str | None = None,
 ) -> dict:
     """R3+R4+R5+R6+R13: merge a mutation stream into a SortedTable.
 
@@ -478,7 +479,8 @@ def merge_into_table(
     widened_any = False
     if table_schema is not None:
         base_names = {f.name for f in table_schema.fields}
-        mut_data = [c for c in mutations.columns if c != OP_COLUMN]
+        mut_data = [c for c in mutations.columns
+                    if c != OP_COLUMN and c != seq_col]
         missing = [f.name for f in table_schema.fields if f.name not in mut_data]
         if missing:
             raise ValueError(
@@ -488,7 +490,9 @@ def merge_into_table(
         new_fields = [
             StructField(f.name, f.dataType, True)
             for f in mutations.schema.fields
-            if f.name not in base_names and f.name != OP_COLUMN
+            if f.name not in base_names
+            and f.name != OP_COLUMN
+            and f.name != seq_col  # ordering metadata, not table data
         ]
         # ---- type widening ----
         # A mutation column arriving WIDER than the table's (int→long,
@@ -543,6 +547,7 @@ def merge_into_table(
     # deleted rows; the distributed path applies + retires their DVs.
     if (
         allow_splice
+        and seq_col is None
         and dirty
         and not new_fields
         and not widened_any
@@ -568,10 +573,15 @@ def merge_into_table(
                 dv.select(key).distinct(), on=key, how="left_anti"
             )
         merged = apply_mutations(base_dirty, mutations, key,
+                                 seq_col=seq_col,
                                  range_partition=True,
                                  num_partitions=len(dirty))
     else:
         # Pure-insert merge (all keys fall in gaps / head / tail).
+        # Runs through apply_mutations against an EMPTY base: a batch
+        # carrying the same NEW key twice would otherwise insert BOTH
+        # rows (the window dedup only guarded the dirty branch), and
+        # seq_col ordering must resolve such duplicates here too.
         mut = mutations
         if OP_COLUMN not in mut.columns:
             mut = mut.withColumn(OP_COLUMN, F.lit(OP_UPSERT))
@@ -580,7 +590,9 @@ def merge_into_table(
             if read_schema is not None
             else [c for c in mut.columns if c != OP_COLUMN]
         )
-        merged = mut.filter(F.col(OP_COLUMN) != OP_DELETE).select(*base_cols)
+        empty_base = mut.select(*base_cols).limit(0)
+        merged = apply_mutations(empty_base, mutations, key,
+                                 seq_col=seq_col, range_partition=True)
 
     mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
     # No isEmpty() pre-check (an extra Spark action): an empty merge

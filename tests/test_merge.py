@@ -583,3 +583,46 @@ def test_invalid_op_values_raise(spark, tmp_path):
         merge_into_table(t, bad)  # splice path
     # table untouched either way
     assert t.read().count() == 1000
+
+
+def test_pure_insert_batch_with_duplicate_keys_dedupes(spark, tmp_path):
+    """A batch inserting the SAME new key twice must land exactly one
+    row (regression: the pure-insert branch previously skipped the
+    window dedup and inserted both)."""
+    t, base = _mk_table(spark, tmp_path, list(range(100)))
+    dup = spark.createDataFrame(
+        [(5000, b"a" * 20, "UPSERT"), (5000, b"b" * 20, "UPSERT")],
+        "key long, value binary, op string",
+    )
+    res = merge_into_table(t, dup)
+    assert res["files_dirty"] == 0  # pure insert
+    rows = t.read().filter("key = 5000").collect()
+    assert len(rows) == 1
+    assert t.read().count() == 101
+
+
+def test_seq_col_resolves_duplicates_by_cdc_order(spark, tmp_path):
+    """merge_into_table(seq_col=...): a batch carrying several versions
+    of a key applies the HIGHEST sequence — CDC-offset semantics — on
+    both the dirty path (existing key) and the pure-insert path."""
+    t, base = _mk_table(spark, tmp_path, list(range(100)))
+    muts = spark.createDataFrame(
+        [
+            (50, b"v1" + b"x" * 18, "UPSERT", 1),   # existing key, seq 1
+            (50, b"v2" + b"x" * 18, "UPSERT", 2),   # ...overridden by seq 2
+            (7000, b"n1" + b"x" * 18, "UPSERT", 10),
+            (7000, None, "DELETE", 11),             # delete wins by seq
+            (8000, None, "DELETE", 1),
+            (8000, b"n2" + b"x" * 18, "UPSERT", 2),  # insert wins by seq
+        ],
+        "key long, value binary, op string, seq long",
+    )
+    merge_into_table(t, muts, seq_col="seq")
+    got = {r["key"]: bytes(r["value"]) for r in
+           t.read().filter("key in (50, 7000, 8000)").collect()}
+    assert got[50].startswith(b"v2")
+    assert 7000 not in got          # the seq-11 DELETE won
+    assert got[8000].startswith(b"n2")
+    assert t.read().count() == 100 + 1  # 8000 inserted, 7000 net no-op
+    # seq column is ordering metadata, not schema evolution
+    assert "seq" not in t.read().columns
