@@ -545,3 +545,29 @@ def test_merge_range_partitioned_is_still_single_exchange(spark, sf_dir):
     assert p.count("Arguments: rangepartitioning") == 1, p
     assert "Arguments: hashpartitioning" not in p, p
     assert "Window" in p, p
+
+
+def test_attribution_band_join_is_equi_not_cartesian(spark, sf_dir):
+    p = plan_of(get("u_shape_attribution").fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_substring_dup_gram_count_has_map_side_combine(spark, sf_dir):
+    """The duplicated-gram count must partial-aggregate before its
+    shuffle — the shuffle carries (gram, partial count), not one row
+    per gram occurrence."""
+    from parquet_rewriter_spark.operators.dedup import substring_dup_spans
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    p = plan_of(substring_dup_spans(d, "doc_id", "text", window=10))
+    assert "partial_count" in p, p
+
+
+def test_transition_matrix_single_user_shuffle(spark, sf_dir):
+    """lag + count: one hash exchange on user_id for the sequence pass;
+    the 25-row normalization window adds its own tiny exchange but no
+    SinglePartition collapse."""
+    p = plan_of(get("event_transition_matrix").fn(spark, sf_dir))
+    assert "SinglePartition" not in p, p
