@@ -177,6 +177,7 @@ HEADLINE = [
     "replica_sync_scan",
     "stream_matview_user_totals",
     "stream_distinct_sketch_users",
+    "stream_bottomk_user_sample",
     "stream_csv_ingest_counts",
     "stream_user_value_ewma",
     "weekly_cohort_retention",

@@ -539,6 +539,49 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_bottomk_user_sample",
+    """
+    WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS uid FROM events),
+    h AS (
+      SELECT uid, ('0x' || substr(md5(uid), 1, 15))::BIGINT AS h FROM u
+    )
+    SELECT CAST(uid AS BIGINT) AS user_id, h
+    FROM h ORDER BY h, uid LIMIT 16
+    """,
+    "streaming", "sampling", "bottom-k", "stateful",
+)
+def stream_bottomk_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k (min-wise) user sample: per hash bucket the
+    stateful op keeps only its k smallest portable-hash users — state
+    bounded at buckets×k forever — and the exact global bottom-16 is a
+    batch sort+limit over each bucket's FINAL list. Deterministic by
+    construction (md5-bridge hash, id tiebreak), so the oracle replays
+    the full-stream answer with ORDER BY hash LIMIT k. The streaming
+    form of consistent sampling: two streams sampled this way pick the
+    SAME users, so samples stay joinable."""
+    from parquet_rewriter_spark.streaming.ops import (
+        run_to_memory,
+        stream_bottomk_sample,
+        stream_table,
+    )
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id")
+    drained = run_to_memory(
+        stream_bottomk_sample(ev, "user_id", k=16, n_buckets=8),
+        output_mode="update",
+    )
+    w = Window.partitionBy("bucket")
+    final = (
+        drained.withColumn("vmax", F.max("version").over(w))
+        .filter(F.col("version") == F.col("vmax"))
+    )
+    return (
+        final.orderBy("h", "id").limit(16)
+        .select(F.col("id").cast("long").alias("user_id"), "h")
+    )
+
+
+@query(
     "cdc_ordered_merge_scan",
     """
     -- final state after ONE merge of a CDC batch carrying several

@@ -707,3 +707,74 @@ def user_value_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_bottomk_sample(
+    stream: DataFrame,
+    id_col: str,
+    k: int = 16,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Deterministic uniform sample of a stream with BOUNDED state:
+    keep the ``k`` smallest portable-hash values per hash bucket
+    (min-wise / bottom-k sampling — the streaming form of consistent
+    sampling). Because every id's bucket retains its own k smallest,
+    the global bottom-k is always contained in the union of the
+    buckets' lists, so a batch-side sort+limit over the ≤ n_buckets×k
+    emitted rows recovers the EXACT global answer — state is bounded
+    at n_buckets×k entries however long the stream runs, and the
+    result is a pure function of the input set (md5-bridge hash), so
+    a SQL oracle replays it cell-for-cell.
+
+    Emits (bucket, id, h, version) in update mode; consumers keep each
+    bucket's highest version (its final list) — see
+    catalog.stream_bottomk_user_sample for the drain pattern.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from parquet_rewriter_spark.operators.countmin import portable_string_hash
+
+    hashed = stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        portable_string_hash(F.col(id_col).cast("string")).alias("h"),
+    ).withColumn("bucket", F.pmod("h", F.lit(n_buckets)).cast("int"))
+
+    def fn(key_tuple, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            ids, hs, version = state.get
+            best = dict(zip(list(ids), list(hs)))
+        else:
+            best, version = {}, 0
+        seen = False
+        for pdf in pdfs:
+            seen = True
+            for i, h in zip(pdf["id"], pdf["h"]):
+                prev = best.get(i)
+                if prev is None or h < prev:
+                    best[i] = int(h)
+            if len(best) > k:
+                keep = sorted(best.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+                best = dict(keep)
+        if not seen:
+            return
+        version += 1
+        ordered = sorted(best.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        state.update(([i for i, _ in ordered], [h for _, h in ordered], version))
+        yield pd.DataFrame(
+            {
+                "bucket": [key_tuple[0]] * len(ordered),
+                "id": [i for i, _ in ordered],
+                "h": [h for _, h in ordered],
+                "version": [version] * len(ordered),
+            }
+        )
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType="bucket int, id string, h long, version int",
+        stateStructType="ids array<string>, hs array<long>, version int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

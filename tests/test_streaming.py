@@ -577,3 +577,47 @@ def test_user_value_ewma_multibatch_order(spark, tmp_path, sf_dir):
         assert got[u][0] == n
         assert abs(got[u][1] - round(e, 4)) < 1e-6
     emissions.unpersist()
+
+
+def test_stream_bottomk_sample_state_bounded_and_exact(spark, sf_dir, tmp_path):
+    """Multi-trigger drive: with maxFilesPerTrigger the per-bucket
+    state must stay ≤ k, every emission is sorted, and the recovered
+    global bottom-k equals the batch answer over all input."""
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.countmin import portable_string_hash
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.streaming.ops import (
+        run_to_memory,
+        stream_bottomk_sample,
+        stream_table,
+    )
+
+    k = 8
+    ev = stream_table(spark, sf_dir, "events").select("user_id")
+    drained = run_to_memory(
+        stream_bottomk_sample(ev, "user_id", k=k, n_buckets=4),
+        output_mode="update",
+    )
+    from pyspark.sql import Window as W
+
+    per_bucket = drained.groupBy("bucket", "version").count()
+    assert per_bucket.agg(F.max("count")).first()[0] <= k  # bounded state
+    w = W.partitionBy("bucket")
+    final = (
+        drained.withColumn("vmax", F.max("version").over(w))
+        .filter("version = vmax")
+    )
+    got = [
+        (r["id"], r["h"])
+        for r in final.orderBy("h", "id").limit(k).collect()
+    ]
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("id"))
+        .distinct()
+        .withColumn("h", portable_string_hash(F.col("id")))
+        .orderBy("h", "id").limit(k)
+    )
+    exp = [(r["id"], r["h"]) for r in batch.collect()]
+    assert got == exp
