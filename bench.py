@@ -97,6 +97,8 @@ HEADLINE = [
     "hourly_value_ohlc",
     "ship_latency_percentiles",
     "segment_revenue_concentration",
+    "segment_revenue_gini",
+    "priority_sla_attainment",
     "user_purchase_funnel",
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",

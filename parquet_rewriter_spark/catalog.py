@@ -788,6 +788,101 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_revenue_gini",
+    """
+    -- exact Gini coefficient of per-customer revenue within each
+    -- market segment, via the rank-sum identity
+    --   G = 2*SUM(rank*r)/(n*SUM(r)) - (n+1)/n
+    -- with a deterministic rank (revenue, then custkey)
+    WITH rev AS (
+      SELECT c_mktsegment, c_custkey, SUM(o_totalprice) AS r
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, r,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY r, c_custkey) AS rnk
+      FROM rev
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(rnk * r) / (count(*) * SUM(r))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY c_mktsegment
+    """,
+    "analytics", "inequality", "gini", "window",
+)
+def segment_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer revenue per segment using the
+    rank-sum identity — one rollup, one rank window, one aggregation;
+    no O(n²) pairwise |xi−xj| expansion. Deterministic tie-break keeps
+    both engines' ranks identical, so the oracle matches exactly."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("r", "c_custkey")
+    ranked = rev.withColumn("rnk", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("c_mktsegment").agg(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("rnk") * F.col("r")) / (n * F.sum("r"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "priority_sla_attainment",
+    """
+    -- per order priority: share of orders whose FIRST line item shipped
+    -- within 30 days of the order date
+    WITH first_ship AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(CASE WHEN date_diff('day', o_orderdate, first_ship) <= 30
+                          THEN 1.0 ELSE 0.0 END), 6) AS sla_30d_rate
+    FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "analytics", "sla", "operational",
+)
+def priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational SLA attainment: each order's FIRST ship date (one
+    map-combining min per order key), joined back to orders for the
+    within-30-days rate per priority — the aggregate-then-join shape
+    that keeps the fact-fact join to one row per order."""
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.datediff(F.col("first_ship"), F.col("o_orderdate")) <= 30,
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("sla_30d_rate"),
+    )
+
+
+@query(
     "segment_revenue_concentration",
     """
     -- revenue concentration per market segment: share of the segment's
