@@ -96,3 +96,28 @@ def write_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def write_jsonl_shards(
+    sharded: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = (),
+) -> None:
+    """Materialize shards as JSON-LINES — the wire format most training
+    data loaders (and WebDataset-style pipelines) actually ingest.
+    Same dynamic-partition layout as :func:`write_shards`
+    (``shard=K/`` directories, one file set per shard), but each row is
+    one JSON object per line via Spark's native JSON sink — no Python
+    in the writer path. ``order_cols`` sorts rows WITHIN each shard
+    (sortWithinPartitions — no global sort), giving loaders a
+    deterministic stream order."""
+    out = sharded.repartition(shard_col)
+    if order_cols:
+        out = out.sortWithinPartitions(shard_col, *order_cols)
+    (
+        out.write.partitionBy(shard_col)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .json(path)
+    )

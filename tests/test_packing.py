@@ -63,3 +63,39 @@ def test_default_hash_shard_deterministic(spark):
     b = pack_sequences(d, "doc_id", "n_tok", max_tokens=64, num_shards=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.select("shard").distinct().count() == 4
+
+
+def test_write_jsonl_shards_roundtrip_and_layout(spark, sf_dir, tmp_path):
+    """JSONL shard export: shard=K dirs exist, every row survives a
+    read-back, and within-shard order follows order_cols."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.operators.export import (
+        assign_shards,
+        write_jsonl_shards,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    sharded = assign_shards(d, n_shards=4, size_col="n_tok", tiebreak_cols=["doc_id"])
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(sharded, out, order_cols=("doc_id",))
+    dirs = sorted(x for x in os.listdir(out) if x.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.json(out)
+    assert back.count() == d.count()
+    assert set(back.columns) >= {"doc_id", "text", "n_tok"}
+    # within-shard order: read one shard's file lines directly
+    sd = os.path.join(out, "shard=0")
+    files = [f for f in os.listdir(sd) if f.endswith(".json")]
+    import json as _json
+
+    ids = []
+    for f in sorted(files):
+        with open(os.path.join(sd, f)) as fh:
+            ids += [_json.loads(line)["doc_id"] for line in fh if line.strip()]
+    assert ids == sorted(ids)
