@@ -99,6 +99,8 @@ HEADLINE = [
     "segment_revenue_concentration",
     "segment_revenue_gini",
     "priority_sla_attainment",
+    "priority_mix_chi2_monthly",
+    "part_supplier_price_spread",
     "user_purchase_funnel",
     "mixture_token_budget_sample",
     "contrastive_negative_pairs",

@@ -788,6 +788,111 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "priority_mix_chi2_monthly",
+    """
+    -- chi-square statistic of each month's order-priority mix against
+    -- the overall mix: the distribution-shift screen as one number per
+    -- month (expected count = month_total * overall_share)
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT o_orderpriority, count(*) AS n_all,
+             SUM(count(*)) OVER () AS n_grand
+      FROM orders GROUP BY 1
+    ),
+    mt AS (SELECT month, SUM(n) AS n_month FROM m GROUP BY month)
+    SELECT m.month,
+           CAST(max(mt.n_month) AS BIGINT) AS n_orders,
+           ROUND(SUM(
+             POW(m.n - mt.n_month * tot.n_all / tot.n_grand, 2)
+             / (mt.n_month * tot.n_all / tot.n_grand)
+           ), 6) AS chi2
+    FROM m JOIN mt ON m.month = mt.month
+           JOIN tot ON m.o_orderpriority = tot.o_orderpriority
+    GROUP BY m.month
+    """,
+    "analytics", "drift", "chi-square",
+)
+def priority_mix_chi2_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift screen: chi-square of each month's priority
+    mix against the overall mix. Three aggregates and two broadcast-
+    sized joins (months × priorities); the categorical complement of
+    the KS drift monitor, which handles continuous columns."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"),
+        "o_orderpriority",
+    )
+    m = o.groupBy("month", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    tot = (
+        o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_all"))
+        .withColumn("n_grand", F.sum("n_all").over(Window.partitionBy()))
+    )
+    mt = m.groupBy("month").agg(F.sum("n").alias("n_month"))
+    exp = F.col("n_month") * F.col("n_all") / F.col("n_grand")
+    return (
+        m.join(mt, "month").join(tot, "o_orderpriority")
+        .groupBy("month")
+        .agg(
+            F.max("n_month").cast("long").alias("n_orders"),
+            F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 6).alias("chi2"),
+        )
+    )
+
+
+@query(
+    "part_supplier_price_spread",
+    """
+    -- per part: unit-price dispersion across its suppliers (sourcing
+    -- arbitrage screen); parts with a single supplier report 0 spread
+    WITH up AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(l_extendedprice) / SUM(l_quantity) AS unit_price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sp AS (
+      SELECT l_partkey,
+             count(*) AS n_suppliers,
+             (max(unit_price) - min(unit_price)) / avg(unit_price) AS rel_spread
+      FROM up GROUP BY 1
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           ROUND(avg(rel_spread), 6) AS avg_rel_spread,
+           ROUND(max(rel_spread), 6) AS max_rel_spread
+    FROM sp GROUP BY n_suppliers
+    """,
+    "analytics", "sourcing", "dispersion",
+)
+def part_supplier_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing-arbitrage screen: per (part, supplier) unit price from
+    the lineitem rollup, then per-part relative spread across its
+    suppliers, summarized by supplier count. Two map-combining
+    aggregations — the partsupp-free reconstruction of TPC-H's
+    supplier-cost comparisons on this fixture."""
+    li = _t(spark, sf_dir, "lineitem")
+    up = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_price")
+    )
+    sp = up.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (
+            (F.max("unit_price") - F.min("unit_price")) / F.avg("unit_price")
+        ).alias("rel_spread"),
+    )
+    return sp.groupBy("n_suppliers").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("rel_spread"), 6).alias("avg_rel_spread"),
+        F.round(F.max("rel_spread"), 6).alias("max_rel_spread"),
+    ).select(
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        "n_parts", "avg_rel_spread", "max_rel_spread",
+    )
+
+
+@query(
     "segment_revenue_gini",
     """
     -- exact Gini coefficient of per-customer revenue within each
