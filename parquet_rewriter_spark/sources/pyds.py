@@ -140,6 +140,7 @@ class SortedTableReader(DataSourceReader):
             In,
             LessThan,
             LessThanOrEqual,
+            StringStartsWith,
         )
 
         for f in filters:
@@ -161,6 +162,15 @@ class SortedTableReader(DataSourceReader):
                 continue
             v = getattr(f, "value", None)
             if not isinstance(v, (int, float, str)):
+                yield f
+                continue
+            if isinstance(f, StringStartsWith):
+                # prefix p bounds the value range [p, p + U+FFFF...):
+                # sound for lexicographic min/max stats
+                b = self._pushed.setdefault(col, [None, None])
+                lo_v, hi_v = v, v + "\uffff"
+                b[0] = lo_v if b[0] is None else max(b[0], lo_v)
+                b[1] = hi_v if b[1] is None else min(b[1], hi_v)
                 yield f
                 continue
             b = self._pushed.setdefault(col, [None, None])

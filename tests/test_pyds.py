@@ -246,3 +246,32 @@ def test_batch_source_in_filter_prunes_by_envelope(spark, tmp_path):
     reader = SortedTablePushdownReader({"path": t.path}, src._manifest())
     list(reader.pushFilters([In(("k",), (42, 57, 333))]))
     assert len(reader.partitions()) == 1  # envelope [42, 333] → one file
+
+
+def test_batch_source_prefix_pushdown_on_string_key(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import StringStartsWith
+
+    from parquet_rewriter_spark.sources.pyds import (
+        SortedTableDataSource,
+        SortedTablePushdownReader,
+        register,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(2_000).select(
+        F.format_string("key%04d", F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=500)
+    register(spark)
+    out = (spark.read.format("sorted_table").option("path", t.path).load()
+           .filter(F.col("k").startswith("key03")))
+    assert out.count() == 100  # key0300..key0399
+
+    src = SortedTableDataSource({"path": t.path})
+    reader = SortedTablePushdownReader({"path": t.path}, src._manifest())
+    n_all = len(reader.partitions())
+    list(reader.pushFilters([StringStartsWith(("k",), "key03")]))
+    assert len(reader.partitions()) == 1 < n_all  # prefix → one file
