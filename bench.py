@@ -106,6 +106,7 @@ HEADLINE = [
     "contrastive_negative_pairs",
     "leakage_safe_split",
     "corpus_curation_pipeline",
+    "curation_survivorship_funnel",
     "referential_orphans_report",
     "rolling_7d_distinct_users",
     "stream_window_approx_users",

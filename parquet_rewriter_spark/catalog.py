@@ -788,6 +788,83 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_survivorship_funnel",
+    """
+    WITH RECURSIVE quality AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE n_chars BETWEEN 50 AND 199
+        AND len(string_split(text, ' ')) >= 8
+    ),
+    exact AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+          FROM exact),
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM d
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    canon AS (
+      SELECT e.doc_id FROM exact e JOIN comp USING (doc_id)
+      WHERE e.doc_id = comp.cluster_id
+    )
+    SELECT 1 AS stage_order, 'raw' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL SELECT 2, 'quality_gate',
+           CAST((SELECT count(*) FROM quality) AS BIGINT)
+    UNION ALL SELECT 3, 'exact_dedup',
+           CAST((SELECT count(*) FROM exact) AS BIGINT)
+    UNION ALL SELECT 4, 'near_dup_canonical',
+           CAST((SELECT count(*) FROM canon) AS BIGINT)
+    """,
+    "llm-pipeline", "observability", "funnel",
+)
+def curation_survivorship_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: document counts through each curation
+    stage (raw → quality gate → exact dedup → near-dup canonical) as a
+    4-row funnel — the first dashboard every curation run needs. Each
+    stage is the already-gated operator; the oracle replays the whole
+    chain (recursive closure included) and compares the stage counts."""
+    from parquet_rewriter_spark.functions.text import token_count
+    from parquet_rewriter_spark.operators.cluster import near_dup_clusters
+    from parquet_rewriter_spark.operators.dedup import exact_dedup, jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    quality = d.filter(
+        F.col("n_chars").between(50, 199) & (token_count("text") >= 8)
+    )
+    exact = exact_dedup(quality, ["text"], "doc_id")
+    pairs = jaccard_pairs(exact, "doc_id", "text", 0.4, block_cols=["lang"],
+                          shingle_n=1)
+    clusters = near_dup_clusters(exact, pairs)
+    canon = clusters.filter(F.col("is_canonical"))
+    counts = [
+        (1, "raw", d.count()),
+        (2, "quality_gate", quality.count()),
+        (3, "exact_dedup", exact.count()),
+        (4, "near_dup_canonical", canon.count()),
+    ]
+    return spark.createDataFrame(
+        counts, "stage_order int, stage string, n_docs long"
+    )
+
+
+@query(
     "priority_mix_chi2_monthly",
     """
     -- chi-square statistic of each month's order-priority mix against
