@@ -985,28 +985,43 @@ class SortedTable:
         # physical in-file ORDER: a distributed scan cannot observe row
         # order portably, but the footers can — row groups of a sorted
         # file have monotonically non-overlapping key stats, and keys
-        # are unique, so (rows, min, max, rg-monotonicity) pins content
-        unsorted = 0
-        for e in m.files:
+        # are unique, so (rows, min, max, rg-monotonicity) pins content.
+        # Footer walk runs on the driver below the distributed-stats
+        # threshold and as one executor pass above it (same policy as
+        # stats.collect_file_stats — a million-footer audit must not
+        # serialize on the driver).
+        def _file_unsorted(path: str) -> bool:
             try:
                 import pyarrow.parquet as pq
 
-                md = pq.ParquetFile(os.path.join(self.path, e.name)).metadata
+                md = pq.ParquetFile(path).metadata
                 idx = {md.schema.column(i).name: i
                        for i in range(md.num_columns)}.get(key)
                 if idx is None:
-                    continue
+                    return False
                 prev_max = None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
                     if st is None or not st.has_min_max:
                         continue
                     if prev_max is not None and st.min < prev_max:
-                        unsorted += 1
-                        break
+                        return True
                     prev_max = st.max
+                return False
             except OSError:  # pragma: no cover
-                unsorted += 1
+                return True
+
+        from parquet_rewriter_spark.stats import DISTRIBUTED_THRESHOLD
+
+        paths = [os.path.join(self.path, e.name) for e in m.files]
+        if len(paths) <= DISTRIBUTED_THRESHOLD:
+            unsorted = sum(1 for p_ in paths if _file_unsorted(p_))
+        else:  # pragma: no cover - needs a huge manifest
+            sc = self.spark.sparkContext
+            unsorted = (
+                sc.parallelize(paths, max(1, len(paths) // 64))
+                .map(_file_unsorted).filter(bool).count()
+            )
         out = {
             "ok": mismatches == 0 and dups == 0 and unsorted == 0,
             "files": len(m.files),
