@@ -9005,6 +9005,28 @@ _VERIFY_FIRST = (
     "stream_purchase_click_leftjoin",
     "stream_purchase_click_fulljoin",
     "ann_ivf_index_lifecycle",
+    # positions 76+: queries ADDED in round 4 (never checked either) —
+    # next in line if the driver's per-round budget exceeds the 75
+    "schema_ddl_lifecycle_scan",
+    "substring_dup_token_stats",
+    "distinct_sketch_users",
+    "stream_distinct_sketch_users",
+    "hilbert_then_filter_scan",
+    "u_shape_attribution",
+    "event_transition_matrix",
+    "python_ds_pushdown_scan",
+    "hourly_value_ohlc",
+    "ship_latency_percentiles",
+    "segment_revenue_concentration",
+    "signup_to_purchase_latency",
+    "source_quality_wilson",
+    "cdc_ordered_merge_scan",
+    "stream_bottomk_user_sample",
+    "segment_revenue_gini",
+    "priority_sla_attainment",
+    "priority_mix_chi2_monthly",
+    "part_supplier_price_spread",
+    "curation_survivorship_funnel",
 )
 
 
