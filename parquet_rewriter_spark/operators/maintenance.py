@@ -23,6 +23,8 @@ from __future__ import annotations
 from typing import Any
 
 from parquet_rewriter_spark.table import SortedTable
+from parquet_rewriter_spark.operators.compact import compact, compact_incremental
+from parquet_rewriter_spark.operators.layout import table_layout_report
 
 
 def maintain(
@@ -98,3 +100,29 @@ def maintain(
     }
     report["version"] = table.manifest().version
     return report
+
+
+def auto_optimize(
+    table: SortedTable,
+    target_rows: int,
+    max_small_files: int = 4,
+    max_overlap_depth: int = 4,
+) -> dict:
+    """Heal the table if — and only if — the layout report says so.
+
+    Returns {action, before, after} where action ∈
+    {"none", "compact_incremental", "compact_full"}.
+    """
+    before = table_layout_report(table, target_rows=target_rows).first().asDict()
+    if before["max_key_overlap_depth"] > max_overlap_depth:
+        # fragmentation: small-file healing can't fix overlap — full
+        # re-chunk restores the one-file-per-key-range invariant
+        compact(table, max_records_per_file=target_rows)
+        action = "compact_full"
+    elif before["n_small_files"] > max_small_files:
+        compact_incremental(table, target_records_per_file=target_rows)
+        action = "compact_incremental"
+    else:
+        return {"action": "none", "before": before, "after": before}
+    after = table_layout_report(table, target_rows=target_rows).first().asDict()
+    return {"action": action, "before": before, "after": after}
