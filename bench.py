@@ -157,6 +157,7 @@ HEADLINE = [
     "python_ds_pushdown_scan",
     "stream_purchase_click_leftjoin",
     "vacuum_then_scan",
+    "maintained_table_scan",
     "timestamp_asof_scan",
     "nb_lang_confusion",
     "gopher_quality_flags",

@@ -788,6 +788,55 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maintained_table_scan",
+    """
+    -- data state after churn + a FULL maintenance pass (fsck repair,
+    -- incremental compact, sidecar heal, vacuum): maintenance must be
+    -- invisible to readers — the oracle is the churned data itself
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 6 = 0 THEN 1.0
+                          ELSE o_totalprice END), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "storage", "maintenance", "optimize",
+)
+def maintained_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE/VACUUM pass as a correctness gate: churn a table
+    (merge re-pricing a sixth of the keys — small-file litter plus
+    retired versions), plant crashed-writer debris, run the one-call
+    maintenance pass (operators/maintenance.py), and read back. The
+    oracle is the post-churn data — maintenance that changes ANY value,
+    drops a row, or resurrects debris fails the hash compare. Also
+    asserts the table's own integrity audits pass afterwards."""
+    import os
+
+    from parquet_rewriter_spark.operators.maintenance import maintain
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("maint_scan"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 8),
+    )
+    muts = o.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    os.makedirs(os.path.join(t.path, "_staging-crashed"), exist_ok=True)
+    maintain(t, retain_versions=1, fsck_min_age_s=0.0)
+    assert t.fsck() == {
+        "orphan_staging": [], "orphan_tmp": [], "orphan_data": [], "missing": []
+    }
+    assert t.validate()["ok"]
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "curation_survivorship_funnel",
     """
     WITH RECURSIVE quality AS (
@@ -9027,6 +9076,7 @@ _VERIFY_FIRST = (
     "priority_mix_chi2_monthly",
     "part_supplier_price_spread",
     "curation_survivorship_funnel",
+    "maintained_table_scan",
 )
 
 
