@@ -30,6 +30,8 @@ HEADLINE = [
     "customer_running_total",
     "revenue_forecast",
     "status_priority_rollup",
+    "revenue_time_rollup",
+    "join_skew_report",
     "monthly_order_stats",
     "events_json_extract",
     "event_type_stats",

@@ -788,6 +788,100 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_time_rollup",
+    """
+    -- day / month / grand-total revenue in ONE grouping-sets pass;
+    -- grouping() flags disambiguate the NULL levels
+    SELECT COALESCE(strftime(date_trunc('month', o_orderdate), '%Y-%m'), 'ALL')
+             AS month,
+           COALESCE(strftime(o_orderdate, '%Y-%m-%d'), 'ALL') AS day,
+           CAST(GROUPING(date_trunc('month', o_orderdate)) AS INT)
+             + CAST(GROUPING(o_orderdate) AS INT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (date_trunc('month', o_orderdate), o_orderdate),
+      (date_trunc('month', o_orderdate)),
+      ()
+    )
+    """,
+    "aggregation", "grouping-sets", "time-hierarchy",
+)
+def revenue_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day/month/total revenue in ONE aggregation via GROUPING SETS —
+    the time-hierarchy rollup dashboards refresh constantly, computed
+    without three scans or a union. grouping() flags make the NULL
+    subtotal levels explicit; string-rendered keys keep the two
+    engines' date semantics aligned."""
+    o = _t(spark, sf_dir, "orders")
+    # SQL grouping sets through the session — the engine-portable form
+    # (the DataFrame-side groupingSets API is newer and adds nothing
+    # here; the plan is the same single Expand + aggregate)
+    o.createOrReplaceTempView("__rtr_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(date_format(date_trunc('month', o_orderdate),
+                                    'yyyy-MM'), 'ALL') AS month,
+               COALESCE(date_format(o_orderdate, 'yyyy-MM-dd'), 'ALL') AS day,
+               CAST(GROUPING(date_trunc('month', o_orderdate)) AS INT)
+                 + CAST(GROUPING(o_orderdate) AS INT) AS lvl,
+               count(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM __rtr_orders
+        GROUP BY GROUPING SETS (
+          (date_trunc('month', o_orderdate), o_orderdate),
+          (date_trunc('month', o_orderdate)),
+          ()
+        )
+        """
+    )
+
+
+@query(
+    "join_skew_report",
+    """
+    -- skew diagnostics for the events-by-user join key: hottest keys,
+    -- their share of all rows, and the p99/median frequency ratio
+    WITH freq AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT SUM(n) AS total,
+             quantile_cont(n, 0.5) AS med,
+             quantile_cont(n, 0.99) AS p99
+      FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_freq,
+           ROUND(max(n) * 1.0 / max(total), 6) AS max_key_share,
+           ROUND(max(p99) / max(med), 6) AS p99_over_median
+    FROM freq, stats
+    """,
+    "diagnostics", "skew", "join",
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew pre-flight: key-frequency profile of the events join
+    key (hottest key's row share, p99/median frequency ratio) — the
+    numbers that decide between a plain shuffle join, salting, and the
+    hot/cold split join (operators/skew.py). One count per key plus a
+    tiny percentile aggregate."""
+    e = _t(spark, sf_dir, "events")
+    freq = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = freq.agg(
+        F.sum("n").alias("total"),
+        F.expr("percentile(n, 0.5)").alias("med"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    )
+    return freq.crossJoin(stats).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").cast("long").alias("max_freq"),
+        F.round(F.max("n") / F.max("total"), 6).alias("max_key_share"),
+        F.round(F.max("p99") / F.max("med"), 6).alias("p99_over_median"),
+    )
+
+
+@query(
     "maintained_table_scan",
     """
     -- data state after churn + a FULL maintenance pass (fsck repair,
@@ -9077,6 +9171,8 @@ _VERIFY_FIRST = (
     "part_supplier_price_spread",
     "curation_survivorship_funnel",
     "maintained_table_scan",
+    "revenue_time_rollup",
+    "join_skew_report",
 )
 
 
