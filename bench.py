@@ -181,6 +181,9 @@ HEADLINE = [
     "stream_purchase_click_fulljoin",
     "type_widening_scan",
     "benchmark_containment_scores",
+    "source_ngram_novelty",
+    "quantity_benford_screen",
+    "user_behavior_entropy",
     "order_value_quartile_buckets",
     "replica_sync_scan",
     "stream_matview_user_totals",

@@ -788,6 +788,167 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_ngram_novelty",
+    """
+    -- per-source corpus diversity: share of the source's DISTINCT
+    -- 3-grams that appear in NO other source
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                 FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             array_to_string(t[i:i+2], ' ') AS gram
+      FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ),
+    spread AS (
+      SELECT gram, count(DISTINCT source) AS n_sources FROM g GROUP BY gram
+    )
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           ROUND(AVG(CASE WHEN spread.n_sources = 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS novelty
+    FROM g JOIN spread USING (gram)
+    GROUP BY g.source
+    """,
+    "llm-pipeline", "diversity", "novelty",
+)
+def source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source novelty: the share of each source's distinct
+    3-grams found in no other source — the diversity/contamination
+    complement of the containment scores (high novelty = the source
+    adds vocabulary the mixture lacks). Gram extraction reuses the
+    codegen arrays_zip layout; one distinct, one gram-keyed count, one
+    join back."""
+    tok = F.split(F.col("text"), " ")
+    k = F.size(tok) - 2
+    zipped = F.arrays_zip(*[F.slice(tok, i + 1, F.greatest(k, F.lit(1)))
+                            for i in range(3)])
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select("source", F.col("text"), k.alias("k"),
+                 F.posexplode(zipped).alias("pos", "z"))
+        .filter(F.col("pos") < F.col("k"))
+        .select("source",
+                F.concat_ws(" ", *[F.col("z")[str(i)] for i in range(3)])
+                .alias("gram"))
+        .distinct()
+    )
+    spread = g.groupBy("gram").agg(
+        F.count_distinct("source").alias("n_sources")
+    )
+    return (
+        g.join(spread, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_sources") == 1).cast("long")).alias("n_unique"),
+            F.round(
+                F.avg(F.when(F.col("n_sources") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "quantity_benford_screen",
+    """
+    -- first-digit distribution of line-item quantities vs the Benford
+    -- expectation, with the chi-square deviation statistic — the
+    -- classic bookkeeping-anomaly screen (uniform fixture quantities
+    -- SHOULD deviate hard; the screen reports, never judges)
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM lineitem WHERE l_quantity >= 1
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n * 1.0 / t.total, 6) AS share,
+           ROUND(log10(1.0 + 1.0 / c.digit), 6) AS benford_share,
+           ROUND(POW(c.n * 1.0 / t.total - log10(1.0 + 1.0 / c.digit), 2)
+                 / log10(1.0 + 1.0 / c.digit), 6) AS chi2_term
+    FROM c, t
+    """,
+    "analytics", "quality", "benford",
+)
+def quantity_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) screen over line-item quantities: observed
+    leading-digit shares against log10(1+1/d) with per-digit chi-square
+    terms — one count per digit plus a scalar total. The bookkeeping
+    anomaly detector, expressed as two aggregations."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 1)
+    d = li.select(
+        F.substring(F.col("l_quantity").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("total")
+    return c.crossJoin(t).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.pow(share - benford, 2) / benford, 6).alias("chi2_term"),
+    )
+
+
+@query(
+    "user_behavior_entropy",
+    """
+    -- Shannon entropy of each user's event-type mix, summarized into
+    -- entropy-decile counts (diverse vs single-minded populations)
+    WITH mix AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, SUM(n) AS tn FROM mix GROUP BY user_id),
+    ent AS (
+      SELECT mix.user_id,
+             -SUM((n * 1.0 / tn) * ln(n * 1.0 / tn)) AS h
+      FROM mix JOIN tot USING (user_id) GROUP BY mix.user_id
+    )
+    SELECT CAST(LEAST(CAST(floor(h / ln(2) * 4) AS BIGINT), 7) AS BIGINT)
+             AS entropy_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(avg(h / ln(2)), 6) AS avg_bits
+    FROM ent GROUP BY 1
+    """,
+    "analytics", "entropy", "behavior",
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy (bits) of each user's
+    event-type distribution, bucketed into quarter-bit bands — the
+    engagement-mix segmentation. Two aggregations and a join; the
+    entropy is exact, no sampling."""
+    e = _t(spark, sf_dir, "events")
+    mix = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = mix.groupBy("user_id").agg(F.sum("n").alias("tn"))
+    p = F.col("n") / F.col("tn")
+    ent = (
+        mix.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg((-F.sum(p * F.log(p))).alias("h"))
+    )
+    bits = F.col("h") / F.log(F.lit(2.0))
+    return (
+        ent.select(
+            F.least(F.floor(bits * 4), F.lit(7)).cast("long")
+            .alias("entropy_bucket"),
+            bits.alias("bits"),
+        )
+        .groupBy("entropy_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("bits"), 6).alias("avg_bits"),
+        )
+    )
+
+
+@query(
     "revenue_time_rollup",
     """
     -- day / month / grand-total revenue in ONE grouping-sets pass;
@@ -9173,6 +9334,9 @@ _VERIFY_FIRST = (
     "maintained_table_scan",
     "revenue_time_rollup",
     "join_skew_report",
+    "source_ngram_novelty",
+    "quantity_benford_screen",
+    "user_behavior_entropy",
 )
 
 
