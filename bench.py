@@ -57,6 +57,8 @@ HEADLINE = [
     "order_value_percentiles",
     "weighted_median_price",
     "customer_balance_deciles",
+    "customer_rfm_segments",
+    "corpus_zipf_slope",
     "status_pivot_by_priority",
     "approx_distinct_users",
     "user_event_type_map",

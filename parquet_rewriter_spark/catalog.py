@@ -788,6 +788,111 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_rfm_segments",
+    """
+    -- classic RFM segmentation: per-customer recency / frequency /
+    -- monetary quartiles (deterministic tiebreak by custkey), counted
+    -- per (r, f, m) cell
+    WITH c AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT count(*) AS n FROM c),
+    scored AS (
+      SELECT o_custkey,
+             ((row_number() OVER (ORDER BY last_order, o_custkey) - 1)
+               * 4) // (SELECT n FROM n) + 1 AS r,
+             ((row_number() OVER (ORDER BY freq, o_custkey) - 1)
+               * 4) // (SELECT n FROM n) + 1 AS f,
+             ((row_number() OVER (ORDER BY monetary, o_custkey) - 1)
+               * 4) // (SELECT n FROM n) + 1 AS m
+      FROM c
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+    "analytics", "rfm", "segmentation", "window",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation WITHOUT the global-sort anti-pattern: each
+    dimension's total order comes from the range-partitioned contiguous
+    -id pass (operators/ids.py — the machinery that replaces a
+    single-partition row_number window at scale), and the quartile is
+    the closed form floor(rank*4/n)+1 — identical arithmetic in the
+    oracle, deterministic custkey tiebreaks. Three range-partition
+    passes over the customer-sized rollup, one cell count."""
+    from parquet_rewriter_spark.operators.ids import assign_contiguous_ids
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    n_total = c.count()
+
+    def quartile(df, order_cols, out):
+        ranked = assign_contiguous_ids(df, order_cols, id_col="__rk")
+        return ranked.withColumn(
+            out, (F.col("__rk") * 4 / F.lit(n_total) + 1).cast("int")
+        ).drop("__rk")
+
+    scored = quartile(c, ["last_order", "o_custkey"], "r")
+    scored = quartile(scored, ["freq", "o_custkey"], "f")
+    scored = quartile(scored, ["monetary", "o_custkey"], "m")
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "corpus_zipf_slope",
+    """
+    -- Zipf fit: slope of log(freq) over log(rank) for the top-1000
+    -- token frequencies (healthy natural text ~ -1); regr_slope is the
+    -- closed-form least squares both engines share
+    WITH tf AS (
+      SELECT t AS token, count(*) AS n
+      FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(t)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(n), ln(rank)), 6) AS r2
+    FROM ranked WHERE rank <= 1000
+    """,
+    "llm-pipeline", "corpus-stats", "zipf", "regression",
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health check: least-squares slope of the log-log token
+    rank/frequency curve over the top-1000 tokens (natural language
+    sits near -1; synthetic or templated text drifts off). Token
+    counting is one exploded aggregate; the regression is the built-in
+    closed form (regr_slope/regr_r2) — no iterative fitting."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = tf.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+    ).filter(F.col("rank") <= 1000)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.expr("regr_slope(ln(n), ln(rank))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(n), ln(rank))"), 6).alias("r2"),
+    )
+
+
+@query(
     "source_ngram_novelty",
     """
     -- per-source corpus diversity: share of the source's DISTINCT
@@ -9337,6 +9442,8 @@ _VERIFY_FIRST = (
     "source_ngram_novelty",
     "quantity_benford_screen",
     "user_behavior_entropy",
+    "customer_rfm_segments",
+    "corpus_zipf_slope",
 )
 
 
