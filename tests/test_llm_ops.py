@@ -645,3 +645,48 @@ def test_substring_dup_spans_and_stats(spark):
     assert stats["a"].docs_with_dups == 2
     assert stats["a"].dup_tokens == 24  # 12 covered tokens in each doc
     assert stats["b"].dup_tokens == 0 and stats["b"].docs_with_dups == 0
+
+
+def test_substring_dup_property_vs_bruteforce(spark):
+    """Randomized corpora vs a brute-force python model of the
+    gram-span union — dup token counts must match exactly."""
+    import random
+
+    from parquet_rewriter_spark.operators.dedup import substring_dup_stats
+
+    rng = random.Random(13)
+    W = 4
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for did in range(14):
+            n = rng.randrange(2, 18)
+            docs.append((did, " ".join(rng.choice(vocab) for _ in range(n)), "s"))
+
+        # brute-force model
+        from collections import Counter
+
+        grams = Counter()
+        doc_grams = {}
+        for did, text, _ in docs:
+            toks = text.split(" ")
+            gs = [
+                (" ".join(toks[i:i + W]), i)
+                for i in range(len(toks) - W + 1)
+            ]
+            doc_grams[did] = gs
+            for g, _ in gs:
+                grams[g] += 1
+        exp_dup = {}
+        for did, text, _ in docs:
+            covered = set()
+            for g, i in doc_grams[did]:
+                if grams[g] >= 2:
+                    covered.update(range(i, i + W))
+            exp_dup[did] = len(covered)
+        total_exp = sum(exp_dup.values())
+
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        row = substring_dup_stats(df, "doc_id", "text", window=W).first()
+        assert row["dup_tokens"] == total_exp, (trial, row["dup_tokens"], total_exp)
+        assert row["docs_with_dups"] == sum(1 for v in exp_dup.values() if v), trial
