@@ -788,6 +788,135 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_gap_distribution",
+    """
+    -- distribution of per-customer inter-order gaps (days), capped
+    -- into a 30+ bucket: the repeat-purchase cadence histogram
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             lag(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_date
+      FROM orders
+    )
+    SELECT CAST(LEAST(date_diff('day', prev_date, o_orderdate) // 7, 4)
+                AS BIGINT) AS gap_weeks_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM seq WHERE prev_date IS NOT NULL
+    GROUP BY 1
+    """,
+    "analytics", "cadence", "window",
+)
+def order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: lag() per customer over order dates
+    (one shuffle on the customer key, deterministic orderkey tiebreak),
+    gaps bucketed by week with a 4+ cap. The inter-event-time histogram
+    every retention model starts from."""
+    o = _t(spark, sf_dir, "orders")
+    seq = o.withColumn(
+        "prev_date",
+        F.lag("o_orderdate").over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ),
+    ).filter(F.col("prev_date").isNotNull())
+    bucket = F.least(
+        F.floor(F.datediff(F.col("o_orderdate"), F.col("prev_date")) / 7),
+        F.lit(4),
+    ).cast("long")
+    return seq.groupBy(bucket.alias("gap_weeks_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+
+
+@query(
+    "hourly_value_autocorr",
+    """
+    -- lag-1 autocorrelation of the hourly total event value: the
+    -- one-number seasonality/momentum screen for a metric stream
+    WITH h AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS hr,
+             SUM(value) AS v
+      FROM events GROUP BY 1
+    ),
+    l AS (
+      SELECT v, lag(v) OVER (ORDER BY hr) AS pv FROM h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           ROUND(corr(v, pv), 6) AS lag1_autocorr
+    FROM l WHERE pv IS NOT NULL
+    """,
+    "analytics", "timeseries", "autocorrelation",
+)
+def hourly_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event value: hourly rollup, one
+    lag over the (tiny) hour series, built-in corr — the quick
+    persistence screen before fitting anything heavier. The hour series
+    is aggregate-sized, so the ordered window is a non-issue; the raw
+    scan never sorts."""
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hr")
+    ).agg(F.sum("value").alias("v"))
+    lagd = h.withColumn("pv", F.lag("v").over(Window.orderBy("hr"))).filter(
+        F.col("pv").isNotNull()
+    )
+    return lagd.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.corr("v", "pv"), 6).alias("lag1_autocorr"),
+    )
+
+
+@query(
+    "brand_price_index",
+    """
+    -- brand price positioning: each brand's average retail price as an
+    -- index against ITS part-type average (ratio-to-category), so
+    -- premium/value brands separate within comparable goods
+    WITH tp AS (
+      SELECT p_type, AVG(p_retailprice) AS type_avg FROM part GROUP BY p_type
+    ),
+    bp AS (
+      SELECT p_brand, p_type, AVG(p_retailprice) AS brand_type_avg,
+             count(*) AS n
+      FROM part GROUP BY p_brand, p_type
+    )
+    SELECT p_brand,
+           CAST(SUM(n) AS BIGINT) AS n_parts,
+           ROUND(SUM(brand_type_avg / type_avg * n) / SUM(n), 6)
+             AS avg_price_index
+    FROM bp JOIN tp USING (p_type)
+    GROUP BY p_brand
+    """,
+    "analytics", "pricing", "ratio-to-category",
+)
+def brand_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-category price positioning: brand×type averages indexed
+    against the type average, then count-weighted per brand — two
+    aggregations and a broadcast-sized join; premium vs value brands
+    separate within comparable part types instead of being confounded
+    by mix."""
+    p = _t(spark, sf_dir, "part")
+    tp = p.groupBy("p_type").agg(F.avg("p_retailprice").alias("type_avg"))
+    bp = p.groupBy("p_brand", "p_type").agg(
+        F.avg("p_retailprice").alias("brand_type_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        bp.join(tp, "p_type")
+        .groupBy("p_brand")
+        .agg(
+            F.sum("n").cast("long").alias("n_parts"),
+            F.round(
+                F.sum(F.col("brand_type_avg") / F.col("type_avg") * F.col("n"))
+                / F.sum("n"),
+                6,
+            ).alias("avg_price_index"),
+        )
+    )
+
+
+@query(
     "customer_rfm_segments",
     """
     -- classic RFM segmentation: per-customer recency / frequency /
@@ -9444,6 +9573,9 @@ _VERIFY_FIRST = (
     "user_behavior_entropy",
     "customer_rfm_segments",
     "corpus_zipf_slope",
+    "order_gap_distribution",
+    "hourly_value_autocorr",
+    "brand_price_index",
 )
 
 
