@@ -788,6 +788,133 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_trade_balance",
+    """
+    -- per nation: inbound supplier revenue vs outbound customer spend
+    -- and the net balance — the two fact views of the same geography
+    WITH spend AS (
+      SELECT c_nationkey AS nk, SUM(o_totalprice) AS outbound
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    ),
+    supply AS (
+      SELECT s_nationkey AS nk,
+             SUM(l_extendedprice * (1 - l_discount)) AS inbound
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+    )
+    SELECT n_name,
+           ROUND(COALESCE(outbound, 0), 2) AS customer_spend,
+           ROUND(COALESCE(inbound, 0), 2) AS supplier_revenue,
+           ROUND(COALESCE(inbound, 0) - COALESCE(outbound, 0), 2) AS balance
+    FROM nation
+    LEFT JOIN spend ON n_nationkey = spend.nk
+    LEFT JOIN supply ON n_nationkey = supply.nk
+    """,
+    "analytics", "geography", "star-join",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both fact views of one geography in a single result: customer
+    spend (orders×customer) against supplier revenue (lineitem×
+    supplier) per nation, with the net balance. Two independent
+    broadcast-dimension aggregations meeting at the 25-row nation
+    relation — no fact-fact join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey").agg(F.sum("o_totalprice").alias("outbound"))
+    )
+    supply = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("inbound"))
+    )
+    return (
+        n.join(spend, n.n_nationkey == spend.c_nationkey, "left")
+        .join(supply, n.n_nationkey == supply.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.round(F.coalesce("outbound", F.lit(0.0)), 2).alias("customer_spend"),
+            F.round(F.coalesce("inbound", F.lit(0.0)), 2).alias("supplier_revenue"),
+            F.round(
+                F.coalesce("inbound", F.lit(0.0)) - F.coalesce("outbound", F.lit(0.0)),
+                2,
+            ).alias("balance"),
+        )
+    )
+
+
+@query(
+    "error_burstiness_fano",
+    """
+    -- Fano factor (variance/mean) of per-hour error counts: >1 means
+    -- bursty failures, ~1 Poisson-like background — the one-number
+    -- incident-pattern screen
+    WITH h AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS hr,
+             count(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           ROUND(AVG(n), 6) AS mean_per_hour,
+           ROUND(var_samp(n) / AVG(n), 6) AS fano_factor
+    FROM h
+    """,
+    "analytics", "reliability", "burstiness",
+)
+def error_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error burstiness: the Fano factor of hourly error counts (sample
+    variance over mean — Poisson background sits at 1, incident bursts
+    push above). One hour rollup plus one scalar aggregate."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    h = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return h.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg("n"), 6).alias("mean_per_hour"),
+        F.round(F.var_samp("n") / F.avg("n"), 6).alias("fano_factor"),
+    )
+
+
+@query(
+    "top_customer_overlap",
+    """
+    -- do the biggest spenders order most often? overlap of the top-100
+    -- customers by spend vs by order count (deterministic tiebreaks)
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS s, count(*) AS f
+      FROM orders GROUP BY o_custkey
+    ),
+    top_s AS (SELECT o_custkey FROM spend ORDER BY s DESC, o_custkey LIMIT 100),
+    top_f AS (SELECT o_custkey FROM spend ORDER BY f DESC, o_custkey LIMIT 100)
+    SELECT CAST((SELECT count(*) FROM top_s JOIN top_f USING (o_custkey))
+                AS BIGINT) AS n_overlap,
+           CAST(100 AS BIGINT) AS k
+    """,
+    "analytics", "topk", "overlap",
+)
+def top_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k set overlap: top-100 customers by spend vs by frequency,
+    both as TakeOrderedAndProject (never a global sort), joined for the
+    intersection size — the concentration-vs-engagement sanity check."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("f")
+    )
+    top_s = spend.orderBy(F.col("s").desc(), "o_custkey").limit(100).select("o_custkey")
+    top_f = spend.orderBy(F.col("f").desc(), "o_custkey").limit(100).select("o_custkey")
+    overlap = top_s.join(top_f, "o_custkey").count()
+    return spark.createDataFrame([(overlap, 100)], "n_overlap long, k long")
+
+
+@query(
     "order_gap_distribution",
     """
     -- distribution of per-customer inter-order gaps (days), capped
@@ -9576,6 +9703,9 @@ _VERIFY_FIRST = (
     "order_gap_distribution",
     "hourly_value_autocorr",
     "brand_price_index",
+    "nation_trade_balance",
+    "error_burstiness_fano",
+    "top_customer_overlap",
 )
 
 
