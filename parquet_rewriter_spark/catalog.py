@@ -788,6 +788,54 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hourly_top_event_type",
+    """
+    -- per hour: the event type with the highest total value, chosen by
+    -- (value, type) so ties are deterministic in both engines
+    WITH h AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS hour_epoch,
+             event_type, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT hour_epoch, event_type, v,
+             row_number() OVER (
+               PARTITION BY hour_epoch ORDER BY v DESC, event_type) AS rn
+      FROM h
+    )
+    SELECT hour_epoch, event_type AS top_type, ROUND(v, 2) AS top_value
+    FROM r WHERE rn = 1
+    """,
+    "streaming", "window", "argmax",
+)
+def stream_hourly_top_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arg-max per window: a (window, type) streaming
+    aggregation drained complete, then the per-hour winner by
+    (value, type) — deterministic ties. State is bounded at
+    windows×types; the winner selection runs batch-side over the
+    drained aggregate, mirroring the SQL oracle's window exactly."""
+    from parquet_rewriter_spark.streaming.ops import run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum("value").alias("v"))
+    )
+    drained = run_to_memory(agg, output_mode="complete")
+    w = Window.partitionBy("w").orderBy(F.col("v").desc(), "event_type")
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            F.col("event_type").alias("top_type"),
+            F.round("v", 2).alias("top_value"),
+        )
+    )
+
+
+@query(
     "nation_trade_balance",
     """
     -- per nation: inbound supplier revenue vs outbound customer spend
@@ -9706,6 +9754,7 @@ _VERIFY_FIRST = (
     "nation_trade_balance",
     "error_burstiness_fano",
     "top_customer_overlap",
+    "stream_hourly_top_event_type",
 )
 
 
