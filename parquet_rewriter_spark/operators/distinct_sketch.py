@@ -30,35 +30,37 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 SKETCH_DIR = "_distinct"
+DEFAULT_LGK = 12
 
 
 def _sidecar(table) -> str:
     return os.path.join(table.path, SKETCH_DIR)
 
 
-def build_distinct_sketches(
-    table, cols: list[str], lgk: int = 12
-) -> int:
-    """Sketch every LIVE file missing a sidecar row for any of ``cols``
-    (logical names). One job over just those files: group by source
-    file, one HLL aggregate per column. Returns files sketched."""
-    spark = table.spark
-    m = table.manifest()
-    pcols = [table.to_physical(c, m) for c in cols]
-    have: set[tuple[str, str]] = set()
+def _have_rows(table, pcols: list[str]) -> set[tuple[str, str]]:
+    """(file, physical col) pairs already present in the sidecar."""
     side = _sidecar(table)
-    if os.path.isdir(side):
-        have = {
-            (r["file"], r["col"])
-            for r in spark.read.parquet(side).select("file", "col").collect()
-        }
-    todo = [
-        e.name for e in m.files
-        if any((e.name, c) not in have for c in pcols)
-    ]
-    if not todo:
+    if not os.path.isdir(side):
+        return set()
+    return {
+        (r["file"], r["col"])
+        for r in table.spark.read.parquet(side)
+        .filter(F.col("col").isin(pcols))
+        .select("file", "col")
+        .collect()
+    }
+
+
+def _build_for(table, names: list[str], pcols: list[str], lgk: int) -> int:
+    """Sketch exactly ``names`` (file names, PHYSICAL cols): one job
+    over just those files — group by source file, one HLL aggregate per
+    column — append to the sidecar. Duplicate (file, col) rows are
+    harmless: HLL union is idempotent, so a racing double-build cannot
+    skew estimates."""
+    if not names or not pcols:
         return 0
-    src = spark.read.parquet(*[os.path.join(table.path, n) for n in todo])
+    spark = table.spark
+    src = spark.read.parquet(*[os.path.join(table.path, n) for n in names])
     fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
     per_file = src.groupBy(fname.alias("file")).agg(
         *[F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(c) for c in pcols]
@@ -69,8 +71,64 @@ def build_distinct_sketches(
             "file", F.lit(c).alias("col"), F.col(c).alias("sketch")
         )
         rows = part if rows is None else rows.unionByName(part)
-    rows.write.mode("append").parquet(side)
-    return len(todo)
+    rows.write.mode("append").parquet(_sidecar(table))
+    return len(names)
+
+
+def build_distinct_sketches(
+    table, cols: list[str], lgk: int = DEFAULT_LGK
+) -> int:
+    """Sketch every LIVE file missing a sidecar row for any of ``cols``
+    (logical names). Returns files sketched."""
+    m = table.manifest()
+    pcols = [table.to_physical(c, m) for c in cols]
+    have = _have_rows(table, pcols)
+    todo = [
+        e.name for e in m.files
+        if any((e.name, c) not in have for c in pcols)
+    ]
+    return _build_for(table, todo, pcols, lgk)
+
+
+def build_sketches_for(
+    table, entries, pcols: list[str], lgk: int = DEFAULT_LGK
+) -> int:
+    """Sketch the given manifest entries (PHYSICAL cols) — the hook
+    merge_into_table calls for its newly-written files, mirroring
+    build_blooms: the incremental cost of a merge's sketch upkeep is
+    proportional to the files the merge rewrote, never the table."""
+    return _build_for(table, [e.name for e in entries], list(pcols), lgk)
+
+
+def enable_distinct_sketches(
+    table, cols: list[str], lgk: int = DEFAULT_LGK
+) -> int:
+    """Register ``cols`` (logical names) for distinct sketching in the
+    table manifest — a metadata-only commit — then backfill sketches
+    for every live file. From here on merges auto-refresh rows for the
+    files they rewrite and ``maintain()`` heals any gaps, so
+    ``approx_distinct_range`` stays scan-free and current without
+    explicit refresh calls."""
+    from parquet_rewriter_spark.table import Manifest
+
+    m = table.manifest()
+    pcols = [table.to_physical(c, m) for c in cols]
+    want = sorted(set(m.sketch_cols or []) | set(pcols))
+    if want != sorted(m.sketch_cols or []):
+        table._commit_manifest(
+            Manifest(
+                version=m.version + 1,
+                key=m.key,
+                files=list(m.files),
+                schema_json=m.schema_json,
+                stats_cols=m.stats_cols,
+                bloom_cols=m.bloom_cols,
+                sketch_cols=want,
+                dv_files=list(m.dv_files),
+                operation=f"enable-distinct-sketches {','.join(cols)}",
+            )
+        )
+    return build_distinct_sketches(table, cols, lgk)
 
 
 def approx_distinct_range(
@@ -84,7 +142,14 @@ def approx_distinct_range(
     zone-map trick), then ONE union over the pruned files' kilobyte
     sketches. No data file is read. Range grain is the FILE: rows of a
     boundary file outside the range are included (document the grain;
-    exact range cuts need the scan path)."""
+    exact range cuts need the scan path).
+
+    Self-healing: files in range that lack a sidecar row (written by an
+    operation that predates registration, or by a path without the
+    merge hook — compact, DV rewrite) are sketched on demand before the
+    union. A missing row would otherwise contribute NOTHING and the
+    estimate would silently undercount — the one failure mode a
+    mergeable sketch can't tolerate."""
     spark = table.spark
     m = table.manifest()
     pcol = table.to_physical(col, m)
@@ -95,6 +160,10 @@ def approx_distinct_range(
     ]
     if not keep:
         return 0
+    have = _have_rows(table, [pcol])
+    missing = [n for n in keep if (n, pcol) not in have]
+    if missing:
+        _build_for(table, missing, [pcol], DEFAULT_LGK)
     side = _sidecar(table)
     est = (
         spark.read.parquet(side)

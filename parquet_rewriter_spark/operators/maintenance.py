@@ -79,15 +79,17 @@ def maintain(
 
     sketch_cols = refresh_sketch_cols
     if sketch_cols is None:
+        # manifest registration first (enable_distinct_sketches), then
+        # whatever the sidecar already holds (pre-registration tables)
+        sketch_cols = list(m.sketch_cols or [])
         side = os.path.join(table.path, SKETCH_DIR)
         if os.path.isdir(side):
-            sketch_cols = [
+            sketch_cols += [
                 r["col"]
                 for r in table.spark.read.parquet(side).select("col")
                 .distinct().collect()
+                if r["col"] not in sketch_cols
             ]
-        else:
-            sketch_cols = []
     if sketch_cols:
         report["sketches"] = {
             "files_sketched": build_distinct_sketches(table, sketch_cols)

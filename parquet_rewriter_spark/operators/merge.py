@@ -634,6 +634,15 @@ def merge_into_table(
         # time-travel history
         version = m.version
     t_commit = time.monotonic() - t0
+    if m.sketch_cols and new_entries:
+        # distinct-count sketch upkeep ∝ files rewritten, never the
+        # table: missing sidecar rows would make approx_distinct_range
+        # silently undercount (unlike blooms, where missing = candidate)
+        from parquet_rewriter_spark.operators.distinct_sketch import (
+            build_sketches_for,
+        )
+
+        build_sketches_for(table, new_entries, m.sketch_cols)
     if changelog and version != m.version:
         from parquet_rewriter_spark.operators.cdc import write_changelog
 
@@ -697,6 +706,12 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan, txn=None) -> dic
         from parquet_rewriter_spark.operators.bloom import build_blooms
 
         build_blooms(table, new_entries, m.bloom_cols)
+    if m.sketch_cols and new_entries:
+        from parquet_rewriter_spark.operators.distinct_sketch import (
+            build_sketches_for,
+        )
+
+        build_sketches_for(table, new_entries, m.sketch_cols)
     return {
         "version": m.version + 1,
         "files_total": len(m.files),

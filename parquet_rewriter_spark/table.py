@@ -122,6 +122,13 @@ class Manifest:
     # columns with per-file Bloom filters (sidecar _blooms/) for
     # point-lookup file skipping — see operators/bloom.py
     bloom_cols: list[str] = field(default_factory=list)
+    # PHYSICAL column names with per-file distinct-count HLL sketches
+    # (sidecar _distinct/) — see operators/distinct_sketch.py. ``None``
+    # means "writer didn't think about sketches": _commit_manifest
+    # inherits the previous snapshot's list (same contract as
+    # rename_map/txns), so merge/compact/DDL commits keep the
+    # registration alive and merge can auto-refresh new files' rows.
+    sketch_cols: list[str] | None = None
     # merge-on-read deletion-vector sidecars (relative paths under the
     # table dir, each a parquet dir of (file, <key>) tombstones) active
     # for THIS snapshot — see operators/deletion_vectors.py. Append-only
@@ -172,6 +179,7 @@ class Manifest:
                 "schema_json": self.schema_json,
                 "stats_cols": self.stats_cols,
                 "bloom_cols": self.bloom_cols,
+                "sketch_cols": self.sketch_cols or [],
                 "dv_files": self.dv_files,
                 "committed_at": self.committed_at,
                 "operation": self.operation,
@@ -202,6 +210,7 @@ class Manifest:
             schema_json=d.get("schema_json"),
             stats_cols=d.get("stats_cols") or [],
             bloom_cols=d.get("bloom_cols") or [],
+            sketch_cols=d.get("sketch_cols") or [],
             dv_files=d.get("dv_files") or [],
             committed_at=d.get("committed_at"),
             operation=d.get("operation"),
@@ -342,6 +351,18 @@ class SortedTable:
                 m.rename_map = {}
         if m.rename_map is None:
             m.rename_map = {}
+        if m.sketch_cols is None and m.version > 0:
+            # inherit the distinct-sketch registration the same way —
+            # a compact/merge that forgot about it would otherwise stop
+            # auto-refresh and silently let estimates undercount
+            try:
+                m.sketch_cols = list(
+                    self.manifest(m.version - 1).sketch_cols or []
+                )
+            except Exception:  # noqa: BLE001 - vacuumed history
+                m.sketch_cols = []
+        if m.sketch_cols is None:
+            m.sketch_cols = []
         if not m.txns and m.version > 0:
             # carry the txn watermarks forward through commits that
             # don't know about them (compact, DDL, WAP, DV deletes…) —
@@ -873,6 +894,10 @@ class SortedTable:
                 schema_json=schema.json(),
                 stats_cols=[c for c in m.stats_cols if c in {f.name for f in schema.fields}],
                 bloom_cols=[c for c in m.bloom_cols if c in {f.name for f in schema.fields}],
+                sketch_cols=[
+                    c for c in (m.sketch_cols or [])
+                    if c in {f.name for f in schema.fields}
+                ],
                 dv_files=list(m.dv_files),
                 operation=operation,
                 rename_map=rename_map,

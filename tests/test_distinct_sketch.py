@@ -64,6 +64,53 @@ def test_incremental_refresh_after_merge(spark, table):
     assert abs(est - 701) <= 0.05 * 701
 
 
+def test_enable_then_merge_auto_refreshes(spark, table):
+    from parquet_rewriter_spark.operators.distinct_sketch import (
+        enable_distinct_sketches,
+    )
+
+    n = enable_distinct_sketches(table, ["user"])
+    assert n == len(table.manifest().files)
+    assert table.manifest().sketch_cols == ["user"]
+    muts = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(10_001).alias("user")
+    )
+    merge_into_table(table, muts, allow_splice=False)
+    # the merge hook already sketched the rewritten files — an explicit
+    # refresh finds nothing to do, and the estimate is current
+    assert build_distinct_sketches(table, ["user"]) == 0
+    est = approx_distinct_range(table, "user")
+    assert abs(est - 701) <= max(2, 0.05 * 701)
+
+
+def test_registration_survives_compact_and_read_self_heals(spark, table):
+    from parquet_rewriter_spark.operators.compact import compact
+    from parquet_rewriter_spark.operators.distinct_sketch import (
+        enable_distinct_sketches,
+    )
+
+    enable_distinct_sketches(table, ["user"])
+    compact(table, max_records_per_file=5_000)
+    # compact has no sketch hook; registration must inherit through its
+    # commit, and the read must sketch the compacted files on demand
+    # rather than silently undercounting
+    assert table.manifest().sketch_cols == ["user"]
+    est = approx_distinct_range(table, "user")
+    assert abs(est - 700) <= max(2, 0.05 * 700)
+    assert build_distinct_sketches(table, ["user"]) == 0  # healed
+
+
+def test_splice_merge_keeps_sketch_rows(spark, table):
+    from parquet_rewriter_spark.operators.distinct_sketch import (
+        enable_distinct_sketches,
+    )
+
+    enable_distinct_sketches(table, ["user"])
+    muts = spark.createDataFrame([(3, 10_001)], "k long, user long")
+    merge_into_table(table, muts)  # splice fast path when eligible
+    assert build_distinct_sketches(table, ["user"]) == 0
+
+
 def test_sketches_respect_rename_mapping(spark, table):
     build_distinct_sketches(table, ["user"])
     table.rename_column("user", "uid")
