@@ -45,6 +45,7 @@ def snapshot_diff(
     from_version: int,
     to_version: int | None = None,
     include_preimage: bool = False,
+    logical_names: bool = True,
 ) -> DataFrame:
     """Row-level changes from snapshot ``from_version`` to ``to_version``
     (default: current). Returns the table schema plus ``_change_type``:
@@ -54,6 +55,13 @@ def snapshot_diff(
     row (the old image) for every update — the Delta-CDF full form,
     required by consumers that maintain state from the feed (e.g.
     incremental aggregates need the old value to retract).
+
+    ``logical_names=True`` (default) surfaces the TO-version's logical
+    column names after a metadata-only rename — what a human consumer
+    of the renamed table expects, matching ``table.read()`` and
+    ``stream_changes``. Internal physical-name plumbing (changelog
+    storage, cross-table replication where the target's own rename map
+    may differ) passes ``False``.
     """
     m_old = table.manifest(from_version)
     m_new = table.manifest(to_version) if to_version is not None else table.manifest()
@@ -65,10 +73,10 @@ def snapshot_diff(
     added = [os.path.join(table.path, n) for n in sorted(new_names - old_names)]
 
     # PHYSICAL-name frame: the diff below reads churned files through
-    # _reader (physical) and unions against this schema — the changelog
-    # therefore stores physical column names (renames are presentation-
-    # layer; a changelog consumer of a renamed table sees the stable
-    # physical names, like Delta's CDF under column mapping)
+    # _reader (physical) and unions against this schema; renames are
+    # presentation-layer and applied (when requested) as the very last
+    # projection, so changelog STORAGE stays physical (like Delta's CDF
+    # under column mapping) while direct consumers see logical names
     schema_df = table.read_physical(
         version=m_new.version if to_version is not None else None
     )
@@ -142,11 +150,12 @@ def snapshot_diff(
         .when(~F.col("_old_fp").eqNullSafe(F.col("_new_fp")), upd)
     )
     ex = F.explode(changes).alias("_ch")
+    rm = (m_new.rename_map or {}) if logical_names else {}
     return (
         j.filter(changes.isNotNull())
         .select(ex)
         .select(
-            *[F.col("_ch.r").getField(c).alias(c) for c in cols],
+            *[F.col("_ch.r").getField(c).alias(rm.get(c, c)) for c in cols],
             F.col("_ch.t").alias(CHANGE_TYPE_COL),
         )
     )
@@ -163,13 +172,54 @@ def write_changelog(table: SortedTable, from_version: int, to_version: int) -> s
     O(churned bytes) as snapshot_diff — the files it reads were just
     written/retired by the merge and are typically still in page cache.
     """
-    feed = snapshot_diff(table, from_version, to_version, include_preimage=True)
+    feed = snapshot_diff(
+        table, from_version, to_version,
+        include_preimage=True, logical_names=False,
+    )
     out = os.path.join(table.path, CHANGELOG_DIR)
     (
         feed.withColumn(COMMIT_VERSION_COL, F.lit(to_version).cast("long"))
         .write.mode("append")
         .parquet(out)
     )
+    return out
+
+
+def read_changelog(
+    table: SortedTable,
+    from_commit: int | None = None,
+    to_commit: int | None = None,
+) -> DataFrame:
+    """Batch read of the persisted changelog — the non-streaming twin of
+    ``stream_changes`` (Delta's ``table_changes(from, to)``). Schema is
+    pinned from the manifest (files written before an additive schema
+    evolution null-fill), ``_commit_version`` bounds are inclusive, and
+    renamed tables surface their CURRENT logical names; files keep
+    physical names, so old changelog segments stay readable after any
+    number of renames."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    m = table.manifest()
+    base = StructType.fromJson(json.loads(m.schema_json))
+    schema = StructType(
+        list(base.fields)
+        + [
+            StructField(CHANGE_TYPE_COL, StringType(), True),
+            StructField(COMMIT_VERSION_COL, LongType(), True),
+        ]
+    )
+    path = os.path.join(table.path, CHANGELOG_DIR)
+    if not os.path.isdir(path):
+        return table.spark.createDataFrame([], schema)
+    out = table.spark.read.schema(schema).parquet(path)
+    if from_commit is not None:
+        out = out.filter(F.col(COMMIT_VERSION_COL) >= from_commit)
+    if to_commit is not None:
+        out = out.filter(F.col(COMMIT_VERSION_COL) <= to_commit)
+    if m.rename_map:
+        out = out.select(
+            *[F.col(c).alias(m.rename_map.get(c, c)) for c in out.columns]
+        )
     return out
 
 

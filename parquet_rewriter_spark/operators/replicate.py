@@ -97,7 +97,10 @@ def replicate(src: SortedTable, dst_path: str) -> dict:
     from parquet_rewriter_spark.operators.cdc import snapshot_diff
     from parquet_rewriter_spark.operators.merge import OP_COLUMN, merge_into_table
 
-    diff = snapshot_diff(src, last, src_m.version)
+    # physical names: the replica's OWN rename map (possibly divergent
+    # or absent) governs its logical surface; data syncs on the stable
+    # physical schema both tables share from the seed clone
+    diff = snapshot_diff(src, last, src_m.version, logical_names=False)
     muts = diff.withColumn(
         OP_COLUMN,
         F.when(F.col("_change_type") == "delete", F.lit("DELETE")).otherwise(

@@ -148,6 +148,57 @@ def test_mor_delete_after_rename(spark, tmp_path):
     assert t.read().count() == 1000 - 5  # ids 0..4 have v<10
 
 
+def test_snapshot_diff_and_batch_changelog_surface_logical_names(spark, tmp_path):
+    """Direct CDC consumers of a renamed table see the CURRENT logical
+    names (matching table.read/stream_changes); changelog FILES keep the
+    stable physical names underneath."""
+    from parquet_rewriter_spark.operators.cdc import (
+        CHANGELOG_DIR,
+        read_changelog,
+        snapshot_diff,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.rename_column("v", "value")
+    v_before = t.manifest().version
+    muts = spark.createDataFrame([(3, -9.0, "x3")], "k long, value double, s string")
+    merge_into_table(t, muts, changelog=True, allow_splice=False)
+
+    feed = snapshot_diff(t, v_before)
+    assert "value" in feed.columns and "v" not in feed.columns
+    post = feed.filter("k = 3 AND _change_type = 'update_postimage'").first()
+    assert post["value"] == -9.0
+    # physical escape hatch for plumbing that manages its own mapping
+    assert "v" in snapshot_diff(t, v_before, logical_names=False).columns
+
+    batch = read_changelog(t, from_commit=v_before + 1)
+    assert "value" in batch.columns and "v" not in batch.columns
+    vals = {r["value"] for r in batch.filter("k = 3").collect()}
+    assert vals == {-9.0, 6.0}  # postimage + preimage under the new name
+    # storage stays physical: the raw changelog parquet carries "v"
+    raw = spark.read.parquet(os.path.join(t.path, CHANGELOG_DIR))
+    assert "v" in raw.columns and "value" not in raw.columns
+
+
+def test_batch_changelog_commit_bounds(spark, tmp_path):
+    from parquet_rewriter_spark.operators.cdc import read_changelog
+
+    t = _mk(spark, tmp_path)
+    for i, (k, val) in enumerate([(1, -1.0), (2, -2.0)]):
+        muts = spark.createDataFrame([(k, val, f"x{k}")],
+                                     "k long, v double, s string")
+        merge_into_table(t, muts, changelog=True, allow_splice=False)
+    versions = sorted(
+        r["_commit_version"]
+        for r in read_changelog(t).select("_commit_version").distinct().collect()
+    )
+    assert len(versions) == 2
+    only_first = read_changelog(t, to_commit=versions[0])
+    assert {r["k"] for r in only_first.collect()} == {1}
+    only_last = read_changelog(t, from_commit=versions[1])
+    assert {r["k"] for r in only_last.collect()} == {2}
+
+
 def test_changelog_stream_surfaces_logical_names(spark, tmp_path):
     """Changelog FILES keep stable physical names across renames (like
     Delta CDF under column mapping); the stream_changes consumer maps
