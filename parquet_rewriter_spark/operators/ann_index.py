@@ -191,6 +191,129 @@ class IVFVectorIndex:
         res["deleted"] = len(keys)
         return res
 
+    def cell_stats(self) -> DataFrame:
+        """(cell, n_vectors, n_files) per IVF cell. Vector counts come
+        from one column-pruned scan (only the int cell column is read);
+        file counts are driver-side manifest arithmetic (a file spans a
+        cell iff its key range overlaps the cell's key range)."""
+        m = self.table.manifest()
+        per_cell: dict[int, int] = {}
+        for e in m.files:
+            lo, hi = int(e.key_min // CELL_BASE), int(e.key_max // CELL_BASE)
+            for c in range(lo, hi + 1):
+                per_cell[c] = per_cell.get(c, 0) + 1
+        files = self.spark.createDataFrame(
+            list(per_cell.items()) or [(None, None)], "cell int, n_files int"
+        ).filter(F.col("cell").isNotNull())
+        counts = self.table.read().groupBy("cell").agg(
+            F.count("*").alias("n_vectors")
+        )
+        return counts.join(files, "cell", "left").orderBy("cell")
+
+    def rebalance(
+        self,
+        max_vectors_per_cell: int,
+        sample_rows: int = 10_000,
+        seed: int = 42,
+    ) -> dict:
+        """Split cells that outgrew ``max_vectors_per_cell`` — the IVF
+        equivalent of compaction. A cell that accretes a disproportionate
+        share of the corpus (inserts cluster in embedding space) makes
+        every probe of that cell scan its whole bulk; splitting restores
+        probe cost ∝ corpus/n_cells.
+
+        Cost ∝ oversized cells only: their rows are read via
+        manifest-pruned key-range scans, sub-centroids are trained on a
+        driver-side sample per cell (k = ceil(n/max)), rows re-assign to
+        the nearest centroid of the UPDATED codebook (the original
+        insert-time invariant), and one merge moves exactly the rows
+        whose cell changed. Healthy cells' files are untouched.
+
+        Crash-ordering: the new codebook is persisted BEFORE the merge.
+        A crash in between leaves a valid (merely unbalanced) index —
+        probes against the updated codebook still reach every row,
+        because un-moved rows sit in ranges the old cell ids still
+        address; the reverse order would strand moved rows in cells the
+        stale codebook never probes.
+        """
+        from parquet_rewriter_spark.operators.merge import merge_into_table
+
+        meta = self._meta()
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        counts = {
+            r["cell"]: r["n_vectors"]
+            for r in self.table.read().groupBy("cell")
+            .agg(F.count("*").alias("n_vectors")).collect()
+        }
+        oversized = sorted(
+            c for c, n in counts.items() if n > max_vectors_per_cell
+        )
+        if not oversized:
+            return {"cells_split": 0, "cells_added": 0, "rows_moved": 0}
+
+        C = self.centroids.copy()
+        parts = []
+        for c in oversized:
+            cell_rows = self.table.read_range(
+                c * CELL_BASE, (c + 1) * CELL_BASE - 1
+            )
+            parts.append(cell_rows)
+            k = -(-counts[c] // max_vectors_per_cell)  # ceil
+            sub = kmeans_centroids(
+                cell_rows, vec_col, n_centroids=max(k, 2),
+                sample_rows=sample_rows, seed=seed,
+            )
+            # first sub-centroid replaces the split cell in place; the
+            # rest append as fresh cells — cell ids never recycle rows
+            C[c] = sub[0]
+            C = np.vstack([C, sub[1:]])
+        self._write_centroids(C, id_col, vec_col)
+        self._centroids = C
+
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+        assigned = ivf_assign(rows, vec_col, C)
+        new_key = (
+            F.col("centroid_id").cast("long") * F.lit(CELL_BASE)
+        ) + F.col(id_col)
+        moved = (
+            assigned.withColumn("__new_key", new_key)
+            .filter(F.col("__new_key") != F.col(IDX_KEY))
+            .persist()
+        )
+        n_moved = moved.count()
+        if n_moved == 0:
+            moved.unpersist()
+            return {
+                "cells_split": len(oversized),
+                "cells_added": int(C.shape[0]) - meta["n_cells"],
+                "rows_moved": 0,
+            }
+        ups = moved.select(
+            F.col("__new_key").alias(IDX_KEY),
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id").alias("cell"),
+            F.lit("UPSERT").alias("op"),
+        )
+        dels = moved.select(
+            F.col(IDX_KEY),
+            F.lit(None).cast("long").alias(id_col),
+            F.lit(None).cast(dict(rows.dtypes)[vec_col]).alias(vec_col),
+            F.lit(None).cast("int").alias("cell"),
+            F.lit("DELETE").alias("op"),
+        )
+        res = merge_into_table(self.table, ups.unionByName(dels))
+        moved.unpersist()
+        return {
+            "cells_split": len(oversized),
+            "cells_added": int(C.shape[0]) - meta["n_cells"],
+            "rows_moved": int(n_moved),
+            "files_dirty": res.get("files_dirty"),
+            "files_written": res.get("files_written"),
+        }
+
     def _locate(self, ids: list[int]) -> list[int]:
         """Current idx_keys for the given vec_ids via Bloom-pruned point
         lookup (no full scan); result size ≤ |ids| — driver-bounded."""

@@ -112,3 +112,41 @@ def test_reopen_from_path(spark, emb, tmp_path, qvec):
     reopened = IVFVectorIndex(spark, path)
     exact = cosine_topk(emb, "vec_id", "embedding", qvec, k=5)
     assert _ids(reopened.topk(qvec, k=5, n_probe=8)) == _ids(exact)
+
+
+def test_rebalance_splits_hot_cell_locally(spark, emb, tmp_path, qvec):
+    """An index built with too few cells for the corpus: rebalance must
+    split the oversized cells, leave healthy cells' files untouched,
+    keep every vector findable (full-probe == exact), and rereading the
+    codebook from disk must see the new cells (crash-order contract)."""
+    path = str(tmp_path / "ivf_rb")
+    idx = IVFVectorIndex.create(
+        spark, path, emb, n_cells=2, max_records_per_file=64
+    )
+    n_total = idx.table.read().count()
+    cap = n_total // 3  # with 2 cells, at least one must exceed n/3
+    before = {r["cell"]: r["n_vectors"] for r in idx.cell_stats().collect()}
+    assert max(before.values()) > cap
+
+    res = idx.rebalance(max_vectors_per_cell=cap)
+    assert res["cells_split"] >= 1 and res["cells_added"] >= 1
+    assert res["rows_moved"] > 0
+
+    after = {r["cell"]: r["n_vectors"] for r in idx.cell_stats().collect()}
+    assert len(after) > len(before)
+    assert idx.table.read().count() == n_total  # no row lost or duplicated
+    assert idx.table.read().select("vec_id").distinct().count() == n_total
+
+    # full probe still exact after the split
+    n_cells = idx.centroids.shape[0]
+    exact = cosine_topk(emb, "vec_id", "embedding", qvec, k=10)
+    assert _ids(idx.topk(qvec, k=10, n_probe=n_cells)) == _ids(exact)
+
+    # a fresh handle (stale-free read of the persisted codebook) agrees
+    reopened = IVFVectorIndex(spark, path)
+    assert reopened.centroids.shape[0] == n_cells
+    assert _ids(reopened.topk(qvec, k=10, n_probe=n_cells)) == _ids(exact)
+
+    # idempotent: a second pass finds nothing oversized at 2*cap
+    res2 = idx.rebalance(max_vectors_per_cell=max(after.values()))
+    assert res2["rows_moved"] == 0 and res2["cells_split"] == 0
