@@ -2786,6 +2786,43 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, "vec_id", "embedding", qv, k=10)
 
 
+@query(
+    "ann_ivf_rebalanced_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT e.vec_id AS id,
+           round(list_dot_product(e.v, q.v)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 4) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, id
+    LIMIT 10
+    """,
+    "ann", "index", "maintenance",
+)
+def ann_ivf_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell rebalancing as an oracle-gated operation: build a
+    deliberately under-celled index (2 cells — both oversized for the
+    corpus), split them with rebalance(cap = n/3), then answer a
+    full-probe top-10. The split must lose NOTHING: the answer equals
+    DuckDB's brute-force exact cosine top-10. Exercises per-cell
+    sub-centroid training, the single moved-rows merge, and the
+    codebook-first commit ordering (operators/ann_index.py:rebalance)."""
+    from parquet_rewriter_spark.operators.ann_index import IVFVectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    idx = IVFVectorIndex.create(
+        spark, _scratch("ivf_rebal"), emb, n_cells=2, max_records_per_file=1024
+    )
+    n = emb.count()
+    idx.rebalance(max_vectors_per_cell=max(n // 3, 1))
+    return idx.topk(qv, k=10, n_probe=int(idx.centroids.shape[0]))
+
+
 @query("ann_lsh_topk", None, "similarity", "ann", "lsh")
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing with
@@ -9755,6 +9792,7 @@ _VERIFY_FIRST = (
     "error_burstiness_fano",
     "top_customer_overlap",
     "stream_hourly_top_event_type",
+    "ann_ivf_rebalanced_topk",
 )
 
 
