@@ -7907,6 +7907,41 @@ def schema_ddl_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webdataset_export_summary",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, source, strlen(text) AS sz FROM documents
+    ),
+    r AS (
+      SELECT doc_id, sz,
+             (row_number() OVER (ORDER BY sz DESC, doc_id) - 1) % 4 AS shard
+      FROM t
+    )
+    SELECT shard::INT AS shard, count(*) AS n_samples,
+           sum(sz)::BIGINT AS payload_bytes
+    FROM r GROUP BY shard ORDER BY shard
+    """,
+    "llm", "export", "multimodal", "webdataset",
+)
+def webdataset_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard export as an oracle-gated op: the corpus is
+    ACTUALLY written as 4 tar shards (<key>.txt payload + <key>.json
+    metadata members, one sequential archive per shard, streamed with
+    bounded memory — operators/export.py:write_webdataset_shards), and
+    the writer's own report of what it put in each tar must equal the
+    SQL replay of the deterministic size-balanced assignment. strlen =
+    UTF-8 bytes on both engines (the bytes that land in the archive)."""
+    from parquet_rewriter_spark.operators.export import write_webdataset_shards
+
+    d = _t(spark, sf_dir, "documents")
+    rep = write_webdataset_shards(
+        d, _scratch("wds_export"), "doc_id", "text", "txt",
+        meta_cols=("lang", "source"), n_shards=4,
+    )
+    return rep.select("shard", "n_samples", "payload_bytes").orderBy("shard")
+
+
+@query(
     "training_shard_summary",
     """
     WITH t AS (
@@ -9793,6 +9828,7 @@ _VERIFY_FIRST = (
     "top_customer_overlap",
     "stream_hourly_top_event_type",
     "ann_ivf_rebalanced_topk",
+    "webdataset_export_summary",
 )
 
 

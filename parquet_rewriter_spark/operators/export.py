@@ -34,6 +34,7 @@ surface for the training-pipeline mandate (SURVEY.md §2.2 LLM table).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -121,3 +122,134 @@ def write_jsonl_shards(
         .mode("overwrite")
         .json(path)
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str,
+    payload_col: str,
+    ext: str,
+    meta_cols: Sequence[str] = (),
+    n_shards: int = 8,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Materialize WebDataset-style tar shards — the archive format
+    multimodal training loaders stream: each sample is two adjacent tar
+    members, ``<key>.<ext>`` (the raw payload bytes) and ``<key>.json``
+    (the metadata columns), samples grouped per tar so a loader reads
+    one sequential file per shard.
+
+    Scale shape: shard balance comes from :func:`assign_shards` over
+    the payload byte length (or ``size_col``) — no single-partition
+    window. ``repartitionByRange`` on the shard id puts EQUAL shard
+    values in exactly one task (range partitioning colocates equal
+    keys), so each tar has exactly one writer, and the writer streams
+    Arrow batches into the archive — memory is bounded by a batch, not
+    a shard. Tars are written to a temp name and renamed on task
+    success; rows are sorted by key within the shard for deterministic
+    member order.
+
+    Returns the lazily-computed report ``(shard, n_samples,
+    payload_bytes, path)`` — sample counts and payload byte totals are
+    pure functions of the deterministic shard assignment, which is what
+    the catalog oracle replays in SQL.
+
+    Payloads must be BinaryType or StringType (strings are UTF-8
+    encoded). The sandbox has no image libs, but the tar plumbing is
+    format-agnostic: a decoded-JPEG corpus exports identically.
+
+    ``out_dir`` must be a filesystem every executor can write (shared
+    POSIX mount / fuse-mounted object store) — the same contract every
+    WebDataset creation pipeline has; tars are not written through the
+    Spark committer because tar is not a splittable Spark sink.
+    """
+    import pandas as pd
+
+    sized = df.withColumn(
+        "__wds_sz",
+        F.col(size_col) if size_col is not None
+        # octet_length, not length: strings shard by their UTF-8 BYTE
+        # size (what actually lands in the tar), not character count
+        else F.octet_length(F.col(payload_col)).cast("long"),
+    )
+    sharded = assign_shards(sized, n_shards, "__wds_sz", [key_col])
+    cols = [key_col, payload_col, *meta_cols, "shard"]
+    data = (
+        sharded.select(*cols)
+        .repartitionByRange(n_shards, "shard")
+        .sortWithinPartitions("shard", key_col)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    meta_list = list(meta_cols)
+
+    def write(batches):
+        import io
+        import json as _json
+        import tarfile
+        import uuid as _uuid
+
+        tars: dict[int, tarfile.TarFile] = {}
+        tmp_names: dict[int, str] = {}
+        stats: dict[int, list[int]] = {}  # shard -> [n_samples, bytes]
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                sh = int(d["shard"])
+                if sh not in tars:
+                    tmp = os.path.join(
+                        out_dir, f".shard-{sh:05d}.tar.tmp-{_uuid.uuid4().hex}"
+                    )
+                    tars[sh] = tarfile.open(tmp, "w")
+                    tmp_names[sh] = tmp
+                    stats[sh] = [0, 0]
+                key = d[key_col]
+                payload = d[payload_col]
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                payload = bytes(payload)
+                for name, blob in (
+                    (f"{key}.{ext}", payload),
+                    (
+                        f"{key}.json",
+                        _json.dumps(
+                            {m: _jsonable(d[m]) for m in meta_list},
+                            sort_keys=True,
+                        ).encode("utf-8"),
+                    ),
+                ):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(blob)
+                    info.mtime = 0  # deterministic archives
+                    tars[sh].addfile(info, io.BytesIO(blob))
+                stats[sh][0] += 1
+                stats[sh][1] += len(payload)
+        out_rows = []
+        for sh, tf in tars.items():
+            tf.close()
+            final = os.path.join(out_dir, f"shard-{sh:05d}.tar")
+            os.replace(tmp_names[sh], final)
+            out_rows.append((sh, stats[sh][0], stats[sh][1], final))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["shard", "n_samples", "payload_bytes", "path"]
+            )
+
+    return data.mapInPandas(
+        write, "shard int, n_samples long, payload_bytes long, path string"
+    )
+
+
+def _jsonable(v):
+    """numpy / pandas scalars → plain JSON types for the .json member."""
+    import numpy as np
+
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
