@@ -166,6 +166,12 @@ def write_webdataset_shards(
     """
     import pandas as pd
 
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    # self-configure on externally-built sessions: the tar writer runs
+    # in Python workers, which need this package importable (the
+    # SortedTable constructor does the same for the merge kernels)
+    ensure_shipped(df.sparkSession)
     sized = df.withColumn(
         "__wds_sz",
         F.col(size_col) if size_col is not None
@@ -253,3 +259,65 @@ def _jsonable(v):
     if isinstance(v, bytes):
         return v.hex()
     return v
+
+
+def read_webdataset(spark, path_glob: str) -> DataFrame:
+    """Read WebDataset tar shards back as a DataFrame of
+    ``(shard_path, key, payload, meta)`` — the loader side of
+    :func:`write_webdataset_shards`, and an ingest path for tar corpora
+    produced elsewhere.
+
+    Scale shape: ``binaryFile`` lists the archives; each task un-tars
+    the shards it owns with the stdlib, pairing ``<key>.<ext>`` payload
+    members with their ``<key>.json`` metadata member. One tar is one
+    sequential read (tar has no random access — exactly why loaders
+    stream whole shards), so parallelism = number of shards, the same
+    contract WebDataset loaders have. Payload stays opaque bytes;
+    ``meta`` is the raw JSON string for ``from_json``/VARIANT downstream.
+
+    Tar members are read from the in-memory file CONTENT delivered by
+    binaryFile (archives are shard-sized by construction); a corpus of
+    multi-GB tars should be re-sharded smaller — also true of every
+    WebDataset pipeline.
+    """
+    import pandas as pd
+
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def untar(batches):
+        import io
+        import tarfile
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                out = []
+                metas = {}
+                payloads = {}
+                with tarfile.open(fileobj=io.BytesIO(d["content"])) as tf:
+                    for m in tf.getmembers():
+                        key, ext = m.name.rsplit(".", 1)
+                        blob = tf.extractfile(m).read()
+                        if ext == "json":
+                            metas[key] = blob.decode("utf-8")
+                        else:
+                            payloads[key] = blob
+                for key, payload in payloads.items():
+                    out.append(
+                        (d["path"], key, payload, metas.get(key))
+                    )
+                if out:
+                    yield pd.DataFrame(
+                        out, columns=["shard_path", "key", "payload", "meta"]
+                    )
+
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            untar,
+            "shard_path string, key string, payload binary, meta string",
+        )
+    )
