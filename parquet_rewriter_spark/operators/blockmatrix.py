@@ -69,6 +69,10 @@ def block_self_pairs(
     Returns (id_a, id_b, cos_sim) with id_a < id_b. ``n_rows`` skips the
     sizing count() when the caller already knows the cardinality.
     """
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)  # workers unpickle module-level helpers
+
     spark = df.sparkSession
     c = _n_chunks(df, chunk_rows, n_rows)
     id_t = df.schema[id_col].dataType.simpleString()
@@ -140,6 +144,10 @@ def block_topk_join(
     heap per block, then a global per-left rank over the ≤ C_B·(k+ties)
     survivors. Returns (lid, rid, raw_cos) for the caller to round/rank.
     """
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(left.sparkSession)  # workers unpickle module-level helpers
+
     spark = left.sparkSession
     cb = _n_chunks(right, chunk_rows, n_right_rows)
     ca = left_parts or max(1, spark.sparkContext.defaultParallelism // max(1, cb))

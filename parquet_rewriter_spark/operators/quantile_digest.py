@@ -123,6 +123,10 @@ _DIGEST_SCHEMA = "means array<double>, weights array<double>"
 
 def partition_digests(df: DataFrame, col: str, compression: int = 200) -> DataFrame:
     """One digest row per partition — a single narrow pass, no shuffle."""
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)  # workers unpickle module-level helpers
+
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list[tuple[np.ndarray, np.ndarray]] = []
@@ -167,6 +171,10 @@ def grouped_quantiles(
     """Per-group quantile estimates: one hash shuffle on the group key,
     digest built and inverted inside the group kernel. Output: group
     cols + ``q_<prob>`` columns, one row per group."""
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)  # workers unpickle module-level helpers
+
     probs = list(probs)
     qcols = [f"q_{str(p).replace('.', '_')}" for p in probs]
     out_schema = ", ".join(
@@ -192,6 +200,10 @@ def file_digests(df: DataFrame, col: str, compression: int = 200) -> DataFrame:
     """Digests keyed by source file — the persistable sidecar form.
     Store the output next to a table's manifest and any later quantile
     question over any FILE SUBSET is a digest merge, not a rescan."""
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)  # workers unpickle module-level helpers
+
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = digest_of(pdf[col].to_numpy(), compression)

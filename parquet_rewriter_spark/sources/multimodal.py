@@ -92,6 +92,10 @@ def decode_image(df: DataFrame, fake: bool = False) -> DataFrame:
     forces the deterministic digest stub (the only option without PIL;
     requesting real decode then raises NotImplementedError).
     """
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)  # workers unpickle module-level helpers
+
     try:  # pragma: no cover - decoder libs absent in this container
         import PIL.Image  # noqa: F401
         have_pil = True

@@ -109,6 +109,10 @@ def collect_file_stats(
     stats_cols: tuple[str, ...] | list[str] = (),
 ) -> list[FileStats]:
     """Per-file key zone maps; distributed above DISTRIBUTED_THRESHOLD files."""
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(spark)  # workers unpickle module-level helpers
+
     files = files if files is not None else list_parquet_files(table_path)
     stats_cols = tuple(stats_cols)
     if len(files) <= DISTRIBUTED_THRESHOLD:
