@@ -2760,6 +2760,35 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "column_storage_docs",
+    """
+    -- footer-only replay of the engine's distributed footer walk; the
+    -- correctness gate runs at sf=0.01, so the metadata source names
+    -- that fixture file directly (views cannot carry file metadata)
+    SELECT path_in_schema AS column,
+           count(*) AS n_chunks,
+           sum(num_values)::BIGINT AS n_values,
+           sum(total_compressed_size)::BIGINT AS compressed_bytes,
+           sum(total_uncompressed_size)::BIGINT AS uncompressed_bytes
+    FROM parquet_metadata('/root/testdata/sf0.01/documents.parquet')
+    GROUP BY 1 ORDER BY 1
+    """,
+    "storage", "metadata", "profiling",
+)
+def column_storage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column storage report from parquet FOOTERS only (no data
+    page read): which columns dominate bytes and how well they
+    compress — the first question a 100 TB storage bill raises. One
+    distributed job over the file list; DuckDB's parquet_metadata()
+    replays the identical footer walk (stats.py:column_storage_report)."""
+    from parquet_rewriter_spark.stats import column_storage_report
+
+    return column_storage_report(
+        spark, [os.path.join(sf_dir, "documents.parquet")]
+    )
+
+
 # ---------------------------------------------------------------- similarity search
 
 @query(
@@ -9829,6 +9858,7 @@ _VERIFY_FIRST = (
     "stream_hourly_top_event_type",
     "ann_ivf_rebalanced_topk",
     "webdataset_export_summary",
+    "column_storage_docs",
 )
 
 

@@ -128,3 +128,67 @@ def collect_file_stats(
 
     rows = sc.parallelize(files, n_slices).mapPartitions(part).collect()
     return [FileStats(*r) for r in sorted(rows)]
+
+
+def column_storage_report(spark: "SparkSession", paths: list[str]) -> "DataFrame":
+    """Per-column physical storage totals from parquet FOOTERS only —
+    which columns dominate bytes and how well they compress. At 100 TB
+    this is the first question a storage bill raises, and footers answer
+    it without touching a data page: the walk is a distributed job over
+    the FILE LIST (one ~KB footer read per file), per-chunk partials
+    aggregate JVM-side.
+
+    Returns (column, n_chunks, n_values, compressed_bytes,
+    uncompressed_bytes) — exact integers, engine-portable: DuckDB's
+    ``parquet_metadata()`` replays the same footer walk row-for-row,
+    which is what the catalog oracle does.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    n = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+
+    def walk(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        cc = rgm.column(ci)
+                        out.append(
+                            (
+                                cc.path_in_schema,
+                                int(cc.num_values),
+                                int(cc.total_compressed_size),
+                                int(cc.total_uncompressed_size),
+                            )
+                        )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "column", "n_values",
+                        "compressed_bytes", "uncompressed_bytes",
+                    ],
+                )
+
+    chunks = files.repartition(n).mapInPandas(
+        walk,
+        "column string, n_values long, compressed_bytes long, "
+        "uncompressed_bytes long",
+    )
+    return (
+        chunks.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_values").alias("n_values"),
+            F.sum("compressed_bytes").alias("compressed_bytes"),
+            F.sum("uncompressed_bytes").alias("uncompressed_bytes"),
+        )
+        .orderBy("column")
+    )

@@ -168,3 +168,34 @@ def test_smart_read_routes_and_never_changes_results(spark, sf_dir, tmp_path):
     assert df.count() == o.filter(
         "o_orderkey BETWEEN 10 AND 600 AND o_orderstatus = 'F'"
     ).count()
+
+
+def test_column_storage_report_consistency(spark, tmp_path):
+    """Footer-walk storage report: per-column value counts equal the
+    row count, per-column byte totals are positive and sum to less than
+    the physical file sizes (footer + headers are the remainder)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.stats import column_storage_report
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=1_000)
+    rep = {r["column"]: r for r in
+           column_storage_report(spark, t.file_paths()).collect()}
+    assert set(rep) == {"k", "v", "s"}
+    n_files = len(t.manifest().files)
+    for c, r in rep.items():
+        assert r["n_values"] == 5_000
+        assert r["n_chunks"] >= n_files
+        assert 0 < r["compressed_bytes"]
+        assert r["compressed_bytes"] <= r["uncompressed_bytes"] * 2
+    total_phys = sum(e.bytes for e in t.manifest().files)
+    assert sum(r["compressed_bytes"] for r in rep.values()) < total_phys
