@@ -301,6 +301,7 @@ def register(spark) -> None:
     Python-source filter pushdown (a plain runtime conf) so the
     sorted_table reader can prune files and row groups from pushed
     predicates."""
+    _pickle_self_contained()
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:  # noqa: BLE001 - read-only conf context
@@ -411,4 +412,24 @@ class SortedTableChangesStreamReader:
 
 def register_changes(spark) -> None:
     """Idempotent registration of the streaming changelog format."""
+    _pickle_self_contained()
     spark.dataSource.register(SortedTableChangesDataSource)
+
+
+def _pickle_self_contained() -> None:
+    """Pickle this module BY VALUE so DataSource classes unpickle
+    anywhere. Spark 4 runs Python DataSources in dedicated runner
+    processes (batch planner, streaming source runner) whose sys.path
+    is fixed at JVM launch — neither ``addPyFile`` nor a late
+    ``PYTHONPATH`` mutation reaches them, so a by-REFERENCE pickle of
+    these classes dies with ModuleNotFoundError whenever the driver
+    wasn't launched with this repo importable (the driver-contract
+    case). The module is deliberately self-contained (pyarrow +
+    pyspark + stdlib only) precisely so by-value serialization works."""
+    import sys
+
+    # MUST be pyspark's VENDORED cloudpickle — that is the serializer
+    # Spark actually uses; registering with the PyPI copy is a no-op
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
