@@ -172,6 +172,11 @@ def write_webdataset_shards(
     # in Python workers, which need this package importable (the
     # SortedTable constructor does the same for the merge kernels)
     ensure_shipped(df.sparkSession)
+    # prune to the exported columns BEFORE the ranking pass: the shard
+    # assignment crosses a Python stage, so Catalyst cannot push this
+    # projection through it — without the explicit select every unused
+    # column of a wide corpus would ride both shuffles
+    df = df.select(key_col, payload_col, *meta_cols)
     sized = df.withColumn(
         "__wds_sz",
         F.col(size_col) if size_col is not None

@@ -275,3 +275,42 @@ def test_batch_source_prefix_pushdown_on_string_key(spark, tmp_path):
     n_all = len(reader.partitions())
     list(reader.pushFilters([StringStartsWith(("k",), "key03")]))
     assert len(reader.partitions()) == 1 < n_all  # prefix → one file
+
+
+def test_pyds_module_is_pickle_self_contained():
+    """The sorted_table DataSources pickle BY VALUE into Spark's
+    runner processes, which cannot import this package — so the pyds
+    module must never reference the package from code that ships:
+    no module-level intra-package imports, and function-level ones
+    only inside the driver-side registration helpers."""
+    import ast
+
+    import parquet_rewriter_spark.sources.pyds as pyds
+
+    tree = ast.parse(open(pyds.__file__).read())
+    allowed = {"register", "register_changes", "_pickle_self_contained"}
+
+    def pkg_imports(node):
+        for n in ast.walk(node):
+            if isinstance(n, ast.ImportFrom) and (n.module or "").startswith(
+                "parquet_rewriter_spark"
+            ):
+                yield n
+            if isinstance(n, ast.Import) and any(
+                a.name.startswith("parquet_rewriter_spark") for a in n.names
+            ):
+                yield n
+
+    offenders = []
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            offenders += [f"module-level: line {n.lineno}" for n in pkg_imports(node)]
+        elif isinstance(node, ast.FunctionDef) and node.name not in allowed:
+            offenders += [
+                f"{node.name}: line {n.lineno}" for n in pkg_imports(node)
+            ]
+        elif isinstance(node, ast.ClassDef):
+            offenders += [
+                f"class {node.name}: line {n.lineno}" for n in pkg_imports(node)
+            ]
+    assert not offenders, offenders
