@@ -146,23 +146,26 @@ def _capped_bucket_pairs(
     matches before any filter can run (the join condition is the bucket
     key, so the quadratic work happens inside the join itself).
 
-    Members are ranked within their bucket (row_number by id — one
-    shuffle on the bucket key, which the join pays anyway). The first
-    ``cap`` members pair all-with-all (full recall among them); members
-    beyond the cap get a STAR edge to the bucket's first member instead
-    of being dropped. Worst-case matches per bucket: cap²/2 + n — and
-    since near-dup consumers take pairs through connected components, a
-    mass-duplicate cluster is still recovered whole via the star hub.
-    Only pairs BOTH beyond the cap in every shared bucket are missed,
-    and those remain transitively connected through the hub.
+    GUARDED, pay-as-you-go: a map-combined groupBy first counts bucket
+    sizes (combiners collapse each bucket to one row — far cheaper
+    than a window sort over the exploded relation) and keeps only the
+    OVER-CAP bucket keys. A healthy corpus has none, and then the
+    plain all-pairs self-join runs untouched — the default-on cap
+    costs one lightweight aggregation job and nothing else. When hot
+    buckets exist their keys are few by construction (each holds > cap
+    members, so |hot| ≤ rows/cap), so a broadcast semi/anti join
+    splits the relation without an extra shuffle; only the hot slice
+    gets ranked: the first ``cap`` members pair all-with-all (full
+    recall among them); members beyond the cap get a STAR edge to the
+    bucket's first member instead of being dropped. Worst-case matches
+    per oversized bucket: cap²/2 + n — and since near-dup consumers
+    take pairs through connected components, a mass-duplicate cluster
+    is still recovered whole via the star hub. Only pairs BOTH beyond
+    the cap in every shared bucket are missed, and those remain
+    transitively connected through the hub.
 
     Returns (id_a, id_b [, {c}_a, {c}_b per payload column]).
     """
-    w = Window.partitionBy(*bucket_cols).orderBy(F.col("id").asc())
-    r = exploded.withColumn("__r", F.row_number().over(w)).persist()
-    head = r.filter(F.col("__r") <= cap)
-    hub = r.filter(F.col("__r") == 1)
-    tail = r.filter(F.col("__r") > cap)
 
     def _pairs(left: DataFrame, right: DataFrame) -> DataFrame:
         a, b = left.alias("a"), right.alias("b")
@@ -176,9 +179,37 @@ def _capped_bucket_pairs(
             *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload],
         )
 
+    hot_keys = (
+        exploded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > cap)
+        .drop("__bn")
+        .persist()
+    )
+    n_hot = hot_keys.count()
+    if n_hot == 0:
+        hot_keys.unpersist()
+        return _pairs(exploded, exploded)
+    # |hot| ≤ rows/cap; broadcast while that stays driver-small, fall
+    # back to a shuffled split join on adversarial corpora
+    joiner = F.broadcast(hot_keys) if n_hot <= 100_000 else hot_keys
+    on = list(bucket_cols)
+    cold = exploded.join(joiner, on=on, how="left_anti")
+    hot = exploded.join(joiner, on=on, how="left_semi")
+
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col("id").asc())
+    r = hot.withColumn("__r", F.row_number().over(w)).persist()
+    head = r.filter(F.col("__r") <= cap)
+    hub = r.filter(F.col("__r") == 1)
+    tail = r.filter(F.col("__r") > cap)
+
     # hub.id is the bucket minimum (rank 1 by id), so hub < tail always
     # holds and the star branch loses nothing to the id ordering
-    return _pairs(head, head).unionByName(_pairs(hub, tail))
+    return (
+        _pairs(cold, cold)
+        .unionByName(_pairs(head, head))
+        .unionByName(_pairs(hub, tail))
+    )
 
 
 def minhash_lsh_pairs(
