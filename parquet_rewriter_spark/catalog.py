@@ -9725,6 +9725,107 @@ def suppliers_covering_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "metadata_only_table_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS key_min,
+           CAST(max(o_orderkey) AS BIGINT) AS key_max,
+           round(min(o_totalprice), 2) AS price_min,
+           round(max(o_totalprice), 2) AS price_max,
+           TRUE AS metadata_only
+    FROM orders
+    WHERE o_custkey <> 421
+    """,
+    "storage", "metadata", "manifest", "fast-path",
+)
+def metadata_only_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*)/min/max answered FROM THE MANIFEST — zero file opens,
+    zero Spark jobs (operators/metadata_agg.py; the Iceberg/Delta
+    metadata-aggregate fast path). The table is first mutated (CoW
+    predicate delete) so the answer proves the manifest's per-file row
+    counts and zone maps stay EXACT through the rewrite path — the
+    oracle replays the same delete as a WHERE clause over raw orders.
+    At 100 TB this path is a driver-side dict fold over manifest
+    entries vs a million-footer scan. Exactness is asserted, not
+    assumed: the operator flags DV snapshots as bounds-inexact and
+    this query would raise rather than return a guessed answer."""
+    from parquet_rewriter_spark.operators.merge import delete_where
+    from parquet_rewriter_spark.operators.metadata_agg import metadata_aggregate
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("metadata_agg"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o), stats_cols=["o_totalprice"],
+    )
+    delete_where(t, F.col("o_custkey") == 421)
+    agg = metadata_aggregate(t)
+    assert agg["metadata_only"] and agg["rows_exact"] and agg["bounds_exact"]
+    price = agg["columns"]["o_totalprice"]
+    row = [(
+        int(agg["rows"]),
+        int(agg["key"]["min"]),
+        int(agg["key"]["max"]),
+        round(float(price["min"]), 2),
+        round(float(price["max"]), 2),
+        True,
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_rows long, key_min long, key_max long, "
+        "price_min double, price_max double, metadata_only boolean",
+    )
+
+
+@query(
+    "dpp_partitioned_join",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE quarter(o_orderdate) = 2
+    GROUP BY 1
+    """,
+    "partitioning", "pruning", "dpp", "join",
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: orders written partitioned by month,
+    joined to a month-dimension filtered on a NON-partition attribute
+    (quarter) — so which fact partitions survive is only knowable at
+    runtime. Catalyst broadcasts the dim and injects a
+    dynamicpruningexpression into the fact scan's PartitionFilters
+    (pinned in test_plans.py): the fact side reads ~1/4 of its
+    partitions without any static predicate. This is the star-schema
+    scan pattern at 100 TB — the date dim names the partitions, the
+    engine prunes the fact before reading it. The dim join is 1:1 per
+    month, so the oracle collapses to a plain WHERE quarter filter."""
+    o = _t(spark, sf_dir, "orders")
+    fact = o.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+    fact_path = _scratch("dpp_fact")
+    (
+        fact.repartition("order_month")  # one file per partition dir
+        .write.mode("overwrite").partitionBy("order_month").parquet(fact_path)
+    )
+    dim = fact.select(
+        "order_month", F.quarter("o_orderdate").cast("long").alias("order_quarter")
+    ).distinct()
+    dim_path = _scratch("dpp_dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    f = spark.read.parquet(fact_path)
+    d = spark.read.parquet(dim_path).filter(F.col("order_quarter") == 2)
+    return (
+        f.join(F.broadcast(d), "order_month")
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -9859,6 +9960,8 @@ _VERIFY_FIRST = (
     "ann_ivf_rebalanced_topk",
     "webdataset_export_summary",
     "column_storage_docs",
+    "metadata_only_table_stats",
+    "dpp_partitioned_join",
 )
 
 

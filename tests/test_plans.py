@@ -571,3 +571,12 @@ def test_transition_matrix_single_user_shuffle(spark, sf_dir):
     SinglePartition collapse."""
     p = plan_of(get("event_transition_matrix").fn(spark, sf_dir))
     assert "SinglePartition" not in p, p
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """dpp_partitioned_join's fact scan must carry a runtime partition
+    filter (dynamicpruningexpression) derived from the broadcast dim —
+    the whole point of the query; without it the fact reads all months."""
+    p = plan_of(get("dpp_partitioned_join").fn(spark, sf_dir))
+    assert "dynamicpruning" in p.lower()
+    assert "BroadcastHashJoin" in p
