@@ -9826,6 +9826,58 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "partition_evolution_scan",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE user_id = 3
+      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-04 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+    "partitioning", "pruning", "hidden-partitioning", "evolution",
+)
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (Iceberg's marquee layout feature):
+    events before Jan 8 are written partitioned by day(ts) only; the
+    spec then evolves to day(ts) x bucket(user_id, 8) and the rest is
+    appended under the new layout — not one old byte rewritten
+    (asserted in test_partitioning.py). The query window straddles the
+    boundary: each epoch's scan prunes under ITS OWN spec (old dirs by
+    day; new dirs by day x bucket) and the union is indistinguishable
+    from a plain filter over the original events — which is exactly
+    what the oracle runs. At 100 TB this is the difference between a
+    sidecar swap and a multi-day re-partitioning rewrite when a table's
+    access pattern shifts."""
+    import datetime as dt
+
+    from parquet_rewriter_spark.sources.partitioning import (
+        append_hidden_partitioned,
+        evolve_partition_spec,
+        read_hidden_partitioned,
+        write_hidden_partitioned,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = dt.datetime(2024, 1, 8)
+    path = _scratch("partition_evolution")
+    write_hidden_partitioned(ev.filter(F.col("ts") < cutoff), path, [("day", "ts")])
+    evolve_partition_spec(path, [("day", "ts"), ("bucket", "user_id", 8)])
+    append_hidden_partitioned(ev.filter(F.col("ts") >= cutoff), path)
+
+    lo, hi = dt.datetime(2024, 1, 4), dt.datetime(2024, 1, 12)
+    df = read_hidden_partitioned(
+        spark, path, eq={"user_id": 3}, ranges={"ts": (lo, hi)}
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -9962,6 +10014,7 @@ _VERIFY_FIRST = (
     "column_storage_docs",
     "metadata_only_table_stats",
     "dpp_partitioned_join",
+    "partition_evolution_scan",
 )
 
 

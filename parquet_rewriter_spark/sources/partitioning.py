@@ -27,6 +27,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SPEC_NAME = "_partition_spec.json"
+SPECS_NAME = "_partition_specs.json"
 
 
 def _pcol(transform: str, col: str) -> str:
@@ -53,6 +54,14 @@ def write_hidden_partitioned(
     columns are appended for the write only; the spec sidecar lets
     ``read_hidden_partitioned`` reconstruct them for pruning.
     """
+    _write_under_spec(df, path, spec, mode)
+    with open(os.path.join(path, SPEC_NAME), "w") as fh:
+        json.dump([list(s) for s in spec], fh)
+
+
+def _write_under_spec(
+    df: DataFrame, root: str, spec: list[tuple], mode: str
+) -> None:
     out = df
     pcols = []
     for s in spec:
@@ -61,9 +70,56 @@ def write_hidden_partitioned(
         name = _pcol(transform, col)
         out = out.withColumn(name, _transform_expr(transform, col, n))
         pcols.append(name)
-    out.write.mode(mode).partitionBy(*pcols).parquet(path)
-    with open(os.path.join(path, SPEC_NAME), "w") as fh:
-        json.dump([list(s) for s in spec], fh)
+    out.write.mode(mode).partitionBy(*pcols).parquet(root)
+
+
+def _load_specs(path: str) -> list[dict]:
+    """All partition-spec epochs of a table, oldest first.
+
+    A legacy single-spec table (``_partition_spec.json``, data at the
+    table root) is presented as a one-entry list rooted at ``"."`` —
+    evolution never rewrites it.
+    """
+    sp = os.path.join(path, SPECS_NAME)
+    if os.path.exists(sp):
+        with open(sp) as fh:
+            return json.load(fh)
+    with open(os.path.join(path, SPEC_NAME)) as fh:
+        return [{"id": 0, "spec": json.load(fh), "root": "."}]
+
+
+def _spec_root(path: str, entry: dict) -> str:
+    return path if entry["root"] == "." else os.path.join(path, entry["root"])
+
+
+def evolve_partition_spec(path: str, new_spec: list[tuple]) -> int:
+    """Iceberg-style partition evolution: change how FUTURE data is laid
+    out without touching a byte of existing data.
+
+    Each epoch's files stay under that epoch's own root (the table root
+    for the original spec; ``_spec{N}/`` — an underscore-hidden dir the
+    parquet reader skips — for evolved ones), so old directories keep
+    pruning under their old transforms and new appends land under the
+    new ones. At 100 TB a re-partitioning rewrite is days of cluster
+    time; this is one sidecar swap. Returns the new spec id.
+    """
+    specs = _load_specs(path)
+    nid = specs[-1]["id"] + 1
+    specs.append(
+        {"id": nid, "spec": [list(s) for s in new_spec], "root": f"_spec{nid}"}
+    )
+    tmp = os.path.join(path, SPECS_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(specs, fh)
+    os.replace(tmp, os.path.join(path, SPECS_NAME))
+    return nid
+
+
+def append_hidden_partitioned(df: DataFrame, path: str) -> None:
+    """Append ``df`` under the table's CURRENT (latest) partition spec."""
+    specs = _load_specs(path)
+    cur = specs[-1]
+    _write_under_spec(df, _spec_root(path, cur), [tuple(s) for s in cur["spec"]], "append")
 
 
 def read_hidden_partitioned(
@@ -79,12 +135,41 @@ def read_hidden_partitioned(
     (pushed to the parquet scan) AND — when the spec has a transform
     over that column — as a derived PARTITION predicate, which Catalyst
     turns into planning-time directory pruning (PartitionFilters).
+
+    Under partition evolution each spec epoch is read from its own
+    root with ITS OWN derived partition predicates (old data prunes
+    under the old layout, new data under the new), then the epochs are
+    unioned with the derived p_* columns dropped — the caller sees one
+    relation with only base columns, whatever the layout history.
     """
-    with open(os.path.join(path, SPEC_NAME)) as fh:
-        spec = [tuple(s) for s in json.load(fh)]
-    df = spark.read.parquet(path)
     eq = eq or {}
     ranges = ranges or {}
+    parts: list[DataFrame] = []
+    for entry in _load_specs(path):
+        root = _spec_root(path, entry)
+        if not os.path.isdir(root) or not any(
+            not e.startswith(("_", ".")) for e in os.listdir(root)
+        ):
+            continue  # an evolved spec nothing was appended under yet
+        parts.append(
+            _read_one_spec(spark, root, [tuple(s) for s in entry["spec"]], eq, ranges)
+        )
+    if not parts:
+        raise FileNotFoundError(f"no data under any partition spec of {path}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _read_one_spec(
+    spark: SparkSession,
+    root: str,
+    spec: list[tuple],
+    eq: dict[str, Any],
+    ranges: dict[str, tuple[Any, Any]],
+) -> DataFrame:
+    df = spark.read.parquet(root)
 
     for col, v in eq.items():
         df = df.filter(F.col(col) == F.lit(v))
@@ -94,10 +179,12 @@ def read_hidden_partitioned(
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
 
+    pcols = []
     for s in spec:
         transform, col = s[0], s[1]
         n = s[2] if len(s) > 2 else None
         name = _pcol(transform, col)
+        pcols.append(name)
         if transform == "bucket" and col in eq:
             # same JVM hash at plan time: filter on the literal's
             # bucket. xxhash64 is TYPE-sensitive — the literal must be
@@ -115,7 +202,7 @@ def read_hidden_partitioned(
                 df = df.filter(F.col(name) <= hi_d)
         elif transform == "day" and col in eq:
             df = df.filter(F.col(name) == _day_str(eq[col]))
-    return df
+    return df.drop(*pcols)
 
 
 def _day_str(v: Any) -> str | None:
