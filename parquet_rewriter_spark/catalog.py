@@ -9878,6 +9878,49 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tagged_snapshot_scan",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "storage", "time-travel", "refs", "vacuum",
+)
+def tagged_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (Iceberg-style tags) as a RETENTION promise:
+    the freshly-created table is tagged ``train-v1``, a third of its
+    customers are then deleted, and vacuum(retain_versions=1) GCs
+    history — yet the tagged snapshot and its files survive the sweep
+    (vacuum pins every tagged version), so ``read("train-v1")``
+    reproduces the exact pre-delete input. The oracle aggregates raw
+    orders: only if the tag really pinned the old files through both
+    the delete and the GC do the numbers match. The query also asserts
+    the UNTAGGED intermediate is actually gone — retention must be the
+    tag's doing, not vacuum being lazy."""
+    from parquet_rewriter_spark.operators.merge import delete_where
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("tagged_snap"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    t.tag("train-v1")
+    delete_where(t, F.col("o_custkey") % 3 == 0)
+    delete_where(t, F.col("o_custkey") % 3 == 1)  # an untagged intermediate
+    t.vacuum(retain_versions=1)
+    kept = t.versions()
+    assert len(kept) == 2, kept  # tagged + current only — middle GC'd
+    assert t.resolve_ref("train-v1") == kept[0]
+    return t.read("train-v1").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10015,6 +10058,7 @@ _VERIFY_FIRST = (
     "metadata_only_table_stats",
     "dpp_partitioned_join",
     "partition_evolution_scan",
+    "tagged_snapshot_scan",
 )
 
 

@@ -243,8 +243,11 @@ class SortedTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.path, MANIFEST_NAME)
 
-    def manifest(self, version: int | None = None) -> Manifest:
-        """Current manifest, or a retained historical snapshot by version."""
+    def manifest(self, version: "int | str | None" = None) -> Manifest:
+        """Current manifest, a historical snapshot by version number, or
+        a tagged snapshot by ref name (``manifest("v1.0")``)."""
+        if isinstance(version, str):
+            version = self.resolve_ref(version)
         path = (
             self._manifest_path
             if version is None
@@ -259,6 +262,51 @@ class SortedTable:
             raise ValueError(
                 f"no snapshot v{version} at {self.path} (vacuumed or never existed)"
             ) from None
+
+    # ---------------------------------------------------- named refs
+    # Iceberg-style tags: a human name pinned to a snapshot version,
+    # stored in a `_refs.json` sidecar. A tag is a RETENTION promise,
+    # not just an alias — vacuum() keeps every tagged snapshot (and its
+    # files) alive regardless of the version/time policy, so
+    # `read("train-v1")` reproduces a training run's exact inputs long
+    # after routine GC. Any API taking a version also takes a tag name.
+
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.path, "_refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Live tag name → pinned snapshot version."""
+        try:
+            with open(self._refs_path) as fh:
+                return json.load(fh).get("tags", {})
+        except FileNotFoundError:
+            return {}
+
+    def resolve_ref(self, name: str) -> int:
+        try:
+            return self.tags()[name]
+        except KeyError:
+            raise ValueError(f"no tag {name!r} at {self.path}") from None
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a snapshot (default: the current one)."""
+        v = self.manifest(version).version  # validates the snapshot exists
+        tags = self.tags()
+        tags[name] = v
+        self._write_refs(tags)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        self._write_refs(tags)
+
+    def _write_refs(self, tags: dict[str, int]) -> None:
+        tmp = self._refs_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"tags": tags}, fh)
+        os.replace(tmp, self._refs_path)
 
     def versions(self) -> list[int]:
         """Retained snapshot versions, oldest first."""
@@ -439,9 +487,10 @@ class SortedTable:
         )
         return t
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: "int | str | None" = None) -> DataFrame:
         """Read a snapshot (manifest-listed files only); ``version=None``
-        is the current snapshot, an int time-travels to that commit.
+        is the current snapshot, an int time-travels to that commit,
+        a string reads a tagged snapshot (``read("train-v1")``).
         A zero-file snapshot (everything deleted) reads as an empty,
         correctly-typed relation via the manifest's stored schema.
         Merge-on-read deletion vectors (if any) are applied here — see
@@ -938,6 +987,12 @@ class SortedTable:
             if straddler is not None and straddler not in keep_versions:
                 keep_versions.append(straddler)
             keep_versions.sort()
+        # tags pin their snapshots (and files) through any GC policy —
+        # a tag IS the promise that read(tag) stays reproducible
+        for v in self.tags().values():
+            if v in versions and v not in keep_versions:
+                keep_versions.append(v)
+        keep_versions.sort()
         for v in versions:
             if v not in keep_versions:
                 os.remove(os.path.join(self.path, f"_manifest.v{v}.json"))

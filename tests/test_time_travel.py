@@ -388,3 +388,43 @@ def test_validate_clean_and_corrupted(spark, tmp_path):
     assert not rep2["ok"]
     assert rep2["manifest_mismatches"] >= 1
     assert rep2["duplicate_keys"] == 500
+
+
+def test_tag_pins_snapshot_through_vacuum(spark, tmp_path, sf_dir):
+    """A tag is a retention promise: vacuum(retain_versions=1) must keep
+    the tagged snapshot AND its data files; read(tag) reproduces it."""
+    from parquet_rewriter_spark.operators.merge import delete_where
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "tagged"), orders, key="o_orderkey",
+        max_records_per_file=500,
+    )
+    before = t.read().count()
+    assert t.tag("baseline") == t.manifest().version
+
+    delete_where(t, F.col("o_custkey") % 3 == 0)
+    after = t.read().count()
+    assert after < before
+
+    t.vacuum(retain_versions=1)
+    # tagged snapshot survived GC; untagged intermediates are gone
+    assert t.read("baseline").count() == before
+    assert t.read().count() == after
+    assert t.resolve_ref("baseline") in t.versions()
+
+    t.delete_tag("baseline")
+    t.vacuum(retain_versions=1)
+    assert t.versions() == [t.manifest().version]
+    with pytest.raises(ValueError):
+        t.read("baseline")
+
+
+def test_tag_unknown_version_raises(spark, tmp_path, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "tagged2"), orders, key="o_orderkey",
+        max_records_per_file=5000,
+    )
+    with pytest.raises(ValueError):
+        t.tag("ghost", version=99)
