@@ -9921,6 +9921,80 @@ def tagged_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COV_TRACE_SQL = " + ".join(f"var_pop(embedding[{i}])" for i in range(1, 65))
+
+
+@query(
+    "embedding_covariance_probe",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round({_COV_TRACE_SQL}, 4) AS trace,
+           round(10000 * var_pop(embedding[1]), 2) AS var_1,
+           round(10000 * var_pop(embedding[6]), 2) AS var_6,
+           round(10000 * covar_pop(embedding[1], embedding[2]), 2) AS cov_1_2,
+           round(10000 * covar_pop(embedding[11], embedding[21]), 2) AS cov_11_21
+    FROM embeddings
+    """,
+    "embeddings", "pca", "statistics", "sufficient-stats",
+)
+def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d×d covariance of the embedding corpus from ONE pass of
+    per-partition sufficient statistics (operators/pca.py): each task
+    reduces its rows to (n, Σx, ΣxxT) with a single BLAS matmul, the
+    driver sums one 33 KB triple per partition and closes the form.
+    The oracle recomputes the probed entries cell-by-cell in DuckDB
+    (var_pop/covar_pop over 1-indexed list elements, trace as the sum
+    of all 64 variances) — matching proves the distributed sums are
+    the algebraic covariance, not an approximation. This matrix is the
+    input to the PCA projection (embedding_pca_projection); covariances
+    are scaled ×10⁴ before rounding because their natural magnitude
+    (~1e-4) sits below the 2-decimal comparison grid."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.pca import covariance_stats
+
+    df = _t(spark, sf_dir, "embeddings")
+    n, _, cov = covariance_stats(df)
+    row = [(
+        int(n),
+        round(float(np.trace(cov)), 4),
+        round(float(cov[0, 0]) * 10000, 2),
+        round(float(cov[5, 5]) * 10000, 2),
+        round(float(cov[0, 1]) * 10000, 2),
+        round(float(cov[10, 20]) * 10000, 2),
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_vectors long, trace double, var_1 double, var_6 double, "
+        "cov_1_2 double, cov_11_21 double",
+    )
+
+
+@query(
+    "embedding_pca_projection",
+    None,  # eigendecomposition is not SQL-replayable; property-tested in
+    # tests/test_pca.py (projection covariance == diag(eigenvalues),
+    # orthonormal axes, exact match with single-machine numpy)
+    "embeddings", "pca", "projection", "dimensionality-reduction",
+)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-4 principal axes: covariance
+    in one sufficient-statistics pass, d×d eigh on the driver, then a
+    map-only broadcast matmul back over the rows (no shuffle, no second
+    aggregate). Axes are sign-normalized so the output is deterministic
+    run-to-run — eigh's sign is otherwise arbitrary."""
+    from parquet_rewriter_spark.operators.pca import pca_project
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = pca_project(df, 4)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(F.element_at("pca", 1), 3).alias("pc1"),
+        F.round(F.element_at("pca", 2), 3).alias("pc2"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10059,6 +10133,8 @@ _VERIFY_FIRST = (
     "dpp_partitioned_join",
     "partition_evolution_scan",
     "tagged_snapshot_scan",
+    "embedding_covariance_probe",
+    "embedding_pca_projection",
 )
 
 
