@@ -9995,6 +9995,51 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@query(
+    "symlink_manifest_export_scan",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_custkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+    "storage", "interop", "export", "manifest",
+)
+def symlink_manifest_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop escape hatch (operators/interop.py): after a CoW delete,
+    the snapshot is published as a Hive-style symlink manifest — the
+    exact file list an engine that can't speak our manifest protocol
+    (Presto/Athena SymlinkTextInputFormat) would read. The returned
+    aggregate is computed the way THAT engine would: raw parquet over
+    the listed paths, no native reader involved — matching the oracle
+    proves the listing is exactly the committed snapshot (no orphan
+    staging files leaked in, no live file missed). Snapshots that can't
+    be represented as plain files (deletion vectors, renames) refuse to
+    export rather than publish wrong data."""
+    from parquet_rewriter_spark.operators.interop import (
+        read_symlink_manifest,
+        write_symlink_manifest,
+    )
+    from parquet_rewriter_spark.operators.merge import delete_where
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("symlink_export"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    delete_where(t, F.col("o_custkey") % 5 == 0)
+    info = write_symlink_manifest(t)
+    ext = read_symlink_manifest(spark, t.path)
+    assert info["rows"] == t.stats()["rows"]
+    return ext.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10135,6 +10180,7 @@ _VERIFY_FIRST = (
     "tagged_snapshot_scan",
     "embedding_covariance_probe",
     "embedding_pca_projection",
+    "symlink_manifest_export_scan",
 )
 
 
