@@ -10040,6 +10040,78 @@ def symlink_manifest_export_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_embedding_covariance",
+    f"""
+    WITH cur AS (
+      SELECT CASE WHEN vec_id < 50
+                  THEN list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+                  ELSE embedding END AS embedding
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round({_COV_TRACE_SQL}, 4) AS trace,
+           round(10000 * var_pop(embedding[1]), 2) AS var_1,
+           round(10000 * covar_pop(embedding[1], embedding[2]), 2) AS cov_1_2
+    FROM cur
+    """,
+    "embeddings", "pca", "incremental", "sufficient-stats", "sidecar",
+)
+def incremental_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT covariance maintained incrementally (operators/covstats.py):
+    every immutable data file carries its sufficient-statistic triple
+    (n, Σx, ΣxxT) in a sidecar — triples are additive, so the corpus
+    covariance is a driver-side sum over live files' kilobyte rows, no
+    scan. After a merge doubles the first 50 vectors, the refresh
+    re-computes ONLY the rewritten files' triples (asserted: churn <
+    table) and the summed answer must match DuckDB's full recompute
+    over the mutated corpus — churn-proportional upkeep with zero
+    approximation, the matview idea applied to second moments."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.covstats import (
+        build_covariance_stats,
+        covariance_from_stats,
+    )
+    from parquet_rewriter_spark.operators.merge import (
+        OP_COLUMN,
+        OP_UPSERT,
+        merge_into_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    t = SortedTable.create(
+        spark, _scratch("inc_cov"), emb, key="vec_id",
+        max_records_per_file=_scaled_mrpf(emb),
+    )
+    build_covariance_stats(t, "embedding")
+    total = len(t.manifest().files)
+
+    mut = (
+        t.read()
+        .filter(F.col("vec_id") < 50)
+        .withColumn(
+            "embedding", F.expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))")
+        )
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(t, mut)
+    rebuilt = build_covariance_stats(t, "embedding")
+    assert rebuilt < total, (rebuilt, total)  # churn, not the table
+
+    n, _, cov = covariance_from_stats(t, "embedding")
+    row = [(
+        int(n),
+        round(float(np.trace(cov)), 4),
+        round(float(cov[0, 0]) * 10000, 2),
+        round(float(cov[0, 1]) * 10000, 2),
+    )]
+    return spark.createDataFrame(
+        row, "n_vectors long, trace double, var_1 double, cov_1_2 double"
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10181,6 +10253,7 @@ _VERIFY_FIRST = (
     "embedding_covariance_probe",
     "embedding_pca_projection",
     "symlink_manifest_export_scan",
+    "incremental_embedding_covariance",
 )
 
 
