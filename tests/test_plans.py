@@ -580,3 +580,14 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     p = plan_of(get("dpp_partitioned_join").fn(spark, sf_dir))
     assert "dynamicpruning" in p.lower()
     assert "BroadcastHashJoin" in p
+
+
+def test_pca_projection_is_map_only(spark, sf_dir):
+    """pca_project's data pass must be a single map stage: the component
+    matrix rides the closure, so no Exchange belongs in the plan."""
+    from parquet_rewriter_spark.operators.pca import pca_project
+
+    df = load_table(spark, sf_dir, "embeddings")
+    p = plan_of(pca_project(df, 3))
+    assert "MapInPandas" in p
+    assert "Exchange" not in p, p
