@@ -70,6 +70,13 @@ def _write_under_spec(
         name = _pcol(transform, col)
         out = out.withColumn(name, _transform_expr(transform, col, n))
         pcols.append(name)
+    # one writer per partition directory: without this every task writes
+    # a sliver into every directory it has rows for — tasks × dirs small
+    # files, the classic partitioned-write explosion (at 1000 executors
+    # it's also 1000× the commit-protocol listing). A pathologically hot
+    # partition would want a salt added here; these transforms (day,
+    # bucket-N) are cardinality-bounded by design.
+    out = out.repartition(*[F.col(c) for c in pcols])
     out.write.mode(mode).partitionBy(*pcols).parquet(root)
 
 
