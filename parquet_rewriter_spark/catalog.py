@@ -10112,6 +10112,35 @@ def incremental_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "embedding_mahalanobis_mean",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(64.0 AS DOUBLE) AS mean_m2
+    FROM embeddings
+    """,
+    "embeddings", "outliers", "mahalanobis", "pca",
+)
+def embedding_mahalanobis_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis outlier scores for every embedding (map-only scoring
+    against the one-pass population moments, operators/pca.py). The
+    oracle pins a mathematical identity, not a tautology: for ANY data,
+    the population average of (x−μ)ᵀΣ⁻¹(x−μ) is exactly d (= 64, the
+    embedding dimension) — trace(Σ⁻¹Σ). Spark must reproduce 64.0000 at
+    4 decimals, which simultaneously checks the distributed moment
+    sums, the eigendecomposition-based inverse, and the whitened
+    scoring pass. The scores themselves are the corpus outlier screen
+    (large m² = far from the corpus in decorrelated units)."""
+    from parquet_rewriter_spark.operators.pca import mahalanobis_scores
+
+    df = _t(spark, sf_dir, "embeddings")
+    out = mahalanobis_scores(df)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("m2"), 4).alias("mean_m2"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10254,6 +10283,7 @@ _VERIFY_FIRST = (
     "embedding_pca_projection",
     "symlink_manifest_export_scan",
     "incremental_embedding_covariance",
+    "embedding_mahalanobis_mean",
 )
 
 

@@ -122,3 +122,50 @@ def pca_project(
     return df.mapInPandas(project, f"{schema}, {out_col} array<double>").select(
         *cols, out_col
     )
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "m2",
+    ridge: float = 1e-9,
+) -> DataFrame:
+    """Append the squared Mahalanobis distance of each vector to the
+    corpus distribution: m² = (x−μ)ᵀ Σ⁻¹ (x−μ) with (μ, Σ) the
+    population moments from the one-pass sufficient statistics. The
+    symmetric whitener W = Q Λ^{−1/2} Qᵀ (eigenvalues floored at
+    ``ridge`` for numerical rank-deficiency) rides the closure, so the
+    scoring pass is map-only — same plan shape as pca_project.
+
+    Built-in invariant the oracle can pin EXACTLY: for any data,
+    E[m²] = trace(Σ⁻¹Σ) = d when Σ comes from the same population —
+    avg(m2) over the corpus must equal the embedding dimension to
+    float precision, which checks μ, Σ, the inversion, and the scoring
+    pass all at once. Use: embedding outlier screens (large m² = far
+    from the corpus in whitened space — a better filter than raw L2
+    when dimensions are correlated or differently scaled)."""
+    from parquet_rewriter_spark.ship import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    _, mean, cov = covariance_stats(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)
+    vals = np.maximum(vals, ridge)
+    W = vecs @ np.diag(1.0 / np.sqrt(vals)) @ vecs.T
+    cols = df.columns
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Z = (X - mean) @ W
+            out = pdf.copy()
+            out[out_col] = (Z * Z).sum(axis=1)
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(score, f"{schema}, {out_col} double").select(
+        *cols, out_col
+    )

@@ -62,3 +62,20 @@ def test_empty_relation_raises(spark, sf_dir):
     df = load_table(spark, sf_dir, "embeddings").filter("vec_id < 0")
     with pytest.raises(ValueError):
         covariance_stats(df)
+
+
+def test_mahalanobis_mean_equals_dimension_and_matches_numpy(emb):
+    from parquet_rewriter_spark.operators.pca import mahalanobis_scores
+
+    df, X = emb
+    rows = mahalanobis_scores(df).select("vec_id", "m2").sort("vec_id").collect()
+    m2 = np.array([r["m2"] for r in rows])
+    # E[m2] == d exactly when (mu, cov) are the population moments
+    assert abs(m2.mean() - X.shape[1]) < 1e-8
+
+    data = df.select("vec_id", "embedding").sort("vec_id").collect()
+    Xs = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in data])
+    mu = Xs.mean(axis=0)
+    S = np.cov(Xs, rowvar=False, bias=True)
+    direct = np.einsum("ij,jk,ik->i", Xs - mu, np.linalg.inv(S), Xs - mu)
+    np.testing.assert_allclose(m2, direct, rtol=1e-6)
