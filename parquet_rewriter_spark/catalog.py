@@ -10141,6 +10141,65 @@ def embedding_mahalanobis_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "column_purge_scan",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN o_orderkey < 100 THEN o_totalprice + 1
+                          ELSE o_totalprice END), 2) AS total_price,
+           TRUE AS purged_everywhere
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "storage", "ddl", "purge", "gdpr",
+)
+def column_purge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level erasure end-to-end: DROP COLUMN is metadata-only
+    (bytes stay — 'not projected' is not 'gone'), so purge_columns
+    (operators/compact.py) rewrites exactly the live files whose
+    physical schema still carries the dropped column; files a post-drop
+    merge already wrote clean pass through by name. The proof rides the
+    result: every live file's parquet footer is checked for the purged
+    column and folded into ``purged_everywhere`` (a single surviving
+    byte flips the hash), while the aggregate must still match the
+    oracle's replay of the merge — erasure without collateral damage."""
+    import pyarrow.parquet as pq
+
+    from parquet_rewriter_spark.operators.compact import purge_columns
+    from parquet_rewriter_spark.operators.merge import (
+        OP_COLUMN,
+        OP_UPSERT,
+        merge_into_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("col_purge"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    t.drop_column("o_orderpriority")
+    mut = (
+        t.read().filter(F.col("o_orderkey") < 100)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(t, mut)
+    res = purge_columns(t)
+    assert res["files_rewritten"] > 0
+    purged = all(
+        "o_orderpriority"
+        not in pq.ParquetFile(os.path.join(t.path, e.name)).schema_arrow.names
+        for e in t.manifest().files
+    )
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.lit(purged).alias("purged_everywhere"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10284,6 +10343,7 @@ _VERIFY_FIRST = (
     "symlink_manifest_export_scan",
     "incremental_embedding_covariance",
     "embedding_mahalanobis_mean",
+    "column_purge_scan",
 )
 
 

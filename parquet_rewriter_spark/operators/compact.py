@@ -57,6 +57,84 @@ def compact(
     }
 
 
+def purge_columns(
+    table: SortedTable,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """REORG…PURGE: physically reclaim the bytes of dropped columns.
+
+    ``drop_column`` is metadata-only — correct and O(1), but the bytes
+    stay in the files (storage cost; and for column-level erasure
+    obligations, "not projected" is not "gone"). This pass rewrites
+    ONLY the live files whose physical schema still carries a column
+    absent from the pinned manifest schema; files already clean (e.g.
+    written by merges after the drop) pass through by name. Selection
+    is a footer walk (kilobytes per file — at million-file manifests,
+    distribute it the way validate() does); the rewrite reads the dirty
+    subset through the pinned-schema reader, so dropped bytes are never
+    projected and later-added columns null-fill.
+
+    Merge-on-read tombstones of rewritten files are materialized by the
+    rewrite (same contract as compact_incremental); other files' DVs
+    carry forward untouched."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    m = table.manifest()
+    if m.schema_json is None:
+        raise ValueError("table has no recorded schema")
+    pinned = {f.name for f in StructType.fromJson(_json.loads(m.schema_json)).fields}
+    dirty, keep = [], []
+    for e in m.files:
+        phys = set(
+            pq.ParquetFile(os.path.join(table.path, e.name)).schema_arrow.names
+        )
+        (dirty if phys - pinned else keep).append(e)
+    if not dirty:
+        return {
+            "version": m.version,
+            "files_rewritten": 0,
+            "files_passthrough": len(keep),
+            "rows_rewritten": 0,
+        }
+    total_rows = sum(e.rows for e in dirty)
+    if max_records_per_file is None:
+        max_records_per_file = max(1, -(-total_rows // len(dirty)))
+    df = table._reader(m).parquet(
+        *[os.path.join(table.path, e.name) for e in dirty]
+    )
+    dv = table.dv_keys(m, files={e.name for e in dirty if e.dv_rows})
+    if dv is not None:
+        from pyspark.sql import functions as F
+
+        df = df.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
+    staging = table._write_sorted(df, m.key, max_records_per_file, None)
+    new_entries = table._adopt_staged(staging, m.key)
+    from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
+
+    table._commit_manifest(
+        Manifest(
+            version=m.version + 1,
+            key=m.key,
+            files=sorted(keep + new_entries, key=lambda e: (e.key_min, e.name)),
+            schema_json=m.schema_json,
+            stats_cols=m.stats_cols,
+            bloom_cols=m.bloom_cols,
+            dv_files=retain_dv(table, m, {e.name for e in keep}),
+            operation="purge-columns",
+        )
+    )
+    return {
+        "version": m.version + 1,
+        "files_rewritten": len(dirty),
+        "files_passthrough": len(keep),
+        "rows_rewritten": sum(e.rows for e in new_entries),
+    }
+
+
 def compact_incremental(
     table: SortedTable,
     target_records_per_file: int,

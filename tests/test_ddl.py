@@ -136,3 +136,55 @@ def test_type_widening_merge(spark, sf_dir, tmp_path):
     worse = muts.withColumn("o_totalprice", F.lit("x"))
     with _pytest.raises(ValueError, match="incompatible"):
         merge_into_table(t, worse)
+
+
+def test_purge_columns_physically_sheds_dropped_bytes(spark, sf_dir, tmp_path):
+    """drop_column is metadata-only; purge_columns is the REORG that
+    actually removes the bytes — only from files that still carry them."""
+    import pyarrow.parquet as pq
+
+    from parquet_rewriter_spark.operators.compact import purge_columns
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "purge"), o, key="o_orderkey",
+                           max_records_per_file=500)
+    t.drop_column("o_orderpriority")
+    # a post-drop merge writes CLEAN files for the keys it touches
+    mut = (t.read().filter(F.col("o_orderkey") < 100)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+           .withColumn(OP_COLUMN, F.lit(OP_UPSERT)))
+    merge_into_table(t, mut)
+    before = t.read().agg(F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)).first()
+
+    res = purge_columns(t)
+    assert res["files_rewritten"] > 0
+    assert res["files_passthrough"] > 0  # the merge's clean files stayed put
+
+    m = t.manifest()
+    for e in m.files:
+        names = pq.ParquetFile(os.path.join(t.path, e.name)).schema_arrow.names
+        assert "o_orderpriority" not in names
+    after = t.read().agg(F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)).first()
+    assert tuple(before) == tuple(after)
+
+    # idempotent: nothing left to purge
+    res2 = purge_columns(t)
+    assert res2["files_rewritten"] == 0
+
+
+def test_purge_columns_materializes_dv_of_rewritten_files(spark, sf_dir, tmp_path):
+    from parquet_rewriter_spark.operators.compact import purge_columns
+    from parquet_rewriter_spark.operators.deletion_vectors import delete_where_mor
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "purge_dv"), o, key="o_orderkey",
+                           max_records_per_file=500)
+    t.drop_column("o_orderpriority")
+    delete_where_mor(t, F.col("o_custkey") % 7 == 0)
+    live = t.read().count()
+
+    res = purge_columns(t)
+    assert res["files_rewritten"] == len(t.manifest().files)
+    assert t.manifest().dv_files == []  # all tombstones materialized
+    assert t.read().count() == live
