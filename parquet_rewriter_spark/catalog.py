@@ -10200,6 +10200,74 @@ def column_purge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hyperplane_lsh_portable_pairs",
+    """
+    WITH planes AS (
+      SELECT j, i,
+             (('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) AS w
+      FROM range(0, 16) p(j), range(1, 65) d(i)
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, d.i AS i, q[d.i] AS v FROM q, range(1, 65) d(i)
+    ),
+    bits AS (
+      SELECT el.vec_id, p.j,
+             CASE WHEN SUM(el.v * p.w) >= 0 THEN '1' ELSE '0' END AS b
+      FROM el JOIN planes p ON p.i = el.i
+      GROUP BY el.vec_id, p.j
+    ),
+    sigb AS (
+      SELECT vec_id, j // 4 AS band, string_agg(b, '' ORDER BY j) AS sig
+      FROM bits GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM sigb a JOIN sigb b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+      SELECT vec_id, SUM(v * v) AS nq FROM el GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.a_id, c.b_id, SUM(ea.v * eb.v) AS dot
+      FROM cand c
+      JOIN el ea ON ea.vec_id = c.a_id
+      JOIN el eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT d.a_id, d.b_id,
+           round(CAST(d.dot AS DOUBLE) / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.a_id
+    JOIN norms nb ON nb.vec_id = d.b_id
+    WHERE round(CAST(d.dot AS DOUBLE) / (sqrt(na.nq) * sqrt(nb.nq)), 4) >= 0.45
+    """,
+    "embeddings", "lsh", "near-dup", "portable-oracle",
+)
+def hyperplane_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane LSH over embeddings, fully SQL-replayable
+    (operators/dedup.py:hyperplane_lsh_pairs_portable): md5-bridge
+    plane weights + integer-quantized vectors make every signature bit,
+    band bucket, candidate pair, and verified cosine EXACTLY
+    reproducible in DuckDB — float reduction order can't flip a sign
+    or a rounding boundary because all sums are commutative BIGINT
+    arithmetic. This upgrades the embedding-LSH path to the same
+    hash-compared oracle status the portable MinHash/SimHash twins
+    have; the production path keeps float BLAS (faster), this twin is
+    the correctness gate. Candidates come from a band-key self-join —
+    never all-pairs — and the exact verify touches only candidates."""
+    from parquet_rewriter_spark.operators.dedup import hyperplane_lsh_pairs_portable
+
+    df = _t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs_portable(df, "vec_id", "embedding")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10344,6 +10412,7 @@ _VERIFY_FIRST = (
     "incremental_embedding_covariance",
     "embedding_mahalanobis_mean",
     "column_purge_scan",
+    "hyperplane_lsh_portable_pairs",
 )
 
 

@@ -936,3 +936,106 @@ def substring_dup_stats(
             F.round(F.sum("dup_tokens") / F.sum("n_tok"), 6).alias("dup_frac"),
         )
     )
+
+
+def hyperplane_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.45,
+    quant: int = 1_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded hyperplane (sign-random-projection) LSH with an
+    ENGINE-PORTABLE construction — the embedding analogue of
+    :func:`minhash_lsh_pairs_portable`, upgrading the hyperplane path
+    from rows-only to a fully SQL-replayable oracle (signatures, band
+    buckets, candidate set, cosine verify — cell for cell).
+
+    Portability is exact-by-construction, not close-enough:
+
+    * plane weights come from the md5 bridge — ``w[j][i] =
+      md5_60bit('hp{j}_{i}') % 2001 − 1000`` — derivable in any engine
+      (here they are folded driver-side and shipped as 64-long literal
+      arrays; the oracle recomputes them in SQL from the same md5);
+    * vectors are QUANTIZED to integers (round(x·10⁶)) so every dot
+      product and norm is exact BIGINT arithmetic — commutative, so
+      summation ORDER cannot flip a sign or a rounding boundary the way
+      float reductions can (the failure mode that keeps float LSH out
+      of hash-compared oracles); magnitudes stay < 2⁵³ so the final
+      cosine division is the same float64 in every engine.
+
+    Distributed shape mirrors the production hyperplane path: a
+    codegen'd projection computes all bands' signatures in one pass,
+    candidates come from a band-key self-join (never all-pairs), and
+    the exact-cosine verify runs only on the semi-join-pruned candidate
+    set. Collision probability per band for angle θ is (1−θ/π)^r — at
+    cos 0.45 with 4×4 bands ≈ half the true pairs surface, which is the
+    point of the query: LSH recall is measurable because the signatures
+    are reproducible."""
+    import hashlib
+
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    n_planes = bands * rows_per_band
+
+    def plane(j: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"hp{j}_{i}".encode()).hexdigest()[:15], 16) % 2001
+            - 1000
+            for i in range(1, dim + 1)
+        ]
+
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("id"), q.alias("q"))
+    add = lambda acc, v: acc + v  # noqa: E731
+    norm = F.aggregate(
+        F.transform("q", lambda e: e * e), F.lit(0).cast("long"), add
+    )
+    bits = []
+    for j in range(n_planes):
+        w = F.array(*[F.lit(v).cast("long") for v in plane(j)])
+        dot = F.aggregate(F.zip_with("q", w, lambda a, b: a * b),
+                          F.lit(0).cast("long"), add)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    sigs = base.select(
+        "id", "q", norm.alias("nq"),
+        *[
+            F.concat(*bits[b * rows_per_band:(b + 1) * rows_per_band]).alias(f"s{b}")
+            for b in range(bands)
+        ],
+    ).persist()
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"s{b}") for b in range(bands)])).alias(
+            "band", "sig"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    qa = sigs.select(F.col("id").alias("a_id"), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    qb = sigs.select(F.col("id").alias("b_id"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+    dot_ab = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), add
+    )
+    cos = F.round(
+        dot_ab.cast("double") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 4
+    )
+    return (
+        cand.join(qa, "a_id").join(qb, "b_id")
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -690,3 +690,35 @@ def test_substring_dup_property_vs_bruteforce(spark):
         row = substring_dup_stats(df, "doc_id", "text", window=W).first()
         assert row["dup_tokens"] == total_exp, (trial, row["dup_tokens"], total_exp)
         assert row["docs_with_dups"] == sum(1 for v in exp_dup.values() if v), trial
+
+
+def test_hyperplane_portable_pairs_are_true_pairs(spark, sf_dir):
+    """Precision must be exact (verified candidates only), and the pair
+    set deterministic run-to-run — it is what the SQL oracle replays."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.dedup import hyperplane_lsh_pairs_portable
+
+    df = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in hyperplane_lsh_pairs_portable(df).collect()
+    }
+    assert got  # bands are tuned to surface pairs on the fixture
+    rows = df.select("vec_id", "embedding").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    true = {
+        tuple(sorted((ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(C[i, j], 3) >= 0.449  # quantized-cosine slack at the boundary
+    }
+    assert got <= true, got - true
+    got2 = {
+        (r["a_id"], r["b_id"])
+        for r in hyperplane_lsh_pairs_portable(df).collect()
+    }
+    assert got == got2
