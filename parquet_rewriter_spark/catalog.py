@@ -10268,6 +10268,65 @@ def hyperplane_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return hyperplane_lsh_pairs_portable(df, "vec_id", "embedding")
 
 
+@query(
+    "cms_selfjoin_size_events",
+    """
+    WITH f AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    exact AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM f
+    ),
+    cells AS (
+      SELECT j.j,
+             ('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':' ||
+                                 CAST(j.j + 1 AS VARCHAR)), 1, 15))::BIGINT % 2048 AS bucket,
+             count(*) AS cnt
+      FROM events e, range(0, 4) j(j)
+      GROUP BY j.j, bucket
+    ),
+    ip AS (
+      SELECT j, sum(cnt * cnt) AS p FROM cells GROUP BY j
+    ),
+    est AS (
+      SELECT CAST(min(p) AS BIGINT) AS est_f2 FROM ip
+    )
+    SELECT exact_f2, est_f2, TRUE AS upper_bound FROM exact, est
+    """,
+    "sketch", "countmin", "join-size", "planner", "F2",
+)
+def cms_selfjoin_size_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches — the planner trick: the CMS
+    inner product Σ_bucket cntA·cntB upper-bounds the equi-join size
+    Σ_v f_A(v)·f_B(v), and the min over depth rows is the tightest such
+    bound (operators/countmin.py:countmin_inner_product). Here A = B =
+    events.user_id, so the estimated quantity is the second frequency
+    moment F₂ — the self-join size a planner consults before picking a
+    skew strategy. The portable md5-bridge hash makes every cell, every
+    inner product, and therefore the exact estimate SQL-replayable: the
+    oracle recomputes both the true F₂ and the sketch's estimate and
+    they must agree with Spark's to the digit — a 2048×4-cell summary
+    pricing a 10⁸-row self-join without scanning it twice."""
+    from parquet_rewriter_spark.operators.countmin import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sk = countmin_build(ev, "user_id").persist()
+    est = countmin_inner_product(sk, sk).first()["est"]
+    exact = (
+        ev.groupBy("user_id").count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("f2"))
+        .first()["f2"]
+    )
+    sk.unpersist()
+    row = [(int(exact), int(est), bool(est >= exact))]
+    return spark.createDataFrame(
+        row, "exact_f2 long, est_f2 long, upper_bound boolean"
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10413,6 +10472,7 @@ _VERIFY_FIRST = (
     "embedding_mahalanobis_mean",
     "column_purge_scan",
     "hyperplane_lsh_portable_pairs",
+    "cms_selfjoin_size_events",
 )
 
 

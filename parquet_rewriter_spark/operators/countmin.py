@@ -142,3 +142,26 @@ def countmin_lookup(
         joined.groupBy(*probes.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0.0))).alias(est_col))
     )
+
+
+def countmin_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """AMS/CMS inner-product estimate of Σ_v f_A(v)·f_B(v) — the
+    equi-join SIZE of A ⋈ B on the sketched key (with A = B, the second
+    frequency moment F₂ = self-join size, the classic skew indicator).
+
+    For each depth row j, Σ_bucket cntA·cntB equals the true inner
+    product PLUS non-negative collision terms, so every row
+    overestimates and the min over rows is the tightest upper bound —
+    the estimate can never undersell a join. This is how a planner
+    prices a join from two d·w-cell summaries without touching either
+    table: the sketches are kilobytes, the join they describe can be
+    billions of rows. Returns one row: ``est`` (double).
+    """
+    j = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.j") == F.col("b.j")) & (F.col("a.bucket") == F.col("b.bucket")),
+    )
+    per = j.groupBy(F.col("a.j")).agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip")
+    )
+    return per.agg(F.min("ip").alias("est"))

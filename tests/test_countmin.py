@@ -91,3 +91,29 @@ def test_build_is_one_shuffle_of_sketch_size(spark, sf_dir):
     p = plan_of(sketch)
     assert p.count("Arguments: hashpartitioning") == 1, p
     assert sketch.count() <= DEPTH * WIDTH
+
+
+def test_inner_product_upper_bounds_join_size(spark, sf_dir):
+    """CMS inner product >= true equi-join size, for self-join (F2) and
+    for a two-relation join; estimates are deterministic."""
+    from parquet_rewriter_spark.operators.countmin import (
+        countmin_build,
+        countmin_inner_product,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "click").select("user_id")
+    sa, sb = countmin_build(a, "user_id"), countmin_build(b, "user_id")
+    est = countmin_inner_product(sa, sb).first()["est"]
+    exact = a.join(b, "user_id").count()
+    assert est >= exact > 0
+    # F2 self-join
+    s = countmin_build(ev.select("user_id"), "user_id")
+    est2 = countmin_inner_product(s, s).first()["est"]
+    f2 = (
+        ev.groupBy("user_id").count()
+        .agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+    )
+    assert est2 >= f2 > 0
+    assert countmin_inner_product(s, s).first()["est"] == est2
