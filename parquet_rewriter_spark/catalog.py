@@ -10327,6 +10327,48 @@ def cms_selfjoin_size_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "update_where_scan",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN o_custkey < 100 AND o_orderstatus = 'O'
+                          THEN o_totalprice * 1.1
+                          ELSE o_totalprice END), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    "mutation", "update", "storage", "pruning",
+)
+def update_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE as a storage mutation (operators/merge.py:
+    update_where — the triad's third leg beside upsert and
+    delete_where): a 10% price adjustment for one segment runs as a
+    victim scan with the predicate pushed into the parquet reader and a
+    normal merge write — only victim-bearing files rewrite (the
+    dirty-fraction contract). Key updates are refused (an upsert under
+    a new key would duplicate, not move). The oracle replays the UPDATE
+    as a CASE expression over raw orders."""
+    from parquet_rewriter_spark.operators.merge import update_where
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("update_where"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    res = update_where(
+        t,
+        (F.col("o_custkey") < 100) & (F.col("o_orderstatus") == "O"),
+        {"o_totalprice": F.col("o_totalprice") * 1.1},
+    )
+    assert res["files_dirty"] <= res["files_total"]
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10473,6 +10515,7 @@ _VERIFY_FIRST = (
     "column_purge_scan",
     "hyperplane_lsh_portable_pairs",
     "cms_selfjoin_size_events",
+    "update_where_scan",
 )
 
 

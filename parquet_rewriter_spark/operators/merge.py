@@ -180,6 +180,40 @@ def delete_where(
     return merge_into_table(table, victims, changelog=changelog)
 
 
+def update_where(
+    table: SortedTable,
+    condition,
+    assignments: dict,
+    prune: dict | None = None,
+    changelog: bool = False,
+) -> dict:
+    """Predicate UPDATE (the mutation triad's third leg next to
+    merge-upsert and delete_where): set ``assignments`` (col → Column
+    or SQL string) on every current row matching ``condition``.
+
+    Same cost contract as delete_where: the victim scan pushes the
+    predicate into the parquet scan (plus optional ``prune`` ranges for
+    driver-side zone-map file pruning), and the write is a normal merge
+    — only victim-bearing files rewrite. Updating the table key is
+    refused: an upsert under a NEW key would insert a copy and leave
+    the old row in place — that operation is a delete+insert, and
+    silently doing it here would corrupt the uniqueness invariant."""
+    m = table.manifest()
+    logical_key = (m.rename_map or {}).get(m.key, m.key)
+    if any(c in (m.key, logical_key) for c in assignments):
+        raise ValueError(
+            f"cannot UPDATE the table key {logical_key!r}; "
+            "delete the old row and insert the new one instead"
+        )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    src = table.read_where(prune) if prune else table.read()
+    victims = src.filter(cond)
+    for c, e in assignments.items():
+        victims = victims.withColumn(c, F.expr(e) if isinstance(e, str) else e)
+    victims = victims.withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    return merge_into_table(table, victims, changelog=changelog)
+
+
 def merge_with_retry(
     table: SortedTable,
     mutations: DataFrame,

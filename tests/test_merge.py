@@ -626,3 +626,42 @@ def test_seq_col_resolves_duplicates_by_cdc_order(spark, tmp_path):
     assert t.read().count() == 100 + 1  # 8000 inserted, 7000 net no-op
     # seq column is ordering metadata, not schema evolution
     assert "seq" not in t.read().columns
+
+
+def test_update_where_rewrites_only_victim_files(spark, tmp_path, sf_dir):
+    from parquet_rewriter_spark.operators.merge import update_where
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "upd"), orders, key="o_orderkey",
+        max_records_per_file=200,
+    )
+    total = len(t.manifest().files)
+    res = update_where(
+        t, F.col("o_orderkey") < 100,
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    assert 0 < res["files_dirty"] < total
+
+    exp = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") < 100, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    )
+    a = t.read().agg(F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)).first()
+    b = exp.agg(F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)).first()
+    assert tuple(a) == tuple(b)
+
+
+def test_update_where_refuses_key_updates(spark, tmp_path, sf_dir):
+    from parquet_rewriter_spark.operators.merge import update_where
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "updk"), orders, key="o_orderkey",
+        max_records_per_file=5000,
+    )
+    with pytest.raises(ValueError, match="key"):
+        update_where(t, F.lit(True), {"o_orderkey": F.col("o_orderkey") + 1})
