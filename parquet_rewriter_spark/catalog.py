@@ -10333,7 +10333,7 @@ def cms_selfjoin_size_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n_orders,
            round(sum(CASE WHEN o_custkey < 100 AND o_orderstatus = 'O'
-                          THEN o_totalprice * 1.1
+                          THEN round(o_totalprice * 1.1, 2)
                           ELSE o_totalprice END), 2) AS total_price
     FROM orders
     GROUP BY o_orderstatus
@@ -10360,12 +10360,80 @@ def update_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = update_where(
         t,
         (F.col("o_custkey") < 100) & (F.col("o_orderstatus") == "O"),
-        {"o_totalprice": F.col("o_totalprice") * 1.1},
+        {"o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2)},
     )
     assert res["files_dirty"] <= res["files_total"]
     return t.read().groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "matjoin_orders_customer_scan",
+    """
+    WITH o2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey < 50 THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    c2 AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey = 7 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey <> 11
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM o2 JOIN c2 ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "storage", "matview", "join", "incremental", "cdc",
+)
+def matjoin_orders_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained DENORMALIZED JOIN (operators/matjoin.py)
+    — the IVM decomposition ΔV = ΔF⋈D ∪ F⋈ΔD folded into one merge:
+    after the full build, the fact side churns (segment price update +
+    predicate delete) and the dim side churns (balance update + a
+    customer DELETED, which must evict that customer's rows from the
+    view, not just stop matching). One refresh reconciles both sides at
+    churn cost — the view merge zone-map-prunes to touched fact keys —
+    and the result must equal the oracle's from-scratch join over the
+    mutated tables. The aggregate reads the VIEW only; a stale or
+    double-applied row anywhere flips the hash."""
+    from parquet_rewriter_spark.operators.matjoin import (
+        create_join_view,
+        refresh_join_view,
+    )
+    from parquet_rewriter_spark.operators.merge import delete_where, update_where
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    fact = SortedTable.create(
+        spark, _scratch("mj_fact"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    dim = SortedTable.create(
+        spark, _scratch("mj_dim"), c, key="c_custkey",
+        max_records_per_file=_scaled_mrpf(c),
+    )
+    view = create_join_view(
+        spark, _scratch("mj_view"), fact, dim, fk="o_custkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    update_where(fact, F.col("o_custkey") < 50,
+                 {"o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2)})
+    delete_where(fact, F.col("o_orderkey") % 97 == 0)
+    update_where(dim, F.col("c_custkey") == 7, {"c_acctbal": F.lit(0.0)})
+    delete_where(dim, F.col("c_custkey") == 11)
+    refresh_join_view(view, fact, dim)
+    return view.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
     )
 
 
@@ -10516,6 +10584,7 @@ _VERIFY_FIRST = (
     "hyperplane_lsh_portable_pairs",
     "cms_selfjoin_size_events",
     "update_where_scan",
+    "matjoin_orders_customer_scan",
 )
 
 
