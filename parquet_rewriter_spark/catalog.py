@@ -10437,6 +10437,66 @@ def matjoin_orders_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_matjoin_segment_totals",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "streaming", "matview", "join", "incremental", "exactly-once",
+)
+def stream_matjoin_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DENORMALIZATION end-to-end (streaming/ops.py:
+    stream_maintain_join): a third of the events seed the fact table
+    and its events⋈customer join view; the FULL stream then flows
+    through foreachBatch — each micro-batch merges into the fact
+    (txn-watermarked exactly-once) and the view reconciles just that
+    commit's churn via the IVM passes (operators/matjoin.py). The final
+    VIEW, aggregated by customer segment, must equal the one-shot join
+    over all events — the oracle. A dropped batch, a double-applied
+    replay, or a stale view row all flip the hash."""
+    import tempfile
+    import uuid as _uuid
+
+    from parquet_rewriter_spark.operators.matjoin import create_join_view
+    from parquet_rewriter_spark.sources.readers import normalize_events_ts
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_maintain_join,
+        stream_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    fact = SortedTable.create(
+        spark, _scratch("smj_fact"), ev.filter(F.col("event_id") % 3 == 0),
+        key="event_id", max_records_per_file=_scaled_mrpf(ev),
+    )
+    dim = SortedTable.create(
+        spark, _scratch("smj_dim"), cust, key="c_custkey",
+        max_records_per_file=_scaled_mrpf(cust),
+    )
+    view = create_join_view(
+        spark, _scratch("smj_view"), fact, dim, fk="user_id",
+        max_records_per_file=_scaled_mrpf(ev),
+    )
+    stream = normalize_events_ts(stream_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "value"
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"smj_ckpt_{_uuid.uuid4().hex[:8]}_")
+    stream_maintain_join(stream, fact, dim, view, checkpoint_dir=ckpt,
+                         timeout_s=240)
+    return view.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10585,6 +10645,7 @@ _VERIFY_FIRST = (
     "cms_selfjoin_size_events",
     "update_where_scan",
     "matjoin_orders_customer_scan",
+    "stream_matjoin_segment_totals",
 )
 
 

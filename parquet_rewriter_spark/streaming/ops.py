@@ -509,6 +509,44 @@ def stream_maintain_aggregate(
     return matview
 
 
+def stream_maintain_join(
+    stream: DataFrame,
+    fact,
+    dim,
+    view,
+    checkpoint_dir: str,
+    epoch_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    timeout_s: int = 300,
+):
+    """Streaming DENORMALIZATION: each micro-batch merges into the FACT
+    table (exactly-once via the txn watermark), then the join view
+    reconciles that commit's churn (operators/matjoin.py) — the
+    denormalized relation tracks the stream at churn cost per batch,
+    never re-running the full join. Crash replay is safe twice over:
+    the fact merge skips replayed epochs, and refresh_join_view is a
+    pure function of (view state sidecar, current snapshots)."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from parquet_rewriter_spark.operators.matjoin import refresh_join_view
+        from parquet_rewriter_spark.operators.merge import merge_into_table
+
+        mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
+        res = merge_into_table(fact, mut, txn=("matjoin_stream", epoch_id))
+        if not res.get("skipped_txn_replay"):
+            refresh_join_view(view, fact, dim)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):  # timeout → partial state, fail loudly
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+    return view
+
+
 def stream_quality_route(
     stream: DataFrame,
     rules: dict[str, str],
