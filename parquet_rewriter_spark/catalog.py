@@ -10497,6 +10497,51 @@ def stream_matjoin_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "backfill_column_scan",
+    """
+    SELECT CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'low' END AS o_band,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    "storage", "ddl", "backfill", "schema-evolution",
+)
+def backfill_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy column materialization (operators/compact.py:
+    backfill_column — purge's mirror): ADD COLUMN is metadata-only, and
+    the values are then materialized in RESUMABLE batches — two bounded
+    commits here, with the in-between state asserted (some files carry
+    values, the rest null-fill, exactly the add_column contract).
+    Progress lives in the files themselves (a footer either has the
+    column or not), so a crashed backfill resumes with no bookkeeping
+    to corrupt. At 100 TB this turns a hostile all-at-once rewrite into
+    a sequence of small commits that merges and reads interleave with.
+    The final aggregate groups by the MATERIALIZED column and must
+    match the oracle computing the same expression on the fly."""
+    from parquet_rewriter_spark.operators.compact import backfill_column
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("backfill"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    t.add_column("o_band", "string")
+    band = F.when(F.col("o_totalprice") >= 100000, "high").otherwise("low")
+    r1 = backfill_column(t, "o_band", band, batch_files=3)
+    assert r1["files_rewritten"] == 3 and r1["files_remaining"] > 0
+    partial_nulls = t.read().filter(F.col("o_band").isNull()).count()
+    assert partial_nulls > 0  # the not-yet-reached files still null-fill
+    r2 = backfill_column(t, "o_band", band)
+    assert r2["files_remaining"] == 0
+    return t.read().groupBy("o_band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10646,6 +10691,7 @@ _VERIFY_FIRST = (
     "update_where_scan",
     "matjoin_orders_customer_scan",
     "stream_matjoin_segment_totals",
+    "backfill_column_scan",
 )
 
 

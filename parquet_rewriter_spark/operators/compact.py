@@ -135,6 +135,93 @@ def purge_columns(
     }
 
 
+def backfill_column(
+    table: SortedTable,
+    name: str,
+    expr,
+    batch_files: int | None = None,
+) -> dict:
+    """purge_columns' mirror: MATERIALIZE a (typically just-added)
+    column into the files that don't physically carry it yet, in
+    resumable batches.
+
+    ``add_column`` is metadata-only — correct, O(1), and readers
+    null-fill. When the column's values should actually exist
+    (``expr``, a Column over the table's logical columns), rewriting
+    100 TB in one shot is operationally hostile; this rewrites up to
+    ``batch_files`` missing files per call and commits, so the backfill
+    is a sequence of small commits any of which can crash and resume —
+    progress is recoverable from the files themselves (a footer either
+    has the column or it doesn't; no bookkeeping to corrupt). Files
+    merges already wrote with the column are skipped for free.
+
+    Readers during the backfill see the column null for files not yet
+    reached — the same contract add_column already established.
+    Returns {files_rewritten, files_remaining, version}."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    m = table.manifest()
+    pcol = table.to_physical(name, m)
+    pinned = {f.name for f in StructType.fromJson(_json.loads(m.schema_json)).fields}
+    if pcol not in pinned:
+        raise ValueError(f"column {name!r} is not in the table schema; add_column first")
+    missing = [
+        e for e in m.files
+        if pcol not in pq.ParquetFile(
+            os.path.join(table.path, e.name)
+        ).schema_arrow.names
+    ]
+    batch = missing if batch_files is None else missing[:batch_files]
+    if not batch:
+        return {"version": m.version, "files_rewritten": 0, "files_remaining": 0}
+    batch_names = {e.name for e in batch}
+    keep = [e for e in m.files if e.name not in batch_names]
+    df = table._reader(m).parquet(
+        *[os.path.join(table.path, e.name) for e in batch]
+    )
+    # expr speaks LOGICAL names; files keep physical ones forever
+    logical = table._to_logical(df, m)
+    filled = logical.withColumn(name, expr)
+    rm = m.rename_map or {}
+    back = {v: k for k, v in rm.items()}
+    filled = filled.select(
+        *[F.col(c).alias(back.get(c, c)) for c in filled.columns]
+    )
+    dv = table.dv_keys(m, files={e.name for e in batch if e.dv_rows})
+    if dv is not None:
+        filled = filled.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
+    rows = sum(e.rows for e in batch)
+    staging = table._write_sorted(
+        filled, m.key, max(1, -(-rows // len(batch))), None
+    )
+    new_entries = table._adopt_staged(staging, m.key)
+    from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
+
+    table._commit_manifest(
+        Manifest(
+            version=m.version + 1,
+            key=m.key,
+            files=sorted(keep + new_entries, key=lambda e: (e.key_min, e.name)),
+            schema_json=m.schema_json,
+            stats_cols=m.stats_cols,
+            bloom_cols=m.bloom_cols,
+            dv_files=retain_dv(table, m, {e.name for e in keep}),
+            operation=f"backfill-column {name}",
+        )
+    )
+    return {
+        "version": m.version + 1,
+        "files_rewritten": len(batch),
+        "files_remaining": len(missing) - len(batch),
+    }
+
+
 def compact_incremental(
     table: SortedTable,
     target_records_per_file: int,

@@ -188,3 +188,44 @@ def test_purge_columns_materializes_dv_of_rewritten_files(spark, sf_dir, tmp_pat
     assert res["files_rewritten"] == len(t.manifest().files)
     assert t.manifest().dv_files == []  # all tombstones materialized
     assert t.read().count() == live
+
+
+def test_backfill_column_is_batched_and_resumable(spark, sf_dir, tmp_path):
+    """add_column null-fills; backfill materializes values in bounded
+    batches, resuming from footer state alone."""
+    from parquet_rewriter_spark.operators.compact import backfill_column
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "bf"), o, key="o_orderkey",
+                           max_records_per_file=300)
+    total = len(t.manifest().files)
+    t.add_column("o_band", "string")
+
+    band = F.when(F.col("o_totalprice") >= 100000, "high").otherwise("low")
+    r1 = backfill_column(t, "o_band", band, batch_files=2)
+    assert r1["files_rewritten"] == 2 and r1["files_remaining"] == total - 2
+    # partially backfilled: some rows carry values, the rest null
+    assert 0 < t.read().filter(F.col("o_band").isNull()).count() < o.count()
+
+    r2 = backfill_column(t, "o_band", band)  # finish the rest
+    assert r2["files_remaining"] == 0
+    assert t.read().filter(F.col("o_band").isNull()).count() == 0
+    exp = o.withColumn("o_band", band)
+    a = t.read().groupBy("o_band").count().collect()
+    b = exp.groupBy("o_band").count().collect()
+    assert {(r["o_band"], r["count"]) for r in a} == {(r["o_band"], r["count"]) for r in b}
+
+    r3 = backfill_column(t, "o_band", band)  # idempotent once complete
+    assert r3["files_rewritten"] == 0
+
+
+def test_backfill_requires_schema_column(spark, sf_dir, tmp_path):
+    from parquet_rewriter_spark.operators.compact import backfill_column
+
+    o = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "bf2"), o, key="o_orderkey",
+                           max_records_per_file=5000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="add_column"):
+        backfill_column(t, "ghost", F.lit(1))
