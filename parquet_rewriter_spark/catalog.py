@@ -10415,6 +10415,7 @@ def matjoin_orders_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = SortedTable.create(
         spark, _scratch("mj_fact"), o, key="o_orderkey",
         max_records_per_file=_scaled_mrpf(o),
+        stats_cols=["o_custkey"],  # fk zone maps → dim-pass file pruning
     )
     dim = SortedTable.create(
         spark, _scratch("mj_dim"), c, key="c_custkey",

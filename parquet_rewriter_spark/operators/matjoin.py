@@ -139,8 +139,7 @@ def refresh_join_view(
             snapshot_diff(dim, state["dim_version"], vd1)
             .select(F.col(dkey).alias("__k")).distinct()
         )
-        fdf = fact.read()
-        affected = fdf.join(changed, fdf[fk] == changed["__k"], "left_semi")
+        affected = _affected_facts(fact, fk, changed)
         matched = _joined(affected, dim, fk)
         orphaned = affected.join(
             matched.select(fkey), on=fkey, how="left_anti"
@@ -162,6 +161,32 @@ def refresh_join_view(
     _write_state(view, state)
     res.update({"fact_version": vf1, "dim_version": vd1})
     return res
+
+
+_MAX_INLINE_KEYS = 10_000
+
+
+def _affected_facts(fact: SortedTable, fk: str, changed: DataFrame) -> DataFrame:
+    """Fact rows referencing churned dim keys. The key set is bounded by
+    the dim churn, so when it is small we collect it and turn the probe
+    into (a) driver-side zone-map FILE pruning on the foreign key when
+    the fact tracks ``stats_cols=[fk]`` — read_where drops
+    non-overlapping files before Spark lists them — plus (b) an IN
+    predicate pushed into the parquet scan. Huge dim churn (rare) falls
+    back to one semi-join over the fact — still a single shuffle, never
+    a crossJoin."""
+    keys = [r["__k"] for r in changed.limit(_MAX_INLINE_KEYS + 1).collect()]
+    if len(keys) > _MAX_INLINE_KEYS:
+        fdf = fact.read()
+        return fdf.join(changed, fdf[fk] == changed["__k"], "left_semi")
+    if not keys:
+        return fact.read().limit(0)
+    m = fact.manifest()
+    if fact.to_physical(fk, m) in m.stats_cols:
+        fdf = fact.read_where({fk: (min(keys), max(keys))})
+    else:
+        fdf = fact.read()
+    return fdf.filter(F.col(fk).isin(keys))
 
 
 def _as_delete(view: SortedTable, keys: DataFrame) -> DataFrame:

@@ -97,3 +97,27 @@ def test_both_sides_churn_one_refresh(tables, spark):
     res = refresh_join_view(view, fact, dim)
     assert res["files_dirty"] == 0
     assert tuple(_actual(view)) == tuple(_expected(fact, dim))
+
+
+def test_dim_pass_with_fk_zone_maps(spark, tmp_path, sf_dir):
+    """With stats_cols=[fk] on the fact, the dim pass goes through the
+    zone-map pruned read path and still lands exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = SortedTable.create(
+        spark, str(tmp_path / "fz"), orders, key="o_orderkey",
+        max_records_per_file=500, stats_cols=["o_custkey"],
+    )
+    dim = SortedTable.create(
+        spark, str(tmp_path / "dz"), cust, key="c_custkey",
+        max_records_per_file=500,
+    )
+    view = create_join_view(
+        spark, str(tmp_path / "vz"), fact, dim, fk="o_custkey",
+        max_records_per_file=200,
+    )
+    update_where(dim, F.col("c_custkey") == 3, {"c_acctbal": F.lit(777.0)})
+    delete_where(dim, F.col("c_custkey") == 9)
+    refresh_join_view(view, fact, dim)
+    assert tuple(_actual(view)) == tuple(_expected(fact, dim))
+    assert view.read().filter(F.col("o_custkey") == 9).count() == 0
