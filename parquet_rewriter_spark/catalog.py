@@ -10543,6 +10543,84 @@ def backfill_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_portable_lsh_topk",
+    """
+    WITH planes AS (
+      SELECT j, i,
+             (('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) AS w
+      FROM range(0, 16) p(j), range(1, 65) d(i)
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, d.i AS i, q[d.i] AS v FROM q, range(1, 65) d(i)
+    ),
+    bits AS (
+      SELECT el.vec_id, p.j,
+             CASE WHEN SUM(el.v * p.w) >= 0 THEN '1' ELSE '0' END AS b
+      FROM el JOIN planes p ON p.i = el.i
+      GROUP BY el.vec_id, p.j
+    ),
+    sigb AS (
+      SELECT vec_id, j // 4 AS band, string_agg(b, '' ORDER BY j) AS sig
+      FROM bits GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, o.vec_id AS neighbor_id
+      FROM sigb p
+      JOIN sigb o ON p.band = o.band AND p.sig = o.sig AND p.vec_id <> o.vec_id
+      WHERE p.vec_id < 5
+    ),
+    norms AS (
+      SELECT vec_id, SUM(v * v) AS nq FROM el GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, SUM(ea.v * eb.v) AS dot
+      FROM cand c
+      JOIN el ea ON ea.vec_id = c.query_id
+      JOIN el eb ON eb.vec_id = c.neighbor_id AND eb.i = ea.i
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             round(CAST(d.dot AS DOUBLE) / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+    """,
+    "embeddings", "ann", "lsh", "topk", "portable-oracle",
+)
+def ann_portable_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with a hash-compared oracle — the first ANN entry that
+    is NOT rows-only (operators/dedup.py:hyperplane_ann_topk_portable):
+    five probe vectors retrieve candidates sharing ≥1 LSH band, ranked
+    by the exact integer-quantized cosine with a total tiebreak. The
+    candidate set is the approximation, the ranking inside it is exact,
+    and BOTH are deterministic — so DuckDB replays the entire retrieval
+    (signatures → band buckets → candidates → scores → ranks) and the
+    driver hash-compares the top-k lists themselves. The production IVF
+    /PQ paths stay float (faster); this twin is their correctness
+    anchor. Probe side broadcasts; candidates come from a band-key
+    equi-join, never corpus×probes."""
+    from parquet_rewriter_spark.operators.dedup import hyperplane_ann_topk_portable
+
+    df = _t(spark, sf_dir, "embeddings")
+    return hyperplane_ann_topk_portable(df, probe_ids=[0, 1, 2, 3, 4], k=3)
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10693,6 +10771,7 @@ _VERIFY_FIRST = (
     "matjoin_orders_customer_scan",
     "stream_matjoin_segment_totals",
     "backfill_column_scan",
+    "ann_portable_lsh_topk",
 )
 
 

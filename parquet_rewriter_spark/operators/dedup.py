@@ -975,11 +975,41 @@ def hyperplane_lsh_pairs_portable(
     cos 0.45 with 4×4 bands ≈ half the true pairs surface, which is the
     point of the query: LSH recall is measurable because the signatures
     are reproducible."""
+    sigs = _hyperplane_sigs(df, id_col, vec_col, bands, rows_per_band, quant, dim)
+    banded = _banded(sigs, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    return _scored(sigs, cand, "a_id", "b_id").filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def _hyperplane_sigs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    rows_per_band: int,
+    quant: int,
+    dim: int | None,
+) -> DataFrame:
+    """(id, q, nq, s0..s{bands-1}): integer-quantized vector, its exact
+    squared norm, and the per-band sign signatures — the shared portable
+    construction (see hyperplane_lsh_pairs_portable for why every term
+    is BIGINT)."""
     import hashlib
 
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    n_planes = bands * rows_per_band
 
     def plane(j: int) -> list[int]:
         return [
@@ -997,37 +1027,37 @@ def hyperplane_lsh_pairs_portable(
         F.transform("q", lambda e: e * e), F.lit(0).cast("long"), add
     )
     bits = []
-    for j in range(n_planes):
+    for j in range(bands * rows_per_band):
         w = F.array(*[F.lit(v).cast("long") for v in plane(j)])
         dot = F.aggregate(F.zip_with("q", w, lambda a, b: a * b),
                           F.lit(0).cast("long"), add)
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    sigs = base.select(
+    return base.select(
         "id", "q", norm.alias("nq"),
         *[
             F.concat(*bits[b * rows_per_band:(b + 1) * rows_per_band]).alias(f"s{b}")
             for b in range(bands)
         ],
     ).persist()
-    banded = sigs.select(
+
+
+def _banded(sigs: DataFrame, bands: int) -> DataFrame:
+    return sigs.select(
         "id",
         F.posexplode(F.array(*[F.col(f"s{b}") for b in range(bands)])).alias(
             "band", "sig"
         ),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .distinct()
-    )
-    qa = sigs.select(F.col("id").alias("a_id"), F.col("q").alias("qa"), F.col("nq").alias("na"))
-    qb = sigs.select(F.col("id").alias("b_id"), F.col("q").alias("qb"), F.col("nq").alias("nb"))
+
+
+def _scored(sigs: DataFrame, cand: DataFrame, left: str, right: str) -> DataFrame:
+    """Exact quantized cosine for each candidate pair (columns ``left``,
+    ``right``): the BIGINT dot over identical quantized vectors divided
+    by the float64 sqrt of the exact integer norms — bit-identical in
+    any engine."""
+    add = lambda acc, v: acc + v  # noqa: E731
+    qa = sigs.select(F.col("id").alias(left), F.col("q").alias("qa"), F.col("nq").alias("na"))
+    qb = sigs.select(F.col("id").alias(right), F.col("q").alias("qb"), F.col("nq").alias("nb"))
     dot_ab = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y), F.lit(0).cast("long"), add
     )
@@ -1035,7 +1065,51 @@ def hyperplane_lsh_pairs_portable(
         dot_ab.cast("double") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 4
     )
     return (
-        cand.join(qa, "a_id").join(qb, "b_id")
-        .select("a_id", "b_id", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        cand.join(qa, left).join(qb, right)
+        .select(left, right, cos.alias("cos_sim"))
+    )
+
+
+def hyperplane_ann_topk_portable(
+    df: DataFrame,
+    probe_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    quant: int = 1_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate nearest neighbors with a fully SQL-replayable result:
+    for each probe (a corpus member named in ``probe_ids``), candidates
+    are the vectors sharing at least one LSH band with it, ranked by
+    the exact quantized cosine with a total tiebreak (cos desc, then
+    neighbor id) — so the top-k list is DETERMINISTIC and the oracle
+    replays candidates, scores, and ranks cell-for-cell. This is the
+    ANN recall/latency trade made auditable: the candidate set is the
+    approximation, the ranking inside it is exact. Distributed shape:
+    band-key equi-join from the (tiny, broadcast) probe side — never a
+    scan of corpus×probes."""
+    sigs = _hyperplane_sigs(df, id_col, vec_col, bands, rows_per_band, quant, dim)
+    banded = _banded(sigs, bands)
+    probes = banded.filter(F.col("id").isin(list(probe_ids)))
+    cand = (
+        F.broadcast(probes).alias("p")
+        .join(
+            banded.alias("o"),
+            (F.col("p.band") == F.col("o.band"))
+            & (F.col("p.sig") == F.col("o.sig"))
+            & (F.col("p.id") != F.col("o.id")),
+        )
+        .select(F.col("p.id").alias("query_id"), F.col("o.id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = _scored(sigs, cand, "query_id", "neighbor_id")
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= k)
     )

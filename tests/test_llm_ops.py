@@ -722,3 +722,28 @@ def test_hyperplane_portable_pairs_are_true_pairs(spark, sf_dir):
         for r in hyperplane_lsh_pairs_portable(df).collect()
     }
     assert got == got2
+
+
+def test_hyperplane_ann_topk_exact_within_candidates(spark, sf_dir):
+    """Ranking inside the candidate set must be exactly the brute-force
+    cosine order (the candidate set is the only approximation)."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.dedup import hyperplane_ann_topk_portable
+
+    df = load_table(spark, sf_dir, "embeddings")
+    got = hyperplane_ann_topk_portable(df, probe_ids=[0, 1], k=5).collect()
+    assert got and all(r["rnk"] <= 5 for r in got)
+    rows = df.select("vec_id", "embedding").collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    for r in got:
+        a, b = X[r["query_id"]], X[r["neighbor_id"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(true_cos - r["cos_sim"]) < 2e-4  # quantization slack
+    # per-probe ranks are contiguous from 1 and ordered by cos desc
+    for qid in {r["query_id"] for r in got}:
+        mine = sorted((r for r in got if r["query_id"] == qid), key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in mine] == list(range(1, len(mine) + 1))
+        assert all(
+            mine[i]["cos_sim"] >= mine[i + 1]["cos_sim"] for i in range(len(mine) - 1)
+        )
