@@ -10621,6 +10621,65 @@ def ann_portable_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_ann_topk_portable(df, probe_ids=[0, 1, 2, 3, 4], k=3)
 
 
+@query(
+    "stream_incremental_covariance",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round({_COV_TRACE_SQL}, 4) AS trace,
+           round(10000 * var_pop(embedding[1]), 2) AS var_1,
+           round(10000 * covar_pop(embedding[1], embedding[2]), 2) AS cov_1_2
+    FROM embeddings
+    """,
+    "streaming", "pca", "sufficient-stats", "incremental", "exactly-once",
+)
+def stream_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upkeep of the EXACT covariance sidecar (streaming/ops:
+    stream_maintain_covstats): a third of the embeddings seed the
+    table + its per-file sufficient-statistic triples; the full stream
+    then flows through foreachBatch — each micro-batch merges
+    exactly-once and re-triples ONLY the files that commit rewrote. The
+    final metadata-summed covariance must equal DuckDB's full recompute
+    over all embeddings: a skipped refresh, a double-counted triple, or
+    a stale file's row anywhere flips the probed cells."""
+    import tempfile
+    import uuid as _uuid
+
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.covstats import (
+        build_covariance_stats,
+        covariance_from_stats,
+    )
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_maintain_covstats,
+        stream_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    t = SortedTable.create(
+        spark, _scratch("scov"), emb.filter(F.col("vec_id") % 3 == 0),
+        key="vec_id", max_records_per_file=_scaled_mrpf(emb),
+    )
+    build_covariance_stats(t, "embedding")
+    stream = stream_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"scov_ckpt_{_uuid.uuid4().hex[:8]}_")
+    stream_maintain_covstats(stream, t, "embedding", checkpoint_dir=ckpt,
+                             timeout_s=240)
+    n, _, cov = covariance_from_stats(t, "embedding")
+    row = [(
+        int(n),
+        round(float(np.trace(cov)), 4),
+        round(float(cov[0, 0]) * 10000, 2),
+        round(float(cov[0, 1]) * 10000, 2),
+    )]
+    return spark.createDataFrame(
+        row, "n_vectors long, trace double, var_1 double, cov_1_2 double"
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10772,6 +10831,7 @@ _VERIFY_FIRST = (
     "stream_matjoin_segment_totals",
     "backfill_column_scan",
     "ann_portable_lsh_topk",
+    "stream_incremental_covariance",
 )
 
 

@@ -547,6 +547,45 @@ def stream_maintain_join(
     return view
 
 
+def stream_maintain_covstats(
+    stream: DataFrame,
+    table,
+    vec_col: str,
+    checkpoint_dir: str,
+    epoch_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    timeout_s: int = 300,
+):
+    """Streaming upkeep of the exact covariance sidecar
+    (operators/covstats.py): each micro-batch merges into the table
+    exactly-once, then triples are recomputed for JUST the files that
+    commit rewrote — the corpus covariance (and any PCA on it) stays
+    current with the stream at churn cost, with zero approximation.
+    Replays are double-safe: the merge skips replayed epochs and the
+    builder only fills files missing a triple."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from parquet_rewriter_spark.operators.covstats import (
+            build_covariance_stats,
+        )
+        from parquet_rewriter_spark.operators.merge import merge_into_table
+
+        mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
+        res = merge_into_table(table, mut, txn=("covstats_stream", epoch_id))
+        if not res.get("skipped_txn_replay"):
+            build_covariance_stats(table, vec_col)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):  # timeout → partial state, fail loudly
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+    return table
+
+
 def stream_quality_route(
     stream: DataFrame,
     rules: dict[str, str],
