@@ -591,3 +591,25 @@ def test_pca_projection_is_map_only(spark, sf_dir):
     p = plan_of(pca_project(df, 3))
     assert "MapInPandas" in p
     assert "Exchange" not in p, p
+
+
+def test_matjoin_build_broadcasts_dim(spark, tmp_path, sf_dir):
+    """The join view's dim side must broadcast — a shuffled fact join
+    for a dimension lookup is the classic plan smell at scale."""
+    from parquet_rewriter_spark.operators.matjoin import create_join_view
+    from parquet_rewriter_spark.table import SortedTable
+
+    orders = load_table(spark, sf_dir, "orders").limit(800)
+    cust = load_table(spark, sf_dir, "customer")
+    fact = SortedTable.create(spark, str(tmp_path / "pf"), orders,
+                              key="o_orderkey", max_records_per_file=400)
+    dim = SortedTable.create(spark, str(tmp_path / "pd"), cust,
+                             key="c_custkey", max_records_per_file=400)
+    view = create_join_view(spark, str(tmp_path / "pv"), fact, dim,
+                            fk="o_custkey", max_records_per_file=400)
+    from parquet_rewriter_spark.operators.matjoin import _joined
+
+    p = plan_of(_joined(fact.read(), dim, "o_custkey"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert view.read().count() > 0
