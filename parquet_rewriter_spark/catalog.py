@@ -10680,6 +10680,51 @@ def stream_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "metadata_tables_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS live_rows,
+           CAST(2 AS BIGINT) AS n_versions,
+           TRUE AS inventory_consistent
+    FROM orders
+    WHERE o_custkey <> 421
+    """,
+    "storage", "metadata", "introspection",
+)
+def metadata_tables_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryable metadata tables (table.py:files_df/history_df — the
+    Iceberg ``.files`` / DESCRIBE HISTORY surface): after a create and
+    a predicate delete, the file inventory's live-row fold
+    (Σ rows − dv_rows) must equal both the actual scan AND the oracle's
+    WHERE-clause count, and the commit log must show exactly the two
+    lifecycle commits. ``inventory_consistent`` folds the
+    metadata-vs-scan comparison into the hash — a manifest row drifting
+    from its file's true contents flips it."""
+    from parquet_rewriter_spark.operators.merge import delete_where
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("meta_tables"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o),
+    )
+    delete_where(t, F.col("o_custkey") == 421)
+
+    fdf = t.files_df()
+    live = fdf.agg(F.sum(F.col("rows") - F.col("dv_rows"))).first()[0]
+    consistent = (
+        live == t.read().count()
+        and fdf.count() == len(t.manifest().files)
+        and [r["version"] for r in t.history_df().orderBy("version").collect()]
+        == t.versions()
+    )
+    n_versions = len(t.versions())
+    return spark.createDataFrame(
+        [(int(live), int(n_versions), bool(consistent))],
+        "live_rows long, n_versions long, inventory_consistent boolean",
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -10832,6 +10877,7 @@ _VERIFY_FIRST = (
     "backfill_column_scan",
     "ann_portable_lsh_topk",
     "stream_incremental_covariance",
+    "metadata_tables_scan",
 )
 
 

@@ -335,6 +335,51 @@ class SortedTable:
             )
         return out
 
+    def files_df(self, version: "int | str | None" = None) -> DataFrame:
+        """The snapshot's file inventory as a relation (Iceberg's
+        ``.files`` metadata table): one row per live data file with its
+        manifest stats. Driver-side manifest fold — no file opens — so
+        operational queries ("which files hold keys 5k–6k", "how many
+        rows are tombstoned per file") run without touching data."""
+        m = self.manifest(version)
+        rows = [
+            (
+                e.name,
+                int(e.rows),
+                int(e.bytes),
+                str(e.key_min),
+                str(e.key_max),
+                int(e.dv_rows),
+            )
+            for e in m.files
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file string, rows long, bytes long, "
+            "key_min string, key_max string, dv_rows long",
+        )
+
+    def history_df(self) -> DataFrame:
+        """``history()`` as a relation (DESCRIBE HISTORY): one row per
+        retained commit — version, time, operation, file/row/byte
+        totals. Driver-side manifest reads only."""
+        rows = [
+            (
+                int(h["version"]),
+                h["committed_at"],
+                h["operation"],
+                int(h["num_files"]),
+                int(h["rows"]),
+                int(h["bytes"]),
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, committed_at string, operation string, "
+            "num_files long, rows long, bytes long",
+        )
+
     @staticmethod
     def _parse_ts(ts: "datetime.datetime | str") -> "datetime.datetime":
         """ISO string or datetime → aware UTC datetime (naive = UTC)."""

@@ -428,3 +428,29 @@ def test_tag_unknown_version_raises(spark, tmp_path, sf_dir):
     )
     with pytest.raises(ValueError):
         t.tag("ghost", version=99)
+
+
+def test_metadata_tables_reflect_manifest(spark, tmp_path, sf_dir):
+    """files_df/history_df are relations over the manifest: totals must
+    agree with the data and with history(), without opening data files."""
+    from parquet_rewriter_spark.operators.merge import delete_where
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "meta_t"), orders, key="o_orderkey",
+        max_records_per_file=400,
+    )
+    delete_where(t, F.col("o_custkey") == 5)
+
+    fdf = t.files_df()
+    live = fdf.agg(F.sum(F.col("rows") - F.col("dv_rows"))).first()[0]
+    assert live == t.read().count()
+    assert fdf.count() == len(t.manifest().files)
+
+    hdf = t.history_df().orderBy("version").collect()
+    assert [r["version"] for r in hdf] == t.versions()
+    assert hdf[0]["operation"] == "create"
+    assert hdf[1]["operation"].startswith("merge")  # splice fast path included
+
+    # historical snapshot inventory too
+    assert t.files_df(version=0).agg(F.sum("rows")).first()[0] == orders.count()
