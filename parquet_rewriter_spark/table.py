@@ -1237,21 +1237,30 @@ class SortedTable:
         return report
 
     def _vacuum_blooms(self, live: set[str]) -> None:
-        """Rewrite the bloom sidecar keeping only live files' rows —
-        the append-only log would otherwise accrete rows for vacuumed
-        files forever (they are ignored by probes, but cost scan time)."""
+        """Rewrite every per-file sidecar log (blooms, distinct-count
+        sketches, covariance triples) keeping only live files' rows —
+        the append-only logs would otherwise accrete rows for vacuumed
+        files forever (they are ignored by probes via live-file
+        filters, but cost scan time, unboundedly on high-churn
+        tables). Each log keys rows by the ``file`` column, so one
+        keep-filter rewrite per sidecar covers them all."""
         from parquet_rewriter_spark.operators.bloom import BLOOM_DIR
+        from parquet_rewriter_spark.operators.covstats import COV_DIR
+        from parquet_rewriter_spark.operators.distinct_sketch import SKETCH_DIR
 
-        side = os.path.join(self.path, BLOOM_DIR)
-        if not os.path.isdir(side):
-            return
-        tmp = side + f".tmp-{uuid.uuid4().hex}"
-        kept = self.spark.read.parquet(side).filter(F.col("file").isin(list(live)))
-        kept.write.parquet(tmp)
-        old = side + f".old-{uuid.uuid4().hex}"
-        os.rename(side, old)
-        os.rename(tmp, side)
-        shutil.rmtree(old, ignore_errors=True)
+        for sidecar in (BLOOM_DIR, SKETCH_DIR, COV_DIR):
+            side = os.path.join(self.path, sidecar)
+            if not os.path.isdir(side):
+                continue
+            tmp = side + f".tmp-{uuid.uuid4().hex}"
+            kept = self.spark.read.parquet(side).filter(
+                F.col("file").isin(list(live))
+            )
+            kept.write.parquet(tmp)
+            old = side + f".old-{uuid.uuid4().hex}"
+            os.rename(side, old)
+            os.rename(tmp, side)
+            shutil.rmtree(old, ignore_errors=True)
 
     def stats(self) -> dict[str, Any]:
         m = self.manifest()

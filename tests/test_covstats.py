@@ -104,3 +104,36 @@ def test_refuses_dv_snapshots(table):
     delete_keys_mor(table, victims)
     with pytest.raises(ValueError, match="deletion vectors"):
         covariance_from_stats(table, "embedding")
+
+
+def test_vacuum_prunes_dead_covstats_rows(table):
+    """High-churn tables must not accrete sidecar rows for vacuumed
+    files: after churn + vacuum, only live files keep triples, and the
+    estimate stays exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    build_covariance_stats(table, "embedding")
+    mut = (
+        table.read().filter(F.col("vec_id") < 120)
+        .withColumn("embedding", F.expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))"))
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(table, mut)
+    build_covariance_stats(table, "embedding")
+    side = os.path.join(table.path, "_covstats")
+    before = table.spark.read.parquet(side).count()
+
+    table.vacuum(retain_versions=1)
+    after_rows = table.spark.read.parquet(side).select("file").distinct().collect()
+    live = {e.name for e in table.manifest().files}
+    assert {r["file"] for r in after_rows} <= live
+    assert table.spark.read.parquet(side).count() < before
+
+    n, _, cov = covariance_from_stats(table, "embedding")
+    en, _, ecov = _numpy_cov(table.read())
+    assert n == en
+    import numpy as np
+
+    np.testing.assert_allclose(cov, ecov, atol=1e-10)
