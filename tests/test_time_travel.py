@@ -454,3 +454,24 @@ def test_metadata_tables_reflect_manifest(spark, tmp_path, sf_dir):
 
     # historical snapshot inventory too
     assert t.files_df(version=0).agg(F.sum("rows")).first()[0] == orders.count()
+
+
+def test_snapshot_diff_accepts_tag_names(spark, tmp_path, sf_dir):
+    """Tags are accepted anywhere a version number is — including the
+    CDC diff window: diff("pre", "post") == diff(v0, v1)."""
+    from parquet_rewriter_spark.operators.cdc import snapshot_diff
+    from parquet_rewriter_spark.operators.merge import delete_where
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, str(tmp_path / "tagdiff"), orders, key="o_orderkey",
+        max_records_per_file=400,
+    )
+    t.tag("pre")
+    delete_where(t, F.col("o_custkey") == 5)
+    t.tag("post")
+
+    by_tag = snapshot_diff(t, "pre", "post").orderBy("o_orderkey").collect()
+    by_num = snapshot_diff(t, 0, 1).orderBy("o_orderkey").collect()
+    assert by_tag == by_num
+    assert by_tag and all(r["_change_type"] == "delete" for r in by_tag)
