@@ -56,7 +56,10 @@ def _state_path(view: SortedTable) -> str:
 
 
 def _write_state(view: SortedTable, state: dict[str, Any]) -> None:
-    tmp = _state_path(view) + ".tmp"
+    import uuid
+
+    # ".tmp-" suffix so a crashed writer's leftover is fsck-collectable
+    tmp = _state_path(view) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(state, fh)
     os.replace(tmp, _state_path(view))

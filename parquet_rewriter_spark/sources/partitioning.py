@@ -115,7 +115,9 @@ def evolve_partition_spec(path: str, new_spec: list[tuple]) -> int:
     specs.append(
         {"id": nid, "spec": [list(s) for s in new_spec], "root": f"_spec{nid}"}
     )
-    tmp = os.path.join(path, SPECS_NAME + ".tmp")
+    import uuid
+
+    tmp = os.path.join(path, SPECS_NAME + f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         json.dump(specs, fh)
     os.replace(tmp, os.path.join(path, SPECS_NAME))
