@@ -613,3 +613,17 @@ def test_matjoin_build_broadcasts_dim(spark, tmp_path, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert view.read().count() > 0
+
+
+def test_update_where_victim_scan_pushes_predicate(spark, tmp_path, sf_dir):
+    """The UPDATE's victim scan must push its predicate into the parquet
+    reader — updating a segment must not decode the whole table."""
+    from parquet_rewriter_spark.table import SortedTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    t = SortedTable.create(spark, str(tmp_path / "updplan"), orders,
+                           key="o_orderkey", max_records_per_file=400)
+    victims = t.read().filter(F.col("o_custkey") < 100)
+    p = plan_of(victims)
+    assert "PushedFilters: [" in p
+    assert "o_custkey" in p.split("PushedFilters")[1].split("]")[0]
