@@ -153,13 +153,24 @@ def approx_distinct_range(
     spark = table.spark
     m = table.manifest()
     pcol = table.to_physical(col, m)
-    keep = [
-        e.name for e in m.files
+    keep_entries = [
+        e for e in m.files
         if (upper is None or e.key_min <= upper)
         and (lower is None or e.key_max >= lower)
     ]
-    if not keep:
+    if not keep_entries:
         return 0
+    if any(e.dv_rows for e in keep_entries):
+        # Sketches are built from raw file reads; merge-on-read
+        # deletion vectors are invisible to them, so tombstoned values
+        # would be counted — refuse, matching covariance_from_stats'
+        # policy (compact the DVs away, then retry).
+        raise ValueError(
+            "approx_distinct_range: in-range files carry deletion "
+            "vectors; sketches would count tombstoned values — run "
+            "compact() to materialize deletes first"
+        )
+    keep = [e.name for e in keep_entries]
     have = _have_rows(table, [pcol])
     missing = [n for n in keep if (n, pcol) not in have]
     if missing:

@@ -633,8 +633,11 @@ def merge_into_table(
     # writes an empty staging dir and _adopt_staged drops zero-row
     # files, so the empty case costs nothing extra on the common path.
     t0 = time.monotonic()
-    staging = table._write_sorted(merged, key, mrpf,
-                                  prepartitioned=bool(dirty))
+    # BOTH branches above range-partitioned in apply_mutations
+    # (range_partition=True), so the writer never re-shuffles — the
+    # pure-insert branch used to pass False here and pay the exact
+    # double exchange (+ range-sampling job) the fusion removed.
+    staging = table._write_sorted(merged, key, mrpf, prepartitioned=True)
     new_entries = table._adopt_staged(staging, key)
     n_new_rows = sum(e.rows for e in new_entries)
     t_write = time.monotonic() - t0

@@ -68,6 +68,21 @@ def _parse_bound(raw: str | None, lo: bool):
             return raw  # string-keyed tables compare lexicographically
 
 
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than every string with this prefix, in
+    code-point order: increment the last code point, carrying left past
+    U+10FFFF.  None when the prefix is entirely U+10FFFF (no successor).
+    """
+    cps = list(prefix)
+    while cps:
+        c = ord(cps[-1])
+        if c < 0x10FFFF:
+            cps[-1] = chr(c + 1)
+            return "".join(cps)
+        cps.pop()
+    return None
+
+
 class SortedTableDataSource(DataSource):
     """format("sorted_table"): options path, key_lo, key_hi, version."""
 
@@ -165,12 +180,18 @@ class SortedTableReader(DataSourceReader):
                 yield f
                 continue
             if isinstance(f, StringStartsWith):
-                # prefix p bounds the value range [p, p + U+FFFF...):
-                # sound for lexicographic min/max stats
+                # prefix p bounds the value range [p, next(p)) where
+                # next(p) increments p's LAST code point (carrying past
+                # U+10FFFF).  p + '\uffff' is NOT an upper bound: a
+                # supplementary-plane continuation ('abc\U0001F600')
+                # sorts above 'abc\uffff', and pruning on a wrong bound
+                # silently drops matching rows.  All-max prefixes have
+                # no finite successor \u2192 push only the lower bound.
                 b = self._pushed.setdefault(col, [None, None])
-                lo_v, hi_v = v, v + "\uffff"
-                b[0] = lo_v if b[0] is None else max(b[0], lo_v)
-                b[1] = hi_v if b[1] is None else min(b[1], hi_v)
+                b[0] = v if b[0] is None else max(b[0], v)
+                hi_v = _prefix_successor(v)
+                if hi_v is not None:
+                    b[1] = hi_v if b[1] is None else min(b[1], hi_v)
                 yield f
                 continue
             b = self._pushed.setdefault(col, [None, None])

@@ -531,9 +531,15 @@ def stream_maintain_join(
         from parquet_rewriter_spark.operators.merge import merge_into_table
 
         mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
-        res = merge_into_table(fact, mut, txn=("matjoin_stream", epoch_id))
-        if not res.get("skipped_txn_replay"):
-            refresh_join_view(view, fact, dim)
+        merge_into_table(fact, mut, txn=("matjoin_stream", epoch_id))
+        # Refresh UNCONDITIONALLY, even when the merge was a replayed
+        # epoch: a crash after the fact commit but before the refresh
+        # replays as exactly skipped_txn_replay, and gating on it would
+        # leave the view stale for that committed epoch (inconsistent
+        # output if it was the drain's last batch). The refresh is an
+        # idempotent catch-up from the state sidecar to the CURRENT
+        # snapshots, so an already-current view is a cheap no-op.
+        refresh_join_view(view, fact, dim)
 
     q = (
         stream.writeStream.foreachBatch(apply)
@@ -570,9 +576,12 @@ def stream_maintain_covstats(
         from parquet_rewriter_spark.operators.merge import merge_into_table
 
         mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
-        res = merge_into_table(table, mut, txn=("covstats_stream", epoch_id))
-        if not res.get("skipped_txn_replay"):
-            build_covariance_stats(table, vec_col)
+        merge_into_table(table, mut, txn=("covstats_stream", epoch_id))
+        # Unconditional, same rationale as stream_maintain_join: a
+        # crash between the commit and the sidecar build replays as
+        # skipped_txn_replay, and the builder is an idempotent
+        # fill-missing-triples pass (no-op when already current).
+        build_covariance_stats(table, vec_col)
 
     q = (
         stream.writeStream.foreachBatch(apply)

@@ -1206,7 +1206,11 @@ class SortedTable:
                 or name.endswith(".patch")
                 or ".tmp-" in name
                 or ".heal-" in name
+                or ".old-" in name
             ):
+                # ``.old-*`` dirs are sidecar-vacuum debris: a crash
+                # between _vacuum_blooms' two renames leaves the
+                # retired sidecar under its .old- name forever.
                 report["orphan_tmp"].append(name)
             elif (
                 name.startswith("part-")
@@ -1229,7 +1233,12 @@ class SortedTable:
                 full = os.path.join(self.path, name)
                 if _stale(full):
                     try:
-                        os.remove(full)
+                        # tmp debris can be directory-shaped (sidecar
+                        # vacuum writes parquet DIRS as .tmp-*/.old-*)
+                        if os.path.isdir(full):
+                            shutil.rmtree(full, ignore_errors=True)
+                        else:
+                            os.remove(full)
                         repaired.append(name)
                     except OSError:  # pragma: no cover
                         pass

@@ -118,3 +118,26 @@ def test_sketches_respect_rename_mapping(spark, table):
     assert abs(est - 700) <= 0.05 * 700
     # a refresh via the NEW name is a no-op (sidecar keyed physically)
     assert build_distinct_sketches(table, ["uid"]) == 0
+
+
+def test_refuses_dv_bearing_files_like_covstats(spark, table):
+    """Sketches read raw files, so MoR deletion vectors are invisible
+    to them — counting tombstoned values is a silent overcount beyond
+    the documented error. Policy matches covariance_from_stats: refuse
+    until the DVs are compacted away."""
+    from parquet_rewriter_spark.operators.compact import compact
+    from parquet_rewriter_spark.operators.deletion_vectors import (
+        delete_keys_mor,
+    )
+
+    build_distinct_sketches(table, ["user"])
+    delete_keys_mor(table, spark.createDataFrame([(3,)], "k long"))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        approx_distinct_range(table, "user")
+    # a range NOT overlapping the dv-bearing file still answers
+    dv_file = next(e for e in table.manifest().files if e.dv_rows)
+    assert dv_file.key_min <= 3 <= dv_file.key_max
+    est = approx_distinct_range(table, "user", lower=dv_file.key_max + 1)
+    assert est > 0
+    compact(table, max_records_per_file=5_000)  # materializes the deletes
+    assert approx_distinct_range(table, "user") > 0

@@ -277,6 +277,37 @@ def test_batch_source_prefix_pushdown_on_string_key(spark, tmp_path):
     assert len(reader.partitions()) == 1 < n_all  # prefix → one file
 
 
+def test_prefix_pushdown_supplementary_plane_not_pruned(spark, tmp_path):
+    """A prefix's upper pruning bound must cover strings whose next
+    char is a supplementary-plane code point: 'abc\\U0001F600' sorts
+    ABOVE 'abc\\uffff', so the old prefix+'\\uffff' bound silently
+    dropped matching rows (pruning is a correctness decision)."""
+    from pyspark.sql import functions as F
+
+    from parquet_rewriter_spark.sources.pyds import (
+        _prefix_successor,
+        register,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    assert _prefix_successor("abc") == "abd"
+    assert _prefix_successor("a\U0010ffff") == "b"
+    assert _prefix_successor("\U0010ffff" * 3) is None
+    assert "abc\U0001f600" < _prefix_successor("abc")
+    assert not ("abc\U0001f600" < "abc￿")  # the old, wrong bound
+
+    rows = [("abc\U0001f600dup", 1), ("abc￿", 2), ("abb", 3),
+            ("abd", 4), ("zzz", 5)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    t = SortedTable.create(spark, str(tmp_path / "t"), df, key="k",
+                           max_records_per_file=1)
+    register(spark)
+    out = (spark.read.format("sorted_table").option("path", t.path).load()
+           .filter(F.col("k").startswith("abc")))
+    got = {r["v"] for r in out.collect()}
+    assert got == {1, 2}  # the emoji row must survive pruning
+
+
 def test_pyds_module_is_pickle_self_contained():
     """The sorted_table DataSources pickle BY VALUE into Spark's
     runner processes, which cannot import this package — so the pyds

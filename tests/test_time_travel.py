@@ -332,11 +332,19 @@ def test_fsck_detects_and_repairs_write_debris(spark, tmp_path):
     open(os.path.join(t.path, "_splice-part-x.parquet"), "wb").write(b"x")
     open(os.path.join(t.path, "part-orphan00.parquet"), "wb").write(b"x")
     open(os.path.join(t.path, "_manifest.json.tmp-crashed"), "w").write("{}")
+    # directory-shaped sidecar-vacuum debris: a crashed vacuum leaves a
+    # parquet DIR under .tmp-* (before the swap) or .old-* (between the
+    # two renames) — both must be collected, with rmtree not os.remove
+    for dirname in ("_blooms.tmp-crashvac", "_distinct.old-crashvac"):
+        os.makedirs(os.path.join(t.path, dirname))
+        open(os.path.join(t.path, dirname, "part-0.parquet"), "wb").write(b"x")
 
     rep = t.fsck()
     assert rep["orphan_staging"] == ["_staging-deadbeef"]
     assert "_splice-part-x.parquet" in rep["orphan_tmp"]
     assert "_manifest.json.tmp-crashed" in rep["orphan_tmp"]
+    assert "_blooms.tmp-crashvac" in rep["orphan_tmp"]
+    assert "_distinct.old-crashvac" in rep["orphan_tmp"]
     assert rep["orphan_data"] == ["part-orphan00.parquet"]
     assert rep["missing"] == []
 
@@ -351,6 +359,8 @@ def test_fsck_detects_and_repairs_write_debris(spark, tmp_path):
         rep["orphan_staging"] + rep["orphan_tmp"] + rep["orphan_data"]
     )
     assert not os.path.exists(os.path.join(t.path, "_staging-deadbeef"))
+    assert not os.path.exists(os.path.join(t.path, "_blooms.tmp-crashvac"))
+    assert not os.path.exists(os.path.join(t.path, "_distinct.old-crashvac"))
     assert t.read().count() == 100
     assert t.fsck() == {
         "orphan_staging": [], "orphan_tmp": [], "orphan_data": [], "missing": []
