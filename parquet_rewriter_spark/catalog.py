@@ -10370,6 +10370,105 @@ def update_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sort_order_evolution_scan",
+    """
+    WITH k AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             (o_orderkey * 2654435761) % 4294967296 AS o_hashkey
+      FROM orders
+    ),
+    mut AS (
+      SELECT o_orderkey, o_hashkey, o_orderstatus,
+             CASE WHEN o_orderkey % 1000 = 7 THEN 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM k WHERE o_orderkey % 997 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(sum(CASE WHEN o_hashkey BETWEEN 0 AND 268435455
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range
+    FROM mut GROUP BY o_orderstatus
+    """,
+    "storage", "lifecycle", "rekey", "sort-order", "mutation",
+)
+def sort_order_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-ORDER EVOLUTION (operators/rekey.py): the table is created
+    keyed by o_orderkey, then re-keyed onto a derived unique column
+    (Knuth-multiplicative bijection of the orderkey — deterministic and
+    replayable in any ANSI engine) as a STAGED migration: three batched
+    rewrite commits, readers live throughout, then the finalize flip.
+    After the flip the table must behave as a first-class citizen of
+    the NEW key: a merge (upserts + deletes) plans/prunes BY it, and a
+    read_range over a 1/16th slice of the new key space is answered
+    from a pruned file subset (asserted), with the old key surviving as
+    a secondary zone-map column. The oracle replays derived key,
+    mutations, and range arithmetic over raw orders — any row lost or
+    doubled anywhere in the migration flips the hash."""
+    from parquet_rewriter_spark.operators.merge import (
+        OP_COLUMN,
+        OP_DELETE,
+        OP_UPSERT,
+        merge_into_table,
+    )
+    from parquet_rewriter_spark.operators.rekey import rekey_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    KNUTH, MOD = 2654435761, 4294967296
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") * F.lit(KNUTH) % F.lit(MOD)).alias("o_hashkey"),
+        "o_orderstatus", "o_totalprice",
+    )
+    t = SortedTable.create(
+        spark, _scratch("rekey"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 9),
+    )
+    n_files = len(t.manifest().files)
+    steps = 0
+    while not rekey_table(t, "o_hashkey",
+                          batch_files=max(1, n_files // 3))["done"]:
+        steps += 1
+        assert t.manifest().key == "o_orderkey"  # readers still served
+    assert steps >= 3 and t.manifest().key == "o_hashkey"
+
+    muts = o.filter(F.col("o_orderkey") % 1000 == 7).withColumn(
+        "o_totalprice", F.lit(1.0)
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 997 == 0)
+    ).withColumn(
+        OP_COLUMN,
+        F.when(F.col("o_orderkey") % 997 == 0, F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPSERT)),
+    )
+    merge_into_table(t, muts)  # planned BY the new key
+
+    hi = MOD // 16 - 1
+    m = t.manifest()
+    overlapping = [e for e in m.files if e.key_min <= hi]
+    assert 0 < len(overlapping) < len(m.files)  # new-key pruning works
+    rng = (
+        t.read_range(0, hi)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_in_range"))
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .join(rng, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus", "n_orders", "revenue",
+            F.coalesce(F.col("n_in_range"), F.lit(0)).cast("long")
+            .alias("n_in_range"),
+        )
+    )
+
+
+@query(
     "matjoin_orders_customer_scan",
     """
     WITH o2 AS (
@@ -10737,63 +10836,50 @@ def metadata_tables_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # Round-4 rotation: the driver verdicts only ~50 queries per round,
-    # and 75 registered queries had never received a driver-green row
-    # across r01-r03 (all were judge-verified locally in the r03 sweep,
-    # but the driver's own CORRECTNESS record is the currency). Front-
-    # load exactly that never-checked set — oracled queries first, the
-    # rows-only tail last so full-compare slots are not spent on weaker
-    # checks.
-    "purchase_asof_click_nearest",
-    "hourly_value_gapfilled",
-    "user_purchase_funnel",
-    "near_dup_doc_clusters",
-    "canonical_dedup_survivors",
-    "mixture_token_budget_sample",
-    "mor_delete_scan",
-    "conditional_merge_scan",
-    "pack_training_sequences",
-    "doc_repetition_scores",
-    "bucketed_colocated_join",
-    "hot_key_split_join",
-    "skew_safe_distinct_users",
-    "bm25_search",
-    "fuzzy_part_match",
-    "quality_weighted_sample",
-    "heavy_hitter_tokens",
-    "stream_heavy_hitter_tokens",
-    "stream_enriched_nation_revenue",
-    "scd2_customer_status_history",
-    "incremental_bm25_search",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q21_last_shipper",
-    "segment_dedup_docs",
-    "doc_stable_ids",
-    "semantic_dedup_survivors",
-    "wap_publish_scan",
-    "lineitem_unpivot_measures",
-    "purchase_error_overlap",
-    "stream_value_anomalies",
-    "schema_ddl_lifecycle_scan",
-    "training_shard_summary",
-    "doc_lm_scores",
-    "user_decayed_value",
-    "incremental_distinct_users",
-    "stream_quality_route_summary",
-    "lineitem_correlations",
-    "scd2_pointintime_status",
-    "partition_pruned_scan",
-    "python_ds_key_range_scan",
-    "vacuum_then_scan",
-    "timestamp_asof_scan",
-    "nb_lang_confusion",
-    "gopher_quality_flags",
-    "badword_filter_summary",
-    "corpus_training_order",
+    # Round-5 rotation (VERDICT r4 #8): queries ADDED this round lead
+    # (never seen by ANY verifier until the judge sweep), then the 75
+    # oracled queries with no driver-green row across r01-r04 (all
+    # judge-verified on the r04 tree, but the driver record is the
+    # currency), then the rows-only tail so full-compare slots are
+    # not spent on weaker checks.
+    "sort_order_evolution_scan",
+    "stream_bottomk_user_sample",
+    "cdc_ordered_merge_scan",
+    "signup_to_purchase_latency",
+    "source_quality_wilson",
+    "ship_latency_percentiles",
+    "stream_hourly_top_event_type",
+    "nation_trade_balance",
+    "error_burstiness_fano",
+    "top_customer_overlap",
+    "order_gap_distribution",
+    "hourly_value_autocorr",
+    "brand_price_index",
+    "customer_rfm_segments",
+    "corpus_zipf_slope",
+    "source_ngram_novelty",
+    "quantity_benford_screen",
+    "user_behavior_entropy",
+    "revenue_time_rollup",
+    "join_skew_report",
+    "maintained_table_scan",
+    "curation_survivorship_funnel",
+    "priority_mix_chi2_monthly",
+    "part_supplier_price_spread",
+    "segment_revenue_gini",
+    "priority_sla_attainment",
+    "segment_revenue_concentration",
+    "hourly_value_ohlc",
+    "u_shape_attribution",
+    "event_transition_matrix",
+    "column_storage_docs",
+    "ann_ivf_rebalanced_topk",
+    "hilbert_then_filter_scan",
+    "distinct_sketch_users",
+    "stream_distinct_sketch_users",
+    "substring_dup_token_stats",
+    "webdataset_export_summary",
+    "python_ds_pushdown_scan",
     "stream_user_totals",
     "nation_revenue_trend",
     "order_value_histogram",
@@ -10813,58 +10899,11 @@ _VERIFY_FIRST = (
     "per_source_sample_k",
     "order_price_mad_outliers",
     "suppliers_covering_brand",
-    "incremental_dedup_index",
-    "tdigest_price_quantiles",
-    "ann_pq_topk",
-    "stream_purchase_click_leftjoin",
-    "stream_purchase_click_fulljoin",
-    "ann_ivf_index_lifecycle",
-    # positions 76+: queries ADDED in round 4 (never checked either) —
-    # next in line if the driver's per-round budget exceeds the 75
-    "schema_ddl_lifecycle_scan",
-    "substring_dup_token_stats",
-    "distinct_sketch_users",
-    "stream_distinct_sketch_users",
-    "hilbert_then_filter_scan",
-    "u_shape_attribution",
-    "event_transition_matrix",
-    "python_ds_pushdown_scan",
-    "hourly_value_ohlc",
-    "ship_latency_percentiles",
-    "segment_revenue_concentration",
-    "signup_to_purchase_latency",
-    "source_quality_wilson",
-    "cdc_ordered_merge_scan",
-    "stream_bottomk_user_sample",
-    "segment_revenue_gini",
-    "priority_sla_attainment",
-    "priority_mix_chi2_monthly",
-    "part_supplier_price_spread",
-    "curation_survivorship_funnel",
-    "maintained_table_scan",
-    "revenue_time_rollup",
-    "join_skew_report",
-    "source_ngram_novelty",
-    "quantity_benford_screen",
-    "user_behavior_entropy",
-    "customer_rfm_segments",
-    "corpus_zipf_slope",
-    "order_gap_distribution",
-    "hourly_value_autocorr",
-    "brand_price_index",
-    "nation_trade_balance",
-    "error_burstiness_fano",
-    "top_customer_overlap",
-    "stream_hourly_top_event_type",
-    "ann_ivf_rebalanced_topk",
-    "webdataset_export_summary",
-    "column_storage_docs",
     "metadata_only_table_stats",
     "dpp_partitioned_join",
     "partition_evolution_scan",
     "tagged_snapshot_scan",
     "embedding_covariance_probe",
-    "embedding_pca_projection",
     "symlink_manifest_export_scan",
     "incremental_embedding_covariance",
     "embedding_mahalanobis_mean",
@@ -10878,6 +10917,13 @@ _VERIFY_FIRST = (
     "ann_portable_lsh_topk",
     "stream_incremental_covariance",
     "metadata_tables_scan",
+    "incremental_dedup_index",
+    "tdigest_price_quantiles",
+    "ann_pq_topk",
+    "stream_purchase_click_leftjoin",
+    "stream_purchase_click_fulljoin",
+    "ann_ivf_index_lifecycle",
+    "embedding_pca_projection",
 )
 
 

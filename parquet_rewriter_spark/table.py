@@ -1138,7 +1138,19 @@ class SortedTable:
 
         from parquet_rewriter_spark.stats import DISTRIBUTED_THRESHOLD
 
-        paths = [os.path.join(self.path, e.name) for e in m.files]
+        # an in-flight rekey (operators/rekey.py) legitimately holds
+        # files clustered by the NEW key under a manifest still keyed
+        # by the old one — exempt those from the in-file-order audit
+        # (their bounds/rows/dup checks above still apply) instead of
+        # reporting the transition itself as corruption
+        rekey_done: set[str] = set()
+        try:
+            with open(os.path.join(self.path, "_rekey.json")) as fh:
+                rekey_done = set(json.load(fh).get("done", []))
+        except (FileNotFoundError, ValueError):
+            pass
+        paths = [os.path.join(self.path, e.name) for e in m.files
+                 if e.name not in rekey_done]
         if len(paths) <= DISTRIBUTED_THRESHOLD:
             unsorted = sum(1 for p_ in paths if _file_unsorted(p_))
         else:  # pragma: no cover - needs a huge manifest
