@@ -9058,7 +9058,12 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e = edges.join(deg, "src")  # (src, dst, out_deg) — reused every iteration
+    # pre-hash-partition the (src, dst, out_deg) relation ON THE JOIN
+    # KEY and cache that: InMemoryTableScan reports hashpartitioning
+    # (src), so every iteration's contribution join shuffles only the
+    # small pr relation — the edge relation is shuffled ONCE for the
+    # whole query, not once per iteration (pinned in test_plans.py)
+    e = edges.join(deg, "src").repartition(F.col("src")).persist()
     pr = edges.select(F.col("src").alias("id")).distinct().withColumn("pr", F.lit(1.0))
     for _ in range(_PR_ITERS):
         contrib = (

@@ -40,6 +40,10 @@ from parquet_rewriter_spark.table import SortedTable
 
 CELL_BASE = 1 << 40  # composite key: cell * CELL_BASE + vec_id
 IDX_KEY = "idx_key"
+# add() batches up to this many distinct ids use the Bloom point-lookup
+# (file-pruned, driver-bounded); larger batches switch to the
+# distributed semi-join stale lookup, which never collects ids
+DRIVER_LOCATE_IDS = 100_000
 
 
 class IVFVectorIndex:
@@ -132,43 +136,76 @@ class IVFVectorIndex:
 
     # -------------------------------------------------------- mutations
 
-    def add(self, df: DataFrame) -> dict:
+    def add(self, df: DataFrame, distributed: bool | None = None) -> dict:
         """Upsert vectors (new or re-embedded). Re-embedded vectors may
         land in a DIFFERENT cell than their live row, so stale rows are
-        deleted first via the Bloom point-lookup — both phases are
-        merges that rewrite only the touched cells' files.
+        deleted first — both phases fold into ONE merge that rewrites
+        only the touched cells' files.
 
-        Contract: ``add`` is for INCREMENTAL batches — the batch's
-        distinct ids are collected to the driver for the stale lookup
-        (like any point-delete API), so size batches to millions, not
-        billions; a corpus-scale load is ``create``/rebuild, which never
-        collects ids."""
+        Two stale-lookup strategies, auto-picked by batch size
+        (``distributed=None``):
+
+        - ≤ ``DRIVER_LOCATE_IDS`` distinct ids: Bloom point-lookup —
+          only candidate FILES are scanned, ids ride the driver
+          (the point-delete pattern; fastest for incremental batches);
+        - larger: a fully distributed semi-join of the index's
+          (key, id) projection against the batch ids — one
+          column-pruned scan, NOTHING collected, so ``add`` has no
+          batch-size ceiling (a billion-id re-embedding batch is one
+          shuffle, proportionate to the work it implies).
+        """
         meta = self._meta()
         id_col, vec_col = meta["id_col"], meta["vec_col"]
-        ids = [r[0] for r in df.select(id_col).distinct().collect()]
-        stale = self._locate(ids)
         from parquet_rewriter_spark.operators.merge import merge_into_table
 
         ups = self._assign(df, id_col, vec_col).withColumn("op", F.lit("UPSERT"))
-        if stale:
+        schema = self.table.read_physical().schema
+        cols = [f.name for f in schema.fields] + ["op"]
+
+        ids_df = df.select(id_col).distinct()
+        if distributed is None:
+            # bounded probe: one count capped just past the threshold
+            distributed = (
+                ids_df.limit(DRIVER_LOCATE_IDS + 1).count()
+                > DRIVER_LOCATE_IDS
+            )
+
+        if not distributed:
+            ids = [r[0] for r in ids_df.collect()]
+            stale: Any = self._locate(ids)
+            n_stale = len(stale)
+            stale_df = (
+                self.spark.createDataFrame(
+                    [(k,) for k in stale], f"{IDX_KEY} long"
+                )
+                if stale
+                else None
+            )
+        else:
+            # (key, id) is the narrowest projection that answers the
+            # lookup; exclude keys the upsert overwrites in place (same
+            # cell) so delete/upsert key sets stay disjoint in-batch
+            live = self.table.read_physical().select(IDX_KEY, id_col)
+            stale_df = live.join(ids_df, id_col, "left_semi").join(
+                ups.select(IDX_KEY), IDX_KEY, "left_anti"
+            ).select(IDX_KEY)
+            n_stale = -1  # unknown without an extra action; see report
+
+        if stale_df is not None:
             # ONE merge for both phases: stale rows carry OLD composite
-            # keys, re-embedded rows NEW ones — disjoint key sets, so
-            # deletes and upserts compose in a single mutation batch
-            # (half the commit/planning overhead of two merges). Schema
-            # fetched once (each .read() call re-lists the table files).
-            schema = self.table.read_physical().schema
-            dels = self.spark.createDataFrame(
-                [(k,) for k in stale], f"{IDX_KEY} long"
-            ).withColumn("op", F.lit("DELETE"))
+            # keys, re-embedded rows NEW ones — deletes and upserts
+            # compose in a single mutation batch (half the commit and
+            # planning overhead of two merges).
+            dels = stale_df.withColumn("op", F.lit("DELETE"))
             for f in schema.fields:
                 if f.name != IDX_KEY:
                     dels = dels.withColumn(f.name, F.lit(None).cast(f.dataType))
-            cols = [f.name for f in schema.fields] + ["op"]
             muts = ups.select(*cols).unionByName(dels.select(*cols))
         else:
             muts = ups
         res = merge_into_table(self.table, muts)
-        res["stale_deleted"] = len(stale)
+        res["stale_deleted"] = n_stale
+        res["stale_lookup"] = "distributed" if distributed else "point"
         return res
 
     def delete(self, ids: Sequence[int]) -> dict:

@@ -64,9 +64,14 @@ def connected_components(
     # the upstream pair generation (an LSH bucket join, a Jaccard
     # verify, ...) is usually the most expensive plan in the query —
     # without the persist it would re-run once per round
+    # pre-hash-partitioned ON THE JOIN KEY before the persist: the
+    # cached relation then carries hashpartitioning(b), so each round's
+    # neighbor join shuffles only the (id, comp) labels — the edge
+    # relation is shuffled once for the whole run, not once per round
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .repartition(F.col("b"))
         .persist()
     )
     ids = sym.select(F.col("a").alias("id")).distinct()

@@ -178,7 +178,17 @@ def _read_one_spec(
     eq: dict[str, Any],
     ranges: dict[str, tuple[Any, Any]],
 ) -> DataFrame:
-    df = spark.read.parquet(root)
+    # Explicit top-level listing instead of handing Spark the root: the
+    # LEGACY root also hosts the `_specN/` epoch dirs, and letting the
+    # file lister walk-and-skip those logs a spurious "All paths were
+    # ignored: _specN" WARN on every read — log noise users report as a
+    # bug. basePath keeps hidden-partition column discovery identical.
+    children = sorted(
+        os.path.join(root, e)
+        for e in os.listdir(root)
+        if not e.startswith(("_", "."))
+    )
+    df = spark.read.option("basePath", root).parquet(*children)
 
     for col, v in eq.items():
         df = df.filter(F.col(col) == F.lit(v))

@@ -150,3 +150,36 @@ def test_rebalance_splits_hot_cell_locally(spark, emb, tmp_path, qvec):
     # idempotent: a second pass finds nothing oversized at 2*cap
     res2 = idx.rebalance(max_vectors_per_cell=max(after.values()))
     assert res2["rows_moved"] == 0 and res2["cells_split"] == 0
+
+
+def test_distributed_add_matches_point_path(spark, emb, idx, qvec):
+    """The distributed stale lookup (semi-join, no driver collect) must
+    leave the index in exactly the state the point-lookup path does:
+    re-embedded vectors move cells with no stale rows, new vectors are
+    findable, and the plan never collects batch ids."""
+    rows = emb.orderBy("vec_id").limit(5).collect()
+    batch = spark.createDataFrame(
+        [(r["vec_id"], [-float(x) for x in r["embedding"]], r["label"])
+         for r in rows]
+        + [(777_777, [float(x) for x in qvec], -2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    n_before = idx.table.read().count()
+    res = idx.add(batch, distributed=True)
+    assert res["stale_lookup"] == "distributed"
+    assert idx.table.read().count() == n_before + 1  # 5 moved, 1 new
+    for r in rows:
+        live = idx.table.read().filter(F.col("vec_id") == r["vec_id"])
+        assert live.count() == 1  # no stale duplicate anywhere
+    top = {x["id"]: x["cos_sim"] for x in idx.topk(qvec, k=3, n_probe=8).collect()}
+    assert top[777_777] == 1.0
+
+
+def test_add_auto_picks_point_path_for_small_batches(spark, emb, idx):
+    row = emb.orderBy(F.desc("vec_id")).first()
+    batch = spark.createDataFrame(
+        [(row["vec_id"], [float(x) for x in row["embedding"]], row["label"])],
+        "vec_id long, embedding array<float>, label int",
+    )
+    res = idx.add(batch)  # distributed=None → auto
+    assert res["stale_lookup"] == "point"

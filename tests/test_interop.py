@@ -52,11 +52,11 @@ def test_refuses_dv_and_renamed_snapshots(spark, table):
     table.rename_column("o_custkey", "customer_id")
     with pytest.raises(ValueError, match="renamed"):
         write_symlink_manifest(table)
-    table.rename_column("customer_id", "o_custkey")  # back to identity?
-    if table.manifest().rename_map:
-        # a round-trip rename may legitimately keep an identity-free map;
-        # only an EMPTY map is exportable
-        pytest.skip("rename map not identity after round-trip")
+    table.rename_column("customer_id", "o_custkey")  # back to identity
+    # a round-trip rename must normalize to the EMPTY map (rename_column
+    # pops the physical entry and skips identity re-adds), restoring
+    # exportability — a non-identity residue here is a regression
+    assert not table.manifest().rename_map
     delete_where_mor(table, F.col("o_orderstatus") == "F")
     with pytest.raises(ValueError, match="deletion vectors"):
         write_symlink_manifest(table)

@@ -627,3 +627,69 @@ def test_update_where_victim_scan_pushes_predicate(spark, tmp_path, sf_dir):
     p = plan_of(victims)
     assert "PushedFilters: [" in p
     assert "o_custkey" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_iterative_join_reuses_prepartitioned_cached_edges(spark, sf_dir):
+    """Exchange-reuse discipline for iterative graph queries (pagerank,
+    label propagation): the edge relation is repartitioned on the join
+    key BEFORE the persist, so InMemoryTableScan carries
+    hashpartitioning(join key) and each iteration's join shuffles only
+    the small per-node state — zero Exchange above the cached edge
+    scan. Broadcast is disabled for the window because at 100 TB the
+    per-node state is NOT broadcastable — the SMJ shape is the one that
+    matters (at fixture scale Spark would broadcast and hide it)."""
+    li = load_table(spark, sf_dir, "lineitem").limit(20_000)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    e = edges.repartition(F.col("src")).persist()
+    try:
+        e.count()  # materialize the cache
+        pr = e.select(F.col("src").alias("id")).distinct().withColumn(
+            "pr", F.lit(1.0)
+        )
+        contrib = (
+            e.join(pr, e.src == pr.id)
+            .groupBy("dst").agg(F.sum("pr").alias("mass"))
+        )
+        # "simple" mode inlines Exchange arguments; "formatted" hides
+        # them in a detail section the substring test cannot anchor on
+        p = plan_of(contrib, "simple")
+        assert "InMemoryTableScan" in p, p
+        # the cached plan legitimately shows ITS OWN upfront shuffle
+        # (REPARTITION_BY_COL); what must be absent is a fresh
+        # planner-inserted (ENSURE_REQUIREMENTS) shuffle of the edges
+        # at join time
+        import re
+        iter_shuffles = re.findall(
+            r"Exchange hashpartitioning\(src#\d+L?, \d+\), ENSURE_REQUIREMENTS", p
+        )
+        assert not iter_shuffles, p
+
+        # vacuity guard: WITHOUT the pre-partitioned persist the same
+        # join does re-shuffle the edge relation
+        e2 = edges.persist()
+        try:
+            e2.count()
+            pr2 = e2.select(F.col("src").alias("id")).distinct().withColumn(
+                "pr", F.lit(1.0)
+            )
+            c2 = (e2.join(pr2, e2.src == pr2.id)
+                  .groupBy("dst").agg(F.sum("pr").alias("mass")))
+            assert re.findall(
+                r"Exchange hashpartitioning\(src#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+                plan_of(c2, "simple"),
+            )
+        finally:
+            e2.unpersist()
+    finally:
+        e.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
