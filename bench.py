@@ -268,7 +268,28 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
+    import glob
+    import tempfile
+
+    def _commits_since(t_start: float) -> int:
+        """Manifest snapshots written by scratch (prs_catalog_*) tables
+        during a query's timed window — lifecycle queries (create +
+        merge + compact + ...) self-report their commit count so a slow
+        driver-run number is attributable to cold table-lifecycle cost
+        rather than suspected plan regression (the r04 adjudication)."""
+        n = 0
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), "prs_catalog_*")):
+            for f in glob.glob(os.path.join(d, "**", "_manifest.v*.json"),
+                               recursive=True):
+                try:
+                    if os.path.getmtime(f) >= t_start:
+                        n += 1
+                except OSError:
+                    pass
+        return n
+
     timings: dict[str, float] = {}
+    commits: dict[str, int] = {}
     errors: dict[str, str] = {}
     full = ("--full" in sys.argv[1:]
             or os.environ.get("SPARK_GRAFT_BENCH_FULL", "") == "1")
@@ -284,10 +305,14 @@ def main() -> None:
         # a failing query records an error line instead of killing the
         # whole bench — the driver must always get its one JSON line
         try:
+            t_wall = time.time()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             timings[name] = round(time.perf_counter() - t0, 3)
+            nc = _commits_since(t_wall)
+            if nc:
+                commits[name] = nc
             assert n >= 0
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
@@ -310,6 +335,7 @@ def main() -> None:
         "small_merge": _safe(small_merge_bench, spark, sf_dir),
         "mor_delete": _safe(mor_delete_bench, spark, sf_dir),
         "rowgroup_codec_sweep": _safe(rowgroup_codec_sweep, sf_dir),
+        "query_commits": commits,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

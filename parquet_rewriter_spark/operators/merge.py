@@ -691,6 +691,16 @@ def merge_into_table(
         "files_clean_passthrough": len(clean),
         "files_written": len(new_entries),
         "rows_rewritten": n_new_rows,
+        # per-phase instrumentation (the reference's counter surface,
+        # ParquetRewriter.java:349-359, at Spark's natural grain):
+        # t_plan_s = dirty-file planning, t_write_s = the read+merge+
+        # write job (one fused Spark job — a finer read/write split
+        # would require materializing between stages), t_commit_s =
+        # manifest commit; rows/bytes_read are the dirty inputs, *_
+        # written the produced files — all driver-side arithmetic.
+        "rows_read": sum(e.rows for e in dirty),
+        "bytes_read": sum(e.bytes for e in dirty),
+        "bytes_written": sum(e.bytes for e in new_entries),
         "t_plan_s": round(t_plan, 4),
         "t_write_s": round(t_write, 4),
         "t_commit_s": round(t_commit, 4),
@@ -756,6 +766,9 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan, txn=None) -> dic
         "files_clean_passthrough": len(clean),
         "files_written": len(new_entries),
         "rows_rewritten": sum(e.rows for e in new_entries),
+        "rows_read": sum(e.rows for e in dirty),
+        "bytes_read": sum(e.bytes for e in dirty),
+        "bytes_written": sum(e.bytes for e in new_entries),
         "t_plan_s": round(t_plan, 4),
         "t_write_s": round(t_write, 4),
         "t_commit_s": round(t_commit, 4),

@@ -665,3 +665,36 @@ def test_update_where_refuses_key_updates(spark, tmp_path, sf_dir):
     )
     with pytest.raises(ValueError, match="key"):
         update_where(t, F.lit(True), {"o_orderkey": F.col("o_orderkey") + 1})
+
+
+def test_merge_report_carries_phase_timings_and_io_counters(spark, tmp_path):
+    """The reference instruments its rewrite phases with read/write
+    counters (ParquetRewriter.java:349-359); merge_into_table exposes
+    the same surface at Spark's grain: plan/write/commit wall times and
+    rows/bytes read vs written, on BOTH the distributed and the splice
+    paths."""
+    t, base = _mk_table(spark, tmp_path, range(1_000), max_records_per_file=100)
+    keys = ("t_plan_s", "t_write_s", "t_commit_s",
+            "rows_read", "bytes_read", "bytes_written")
+
+    muts = _mutations_df(spark, {5: b"x" * 20}, set())
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+    for k in keys:
+        assert k in res, k
+        assert res[k] >= 0
+    assert res["rows_read"] == 100  # exactly the one dirty file
+    assert res["bytes_read"] > 0 and res["bytes_written"] > 0
+
+    res2 = merge_into_table(t, _mutations_df(spark, {6: b"y" * 20}, set()))
+    assert res2["path"] == "rowgroup_splice"
+    for k in keys:
+        assert k in res2, k
+    assert res2["rows_read"] == 100 and res2["bytes_written"] > 0
+
+    # pure insert: nothing read, something written
+    res3 = merge_into_table(
+        t, _mutations_df(spark, {10_000: b"z" * 20}, set()), allow_splice=False
+    )
+    assert res3["rows_read"] == 0 and res3["bytes_read"] == 0
+    assert res3["bytes_written"] > 0
