@@ -49,11 +49,158 @@ OP_COLUMN = "op"
 # pass only pays off when the key set is genuinely huge; below the cap
 # it costs an extra Spark job plus a one-time codegen compile.
 SMALL_PLAN_KEYS = 131_072
+# Above this many dirty files, the merge write partitions by manifest-
+# derived bucket ids instead of a range exchange: RangePartitioning's
+# sampling job re-executes the whole union (a second full-width read of
+# every dirty file + a second run of the mutation plan) just to learn
+# bounds the manifest already knows. Below it, the sampling re-read is a
+# handful of files and the bucket path's Arrow eval stage (~0.25 s fixed
+# per job) would cost more than it saves.
+BUCKET_WRITE_MIN_FILES = 32
 OP_UPSERT = "UPSERT"
 OP_DELETE = "DELETE"
 
 _PRIORITY = "__src_priority"
 _RN = "__rn"
+# Bucket column for manifest-derived merge partitioning. No leading
+# underscore: it becomes a `prs_bucket=N` partition DIRECTORY inside the
+# staging tree, and list_parquet_files prunes "_"-prefixed dirs.
+_BUCKET = "prs_bucket"
+
+
+def _np_bounds(spark: SparkSession, vals: list) -> "pd.Series":
+    """Render manifest key bounds as a numpy array comparable with the
+    values Arrow hands Python workers: timestamp bounds from parquet
+    footers are tz-AWARE (isAdjustedToUTC) while Arrow delivers tz-naive
+    session-local values — convert; everything else passes through
+    pandas' dtype coercion (object for date/Decimal/str/bytes)."""
+    tz = spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
+    s = pd.Series(vals)
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        s = s.dt.tz_convert(tz).dt.tz_localize(None)
+    return s.to_numpy()
+
+
+# A cut list at most this long becomes a pure-JVM binary-search WHEN
+# tree (log2(B) codegen'd comparisons per row, zero Python); longer
+# lists use the Arrow searchsorted UDF — the expression tree is O(B)
+# nodes, and past ~1k literals its codegen cost outgrows the UDF's
+# fixed ~0.25 s Arrow-stage overhead.
+JVM_BUCKET_MAX_CUTS = 1024
+
+
+def _murmur3_int32(x, seed: int = 42):
+    """Spark's Murmur3_x86_32.hashInt (the hash behind HashPartitioning
+    and ``F.hash`` for IntegerType, seed 42), vectorized in numpy.
+    Pinned against ``F.hash`` in tests — if a Spark upgrade ever changed
+    it (it can't without breaking Spark's own bucketed tables), the
+    identity remap below would degrade to imperfect balance, never to
+    wrong results."""
+    import numpy as np
+
+    def rotl(v, r):
+        return (v << np.uint32(r)) | (v >> np.uint32(32 - r))
+
+    with np.errstate(over="ignore"):
+        k = np.asarray(x).astype(np.uint32)
+        k = k * np.uint32(0xCC9E2D51)
+        k = rotl(k, 15)
+        k = k * np.uint32(0x1B873593)
+        h = np.uint32(seed) ^ k
+        h = rotl(h, 13)
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(4)  # fmix: length in bytes
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+    return h.view(np.int32)
+
+
+def _identity_remap(n: int):
+    """v[b] for b in 0..n-1 with pmod(murmur3(v[b]), n) == b — bucket id
+    b rendered as the constant v[b] makes Spark's HashPartitioning an
+    EXACT partitioner: one bucket per shuffle partition, the balance of
+    a range exchange without its sampling job. Spark's Pmod on a
+    negative hash matches numpy's divisor-sign mod."""
+    import numpy as np
+
+    out = np.full(n, -1, dtype=np.int64)
+    lo = 0
+    for _ in range(16):  # 64n candidates/round; ~ln(n) rounds suffice
+        cand = np.arange(lo, lo + 64 * n, dtype=np.int64)
+        r = np.mod(_murmur3_int32(cand).astype(np.int64), n)
+        residues, first = np.unique(r, return_index=True)
+        fill = out[residues] < 0
+        out[residues[fill]] = cand[first[fill]]
+        if not (out < 0).any():
+            return out
+        lo += 64 * n
+    # Unreached in practice (P(residue missed) < e^-1000): reuse an
+    # assigned VALUE for leftover buckets. Sharing a value only merges
+    # two buckets into one partition (imperfect balance); a fresh value
+    # with an uncontrolled residue could instead co-locate two DISTINCT
+    # values, whose (bucket, key) write order would break in-file key
+    # order.
+    donor = out[out >= 0][0]
+    out[out < 0] = donor
+    return out
+
+
+def _bucket_expr(key: str, key_type, cuts, remap) -> "F.Column":
+    """Pure-JVM bucket id: a balanced binary-search tree of WHEN
+    comparisons over the sorted cut literals — semantically
+    ``remap[np.searchsorted(cuts, key, side="left")]``. Whole-stage
+    codegen executes log2(B) comparisons per row; no sampling job, no
+    Python worker, no Arrow transfer. Literals are cast to the key
+    column's exact type so timestamp cuts (rendered naive session-local
+    by _np_bounds) compare correctly against LTZ and NTZ keys alike.
+    Leaves emit the identity-remapped constants so the downstream hash
+    exchange places each bucket on its own partition."""
+    cuts_py = list(cuts.tolist() if hasattr(cuts, "tolist") else cuts)
+    n = len(remap)
+    col = F.col(key)
+
+    def lit(v):
+        return F.lit(v).cast(key_type)
+
+    def build(lo: int, hi: int):
+        # candidate searchsorted positions lo..hi (hi == len(cuts) means
+        # "beyond every cut" — the tail bucket)
+        if lo >= hi:
+            return F.lit(int(remap[lo % n]))
+        mid = (lo + hi) // 2
+        return F.when(col <= lit(cuts_py[mid]), build(lo, mid)).otherwise(
+            build(mid + 1, hi)
+        )
+
+    return build(0, len(cuts_py))
+
+
+def _bucket_udf(spark: SparkSession, cuts, remap):
+    """Vectorized key → bucket id: ``searchsorted`` over the (sorted,
+    broadcast) cut points — O(log F) per key however large the manifest,
+    the same discipline as plan_dirty_files. Buckets replace the range
+    shuffle's SAMPLING JOB: RangePartitioning must re-execute its whole
+    child (a second full-width read of every dirty file plus a second
+    run of the mutation plan) just to learn partition bounds the
+    manifest already knows. One narrow Arrow pass of the key column
+    costs far less than re-reading the data."""
+    import numpy as np
+
+    tz = spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
+    bc = spark.sparkContext.broadcast((cuts, np.asarray(remap)))
+
+    @F.pandas_udf("int")
+    def bucket_of(s: pd.Series) -> pd.Series:
+        cut_arr, lut = bc.value
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            s = s.dt.tz_convert(tz).dt.tz_localize(None)
+        idx = np.searchsorted(cut_arr, s.to_numpy(), side="left")
+        return pd.Series(lut[idx % len(lut)].astype("int32"))
+
+    return bucket_of
 
 
 def apply_mutations(
@@ -63,6 +210,7 @@ def apply_mutations(
     seq_col: str | None = None,
     range_partition: bool = False,
     num_partitions: int | None = None,
+    bucket_cuts=None,
 ) -> DataFrame:
     """Logical merge: mutations win over base rows on key collision.
 
@@ -130,6 +278,40 @@ def apply_mutations(
             .withColumn(_TB, F.lit(0).cast("long"))
         )
     unioned = unioned.unionByName(base_u)
+    if bucket_cuts is not None and len(bucket_cuts) > 0:
+        # Manifest-derived partitioning (the zero-sampling merge write):
+        # each row's bucket id is its searchsorted position among the
+        # dirty files' key_max cut points — a deterministic, MONOTONE
+        # function of the key, so bucket ranges never overlap. One hash
+        # exchange on the bucket id serves the dedup window (same key ⇒
+        # same bucket, and HashPartitioning(bucket) satisfies the
+        # window's ClusteredDistribution(bucket, key)) AND the
+        # partitionBy(bucket) staging write — with NO range-sampling job
+        # re-executing the union. The bucket column rides along in the
+        # output for the writer to split on.
+        spark = base.sparkSession
+        n = num_partitions or (len(bucket_cuts) + 1)
+        # Identity remap: bucket b is emitted as the constant remap[b],
+        # chosen so pmod(murmur3(remap[b]), n) == b — Spark's hash
+        # exchange becomes an EXACT one-bucket-per-partition partitioner
+        # (a range exchange's balance without its sampling job). With an
+        # explicit partition count AQE never coalesces this exchange, so
+        # the mapping holds at execution time.
+        remap = _identity_remap(n)
+        if len(bucket_cuts) <= JVM_BUCKET_MAX_CUTS:
+            bucket_col = _bucket_expr(
+                key, unioned.schema[key].dataType, bucket_cuts, remap
+            )
+        else:
+            bucket_col = _bucket_udf(spark, bucket_cuts, remap)(F.col(key))
+        unioned = unioned.withColumn(_BUCKET, bucket_col)
+        unioned = unioned.repartition(n, F.col(_BUCKET))
+        w = Window.partitionBy(_BUCKET, key).orderBy(F.col(_PRIORITY), *tiebreak)
+        return (
+            unioned.withColumn(_RN, F.row_number().over(w))
+            .filter((F.col(_RN) == 1) & (F.col(OP_COLUMN) != OP_DELETE))
+            .select(*base_cols, _BUCKET)
+        )
     if range_partition:
         # One exchange serves the dedup window AND the sorted write:
         # RangePartitioning(key) satisfies the window's clustered-by-key
@@ -324,13 +506,8 @@ def plan_dirty_files(
     # Timestamp bounds from parquet footers are tz-AWARE (isAdjustedToUTC)
     # while Arrow hands the executor tz-NAIVE session-local values, so
     # render bounds naive in the session zone before shipping them.
-    tz = spark.conf.get("spark.sql.session.timeZone", None) or "UTC"
-
     def _bounds(vals: list) -> "pd.Series":
-        s = pd.Series(vals)
-        if isinstance(s.dtype, pd.DatetimeTZDtype):
-            s = s.dt.tz_convert(tz).dt.tz_localize(None)
-        return s.to_numpy()
+        return _np_bounds(spark, vals)
 
     # torrent-broadcast the bounds (one copy per EXECUTOR) rather than
     # capturing them in the task closure (one serialized copy per TASK:
@@ -606,10 +783,32 @@ def merge_into_table(
             base_dirty = base_dirty.join(
                 dv.select(key).distinct(), on=key, how="left_anti"
             )
-        merged = apply_mutations(base_dirty, mutations, key,
-                                 seq_col=seq_col,
-                                 range_partition=True,
-                                 num_partitions=len(dirty))
+        if len(dirty) > BUCKET_WRITE_MIN_FILES:
+            import numpy as np
+
+            # Bucket cuts = the dirty files' key_max values (sorted —
+            # nested ranges from past gap-inserting merges can unsort
+            # the raw sequence). Bucket i inherits dirty file i's upper
+            # bound, so output files track the input file geography;
+            # keys above the global max get their own tail bucket.
+            cuts = np.sort(_np_bounds(spark, [e.key_max for e in dirty]))
+            merged = apply_mutations(base_dirty, mutations, key,
+                                     seq_col=seq_col,
+                                     bucket_cuts=cuts,
+                                     num_partitions=len(dirty) + 1)
+        else:
+            # Small dirty sets keep the fused RANGE exchange: its
+            # sampling job re-reads only a handful of files (cheap even
+            # over object storage), while the bucket path's Arrow eval
+            # stage costs a fixed ~0.25 s per job — pure overhead at
+            # this size. Above the threshold the economics flip: the
+            # sampling pass re-reads every dirty file full-width plus
+            # re-runs the mutation plan, which the manifest-derived
+            # buckets avoid entirely.
+            merged = apply_mutations(base_dirty, mutations, key,
+                                     seq_col=seq_col,
+                                     range_partition=True,
+                                     num_partitions=len(dirty))
     else:
         # Pure-insert merge (all keys fall in gaps / head / tail).
         # Runs through apply_mutations against an EMPTY base: a batch
@@ -625,19 +824,40 @@ def merge_into_table(
             else [c for c in mut.columns if c != OP_COLUMN]
         )
         empty_base = mut.select(*base_cols).limit(0)
-        merged = apply_mutations(empty_base, mutations, key,
-                                 seq_col=seq_col, range_partition=True)
+        if len(m.files) > BUCKET_WRITE_MIN_FILES:
+            import numpy as np
+
+            # Pure inserts bucket against the CLEAN file geography so gap/
+            # head/tail inserts cluster next to the files they logically
+            # extend — but coarsened (every Nth cut) so a small scattered
+            # batch cannot fan out into one tiny file per gap.
+            all_cuts = np.sort(_np_bounds(spark, [e.key_max for e in m.files]))
+            target = max(
+                1, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            )
+            stride = max(1, -(-len(all_cuts) // target))
+            cuts = all_cuts[stride - 1 :: stride]
+            merged = apply_mutations(empty_base, mutations, key,
+                                     seq_col=seq_col, bucket_cuts=cuts,
+                                     num_partitions=len(cuts) + 1)
+        else:
+            merged = apply_mutations(empty_base, mutations, key,
+                                     seq_col=seq_col, range_partition=True)
 
     mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
     # No isEmpty() pre-check (an extra Spark action): an empty merge
     # writes an empty staging dir and _adopt_staged drops zero-row
     # files, so the empty case costs nothing extra on the common path.
     t0 = time.monotonic()
-    # BOTH branches above range-partitioned in apply_mutations
-    # (range_partition=True), so the writer never re-shuffles — the
-    # pure-insert branch used to pass False here and pay the exact
-    # double exchange (+ range-sampling job) the fusion removed.
-    staging = table._write_sorted(merged, key, mrpf, prepartitioned=True)
+    # BOTH branches above partitioned in apply_mutations (manifest
+    # buckets, or a range exchange for the empty-table insert), so the
+    # writer never re-shuffles; bucketed output splits into per-bucket
+    # staging dirs so each output file covers exactly one bucket range.
+    bucketed = _BUCKET in merged.columns
+    staging = table._write_sorted(
+        merged, key, mrpf, prepartitioned=True,
+        bucket_col=_BUCKET if bucketed else None,
+    )
     new_entries = table._adopt_staged(staging, key)
     n_new_rows = sum(e.rows for e in new_entries)
     t_write = time.monotonic() - t0
@@ -655,7 +875,8 @@ def merge_into_table(
                 schema_json=(
                     read_schema.json()
                     if read_schema is not None
-                    else (m.schema_json or merged.schema.json())
+                    else (m.schema_json
+                          or merged.drop(_BUCKET).schema.json())
                 ),
                 stats_cols=m.stats_cols,
                 bloom_cols=m.bloom_cols,

@@ -1,0 +1,224 @@
+"""Manifest-derived bucket partitioning for merge writes.
+
+The merge write avoids RangePartitioning's sampling job (which would
+re-execute the whole union — a second full-width read of every dirty
+file) by assigning each row a bucket id searchsorted from the manifest's
+key bounds, identity-remapped so Spark's hash exchange places exactly
+one bucket per partition. These tests pin the three load-bearing claims:
+(1) the numpy Murmur3 mirror matches Spark's ``F.hash`` bit-for-bit,
+(2) the remap is an exact partitioner end-to-end, and (3) the bucketed
+merge plan carries ONE hash exchange and no range/sampling machinery.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.merge import (
+    _BUCKET,
+    _bucket_expr,
+    _bucket_udf,
+    _identity_remap,
+    _murmur3_int32,
+    _np_bounds,
+    apply_mutations,
+    merge_into_table,
+    plan_dirty_files,
+)
+from parquet_rewriter_spark.table import SortedTable
+
+
+def test_numpy_murmur3_matches_spark_hash(spark):
+    """_identity_remap is only exact if our Murmur3_x86_32.hashInt
+    mirror equals the hash inside HashPartitioning — which F.hash
+    exposes for IntegerType (same function, seed 42)."""
+    vals = list(range(-257, 258)) + [2**31 - 1, -(2**31), 123456789, -987654321]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r.v: r.h for r in df.select("v", F.hash("v").alias("h")).collect()}
+    mine = _murmur3_int32(np.array(vals, dtype=np.int64))
+    assert all(got[v] == int(m) for v, m in zip(vals, mine))
+
+
+def test_identity_remap_is_exact_and_distinct():
+    for n in (1, 2, 3, 17, 93, 256, 1025):
+        r = _identity_remap(n)
+        h = _murmur3_int32(r.astype(np.int64)).astype(np.int64)
+        assert (np.mod(h, n) == np.arange(n)).all()
+        assert len(set(r.tolist())) == n
+
+
+def test_repartition_places_one_bucket_per_partition(spark):
+    """End-to-end through Spark's real exchange: n remapped bucket
+    values → n partitions, each holding exactly one bucket."""
+    n = 61
+    remap = _identity_remap(n)
+    m = F.create_map(
+        *[x for b, v in enumerate(remap) for x in (F.lit(b), F.lit(int(v)))]
+    )
+    df = (
+        spark.range(0, n * 100)
+        .withColumn("b", (F.col("id") % n).cast("int"))
+        .withColumn("v", m[F.col("b")])
+        .repartition(n, F.col("v"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct("b").alias("nb"))
+        .collect()
+    )
+    assert len(df) == n and all(r.nb == 1 for r in df)
+
+
+@pytest.mark.parametrize(
+    "keys",
+    [
+        [5, 17, 42, 99, 1000],
+        ["apple", "mango", "zebra"],
+    ],
+)
+def test_bucket_expr_matches_searchsorted(spark, keys):
+    """The JVM WHEN-tree must agree with np.searchsorted(side='left')
+    (before remap) for every relational position: below, equal-to-cut,
+    between, and beyond."""
+    cuts = np.array(sorted(keys))
+    n = len(cuts) + 1
+    remap = _identity_remap(n)
+    if isinstance(keys[0], str):
+        probes = ["a", "apple", "applf", "mango", "nn", "zebra", "zz"]
+        df = spark.createDataFrame([(p,) for p in probes], "k string")
+    else:
+        probes = [0, 5, 6, 17, 50, 99, 100, 10**6]
+        df = spark.createDataFrame([(p,) for p in probes], "k long")
+    expr = _bucket_expr("k", df.schema["k"].dataType, cuts, remap)
+    got = [r.b for r in df.withColumn("b", expr).collect()]
+    want = [int(remap[np.searchsorted(cuts, p, side="left")]) for p in probes]
+    assert got == want
+
+
+def test_bucket_udf_agrees_with_expr(spark):
+    """Above JVM_BUCKET_MAX_CUTS the Arrow UDF takes over — same
+    bucket function, same remap."""
+    cuts = np.arange(10, 5000, 10)
+    remap = _identity_remap(len(cuts) + 1)
+    df = spark.range(0, 3000).select((F.col("id") * 3).alias("k"))
+    via_udf = df.withColumn("b", _bucket_udf(spark, cuts, remap)(F.col("k")))
+    got = {r.k: r.b for r in via_udf.collect()}
+    for k in (0, 10, 11, 4999, 4990, 100000):
+        if k in got:
+            assert got[k] == int(remap[np.searchsorted(cuts, k, side="left")])
+    ks = np.array(sorted(got))
+    want = remap[np.searchsorted(cuts, ks, side="left")]
+    assert [got[int(k)] for k in ks] == [int(w) for w in want]
+
+
+def test_bucketed_merge_plan_single_hash_exchange_no_sampling(spark, sf_dir):
+    """The whole point: one hash exchange on the bucket id serves the
+    dedup window and the sorted write; no RangePartitioning (whose
+    sampling job would re-read every dirty input)."""
+    base = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    muts = (
+        base.filter(F.col("o_orderkey") % 17 == 0)
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    cuts = np.arange(0, int(1.5e6), 10_000)
+    merged = apply_mutations(
+        base, muts, "o_orderkey", bucket_cuts=cuts, num_partitions=len(cuts) + 1
+    )
+    p = merged._sc._jvm.PythonSQLUtils.explainString(
+        merged._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("Arguments: hashpartitioning") == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+    assert "Window" in p, p
+    # pure JVM below the cut threshold: no Python eval stage
+    assert "ArrowEvalPython" not in p, p
+
+
+def test_bucketed_merge_end_to_end_files_sorted(spark, tmp_path):
+    """A merge that takes the bucketed write (dirty > threshold) must
+    keep every output file internally key-sorted with accurate manifest
+    bounds, across updates, gap inserts, head/tail inserts, deletes."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(7)
+    keys = sorted(rng.sample(range(0, 200_000, 3), 8_000))
+    df = spark.createDataFrame(
+        [Row(key=int(k), value=k * 2) for k in keys], "key long, value long"
+    )
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "t"), df, "key",
+        max_records_per_file=200,
+    )
+    ups = {k: k * 10 for k in keys[:: 37]}            # spread updates
+    ups[-5] = 1                                        # head insert
+    ups[10**7] = 2                                     # tail insert
+    ups[keys[100] + 1] = 3                             # gap insert
+    # same-key UPSERT+DELETE resolves DELETE-first by the engine's
+    # documented tiebreak — keep the sets disjoint so the python-dict
+    # expectation (update wins) matches
+    dels = set(keys[5::211]) - set(ups)
+    muts = spark.createDataFrame(
+        [Row(key=int(k), value=int(v), op="UPSERT") for k, v in ups.items()]
+        + [Row(key=int(k), value=None, op="DELETE") for k in dels],
+        "key long, value long, op string",
+    )
+    m = t.manifest()
+    dirty, _clean = plan_dirty_files(spark, m, muts)
+    assert len(dirty) > 32, "fixture must exercise the bucketed path"
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+
+    expected = {k: k * 2 for k in keys}
+    for k in dels:
+        expected.pop(k, None)
+    expected.update(ups)
+    got = {r.key: r.value for r in t.read().collect()}
+    assert got == expected
+    mm = t.manifest()
+    for e in mm.files:
+        vals = [
+            r.key
+            for r in spark.read.parquet(os.path.join(t.path, e.name))
+            .select("key")
+            .collect()
+        ]
+        assert vals == sorted(vals), e.name
+        assert vals[0] == e.key_min and vals[-1] == e.key_max
+
+
+def test_bucketed_merge_timestamp_key(spark, tmp_path):
+    """Timestamp keys exercise the literal-cast path of the WHEN tree
+    (footer bounds are tz-aware; lit() casts to the key's exact type)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base_ts = dt.datetime(2025, 1, 1)
+    rows = [
+        Row(ts=base_ts + dt.timedelta(minutes=i), v=i) for i in range(4_000)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "tt"), df, "ts",
+        max_records_per_file=100,
+    )
+    muts = spark.createDataFrame(
+        [
+            Row(ts=base_ts + dt.timedelta(minutes=i), v=-i, op="UPSERT")
+            for i in range(0, 4_000, 53)
+        ],
+        "ts timestamp, v int, op string",
+    )
+    m = t.manifest()
+    dirty, _ = plan_dirty_files(spark, m, muts)
+    assert len(dirty) > 32
+    merge_into_table(t, muts, allow_splice=False)
+    got = {r.ts: r.v for r in t.read().collect()}
+    assert len(got) == 4_000
+    for i in range(0, 4_000, 53):
+        assert got[base_ts + dt.timedelta(minutes=i)] == -i
