@@ -4,10 +4,12 @@ scale path the reference never needed: INCREMENTAL compaction.
 Reference: rewrite 100% of row groups at a new target size via
 ``while(isNextBlockAvailable()){loadAndMutateNextBlock(); flushMutatedBlock();}``
 (ParquetRewriter.java:196-199, 222-234). Spark-first equivalent: one
-distributed job — read everything, range-repartition on the key,
-sorted write, manifest flip. Catalyst/AQE pick the scan parallelism;
-``repartitionByRange`` samples the key distribution so output files are
-size-balanced even under key skew.
+distributed job — read everything, exchange on manifest-derived bucket
+cuts, sorted write, manifest flip. Catalyst/AQE pick the scan
+parallelism; cut points come from the manifest's cumulative row counts
+(``merge.compaction_cuts``), so output files are size-balanced even
+under key skew WITHOUT RangePartitioning's sampling job, which would
+read the entire table a second time.
 
 ``compact_incremental`` applies the engine's dirty-fraction philosophy
 to layout maintenance: repeated small merges fragment the table into
@@ -25,6 +27,50 @@ from __future__ import annotations
 from parquet_rewriter_spark.table import Manifest, SortedTable
 
 
+def _write_rechunked(
+    table: SortedTable,
+    df,
+    m: Manifest,
+    source_entries,
+    max_records_per_file: int | None,
+    num_files: int | None = None,
+) -> str:
+    """Sorted re-chunk write with manifest-derived cut points (zero
+    sampling): output sizes come from the source entries' cumulative row
+    counts, so the rewrite reads its input exactly once —
+    repartitionByRange would execute the whole read a second time just
+    to sample bounds the manifest already records. Falls back to the
+    range exchange when there is nothing to cut (single output file or
+    no sources)."""
+    from parquet_rewriter_spark.operators.merge import (
+        _BUCKET,
+        bucket_partition_by_key,
+        compaction_cuts,
+    )
+
+    total = sum(e.rows for e in source_entries)
+    # cuts sized by num_files when given (num_files output buckets),
+    # else by the record cap; the writer's maxRecordsPerFile option
+    # keeps the caller's cap either way (a bucket larger than the cap
+    # still rolls)
+    if num_files:
+        cut_target = max(1, -(-total // num_files))
+    else:
+        cut_target = max_records_per_file or max(1, total)
+    opt_mrpf = max_records_per_file or cut_target
+    cuts = (
+        compaction_cuts(source_entries, cut_target, table.spark)
+        if source_entries
+        else None
+    )
+    if cuts is None:
+        return table._write_sorted(df, m.key, opt_mrpf, num_files)
+    bucketed, _n = bucket_partition_by_key(df, m.key, cuts)
+    return table._write_sorted(
+        bucketed, m.key, opt_mrpf, prepartitioned=True, bucket_col=_BUCKET
+    )
+
+
 def compact(
     table: SortedTable,
     max_records_per_file: int,
@@ -35,7 +81,9 @@ def compact(
     # physical-name read: compaction rewrites files, and files keep
     # PHYSICAL column names forever (rename_map is metadata-only)
     df = table.read_physical()  # applies merge-on-read DVs: the rewrite makes them physical
-    staging = table._write_sorted(df, m.key, max_records_per_file, num_files)
+    staging = _write_rechunked(
+        table, df, m, m.files, max_records_per_file, num_files
+    )
     entries = table._adopt_staged(staging, m.key)
     table._commit_manifest(
         Manifest(
@@ -111,7 +159,7 @@ def purge_columns(
         from pyspark.sql import functions as F
 
         df = df.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
-    staging = table._write_sorted(df, m.key, max_records_per_file, None)
+    staging = _write_rechunked(table, df, m, dirty, max_records_per_file)
     new_entries = table._adopt_staged(staging, m.key)
     from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
 
@@ -196,9 +244,8 @@ def backfill_column(
     dv = table.dv_keys(m, files={e.name for e in batch if e.dv_rows})
     if dv is not None:
         filled = filled.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
-    rows = sum(e.rows for e in batch)
-    staging = table._write_sorted(
-        filled, m.key, max(1, -(-rows // len(batch))), None
+    staging = _write_rechunked(
+        table, filled, m, batch, None, num_files=len(batch)
     )
     new_entries = table._adopt_staged(staging, m.key)
     from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
@@ -264,7 +311,9 @@ def compact_incremental(
         from pyspark.sql import functions as F
 
         df = df.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
-    staging = table._write_sorted(df, m.key, target_records_per_file, n_files)
+    staging = _write_rechunked(
+        table, df, m, small, target_records_per_file, num_files=n_files
+    )
     new_entries = table._adopt_staged(staging, m.key)
     from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
 

@@ -200,7 +200,9 @@ def materialize_deletes(table: SortedTable, max_records_per_file: int | None = N
     live = df.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
 
     mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
-    staging = table._write_sorted(live, m.key, mrpf)
+    from parquet_rewriter_spark.operators.compact import _write_rechunked
+
+    staging = _write_rechunked(table, live, m, dvd, mrpf)
     new_entries = table._adopt_staged(staging, m.key)
     table._commit_manifest(
         Manifest(

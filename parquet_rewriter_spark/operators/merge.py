@@ -49,14 +49,16 @@ OP_COLUMN = "op"
 # pass only pays off when the key set is genuinely huge; below the cap
 # it costs an extra Spark job plus a one-time codegen compile.
 SMALL_PLAN_KEYS = 131_072
-# Above this many dirty files, the merge write partitions by manifest-
+# Above this many DIRTY BYTES, the merge write partitions by manifest-
 # derived bucket ids instead of a range exchange: RangePartitioning's
 # sampling job re-executes the whole union (a second full-width read of
 # every dirty file + a second run of the mutation plan) just to learn
-# bounds the manifest already knows. Below it, the sampling re-read is a
-# handful of files and the bucket path's Arrow eval stage (~0.25 s fixed
-# per job) would cost more than it saves.
-BUCKET_WRITE_MIN_FILES = 32
+# bounds the manifest already knows. The crossover is a BYTES question:
+# a fresh bucketed plan costs ~0.3-0.5 s (literal-bearing codegen or the
+# Arrow stage), so re-reading less than ~1 GiB — seconds on object
+# storage, near-free from page cache — is cheaper than avoiding it.
+# Cluster deployments reading remote storage may tune this down.
+BUCKET_WRITE_MIN_BYTES = 1 << 30
 OP_UPSERT = "UPSERT"
 OP_DELETE = "DELETE"
 
@@ -84,9 +86,10 @@ def _np_bounds(spark: SparkSession, vals: list) -> "pd.Series":
 # A cut list at most this long becomes a pure-JVM binary-search WHEN
 # tree (log2(B) codegen'd comparisons per row, zero Python); longer
 # lists use the Arrow searchsorted UDF — the expression tree is O(B)
-# nodes, and past ~1k literals its codegen cost outgrows the UDF's
-# fixed ~0.25 s Arrow-stage overhead.
-JVM_BUCKET_MAX_CUTS = 1024
+# nodes with fresh literals every merge, and measured at B=1024 its
+# per-plan analysis+codegen (~0.9 s) outgrows the UDF's fixed ~0.25 s
+# Arrow-stage overhead (crossover ≈ 256).
+JVM_BUCKET_MAX_CUTS = 256
 
 
 def _murmur3_int32(x, seed: int = 42):
@@ -203,6 +206,55 @@ def _bucket_udf(spark: SparkSession, cuts, remap):
     return bucket_of
 
 
+def bucket_partition_by_key(df: DataFrame, key: str, cuts) -> tuple[DataFrame, int]:
+    """Shared zero-sampling partitioner: stamp ``_BUCKET`` (searchsorted
+    position among ``cuts``, identity-remapped) and hash-exchange once —
+    each bucket lands on its own partition, with a range exchange's
+    balance and none of its sampling job. Returns the bucketed frame and
+    the partition count; write with
+    ``_write_sorted(..., bucket_col=_BUCKET)``. ``cuts`` must be sorted
+    and deduplicated (e.g. ``np.unique(_np_bounds(...))``)."""
+    spark = df.sparkSession
+    if _BUCKET in df.columns:
+        # withColumn would silently REPLACE a user column of this name
+        raise ValueError(
+            f"column name {_BUCKET!r} is reserved by the bucketed writer"
+        )
+    n = len(cuts) + 1
+    remap = _identity_remap(n)
+    if len(cuts) <= JVM_BUCKET_MAX_CUTS:
+        bucket_col = _bucket_expr(key, df.schema[key].dataType, cuts, remap)
+    else:
+        bucket_col = _bucket_udf(spark, cuts, remap)(F.col(key))
+    out = df.withColumn(_BUCKET, bucket_col).repartition(n, F.col(_BUCKET))
+    return out, n
+
+
+def compaction_cuts(entries, target_rows: int, spark: SparkSession):
+    """Output-file cut points for a re-chunk of ``entries`` (manifest
+    rows sorted by key range): walk the cumulative row counts and cut at
+    the file boundary where each ``target_rows`` multiple is crossed.
+    The manifest already knows every file's row count and key range, so
+    output files come out size-balanced (± one input file) without
+    RangePartitioning's sampling pass — which would re-read the entire
+    table a second time just to rediscover these bounds. Tombstoned
+    (DV) rows inflate counts slightly; cuts are balance heuristics, so
+    that skew is bounded by the DV fraction and never affects
+    correctness."""
+    import numpy as np
+
+    ordered = sorted(entries, key=lambda e: (e.key_min, e.key_max))
+    cuts, cum, next_cut = [], 0, target_rows
+    for e in ordered[:-1]:  # last file's tail is the final bucket
+        cum += e.rows
+        if cum >= next_cut:
+            cuts.append(e.key_max)
+            next_cut = (cum // target_rows + 1) * target_rows
+    if not cuts:
+        return None
+    return np.unique(_np_bounds(spark, cuts))
+
+
 def apply_mutations(
     base: DataFrame,
     mutations: DataFrame,
@@ -285,11 +337,17 @@ def apply_mutations(
         # function of the key, so bucket ranges never overlap. One hash
         # exchange on the bucket id serves the dedup window (same key ⇒
         # same bucket, and HashPartitioning(bucket) satisfies the
-        # window's ClusteredDistribution(bucket, key)) AND the
-        # partitionBy(bucket) staging write — with NO range-sampling job
-        # re-executing the union. The bucket column rides along in the
-        # output for the writer to split on.
+        # window's ClusteredDistribution(bucket, key)) AND the sorted
+        # staging write — with NO range-sampling job re-executing the
+        # union. The bucket column rides along in the output for the
+        # writer's (bucket, key) sort, which Catalyst elides against the
+        # window's identical ordering; the writer drops it before bytes
+        # hit disk.
         spark = base.sparkSession
+        if _BUCKET in base_cols:
+            raise ValueError(
+                f"column name {_BUCKET!r} is reserved by the bucketed writer"
+            )
         n = num_partitions or (len(bucket_cuts) + 1)
         # Identity remap: bucket b is emitted as the constant remap[b],
         # chosen so pmod(murmur3(remap[b]), n) == b — Spark's hash
@@ -783,7 +841,7 @@ def merge_into_table(
             base_dirty = base_dirty.join(
                 dv.select(key).distinct(), on=key, how="left_anti"
             )
-        if len(dirty) > BUCKET_WRITE_MIN_FILES:
+        if sum(e.bytes for e in dirty) > BUCKET_WRITE_MIN_BYTES:
             import numpy as np
 
             # Bucket cuts = the dirty files' key_max values (sorted —
@@ -797,14 +855,13 @@ def merge_into_table(
                                      bucket_cuts=cuts,
                                      num_partitions=len(dirty) + 1)
         else:
-            # Small dirty sets keep the fused RANGE exchange: its
-            # sampling job re-reads only a handful of files (cheap even
-            # over object storage), while the bucket path's Arrow eval
-            # stage costs a fixed ~0.25 s per job — pure overhead at
-            # this size. Above the threshold the economics flip: the
-            # sampling pass re-reads every dirty file full-width plus
-            # re-runs the mutation plan, which the manifest-derived
-            # buckets avoid entirely.
+            # Below the byte threshold the fused RANGE exchange stays:
+            # its sampling job re-reads little enough that a fresh
+            # bucketed plan (literal-bearing codegen / Arrow stage)
+            # would cost more than the re-read it avoids. Above it the
+            # economics flip: the sampling pass re-reads every dirty
+            # byte full-width plus re-runs the mutation plan, which the
+            # manifest-derived buckets avoid entirely.
             merged = apply_mutations(base_dirty, mutations, key,
                                      seq_col=seq_col,
                                      range_partition=True,
@@ -824,25 +881,11 @@ def merge_into_table(
             else [c for c in mut.columns if c != OP_COLUMN]
         )
         empty_base = mut.select(*base_cols).limit(0)
-        if len(m.files) > BUCKET_WRITE_MIN_FILES:
-            import numpy as np
-
-            # Pure inserts bucket against the CLEAN file geography so gap/
-            # head/tail inserts cluster next to the files they logically
-            # extend — but coarsened (every Nth cut) so a small scattered
-            # batch cannot fan out into one tiny file per gap.
-            all_cuts = np.sort(_np_bounds(spark, [e.key_max for e in m.files]))
-            target = max(
-                1, int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            )
-            stride = max(1, -(-len(all_cuts) // target))
-            cuts = all_cuts[stride - 1 :: stride]
-            merged = apply_mutations(empty_base, mutations, key,
-                                     seq_col=seq_col, bucket_cuts=cuts,
-                                     num_partitions=len(cuts) + 1)
-        else:
-            merged = apply_mutations(empty_base, mutations, key,
-                                     seq_col=seq_col, range_partition=True)
+        # Pure inserts read NO dirty bytes, so the range exchange's
+        # sampling pass only re-runs the mutation plan — cheaper than a
+        # fresh bucketed plan at any realistic batch size.
+        merged = apply_mutations(empty_base, mutations, key,
+                                 seq_col=seq_col, range_partition=True)
 
     mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
     # No isEmpty() pre-check (an extra Spark action): an empty merge

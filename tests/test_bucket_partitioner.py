@@ -137,11 +137,16 @@ def test_bucketed_merge_plan_single_hash_exchange_no_sampling(spark, sf_dir):
     assert "ArrowEvalPython" not in p, p
 
 
-def test_bucketed_merge_end_to_end_files_sorted(spark, tmp_path):
-    """A merge that takes the bucketed write (dirty > threshold) must
-    keep every output file internally key-sorted with accurate manifest
-    bounds, across updates, gap inserts, head/tail inserts, deletes."""
+def test_bucketed_merge_end_to_end_files_sorted(spark, tmp_path, monkeypatch):
+    """A merge that takes the bucketed write (dirty bytes > threshold —
+    forced here) must keep every output file internally key-sorted with
+    accurate manifest bounds, across updates, gap inserts, head/tail
+    inserts, deletes."""
     import random
+
+    import parquet_rewriter_spark.operators.merge as merge_mod
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
 
     from pyspark.sql import Row
 
@@ -191,10 +196,14 @@ def test_bucketed_merge_end_to_end_files_sorted(spark, tmp_path):
         assert vals[0] == e.key_min and vals[-1] == e.key_max
 
 
-def test_bucketed_merge_timestamp_key(spark, tmp_path):
+def test_bucketed_merge_timestamp_key(spark, tmp_path, monkeypatch):
     """Timestamp keys exercise the literal-cast path of the WHEN tree
     (footer bounds are tz-aware; lit() casts to the key's exact type)."""
     import datetime as dt
+
+    import parquet_rewriter_spark.operators.merge as merge_mod
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
 
     from pyspark.sql import Row
 
@@ -222,3 +231,46 @@ def test_bucketed_merge_timestamp_key(spark, tmp_path):
     assert len(got) == 4_000
     for i in range(0, 4_000, 53):
         assert got[base_ts + dt.timedelta(minutes=i)] == -i
+
+
+def test_compaction_cuts_balance_output_files(spark, tmp_path):
+    """compact() must produce size-balanced files from manifest row
+    counts alone — no sampling job — even when input files are wildly
+    uneven."""
+    from pyspark.sql import Row
+
+    from parquet_rewriter_spark.operators.compact import compact
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+
+    df = spark.createDataFrame(
+        [Row(key=i, v=i % 7) for i in range(20_000)], "key long, v long"
+    )
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "c"), df, "key",
+        max_records_per_file=500,
+    )
+    # fragment the tail: tiny merges append small files
+    for lo in (50_000, 60_000):
+        muts = spark.createDataFrame(
+            [Row(key=lo + i, v=1, op="UPSERT") for i in range(40)],
+            "key long, v long, op string",
+        )
+        merge_into_table(t, muts, allow_splice=False)
+    res = compact(t, max_records_per_file=2_000)
+    m = t.manifest()
+    rows = [e.rows for e in m.files]
+    assert sum(rows) == 20_080
+    assert max(rows) <= 2_000
+    # balanced: every file but the tail within ±1 source file of target
+    assert min(rows[:-1]) >= 1_000, rows
+    # still sorted + bounds exact
+    for e in m.files:
+        vals = [
+            r.key
+            for r in spark.read.parquet(os.path.join(t.path, e.name))
+            .select("key")
+            .collect()
+        ]
+        assert vals == sorted(vals)
+        assert vals[0] == e.key_min and vals[-1] == e.key_max
+    assert res["files_after"] == len(m.files)
