@@ -108,6 +108,7 @@ HEADLINE = [
 ]
 
 EXTENDED = [
+    "bulk_bucketed_merge_scan",
     "top_orders_by_revenue",
     "order_priority_count",
     "revenue_forecast",

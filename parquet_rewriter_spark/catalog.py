@@ -3607,6 +3607,49 @@ def compact_then_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bulk_bucketed_merge_scan",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "storage", "merge",
+)
+def bulk_bucketed_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-sampling bulk-merge write path under driver
+    verification: a broad mutation batch (every 3rd key, doubling the
+    price) merged with ``bucket_write_min_bytes=0`` so the write
+    exchanges on manifest-derived, identity-remapped bucket ids (one
+    bucket per partition, no RangePartitioning sampling job — the plan
+    large clusters take by default above the 1 GiB dirty-byte
+    threshold; operators/merge.py:bucket_partition_by_key). The oracle
+    replays the mutation arithmetic relationally."""
+    from parquet_rewriter_spark.operators.merge import OP_COLUMN, OP_UPSERT, merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders")
+    t = SortedTable.create(
+        spark, _scratch("bulk_bucketed"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 16),
+    )
+    muts = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn(OP_COLUMN, F.lit(OP_UPSERT))
+    )
+    merge_into_table(t, muts, allow_splice=False, bucket_write_min_bytes=0)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "schema_evolution_scan",
     """
     SELECT o_orderstatus,
@@ -10848,6 +10891,7 @@ _VERIFY_FIRST = (
     # currency), then the rows-only tail so full-compare slots are
     # not spent on weaker checks.
     "sort_order_evolution_scan",
+    "bulk_bucketed_merge_scan",
     "stream_bottomk_user_sample",
     "cdc_ordered_merge_scan",
     "signup_to_purchase_latency",

@@ -44,6 +44,7 @@ def _write_rechunked(
     no sources)."""
     from parquet_rewriter_spark.operators.merge import (
         _BUCKET,
+        BUCKET_WRITE_MIN_BYTES,
         bucket_partition_by_key,
         compaction_cuts,
     )
@@ -58,9 +59,14 @@ def _write_rechunked(
     else:
         cut_target = max_records_per_file or max(1, total)
     opt_mrpf = max_records_per_file or cut_target
+    # Same byte economics as the merge write (BUCKET_WRITE_MIN_BYTES):
+    # below ~1 GiB the range exchange's sampling re-read costs less than
+    # a fresh literal-bearing bucketed plan; above it the sampling pass
+    # is a second full read of everything being rewritten.
     cuts = (
         compaction_cuts(source_entries, cut_target, table.spark)
         if source_entries
+        and sum(e.bytes for e in source_entries) > BUCKET_WRITE_MIN_BYTES
         else None
     )
     if cuts is None:

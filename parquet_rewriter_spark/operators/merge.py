@@ -641,6 +641,7 @@ def merge_into_table(
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
     seq_col: str | None = None,
+    bucket_write_min_bytes: int | None = None,
 ) -> dict:
     """R3+R4+R5+R6+R13: merge a mutation stream into a SortedTable.
 
@@ -667,6 +668,10 @@ def merge_into_table(
     covers read-merge-write — Spark executes the lazy merge plan inside
     the write job, so the phases aren't separable without breaking the
     pipeline.
+
+    ``bucket_write_min_bytes`` overrides ``BUCKET_WRITE_MIN_BYTES`` for
+    this merge (0 forces the zero-sampling bucketed write; None uses
+    the module default).
 
     ``constraints`` (rule name → SQL predicate over the mutation
     columns) is the hard CHECK gate: UPSERT rows must satisfy every
@@ -841,7 +846,12 @@ def merge_into_table(
             base_dirty = base_dirty.join(
                 dv.select(key).distinct(), on=key, how="left_anti"
             )
-        if sum(e.bytes for e in dirty) > BUCKET_WRITE_MIN_BYTES:
+        min_bytes = (
+            BUCKET_WRITE_MIN_BYTES
+            if bucket_write_min_bytes is None
+            else bucket_write_min_bytes
+        )
+        if sum(e.bytes for e in dirty) > min_bytes:
             import numpy as np
 
             # Bucket cuts = the dirty files' key_max values (sorted —

@@ -233,14 +233,18 @@ def test_bucketed_merge_timestamp_key(spark, tmp_path, monkeypatch):
         assert got[base_ts + dt.timedelta(minutes=i)] == -i
 
 
-def test_compaction_cuts_balance_output_files(spark, tmp_path):
+def test_compaction_cuts_balance_output_files(spark, tmp_path, monkeypatch):
     """compact() must produce size-balanced files from manifest row
     counts alone — no sampling job — even when input files are wildly
-    uneven."""
+    uneven. (Byte threshold forced to 0: the zero-sampling path is the
+    default only above ~1 GiB of source bytes.)"""
     from pyspark.sql import Row
 
+    import parquet_rewriter_spark.operators.merge as merge_mod
     from parquet_rewriter_spark.operators.compact import compact
     from parquet_rewriter_spark.operators.merge import merge_into_table
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
 
     df = spark.createDataFrame(
         [Row(key=i, v=i % 7) for i in range(20_000)], "key long, v long"
