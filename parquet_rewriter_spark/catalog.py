@@ -2902,16 +2902,34 @@ def binary_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features", None, "multimodal", "mapinpandas")
+@query(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(16 + CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) % 64
+                AS BIGINT) AS width,
+           CAST(16 + CAST('0x' || substr(md5(text), 3, 2) AS INTEGER) % 64
+                AS BIGINT) AS height
+    FROM documents
+    """,
+    "multimodal", "mapinpandas",
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode pipeline over binary payloads
     (deterministic stub decoder — media libs absent; the distributed
-    plumbing is the thing under test). Rows-only."""
+    plumbing is the thing under test). The stub derives dims from an
+    md5 digest precisely so the oracle can replay every cell in SQL
+    (md5-bridge); with PIL present the decode is real and the query
+    reverts to rows-only semantics."""
     from parquet_rewriter_spark.sources.multimodal import blob_table, decode_image
 
     d = _t(spark, sf_dir, "documents")
     return decode_image(blob_table(d, "doc_id", "text"), fake=True).select(
-        "media_id", "n_bytes", "width", "height"
+        "media_id",
+        "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
     )
 
 
@@ -6643,21 +6661,50 @@ def stream_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tdigest_price_quantiles", None, "sketch", "quantiles", "tdigest", "mergeable")
+@query(
+    "tdigest_price_quantiles",
+    """
+    SELECT o_orderstatus, q, TRUE AS within_band
+    FROM (SELECT DISTINCT o_orderstatus FROM orders)
+    CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+    """,
+    "sketch", "quantiles", "tdigest", "mergeable",
+)
 def tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantiles (operators/quantile_digest.py):
     per-status p50/p90/p99 of o_totalprice via one shuffle-per-group
-    digest kernel, plus a whole-relation digest built as per-partition
-    summaries merged on the driver (the persistable per-file form is
-    exercised in tests). Rows-only: digest estimates are approximate by
-    construction (rank error ~1/δ, asserted against exact quantiles in
-    tests/test_quantile_digest.py), so no SQL oracle can hash-match."""
+    digest kernel. The digest is approximate, so the oracle pins the
+    digest's CONTRACT rather than its raw values: for every (status,
+    prob) the achieved rank of the estimate — the exact fraction of
+    rows at or below it, computed relationally against the data — must
+    sit within 2% of the requested prob (tests assert the tighter <1%
+    band; quantile_digest rank-error guarantee). The oracle replays the
+    booleans as TRUE, the established computed-boolean discipline."""
     from parquet_rewriter_spark.operators.quantile_digest import grouped_quantiles
 
     o = _t(spark, sf_dir, "orders")
-    return grouped_quantiles(
+    ests = grouped_quantiles(
         o, ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99], compression=200
-    ).orderBy("o_orderstatus")
+    ).selectExpr(
+        "o_orderstatus",
+        "stack(3, 0.5D, q_0_5, 0.9D, q_0_9, 0.99D, q_0_99) AS (q, est)",
+    )
+    x = o.select(
+        "o_orderstatus", F.col("o_totalprice").cast("double").alias("x")
+    )
+    return (
+        x.join(F.broadcast(ests), "o_orderstatus")
+        .groupBy("o_orderstatus", "q")
+        .agg(
+            (
+                F.abs(
+                    F.avg((F.col("x") <= F.col("est")).cast("double"))
+                    - F.first("q")
+                )
+                <= F.lit(0.02)
+            ).alias("within_band")
+        )
+    )
 
 
 @query(
@@ -8220,15 +8267,35 @@ def stream_quality_route_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.unionByName(per_rule)
 
 
-@query("stream_purchase_click_leftjoin", None, "streaming", "join", "outer")
+@query(
+    "stream_purchase_click_leftjoin",
+    """
+    WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         cut AS (SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                            max(CASE WHEN event_type = 'click' THEN ts END))
+                        - INTERVAL 65 MINUTE AS t1 FROM events)
+    SELECT p.user_id, p.ts AS p_ts, p.event_id AS purchase_id,
+           c.event_id AS click_id, c.event_id IS NOT NULL AS matched
+    FROM p CROSS JOIN cut
+    LEFT JOIN c ON c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.ts <= cut.t1
+    """,
+    "streaming", "join", "outer",
+)
 def stream_purchase_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every purchase, with its
     click within the 30-min window when one exists — unmatched
     purchases null-emit only after the watermark proves no match can
-    still arrive (bounded state, no double counting). Rows-only: the
-    null-emission set depends on the final watermark position, which
-    SQL cannot replay; the emission semantics are pinned in
-    tests/test_streaming.py against the batch left join."""
+    still arrive (bounded state, no double counting). Null-emission
+    near the stream's END depends on the final watermark (max ts − 1 h
+    delay), so the comparison restricts BOTH engines to the provably
+    CLOSED region — purchases older than max(ts) − 65 min, where the
+    watermark guarantees every match and every null-emit has fired —
+    and there the drained stream must equal the batch left join
+    row-for-row. The open tail's emission timing stays pinned in
+    tests/test_streaming.py."""
     from parquet_rewriter_spark.streaming import (
         run_to_memory,
         stream_events,
@@ -8245,24 +8312,64 @@ def stream_purchase_click_leftjoin(spark: SparkSession, sf_dir: str) -> DataFram
     joined = stream_stream_interval_join(
         purchases, clicks, key="user_id", how="left_outer"
     )
-    return run_to_memory(
+    drained = run_to_memory(
         joined.select(
             "user_id",
+            F.col("ts").alias("p_ts"),
             F.col("event_id").alias("purchase_id"),
             F.col("event_id_r").alias("click_id"),
             F.col("event_id_r").isNotNull().alias("matched"),
         )
     )
+    # closed-region cutoff computed IN-ENGINE (no driver datetime, so
+    # LTZ/NTZ sessions both type it against the stream's own ts)
+    # the engine's global watermark is the MIN of the two streams'
+    # watermarks — the cutoff must use the EARLIER of the two maxima
+    evb = _t(spark, sf_dir, "events")
+    wm_base = F.least(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+    )
+    cut = evb.agg((wm_base - F.expr("INTERVAL 65 MINUTES")).alias("__t1"))
+    return (
+        drained.join(F.broadcast(cut), F.col("p_ts") <= F.col("__t1"))
+        .drop("__t1")
+    )
 
 
-@query("stream_purchase_click_fulljoin", None, "streaming", "join", "outer")
+@query(
+    "stream_purchase_click_fulljoin",
+    """
+    WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         cut AS (SELECT least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                            max(CASE WHEN event_type = 'click' THEN ts END))
+                        - INTERVAL 65 MINUTE AS t1,
+                        least(max(CASE WHEN event_type = 'purchase' THEN ts END),
+                              max(CASE WHEN event_type = 'click' THEN ts END))
+                        - INTERVAL 95 MINUTE AS t2 FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.ts AS p_ts, c.ts AS c_ts,
+           (p.event_id IS NOT NULL AND c.event_id IS NOT NULL) AS matched
+    FROM p FULL JOIN c ON c.user_id = p.user_id
+                      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    CROSS JOIN cut
+    WHERE (p.ts IS NOT NULL AND p.ts <= cut.t1)
+       OR (p.ts IS NULL AND c.ts <= cut.t2)
+    """,
+    "streaming", "join", "outer",
+)
 def stream_purchase_click_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream FULL OUTER interval join — the reconciliation
     shape: every purchase AND every click, matched where the 30-min
     window allows; unmatched rows of EITHER stream null-emit exactly
-    once, after the watermark proves no partner can still arrive.
-    Rows-only (null-emission timing isn't SQL-replayable); both-side
-    emission correctness is pinned in tests/test_streaming.py."""
+    once, after the watermark proves no partner can still arrive. The
+    comparison restricts both engines to the provably CLOSED region —
+    purchase rows older than max(ts) − 65 min; unmatched clicks older
+    than max(ts) − 95 min (their match window extends 30 min forward)
+    — where the drained stream must equal the batch full join
+    row-for-row; the open tail's emission timing stays pinned in
+    tests/test_streaming.py."""
     from parquet_rewriter_spark.streaming import (
         run_to_memory,
         stream_events,
@@ -8279,13 +8386,28 @@ def stream_purchase_click_fulljoin(spark: SparkSession, sf_dir: str) -> DataFram
     joined = stream_stream_interval_join(
         purchases, clicks, key="user_id", how="full_outer"
     )
-    return run_to_memory(
+    drained = run_to_memory(
         joined.select(
             F.col("event_id").alias("purchase_id"),
             F.col("event_id_r").alias("click_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("ts_r").alias("c_ts"),
             (F.col("event_id").isNotNull() & F.col("event_id_r").isNotNull()).alias("matched"),
         )
     )
+    evb = _t(spark, sf_dir, "events")
+    wm_base = F.least(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+    )
+    cut = evb.agg(
+        (wm_base - F.expr("INTERVAL 65 MINUTES")).alias("__t1"),
+        (wm_base - F.expr("INTERVAL 95 MINUTES")).alias("__t2"),
+    )
+    keep = (F.col("p_ts").isNotNull() & (F.col("p_ts") <= F.col("__t1"))) | (
+        F.col("p_ts").isNull() & (F.col("c_ts") <= F.col("__t2"))
+    )
+    return drained.join(F.broadcast(cut), keep).drop("__t1", "__t2")
 
 
 @query(
@@ -10892,6 +11014,10 @@ _VERIFY_FIRST = (
     # not spent on weaker checks.
     "sort_order_evolution_scan",
     "bulk_bucketed_merge_scan",
+    "multimodal_decode_features",
+    "tdigest_price_quantiles",
+    "stream_purchase_click_leftjoin",
+    "stream_purchase_click_fulljoin",
     "stream_bottomk_user_sample",
     "cdc_ordered_merge_scan",
     "signup_to_purchase_latency",

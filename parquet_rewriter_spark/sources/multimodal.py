@@ -58,8 +58,11 @@ def blob_table(df: DataFrame, id_col: str, text_col: str, modality: str = "image
 
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for an image decoder: pseudo width/height
-    and an 8-dim feature vector derived from a blake2b digest."""
-    d = hashlib.blake2b(payload or b"", digest_size=16).digest()
+    and an 8-dim feature vector derived from an md5 digest — md5 (not a
+    faster hash) so plain SQL can replay the stub cell-for-cell (the
+    catalog's md5-bridge discipline; DuckDB: ``md5(payload)`` hex →
+    byte i = ``('0x' || substr(.., 2i+1, 2))::INT``)."""
+    d = hashlib.md5(payload or b"").digest()
     width = 16 + d[0] % 64
     height = 16 + d[1] % 64
     feat = [round(b / 255.0, 6) for b in d[2:10]]
