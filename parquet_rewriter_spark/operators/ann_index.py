@@ -163,15 +163,20 @@ class IVFVectorIndex:
         cols = [f.name for f in schema.fields] + ["op"]
 
         ids_df = df.select(id_col).distinct()
+        ids: list = []
         if distributed is None:
-            # bounded probe: one count capped just past the threshold
-            distributed = (
-                ids_df.limit(DRIVER_LOCATE_IDS + 1).count()
-                > DRIVER_LOCATE_IDS
-            )
+            # ONE bounded action decides the strategy AND delivers the
+            # ids when small: collect capped just past the threshold
+            # (overflow row = go distributed). A separate count-then-
+            # collect pair costs two jobs + two codegen compiles.
+            head = ids_df.limit(DRIVER_LOCATE_IDS + 1).collect()
+            distributed = len(head) > DRIVER_LOCATE_IDS
+            if not distributed:
+                ids = [r[0] for r in head]
+        elif not distributed:
+            ids = [r[0] for r in ids_df.collect()]
 
         if not distributed:
-            ids = [r[0] for r in ids_df.collect()]
             stale: Any = self._locate(ids)
             n_stale = len(stale)
             stale_df = (
