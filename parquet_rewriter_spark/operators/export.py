@@ -186,9 +186,24 @@ def write_webdataset_shards(
     )
     sharded = assign_shards(sized, n_shards, "__wds_sz", [key_col])
     cols = [key_col, payload_col, *meta_cols, "shard"]
+    # Exact one-shard-per-task placement WITHOUT repartitionByRange:
+    # the shard domain is known a priori (0..n_shards-1), so remapping
+    # each id to a constant whose Murmur3 pmods to its own partition
+    # (merge._identity_remap) gives range partitioning's colocation
+    # with none of its sampling job — which would re-execute the whole
+    # shard-assignment pass (including its Python ranking stage) just
+    # to rediscover bounds we already know.
+    from parquet_rewriter_spark.operators.merge import _identity_remap
+
+    remap = _identity_remap(n_shards)
+    part = F.element_at(
+        F.array(*[F.lit(int(v)) for v in remap]), F.col("shard") + 1
+    )
     data = (
         sharded.select(*cols)
-        .repartitionByRange(n_shards, "shard")
+        .withColumn("__wds_part", part)
+        .repartition(n_shards, F.col("__wds_part"))
+        .drop("__wds_part")
         .sortWithinPartitions("shard", key_col)
     )
     os.makedirs(out_dir, exist_ok=True)

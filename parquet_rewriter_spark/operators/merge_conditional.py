@@ -224,7 +224,13 @@ def merge_conditional_into_table(
 
     mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
     t0 = time.monotonic()
-    staging = table._write_sorted(merged, key, mrpf)
+    # zero-sampling write above the dirty-byte threshold: the range
+    # exchange's sampling job would re-execute conditional_merge's
+    # full-outer JOIN a second time just to learn bounds the dirty
+    # entries already record (same economics as merge_into_table)
+    from parquet_rewriter_spark.operators.compact import _write_rechunked
+
+    staging = _write_rechunked(table, merged, m, dirty, mrpf)
     source.unpersist()
     new_entries = table._adopt_staged(staging, key)
     t_write = time.monotonic() - t0

@@ -278,3 +278,38 @@ def test_compaction_cuts_balance_output_files(spark, tmp_path, monkeypatch):
         assert vals == sorted(vals)
         assert vals[0] == e.key_min and vals[-1] == e.key_max
     assert res["files_after"] == len(m.files)
+
+
+def test_bucket_expr_property_random_long_cuts(spark):
+    """Property: for random sorted long cuts and random probe keys, the
+    JVM WHEN-tree equals remap[np.searchsorted(cuts, k, 'left')] — the
+    boundary cases (k == cut, adjacent cuts, duplicates collapsed by
+    np.unique) all reduce to this one identity."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql.types import LongType
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        cuts=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1, max_size=40, unique=True,
+        ),
+        probes=st.lists(
+            st.integers(min_value=-(2**41), max_value=2**41),
+            min_size=1, max_size=25,
+        ),
+    )
+    def check(cuts, probes):
+        arr = np.array(sorted(cuts), dtype=np.int64)
+        # probe the exact boundaries too
+        probes = probes + [int(c) for c in arr[:3]] + [int(arr[-1]) + 1]
+        remap = _identity_remap(len(arr) + 1)
+        df = spark.createDataFrame([(int(p),) for p in probes], "k long")
+        expr = _bucket_expr("k", LongType(), arr, remap)
+        got = {r.k: r.b for r in df.withColumn("b", expr).collect()}
+        for p in probes:
+            want = int(remap[np.searchsorted(arr, p, side="left")])
+            assert got[int(p)] == want, (p, arr)
+
+    check()
