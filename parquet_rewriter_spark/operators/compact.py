@@ -82,15 +82,25 @@ def compact(
     max_records_per_file: int,
     num_files: int | None = None,
 ) -> dict:
-    """Rewrite the whole table at a new file/row-group size."""
+    """Rewrite the whole table at a new file/row-group size.
+
+    Returns the same per-phase instrumentation surface as
+    ``merge_into_table`` (the reference's counters,
+    ParquetRewriter.java:349-359): ``t_write_s`` / ``t_commit_s`` wall
+    times and rows/bytes read vs written."""
+    import time
+
     m = table.manifest()
     # physical-name read: compaction rewrites files, and files keep
     # PHYSICAL column names forever (rename_map is metadata-only)
     df = table.read_physical()  # applies merge-on-read DVs: the rewrite makes them physical
+    t0 = time.monotonic()
     staging = _write_rechunked(
         table, df, m, m.files, max_records_per_file, num_files
     )
     entries = table._adopt_staged(staging, m.key)
+    t_write = time.monotonic() - t0
+    t0 = time.monotonic()
     table._commit_manifest(
         Manifest(
             version=m.version + 1,
@@ -103,11 +113,17 @@ def compact(
             operation="compact",
         )
     )
+    t_commit = time.monotonic() - t0
     return {
         "version": m.version + 1,
         "files_before": len(m.files),
         "files_after": len(entries),
         "rows": sum(e.rows for e in entries),
+        "rows_read": sum(e.rows for e in m.files),
+        "bytes_read": sum(e.bytes for e in m.files),
+        "bytes_written": sum(e.bytes for e in entries),
+        "t_write_s": round(t_write, 4),
+        "t_commit_s": round(t_commit, 4),
     }
 
 

@@ -188,19 +188,24 @@ def rekey_table(
     if dv is not None:
         df = df.join(dv.select(m.key).distinct(), on=m.key, how="left_anti")
 
+    import time
+
     rows = sum(e.rows for e in batch)
     mrpf = max_records_per_file or max(1, -(-rows // max(1, len(batch))))
     # range-shuffle on the NEW key: each output file is a narrow
     # new-key slice of this batch (the property that keeps post-flip
     # range reads at ~n_batches files, not the whole table)
+    t0 = time.monotonic()
     staging = table._write_sorted(df, pkey_new, mrpf)
     # adopt with stats on the OLD key — the manifest is still keyed by
     # it during the transition, and a rewrite never changes a file
     # set's old-key min/max, only its internal order
     new_entries = table._adopt_staged(staging, m.key)
+    t_write = time.monotonic() - t0
 
     from parquet_rewriter_spark.operators.deletion_vectors import retain_dv
 
+    t0 = time.monotonic()
     table._commit_manifest(Manifest(
         version=m.version + 1,
         key=m.key,
@@ -215,9 +220,16 @@ def rekey_table(
     # (idempotent) rather than skipping an uncommitted one (data loss)
     state["done"] = done + [e.name for e in new_entries]
     _write_state(table, state)
+    t_commit = time.monotonic() - t0
     return {
         "done": False,
         "version": m.version + 1,
         "files_rewritten": len(batch),
         "files_remaining": len(todo) - len(batch),
+        # merge_into_table's instrumentation surface, per batch
+        "rows_read": rows,
+        "bytes_read": sum(e.bytes for e in batch),
+        "bytes_written": sum(e.bytes for e in new_entries),
+        "t_write_s": round(t_write, 4),
+        "t_commit_s": round(t_commit, 4),
     }

@@ -179,3 +179,28 @@ def test_auto_optimize_policy(spark, sf_dir, tmp_path):
     r3 = auto_optimize(t, target_rows=400)
     assert r3["action"] == "none"
     assert t.read().count() == n
+
+
+def test_compact_report_carries_phase_timings_and_io_counters(spark, tmp_path):
+    """compact() mirrors merge_into_table's instrumentation surface
+    (the reference's phase counters, ParquetRewriter.java:349-359):
+    wall-time split plus rows/bytes read vs written."""
+    import os
+
+    from pyspark.sql import Row
+
+    from parquet_rewriter_spark.operators.compact import compact
+    from parquet_rewriter_spark.table import SortedTable
+
+    df = spark.createDataFrame(
+        [Row(key=i, v=i % 5) for i in range(3_000)], "key long, v long"
+    )
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "ci"), df, "key",
+        max_records_per_file=100,
+    )
+    res = compact(t, max_records_per_file=1_000)
+    for k in ("t_write_s", "t_commit_s", "rows_read", "bytes_read", "bytes_written"):
+        assert k in res and res[k] >= 0, k
+    assert res["rows_read"] == 3_000
+    assert res["bytes_read"] > 0 and res["bytes_written"] > 0
