@@ -77,6 +77,15 @@ class IVFVectorIndex:
         idx = cls(spark, path)
         idx._write_centroids(C, id_col, vec_col)
         assigned = idx._assign(df, id_col, vec_col)
+        # Cell boundaries of the composite key are known A PRIORI
+        # (cell*CELL_BASE), so the sorted write buckets on them instead
+        # of range-sampling — which would re-execute the whole Arrow
+        # assignment pass a second time just to rediscover these cuts.
+        # Cut i = cell i's maximum possible key (inclusive upper bound).
+        cuts = np.array(
+            [c * CELL_BASE - 1 for c in range(1, int(C.shape[0]))],
+            dtype=np.int64,
+        )
         SortedTable.create(
             spark,
             idx.table.path,
@@ -84,6 +93,7 @@ class IVFVectorIndex:
             key=IDX_KEY,
             max_records_per_file=max_records_per_file,
             bloom_cols=[id_col],
+            bucket_cuts=cuts if len(cuts) else None,
         )
         return idx
 

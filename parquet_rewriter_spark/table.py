@@ -498,12 +498,18 @@ class SortedTable:
         num_files: int | None = None,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        bucket_cuts=None,
     ) -> "SortedTable":
         """Write ``df`` as a new sorted table (R12 sorted write).
 
         ``repartitionByRange(key)`` gives range-disjoint files,
         ``sortWithinPartitions(key)`` the in-file order — together the
-        reference's sorted-by-PK invariant, distributed.
+        reference's sorted-by-PK invariant, distributed. A caller that
+        already KNOWS the key distribution (e.g. the IVF index, whose
+        composite key's cell boundaries are fixed a priori) passes
+        ``bucket_cuts`` (sorted, deduplicated) and the write exchanges
+        on identity-remapped bucket ids instead — range partitioning's
+        balance with no sampling job re-executing ``df``'s plan.
 
         ``stats_cols`` opts extra columns into per-file min/max zone maps
         (secondary to the key's), maintained across merges/compactions
@@ -515,7 +521,19 @@ class SortedTable:
         t = cls(spark, path)
         stats_cols = list(stats_cols or [])
         bloom_cols = list(bloom_cols or [])
-        staging = t._write_sorted(df, key, max_records_per_file, num_files)
+        if bucket_cuts is not None and len(bucket_cuts) > 0:
+            from parquet_rewriter_spark.operators.merge import (
+                _BUCKET,
+                bucket_partition_by_key,
+            )
+
+            bucketed, _n = bucket_partition_by_key(df, key, bucket_cuts)
+            staging = t._write_sorted(
+                bucketed, key, max_records_per_file, prepartitioned=True,
+                bucket_col=_BUCKET,
+            )
+        else:
+            staging = t._write_sorted(df, key, max_records_per_file, num_files)
         entries = t._adopt_staged(
             staging, key, stats_cols=stats_cols, bloom_cols=bloom_cols
         )
