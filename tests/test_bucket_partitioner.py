@@ -313,3 +313,43 @@ def test_bucket_expr_property_random_long_cuts(spark):
             assert got[int(p)] == want, (p, arr)
 
     check()
+
+
+def test_bucketed_merge_udf_path_end_to_end(spark, tmp_path, monkeypatch):
+    """Above JVM_BUCKET_MAX_CUTS the bucket id comes from the Arrow
+    searchsorted UDF instead of the WHEN tree — drive a real merge
+    through that path (cut threshold forced to 0) and check
+    reconciliation + file invariants survive."""
+    import parquet_rewriter_spark.operators.merge as merge_mod
+    from pyspark.sql import Row
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
+    monkeypatch.setattr(merge_mod, "JVM_BUCKET_MAX_CUTS", 0)  # force UDF
+
+    keys = list(range(0, 30_000, 3))
+    df = spark.createDataFrame(
+        [Row(key=int(k), v=int(k)) for k in keys], "key long, v long"
+    )
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "u"), df, "key",
+        max_records_per_file=200,  # 50 files -> 50 cuts, all via UDF
+    )
+    ups = {k: -k for k in keys[::41]}
+    muts = spark.createDataFrame(
+        [Row(key=int(k), v=int(v), op="UPSERT") for k, v in ups.items()],
+        "key long, v long, op string",
+    )
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+    expected = {k: int(k) for k in keys}
+    expected.update(ups)
+    got = {r.key: r.v for r in t.read().collect()}
+    assert got == expected
+    for e in t.manifest().files:
+        vals = [
+            r.key
+            for r in spark.read.parquet(os.path.join(t.path, e.name))
+            .select("key").collect()
+        ]
+        assert vals == sorted(vals)
+        assert vals[0] == e.key_min and vals[-1] == e.key_max
