@@ -353,3 +353,73 @@ def test_bucketed_merge_udf_path_end_to_end(spark, tmp_path, monkeypatch):
         ]
         assert vals == sorted(vals)
         assert vals[0] == e.key_min and vals[-1] == e.key_max
+
+
+def test_bucketed_merge_timestamp_key_udf_path(spark, tmp_path, monkeypatch):
+    """Timestamp cuts through the ARROW path (datetime64 searchsorted +
+    tz coercion) — the when-tree variant above covers literals; this
+    covers the broadcast-cuts branch."""
+    import datetime as dt
+
+    import parquet_rewriter_spark.operators.merge as merge_mod
+    from pyspark.sql import Row
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
+    monkeypatch.setattr(merge_mod, "JVM_BUCKET_MAX_CUTS", 0)
+
+    base_ts = dt.datetime(2025, 3, 1)
+    rows = [Row(ts=base_ts + dt.timedelta(minutes=i), v=i) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "tu"), df, "ts",
+        max_records_per_file=100,
+    )
+    muts = spark.createDataFrame(
+        [Row(ts=base_ts + dt.timedelta(minutes=i), v=-i, op="UPSERT")
+         for i in range(0, 2_000, 37)],
+        "ts timestamp, v int, op string",
+    )
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+    got = {r.ts: r.v for r in t.read().collect()}
+    assert len(got) == 2_000
+    for i in range(0, 2_000, 37):
+        assert got[base_ts + dt.timedelta(minutes=i)] == -i
+
+
+def test_bucketed_merge_string_key(spark, tmp_path, monkeypatch):
+    """String-keyed table through the bucketed write: string cut
+    literals in the WHEN tree, lexicographic buckets."""
+    import parquet_rewriter_spark.operators.merge as merge_mod
+    from pyspark.sql import Row
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
+
+    keys = [f"doc-{i:06d}" for i in range(0, 9_000, 3)]
+    df = spark.createDataFrame(
+        [Row(key=k, v=len(k) + i) for i, k in enumerate(keys)],
+        "key string, v long",
+    )
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "s"), df, "key",
+        max_records_per_file=100,
+    )
+    ups = {k: -1 for k in keys[::53]}
+    muts = spark.createDataFrame(
+        [Row(key=k, v=int(v), op="UPSERT") for k, v in ups.items()],
+        "key string, v long, op string",
+    )
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+    got = {r.key: r.v for r in t.read().collect()}
+    assert len(got) == len(keys)
+    for k in ups:
+        assert got[k] == -1
+    for e in t.manifest().files:
+        vals = [
+            r.key
+            for r in spark.read.parquet(os.path.join(t.path, e.name))
+            .select("key").collect()
+        ]
+        assert vals == sorted(vals)
+        assert vals[0] == e.key_min and vals[-1] == e.key_max
