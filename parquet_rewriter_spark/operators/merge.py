@@ -59,6 +59,12 @@ SMALL_PLAN_KEYS = 131_072
 # storage, near-free from page cache — is cheaper than avoiding it.
 # Cluster deployments reading remote storage may tune this down.
 BUCKET_WRITE_MIN_BYTES = 1 << 30
+# A bucketed merge falls back to the range exchange when any single
+# bucket expects more than this many OUTPUT FILES of mutation rows — a
+# bucket is one task, so a bulk insert aimed at one file's key range
+# would serialize there, and splitting it is exactly what the sampling
+# pass is good at.
+SKEW_BUCKET_FACTOR = 8
 OP_UPSERT = "UPSERT"
 OP_DELETE = "DELETE"
 
@@ -536,7 +542,8 @@ def plan_dirty_files(
     spark: SparkSession,
     manifest: Manifest,
     mutations: DataFrame,
-) -> tuple[list[ManifestEntry], list[ManifestEntry]]:
+    return_keys: bool = False,
+):
     """Split manifest files into (dirty, clean) against the mutation key set.
 
     A file is dirty iff some mutation key k satisfies
@@ -603,9 +610,11 @@ def plan_dirty_files(
     # (cap+1 rows) falls through to the distributed pass.
     cap = SMALL_PLAN_KEYS
     head = keys_df.limit(cap + 1).toPandas()
+    keys_out = None
     if len(head) <= cap:
         mins_arr, maxs_arr = bcast.value
         ks = np.unique(pd.Series(head["k"]).dropna().to_numpy())
+        keys_out = ks
         if len(ks) == 0:
             dirty_idx = set()
         else:
@@ -620,6 +629,11 @@ def plan_dirty_files(
     bcast.unpersist()  # bounds are single-use; free executor copies eagerly
     dirty = [e for i, e in enumerate(entries) if i in dirty_idx]
     clean = [e for i, e in enumerate(entries) if i not in dirty_idx]
+    if return_keys:
+        # the (unique, sorted) mutation keys when the small-batch path
+        # already fetched them — None on the distributed path. Callers
+        # use them for free skew statistics (no extra job).
+        return dirty, clean, keys_out
     return dirty, clean
 
 
@@ -813,8 +827,11 @@ def merge_into_table(
     # but only through that pruned projection. Callers with genuinely
     # expensive wide upstreams should persist BEFORE calling merge.
     t0 = time.monotonic()
-    dirty, clean = plan_dirty_files(spark, m, mutations)
+    dirty, clean, plan_keys = plan_dirty_files(
+        spark, m, mutations, return_keys=True
+    )
     t_plan = time.monotonic() - t0
+    mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
 
     # Tombstoned dirty files (merge-on-read DVs) disqualify the splice
     # fast path — it copies row groups verbatim and would resurrect
@@ -851,7 +868,9 @@ def merge_into_table(
             if bucket_write_min_bytes is None
             else bucket_write_min_bytes
         )
-        if sum(e.bytes for e in dirty) > min_bytes:
+        use_buckets = sum(e.bytes for e in dirty) > min_bytes
+        n_mut = 0  # mutation-row estimate, learned by the skew gate
+        if use_buckets:
             import numpy as np
 
             # Bucket cuts = the dirty files' key_max values (sorted —
@@ -860,6 +879,42 @@ def merge_into_table(
             # bound, so output files track the input file geography;
             # keys above the global max get their own tail bucket.
             cuts = np.sort(_np_bounds(spark, [e.key_max for e in dirty]))
+            # SKEW GATE: a bucket is one task — a mutation batch that
+            # dumps many files' worth of rows into ONE file's range
+            # (bulk insert into a narrow key region) would serialize
+            # there, where a range exchange's sampling splits it. Count
+            # mutations per bucket (free from the planning pass's keys
+            # when the batch was small; one narrow count job otherwise)
+            # and fall back to the range exchange when any bucket
+            # expects more than SKEW_BUCKET_FACTOR output files of rows
+            # — exactly the case where sampling earns its second read.
+            n_mut = 0
+            if plan_keys is not None and len(plan_keys):
+                per_bucket = np.bincount(
+                    np.searchsorted(cuts, plan_keys, side="left"),
+                    minlength=len(cuts) + 1,
+                )
+                n_mut = int(len(plan_keys))
+                use_buckets = per_bucket.max() <= SKEW_BUCKET_FACTOR * mrpf
+            elif plan_keys is None:
+                probe = _bucket_udf(
+                    spark, cuts, np.arange(len(cuts) + 1, dtype=np.int64)
+                )
+                stats = (
+                    mutations.select(probe(F.col(key)).alias("__b"))
+                    .groupBy("__b")
+                    .count()
+                    .agg(
+                        F.max("count").alias("mx"),
+                        F.sum("count").alias("total"),
+                    )
+                    .first()
+                )
+                n_mut = int(stats.total or 0)
+                use_buckets = not stats.mx or (
+                    stats.mx <= SKEW_BUCKET_FACTOR * mrpf
+                )
+        if use_buckets:
             merged = apply_mutations(base_dirty, mutations, key,
                                      seq_col=seq_col,
                                      bucket_cuts=cuts,
@@ -871,11 +926,16 @@ def merge_into_table(
             # would cost more than the re-read it avoids. Above it the
             # economics flip: the sampling pass re-reads every dirty
             # byte full-width plus re-runs the mutation plan, which the
-            # manifest-derived buckets avoid entirely.
+            # manifest-derived buckets avoid entirely. When the SKEW
+            # gate tripped (n_mut > 0), boost the partition count past
+            # the dirty-file count so the sampling exchange can split
+            # the hot range across tasks — that split is the reason for
+            # the fallback.
+            n_parts = max(len(dirty), -(-n_mut // mrpf) if n_mut else 0)
             merged = apply_mutations(base_dirty, mutations, key,
                                      seq_col=seq_col,
                                      range_partition=True,
-                                     num_partitions=len(dirty))
+                                     num_partitions=n_parts)
     else:
         # Pure-insert merge (all keys fall in gaps / head / tail).
         # Runs through apply_mutations against an EMPTY base: a batch
@@ -897,7 +957,6 @@ def merge_into_table(
         merged = apply_mutations(empty_base, mutations, key,
                                  seq_col=seq_col, range_partition=True)
 
-    mrpf = max_records_per_file or max((e.rows for e in m.files), default=1_000_000)
     # No isEmpty() pre-check (an extra Spark action): an empty merge
     # writes an empty staging dir and _adopt_staged drops zero-row
     # files, so the empty case costs nothing extra on the common path.

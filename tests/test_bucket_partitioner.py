@@ -423,3 +423,55 @@ def test_bucketed_merge_string_key(spark, tmp_path, monkeypatch):
         ]
         assert vals == sorted(vals)
         assert vals[0] == e.key_min and vals[-1] == e.key_max
+
+
+def test_skew_gate_falls_back_and_splits_hot_range(spark, tmp_path, monkeypatch):
+    """A bulk insert aimed at ONE file's key range must not serialize
+    into a single bucket task: the skew gate (mutations per bucket >
+    SKEW_BUCKET_FACTOR x mrpf) rejects the bucketed write and re-plans
+    with a range exchange whose partition count covers the batch, so
+    the hot range splits across tasks."""
+    import parquet_rewriter_spark.operators.merge as merge_mod
+    from pyspark.sql import Row
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
+
+    # 1000 sparse keys -> 2 files, file 0 spanning [0, ~499000]
+    df = spark.createDataFrame(
+        [Row(key=int(k * 1000), v=int(k)) for k in range(1_000)],
+        "key long, v long",
+    )
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "sk"), df, "key",
+        max_records_per_file=500,
+    )
+
+    seen = {}
+    orig = merge_mod.apply_mutations
+
+    def spy(*a, **kw):
+        seen.clear()
+        seen.update(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(merge_mod, "apply_mutations", spy)
+
+    # control: a small scattered update stays on the bucketed path
+    small = spark.createDataFrame(
+        [Row(key=int(k * 1000), v=-1, op="UPSERT") for k in range(0, 1_000, 97)],
+        "key long, v long, op string",
+    )
+    merge_into_table(t, small, allow_splice=False)
+    assert seen.get("bucket_cuts") is not None
+
+    # skew: 20k inserts, all inside file 0's range (8 x 500 = 4000 cap)
+    muts = spark.range(0, 20_000).selectExpr(
+        "CAST(id * 20 + 1 AS LONG) AS key", "CAST(0 AS LONG) AS v",
+        "'UPSERT' AS op",
+    )
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+    assert seen.get("bucket_cuts") is None
+    assert seen.get("range_partition") is True
+    assert seen.get("num_partitions") >= 20_000 // 500  # boosted past len(dirty)
+    assert t.read().count() == 1_000 + 20_000
