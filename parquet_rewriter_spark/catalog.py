@@ -10142,27 +10142,66 @@ def embedding_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_pca_projection",
-    None,  # eigendecomposition is not SQL-replayable; property-tested in
-    # tests/test_pca.py (projection covariance == diag(eigenvalues),
-    # orthonormal axes, exact match with single-machine numpy)
+    """
+    SELECT unnest([1, 2, 3, 4]) AS component,
+           TRUE AS var_matches_eigenvalue,
+           TRUE AS centered,
+           TRUE AS orthogonal
+    """,
     "embeddings", "pca", "projection", "dimensionality-reduction",
 )
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project every embedding onto the top-4 principal axes: covariance
     in one sufficient-statistics pass, d×d eigh on the driver, then a
     map-only broadcast matmul back over the rows (no shuffle, no second
-    aggregate). Axes are sign-normalized so the output is deterministic
-    run-to-run — eigh's sign is otherwise arbitrary."""
-    from parquet_rewriter_spark.operators.pca import pca_project
+    aggregate). The eigendecomposition itself is not SQL-replayable, so
+    the oracle pins PCA's DEFINING invariants, each computed
+    distributed over the actual projections (computed-boolean
+    discipline): per component, the projection's population variance
+    equals its eigenvalue (rtol 1e-6), the projection is centered, and
+    it is uncorrelated with every other component. Exact-vs-numpy
+    row-level equality stays pinned in tests/test_pca.py."""
+    import math
+
+    from parquet_rewriter_spark.operators.pca import pca_components, pca_project
 
     df = _t(spark, sf_dir, "embeddings")
-    out = pca_project(df, 4)
-    return out.select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.round(F.element_at("pca", 1), 3).alias("pc1"),
-        F.round(F.element_at("pca", 2), 3).alias("pc2"),
-    ).orderBy("vec_id")
+    k = 4
+    vals, _comps, _mean, _total = pca_components(df, k)
+    proj = pca_project(df, k)
+    aggs = []
+    for i in range(k):
+        p = F.element_at("pca", i + 1)
+        aggs += [F.avg(p * p).alias(f"s2_{i}"), F.avg(p).alias(f"m_{i}")]
+        for j in range(i + 1, k):
+            aggs.append(
+                F.avg(p * F.element_at("pca", j + 1)).alias(f"x_{i}_{j}")
+            )
+    row = proj.agg(*aggs).first()
+    out = []
+    for i in range(k):
+        m_i = row[f"m_{i}"]
+        var = row[f"s2_{i}"] - m_i * m_i
+        scale = max(float(vals[i]), 1e-12)
+        ortho = all(
+            abs(row[f"x_{min(i, j)}_{max(i, j)}"] - m_i * row[f"m_{j}"])
+            <= 1e-6 * math.sqrt(scale * max(float(vals[j]), 1e-12))
+            for j in range(k)
+            if j != i
+        )
+        out.append(
+            (
+                i + 1,
+                bool(abs(var - float(vals[i])) <= 1e-6 * scale),
+                bool(abs(m_i) <= 1e-6 * math.sqrt(scale)),
+                bool(ortho),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "component long, var_matches_eigenvalue boolean, "
+        "centered boolean, orthogonal boolean",
+    )
 
 
 @query(
@@ -11018,6 +11057,7 @@ _VERIFY_FIRST = (
     "tdigest_price_quantiles",
     "stream_purchase_click_leftjoin",
     "stream_purchase_click_fulljoin",
+    "embedding_pca_projection",
     "stream_bottomk_user_sample",
     "cdc_ordered_merge_scan",
     "signup_to_purchase_latency",
@@ -11093,12 +11133,8 @@ _VERIFY_FIRST = (
     "stream_incremental_covariance",
     "metadata_tables_scan",
     "incremental_dedup_index",
-    "tdigest_price_quantiles",
     "ann_pq_topk",
-    "stream_purchase_click_leftjoin",
-    "stream_purchase_click_fulljoin",
     "ann_ivf_index_lifecycle",
-    "embedding_pca_projection",
 )
 
 
