@@ -9123,17 +9123,38 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("ann_ivf_index_lifecycle", None, "ann", "index", "incremental", "storage")
+@query(
+    "ann_ivf_index_lifecycle",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 1
+      UNION ALL
+      SELECT 10000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id = 0
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+    SELECT corpus.vec_id AS id,
+           round(list_dot_product(corpus.v, q.v)
+                 / (sqrt(list_dot_product(corpus.v, corpus.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 4) AS cos_sim
+    FROM corpus, q
+    ORDER BY cos_sim DESC, id
+    LIMIT 10
+    """,
+    "ann", "index", "incremental", "storage",
+)
 def ann_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent IVF ANN index on the mutation core
     (operators/ann_index.py): create → add a probe-identical vector →
-    delete the previous best hit → query. The composite cell-major key
-    makes probes manifest-pruned key-range scans (the reference's
-    seekToKey), and add/delete rewrite only touched cells' files.
-    Rows-only: centroids are driver-trained (not SQL-replayable);
-    recall/pruning/incrementality are pinned in tests/test_ann_index.py.
-    Result: top-10 (id, cos_sim) — must contain the added id with
-    cos_sim 1.0 and never the deleted id."""
+    delete vec 1 → FULL-probe query. The composite cell-major key makes
+    probes manifest-pruned key-range scans (the reference's seekToKey),
+    and add/delete rewrite only touched cells' files. A full probe
+    scans every cell, so the answer must equal DuckDB's brute-force
+    exact cosine top-10 over (corpus ∪ added) \\ deleted — which is
+    what the oracle computes: the lifecycle's net state, hash-gated.
+    Partial-probe recall/pruning stay pinned in tests/test_ann_index.py
+    and the ann_ivf_topk query."""
     from parquet_rewriter_spark.operators.ann_index import IVFVectorIndex
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -9145,8 +9166,8 @@ def ann_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(10_000_000, qvec, -1)], "vec_id long, embedding array<float>, label int"
     )
     idx.add(added)
-    idx.delete([int(idx.topk(qvec, k=1, n_probe=8).first()["id"])])
-    return idx.topk(qvec, k=10, n_probe=4)
+    idx.delete([1])
+    return idx.topk(qvec, k=10, n_probe=int(idx.centroids.shape[0]))
 
 
 _PR_D = 0.85
@@ -11058,6 +11079,7 @@ _VERIFY_FIRST = (
     "stream_purchase_click_leftjoin",
     "stream_purchase_click_fulljoin",
     "embedding_pca_projection",
+    "ann_ivf_index_lifecycle",
     "stream_bottomk_user_sample",
     "cdc_ordered_merge_scan",
     "signup_to_purchase_latency",
@@ -11134,7 +11156,6 @@ _VERIFY_FIRST = (
     "metadata_tables_scan",
     "incremental_dedup_index",
     "ann_pq_topk",
-    "ann_ivf_index_lifecycle",
 )
 
 
