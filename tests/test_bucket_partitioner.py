@@ -475,3 +475,27 @@ def test_skew_gate_falls_back_and_splits_hot_range(spark, tmp_path, monkeypatch)
     assert seen.get("range_partition") is True
     assert seen.get("num_partitions") >= 20_000 // 500  # boosted past len(dirty)
     assert t.read().count() == 1_000 + 20_000
+
+
+def test_compaction_cuts_edges(spark):
+    """Degenerate shapes: single source file and single output bucket
+    yield None (callers fall back to the plain write); a file bigger
+    than several targets cuts once per crossing, deduplicated."""
+    from types import SimpleNamespace
+
+    from parquet_rewriter_spark.operators.merge import compaction_cuts
+
+    E = lambda mn, mx, rows: SimpleNamespace(key_min=mn, key_max=mx, rows=rows)
+    # one source file -> nothing to cut
+    assert compaction_cuts([E(0, 9, 100)], 10, spark) is None
+    # everything fits one target -> no cuts
+    assert compaction_cuts([E(0, 9, 5), E(10, 19, 5)], 100, spark) is None
+    # steady stream: cut at every target crossing
+    cuts = compaction_cuts(
+        [E(i * 10, i * 10 + 9, 10) for i in range(10)], 20, spark
+    )
+    assert cuts is not None and list(cuts) == [19, 39, 59, 79]
+    # a jumbo file crossing several targets cuts once at its boundary
+    # (rolls handle the interior), then resumes at the next crossing
+    cuts = compaction_cuts([E(0, 9, 95), E(10, 19, 5), E(20, 29, 5)], 20, spark)
+    assert cuts is not None and list(cuts) == [9, 19]
