@@ -10604,7 +10604,9 @@ def update_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH k AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice,
-             (o_orderkey * 2654435761) % 4294967296 AS o_hashkey
+             (o_orderkey - (o_orderkey % 4294967296))
+               + (((o_orderkey % 4294967296) * 1327217885) % 4294967296)
+               AS o_hashkey
       FROM orders
     ),
     mut AS (
@@ -10644,10 +10646,19 @@ def sort_order_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.operators.rekey import rekey_table
     from parquet_rewriter_spark.table import SortedTable
 
-    KNUTH, MOD = 2654435761, 4294967296
+    # Block-preserving multiplicative bijection on [0, 2^63): the odd
+    # golden-ratio multiplier (round(2^31/phi)) permutes the LOW 32
+    # bits with low-discrepancy scatter, the high bits pass through —
+    # unique at every scale factor (no mod-2^32 collisions) and
+    # overflow-free in int64 ((2^32-1)*1327217885 < 2^63-1), so Spark
+    # and the ANSI oracle agree exactly. A bare k*KNUTH%2^32 would wrap
+    # silently in Spark but raise in DuckDB for orderkeys > ~3.5e9.
+    MULT, MOD = 1327217885, 4294967296
+    lo = F.pmod(F.col("o_orderkey"), F.lit(MOD))
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        (F.col("o_orderkey") * F.lit(KNUTH) % F.lit(MOD)).alias("o_hashkey"),
+        ((F.col("o_orderkey") - lo)
+         + F.pmod(lo * F.lit(MULT), F.lit(MOD))).alias("o_hashkey"),
         "o_orderstatus", "o_totalprice",
     )
     t = SortedTable.create(

@@ -188,6 +188,18 @@ class IVFVectorIndex:
 
         if not distributed:
             stale: Any = self._locate(ids)
+            if stale:
+                # A re-added vector that STAYS in its cell keeps the same
+                # composite key; merge resolves same-key DELETE-over-UPSERT,
+                # so a stale key the upsert overwrites in place must not
+                # become a DELETE (mirrors the distributed branch's
+                # left_anti). The point path is driver-bounded by
+                # construction, so collecting the batch's new keys is one
+                # bounded action.
+                new_keys = {
+                    r[0] for r in ups.select(IDX_KEY).distinct().collect()
+                }
+                stale = [k for k in stale if k not in new_keys]
             n_stale = len(stale)
             stale_df = (
                 self.spark.createDataFrame(

@@ -32,6 +32,7 @@ collect to the driver.
 
 from __future__ import annotations
 
+import datetime
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -172,6 +173,14 @@ def _bucket_expr(key: str, key_type, cuts, remap) -> "F.Column":
     col = F.col(key)
 
     def lit(v):
+        if isinstance(v, datetime.datetime) and v.tzinfo is None:
+            # _np_bounds renders timestamp cuts naive in the SESSION
+            # zone, but F.lit(naive datetime) converts via the Python
+            # PROCESS zone (time.mktime) — when the two differ every
+            # cut shifts (and diverges from the _bucket_udf path). A
+            # string literal parses in the session zone for LTZ and
+            # tz-independently for NTZ: correct for both key flavors.
+            return F.lit(v.isoformat(sep=" ")).cast(key_type)
         return F.lit(v).cast(key_type)
 
     def build(lo: int, hi: int):

@@ -140,6 +140,18 @@ def rekey_table(
     done = [n for n in state["done"] if n in live]  # merges retire files
     todo = [e for e in m.files if e.name not in set(done)]
 
+    if not todo and (m.dv_files or any(e.dv_rows for e in m.files)):
+        # A MOR delete landed on an already-rewritten 'done' file
+        # mid-migration. DV sidecars address tombstones by the OLD
+        # physical key, which dies at the flip — flipping now would
+        # leave every post-flip read selecting a column the sidecar
+        # lacks. Re-rewrite the DV-bearing files as one more batch
+        # (the anti-join below materializes their deletes and retires
+        # the sidecars at commit), then finalize on the next call.
+        dv_bearing = {e.name for e in m.files if e.dv_rows}
+        todo = [e for e in m.files if e.name in dv_bearing]
+        done = [n for n in done if n not in dv_bearing]
+
     if not todo:
         # ---- finalize: flip the manifest key ----
         stats_cols = list(m.stats_cols)
@@ -168,7 +180,11 @@ def rekey_table(
             schema_json=m.schema_json,
             stats_cols=stats_cols,
             bloom_cols=m.bloom_cols,
-            dv_files=list(m.dv_files),
+            # sidecars key tombstones by the OLD physical key; the guard
+            # above re-rewrote every dv-bearing file, so whatever is left
+            # references no live file — dropping it here is the only
+            # key-consistent choice (older versions still pin them)
+            dv_files=[],
             operation=f"rekey-finalize ({state['old_key']} -> {pkey_new})",
         ))
         os.remove(_state_path(table))

@@ -176,10 +176,20 @@ def test_distributed_add_matches_point_path(spark, emb, idx, qvec):
 
 
 def test_add_auto_picks_point_path_for_small_batches(spark, emb, idx):
+    """Re-adding an IDENTICAL vector via the auto point path: same cell
+    → same composite key → the stale lookup finds the key the upsert is
+    about to overwrite in place. It must NOT become a DELETE (merge
+    resolves same-key DELETE-over-UPSERT) — the row has to survive."""
     row = emb.orderBy(F.desc("vec_id")).first()
+    vid = row["vec_id"]
     batch = spark.createDataFrame(
-        [(row["vec_id"], [float(x) for x in row["embedding"]], row["label"])],
+        [(vid, [float(x) for x in row["embedding"]], row["label"])],
         "vec_id long, embedding array<float>, label int",
     )
+    n_before = idx.table.read().count()
     res = idx.add(batch)  # distributed=None → auto
     assert res["stale_lookup"] == "point"
+    assert res["stale_deleted"] == 0  # in-place overwrite, nothing stale
+    live = idx.table.read().filter(F.col("vec_id") == vid)
+    assert live.count() == 1  # the re-added row survives
+    assert idx.table.read().count() == n_before  # pure overwrite

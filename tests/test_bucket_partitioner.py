@@ -98,6 +98,50 @@ def test_bucket_expr_matches_searchsorted(spark, keys):
     assert got == want
 
 
+def test_timestamp_cut_literals_are_process_tz_safe(spark):
+    """_np_bounds renders timestamp cuts naive in the SESSION zone
+    (UTC here); the WHEN-tree literals must mean those same instants
+    even when the Python PROCESS zone differs — F.lit(naive datetime)
+    converts via time.mktime (process zone) and would shift every cut
+    by the offset, silently degrading bucket balance and diverging
+    from the _bucket_udf path."""
+    import time
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "Pacific/Kiritimati"  # UTC+14, no DST
+    time.tzset()
+    try:
+        cuts = np.array(
+            ["2021-06-01T06:00:00", "2021-06-01T18:00:00"],
+            dtype="datetime64[us]",
+        )
+        remap = _identity_remap(3)
+        vals = [
+            "2021-06-01 00:00:00", "2021-06-01 06:00:00",
+            "2021-06-01 12:00:00", "2021-06-01 18:00:00",
+            "2021-06-02 00:00:00",
+        ]
+        want = [
+            int(remap[i])
+            for i in np.searchsorted(
+                cuts, np.array(vals, dtype="datetime64[us]"), side="left"
+            )
+        ]
+        for t in ("timestamp", "timestamp_ntz"):
+            df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+                "s", F.col("s").cast(t).alias("k")
+            )
+            expr = _bucket_expr("k", df.schema["k"].dataType, cuts, remap)
+            got = {r["s"]: r["b"] for r in df.select("s", expr.alias("b")).collect()}
+            assert [got[v] for v in vals] == want, t
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
 def test_bucket_udf_agrees_with_expr(spark):
     """Above JVM_BUCKET_MAX_CUTS the Arrow UDF takes over — same
     bucket function, same remap."""

@@ -133,6 +133,37 @@ def test_rekey_applies_deletion_vectors(spark, table):
     assert 3 not in ks and 4_999 not in ks and len(ks) == 4_998
 
 
+def test_mor_delete_on_done_file_blocks_flip_until_materialized(spark, table):
+    """DV sidecars address tombstones by the OLD physical key. A MOR
+    delete that lands on an already-rewritten 'done' file after the
+    last batch must NOT ride through the flip (post-flip dv_keys would
+    select a column the sidecar lacks and every read would fail):
+    finalize forces one extra batch that re-rewrites the dv-bearing
+    files, materializing the delete, and only then flips."""
+    from parquet_rewriter_spark.operators.deletion_vectors import (
+        delete_keys_mor,
+    )
+
+    rep = rekey_table(table, "k2")  # one batch rewrites everything
+    assert not rep["done"] and rep["files_remaining"] == 0
+    # mid-migration MOR delete — every file is 'done', so the tombstone
+    # lands on a file the migration would never revisit
+    delete_keys_mor(table, spark.createDataFrame([(10,)], "k long"))
+    assert table.manifest().dv_files
+
+    rep2 = rekey_table(table, "k2")  # must re-rewrite, not flip
+    assert not rep2["done"] and rep2["files_rewritten"] >= 1
+    assert table.manifest().key == "k"  # still pre-flip
+
+    rep3 = rekey_table(table, "k2")
+    assert rep3["done"]
+    m = table.manifest()
+    assert m.key == "k2" and not m.dv_files
+    ks = {r["k"] for r in table.read().collect()}  # reads survive the flip
+    assert 10 not in ks and len(ks) == 4_999
+    assert table.validate()["duplicate_keys"] == 0
+
+
 def test_validate_tolerates_in_flight_transition(spark, table):
     rekey_table(table, "k2", batch_files=4)
     v = table.validate()
