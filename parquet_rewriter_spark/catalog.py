@@ -1297,7 +1297,7 @@ def quantity_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.agg(F.sum("n").alias("total"))
     benford = F.log10(1.0 + 1.0 / F.col("digit"))
     share = F.col("n") / F.col("total")
-    return c.crossJoin(t).select(
+    return c.crossJoin(F.broadcast(t)).select(
         "digit",
         F.col("n").cast("long").alias("n"),
         F.round(share, 6).alias("share"),
@@ -1443,7 +1443,7 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n, 0.5)").alias("med"),
         F.expr("percentile(n, 0.99)").alias("p99"),
     )
-    return freq.crossJoin(stats).agg(
+    return freq.crossJoin(F.broadcast(stats)).agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").cast("long").alias("max_freq"),
         F.round(F.max("n") / F.max("total"), 6).alias("max_key_share"),

@@ -9,14 +9,23 @@ between the slice's empirical CDF and the complement's. D is
 distribution-free; n·m/(n+m) scaled thresholds give the usual
 significance cut.
 
-Relational shape (no sampling, no driver math):
-1. tag: every row joins the (tiny, broadcast) slice-key list — fan-out
-   = #slices, a constant;
-2. per-(slice, value) side counts — ONE hash aggregate over the fanned
-   rows (map-side combine collapses duplicates early);
-3. empirical CDFs as a running-sum window per slice ordered by value —
-   one shuffle on the slice key;
-4. D = max |F_a − F_b| — a final per-slice aggregate on the SAME
+Relational shape (no sampling, no driver math), sized so the CORPUS is
+read once and everything group-quadratic happens on the tiny
+distinct-value relation:
+1. per-(slice, value) counts — ONE hash aggregate over the raw rows;
+   map-side combine collapses duplicates before the exchange, so the
+   shuffle carries ≤ |V|·G rows per task, never the corpus;
+2. fold those into one row per DISTINCT VALUE carrying the value's
+   total and a slice→count map — a second aggregate over the already
+   tiny (slice, value) relation;
+3. expand by the (tiny, broadcast) slice list — |V|·G rows; each
+   slice's count is a map lookup, the complement's count is
+   subtraction (rest = total − slice). Expanding the RAW rows instead
+   (crossJoin-tag, then aggregate) would push G× the corpus through
+   the shuffle for the same integers;
+4. empirical CDFs as a running-sum window per slice ordered by value —
+   one (tiny) shuffle on the slice key;
+5. D = max |F_a − F_b| — a final per-slice aggregate on the SAME
    partitioning.
 
 Ties are handled exactly (CDF evaluated after all equal values), and
@@ -40,19 +49,23 @@ def ks_drift_by_group(
     """Per-group two-sample KS statistic: each group's ``value_col``
     distribution vs the rest of the table. Returns (group, n_group,
     n_rest, ks_stat) — one row per distinct group."""
-    groups = df.select(F.col(group_col).alias("__g")).distinct()
-    tagged = df.crossJoin(F.broadcast(groups)).select(
-        "__g",
-        F.col(value_col).alias("__v"),
-        (F.col(group_col) == F.col("__g")).cast("int").alias("__in"),
+    gv = df.groupBy(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    # one row per distinct value: total count + per-group count map
+    # (groupBy keys make __g unique per __v, so map_from_entries is safe)
+    per_v = gv.groupBy("__v").agg(
+        F.sum("__n").alias("__t"),
+        F.map_from_entries(F.collect_list(F.struct("__g", "__n"))).alias("__m"),
     )
-    # Pre-partition on the group key alone: hash(g) satisfies the
-    # (g, v) aggregate's clustering requirement AND the window's, so the
-    # counts agg and the CDF windows share ONE data exchange instead of
-    # exchanging on (g, v) and re-exchanging on g.
-    counts = tagged.repartition(F.col("__g")).groupBy("__g", "__v").agg(
-        F.sum("__in").cast("double").alias("__ca"),
-        F.sum(1 - F.col("__in")).cast("double").alias("__cb"),
+    groups = df.select(F.col(group_col).alias("__g")).distinct()
+    counts = per_v.crossJoin(F.broadcast(groups)).select(
+        "__g",
+        "__v",
+        F.coalesce(F.col("__m")[F.col("__g")], F.lit(0))
+        .cast("double").alias("__ca"),
+        (F.col("__t") - F.coalesce(F.col("__m")[F.col("__g")], F.lit(0)))
+        .cast("double").alias("__cb"),
     )
     w_tot = Window.partitionBy("__g")
     w_cum = (

@@ -878,7 +878,9 @@ def merge_into_table(
             else bucket_write_min_bytes
         )
         use_buckets = sum(e.bytes for e in dirty) > min_bytes
+        attempted_buckets = use_buckets  # before the skew gate's say
         n_mut = 0  # mutation-row estimate, learned by the skew gate
+        max_bucket_mut = None  # hottest bucket's mutation count
         if use_buckets:
             import numpy as np
 
@@ -904,7 +906,8 @@ def merge_into_table(
                     minlength=len(cuts) + 1,
                 )
                 n_mut = int(len(plan_keys))
-                use_buckets = per_bucket.max() <= SKEW_BUCKET_FACTOR * mrpf
+                max_bucket_mut = int(per_bucket.max())
+                use_buckets = max_bucket_mut <= SKEW_BUCKET_FACTOR * mrpf
             elif plan_keys is None:
                 probe = _bucket_udf(
                     spark, cuts, np.arange(len(cuts) + 1, dtype=np.int64)
@@ -920,15 +923,25 @@ def merge_into_table(
                     .first()
                 )
                 n_mut = int(stats.total or 0)
+                max_bucket_mut = int(stats.mx or 0)
                 use_buckets = not stats.mx or (
                     stats.mx <= SKEW_BUCKET_FACTOR * mrpf
                 )
         if use_buckets:
+            write_partitioner = "bucketed"
+            n_buckets = len(dirty) + 1
             merged = apply_mutations(base_dirty, mutations, key,
                                      seq_col=seq_col,
                                      bucket_cuts=cuts,
                                      num_partitions=len(dirty) + 1)
         else:
+            # gate trips are otherwise invisible in production — record
+            # whether this range exchange is the byte-threshold default
+            # or the skew gate rejecting a pathological bucket
+            write_partitioner = (
+                "range_skew_boost" if attempted_buckets else "range"
+            )
+            n_buckets = None
             # Below the byte threshold the fused RANGE exchange stays:
             # its sampling job re-reads little enough that a fresh
             # bucketed plan (literal-bearing codegen / Arrow stage)
@@ -963,6 +976,7 @@ def merge_into_table(
         # Pure inserts read NO dirty bytes, so the range exchange's
         # sampling pass only re-runs the mutation plan — cheaper than a
         # fresh bucketed plan at any realistic batch size.
+        write_partitioner, n_buckets, max_bucket_mut = "range", None, None
         merged = apply_mutations(empty_base, mutations, key,
                                  seq_col=seq_col, range_partition=True)
 
@@ -1046,6 +1060,15 @@ def merge_into_table(
         "t_plan_s": round(t_plan, 4),
         "t_write_s": round(t_write, 4),
         "t_commit_s": round(t_commit, 4),
+        # which write partitioner actually ran — "bucketed" (manifest
+        # cuts, zero sampling), "range" (byte threshold kept the fused
+        # range exchange / pure insert), or "range_skew_boost" (the
+        # skew gate rejected a pathological bucket and boosted the
+        # range exchange's partition count); gate trips are production-
+        # observable here instead of only via test monkeypatches
+        "write_partitioner": write_partitioner,
+        "n_buckets": n_buckets,
+        "max_bucket_mutations": max_bucket_mut,
         "path": "distributed",
     }
 

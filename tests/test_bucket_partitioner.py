@@ -505,8 +505,12 @@ def test_skew_gate_falls_back_and_splits_hot_range(spark, tmp_path, monkeypatch)
         [Row(key=int(k * 1000), v=-1, op="UPSERT") for k in range(0, 1_000, 97)],
         "key long, v long, op string",
     )
-    merge_into_table(t, small, allow_splice=False)
+    res_small = merge_into_table(t, small, allow_splice=False)
     assert seen.get("bucket_cuts") is not None
+    # the decision is production-observable in the report, no spy needed
+    assert res_small["write_partitioner"] == "bucketed"
+    assert res_small["n_buckets"] == res_small["files_dirty"] + 1
+    assert 0 < res_small["max_bucket_mutations"] <= 8 * 500
 
     # skew: 20k inserts, all inside file 0's range (8 x 500 = 4000 cap)
     muts = spark.range(0, 20_000).selectExpr(
@@ -518,6 +522,9 @@ def test_skew_gate_falls_back_and_splits_hot_range(spark, tmp_path, monkeypatch)
     assert seen.get("bucket_cuts") is None
     assert seen.get("range_partition") is True
     assert seen.get("num_partitions") >= 20_000 // 500  # boosted past len(dirty)
+    assert res["write_partitioner"] == "range_skew_boost"
+    assert res["n_buckets"] is None
+    assert res["max_bucket_mutations"] > 8 * 500  # the gate's evidence
     assert t.read().count() == 1_000 + 20_000
 
 

@@ -34,6 +34,60 @@ def test_ties_use_post_step_cdf(spark):
     assert abs(got["a"][2] - round(1 / 3, 6)) < 1e-9
 
 
+def _legacy_ks(df, value_col, group_col, round_digits):
+    """The pre-rewrite crossJoin-tag implementation, kept verbatim as
+    the bit-identity reference: it pushed G× the corpus through the
+    shuffle, but its integers and double divisions define the answer."""
+    from pyspark.sql import Window
+
+    groups = df.select(F.col(group_col).alias("__g")).distinct()
+    tagged = df.crossJoin(F.broadcast(groups)).select(
+        "__g",
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == F.col("__g")).cast("int").alias("__in"),
+    )
+    counts = tagged.repartition(F.col("__g")).groupBy("__g", "__v").agg(
+        F.sum("__in").cast("double").alias("__ca"),
+        F.sum(1 - F.col("__in")).cast("double").alias("__cb"),
+    )
+    w_tot = Window.partitionBy("__g")
+    w_cum = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdfs = counts.select(
+        "__g",
+        (F.sum("__ca").over(w_cum) / F.sum("__ca").over(w_tot)).alias("__fa"),
+        (F.sum("__cb").over(w_cum) / F.sum("__cb").over(w_tot)).alias("__fb"),
+        F.sum("__ca").over(w_tot).alias("__na"),
+        F.sum("__cb").over(w_tot).alias("__nb"),
+    )
+    return cdfs.groupBy("__g").agg(
+        F.max("__na").cast("long").alias("n_group"),
+        F.max("__nb").cast("long").alias("n_rest"),
+        F.round(F.max(F.abs(F.col("__fa") - F.col("__fb"))), round_digits)
+        .alias("ks_stat"),
+    ).withColumnRenamed("__g", "g")
+
+
+def test_rewrite_is_bit_identical_to_legacy_plan(spark, sf_dir):
+    """The subtraction plan (counts once, rest = total − group) must
+    reproduce the crossJoin-tag plan's statistics EXACTLY — same
+    integers in, same double divisions, down to the last bit (checked
+    at 12 digits, far past any KS use case)."""
+    d = load_table(spark, sf_dir, "documents")
+    new = ks_drift_by_group(d, "n_chars", "source", out_group="g",
+                            round_digits=12)
+    old = _legacy_ks(d, "n_chars", "source", round_digits=12)
+    key = lambda r: r["g"]
+    got = [(r["g"], r["n_group"], r["n_rest"], r["ks_stat"])
+           for r in sorted(new.collect(), key=key)]
+    want = [(r["g"], r["n_group"], r["n_rest"], r["ks_stat"])
+            for r in sorted(old.collect(), key=key)]
+    assert got == want
+
+
 def test_fixture_statistics_are_valid_probabilities(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     out = ks_drift_by_group(d, "n_chars", "source")

@@ -685,6 +685,10 @@ def test_merge_report_carries_phase_timings_and_io_counters(spark, tmp_path):
         assert res[k] >= 0
     assert res["rows_read"] == 100  # exactly the one dirty file
     assert res["bytes_read"] > 0 and res["bytes_written"] > 0
+    # which partitioner ran is part of the report surface: tiny dirty
+    # set stays under BUCKET_WRITE_MIN_BYTES -> fused range exchange
+    assert res["write_partitioner"] == "range"
+    assert res["n_buckets"] is None and res["max_bucket_mutations"] is None
 
     res2 = merge_into_table(t, _mutations_df(spark, {6: b"y" * 20}, set()))
     assert res2["path"] == "rowgroup_splice"
@@ -698,3 +702,4 @@ def test_merge_report_carries_phase_timings_and_io_counters(spark, tmp_path):
     )
     assert res3["rows_read"] == 0 and res3["bytes_read"] == 0
     assert res3["bytes_written"] > 0
+    assert res3["write_partitioner"] == "range"  # pure insert samples only muts

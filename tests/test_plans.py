@@ -339,19 +339,39 @@ def test_cms_lookup_broadcasts_sketch(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_ks_drift_single_exchange_on_group_key(spark, sf_dir):
-    """CDFs, totals, and the sup-gap must all ride one hash exchange on
-    the group key (plus the broadcast of the tiny group list)."""
+def test_scalar_crossjoins_broadcast_by_construction(spark, sf_dir):
+    """Cross joins against 1-row aggregates (grand totals, percentile
+    stats) must broadcast in the plan itself — not rely on AQE noticing
+    the tiny side at runtime — so the plan shape is stable however the
+    session is configured."""
+    for q in ("quantity_benford_screen", "join_skew_report"):
+        p = plan_of(get(q).fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_ks_drift_scans_corpus_without_fanout(spark, sf_dir):
+    """The corpus must contribute exactly one map-side-combined
+    aggregate (partial count directly above the scan, BEFORE its
+    exchange) and must never be cross-joined row-wise: the G-way
+    expansion applies to the per-distinct-value relation — the
+    BroadcastNestedLoopJoin streams an AGGREGATE, not a scan — so every
+    shuffle payload is bounded by |V|·G however large the corpus."""
     from parquet_rewriter_spark.operators.drift import ks_drift_by_group
 
     d = load_table(spark, sf_dir, "documents")
-    p = plan_of(ks_drift_by_group(d, "n_chars", "source"))
-    # two hash exchanges: the tiny group-list distinct and ONE data
-    # exchange on the group key shared by the counts agg, the CDF
-    # windows, and the final per-group aggregate
-    assert p.count("Arguments: hashpartitioning") == 2, p
-    assert "BroadcastNestedLoopJoin" in p  # the tiny group-list fan-out
-    assert "Arguments: SinglePartition" not in p
+    p = plan_of(ks_drift_by_group(d, "n_chars", "source"), "simple")
+    assert "CartesianProduct" not in p
+    lines = p.splitlines()
+    i = next(j for j, l in enumerate(lines) if "BroadcastNestedLoopJoin" in l)
+    assert "Aggregate" in lines[i + 1], p  # streamed side already aggregated
+    # corpus rows pre-combine before the one data exchange
+    scan_first = min(j for j, l in enumerate(lines) if "FileScan" in l)
+    assert "partial_count" in lines[scan_first - 1], p
+    # (g,v) counts + per-value fold + group-list distinct + CDF windows
+    assert p.count("Exchange hashpartitioning") == 4, p
+    assert "Exchange SinglePartition" not in p
+    assert "Exchange rangepartitioning" not in p
 
 
 def test_negative_sampling_candidates_are_projection(spark, sf_dir):
