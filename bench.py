@@ -28,6 +28,11 @@ from parquet_rewriter_spark.session import get_spark
 # registered-and-formerly-benched queries; `python bench.py --full`
 # (or SPARK_GRAFT_BENCH_FULL=1) times both tiers, feeding the full
 # report in BENCH_FULL.json without growing the default gate.
+# Full-tier wall budget (queries + probes): the driver's capture would
+# silently lose a run that outgrows its timeout, so the bench flags
+# itself loudly first (report["budget_exceeded"] + stderr subtotals).
+FULL_TIER_BUDGET_S = 600
+
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -109,6 +114,10 @@ HEADLINE = [
 
 EXTENDED = [
     "bulk_bucketed_merge_scan",
+    "rekey_inflight_read_scan",
+    "ann_lsh_recall_gate",
+    "ann_ivf_recall_gate",
+    "ann_pq_recall_gate",
     "top_orders_by_revenue",
     "order_priority_count",
     "revenue_forecast",
@@ -296,6 +305,7 @@ def main() -> None:
             or os.environ.get("SPARK_GRAFT_BENCH_FULL", "") == "1")
     tier = HEADLINE + EXTENDED if full else HEADLINE
     names = [n for n in tier if n in catalog.REGISTRY]
+    t_run_start = time.perf_counter()
     for name in names:
         fn = catalog.REGISTRY[name].fn
         try:
@@ -326,21 +336,47 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             return {"error": f"{type(ex).__name__}: {str(ex)[:300]}"}
 
+    # per-family subtotals (first registry tag = family): when the full
+    # tier creeps toward its budget, this names the family to trim
+    fam: dict[str, float] = {}
+    for n, t in timings.items():
+        tags = catalog.REGISTRY[n].tags
+        f = tags[0] if tags else "untagged"
+        fam[f] = round(fam.get(f, 0.0) + t, 3)
+
     report = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_families": dict(sorted(fam.items(), key=lambda kv: -kv[1])),
         "sf_scaling": _safe(sf_scaling_probe, spark),
         "merge_scaling": _safe(merge_scaling, spark, sf_dir),
         "small_merge": _safe(small_merge_bench, spark, sf_dir),
         "mor_delete": _safe(mor_delete_bench, spark, sf_dir),
         "rowgroup_codec_sweep": _safe(rowgroup_codec_sweep, sf_dir),
+        "plan_scaling": _safe(plan_scaling, spark),
         "query_commits": commits,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         report["query_errors"] = errors
+
+    # Budget guard (round-5 verdict #4): the full tier silently rotting
+    # past the driver's timeout would lose the whole artifact. Record
+    # the wall and FAIL LOUDLY (stderr + report flag) past the budget
+    # so the next run trims a family instead of timing out.
+    wall = round(time.perf_counter() - t_run_start, 1)
+    report["bench_wall_s"] = wall
+    if full and wall > FULL_TIER_BUDGET_S:
+        report["budget_exceeded"] = True
+        print(
+            f"BENCH BUDGET EXCEEDED: full tier took {wall}s"
+            f" > {FULL_TIER_BUDGET_S}s — trim the slowest families: "
+            + ", ".join(f"{k}={v}s" for k, v in
+                        list(sorted(fam.items(), key=lambda kv: -kv[1]))[:5]),
+            file=sys.stderr,
+        )
     # The driver's stdout capture is tail-limited (~2 KB): BENCH_r03 ran
     # clean but its 6.8 KB JSON line arrived truncated and unparseable.
     # Ship the full report to a file and print a compact (<1.5 KB)
@@ -375,6 +411,66 @@ def main() -> None:
                 break
     print(line)
     spark.stop()
+
+
+def plan_scaling(spark) -> dict:
+    """The O(F log K) dirty-planning claim pinned with a number: build
+    synthetic manifests (entries only — no data files exist) of 100 /
+    1k / 10k entries and time ``plan_dirty_files`` plus the bucket-cut
+    derivation against a fixed 10k-key mutation batch. The cost is two
+    binary searches per file over the sorted key set, so the curve
+    should grow ~linearly in F with a small constant (the 10k-file cell
+    exercising the same driver arithmetic a 100 TB manifest would) —
+    NOT with the key count or any data volume."""
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.merge import (
+        _np_bounds,
+        plan_dirty_files,
+    )
+    from parquet_rewriter_spark.table import Manifest, ManifestEntry
+
+    from pyspark.sql import functions as F
+
+    span = 10_000_000
+    muts = spark.range(10_000).select(
+        ((F.col("id") * 977_777) % span).alias("k")
+    )
+    muts.persist().count()  # planning cost only, not batch synthesis
+    out: dict[str, float] = {}
+    try:
+        for nf in (100, 1_000, 10_000):
+            rows_per = span // nf
+            m = Manifest(
+                version=0,
+                key="k",
+                files=[
+                    ManifestEntry(
+                        name=f"f{i:06d}.parquet", rows=rows_per,
+                        bytes=rows_per * 100,
+                        key_min=i * rows_per,
+                        key_max=(i + 1) * rows_per - 1,
+                    )
+                    for i in range(nf)
+                ],
+            )
+            el = 0.0
+            dirty: list = []
+            for timed in (False, True):  # warm the probe's plan shape
+                t0 = time.perf_counter()
+                dirty, _clean = plan_dirty_files(spark, m, muts)
+                el = time.perf_counter() - t0
+            out[f"files_{nf}_ms"] = round(el * 1000, 1)
+            out[f"files_{nf}_dirty"] = len(dirty)
+            t0 = time.perf_counter()
+            cuts = np.sort(_np_bounds(spark, [e.key_max for e in dirty]))
+            out[f"files_{nf}_cuts_ms"] = round(
+                (time.perf_counter() - t0) * 1000, 2
+            )
+            assert len(cuts) == len(dirty)
+    finally:
+        muts.unpersist()
+    return out
 
 
 def sf_scaling_probe(spark) -> dict[str, dict[str, float]]:

@@ -2852,6 +2852,102 @@ def ann_ivf_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(qv, k=10, n_probe=int(idx.centroids.shape[0]))
 
 
+def _planted_ann_candidates(spark, sf_dir):
+    """embeddings ∪ 12 positively-scaled copies of vector 0 (ids
+    1_000_001..1_000_012). Positive scaling preserves direction
+    exactly, so each copy's cosine to vector 0 is 1.0, every LSH sign
+    bit equals the base's (dot products scale by a positive constant),
+    and IVF/PQ assignments of the ROW-NORMALIZED copies equal the
+    base's. The fixture's best off-cluster cosine is ≈0.37 — an ANN
+    method that probes correctly MUST return {0} ∪ planted as the
+    top-13, which makes approximate recall SQL-checkable: the oracle
+    brute-forces the same fixture, so a hash match IS recall 1.0."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") == 0).select("embedding")
+    qv = [float(x) for x in base.first()[0]]
+    planted = (
+        spark.range(1, 13)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * (F.lit(1.0) + F.col("id") / F.lit(100.0)),
+            ).alias("embedding"),
+        )
+    )
+    cand = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+    return cand, qv
+
+
+_PLANTED_ANN_ORACLE = """
+    WITH q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    planted AS (
+      SELECT CAST(1000000 + j AS BIGINT) AS id,
+             list_transform(q.qe, x -> x * (1.0 + j / 100.0)) AS embedding
+      FROM q, (SELECT unnest(generate_series(1, 12)) AS j)
+    ),
+    cand AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT id, embedding FROM planted
+    )
+    SELECT c.id, round(list_cosine_similarity(c.embedding, q.qe), 4) AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.id
+    LIMIT 13
+"""
+
+
+@query("ann_lsh_recall_gate", _PLANTED_ANN_ORACLE,
+       "similarity", "ann", "lsh", "recall")
+def ann_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall gate on the planted-cluster fixture
+    (_planted_ann_candidates): the 13-way top-k must equal the oracle's
+    brute-force top-13 exactly — scaled copies share the query's bucket
+    by construction, so any miss means the bucketing or multiprobe
+    broke, not that the approximation got unlucky. Complements the
+    rows-only ann_lsh_topk on the unstructured fixture (recall there is
+    honestly partial and stays un-oracled)."""
+    from parquet_rewriter_spark.operators.similarity import ann_lsh_topk
+
+    cand, qv = _planted_ann_candidates(spark, sf_dir)
+    return ann_lsh_topk(cand, "vec_id", "embedding", qv, k=13, n_planes=8)
+
+
+@query("ann_ivf_recall_gate", _PLANTED_ANN_ORACLE,
+       "similarity", "ann", "ivf", "recall")
+def ann_ivf_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall gate on the planted-cluster fixture: the copies'
+    normalized direction equals the base's, so they assign to one cell
+    — the cell nearest the query, probed first. A hash mismatch means
+    cell assignment or probe selection regressed."""
+    from parquet_rewriter_spark.operators.similarity import ann_ivf_topk
+
+    cand, qv = _planted_ann_candidates(spark, sf_dir)
+    return ann_ivf_topk(cand, "vec_id", "embedding", qv, k=13,
+                        n_centroids=16, n_probe=4)
+
+
+@query("ann_pq_recall_gate", _PLANTED_ANN_ORACLE,
+       "similarity", "ann", "pq", "recall")
+def ann_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall gate on the planted-cluster fixture: row-normalized
+    copies encode to the base's exact codes, tying its ADC score, so
+    all 13 sit far inside the top-100 rerank set and exact rerank must
+    reproduce the brute-force top-13."""
+    from parquet_rewriter_spark.operators.similarity import ann_pq_topk
+
+    cand, qv = _planted_ann_candidates(spark, sf_dir)
+    return ann_pq_topk(cand, "vec_id", "embedding", qv, k=13,
+                       m=8, n_codes=64, rerank=100)
+
+
 @query("ann_lsh_topk", None, "similarity", "ann", "lsh")
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing with
@@ -10710,6 +10806,88 @@ def sort_order_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rekey_inflight_read_scan",
+    """
+    WITH mut AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 500 = 3 THEN 0.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    ),
+    agg AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM mut GROUP BY o_orderstatus
+    )
+    SELECT 'mid' AS phase, * FROM agg
+    UNION ALL
+    SELECT 'done' AS phase, * FROM agg
+    """,
+    "storage", "lifecycle", "rekey", "sort-order", "read-consistency",
+)
+def rekey_inflight_read_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ CONSISTENCY DURING SORT-ORDER MIGRATION (operators/rekey.py):
+    mid-migration the manifest stays keyed by the OLD column and
+    rewritten files carry correct old-key bounds, so readers and
+    old-key merges keep working while batches land. The query rewrites
+    HALF the files, lands a concurrent merge BY THE OLD KEY (zeroing
+    0.2% of totals — the migration must pick those rewritten files up
+    in a later batch), aggregates the table MID-FLIGHT, then finishes
+    the migration and aggregates again after the key flip. Both phases
+    must see identical logical rows — the oracle replays the mutation
+    over raw orders once per phase; any row lost, doubled, or read from
+    a stale pre-merge file in either phase flips the hash."""
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.operators.rekey import rekey_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    MULT, MOD = 1327217885, 4294967296  # bijection as in sort_order_evolution
+    lo = F.pmod(F.col("o_orderkey"), F.lit(MOD))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") - lo)
+         + F.pmod(lo * F.lit(MULT), F.lit(MOD))).alias("o_hashkey"),
+        "o_orderstatus", "o_totalprice",
+    )
+    t = SortedTable.create(
+        spark, _scratch("rekey_read"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 9),
+    )
+    half = max(1, len(t.manifest().files) // 2)
+    rep = rekey_table(t, "o_hashkey", batch_files=half)
+    assert not rep["done"] and t.manifest().key == "o_orderkey"
+
+    muts = (
+        o.filter(F.col("o_orderkey") % 500 == 3)
+        .withColumn("o_totalprice", F.lit(0.0))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    merge_into_table(t, muts, allow_splice=False)
+
+    def snap_agg(phase: str) -> DataFrame:
+        # read() pins the CURRENT manifest at call time; retired files
+        # stay on disk until vacuum, so the mid-flight snapshot stays
+        # collectable after later batches rewrite it
+        return (
+            t.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .select(F.lit(phase).alias("phase"), "o_orderstatus",
+                    "n_orders", "revenue")
+        )
+
+    mid = snap_agg("mid")
+    while not rekey_table(t, "o_hashkey", batch_files=half)["done"]:
+        pass
+    assert t.manifest().key == "o_hashkey"
+    return mid.unionByName(snap_agg("done"))
+
+
+@query(
     "matjoin_orders_customer_scan",
     """
     WITH o2 AS (
@@ -11077,62 +11255,23 @@ def metadata_tables_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # Round-5 rotation (VERDICT r4 #8): queries ADDED this round lead
-    # (never seen by ANY verifier until the judge sweep), then the 75
-    # oracled queries with no driver-green row across r01-r04 (all
-    # judge-verified on the r04 tree, but the driver record is the
-    # currency), then the rows-only tail so full-compare slots are
-    # not spent on weaker checks.
+    # Round-6 rotation (VERDICT r5 #8): round-6 added queries lead
+    # (never seen by any verifier), then queries whose code paths
+    # round 6 changed, then the oracled queries with no driver-green
+    # row yet (r05 checked the first 50 of the old rotation), then
+    # the rows-only tail so full-compare slots go to strong checks.
+    "rekey_inflight_read_scan",
+    "ann_lsh_recall_gate",
+    "ann_ivf_recall_gate",
+    "ann_pq_recall_gate",
     "sort_order_evolution_scan",
-    "bulk_bucketed_merge_scan",
-    "multimodal_decode_features",
-    "tdigest_price_quantiles",
-    "stream_purchase_click_leftjoin",
-    "stream_purchase_click_fulljoin",
-    "embedding_pca_projection",
-    "ann_ivf_index_lifecycle",
-    "stream_bottomk_user_sample",
-    "cdc_ordered_merge_scan",
-    "signup_to_purchase_latency",
-    "source_quality_wilson",
-    "ship_latency_percentiles",
-    "stream_hourly_top_event_type",
-    "nation_trade_balance",
-    "error_burstiness_fano",
-    "top_customer_overlap",
-    "order_gap_distribution",
-    "hourly_value_autocorr",
-    "brand_price_index",
-    "customer_rfm_segments",
-    "corpus_zipf_slope",
-    "source_ngram_novelty",
+    "source_length_drift_ks",
+    "stream_drift_alerts",
     "quantity_benford_screen",
-    "user_behavior_entropy",
-    "revenue_time_rollup",
     "join_skew_report",
-    "maintained_table_scan",
-    "curation_survivorship_funnel",
-    "priority_mix_chi2_monthly",
-    "part_supplier_price_spread",
-    "segment_revenue_gini",
-    "priority_sla_attainment",
-    "segment_revenue_concentration",
-    "hourly_value_ohlc",
-    "u_shape_attribution",
-    "event_transition_matrix",
-    "column_storage_docs",
-    "ann_ivf_rebalanced_topk",
-    "hilbert_then_filter_scan",
-    "distinct_sketch_users",
-    "stream_distinct_sketch_users",
-    "substring_dup_token_stats",
-    "webdataset_export_summary",
-    "python_ds_pushdown_scan",
-    "stream_user_totals",
-    "nation_revenue_trend",
-    "order_value_histogram",
-    "part_entity_resolution",
-    "part_copurchase_pagerank",
+    "bulk_bucketed_merge_scan",
+    "ann_ivf_index_lifecycle",
+    "multimodal_decode_features",
     "txn_exactly_once_scan",
     "hidden_partition_event_scan",
     "gdpr_forget_customer_scan",
@@ -11165,8 +11304,14 @@ _VERIFY_FIRST = (
     "ann_portable_lsh_topk",
     "stream_incremental_covariance",
     "metadata_tables_scan",
-    "incremental_dedup_index",
+    "minhash_near_dup_pairs",
+    "simhash_near_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "ann_pq_topk",
+    "incremental_dedup_index",
+    "doc_compression_quality",
+    "ivf_refined_cell_balance",
 )
 
 
