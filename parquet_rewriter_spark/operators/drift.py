@@ -53,12 +53,23 @@ def ks_drift_by_group(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     ).agg(F.count(F.lit(1)).alias("__n"))
     # one row per distinct value: total count + per-group count map
-    # (groupBy keys make __g unique per __v, so map_from_entries is safe)
+    # (groupBy keys make __g unique per __v, so map_from_entries is
+    # safe). NULL-group rows count toward every group's "rest" (they
+    # stay in __t) but cannot be map keys and get no output row —
+    # collect_list drops the null struct the WHEN produces for them.
     per_v = gv.groupBy("__v").agg(
         F.sum("__n").alias("__t"),
-        F.map_from_entries(F.collect_list(F.struct("__g", "__n"))).alias("__m"),
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("__g").isNotNull(), F.struct("__g", "__n"))
+            )
+        ).alias("__m"),
     )
-    groups = df.select(F.col(group_col).alias("__g")).distinct()
+    groups = (
+        df.select(F.col(group_col).alias("__g"))
+        .filter(F.col(group_col).isNotNull())
+        .distinct()
+    )
     counts = per_v.crossJoin(F.broadcast(groups)).select(
         "__g",
         "__v",

@@ -88,6 +88,20 @@ def test_rewrite_is_bit_identical_to_legacy_plan(spark, sf_dir):
     assert got == want
 
 
+def test_null_groups_count_as_rest_only(spark):
+    """Rows with a NULL group value are corpus reality (a source tag
+    missing). They must count toward every group's complement ("rest")
+    without crashing the per-value map (null map keys are illegal in
+    Spark) and without earning an output row of their own."""
+    rows = [("a", 1), ("a", 2), ("b", 1), ("b", 3), (None, 2), (None, 3)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = ks_drift_by_group(df, "v", "g", out_group="g")
+    got = {r.g: (r.n_group, r.n_rest) for r in out.collect()}
+    assert set(got) == {"a", "b"}  # no null-group row
+    assert got["a"] == (2, 4)  # rest includes b's 2 AND the 2 null rows
+    assert got["b"] == (2, 4)
+
+
 def test_fixture_statistics_are_valid_probabilities(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     out = ks_drift_by_group(d, "n_chars", "source")
