@@ -45,6 +45,27 @@ class FileStats:
     col_stats: dict = field(default_factory=dict)
 
 
+def _decode_raw_stat(raw: Any, col_schema) -> Any:
+    """Typed value from a raw physical statistic pyarrow refuses to
+    cast: Spark writes precision ≤ 18 decimals with INT32/INT64
+    physical type, whose statistics raise ArrowNotImplementedError on
+    ``st.min``/``st.max`` — the unscaled integer (or big-endian
+    two's-complement bytes for FLBA/BYTE_ARRAY) is in ``min_raw``."""
+    if col_schema.logical_type.type == "DECIMAL":
+        import decimal
+
+        unscaled = (
+            int.from_bytes(raw, "big", signed=True)
+            if isinstance(raw, bytes)
+            else int(raw)
+        )
+        return decimal.Decimal(unscaled).scaleb(-col_schema.scale)
+    raise ValueError(
+        f"cannot decode statistics for column {col_schema.name!r} "
+        f"({col_schema.logical_type})"
+    )
+
+
 def _footer_stats(path: str, key: str, stats_cols: tuple[str, ...] = ()) -> FileStats:
     f = pq.ParquetFile(path)
     md = f.metadata
@@ -64,8 +85,14 @@ def _footer_stats(path: str, key: str, stats_cols: tuple[str, ...] = ()) -> File
                         f"missing min/max statistics for {key!r} in {path} row group {rg}"
                     )
                 return None  # secondary stats are best-effort (no pruning)
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+            try:
+                mn, mx = st.min, st.max
+            except Exception:  # noqa: BLE001 - int-physical decimal stats
+                cs = md.schema.column(col)
+                mn = _decode_raw_stat(st.min_raw, cs)
+                mx = _decode_raw_stat(st.max_raw, cs)
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
         return lo, hi
 
     kmin, kmax = _minmax(idx[key], required=True)

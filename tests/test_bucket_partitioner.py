@@ -469,6 +469,88 @@ def test_bucketed_merge_string_key(spark, tmp_path, monkeypatch):
         assert vals[0] == e.key_min and vals[-1] == e.key_max
 
 
+def test_bucketed_merge_date_key(spark, tmp_path, monkeypatch):
+    """DATE-keyed table through the bucketed write: date cut literals
+    in the WHEN tree (F.lit(datetime.date) is tz-free, unlike naive
+    datetimes) and object-dtype searchsorted on the planning side."""
+    import datetime as dt
+
+    import parquet_rewriter_spark.operators.merge as merge_mod
+    from pyspark.sql import Row
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [Row(day=d0 + dt.timedelta(days=i), v=i) for i in range(1_500)]
+    df = spark.createDataFrame(rows, "day date, v int")
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "dk"), df, "day",
+        max_records_per_file=100,
+    )
+    muts = spark.createDataFrame(
+        [Row(day=d0 + dt.timedelta(days=i), v=-i, op="UPSERT")
+         for i in range(0, 1_500, 41)],
+        "day date, v int, op string",
+    )
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+    assert res["write_partitioner"] == "bucketed"
+    got = {r.day: r.v for r in t.read().collect()}
+    assert len(got) == 1_500
+    for i in range(0, 1_500, 41):
+        assert got[d0 + dt.timedelta(days=i)] == -i
+    for e in t.manifest().files:
+        vals = [
+            r.day
+            for r in spark.read.parquet(os.path.join(t.path, e.name))
+            .select("day").collect()
+        ]
+        assert vals == sorted(vals)
+        assert vals[0] == e.key_min and vals[-1] == e.key_max
+
+
+def test_bucketed_merge_decimal_key(spark, tmp_path, monkeypatch):
+    """DECIMAL-keyed table through the bucketed write: Decimal cut
+    literals in the WHEN tree and object-dtype bounds on the planning
+    side (manifest round-trips Decimals typed, not stringified)."""
+    from decimal import Decimal
+
+    import parquet_rewriter_spark.operators.merge as merge_mod
+    from pyspark.sql import Row
+
+    monkeypatch.setattr(merge_mod, "BUCKET_WRITE_MIN_BYTES", 0)
+
+    keys = [Decimal(i) / 100 for i in range(0, 9_000, 7)]
+    df = spark.createDataFrame(
+        [Row(key=k, v=i) for i, k in enumerate(keys)],
+        "key decimal(10,2), v int",
+    )
+    t = SortedTable.create(
+        spark, os.path.join(str(tmp_path), "deck"), df, "key",
+        max_records_per_file=100,
+    )
+    ups = {k: -1 for k in keys[::43]}
+    muts = spark.createDataFrame(
+        [Row(key=k, v=v, op="UPSERT") for k, v in ups.items()],
+        "key decimal(10,2), v int, op string",
+    )
+    res = merge_into_table(t, muts, allow_splice=False)
+    assert res["path"] == "distributed"
+    assert res["write_partitioner"] == "bucketed"
+    got = {r.key: r.v for r in t.read().collect()}
+    assert len(got) == len(keys)
+    for k in ups:
+        assert got[k] == -1
+    for e in t.manifest().files:
+        vals = [
+            r.key
+            for r in spark.read.parquet(os.path.join(t.path, e.name))
+            .select("key").collect()
+        ]
+        assert vals == sorted(vals)
+        assert vals[0] == e.key_min and vals[-1] == e.key_max
+
+
 def test_skew_gate_falls_back_and_splits_hot_range(spark, tmp_path, monkeypatch):
     """A bulk insert aimed at ONE file's key range must not serialize
     into a single bucket task: the skew gate (mutations per bucket >
