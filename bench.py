@@ -115,6 +115,7 @@ HEADLINE = [
 EXTENDED = [
     "bulk_bucketed_merge_scan",
     "rekey_inflight_read_scan",
+    "source_length_drift_psi",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

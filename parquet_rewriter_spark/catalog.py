@@ -6508,13 +6508,72 @@ def source_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-drift monitor (operators/drift.py): per-source two-sample
     Kolmogorov–Smirnov statistic of the document-length distribution vs
     the rest of the corpus — the check that catches a crawler update
-    silently shifting one source's length profile. CDFs, totals, and
-    the sup-gap all ride ONE hash exchange on the source key; counts
-    are exact integers so the oracle reproduces D bit-for-bit."""
+    silently shifting one source's length profile. The corpus is read
+    ONCE (per-(source, value) counts with map-side combine); the G-way
+    expansion, CDFs, and sup-gap run on the distinct-value relation
+    (rest = total − source by subtraction). Counts are exact integers
+    so the oracle reproduces D bit-for-bit."""
     from parquet_rewriter_spark.operators.drift import ks_drift_by_group
 
     d = _t(spark, sf_dir, "documents")
     return ks_drift_by_group(d, "n_chars", "source")
+
+
+@query(
+    "source_length_drift_psi",
+    """
+    WITH gv AS (
+      SELECT source AS gs, n_chars AS v, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, sum(n) AS t FROM gv GROUP BY v),
+    rng AS (SELECT min(v) AS lo, max(v) AS hi FROM vt),
+    g AS (SELECT DISTINCT gs FROM gv WHERE gs IS NOT NULL),
+    binned AS (
+      SELECT v, t,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(9, CAST(floor((v - lo) / ((hi - lo) / 10.0))
+                                 AS INT))
+             END AS bin
+      FROM vt, rng
+    ),
+    per_bin AS (
+      SELECT g.gs, b.bin,
+             CAST(sum(coalesce(gv.n, 0)) AS DOUBLE) AS ca,
+             CAST(sum(b.t - coalesce(gv.n, 0)) AS DOUBLE) AS cb
+      FROM binned b
+      CROSS JOIN g
+      LEFT JOIN gv ON gv.gs = g.gs AND gv.v = b.v
+      GROUP BY g.gs, b.bin
+    ),
+    probs AS (
+      SELECT gs,
+             greatest(ca / sum(ca) OVER (PARTITION BY gs), 1e-6) AS pa,
+             greatest(cb / sum(cb) OVER (PARTITION BY gs), 1e-6) AS pb,
+             sum(ca) OVER (PARTITION BY gs) AS na,
+             sum(cb) OVER (PARTITION BY gs) AS nb
+      FROM per_bin
+    )
+    SELECT gs AS source, CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM probs GROUP BY gs
+    """,
+    "drift", "monitoring", "psi",
+)
+def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source vs the rest
+    (operators/drift.py:psi_drift_by_group) — the production
+    model-monitoring staple (PSI > 0.25 = major shift), on the same
+    one-corpus-pass subtraction plan as the KS twin: equal-width
+    binning happens on the DISTINCT-VALUE relation (distinct values
+    weighted by their counts ≡ binning raw rows), probabilities floored
+    at 1e-6 for empty bins, all arithmetic integer counts + double
+    division so the oracle replays PSI to the digit."""
+    from parquet_rewriter_spark.operators.drift import psi_drift_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return psi_drift_by_group(d, "n_chars", "source")
 
 
 @query(
@@ -11261,6 +11320,7 @@ _VERIFY_FIRST = (
     # row yet (r05 checked the first 50 of the old rotation), then
     # the rows-only tail so full-compare slots go to strong checks.
     "rekey_inflight_read_scan",
+    "source_length_drift_psi",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

@@ -38,25 +38,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def ks_drift_by_group(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    out_group: str = "source",
-    out_stat: str = "ks_stat",
-    round_digits: int = 6,
-) -> DataFrame:
-    """Per-group two-sample KS statistic: each group's ``value_col``
-    distribution vs the rest of the table. Returns (group, n_group,
-    n_rest, ks_stat) — one row per distinct group."""
+def _per_value_group_counts(df: DataFrame, value_col: str, group_col: str):
+    """Shared first stage of every drift statistic: ONE corpus-wide
+    hash aggregate to per-(group, value) counts (map-side combine
+    collapses duplicates before the exchange), folded to one row per
+    DISTINCT VALUE carrying the value's total and a group→count map
+    (groupBy keys make the map keys unique). NULL-group rows count
+    toward every group's "rest" (they stay in the total) but cannot be
+    map keys and get no output row — collect_list drops the null
+    struct the WHEN produces for them. Returns (per_v, groups)."""
     gv = df.groupBy(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     ).agg(F.count(F.lit(1)).alias("__n"))
-    # one row per distinct value: total count + per-group count map
-    # (groupBy keys make __g unique per __v, so map_from_entries is
-    # safe). NULL-group rows count toward every group's "rest" (they
-    # stay in __t) but cannot be map keys and get no output row —
-    # collect_list drops the null struct the WHEN produces for them.
     per_v = gv.groupBy("__v").agg(
         F.sum("__n").alias("__t"),
         F.map_from_entries(
@@ -70,6 +63,21 @@ def ks_drift_by_group(
         .filter(F.col(group_col).isNotNull())
         .distinct()
     )
+    return per_v, groups
+
+
+def ks_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_group: str = "source",
+    out_stat: str = "ks_stat",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group two-sample KS statistic: each group's ``value_col``
+    distribution vs the rest of the table. Returns (group, n_group,
+    n_rest, ks_stat) — one row per distinct group."""
+    per_v, groups = _per_value_group_counts(df, value_col, group_col)
     counts = per_v.crossJoin(F.broadcast(groups)).select(
         "__g",
         "__v",
@@ -98,4 +106,80 @@ def ks_drift_by_group(
         F.round(F.max(F.abs(F.col("__fa") - F.col("__fb"))), round_digits).alias(
             out_stat
         ),
+    ).withColumnRenamed("__g", out_group)
+
+
+def psi_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 10,
+    out_group: str = "source",
+    out_stat: str = "psi",
+    round_digits: int = 6,
+    floor_p: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per group vs rest — the production
+    model-monitoring staple (PSI < 0.1 stable, 0.1–0.25 moderate,
+    > 0.25 major shift): bin the numeric ``value_col`` equal-width over
+    the corpus range, then PSI = Σ_bins (p_group − p_rest)·ln(p_group /
+    p_rest) with probabilities floored at ``floor_p`` (the standard
+    empty-bin guard; keeps the sum finite and the oracle exact).
+
+    Same scale shape as :func:`ks_drift_by_group`: the corpus is read
+    ONCE (the shared per-(group, value) aggregate); the range, the
+    binning, the G-way expansion, and the bin rollup all run on the
+    distinct-value relation. Binning after aggregation — weighting
+    distinct values by their counts — gives bit-identical results to
+    binning raw rows at none of the cost."""
+    per_v, groups = _per_value_group_counts(df, value_col, group_col)
+    rng = per_v.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    binned = per_v.crossJoin(F.broadcast(rng)).select(
+        "__t",
+        "__m",
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("__v") - F.col("__lo")) / width),
+            )
+        )
+        .cast("int")
+        .alias("__bin"),
+    )
+    ca0 = F.coalesce(F.col("__m")[F.col("__g")], F.lit(0))
+    per_bin = (
+        binned.crossJoin(F.broadcast(groups))
+        .select(
+            "__g", "__bin",
+            ca0.alias("__ca0"),
+            (F.col("__t") - ca0).alias("__cb0"),
+        )
+        .groupBy("__g", "__bin")
+        .agg(
+            F.sum("__ca0").cast("double").alias("__ca"),
+            F.sum("__cb0").cast("double").alias("__cb"),
+        )
+    )
+    w = Window.partitionBy("__g")
+    probs = per_bin.select(
+        "__g",
+        F.greatest(F.col("__ca") / F.sum("__ca").over(w), F.lit(floor_p))
+        .alias("__pa"),
+        F.greatest(F.col("__cb") / F.sum("__cb").over(w), F.lit(floor_p))
+        .alias("__pb"),
+        F.sum("__ca").over(w).alias("__na"),
+        F.sum("__cb").over(w).alias("__nb"),
+    )
+    return probs.groupBy("__g").agg(
+        F.max("__na").cast("long").alias("n_group"),
+        F.max("__nb").cast("long").alias("n_rest"),
+        F.round(
+            F.sum(
+                (F.col("__pa") - F.col("__pb"))
+                * F.log(F.col("__pa") / F.col("__pb"))
+            ),
+            round_digits,
+        ).alias(out_stat),
     ).withColumnRenamed("__g", out_group)

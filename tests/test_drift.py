@@ -88,6 +88,40 @@ def test_rewrite_is_bit_identical_to_legacy_plan(spark, sf_dir):
     assert got == want
 
 
+def test_psi_matches_hand_computation(spark):
+    """a=[1,1,2] vs b=[1,2,2], 10 bins over [1,2]: v=1 → bin 0,
+    v=2 → bin 9 (clamped). PSI_a = (2/3−1/3)ln(2) + (1/3−2/3)ln(1/2)
+    = (2/3)ln 2 — symmetric for b."""
+    import math
+
+    from parquet_rewriter_spark.operators.drift import psi_drift_by_group
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = psi_drift_by_group(df, "v", "g", out_group="g")
+    got = {r.g: (r.n_group, r.n_rest, r.psi) for r in out.collect()}
+    want = round((2 / 3) * math.log(2), 6)
+    assert got["a"] == (3, 3, want)
+    assert got["b"] == (3, 3, want)
+
+
+def test_psi_zero_identical_large_disjoint(spark):
+    from parquet_rewriter_spark.operators.drift import psi_drift_by_group
+
+    ident = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)]
+    out = psi_drift_by_group(
+        spark.createDataFrame(ident, "g string, v int"), "v", "g", out_group="g"
+    )
+    assert all(r.psi == 0.0 for r in out.collect())
+    # disjoint supports: each side's mass sits where the other has only
+    # the 1e-6 floor — PSI blows up far past the 0.25 "major shift" bar
+    disj = [("a", 10), ("a", 11), ("b", 1), ("b", 2)]
+    out2 = psi_drift_by_group(
+        spark.createDataFrame(disj, "g string, v int"), "v", "g", out_group="g"
+    )
+    assert all(r.psi > 5 for r in out2.collect())
+
+
 def test_null_groups_count_as_rest_only(spark):
     """Rows with a NULL group value are corpus reality (a source tag
     missing). They must count toward every group's complement ("rest")
