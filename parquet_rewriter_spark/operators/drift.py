@@ -133,9 +133,22 @@ def psi_drift_by_group(
     distinct values by their counts — gives bit-identical results to
     binning raw rows at none of the cost."""
     per_v, groups = _per_value_group_counts(df, value_col, group_col)
-    rng = per_v.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    # corpus range via an UNPARTITIONED window over per_v, not a
+    # separate rng aggregate: a `per_v.agg(min,max)` relation would be
+    # a second reference to the per_v subtree, and Spark re-executes
+    # common subplans — the corpus would be scanned twice just to
+    # learn two scalars. The single-partition window moves only the
+    # distinct-value relation (|V| skinny rows), never corpus rows.
+    w_all = Window.partitionBy()
+    ranged = per_v.select(
+        "__v",
+        "__t",
+        "__m",
+        F.min("__v").over(w_all).alias("__lo"),
+        F.max("__v").over(w_all).alias("__hi"),
+    )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
-    binned = per_v.crossJoin(F.broadcast(rng)).select(
+    binned = ranged.select(
         "__t",
         "__m",
         F.when(F.col("__hi") == F.col("__lo"), F.lit(0))

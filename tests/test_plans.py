@@ -374,6 +374,20 @@ def test_ks_drift_scans_corpus_without_fanout(spark, sf_dir):
     assert "Exchange rangepartitioning" not in p
 
 
+def test_psi_drift_scans_corpus_twice_max(spark, sf_dir):
+    """PSI shares KS's shape; its extra need — the corpus value range —
+    must come from a window over the distinct-value relation, not a
+    second reference to the per-value subtree (Spark re-executes common
+    subplans, so that would re-scan the corpus just for two scalars).
+    Two scans total: the counts pipeline and the group-list distinct."""
+    from parquet_rewriter_spark.operators.drift import psi_drift_by_group
+
+    d = load_table(spark, sf_dir, "documents")
+    p = plan_of(psi_drift_by_group(d, "n_chars", "source"), "simple")
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan") == 2, p
+
+
 def test_negative_sampling_candidates_are_projection(spark, sf_dir):
     """Candidate generation must be a generate/explode (no shuffle
     before the attribute-fetch join); the only exchanges are the equi
