@@ -42,11 +42,16 @@ def _per_value_group_counts(df: DataFrame, value_col: str, group_col: str):
     """Shared first stage of every drift statistic: ONE corpus-wide
     hash aggregate to per-(group, value) counts (map-side combine
     collapses duplicates before the exchange), folded to one row per
-    DISTINCT VALUE carrying the value's total and a group→count map
-    (groupBy keys make the map keys unique). NULL-group rows count
-    toward every group's "rest" (they stay in the total) but cannot be
-    map keys and get no output row — collect_list drops the null
-    struct the WHEN produces for them. Returns (per_v, groups)."""
+    DISTINCT VALUE carrying the value's total, a group→count map
+    (groupBy keys make the map keys unique), and ``__gs`` — the global
+    group list, derived from the maps themselves via an unpartitioned
+    window so the CORPUS is scanned exactly once (a separate
+    ``df.select(group).distinct()`` relation would re-scan the group
+    column corpus-wide just to learn ~G strings; the window moves only
+    the |V| distinct-value rows). NULL-group rows count toward every
+    group's "rest" (they stay in the total) but cannot be map keys and
+    get no output row — collect_list drops the null struct the WHEN
+    produces for them."""
     gv = df.groupBy(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     ).agg(F.count(F.lit(1)).alias("__n"))
@@ -58,12 +63,13 @@ def _per_value_group_counts(df: DataFrame, value_col: str, group_col: str):
             )
         ).alias("__m"),
     )
-    groups = (
-        df.select(F.col(group_col).alias("__g"))
-        .filter(F.col(group_col).isNotNull())
-        .distinct()
+    w_all = Window.partitionBy()
+    return per_v.withColumn(
+        "__gs",
+        F.array_distinct(
+            F.flatten(F.collect_set(F.map_keys("__m")).over(w_all))
+        ),
     )
-    return per_v, groups
 
 
 def ks_drift_by_group(
@@ -77,15 +83,22 @@ def ks_drift_by_group(
     """Per-group two-sample KS statistic: each group's ``value_col``
     distribution vs the rest of the table. Returns (group, n_group,
     n_rest, ks_stat) — one row per distinct group."""
-    per_v, groups = _per_value_group_counts(df, value_col, group_col)
-    counts = per_v.crossJoin(F.broadcast(groups)).select(
+    per_v = _per_value_group_counts(df, value_col, group_col)
+    # explicit re-exchange on the group key after the explode: the
+    # window pass left everything on ONE partition, which would satisfy
+    # the CDF windows' clustering trivially and serialize the whole
+    # |V|·G relation onto one task. hash(g) restores G-way parallelism
+    # and satisfies the windows AND the final aggregate — one exchange.
+    counts = per_v.select(
+        F.explode("__gs").alias("__g"), "__v", "__t", "__m"
+    ).select(
         "__g",
         "__v",
         F.coalesce(F.col("__m")[F.col("__g")], F.lit(0))
         .cast("double").alias("__ca"),
         (F.col("__t") - F.coalesce(F.col("__m")[F.col("__g")], F.lit(0)))
         .cast("double").alias("__cb"),
-    )
+    ).repartition(F.col("__g"))
     w_tot = Window.partitionBy("__g")
     w_cum = (
         Window.partitionBy("__g")
@@ -132,18 +145,19 @@ def psi_drift_by_group(
     distinct-value relation. Binning after aggregation — weighting
     distinct values by their counts — gives bit-identical results to
     binning raw rows at none of the cost."""
-    per_v, groups = _per_value_group_counts(df, value_col, group_col)
-    # corpus range via an UNPARTITIONED window over per_v, not a
-    # separate rng aggregate: a `per_v.agg(min,max)` relation would be
-    # a second reference to the per_v subtree, and Spark re-executes
-    # common subplans — the corpus would be scanned twice just to
-    # learn two scalars. The single-partition window moves only the
-    # distinct-value relation (|V| skinny rows), never corpus rows.
+    per_v = _per_value_group_counts(df, value_col, group_col)
+    # corpus range via the SAME unpartitioned window pass that already
+    # derives the group list: a separate `per_v.agg(min,max)` relation
+    # would be a second reference to the per_v subtree, and Spark
+    # re-executes common subplans — the corpus would be re-scanned just
+    # to learn two scalars. The window moves only the distinct-value
+    # relation (|V| skinny rows), never corpus rows.
     w_all = Window.partitionBy()
     ranged = per_v.select(
         "__v",
         "__t",
         "__m",
+        "__gs",
         F.min("__v").over(w_all).alias("__lo"),
         F.max("__v").over(w_all).alias("__hi"),
     )
@@ -151,6 +165,7 @@ def psi_drift_by_group(
     binned = ranged.select(
         "__t",
         "__m",
+        "__gs",
         F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
         .otherwise(
             F.least(
@@ -162,13 +177,17 @@ def psi_drift_by_group(
         .alias("__bin"),
     )
     ca0 = F.coalesce(F.col("__m")[F.col("__g")], F.lit(0))
+    # hash(g) after the explode restores G-way parallelism (the window
+    # pass left one partition) and satisfies the (g, bin) aggregate,
+    # the probability windows, and the final per-group aggregate alike
     per_bin = (
-        binned.crossJoin(F.broadcast(groups))
+        binned.select(F.explode("__gs").alias("__g"), "__bin", "__t", "__m")
         .select(
             "__g", "__bin",
             ca0.alias("__ca0"),
             (F.col("__t") - ca0).alias("__cb0"),
         )
+        .repartition(F.col("__g"))
         .groupBy("__g", "__bin")
         .agg(
             F.sum("__ca0").cast("double").alias("__ca"),

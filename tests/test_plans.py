@@ -350,42 +350,35 @@ def test_scalar_crossjoins_broadcast_by_construction(spark, sf_dir):
         assert "CartesianProduct" not in p, q
 
 
-def test_ks_drift_scans_corpus_without_fanout(spark, sf_dir):
-    """The corpus must contribute exactly one map-side-combined
-    aggregate (partial count directly above the scan, BEFORE its
-    exchange) and must never be cross-joined row-wise: the G-way
-    expansion applies to the per-distinct-value relation — the
-    BroadcastNestedLoopJoin streams an AGGREGATE, not a scan — so every
-    shuffle payload is bounded by |V|·G however large the corpus."""
-    from parquet_rewriter_spark.operators.drift import ks_drift_by_group
+def test_ks_drift_scans_corpus_once_without_fanout(spark, sf_dir):
+    """Drift statistics must read the corpus EXACTLY ONCE — one
+    map-side-combined aggregate (partial count directly above the
+    scan, before its exchange) — and must never expand it row-wise:
+    the G-way expansion is an explode of the group list over the
+    per-distinct-value relation, and the group list itself comes from
+    that relation's maps (a separate distinct() would re-scan the
+    group column corpus-wide). Every shuffle after the first is
+    bounded by |V|·G however large the corpus; the only
+    single-partition stage is the window over the |V|-row relation."""
+    from parquet_rewriter_spark.operators.drift import (
+        ks_drift_by_group,
+        psi_drift_by_group,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    p = plan_of(ks_drift_by_group(d, "n_chars", "source"), "simple")
-    assert "CartesianProduct" not in p
-    lines = p.splitlines()
-    i = next(j for j, l in enumerate(lines) if "BroadcastNestedLoopJoin" in l)
-    assert "Aggregate" in lines[i + 1], p  # streamed side already aggregated
-    # corpus rows pre-combine before the one data exchange
-    scan_first = min(j for j, l in enumerate(lines) if "FileScan" in l)
-    assert "partial_count" in lines[scan_first - 1], p
-    # (g,v) counts + per-value fold + group-list distinct + CDF windows
-    assert p.count("Exchange hashpartitioning") == 4, p
-    assert "Exchange SinglePartition" not in p
-    assert "Exchange rangepartitioning" not in p
-
-
-def test_psi_drift_scans_corpus_twice_max(spark, sf_dir):
-    """PSI shares KS's shape; its extra need — the corpus value range —
-    must come from a window over the distinct-value relation, not a
-    second reference to the per-value subtree (Spark re-executes common
-    subplans, so that would re-scan the corpus just for two scalars).
-    Two scans total: the counts pipeline and the group-list distinct."""
-    from parquet_rewriter_spark.operators.drift import psi_drift_by_group
-
-    d = load_table(spark, sf_dir, "documents")
-    p = plan_of(psi_drift_by_group(d, "n_chars", "source"), "simple")
-    assert "CartesianProduct" not in p
-    assert p.count("FileScan") == 2, p
+    for fn in (ks_drift_by_group, psi_drift_by_group):
+        p = plan_of(fn(d, "n_chars", "source"), "simple")
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+        assert p.count("FileScan") == 1, (fn.__name__, p)
+        lines = p.splitlines()
+        scan_at = next(j for j, l in enumerate(lines) if "FileScan" in l)
+        assert "partial_count" in lines[scan_at - 1], (fn.__name__, p)
+        # (g,v) counts + per-value fold + the per-group stage
+        assert p.count("Exchange hashpartitioning") == 3, (fn.__name__, p)
+        # exactly the one |V|-row window exchange, nothing corpus-width
+        assert p.count("Exchange SinglePartition") == 1, (fn.__name__, p)
+        assert "Exchange rangepartitioning" not in p, fn.__name__
 
 
 def test_negative_sampling_candidates_are_projection(spark, sf_dir):
