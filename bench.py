@@ -116,6 +116,7 @@ EXTENDED = [
     "bulk_bucketed_merge_scan",
     "rekey_inflight_read_scan",
     "source_length_drift_psi",
+    "incremental_drift_monitor",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

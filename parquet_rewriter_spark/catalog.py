@@ -6577,6 +6577,94 @@ def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_drift_monitor",
+    """
+    WITH b AS (
+      SELECT source AS g,
+             (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bin
+      FROM documents
+    ),
+    bins AS (SELECT unnest(generate_series(0, 4)) AS bin),
+    g AS (SELECT DISTINCT g FROM b WHERE g IS NOT NULL),
+    cnt AS (SELECT g, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT bin, sum(n) AS t FROM cnt GROUP BY bin),
+    grid AS (SELECT g.g, bins.bin FROM g CROSS JOIN bins),
+    cells AS (
+      SELECT grid.g, grid.bin,
+             CAST(coalesce(cnt.n, 0) AS DOUBLE) AS ca,
+             CAST(coalesce(tot.t, 0) - coalesce(cnt.n, 0) AS DOUBLE) AS cb
+      FROM grid
+      LEFT JOIN cnt ON cnt.g = grid.g AND cnt.bin = grid.bin
+      LEFT JOIN tot ON tot.bin = grid.bin
+    ),
+    probs AS (
+      SELECT g,
+             greatest(ca / sum(ca) OVER (PARTITION BY g), 1e-6) AS pa,
+             greatest(cb / sum(cb) OVER (PARTITION BY g), 1e-6) AS pb,
+             sum(ca) OVER (PARTITION BY g) AS na,
+             sum(cb) OVER (PARTITION BY g) AS nb
+      FROM cells
+    )
+    SELECT g AS source, CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM probs GROUP BY g
+    """,
+    "drift", "monitoring", "psi", "incremental", "sidecar",
+)
+def incremental_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI served from a PERSISTENT, incrementally-maintained sidecar
+    (operators/driftstats.py): each file carries its per-(source, bin)
+    count matrix under DECLARED bin edges; matrices are additive, so
+    the corpus histogram — and PSI per source vs rest — is a driver sum
+    over ≤ |G|·(B+1) integers with NO data scan once the sidecar is
+    complete. The sequence: seed the table missing a contiguous doc_id
+    range → build (one matrix per file) → one merge inserts the gap and
+    rewrites a small head range → refresh builds matrices ONLY for the
+    churned files (asserted ≪ table) → PSI from the sidecar. The oracle
+    recomputes fixed-bin PSI from scratch over the final corpus, so a
+    hash match proves the incremental histogram converged bit-for-bit
+    to the from-scratch counts."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        build_drift_stats,
+        psi_from_stats,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n = int(d.agg(F.max("doc_id")).first()[0]) + 1
+    gap_lo, gap_hi = n // 3, n // 3 + max(1, n // 10)
+    head_hi = max(1, n // 20)
+    seed = d.filter(
+        ~((F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi))
+    )
+    t = SortedTable.create(
+        spark, _scratch("driftstats"), seed, key="doc_id",
+        max_records_per_file=_scaled_mrpf(seed, 9),
+    )
+    built0 = build_drift_stats(t, "n_chars", "source", EDGES)
+    assert built0 == len(t.manifest().files)  # one matrix per file
+
+    muts = d.filter(
+        ((F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi))
+        | (F.col("doc_id") < head_hi)
+    ).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, allow_splice=False)
+
+    built1 = build_drift_stats(t, "n_chars", "source", EDGES)
+    # refresh ∝ churn: only files the merge wrote need new matrices
+    assert 0 < built1 < len(t.manifest().files)
+    return psi_from_stats(t, "n_chars", "source", EDGES)
+
+
+@query(
     "copurchase_triangle_count",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -11321,6 +11409,7 @@ _VERIFY_FIRST = (
     # the rows-only tail so full-compare slots go to strong checks.
     "rekey_inflight_read_scan",
     "source_length_drift_psi",
+    "incremental_drift_monitor",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

@@ -1310,8 +1310,9 @@ class SortedTable:
         from parquet_rewriter_spark.operators.bloom import BLOOM_DIR
         from parquet_rewriter_spark.operators.covstats import COV_DIR
         from parquet_rewriter_spark.operators.distinct_sketch import SKETCH_DIR
+        from parquet_rewriter_spark.operators.driftstats import DRIFT_DIR
 
-        for sidecar in (BLOOM_DIR, SKETCH_DIR, COV_DIR):
+        for sidecar in (BLOOM_DIR, SKETCH_DIR, COV_DIR, DRIFT_DIR):
             side = os.path.join(self.path, sidecar)
             if not os.path.isdir(side):
                 continue

@@ -1,0 +1,147 @@
+"""Incremental drift sidecar (operators/driftstats.py): additive
+per-file (group, bin) count matrices under declared bin edges — PSI at
+churn cost, exact, with the covstats family's exactly-once and
+DV-refusal contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from parquet_rewriter_spark.operators.driftstats import (
+    _build_for,
+    _spec_id,
+    build_drift_stats,
+    psi_from_stats,
+)
+from parquet_rewriter_spark.operators.merge import merge_into_table
+from parquet_rewriter_spark.table import SortedTable
+
+EDGES = [10, 20, 30]
+
+
+def _mk(spark, tmp_path, n=400, mrpf=50):
+    rows = [
+        Row(k=i, g=("a" if i % 3 == 0 else "b" if i % 3 == 1 else "c"),
+            v=i % 40)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v int")
+    return SortedTable.create(
+        spark, str(tmp_path / "t"), df, key="k", max_records_per_file=mrpf
+    ), rows
+
+
+def _psi_reference(rows, edges, floor_p=1e-6):
+    """Straight-line python replay: bin every row, count, PSI."""
+    n_bins = len(edges) + 1
+    tot = [0] * n_bins
+    per_g: dict[str, list[int]] = {}
+    for r in rows:
+        b = sum(1 for e in edges if r.v > e)
+        tot[b] += 1
+        per_g.setdefault(r.g, [0] * n_bins)[b] += 1
+    out = {}
+    for g, ca in per_g.items():
+        cb = [t - c for t, c in zip(tot, ca)]
+        na, nb = float(sum(ca)), float(sum(cb))
+        psi = sum(
+            (max(c / na, floor_p) - max(d / nb, floor_p))
+            * math.log(max(c / na, floor_p) / max(d / nb, floor_p))
+            for c, d in zip(ca, cb)
+        )
+        out[g] = (int(na), int(nb), round(psi, 6))
+    return out
+
+
+def test_psi_from_stats_matches_reference(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    built = build_drift_stats(t, "v", "g", EDGES)
+    assert built == len(t.manifest().files)
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "v", "g", EDGES).collect()}
+    assert got == _psi_reference(rows, EDGES)
+
+
+def test_refresh_cost_is_churn(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path)
+    build_drift_stats(t, "v", "g", EDGES)
+    # clustered upsert: flips v for keys 0..29 — a small file subset
+    muts = spark.createDataFrame(
+        [Row(k=i, g=("a" if i % 3 == 0 else "b" if i % 3 == 1 else "c"),
+             v=39, op="UPSERT") for i in range(30)],
+        "k long, g string, v int, op string",
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    built = build_drift_stats(t, "v", "g", EDGES)
+    assert 0 < built < len(t.manifest().files)
+    # answer equals a from-scratch replay of the mutated logical rows
+    mutated = [Row(k=r.k, g=r.g, v=39) if r.k < 30 else r for r in rows]
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "v", "g", EDGES).collect()}
+    assert got == _psi_reference(mutated, EDGES)
+
+
+def test_null_groups_rest_only_and_typed_output(spark, tmp_path):
+    rows = [Row(k=0, g="a", v=5), Row(k=1, g="a", v=25),
+            Row(k=2, g="b", v=5), Row(k=3, g=None, v=25)]
+    df = spark.createDataFrame(rows, "k long, g string, v int")
+    t = SortedTable.create(spark, str(tmp_path / "tn"), df, key="k",
+                           max_records_per_file=2)
+    out = psi_from_stats(t, "v", "g", EDGES)  # self-heals: builds inline
+    got = {r["g"]: (r["n_group"], r["n_rest"]) for r in out.collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] == (2, 2)  # rest includes b's row AND the null row
+    assert got["b"] == (1, 3)
+
+
+def test_dv_refusal(spark, tmp_path):
+    from parquet_rewriter_spark.operators.deletion_vectors import (
+        delete_keys_mor,
+    )
+
+    t, _rows = _mk(spark, tmp_path)
+    build_drift_stats(t, "v", "g", EDGES)
+    delete_keys_mor(t, spark.createDataFrame([(7,)], "k long"))
+    with pytest.raises(ValueError, match="deletion vectors"):
+        psi_from_stats(t, "v", "g", EDGES)
+
+
+def test_racing_double_build_collapses(spark, tmp_path):
+    t, rows = _mk(spark, tmp_path, n=100, mrpf=50)
+    m = t.manifest()
+    sid = _spec_id("v", "g", EDGES)
+    names = [e.name for e in m.files]
+    _build_for(t, names, "v", "g", EDGES, sid)
+    _build_for(t, names, "v", "g", EDGES, sid)  # duplicate sidecar rows
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "v", "g", EDGES).collect()}
+    assert got == _psi_reference(rows, EDGES)
+
+
+def test_vacuum_prunes_dead_driftstats_rows(spark, tmp_path):
+    import os
+
+    from parquet_rewriter_spark.operators.driftstats import DRIFT_DIR
+
+    t, _rows = _mk(spark, tmp_path)
+    build_drift_stats(t, "v", "g", EDGES)
+    muts = spark.createDataFrame(
+        [Row(k=i, g="a", v=1, op="UPSERT") for i in range(0, 400, 3)],
+        "k long, g string, v int, op string",
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    build_drift_stats(t, "v", "g", EDGES)
+    side = os.path.join(t.path, DRIFT_DIR)
+    files_before = {
+        r["file"] for r in spark.read.parquet(side).select("file").collect()
+    }
+    live = {e.name for e in t.manifest().files}
+    assert files_before - live  # retired files' rows still in the log
+    t.vacuum(retain_versions=1)
+    files_after = {
+        r["file"] for r in spark.read.parquet(side).select("file").collect()
+    }
+    assert files_after <= live  # dead rows swept with the other sidecars
