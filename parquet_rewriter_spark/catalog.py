@@ -6576,9 +6576,7 @@ def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift_by_group(d, "n_chars", "source")
 
 
-@query(
-    "incremental_drift_monitor",
-    """
+_FIXED_BIN_PSI_SQL = """
     WITH b AS (
       SELECT source AS g,
              (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
@@ -6612,7 +6610,12 @@ def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(nb) AS BIGINT) AS n_rest,
            round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
     FROM probs GROUP BY g
-    """,
+    """
+
+
+@query(
+    "incremental_drift_monitor",
+    _FIXED_BIN_PSI_SQL,
     "drift", "monitoring", "psi", "incremental", "sidecar",
 )
 def incremental_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6661,6 +6664,52 @@ def incremental_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     built1 = build_drift_stats(t, "n_chars", "source", EDGES)
     # refresh ∝ churn: only files the merge wrote need new matrices
     assert 0 < built1 < len(t.manifest().files)
+    return psi_from_stats(t, "n_chars", "source", EDGES)
+
+
+@query(
+    "stream_incremental_drift",
+    _FIXED_BIN_PSI_SQL,
+    "streaming", "drift", "psi", "incremental", "exactly-once", "sidecar",
+)
+def stream_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upkeep of the declared-bin drift sidecar
+    (streaming/ops.py:stream_maintain_drift): a third of the documents
+    seed the table + its per-file (source, bin) count matrices; the
+    full corpus then flows through foreachBatch — each micro-batch
+    merges exactly-once and re-counts ONLY the files its commit
+    rewrote. The final sidecar-summed PSI must equal DuckDB's
+    from-scratch fixed-bin PSI over all documents: a skipped refresh,
+    a double-counted matrix, or a stale file's rows anywhere flips the
+    hash."""
+    import tempfile
+    import uuid as _uuid
+
+    from parquet_rewriter_spark.operators.driftstats import (
+        build_drift_stats,
+        psi_from_stats,
+    )
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_maintain_drift,
+        stream_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = SortedTable.create(
+        spark, _scratch("sdrift"), d.filter(F.col("doc_id") % 3 == 0),
+        key="doc_id", max_records_per_file=_scaled_mrpf(d, 9),
+    )
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    stream = stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"sdrift_ckpt_{_uuid.uuid4().hex[:8]}_")
+    stream_maintain_drift(
+        stream, t, "n_chars", "source", EDGES,
+        checkpoint_dir=ckpt, timeout_s=240,
+    )
     return psi_from_stats(t, "n_chars", "source", EDGES)
 
 
@@ -11410,6 +11459,7 @@ _VERIFY_FIRST = (
     "rekey_inflight_read_scan",
     "source_length_drift_psi",
     "incremental_drift_monitor",
+    "stream_incremental_drift",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

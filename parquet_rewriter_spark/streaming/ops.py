@@ -595,6 +595,47 @@ def stream_maintain_covstats(
     return table
 
 
+def stream_maintain_drift(
+    stream: DataFrame,
+    table,
+    value_col: str,
+    group_col: str,
+    edges,
+    checkpoint_dir: str,
+    epoch_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    timeout_s: int = 300,
+):
+    """Streaming upkeep of the declared-bin drift sidecar
+    (operators/driftstats.py): each micro-batch merges into the table
+    exactly-once, then count matrices are recomputed for JUST the files
+    that commit rewrote — PSI monitoring stays current with the stream
+    at churn cost, exact. Replays are double-safe: the merge skips
+    replayed epochs and the builder only fills files missing a matrix."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from parquet_rewriter_spark.operators.driftstats import (
+            build_drift_stats,
+        )
+        from parquet_rewriter_spark.operators.merge import merge_into_table
+
+        mut = epoch_fn(batch_df, epoch_id) if epoch_fn else batch_df
+        merge_into_table(table, mut, txn=("driftstats_stream", epoch_id))
+        # Unconditional fill-missing pass — same crash-replay rationale
+        # as stream_maintain_covstats (idempotent, no-op when current).
+        build_drift_stats(table, value_col, group_col, edges)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):  # timeout → partial state, fail loudly
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+    return table
+
+
 def stream_quality_route(
     stream: DataFrame,
     rules: dict[str, str],
