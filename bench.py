@@ -116,7 +116,6 @@ EXTENDED = [
     "bulk_bucketed_merge_scan",
     "rekey_inflight_read_scan",
     "source_length_drift_psi",
-    "incremental_drift_monitor",
     "stream_incremental_drift",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
