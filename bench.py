@@ -117,6 +117,7 @@ EXTENDED = [
     "rekey_inflight_read_scan",
     "source_length_drift_psi",
     "stream_incremental_drift",
+    "source_lang_drift_chi2",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

@@ -6714,6 +6714,53 @@ def stream_incremental_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_lang_drift_chi2",
+    """
+    WITH gv AS (
+      SELECT source AS g, lang AS v, count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, sum(n) AS t FROM gv GROUP BY v),
+    g AS (SELECT DISTINCT g FROM gv WHERE g IS NOT NULL),
+    cells AS (
+      SELECT g.g, vt.v, vt.t,
+             CAST(coalesce(gv.n, 0) AS DOUBLE) AS ca,
+             CAST(vt.t - coalesce(gv.n, 0) AS DOUBLE) AS cb
+      FROM vt CROSS JOIN g
+      LEFT JOIN gv ON gv.g = g.g AND gv.v = vt.v
+    ),
+    w AS (
+      SELECT g, t, ca, cb,
+             sum(ca) OVER (PARTITION BY g) AS na,
+             sum(cb) OVER (PARTITION BY g) AS nb
+      FROM cells
+    )
+    SELECT g AS source,
+           CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(sum(  pow(ca - na * t / (na + nb), 2) / (na * t / (na + nb))
+                     + pow(cb - nb * t / (na + nb), 2) / (nb * t / (na + nb))),
+                 4) AS chi2
+    FROM w GROUP BY g
+    """,
+    "drift", "monitoring", "chi2", "categorical",
+)
+def source_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (operators/drift.py:chi2_drift_by_group):
+    per-source chi-square homogeneity of the LANGUAGE mix vs the rest
+    of the corpus — the drift check for discrete columns where KS
+    (needs an order) and PSI (needs numeric bins) do not apply. Same
+    one-corpus-pass shared stage as the other drift statistics; exact
+    integer counts + double expectation arithmetic, replayed by the
+    oracle to the digit."""
+    from parquet_rewriter_spark.operators.drift import chi2_drift_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return chi2_drift_by_group(d, "lang", "source")
+
+
+@query(
     "copurchase_triangle_count",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -11460,6 +11507,7 @@ _VERIFY_FIRST = (
     "source_length_drift_psi",
     "incremental_drift_monitor",
     "stream_incremental_drift",
+    "source_lang_drift_chi2",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

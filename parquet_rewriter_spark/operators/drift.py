@@ -122,6 +122,56 @@ def ks_drift_by_group(
     ).withColumnRenamed("__g", out_group)
 
 
+def chi2_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_group: str = "source",
+    out_stat: str = "chi2",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group chi-square homogeneity statistic vs the rest — the
+    CATEGORICAL drift companion (KS needs an ordering, PSI numeric
+    bins; chi-square works on any discrete column, e.g. language or
+    label mix per source). For group a vs complement b over values v:
+    X² = Σ_v (ca−Ea)²/Ea + (cb−Eb)²/Eb with Ea = na·t_v/N — the 2×|V|
+    contingency test. dof = |V|−1. Same one-corpus-pass shared stage
+    and |V|·G-bounded shuffles as the KS/PSI twins. Returns (group,
+    n_group, n_rest, dof, chi2)."""
+    per_v = _per_value_group_counts(df, value_col, group_col)
+    counts = per_v.select(
+        F.explode("__gs").alias("__g"), "__v", "__t", "__m"
+    ).select(
+        "__g",
+        "__v",
+        F.col("__t").alias("__tv"),
+        F.coalesce(F.col("__m")[F.col("__g")], F.lit(0))
+        .cast("double").alias("__ca"),
+        (F.col("__t") - F.coalesce(F.col("__m")[F.col("__g")], F.lit(0)))
+        .cast("double").alias("__cb"),
+    ).repartition(F.col("__g"))
+    w = Window.partitionBy("__g")
+    na = F.sum("__ca").over(w)
+    nb = F.sum("__cb").over(w)
+    ea = na * F.col("__tv") / (na + nb)
+    eb = nb * F.col("__tv") / (na + nb)
+    terms = counts.select(
+        "__g",
+        na.alias("__na"),
+        nb.alias("__nb"),
+        (
+            F.pow(F.col("__ca") - ea, F.lit(2)) / ea
+            + F.pow(F.col("__cb") - eb, F.lit(2)) / eb
+        ).alias("__term"),
+    )
+    return terms.groupBy("__g").agg(
+        F.max("__na").cast("long").alias("n_group"),
+        F.max("__nb").cast("long").alias("n_rest"),
+        (F.count(F.lit(1)) - 1).alias("dof"),
+        F.round(F.sum("__term"), round_digits).alias(out_stat),
+    ).withColumnRenamed("__g", out_group)
+
+
 def psi_drift_by_group(
     df: DataFrame,
     value_col: str,

@@ -122,6 +122,28 @@ def test_psi_zero_identical_large_disjoint(spark):
     assert all(r.psi > 5 for r in out2.collect())
 
 
+def test_chi2_matches_hand_computation(spark):
+    """a=[1,1,2] vs b=[1,2,2]: t_v = (3,3), n_a = n_b = 3, every
+    expected cell = 3·3/6 = 1.5, so X² = 4·(0.5²/1.5) = 2/3; dof = 1."""
+    from parquet_rewriter_spark.operators.drift import chi2_drift_by_group
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = chi2_drift_by_group(df, "v", "g", out_group="g")
+    got = {r.g: (r.n_group, r.n_rest, r.dof, r.chi2) for r in out.collect()}
+    want = (3, 3, 1, round(2 / 3, 4))
+    assert got["a"] == want and got["b"] == want
+
+
+def test_chi2_zero_for_identical_mix(spark):
+    from parquet_rewriter_spark.operators.drift import chi2_drift_by_group
+
+    rows = [(g, v) for g in ("a", "b", "c") for v in ("x", "y", "y")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = chi2_drift_by_group(df, "v", "g", out_group="g")
+    assert all(r.chi2 == 0.0 and r.dof == 1 for r in out.collect())
+
+
 def test_null_groups_count_as_rest_only(spark):
     """Rows with a NULL group value are corpus reality (a source tag
     missing). They must count toward every group's complement ("rest")

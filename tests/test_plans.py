@@ -361,12 +361,13 @@ def test_ks_drift_scans_corpus_once_without_fanout(spark, sf_dir):
     bounded by |V|·G however large the corpus; the only
     single-partition stage is the window over the |V|-row relation."""
     from parquet_rewriter_spark.operators.drift import (
+        chi2_drift_by_group,
         ks_drift_by_group,
         psi_drift_by_group,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    for fn in (ks_drift_by_group, psi_drift_by_group):
+    for fn in (ks_drift_by_group, psi_drift_by_group, chi2_drift_by_group):
         p = plan_of(fn(d, "n_chars", "source"), "simple")
         assert "CartesianProduct" not in p, fn.__name__
         assert "BroadcastNestedLoopJoin" not in p, fn.__name__
