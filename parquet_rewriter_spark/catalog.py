@@ -6761,6 +6761,79 @@ def source_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_drift_psi",
+    """
+    WITH ob AS (
+      SELECT (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bin
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    nb2 AS (
+      SELECT (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bin
+      FROM documents
+    ),
+    bins AS (SELECT unnest(generate_series(0, 4)) AS bin),
+    oc AS (SELECT bin, count(*) AS n FROM ob GROUP BY bin),
+    nc AS (SELECT bin, count(*) AS n FROM nb2 GROUP BY bin),
+    cells AS (
+      SELECT b.bin,
+             CAST(coalesce(oc.n, 0) AS DOUBLE) AS co,
+             CAST(coalesce(nc.n, 0) AS DOUBLE) AS cn
+      FROM bins b
+      LEFT JOIN oc ON oc.bin = b.bin
+      LEFT JOIN nc ON nc.bin = b.bin
+    ),
+    tots AS (
+      SELECT co, cn, sum(co) OVER () AS so, sum(cn) OVER () AS sn
+      FROM cells
+    )
+    SELECT CAST(max(so) AS BIGINT) AS n_old,
+           CAST(max(sn) AS BIGINT) AS n_new,
+           round(sum((greatest(cn / sn, 1e-6) - greatest(co / so, 1e-6))
+                     * ln(greatest(cn / sn, 1e-6)
+                          / greatest(co / so, 1e-6))), 6) AS psi
+    FROM tots
+    """,
+    "drift", "monitoring", "psi", "time-travel", "sidecar",
+)
+def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIFT OVER TIME from the sidecar + time travel
+    (operators/driftstats.py:psi_between_versions): PSI of the whole
+    corpus's length distribution between the pre-ingest snapshot and
+    the current one — "did this batch shift the table?" — answered by
+    summing each snapshot's per-file count matrices; no data file is
+    read (retired files' matrices persist until vacuum, so historical
+    snapshots stay summable). The oracle recomputes both histograms
+    from the raw rows each snapshot logically contained."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        build_drift_stats,
+        psi_between_versions,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = SortedTable.create(
+        spark, _scratch("snapdrift"), d.filter(F.col("doc_id") % 3 != 0),
+        key="doc_id", max_records_per_file=_scaled_mrpf(d, 9),
+    )
+    v0 = t.manifest().version
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    muts = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "op", F.lit("UPSERT")
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    return psi_between_versions(t, "n_chars", "source", EDGES, v_old=v0)
+
+
+@query(
     "copurchase_triangle_count",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -11508,6 +11581,7 @@ _VERIFY_FIRST = (
     "incremental_drift_monitor",
     "stream_incremental_drift",
     "source_lang_drift_chi2",
+    "snapshot_drift_psi",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

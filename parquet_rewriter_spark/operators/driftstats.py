@@ -114,6 +114,72 @@ def build_drift_stats(
     return _build_for(table, todo, pv, pg, edges, sid)
 
 
+def _histogram_at(table, m, pv: str, pg: str, edges: Sequence[Any],
+                  sid: str) -> list[int]:
+    """Whole-table per-bin counts of snapshot ``m`` from sidecar rows
+    (groups summed, nulls included). Self-heals missing files — retired
+    data files persist until vacuum, so historical snapshots stay
+    summable."""
+    names = {e.name for e in m.files}
+    if any(e.dv_rows for e in m.files):
+        raise ValueError(
+            "snapshot has merge-on-read deletion vectors; its count "
+            "matrices still include tombstoned rows — materialize "
+            "deletes for an exact answer"
+        )
+    have = _have_files(table, sid)
+    missing = [n for n in names if n not in have]
+    if missing:
+        _build_for(table, missing, pv, pg, edges, sid)
+    rows = (
+        table.spark.read.parquet(_sidecar(table))
+        .filter((F.col("spec") == sid) & F.col("file").isin(list(names)))
+        .dropDuplicates(["file", "grp", "bin"])
+        .groupBy("bin")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    tot = [0] * (len(edges) + 1)
+    for r in rows:
+        tot[r["bin"]] += r["n"]
+    return tot
+
+
+def psi_between_versions(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    v_old: int,
+    v_new: int | None = None,
+    floor_p: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI of the WHOLE table's value distribution between two
+    snapshots — "did this batch of ingests shift the corpus?" — from
+    sidecar matrices of each snapshot's file list; no data file is
+    read. Works for any retained version: a retired file's matrix
+    outlives its manifest membership until vacuum sweeps both.
+    Returns one row (n_old, n_new, psi)."""
+    m_new = table.manifest(v_new)
+    m_old = table.manifest(v_old)
+    pv = table.to_physical(value_col, m_new)
+    pg = table.to_physical(group_col, m_new)
+    sid = _spec_id(pv, pg, edges)
+    old = _histogram_at(table, m_old, pv, pg, edges, sid)
+    new = _histogram_at(table, m_new, pv, pg, edges, sid)
+    no, nn = float(sum(old)), float(sum(new))
+    psi = 0.0
+    for c_o, c_n in zip(old, new):
+        po = max(c_o / no, floor_p)
+        pn = max(c_n / nn, floor_p)
+        psi += (pn - po) * math.log(pn / po)
+    return table.spark.createDataFrame(
+        [(int(no), int(nn), round(psi, round_digits))],
+        "n_old long, n_new long, psi double",
+    )
+
+
 def psi_from_stats(
     table,
     value_col: str,

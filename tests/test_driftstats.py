@@ -121,6 +121,49 @@ def test_racing_double_build_collapses(spark, tmp_path):
     assert got == _psi_reference(rows, EDGES)
 
 
+def test_psi_between_versions_uses_retired_files(spark, tmp_path):
+    """Drift over time: the old snapshot's histogram sums matrices of
+    files a later merge RETIRED — they must still answer (data files
+    persist until vacuum). Identical distributions → psi 0; a shifted
+    ingest → psi > 0; both checked against a python replay."""
+    import math as _math
+
+    from parquet_rewriter_spark.operators.driftstats import (
+        psi_between_versions,
+    )
+
+    t, rows = _mk(spark, tmp_path)
+    v0 = t.manifest().version
+    build_drift_stats(t, "v", "g", EDGES)
+    # shifted ingest: new keys, all values in the top bin
+    muts = spark.createDataFrame(
+        [Row(k=1000 + i, g="a", v=39, op="UPSERT") for i in range(200)],
+        "k long, g string, v int, op string",
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    got = psi_between_versions(t, "v", "g", EDGES, v_old=v0).first()
+    assert got["n_old"] == len(rows) and got["n_new"] == len(rows) + 200
+
+    def hist(rs):
+        h = [0] * (len(EDGES) + 1)
+        for r in rs:
+            h[sum(1 for e in EDGES if r.v > e)] += 1
+        return h
+
+    old, new = hist(rows), hist(rows + [Row(k=0, g="a", v=39)] * 200)
+    no, nn = float(sum(old)), float(sum(new))
+    want = sum(
+        (max(c_n / nn, 1e-6) - max(c_o / no, 1e-6))
+        * _math.log(max(c_n / nn, 1e-6) / max(c_o / no, 1e-6))
+        for c_o, c_n in zip(old, new)
+    )
+    assert got["psi"] == round(want, 6) and got["psi"] > 0
+    # same snapshot on both sides → zero drift
+    v_now = t.manifest().version
+    same = psi_between_versions(t, "v", "g", EDGES, v_old=v_now).first()
+    assert same["psi"] == 0.0
+
+
 def test_vacuum_prunes_dead_driftstats_rows(spark, tmp_path):
     import os
 
