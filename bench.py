@@ -118,6 +118,7 @@ EXTENDED = [
     "source_length_drift_psi",
     "stream_incremental_drift",
     "source_lang_drift_chi2",
+    "source_length_drift_w1",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

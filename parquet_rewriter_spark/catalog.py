@@ -6834,6 +6834,59 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_length_drift_w1",
+    """
+    WITH g AS (SELECT DISTINCT source AS gs FROM documents),
+    tagged AS (
+      SELECT g.gs, d.n_chars AS v,
+             CASE WHEN d.source = g.gs THEN 1 ELSE 0 END AS in_src
+      FROM documents d CROSS JOIN g
+    ),
+    counts AS (
+      SELECT gs, v, CAST(sum(in_src) AS DOUBLE) AS ca,
+             CAST(sum(1 - in_src) AS DOUBLE) AS cb
+      FROM tagged GROUP BY gs, v
+    ),
+    cdfs AS (
+      SELECT gs, v,
+             sum(ca) OVER (PARTITION BY gs ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(ca) OVER (PARTITION BY gs) AS fa,
+             sum(cb) OVER (PARTITION BY gs ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(cb) OVER (PARTITION BY gs) AS fb,
+             sum(ca) OVER (PARTITION BY gs) AS na,
+             sum(cb) OVER (PARTITION BY gs) AS nb
+      FROM counts
+    ),
+    gaps AS (
+      SELECT gs, na, nb,
+             abs(fa - fb)
+               * CAST(lead(v) OVER (PARTITION BY gs ORDER BY v) - v
+                      AS DOUBLE) AS area
+      FROM cdfs
+    )
+    SELECT gs AS source, CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(sum(area), 6) AS w1
+    FROM gaps GROUP BY gs
+    """,
+    "drift", "monitoring", "wasserstein",
+)
+def source_length_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift (operators/drift.py:w1_drift_by_group):
+    per-source earth-mover distance of the length distribution vs the
+    rest — the magnitude-sensitive companion to the KS sup-gap (KS
+    says IF mass moved, W1 says HOW FAR). Shares the drift family's
+    one-corpus-pass stage and the KS CDFs; one extra lead() on the
+    same group partitioning."""
+    from parquet_rewriter_spark.operators.drift import w1_drift_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    return w1_drift_by_group(d, "n_chars", "source")
+
+
+@query(
     "copurchase_triangle_count",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -11582,6 +11635,7 @@ _VERIFY_FIRST = (
     "stream_incremental_drift",
     "source_lang_drift_chi2",
     "snapshot_drift_psi",
+    "source_length_drift_w1",
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",

@@ -72,23 +72,16 @@ def _per_value_group_counts(df: DataFrame, value_col: str, group_col: str):
     )
 
 
-def ks_drift_by_group(
-    df: DataFrame,
-    value_col: str,
-    group_col: str,
-    out_group: str = "source",
-    out_stat: str = "ks_stat",
-    round_digits: int = 6,
-) -> DataFrame:
-    """Per-group two-sample KS statistic: each group's ``value_col``
-    distribution vs the rest of the table. Returns (group, n_group,
-    n_rest, ks_stat) — one row per distinct group."""
+def _group_rest_cdfs(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Per-(group, distinct value) empirical CDFs of the group (__fa)
+    and its complement (__fb), plus per-group totals (__na, __nb) and
+    the value itself (__v) — the shared second stage of the
+    CDF-distance drift statistics (KS sup-gap, Wasserstein-1 area).
+    The explicit re-exchange on the group key after the explode
+    restores G-way parallelism the single-partition window pass would
+    otherwise swallow; hash(g) satisfies the CDF windows AND every
+    downstream per-group aggregate — one exchange."""
     per_v = _per_value_group_counts(df, value_col, group_col)
-    # explicit re-exchange on the group key after the explode: the
-    # window pass left everything on ONE partition, which would satisfy
-    # the CDF windows' clustering trivially and serialize the whole
-    # |V|·G relation onto one task. hash(g) restores G-way parallelism
-    # and satisfies the windows AND the final aggregate — one exchange.
     counts = per_v.select(
         F.explode("__gs").alias("__g"), "__v", "__t", "__m"
     ).select(
@@ -106,19 +99,68 @@ def ks_drift_by_group(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # totals and running sums share the __g partitioning → one exchange
-    cdfs = counts.select(
+    return counts.select(
         "__g",
+        "__v",
         (F.sum("__ca").over(w_cum) / F.sum("__ca").over(w_tot)).alias("__fa"),
         (F.sum("__cb").over(w_cum) / F.sum("__cb").over(w_tot)).alias("__fb"),
         F.sum("__ca").over(w_tot).alias("__na"),
         F.sum("__cb").over(w_tot).alias("__nb"),
     )
+
+
+def ks_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_group: str = "source",
+    out_stat: str = "ks_stat",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group two-sample KS statistic: each group's ``value_col``
+    distribution vs the rest of the table. Returns (group, n_group,
+    n_rest, ks_stat) — one row per distinct group."""
+    cdfs = _group_rest_cdfs(df, value_col, group_col)
     return cdfs.groupBy("__g").agg(
         F.max("__na").cast("long").alias("n_group"),
         F.max("__nb").cast("long").alias("n_rest"),
         F.round(F.max(F.abs(F.col("__fa") - F.col("__fb"))), round_digits).alias(
             out_stat
         ),
+    ).withColumnRenamed("__g", out_group)
+
+
+def w1_drift_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_group: str = "source",
+    out_stat: str = "w1",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Wasserstein-1 (earth-mover) distance vs the rest:
+    W₁ = ∫|F_group − F_rest| dx = Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ)
+    over consecutive distinct values — the magnitude-sensitive
+    companion to KS (which only sees the largest gap, not how far mass
+    moved). Numeric values only; same one-corpus-pass shared stage and
+    CDFs as KS, plus one lead() on the SAME group partitioning."""
+    cdfs = _group_rest_cdfs(df, value_col, group_col)
+    w_next = Window.partitionBy("__g").orderBy("__v")
+    gaps = cdfs.select(
+        "__g",
+        "__na",
+        "__nb",
+        (
+            F.abs(F.col("__fa") - F.col("__fb"))
+            * (F.lead("__v").over(w_next) - F.col("__v")).cast("double")
+        ).alias("__area"),
+    )
+    return gaps.groupBy("__g").agg(
+        F.max("__na").cast("long").alias("n_group"),
+        F.max("__nb").cast("long").alias("n_rest"),
+        # the last value has no successor: lead is NULL, sum skips it
+        # (F there is 1 on both sides anyway — zero area)
+        F.round(F.sum("__area"), round_digits).alias(out_stat),
     ).withColumnRenamed("__g", out_group)
 
 

@@ -122,6 +122,28 @@ def test_psi_zero_identical_large_disjoint(spark):
     assert all(r.psi > 5 for r in out2.collect())
 
 
+def test_w1_matches_hand_computation(spark):
+    """a=[0,0,10] vs b=[0,10,10]: distinct values (0,10); at v=0,
+    F_a=2/3, F_b=1/3 → |gap|·(10−0) = (1/3)·10; the last value has no
+    successor (both CDFs are 1 there). W₁ = 10/3. Also: disjoint
+    supports shifted by D have W₁ ≈ D while KS saturates at 1."""
+    from parquet_rewriter_spark.operators.drift import w1_drift_by_group
+
+    rows = [("a", 0), ("a", 0), ("a", 10), ("b", 0), ("b", 10), ("b", 10)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {r.g: (r.n_group, r.n_rest, r.w1)
+           for r in w1_drift_by_group(df, "v", "g", out_group="g").collect()}
+    want = (3, 3, round(10 / 3, 6))
+    assert got["a"] == want and got["b"] == want
+
+    far = [("a", 0), ("a", 1), ("b", 100), ("b", 101)]
+    out = w1_drift_by_group(
+        spark.createDataFrame(far, "g string, v int"), "v", "g", out_group="g"
+    )
+    vals = {r.g: r.w1 for r in out.collect()}
+    assert all(99 <= v <= 101 for v in vals.values())  # distance, not just 1.0
+
+
 def test_chi2_matches_hand_computation(spark):
     """a=[1,1,2] vs b=[1,2,2]: t_v = (3,3), n_a = n_b = 3, every
     expected cell = 3·3/6 = 1.5, so X² = 4·(0.5²/1.5) = 2/3; dof = 1."""

@@ -364,10 +364,12 @@ def test_ks_drift_scans_corpus_once_without_fanout(spark, sf_dir):
         chi2_drift_by_group,
         ks_drift_by_group,
         psi_drift_by_group,
+        w1_drift_by_group,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    for fn in (ks_drift_by_group, psi_drift_by_group, chi2_drift_by_group):
+    for fn in (ks_drift_by_group, psi_drift_by_group, chi2_drift_by_group,
+               w1_drift_by_group):
         p = plan_of(fn(d, "n_chars", "source"), "simple")
         assert "CartesianProduct" not in p, fn.__name__
         assert "BroadcastNestedLoopJoin" not in p, fn.__name__
