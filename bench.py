@@ -385,8 +385,12 @@ def main() -> None:
     # clean but its 6.8 KB JSON line arrived truncated and unparseable.
     # Ship the full report to a file and print a compact (<1.5 KB)
     # summary as the FINAL stdout line.
+    # headline runs must NOT clobber the committed full-tier artifact
+    # (the round-5 driver's headline run replaced the 186-query
+    # BENCH_FULL with a 76-query one) — each tier gets its own file
+    report_name = "BENCH_FULL.json" if full else "BENCH_HEADLINE.json"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
+                             report_name)
     try:
         with open(full_path, "w") as f:
             json.dump(report, f, indent=1)
@@ -404,7 +408,7 @@ def main() -> None:
         "small_merge": report["small_merge"],
         "mor_delete": report["mor_delete"],
         "sf": report["sf"],
-        "full_report": "BENCH_FULL.json",
+        "full_report": report_name,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:  # hard guarantee: drop detail until it fits
