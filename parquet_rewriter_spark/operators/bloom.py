@@ -45,7 +45,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 if TYPE_CHECKING:
     from parquet_rewriter_spark.table import ManifestEntry, SortedTable
 
-BLOOM_DIR = "_blooms"
+from parquet_rewriter_spark.operators.sidecar import register_sidecar
+
+BLOOM_DIR = register_sidecar("_blooms")
 BLOOM_K = 7
 BLOOM_BITS_PER_KEY = 10
 

@@ -36,7 +36,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-COV_DIR = "_covstats"
+from parquet_rewriter_spark.operators.sidecar import (
+    have_files,
+    register_sidecar,
+    semi_join_files,
+)
+
+COV_DIR = register_sidecar("_covstats")
 
 
 def _sidecar(table) -> str:
@@ -44,16 +50,7 @@ def _sidecar(table) -> str:
 
 
 def _have_rows(table, pcol: str) -> set[str]:
-    side = _sidecar(table)
-    if not os.path.isdir(side):
-        return set()
-    return {
-        r["file"]
-        for r in table.spark.read.parquet(side)
-        .filter(F.col("col") == pcol)
-        .select("file")
-        .collect()
-    }
+    return have_files(table, COV_DIR, where=F.col("col") == pcol)
 
 
 def _build_for(table, names: list[str], pcol: str) -> int:
@@ -135,8 +132,11 @@ def covariance_from_stats(
     if missing:
         _build_for(table, missing, pcol)
     rows = (
-        table.spark.read.parquet(_sidecar(table))
-        .filter((F.col("col") == pcol) & F.col("file").isin(list(names)))
+        semi_join_files(
+            table.spark.read.parquet(_sidecar(table))
+            .filter(F.col("col") == pcol),
+            names,
+        )
         .dropDuplicates(["file"])  # racing double-builds emit identical rows
         .collect()  # bounded: one row per kept file
     )

@@ -29,7 +29,13 @@ from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
-SKETCH_DIR = "_distinct"
+from parquet_rewriter_spark.operators.sidecar import (
+    have_files,
+    register_sidecar,
+    semi_join_files,
+)
+
+SKETCH_DIR = register_sidecar("_distinct")
 DEFAULT_LGK = 12
 
 
@@ -38,17 +44,13 @@ def _sidecar(table) -> str:
 
 
 def _have_rows(table, pcols: list[str]) -> set[tuple[str, str]]:
-    """(file, physical col) pairs already present in the sidecar."""
-    side = _sidecar(table)
-    if not os.path.isdir(side):
-        return set()
-    return {
-        (r["file"], r["col"])
-        for r in table.spark.read.parquet(side)
-        .filter(F.col("col").isin(pcols))
-        .select("file", "col")
-        .collect()
-    }
+    """(file, physical col) pairs already present in the sidecar.
+    The col filter stays an isin — pcols is the handful of monitored
+    COLUMNS, not the live-file set."""
+    return have_files(
+        table, SKETCH_DIR,
+        where=F.col("col").isin(pcols), cols=("file", "col"),
+    )
 
 
 def _build_for(table, names: list[str], pcols: list[str], lgk: int) -> int:
@@ -177,8 +179,9 @@ def approx_distinct_range(
         _build_for(table, missing, [pcol], DEFAULT_LGK)
     side = _sidecar(table)
     est = (
-        spark.read.parquet(side)
-        .filter((F.col("col") == pcol) & F.col("file").isin(keep))
+        semi_join_files(
+            spark.read.parquet(side).filter(F.col("col") == pcol), keep
+        )
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n"))
         .first()["n"]
     )

@@ -40,7 +40,13 @@ from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-DRIFT_DIR = "_driftstats"
+from parquet_rewriter_spark.operators.sidecar import (
+    have_files,
+    register_sidecar,
+    semi_join_files,
+)
+
+DRIFT_DIR = register_sidecar("_driftstats")
 
 
 def _sidecar(table) -> str:
@@ -65,17 +71,7 @@ def _bin_expr(vcol: str, edges: Sequence[Any]):
 
 
 def _have_files(table, sid: str) -> set[str]:
-    side = _sidecar(table)
-    if not os.path.isdir(side):
-        return set()
-    return {
-        r["file"]
-        for r in table.spark.read.parquet(side)
-        .filter(F.col("spec") == sid)
-        .select("file")
-        .distinct()
-        .collect()
-    }
+    return have_files(table, DRIFT_DIR, where=F.col("spec") == sid)
 
 
 def _build_for(table, names: list[str], pv: str, pg: str,
@@ -132,8 +128,11 @@ def _histogram_at(table, m, pv: str, pg: str, edges: Sequence[Any],
     if missing:
         _build_for(table, missing, pv, pg, edges, sid)
     rows = (
-        table.spark.read.parquet(_sidecar(table))
-        .filter((F.col("spec") == sid) & F.col("file").isin(list(names)))
+        semi_join_files(
+            table.spark.read.parquet(_sidecar(table))
+            .filter(F.col("spec") == sid),
+            names,
+        )
         .dropDuplicates(["file", "grp", "bin"])
         .groupBy("bin")
         .agg(F.sum("n").alias("n"))
@@ -210,8 +209,11 @@ def psi_from_stats(
     if missing:
         _build_for(table, missing, pv, pg, edges, sid)
     cells = (
-        table.spark.read.parquet(_sidecar(table))
-        .filter((F.col("spec") == sid) & F.col("file").isin(list(live)))
+        semi_join_files(
+            table.spark.read.parquet(_sidecar(table))
+            .filter(F.col("spec") == sid),
+            live,
+        )
         .dropDuplicates(["file", "grp", "bin"])  # racing double-builds
         .groupBy("grp", "bin")
         .agg(F.sum("n").alias("n"))

@@ -1104,7 +1104,7 @@ class SortedTable:
                     shutil.rmtree(os.path.join(dv_root, name), ignore_errors=True)
                     removed.append(rel)
         if removed:
-            self._vacuum_blooms(live)
+            self._vacuum_sidecars(live)
         return removed
 
     def validate(self, version: int | None = None) -> dict:
@@ -1263,7 +1263,7 @@ class SortedTable:
                 or ".old-" in name
             ):
                 # ``.old-*`` dirs are sidecar-vacuum debris: a crash
-                # between _vacuum_blooms' two renames leaves the
+                # between _vacuum_sidecars' two renames leaves the
                 # retired sidecar under its .old- name forever.
                 report["orphan_tmp"].append(name)
             elif (
@@ -1299,27 +1299,36 @@ class SortedTable:
             report["repaired"] = repaired
         return report
 
-    def _vacuum_blooms(self, live: set[str]) -> None:
-        """Rewrite every per-file sidecar log (blooms, distinct-count
-        sketches, covariance triples) keeping only live files' rows —
-        the append-only logs would otherwise accrete rows for vacuumed
-        files forever (they are ignored by probes via live-file
-        filters, but cost scan time, unboundedly on high-churn
-        tables). Each log keys rows by the ``file`` column, so one
-        keep-filter rewrite per sidecar covers them all."""
-        from parquet_rewriter_spark.operators.bloom import BLOOM_DIR
-        from parquet_rewriter_spark.operators.covstats import COV_DIR
-        from parquet_rewriter_spark.operators.distinct_sketch import SKETCH_DIR
-        from parquet_rewriter_spark.operators.driftstats import DRIFT_DIR
+    def _vacuum_sidecars(self, live: set[str]) -> None:
+        """Rewrite every REGISTERED per-file sidecar log (blooms,
+        distinct-count sketches, covariance triples, drift count
+        matrices — operators/sidecar.py:SIDECAR_DIRS) keeping only live
+        files' rows — the append-only logs would otherwise accrete rows
+        for vacuumed files forever (they are ignored by probes via
+        live-file filters, but cost scan time, unboundedly on
+        high-churn tables). Each log keys rows by the ``file`` column,
+        so one keep-filter rewrite per sidecar covers them all; a new
+        sidecar joins the sweep by calling register_sidecar() — no
+        edit here. The keep filter is a broadcast semi-join, never an
+        O(live-file-count) IN-list literal."""
+        # importing the modules runs their register_sidecar() lines
+        from parquet_rewriter_spark.operators import (  # noqa: F401
+            bloom as _b,
+            covstats as _c,
+            distinct_sketch as _d,
+            driftstats as _f,
+        )
+        from parquet_rewriter_spark.operators.sidecar import (
+            SIDECAR_DIRS,
+            semi_join_files,
+        )
 
-        for sidecar in (BLOOM_DIR, SKETCH_DIR, COV_DIR, DRIFT_DIR):
+        for sidecar in SIDECAR_DIRS:
             side = os.path.join(self.path, sidecar)
             if not os.path.isdir(side):
                 continue
             tmp = side + f".tmp-{uuid.uuid4().hex}"
-            kept = self.spark.read.parquet(side).filter(
-                F.col("file").isin(list(live))
-            )
+            kept = semi_join_files(self.spark.read.parquet(side), live)
             kept.write.parquet(tmp)
             old = side + f".old-{uuid.uuid4().hex}"
             os.rename(side, old)
