@@ -6474,7 +6474,8 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_length_drift_ks",
     """
-    WITH g AS (SELECT DISTINCT source AS gs FROM documents),
+    WITH g AS (SELECT DISTINCT source AS gs FROM documents
+               WHERE source IS NOT NULL),
     tagged AS (
       SELECT g.gs, d.n_chars AS v,
              CASE WHEN d.source = g.gs THEN 1 ELSE 0 END AS in_src
@@ -6531,7 +6532,8 @@ def source_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT DISTINCT gs FROM gv WHERE gs IS NOT NULL),
     binned AS (
       SELECT v, t,
-             CASE WHEN hi = lo THEN 0
+             CASE WHEN v IS NULL THEN -1
+                  WHEN hi = lo THEN 0
                   ELSE least(9, CAST(floor((v - lo) / ((hi - lo) / 10.0))
                                  AS INT))
              END AS bin
@@ -6543,7 +6545,7 @@ def source_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(b.t - coalesce(gv.n, 0)) AS DOUBLE) AS cb
       FROM binned b
       CROSS JOIN g
-      LEFT JOIN gv ON gv.gs = g.gs AND gv.v = b.v
+      LEFT JOIN gv ON gv.gs = g.gs AND gv.v IS NOT DISTINCT FROM b.v
       GROUP BY g.gs, b.bin
     ),
     probs AS (
@@ -6579,13 +6581,14 @@ def source_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FIXED_BIN_PSI_SQL = """
     WITH b AS (
       SELECT source AS g,
+             CASE WHEN n_chars IS NULL THEN -1 ELSE
              (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
               + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
               + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
-              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bin
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) END AS bin
       FROM documents
     ),
-    bins AS (SELECT unnest(generate_series(0, 4)) AS bin),
+    bins AS (SELECT unnest(generate_series(-1, 4)) AS bin),
     g AS (SELECT DISTINCT g FROM b WHERE g IS NOT NULL),
     cnt AS (SELECT g, bin, count(*) AS n FROM b GROUP BY 1, 2),
     tot AS (SELECT bin, sum(n) AS t FROM cnt GROUP BY bin),
@@ -6764,20 +6767,22 @@ def source_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_drift_psi",
     """
     WITH ob AS (
-      SELECT (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+      SELECT CASE WHEN n_chars IS NULL THEN -1 ELSE
+             (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
               + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
               + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
-              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bin
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) END AS bin
       FROM documents WHERE doc_id % 3 <> 0
     ),
     nb2 AS (
-      SELECT (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+      SELECT CASE WHEN n_chars IS NULL THEN -1 ELSE
+             (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
               + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
               + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
-              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bin
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) END AS bin
       FROM documents
     ),
-    bins AS (SELECT unnest(generate_series(0, 4)) AS bin),
+    bins AS (SELECT unnest(generate_series(-1, 4)) AS bin),
     oc AS (SELECT bin, count(*) AS n FROM ob GROUP BY bin),
     nc AS (SELECT bin, count(*) AS n FROM nb2 GROUP BY bin),
     cells AS (
@@ -6836,7 +6841,8 @@ def snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "source_length_drift_w1",
     """
-    WITH g AS (SELECT DISTINCT source AS gs FROM documents),
+    WITH g AS (SELECT DISTINCT source AS gs FROM documents
+               WHERE source IS NOT NULL),
     tagged AS (
       SELECT g.gs, d.n_chars AS v,
              CASE WHEN d.source = g.gs THEN 1 ELSE 0 END AS in_src

@@ -31,6 +31,15 @@ distinct-value relation:
 Ties are handled exactly (CDF evaluated after all equal values), and
 every step is integer counts + one double division, so an ANSI oracle
 reproduces D bit-for-bit.
+
+NULL handling: NULL GROUPS count toward every group's rest and get no
+output row (documented on the shared stage). NULL VALUES: PSI maps
+them to the reserved bin −1 (same policy as the sidecar path,
+operators/driftstats.py — with no NULLs the bin's floored term is 0);
+the CDF statistics (KS, W1) sort NULL first (Spark's NULLS FIRST), so
+a NULL-bearing value column should be pre-filtered or pre-coalesced by
+the caller — chi-square treats NULL as an ordinary category via the
+distinct-value relation.
 """
 
 from __future__ import annotations
@@ -254,11 +263,15 @@ def psi_drift_by_group(
         F.max("__v").over(w_all).alias("__hi"),
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    # NULL values get the reserved bin −1 (same policy as the sidecar
+    # path, driftstats._bin_expr): a shifted share of missing values is
+    # genuine drift, and with no NULLs the bin's floored term is 0
     binned = ranged.select(
         "__t",
         "__m",
         "__gs",
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        F.when(F.col("__v").isNull(), F.lit(-1))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_bins - 1),

@@ -13,12 +13,13 @@ sum of its live files' matrices, exactly, in any order. So:
 * the monitor is REGISTERED with declared bin edges (fixed cut points
   — the production pattern: PSI is defined against a frozen baseline
   binning, not a per-run range);
-* each immutable data file gets ≤ |G|·(B+1) sidecar rows
-  (``_driftstats/``), written by one column-pruned pass over that file;
+* each immutable data file gets ≤ |G|·(B+2) sidecar rows
+  (``_driftstats/``; B edges make B+1 bins plus the reserved NULL-value
+  bin −1), written by one column-pruned pass over that file;
 * a merge that rewrote 1% of files invalidates 1% of rows — refresh
   cost is churn-proportional, and the summed histogram is bit-for-bit
   what a full rescan would count;
-* PSI per group vs rest is driver arithmetic over |G|·(B+1) integers.
+* PSI per group vs rest is driver arithmetic over |G|·(B+2) integers.
 
 Exactly-once discipline mirrors covstats: counts double under
 duplicate rows, so the builder emits rows per file via one grouped
@@ -62,12 +63,16 @@ def _spec_id(pv: str, pg: str, edges: Sequence[Any]) -> str:
 
 def _bin_expr(vcol: str, edges: Sequence[Any]):
     """bin = number of declared edges strictly below the value — bin i
-    covers (edge[i-1], edge[i]]; B edges make B+1 bins. A sum of
-    codegen'd comparisons, trivially replayable in ANSI SQL."""
+    covers (edge[i-1], edge[i]]; B edges make B+1 bins. NULL values get
+    the RESERVED BIN −1 (``NULL > edge`` is NULL and would otherwise
+    propagate a NULL bin the readers cannot index): a shifted share of
+    missing values is genuine drift, so the NULL bin participates in
+    PSI/KS like any other. A sum of codegen'd comparisons, trivially
+    replayable in ANSI SQL (CASE WHEN v IS NULL THEN -1 ...)."""
     b = F.lit(0)
     for e in edges:
         b = b + (F.col(vcol) > F.lit(e)).cast("int")
-    return b
+    return F.when(F.col(vcol).isNull(), F.lit(-1)).otherwise(b)
 
 
 def _have_files(table, sid: str) -> set[str]:
@@ -113,9 +118,10 @@ def build_drift_stats(
 def _histogram_at(table, m, pv: str, pg: str, edges: Sequence[Any],
                   sid: str) -> list[int]:
     """Whole-table per-bin counts of snapshot ``m`` from sidecar rows
-    (groups summed, nulls included). Self-heals missing files — retired
-    data files persist until vacuum, so historical snapshots stay
-    summable."""
+    (groups summed, NULL groups included). Returns B+2 counts: index 0
+    is the reserved NULL-value bin (−1), index i+1 is bin i. Self-heals
+    missing files — retired data files persist until vacuum, so
+    historical snapshots stay summable."""
     names = {e.name for e in m.files}
     if any(e.dv_rows for e in m.files):
         raise ValueError(
@@ -138,9 +144,14 @@ def _histogram_at(table, m, pv: str, pg: str, edges: Sequence[Any],
         .agg(F.sum("n").alias("n"))
         .collect()
     )
-    tot = [0] * (len(edges) + 1)
+    tot = [0] * (len(edges) + 2)  # [NULL bin, bin 0, ..., bin B]
     for r in rows:
-        tot[r["bin"]] += r["n"]
+        if r["bin"] is None or not -1 <= r["bin"] <= len(edges):
+            raise ValueError(
+                f"corrupt drift sidecar row: bin={r['bin']!r} outside "
+                f"[-1, {len(edges)}] for spec {sid}"
+            )
+        tot[r["bin"] + 1] += r["n"]
     return tot
 
 
@@ -189,10 +200,12 @@ def psi_from_stats(
 ) -> DataFrame:
     """Per-group PSI vs rest of the CURRENT snapshot, answered from
     sidecar rows only — self-heals missing files (compact/DV-rewrite
-    paths have no build hook), then sums |G|·(B+1) integers on the
+    paths have no build hook), then sums |G|·(B+2) integers on the
     driver. No data file is read when the sidecar is complete.
     Returns (group, n_group, n_rest, psi) like psi_drift_by_group —
-    NULL-group rows count toward every group's rest, no output row."""
+    NULL-group rows count toward every group's rest, no output row;
+    NULL VALUES live in the reserved bin −1 and drift like any other
+    bin (with no NULLs anywhere its floored term is exactly 0)."""
     m = table.manifest()
     pv = table.to_physical(value_col, m)
     pg = table.to_physical(group_col, m)
@@ -217,15 +230,20 @@ def psi_from_stats(
         .dropDuplicates(["file", "grp", "bin"])  # racing double-builds
         .groupBy("grp", "bin")
         .agg(F.sum("n").alias("n"))
-        .collect()  # bounded: ≤ |G|·(B+1) rows
+        .collect()  # bounded: ≤ |G|·(B+2) rows
     )
-    n_bins = len(edges) + 1
+    n_bins = len(edges) + 2  # reserved NULL-value bin (−1) + bins 0..B
     tot = [0] * n_bins
     per_g: dict[Any, list[int]] = {}
     for r in cells:
-        tot[r["bin"]] += r["n"]
+        if r["bin"] is None or not -1 <= r["bin"] <= len(edges):
+            raise ValueError(
+                f"corrupt drift sidecar row: bin={r['bin']!r} outside "
+                f"[-1, {len(edges)}] for spec {sid}"
+            )
+        tot[r["bin"] + 1] += r["n"]
         if r["grp"] is not None:
-            per_g.setdefault(r["grp"], [0] * n_bins)[r["bin"]] += r["n"]
+            per_g.setdefault(r["grp"], [0] * n_bins)[r["bin"] + 1] += r["n"]
     out = []
     for g in sorted(per_g):
         ca = per_g[g]

@@ -97,6 +97,84 @@ def test_null_groups_rest_only_and_typed_output(spark, tmp_path):
     assert got["b"] == (1, 3)
 
 
+def _psi_reference_with_nulls(rows, edges, floor_p=1e-6):
+    """Python replay including the reserved NULL-value bin −1 at
+    index 0 — the policy _bin_expr implements."""
+    n_bins = len(edges) + 2
+    tot = [0] * n_bins
+    per_g: dict[str, list[int]] = {}
+    for r in rows:
+        b = 0 if r.v is None else 1 + sum(1 for e in edges if r.v > e)
+        tot[b] += 1
+        if r.g is not None:
+            per_g.setdefault(r.g, [0] * n_bins)[b] += 1
+    out = {}
+    for g, ca in per_g.items():
+        cb = [t - c for t, c in zip(tot, ca)]
+        na, nb = float(sum(ca)), float(sum(cb))
+        psi = sum(
+            (max(c / na, floor_p) - max(d / nb, floor_p))
+            * math.log(max(c / na, floor_p) / max(d / nb, floor_p))
+            for c, d in zip(ca, cb)
+        )
+        out[g] = (int(na), int(nb), round(psi, 6))
+    return out
+
+
+def test_null_values_reserved_bin(spark, tmp_path):
+    """NULL values in the monitored column must neither crash the
+    sidecar readers (bin −1, not a None index) nor be dropped: they
+    live in the reserved bin and drift like any other bin."""
+    rows = [
+        Row(k=i, g=("a" if i % 2 == 0 else "b"),
+            v=(None if i % 5 == 0 and i % 2 == 0 else i % 40))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v int")
+    t = SortedTable.create(spark, str(tmp_path / "tnv"), df, key="k",
+                           max_records_per_file=50)
+    built = build_drift_stats(t, "v", "g", EDGES)
+    assert built == len(t.manifest().files)
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "v", "g", EDGES).collect()}
+    want = _psi_reference_with_nulls(rows, EDGES)
+    assert got == want
+    # only group 'a' holds NULLs → its NULL-bin share differs from the
+    # rest's → PSI strictly positive
+    assert got["a"][2] > 0
+
+    # snapshot-over-time path indexes the same matrices: no crash, and
+    # identical snapshots → psi exactly 0
+    from parquet_rewriter_spark.operators.driftstats import (
+        psi_between_versions,
+    )
+
+    v_now = t.manifest().version
+    same = psi_between_versions(t, "v", "g", EDGES, v_old=v_now).first()
+    assert same["psi"] == 0.0 and same["n_old"] == len(rows)
+
+
+def test_scan_path_psi_null_values_match_sidecar_policy(spark):
+    """The scan path (drift.psi_drift_by_group) uses the same reserved
+    −1 bin for NULL values: totals include NULL-valued rows and the
+    result is finite, not a crash or a silent drop."""
+    from parquet_rewriter_spark.operators.drift import psi_drift_by_group
+
+    rows = [
+        Row(g=("a" if i % 2 == 0 else "b"),
+            v=(None if i % 7 == 0 else float(i % 25)))
+        for i in range(210)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["source"]: r for r in
+           psi_drift_by_group(df, "v", "g").collect()}
+    n_a = sum(1 for r in rows if r.g == "a")
+    assert out["a"]["n_group"] == n_a  # NULL-valued rows counted
+    assert out["a"]["n_rest"] == len(rows) - n_a
+    for r in out.values():
+        assert math.isfinite(r["psi"])
+
+
 def test_dv_refusal(spark, tmp_path):
     from parquet_rewriter_spark.operators.deletion_vectors import (
         delete_keys_mor,
