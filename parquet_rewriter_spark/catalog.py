@@ -6893,6 +6893,75 @@ def source_length_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_score_drift_ks_binned",
+    """
+    WITH sc AS (
+      SELECT source,
+             CAST(n_chars AS DOUBLE) + (doc_id % 997) / 997.0 AS score
+      FROM documents
+    ),
+    rng AS (SELECT min(score) AS lo, max(score) AS hi FROM sc),
+    qv AS (
+      SELECT source,
+             least(31, floor((score - lo) / ((hi - lo) / 32.0))) AS v
+      FROM sc, rng
+    ),
+    g AS (SELECT DISTINCT source AS gs FROM qv WHERE source IS NOT NULL),
+    tagged AS (
+      SELECT g.gs, q.v,
+             CASE WHEN q.source = g.gs THEN 1 ELSE 0 END AS in_src
+      FROM qv q CROSS JOIN g
+    ),
+    counts AS (
+      SELECT gs, v, CAST(sum(in_src) AS DOUBLE) AS ca,
+             CAST(sum(1 - in_src) AS DOUBLE) AS cb
+      FROM tagged GROUP BY gs, v
+    ),
+    cdfs AS (
+      SELECT gs,
+             sum(ca) OVER (PARTITION BY gs ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(ca) OVER (PARTITION BY gs) AS fa,
+             sum(cb) OVER (PARTITION BY gs ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(cb) OVER (PARTITION BY gs) AS fb,
+             sum(ca) OVER (PARTITION BY gs) AS na,
+             sum(cb) OVER (PARTITION BY gs) AS nb
+      FROM counts
+    )
+    SELECT gs AS source, CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(max(abs(fa - fb)), 6) AS ks_stat
+    FROM cdfs GROUP BY gs
+    """,
+    "drift", "monitoring", "ks", "quantized",
+)
+def source_score_drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED KS on a NEAR-UNIQUE continuous column — the guarded
+    scale path (operators/drift.py:_quantized + the max_distinct
+    assert): a synthesized per-document quality score (n_chars plus a
+    doc_id-derived fraction, near-unique by construction) would
+    funnel |V| ≈ n rows through the drift family's one unpartitioned
+    window, so the guard demands ``quantize=``; 32 equal-width bins
+    bound the distinct-value relation and the statistic becomes the
+    documented binned-KS approximation. The oracle replays the exact
+    same binning arithmetic (same IEEE ops, same order), so the hash
+    match proves the quantized path end to end — KS is invariant
+    under the monotone bin→center map, so DuckDB can rank raw bin
+    ids."""
+    from parquet_rewriter_spark.operators.drift import ks_drift_by_group
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars").cast("double")
+         + (F.col("doc_id") % 997) / 997.0).alias("score"),
+    )
+    return ks_drift_by_group(
+        d, "score", "source", quantize=32, max_distinct=10_000
+    )
+
+
+@query(
     "copurchase_triangle_count",
     """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

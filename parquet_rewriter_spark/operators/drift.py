@@ -46,8 +46,59 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Ceiling on the distinct-value relation: every drift statistic routes
+# |V| skinny rows through ONE unpartitioned window to learn the group
+# list (and PSI's range) in the same single corpus pass. For the
+# columns drift is monitored on (lengths, scores binned upstream,
+# categories) |V| ≪ corpus and that stage is trivially cheap; for a
+# near-unique continuous column |V| ≈ n and the stage would serialize
+# the job or OOM one task. Rather than silently crawl, the plan itself
+# asserts the bound and fails with the fix (pass ``quantize=``).
+MAX_DISTINCT_VALUES = 4_000_000
 
-def _per_value_group_counts(df: DataFrame, value_col: str, group_col: str):
+
+def _quantized(df: DataFrame, value_col: str, quantize: int | None):
+    """Equal-width value quantization for continuous columns: returns
+    (df, col) unchanged when ``quantize`` is None, else adds a column
+    holding the CENTER of the value's bin among ``quantize`` equal-width
+    bins over the column's range — center, not index, so Wasserstein-1
+    stays in value units. Costs ONE eager column-pruned min/max pass
+    (two scalars to the driver, embedded as literals); the statistic
+    then runs on ≤ ``quantize`` distinct values — the documented binned
+    approximation (exact for PSI up to bin placement; KS/W1 converge as
+    bins shrink). NULL values stay NULL (PSI's reserved −1 bin)."""
+    if quantize is None:
+        return df, value_col
+    if quantize < 2:
+        raise ValueError("quantize needs at least 2 bins")
+    row = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).first()
+    if row["lo"] is None or row["lo"] == row["hi"]:
+        # all-NULL or constant column: nothing to quantize
+        return df, value_col
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / float(quantize)
+    b = F.least(
+        F.lit(quantize - 1),
+        F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)),
+    )
+    qcol = f"__q_{value_col}"
+    return df.withColumn(
+        qcol,
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.lit(lo) + (b + F.lit(0.5)) * F.lit(width),
+        ),
+    ), qcol
+
+
+def _per_value_group_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    max_distinct: int = MAX_DISTINCT_VALUES,
+):
     """Shared first stage of every drift statistic: ONE corpus-wide
     hash aggregate to per-(group, value) counts (map-side combine
     collapses duplicates before the exchange), folded to one row per
@@ -60,7 +111,14 @@ def _per_value_group_counts(df: DataFrame, value_col: str, group_col: str):
     the |V| distinct-value rows). NULL-group rows count toward every
     group's "rest" (they stay in the total) but cannot be map keys and
     get no output row — collect_list drops the null struct the WHEN
-    produces for them."""
+    produces for them.
+
+    The window funnels the whole distinct-value relation through one
+    task, so the SAME pass asserts |V| ≤ ``max_distinct`` and fails
+    with an actionable message (pass ``quantize=``) instead of
+    serializing on a near-unique continuous column — assert_true
+    returns NULL on success, so the guard rides the __gs expression
+    and costs nothing."""
     gv = df.groupBy(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     ).agg(F.count(F.lit(1)).alias("__n"))
@@ -73,15 +131,32 @@ def _per_value_group_counts(df: DataFrame, value_col: str, group_col: str):
         ).alias("__m"),
     )
     w_all = Window.partitionBy()
+    guard = F.assert_true(
+        F.count(F.lit(1)).over(w_all) <= F.lit(max_distinct),
+        F.lit(
+            f"drift statistics: value column has more than {max_distinct} "
+            "distinct values, which would serialize the group-list window "
+            "on one task — pass quantize= to bin a continuous column "
+            "(or raise max_distinct)"
+        ),
+    )
     return per_v.withColumn(
         "__gs",
-        F.array_distinct(
-            F.flatten(F.collect_set(F.map_keys("__m")).over(w_all))
+        F.when(
+            guard.isNull(),
+            F.array_distinct(
+                F.flatten(F.collect_set(F.map_keys("__m")).over(w_all))
+            ),
         ),
     )
 
 
-def _group_rest_cdfs(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+def _group_rest_cdfs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    max_distinct: int = MAX_DISTINCT_VALUES,
+) -> DataFrame:
     """Per-(group, distinct value) empirical CDFs of the group (__fa)
     and its complement (__fb), plus per-group totals (__na, __nb) and
     the value itself (__v) — the shared second stage of the
@@ -90,7 +165,7 @@ def _group_rest_cdfs(df: DataFrame, value_col: str, group_col: str) -> DataFrame
     restores G-way parallelism the single-partition window pass would
     otherwise swallow; hash(g) satisfies the CDF windows AND every
     downstream per-group aggregate — one exchange."""
-    per_v = _per_value_group_counts(df, value_col, group_col)
+    per_v = _per_value_group_counts(df, value_col, group_col, max_distinct)
     counts = per_v.select(
         F.explode("__gs").alias("__g"), "__v", "__t", "__m"
     ).select(
@@ -125,11 +200,17 @@ def ks_drift_by_group(
     out_group: str = "source",
     out_stat: str = "ks_stat",
     round_digits: int = 6,
+    quantize: int | None = None,
+    max_distinct: int = MAX_DISTINCT_VALUES,
 ) -> DataFrame:
     """Per-group two-sample KS statistic: each group's ``value_col``
     distribution vs the rest of the table. Returns (group, n_group,
-    n_rest, ks_stat) — one row per distinct group."""
-    cdfs = _group_rest_cdfs(df, value_col, group_col)
+    n_rest, ks_stat) — one row per distinct group. For near-unique
+    continuous columns pass ``quantize=`` (binned KS, see
+    :func:`_quantized`) — the shared stage enforces ``max_distinct``
+    rather than serializing."""
+    df, value_col = _quantized(df, value_col, quantize)
+    cdfs = _group_rest_cdfs(df, value_col, group_col, max_distinct)
     return cdfs.groupBy("__g").agg(
         F.max("__na").cast("long").alias("n_group"),
         F.max("__nb").cast("long").alias("n_rest"),
@@ -146,14 +227,19 @@ def w1_drift_by_group(
     out_group: str = "source",
     out_stat: str = "w1",
     round_digits: int = 6,
+    quantize: int | None = None,
+    max_distinct: int = MAX_DISTINCT_VALUES,
 ) -> DataFrame:
     """Per-group Wasserstein-1 (earth-mover) distance vs the rest:
     W₁ = ∫|F_group − F_rest| dx = Σᵢ |F_a(vᵢ) − F_b(vᵢ)|·(vᵢ₊₁ − vᵢ)
     over consecutive distinct values — the magnitude-sensitive
     companion to KS (which only sees the largest gap, not how far mass
     moved). Numeric values only; same one-corpus-pass shared stage and
-    CDFs as KS, plus one lead() on the SAME group partitioning."""
-    cdfs = _group_rest_cdfs(df, value_col, group_col)
+    CDFs as KS, plus one lead() on the SAME group partitioning.
+    ``quantize=`` bins continuous columns to BIN CENTERS, so the area
+    stays in value units (binned-W1 approximation)."""
+    df, value_col = _quantized(df, value_col, quantize)
+    cdfs = _group_rest_cdfs(df, value_col, group_col, max_distinct)
     w_next = Window.partitionBy("__g").orderBy("__v")
     gaps = cdfs.select(
         "__g",
@@ -180,6 +266,7 @@ def chi2_drift_by_group(
     out_group: str = "source",
     out_stat: str = "chi2",
     round_digits: int = 4,
+    max_distinct: int = MAX_DISTINCT_VALUES,
 ) -> DataFrame:
     """Per-group chi-square homogeneity statistic vs the rest — the
     CATEGORICAL drift companion (KS needs an ordering, PSI numeric
@@ -188,8 +275,11 @@ def chi2_drift_by_group(
     X² = Σ_v (ca−Ea)²/Ea + (cb−Eb)²/Eb with Ea = na·t_v/N — the 2×|V|
     contingency test. dof = |V|−1. Same one-corpus-pass shared stage
     and |V|·G-bounded shuffles as the KS/PSI twins. Returns (group,
-    n_group, n_rest, dof, chi2)."""
-    per_v = _per_value_group_counts(df, value_col, group_col)
+    n_group, n_rest, dof, chi2). Categorical by nature, so no
+    ``quantize`` — a high-cardinality column hits the ``max_distinct``
+    guard, which for chi-square means the test itself is wrong for the
+    column."""
+    per_v = _per_value_group_counts(df, value_col, group_col, max_distinct)
     counts = per_v.select(
         F.explode("__gs").alias("__g"), "__v", "__t", "__m"
     ).select(
@@ -232,6 +322,8 @@ def psi_drift_by_group(
     out_stat: str = "psi",
     round_digits: int = 6,
     floor_p: float = 1e-6,
+    quantize: int | None = None,
+    max_distinct: int = MAX_DISTINCT_VALUES,
 ) -> DataFrame:
     """Population Stability Index per group vs rest — the production
     model-monitoring staple (PSI < 0.1 stable, 0.1–0.25 moderate,
@@ -245,8 +337,12 @@ def psi_drift_by_group(
     binning, the G-way expansion, and the bin rollup all run on the
     distinct-value relation. Binning after aggregation — weighting
     distinct values by their counts — gives bit-identical results to
-    binning raw rows at none of the cost."""
-    per_v = _per_value_group_counts(df, value_col, group_col)
+    binning raw rows at none of the cost. ``quantize=`` pre-bins a
+    near-unique continuous column before the shared stage (PSI then
+    bins the quantized centers — composition is exact up to bin
+    placement); without it the stage enforces ``max_distinct``."""
+    df, value_col = _quantized(df, value_col, quantize)
+    per_v = _per_value_group_counts(df, value_col, group_col, max_distinct)
     # corpus range via the SAME unpartitioned window pass that already
     # derives the group list: a separate `per_v.agg(min,max)` relation
     # would be a second reference to the per_v subtree, and Spark

@@ -188,3 +188,80 @@ def test_fixture_statistics_are_valid_probabilities(spark, sf_dir):
     ).first()
     assert 0.0 <= row[0] and row[1] <= 1.0
     assert row[2] == d.select("source").distinct().count()
+
+
+def test_max_distinct_guard_fires_with_actionable_message(spark, sf_dir):
+    """A near-unique continuous column would funnel |V| ≈ n rows
+    through the one unpartitioned group-list window; the plan itself
+    must refuse (assert_true riding __gs) and point at quantize=."""
+    import pytest
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars").cast("double")
+         + (F.col("doc_id") % 997) / 997.0).alias("score"),
+    )
+    with pytest.raises(Exception, match="quantize"):
+        ks_drift_by_group(d, "score", "source", max_distinct=50).collect()
+
+
+def test_quantize_bounds_the_distinct_relation(spark, sf_dir):
+    """quantize= makes the same near-unique column computable under a
+    tight max_distinct, stays a 1-FileScan plan, and the binned KS
+    approximates the exact statistic (sup-gap error ≤ bin mass)."""
+    from parquet_rewriter_spark.operators.drift import (
+        psi_drift_by_group,
+        w1_drift_by_group,
+    )
+    from parquet_rewriter_spark.plans import plan_of
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars").cast("double")
+         + (F.col("doc_id") % 997) / 997.0).alias("score"),
+    )
+    exact = {r["source"]: r["ks_stat"]
+             for r in ks_drift_by_group(d, "score", "source").collect()}
+    q = ks_drift_by_group(d, "score", "source", quantize=64, max_distinct=100)
+    p = plan_of(q, "simple")
+    assert p.count("FileScan") == 1, p  # range pass was eager, not in-plan
+    got = {r["source"]: r["ks_stat"] for r in q.collect()}
+    assert set(got) == set(exact)
+    assert all(abs(got[s] - exact[s]) < 0.1 for s in got), (got, exact)
+    # W1 quantization uses bin CENTERS: stays in value units
+    w_exact = {r["source"]: r["w1"]
+               for r in w1_drift_by_group(d, "score", "source").collect()}
+    w_q = {r["source"]: r["w1"]
+           for r in w1_drift_by_group(
+               d, "score", "source", quantize=64, max_distinct=100
+           ).collect()}
+    span = d.agg(F.max("score") - F.min("score")).first()[0]
+    assert all(abs(w_q[s] - w_exact[s]) < span * 0.05 for s in w_q)
+    # PSI composes: pre-binned input under the guard still computes
+    psi = psi_drift_by_group(
+        d, "score", "source", quantize=64, max_distinct=100
+    )
+    assert psi.count() == len(exact)
+
+
+def test_quantize_noop_cases(spark):
+    """Constant and all-NULL columns skip quantization (no range), and
+    a low-cardinality column quantizes to itself-shaped results."""
+    from parquet_rewriter_spark.operators.drift import _quantized
+
+    const = spark.createDataFrame([Row(g="a", v=5.0), Row(g="b", v=5.0)])
+    df2, col2 = _quantized(const, "v", 8)
+    assert col2 == "v"  # unchanged: nothing to quantize
+    nulls = spark.createDataFrame(
+        [Row(g="a", v=None), Row(g="b", v=None)], "g string, v double"
+    )
+    df3, col3 = _quantized(nulls, "v", 8)
+    assert col3 == "v"
+    # NULLs stay NULL through quantization when the range is real
+    mixed = spark.createDataFrame(
+        [Row(g="a", v=0.0), Row(g="a", v=None), Row(g="b", v=10.0)],
+        "g string, v double",
+    )
+    df4, col4 = _quantized(mixed, "v", 4)
+    vals = [r[col4] for r in df4.select(col4).collect()]
+    assert sum(v is None for v in vals) == 1

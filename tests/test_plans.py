@@ -359,7 +359,11 @@ def test_ks_drift_scans_corpus_once_without_fanout(spark, sf_dir):
     that relation's maps (a separate distinct() would re-scan the
     group column corpus-wide). Every shuffle after the first is
     bounded by |V|·G however large the corpus; the only
-    single-partition stage is the window over the |V|-row relation."""
+    single-partition stage is the window over the |V|-row relation,
+    and that stage is GUARDED: the same window asserts
+    |V| ≤ max_distinct (assert_true riding __gs) and fails pointing at
+    quantize= rather than serializing on a near-unique continuous
+    column (test_drift.py::test_max_distinct_guard_fires...)."""
     from parquet_rewriter_spark.operators.drift import (
         chi2_drift_by_group,
         ks_drift_by_group,
