@@ -6893,6 +6893,172 @@ def source_length_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_drift_ks",
+    """
+    WITH b AS (
+      SELECT source AS g,
+             (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bin
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    bins AS (SELECT unnest(generate_series(0, 4)) AS bin),
+    g AS (SELECT DISTINCT g FROM b WHERE g IS NOT NULL),
+    cnt AS (SELECT g, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT bin, sum(n) AS t FROM cnt GROUP BY bin),
+    grid AS (SELECT g.g, bins.bin FROM g CROSS JOIN bins),
+    cells AS (
+      SELECT grid.g, grid.bin,
+             CAST(coalesce(cnt.n, 0) AS DOUBLE) AS ca,
+             CAST(coalesce(tot.t, 0) - coalesce(cnt.n, 0) AS DOUBLE) AS cb
+      FROM grid
+      LEFT JOIN cnt ON cnt.g = grid.g AND cnt.bin = grid.bin
+      LEFT JOIN tot ON tot.bin = grid.bin
+    ),
+    cdfs AS (
+      SELECT g,
+             sum(ca) OVER (PARTITION BY g ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(ca) OVER (PARTITION BY g) AS fa,
+             sum(cb) OVER (PARTITION BY g ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING)
+               / sum(cb) OVER (PARTITION BY g) AS fb,
+             sum(ca) OVER (PARTITION BY g) AS na,
+             sum(cb) OVER (PARTITION BY g) AS nb
+      FROM cells
+    )
+    SELECT g AS source, CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(max(abs(fa - fb)), 6) AS ks_stat
+    FROM cdfs GROUP BY g
+    """,
+    "drift", "monitoring", "ks", "incremental", "sidecar",
+)
+def incremental_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned KS served from the SAME incrementally-maintained sidecar
+    PSI uses (operators/driftstats.py:ks_from_stats): per-(source, bin)
+    count matrices are additive, and the binned empirical CDFs — hence
+    the sup-gap at the declared edges — are driver arithmetic over
+    ≤ |G|·(B+2) integers, giving CDF-shaped drift the same churn-cost
+    path PSI has (the scan path stays the exact statistic). Lifecycle:
+    seed missing a doc_id gap → build → one merge inserts the gap and
+    rewrites a head range → refresh touches only churned files →
+    binned KS from the sidecar. The oracle recomputes the binned
+    statistic from the raw rows, so a hash match proves both the
+    incremental histogram and the KS arithmetic."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        build_drift_stats,
+        ks_from_stats,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    n = int(d.agg(F.max("doc_id")).first()[0]) + 1
+    gap_lo, gap_hi = n // 4, n // 4 + max(1, n // 8)
+    seed = d.filter(
+        ~((F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi))
+    )
+    t = SortedTable.create(
+        spark, _scratch("driftks"), seed, key="doc_id",
+        max_records_per_file=_scaled_mrpf(seed, 9),
+    )
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    muts = d.filter(
+        (F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi)
+    ).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, allow_splice=False)
+    built = build_drift_stats(t, "n_chars", "source", EDGES)
+    assert 0 < built < len(t.manifest().files)  # refresh ∝ churn
+    return ks_from_stats(t, "n_chars", "source", EDGES)
+
+
+_TL_BIN = """CASE WHEN n_chars IS NULL THEN -1 ELSE
+             (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 350 THEN 1 ELSE 0 END
+              + CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) END"""
+
+
+@query(
+    "drift_timeline_psi",
+    f"""
+    WITH snaps AS (
+      SELECT 0 AS step, {_TL_BIN} AS bin
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 1, {_TL_BIN} FROM documents WHERE doc_id % 3 IN (0, 1)
+      UNION ALL
+      SELECT 2, {_TL_BIN} FROM documents
+    ),
+    bins AS (SELECT unnest(generate_series(-1, 4)) AS bin),
+    steps AS (SELECT unnest(generate_series(0, 2)) AS step),
+    cnt AS (SELECT step, bin, count(*) AS n FROM snaps GROUP BY 1, 2),
+    grid AS (SELECT s.step, b.bin FROM steps s CROSS JOIN bins b),
+    cells AS (
+      SELECT grid.step, grid.bin, CAST(coalesce(cnt.n, 0) AS DOUBLE) AS c
+      FROM grid LEFT JOIN cnt ON cnt.step = grid.step AND cnt.bin = grid.bin
+    ),
+    tots AS (
+      SELECT step, bin, c, sum(c) OVER (PARTITION BY step) AS nt
+      FROM cells
+    ),
+    base AS (SELECT bin, c AS cb, nt AS nb FROM tots WHERE step = 0)
+    SELECT CAST(t.step AS BIGINT) AS step,
+           CAST(max(t.nt) AS BIGINT) AS n_rows,
+           round(sum((greatest(t.c / t.nt, 1e-6) - greatest(b.cb / b.nb, 1e-6))
+                     * ln(greatest(t.c / t.nt, 1e-6)
+                          / greatest(b.cb / b.nb, 1e-6))), 6) AS psi
+    FROM tots t JOIN base b ON b.bin = t.bin
+    GROUP BY t.step
+    """,
+    "drift", "monitoring", "psi", "time-travel", "timeline", "sidecar",
+)
+def drift_timeline_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN did the corpus shift (operators/driftstats.py:psi_timeline):
+    whole-table PSI of every retained snapshot vs the first one, in ONE
+    call — one sidecar scan joined to a broadcast (version, file)
+    membership relation built from the manifests; no data file is read
+    once matrices exist, and retired files' matrices keep historical
+    snapshots summable until vacuum. Lifecycle: three commits growing
+    the corpus by thirds; versions map to deterministic steps 0..2 for
+    the oracle, which recomputes each snapshot's fixed-bin PSI vs the
+    baseline from the raw rows each snapshot logically contained
+    (step 0 is the baseline vs itself — exactly 0)."""
+    from pyspark.sql.window import Window as _W
+
+    from parquet_rewriter_spark.operators.driftstats import (
+        build_drift_stats,
+        psi_timeline,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = SortedTable.create(
+        spark, _scratch("drifttl"), d.filter(F.col("doc_id") % 3 == 0),
+        key="doc_id", max_records_per_file=_scaled_mrpf(d, 9),
+    )
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    for wave in (1, 2):
+        muts = d.filter(F.col("doc_id") % 3 == wave).withColumn(
+            "op", F.lit("UPSERT")
+        )
+        merge_into_table(t, muts, allow_splice=False)
+        build_drift_stats(t, "n_chars", "source", EDGES)
+    tl = psi_timeline(t, "n_chars", "source", EDGES)
+    return tl.select(
+        (F.row_number().over(_W.orderBy("version")) - 1)
+        .cast("long").alias("step"),
+        F.col("n_rows"),
+        F.col("psi"),
+    )
+
+
+@query(
     "source_score_drift_ks_binned",
     """
     WITH sc AS (

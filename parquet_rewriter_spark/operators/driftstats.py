@@ -190,22 +190,14 @@ def psi_between_versions(
     )
 
 
-def psi_from_stats(
-    table,
-    value_col: str,
-    group_col: str,
-    edges: Sequence[Any],
-    floor_p: float = 1e-6,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Per-group PSI vs rest of the CURRENT snapshot, answered from
-    sidecar rows only — self-heals missing files (compact/DV-rewrite
-    paths have no build hook), then sums |G|·(B+2) integers on the
-    driver. No data file is read when the sidecar is complete.
-    Returns (group, n_group, n_rest, psi) like psi_drift_by_group —
-    NULL-group rows count toward every group's rest, no output row;
-    NULL VALUES live in the reserved bin −1 and drift like any other
-    bin (with no NULLs anywhere its floored term is exactly 0)."""
+def _group_matrices(table, value_col: str, group_col: str,
+                    edges: Sequence[Any]):
+    """Current-snapshot per-group count matrices from the sidecar:
+    (manifest, physical group col, tot, per_g) where ``tot`` is the
+    whole-table histogram and ``per_g[g]`` each non-NULL group's, both
+    length B+2 (index 0 = reserved NULL-value bin, index i+1 = bin i).
+    DV-refusal, self-heal, and racing-double-build collapse — the
+    shared front half of every current-snapshot sidecar statistic."""
     m = table.manifest()
     pv = table.to_physical(value_col, m)
     pg = table.to_physical(group_col, m)
@@ -215,7 +207,7 @@ def psi_from_stats(
         raise ValueError(
             "live files have merge-on-read deletion vectors; their count "
             "matrices still include tombstoned rows — materialize deletes "
-            "(or use the scan-path psi_drift_by_group) for an exact answer"
+            "(or use the scan-path drift statistics) for an exact answer"
         )
     have = _have_files(table, sid)
     missing = [n for n in live if n not in have]
@@ -244,6 +236,48 @@ def psi_from_stats(
         tot[r["bin"] + 1] += r["n"]
         if r["grp"] is not None:
             per_g.setdefault(r["grp"], [0] * n_bins)[r["bin"] + 1] += r["n"]
+    return m, pg, tot, per_g
+
+
+def _typed_out(table, m, pg: str, group_col: str, out, stat_name: str):
+    """(group, n_group, n_rest, <stat>) DataFrame with the group column
+    typed from the table schema (engine tables always store it)."""
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gtype = StructType.fromJson(json.loads(m.schema_json))[pg].dataType
+    schema = StructType([
+        StructField(group_col, gtype),
+        StructField("n_group", LongType()),
+        StructField("n_rest", LongType()),
+        StructField(stat_name, DoubleType()),
+    ])
+    return table.spark.createDataFrame(out, schema)
+
+
+def psi_from_stats(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    floor_p: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group PSI vs rest of the CURRENT snapshot, answered from
+    sidecar rows only — self-heals missing files (compact/DV-rewrite
+    paths have no build hook), then sums |G|·(B+2) integers on the
+    driver. No data file is read when the sidecar is complete.
+    Returns (group, n_group, n_rest, psi) like psi_drift_by_group —
+    NULL-group rows count toward every group's rest, no output row;
+    NULL VALUES live in the reserved bin −1 and drift like any other
+    bin (with no NULLs anywhere its floored term is exactly 0)."""
+    m, pg, tot, per_g = _group_matrices(table, value_col, group_col, edges)
     out = []
     for g in sorted(per_g):
         ca = per_g[g]
@@ -255,21 +289,127 @@ def psi_from_stats(
             pb = max(c_b / nb, floor_p)
             psi += (pa - pb) * math.log(pa / pb)
         out.append((g, int(na), int(nb), round(psi, round_digits)))
-    import json
+    return _typed_out(table, m, pg, group_col, out, "psi")
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
+
+def ks_from_stats(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group BINNED two-sample KS vs rest of the CURRENT snapshot
+    from the same sidecar matrices PSI uses — CDF-shaped drift at churn
+    cost. The empirical CDFs are evaluated at the declared bin edges
+    only, so this is the documented BINNED APPROXIMATION to exact KS:
+    D_binned = max over edges of |F_group − F_rest| ≤ D_exact, and the
+    gap is bounded by the largest bin's mass (the scan path
+    drift.ks_drift_by_group gives the exact statistic at corpus-scan
+    cost). NULL values (reserved bin −1) have no place in an ordering
+    and are EXCLUDED — n_group / n_rest count non-NULL rows only.
+    Returns (group, n_group, n_rest, ks_stat)."""
+    m, pg, tot, per_g = _group_matrices(table, value_col, group_col, edges)
+    out = []
+    for g in sorted(per_g):
+        ca = per_g[g][1:]  # drop the NULL bin: KS needs an ordering
+        cb = [t - c for t, c in zip(tot[1:], ca)]
+        na, nb = float(sum(ca)), float(sum(cb))
+        d = cum_a = cum_b = 0.0
+        for c_a, c_b in zip(ca, cb):
+            cum_a += c_a
+            cum_b += c_b
+            if na > 0 and nb > 0:
+                d = max(d, abs(cum_a / na - cum_b / nb))
+        out.append((g, int(na), int(nb), round(d, round_digits)))
+    return _typed_out(table, m, pg, group_col, out, "ks_stat")
+
+
+def psi_timeline(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    v_base: int | None = None,
+    floor_p: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """WHEN did the corpus shift: whole-table PSI of EVERY retained
+    snapshot vs a baseline snapshot (default: the oldest retained), in
+    one call — the per-version generalization of
+    :func:`psi_between_versions`. One sidecar scan answers all
+    versions: the (version, file) membership relation is built from the
+    retained manifests (driver-side, manifest-scale) and
+    broadcast-joined to the count matrices, which aggregate to
+    ≤ |versions|·(B+2) integers; retired files' matrices persist until
+    vacuum, so history stays summable, and files missing a matrix
+    (compact/DV-rewrite paths) are healed across ALL versions first.
+    Returns (version, committed_at, n_rows, psi) ordered by version."""
+    versions = table.versions()
+    if v_base is None:
+        v_base = versions[0]
+    if v_base not in versions:
+        raise ValueError(f"baseline version {v_base} is not retained")
+    m_new = table.manifest(versions[-1])
+    pv = table.to_physical(value_col, m_new)
+    pg = table.to_physical(group_col, m_new)
+    sid = _spec_id(pv, pg, edges)
+    membership = []  # (version, file)
+    committed = {}
+    names: set[str] = set()
+    for v in versions:
+        mv = table.manifest(v)
+        if any(e.dv_rows for e in mv.files):
+            raise ValueError(
+                f"snapshot {v} has merge-on-read deletion vectors; its "
+                "count matrices still include tombstoned rows — "
+                "materialize deletes for an exact answer"
+            )
+        committed[v] = mv.committed_at
+        for e in mv.files:
+            membership.append((v, e.name))
+            names.add(e.name)
+    have = _have_files(table, sid)
+    missing = [n for n in names if n not in have]
+    if missing:
+        _build_for(table, missing, pv, pg, edges, sid)
+    mem_df = table.spark.createDataFrame(
+        membership, "version long, file string"
     )
-
-    # typed group column (engine tables always store their schema)
-    gtype = StructType.fromJson(json.loads(m.schema_json))[pg].dataType
-    schema = StructType([
-        StructField(group_col, gtype),
-        StructField("n_group", LongType()),
-        StructField("n_rest", LongType()),
-        StructField("psi", DoubleType()),
-    ])
-    return table.spark.createDataFrame(out, schema)
+    rows = (
+        semi_join_files(
+            table.spark.read.parquet(_sidecar(table))
+            .filter(F.col("spec") == sid),
+            names,
+        )
+        .dropDuplicates(["file", "grp", "bin"])  # racing double-builds
+        .join(F.broadcast(mem_df), "file")
+        .groupBy("version", "bin")
+        .agg(F.sum("n").alias("n"))
+        .collect()  # bounded: ≤ |versions|·(B+2) rows
+    )
+    n_bins = len(edges) + 2
+    hists: dict[int, list[int]] = {v: [0] * n_bins for v in versions}
+    for r in rows:
+        if r["bin"] is None or not -1 <= r["bin"] <= len(edges):
+            raise ValueError(
+                f"corrupt drift sidecar row: bin={r['bin']!r} outside "
+                f"[-1, {len(edges)}] for spec {sid}"
+            )
+        hists[r["version"]][r["bin"] + 1] += r["n"]
+    base = hists[v_base]
+    nb = float(sum(base))
+    out = []
+    for v in versions:
+        h = hists[v]
+        nv = float(sum(h))
+        psi = 0.0
+        for c_b, c_v in zip(base, h):
+            # an empty snapshot's distribution is all-floor (no mass)
+            pb = max(c_b / nb, floor_p) if nb > 0 else floor_p
+            pn = max(c_v / nv, floor_p) if nv > 0 else floor_p
+            psi += (pn - pb) * math.log(pn / pb)
+        out.append((v, committed[v], int(nv), round(psi, round_digits)))
+    return table.spark.createDataFrame(
+        out, "version long, committed_at string, n_rows long, psi double"
+    )

@@ -266,3 +266,94 @@ def test_vacuum_prunes_dead_driftstats_rows(spark, tmp_path):
         r["file"] for r in spark.read.parquet(side).select("file").collect()
     }
     assert files_after <= live  # dead rows swept with the other sidecars
+
+
+def test_ks_from_stats_matches_hand_computation(spark, tmp_path):
+    """Binned KS from the sidecar: CDFs at declared edges, rest by
+    subtraction, NULL bin excluded — checked against a straight-line
+    python replay AND the property D_binned <= D_exact."""
+    from parquet_rewriter_spark.operators.drift import ks_drift_by_group
+    from parquet_rewriter_spark.operators.driftstats import ks_from_stats
+
+    t, rows = _mk(spark, tmp_path)
+    build_drift_stats(t, "v", "g", EDGES)
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["ks_stat"])
+           for r in ks_from_stats(t, "v", "g", EDGES).collect()}
+
+    # python replay
+    n_bins = len(EDGES) + 1
+    tot = [0] * n_bins
+    per_g: dict[str, list[int]] = {}
+    for r in rows:
+        b = sum(1 for e in EDGES if r.v > e)
+        tot[b] += 1
+        per_g.setdefault(r.g, [0] * n_bins)[b] += 1
+    for g, ca in per_g.items():
+        cb = [tt - c for tt, c in zip(tot, ca)]
+        na, nb = float(sum(ca)), float(sum(cb))
+        d = cum_a = cum_b = 0.0
+        for c_a, c_b in zip(ca, cb):
+            cum_a += c_a
+            cum_b += c_b
+            d = max(d, abs(cum_a / na - cum_b / nb))
+        assert got[g] == (int(na), int(nb), round(d, 6)), g
+
+    # binned KS is a lower bound on exact KS (sup over fewer points)
+    df = spark.createDataFrame(rows, "k long, g string, v int")
+    exact = {r["g"]: r["ks_stat"]
+             for r in ks_drift_by_group(df, "v", "g", out_group="g").collect()}
+    for g in got:
+        assert got[g][2] <= exact[g] + 1e-9, (g, got[g][2], exact[g])
+
+
+def test_ks_from_stats_excludes_null_bin(spark, tmp_path):
+    from parquet_rewriter_spark.operators.driftstats import ks_from_stats
+
+    rows = [
+        Row(k=i, g=("a" if i % 2 == 0 else "b"),
+            v=(None if i % 10 == 0 else i % 40))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v int")
+    t = SortedTable.create(spark, str(tmp_path / "tkn"), df, key="k",
+                           max_records_per_file=50)
+    got = {r["g"]: (r["n_group"], r["n_rest"])
+           for r in ks_from_stats(t, "v", "g", EDGES).collect()}
+    n_a = sum(1 for r in rows if r.g == "a" and r.v is not None)
+    n_b = sum(1 for r in rows if r.g == "b" and r.v is not None)
+    assert got["a"] == (n_a, n_b)  # NULL-valued rows excluded from KS
+    assert got["b"] == (n_b, n_a)
+
+
+def test_psi_timeline_per_version_series(spark, tmp_path):
+    """One call → PSI of every retained snapshot vs the baseline:
+    step 0 is exactly 0 (baseline vs itself), later shifted ingests
+    strictly increase drift, and each point equals the pairwise
+    psi_between_versions answer."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        psi_between_versions,
+        psi_timeline,
+    )
+
+    t, rows = _mk(spark, tmp_path)
+    v0 = t.manifest().version
+    build_drift_stats(t, "v", "g", EDGES)
+    for wave in range(2):
+        muts = spark.createDataFrame(
+            [Row(k=10_000 * (wave + 1) + i, g="a", v=39, op="UPSERT")
+             for i in range(150)],
+            "k long, g string, v int, op string",
+        )
+        merge_into_table(t, muts, allow_splice=False)
+        build_drift_stats(t, "v", "g", EDGES)
+    tl = psi_timeline(t, "v", "g", EDGES).collect()
+    assert [r["version"] for r in tl] == t.versions()
+    assert tl[0]["psi"] == 0.0 and tl[0]["version"] == v0
+    assert tl[0]["n_rows"] == len(rows)
+    assert 0 < tl[1]["psi"] < tl[2]["psi"]  # drift accumulates
+    for r in tl[1:]:
+        pair = psi_between_versions(
+            t, "v", "g", EDGES, v_old=v0, v_new=r["version"]
+        ).first()
+        assert r["psi"] == pair["psi"] and r["n_rows"] == pair["n_new"]
+    assert all(r["committed_at"] for r in tl)
