@@ -2653,12 +2653,119 @@ def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probe docs are exact copies of corpus docs, so each must hit its
     original at est_jaccard 1.0 (plus its ingested twin where one
     exists). Hash family isn't SQL-portable → rows-only; the
-    estimate-vs-true-Jaccard band is tested in tests/test_dedup_index.py."""
+    estimate-vs-true-Jaccard band is tested in tests/test_dedup_index.py,
+    and `incremental_dedup_index_portable` runs the SAME lifecycle
+    under the md5-bridge family with a full hash-compared oracle."""
     from parquet_rewriter_spark.operators.dedup_index import MinhashDedupIndex
 
     d = _t(spark, sf_dir, "documents")
     idx = MinhashDedupIndex.build(
         spark, _scratch("mh_index"), d, num_hashes=32, bands=16
+    )
+    ingest = d.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    idx.add(ingest)
+    probe = d.filter(F.col("doc_id") % 9 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    return idx.near_dups_of(probe, threshold=0.9)
+
+
+@query(
+    "incremental_dedup_index_portable",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0
+    ),
+    probe AS (
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents
+      WHERE doc_id % 9 = 3
+    ),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    csh AS (
+      SELECT doc_id, array_to_string(list_slice(w, j, j + 2), ' ') AS sh
+      FROM cw, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(j)
+    ),
+    cb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483648 AS base
+      FROM csh
+    ),
+    chs AS (
+      SELECT doc_id, i.i,
+             min((base * 2654435761 + i.i + 1) % 4294967296) AS h
+      FROM cb CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    pw AS (SELECT doc_id, string_split(text, ' ') AS w FROM probe),
+    psh AS (
+      SELECT doc_id, array_to_string(list_slice(w, j, j + 2), ' ') AS sh
+      FROM pw, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(j)
+    ),
+    pb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483648 AS base
+      FROM psh
+    ),
+    phs AS (
+      SELECT doc_id, i.i,
+             min((base * 2654435761 + i.i + 1) % 4294967296) AS h
+      FROM pb CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    cbk AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS bkey
+      FROM chs GROUP BY doc_id, i // 2
+    ),
+    pbk AS (
+      SELECT doc_id, i // 2 AS band,
+             string_agg(CAST(h AS VARCHAR), '_' ORDER BY i) AS bkey
+      FROM phs GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS batch_id, c.doc_id AS index_id
+      FROM pbk p JOIN cbk c ON p.band = c.band AND p.bkey = c.bkey
+      WHERE p.doc_id <> c.doc_id
+    ),
+    est AS (
+      SELECT cand.batch_id, cand.index_id,
+             round(sum(CASE WHEN ph.h = ch.h THEN 1 ELSE 0 END) / 32.0, 4)
+               AS est_jaccard
+      FROM cand
+      JOIN phs ph ON ph.doc_id = cand.batch_id
+      JOIN chs ch ON ch.doc_id = cand.index_id AND ch.i = ph.i
+      GROUP BY cand.batch_id, cand.index_id
+    )
+    SELECT batch_id, index_id, est_jaccard
+    FROM est WHERE est_jaccard >= 0.9
+    """,
+    "dedup", "index", "incremental", "lsh", "portable",
+)
+def incremental_dedup_index_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental dedup index with the ENGINE-PORTABLE hash family
+    (operators/dedup_index.py, hash_family='portable': md5-bridge base,
+    Knuth multiplicative components, string band keys — the same family
+    that oracles minhash_portable_near_dup_pairs). Same lifecycle as
+    the production rows-only twin `incremental_dedup_index`: build the
+    index over the corpus, `add` an ingest batch of exact copies
+    (merge core maintains the signature table), screen a probe batch
+    against the WHOLE index without re-signaturing the corpus. The
+    oracle replays every signature, band bucket, candidate, and
+    component-match estimate in SQL, so the hash compare certifies the
+    index machinery end to end — each probe doc must surface its
+    original (and its ingested twin) at est_jaccard 1.0."""
+    from parquet_rewriter_spark.operators.dedup_index import MinhashDedupIndex
+
+    d = _t(spark, sf_dir, "documents")
+    idx = MinhashDedupIndex.build(
+        spark, _scratch("mh_index_p"), d, num_hashes=32, bands=16,
+        hash_family="portable",
     )
     ingest = d.filter(F.col("doc_id") % 9 == 0).withColumn(
         "doc_id", F.col("doc_id") + 2_000_000

@@ -60,13 +60,25 @@ class MinhashDedupIndex:
         num_hashes: int = 48,
         bands: int = 16,
         shingle_n: int = 3,
+        hash_family: str = "xxhash64",
     ) -> None:
         if num_hashes % bands != 0:
             raise ValueError("num_hashes must divide evenly into bands")
+        if hash_family not in ("xxhash64", "portable"):
+            raise ValueError("hash_family must be 'xxhash64' or 'portable'")
         self.table = table
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
+        # "portable" = the md5-bridge Knuth family of
+        # dedup.minhash_lsh_pairs_portable: one md5 per shingle, band
+        # keys as '_'-joined component strings — every signature,
+        # bucket, and estimate replayable in ANSI SQL (the correctness
+        # gate's full hash compare). "xxhash64" (default) is the faster
+        # production family. Like num_hashes/bands, the family is part
+        # of the index's identity: open() must pass the same value the
+        # index was built with.
+        self.hash_family = hash_family
 
     # ---------------------------------------------------------- build
 
@@ -82,15 +94,17 @@ class MinhashDedupIndex:
         bands: int = 16,
         shingle_n: int = 3,
         max_records_per_file: int = 100_000,
+        hash_family: str = "xxhash64",
     ) -> "MinhashDedupIndex":
         """Signature the initial corpus and write the index table."""
         sigs = cls._signatures_static(
-            docs, id_col, text_col, num_hashes, shingle_n
+            docs, id_col, text_col, num_hashes, shingle_n, hash_family
         )
         table = SortedTable.create(
             spark, path, sigs, key=_ID, max_records_per_file=max_records_per_file
         )
-        return cls(table, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n)
+        return cls(table, num_hashes=num_hashes, bands=bands,
+                   shingle_n=shingle_n, hash_family=hash_family)
 
     @classmethod
     def open(
@@ -100,12 +114,14 @@ class MinhashDedupIndex:
         num_hashes: int = 48,
         bands: int = 16,
         shingle_n: int = 3,
+        hash_family: str = "xxhash64",
     ) -> "MinhashDedupIndex":
         return cls(
             SortedTable(spark, path),
             num_hashes=num_hashes,
             bands=bands,
             shingle_n=shingle_n,
+            hash_family=hash_family,
         )
 
     # ------------------------------------------------------- mutation
@@ -193,41 +209,72 @@ class MinhashDedupIndex:
 
     def _signatures(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return self._signatures_static(
-            docs, id_col, text_col, self.num_hashes, self.shingle_n
+            docs, id_col, text_col, self.num_hashes, self.shingle_n,
+            self.hash_family,
         )
 
     @staticmethod
     def _signatures_static(
-        docs: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        num_hashes: int,
+        shingle_n: int,
+        hash_family: str = "xxhash64",
     ) -> DataFrame:
-        """(doc_id, h0..h{n-1}) — identical family to minhash_lsh_pairs:
-        shingle → one 64-bit hash per shingle → per-component min of the
-        seeded re-hash, all inside one codegen'd partial aggregate."""
-        sh = _shingle_rows(docs, id_col, text_col, shingle_n).select(
-            "id", F.xxhash64("sh").alias("sh64")
-        )
-        mins = [
-            F.min(F.xxhash64("sh64", F.lit(i))).alias(f"{_SIG_PREFIX}{i}")
-            for i in range(num_hashes)
-        ]
+        """(doc_id, h0..h{n-1}) — identical family to minhash_lsh_pairs
+        (xxhash64: shingle → one 64-bit hash → per-component min of the
+        seeded re-hash) or to minhash_lsh_pairs_portable (portable:
+        md5-bridge base, Knuth multiplicative family — every component
+        ANSI-replayable), all inside one codegen'd partial aggregate."""
+        sh_rows = _shingle_rows(docs, id_col, text_col, shingle_n)
+        if hash_family == "portable":
+            from parquet_rewriter_spark.operators.countmin import (
+                portable_string_hash,
+            )
+            from parquet_rewriter_spark.operators.sampling import _KNUTH
+
+            base = F.pmod(portable_string_hash(F.col("sh")), F.lit(2 ** 31))
+            sh = sh_rows.select("id", base.alias("b"))
+            mins = [
+                F.min(
+                    F.pmod(F.col("b") * F.lit(_KNUTH) + F.lit(i + 1),
+                           F.lit(2 ** 32))
+                ).alias(f"{_SIG_PREFIX}{i}")
+                for i in range(num_hashes)
+            ]
+        else:
+            sh = sh_rows.select("id", F.xxhash64("sh").alias("sh64"))
+            mins = [
+                F.min(F.xxhash64("sh64", F.lit(i))).alias(f"{_SIG_PREFIX}{i}")
+                for i in range(num_hashes)
+            ]
         return sh.groupBy("id").agg(*mins).withColumnRenamed("id", _ID)
 
     def _banded(self, sigs: DataFrame, out_id: str) -> DataFrame:
-        """(out_id, band, band_sig) — one row per (doc, band)."""
+        """(out_id, band, band_sig) — one row per (doc, band). The
+        portable family's band key is the '_'-joined component string
+        (rendered identically by any engine); xxhash64's is one 64-bit
+        hash of the band's components."""
         rows = self.num_hashes // self.bands
+        if self.hash_family == "portable":
+            keys = [
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"{_SIG_PREFIX}{band * rows + r}").cast("string")
+                      for r in range(rows)],
+                )
+                for band in range(self.bands)
+            ]
+        else:
+            keys = [
+                F.xxhash64(
+                    *[F.col(f"{_SIG_PREFIX}{band * rows + r}")
+                      for r in range(rows)]
+                )
+                for band in range(self.bands)
+            ]
         return sigs.select(
             F.col(_ID).alias(out_id),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            *[
-                                F.col(f"{_SIG_PREFIX}{band * rows + r}")
-                                for r in range(rows)
-                            ]
-                        )
-                        for band in range(self.bands)
-                    ]
-                )
-            ).alias("band", "band_sig"),
+            F.posexplode(F.array(*keys)).alias("band", "band_sig"),
         )

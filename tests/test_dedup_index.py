@@ -99,3 +99,39 @@ def test_reopen_from_disk(spark, tmp_path):
     batch = corpus.filter(F.col("doc_id") == 0).withColumn("doc_id", F.lit(99).cast("long"))
     got = idx.near_dups_of(batch, 0.9).collect()
     assert {(r.batch_id, r.index_id) for r in got} == {(99, 0)}
+
+
+def test_portable_family_full_lifecycle(spark, tmp_path):
+    """hash_family='portable' (the oracled md5-bridge family) must run
+    the same build/add/probe/remove lifecycle as xxhash64, find the
+    same exact-copy hits at est 1.0, and reopen from disk under the
+    declared family."""
+    corpus = _corpus(spark)
+    idx = MinhashDedupIndex.build(
+        spark, str(tmp_path / "pidx"), corpus, num_hashes=32, bands=16,
+        hash_family="portable",
+    )
+    batch = corpus.filter(F.col("doc_id").isin(5, 17)).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    hits = idx.near_dups_of(batch, threshold=0.9).collect()
+    assert {(r.batch_id, r.index_id) for r in hits} == {(1005, 5), (1017, 17)}
+    assert all(r.est_jaccard == 1.0 for r in hits)
+    idx.add(batch)
+    idx.remove(spark.createDataFrame([(5,)], "doc_id long"))
+    re = MinhashDedupIndex.open(
+        spark, str(tmp_path / "pidx"), num_hashes=32, bands=16,
+        hash_family="portable",
+    )
+    hits2 = {(r.batch_id, r.index_id)
+             for r in re.near_dups_of(batch, threshold=0.9).collect()}
+    # original 5 removed; the added twins now hit each other's entries
+    assert (1005, 5) not in hits2
+    assert (1017, 17) in hits2 and (1005, 1005) not in hits2
+
+
+def test_family_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        MinhashDedupIndex(None, hash_family="sha9000")
