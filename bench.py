@@ -306,13 +306,22 @@ def main() -> None:
             or os.environ.get("SPARK_GRAFT_BENCH_FULL", "") == "1")
     tier = HEADLINE + EXTENDED if full else HEADLINE
     names = [n for n in tier if n in catalog.REGISTRY]
+    # Commit-bound lifecycle queries (many manifest commits, little
+    # plan execution) swing ~2x with run order after a single warmup —
+    # the first timed commit path is still cold on filesystem/JIT state
+    # earlier queries would otherwise have warmed (the r6 headline vs
+    # full-tier discrepancy on exactly these two). A second sf0.001
+    # warm pass (~1-2 s each) damps the swing; applied only where the
+    # noise was observed to keep the headline tier inside its budget.
+    warm_twice = {"schema_ddl_lifecycle_scan", "maintained_table_scan"}
     t_run_start = time.perf_counter()
     for name in names:
         fn = catalog.REGISTRY[name].fn
-        try:
-            fn(spark, warm_dir).count()
-        except Exception:  # noqa: BLE001 - warmup must never fail the bench
-            pass
+        for _ in range(2 if name in warm_twice else 1):
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:  # noqa: BLE001 - warmup must never fail the bench
+                pass
         _reset_session_litter(spark)
         # a failing query records an error line instead of killing the
         # whole bench — the driver must always get its one JSON line

@@ -325,6 +325,93 @@ def ks_from_stats(
     return _typed_out(table, m, pg, group_col, out, "ks_stat")
 
 
+def w1_from_stats(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group BINNED Wasserstein-1 vs rest from the sidecar
+    matrices — the magnitude-sensitive companion to ks_from_stats at
+    the same churn cost. The CDFs are only known at the declared edges,
+    so the area is the trapezoid-free Riemann sum over the INTERIOR
+    edge gaps: W1_binned = Σ_{j=1}^{B−1} |F_a(e_j) − F_b(e_j)|·(e_{j+1}
+    − e_j), with F(e_j) = (count of bins ≤ j−1)/n. Mass displacement
+    WITHIN a bin or beyond the outermost edges is invisible at this
+    granularity (truncated-support approximation; the scan path
+    drift.w1_drift_by_group is exact); like KS, NULL values (bin −1)
+    have no place on the value axis and are excluded. Requires numeric
+    edges. Returns (group, n_group, n_rest, w1)."""
+    gaps = [float(edges[j + 1]) - float(edges[j])
+            for j in range(len(edges) - 1)]
+    m, pg, tot, per_g = _group_matrices(table, value_col, group_col, edges)
+    out = []
+    for g in sorted(per_g):
+        ca = per_g[g][1:]
+        cb = [t - c for t, c in zip(tot[1:], ca)]
+        na, nb = float(sum(ca)), float(sum(cb))
+        w1 = 0.0
+        cum_a = cum_b = 0.0
+        for j, gap in enumerate(gaps):
+            cum_a += ca[j]
+            cum_b += cb[j]
+            if na > 0 and nb > 0:
+                w1 += abs(cum_a / na - cum_b / nb) * gap
+        out.append((g, int(na), int(nb), round(w1, round_digits)))
+    return _typed_out(table, m, pg, group_col, out, "w1")
+
+
+def chi2_from_stats(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group chi-square homogeneity vs rest over the DECLARED BINS
+    from the sidecar matrices. Unlike binned KS/W1 this is not an
+    approximation of the scan statistic but the exact chi-square of the
+    binned contingency table (binning IS the categorization); the NULL
+    bin participates as its own category when present (a shifted
+    missing-value share is drift), and bins empty across the whole
+    corpus are dropped (zero expectation has no term). dof = #occupied
+    bins − 1. Returns (group, n_group, n_rest, dof, chi2)."""
+    m, pg, tot, per_g = _group_matrices(table, value_col, group_col, edges)
+    occupied = [i for i, t in enumerate(tot) if t > 0]
+    out = []
+    for g in sorted(per_g):
+        ca = per_g[g]
+        cb = [t - c for t, c in zip(tot, ca)]
+        na, nb = float(sum(ca)), float(sum(cb))
+        chi2 = 0.0
+        for i in occupied:
+            tv = float(tot[i])
+            ea = na * tv / (na + nb)
+            eb = nb * tv / (na + nb)
+            chi2 += (ca[i] - ea) ** 2 / ea + (cb[i] - eb) ** 2 / eb
+        out.append((g, int(na), int(nb), len(occupied) - 1,
+                    round(chi2, round_digits)))
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gtype = StructType.fromJson(json.loads(m.schema_json))[pg].dataType
+    schema = StructType([
+        StructField(group_col, gtype),
+        StructField("n_group", LongType()),
+        StructField("n_rest", LongType()),
+        StructField("dof", LongType()),
+        StructField("chi2", DoubleType()),
+    ])
+    return table.spark.createDataFrame(out, schema)
+
+
 def psi_timeline(
     table,
     value_col: str,

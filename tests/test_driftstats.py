@@ -357,3 +357,70 @@ def test_psi_timeline_per_version_series(spark, tmp_path):
         ).first()
         assert r["psi"] == pair["psi"] and r["n_rows"] == pair["n_new"]
     assert all(r["committed_at"] for r in tl)
+
+
+def test_w1_from_stats_matches_hand_computation(spark, tmp_path):
+    """Binned W1 from the sidecar: Riemann sum of |F_a − F_b| over the
+    interior edge gaps, NULL bin excluded — vs a python replay."""
+    from parquet_rewriter_spark.operators.driftstats import w1_from_stats
+
+    t, rows = _mk(spark, tmp_path)
+    build_drift_stats(t, "v", "g", EDGES)
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["w1"])
+           for r in w1_from_stats(t, "v", "g", EDGES).collect()}
+
+    n_bins = len(EDGES) + 1
+    tot = [0] * n_bins
+    per_g: dict[str, list[int]] = {}
+    for r in rows:
+        b = sum(1 for e in EDGES if r.v > e)
+        tot[b] += 1
+        per_g.setdefault(r.g, [0] * n_bins)[b] += 1
+    gaps = [float(EDGES[j + 1] - EDGES[j]) for j in range(len(EDGES) - 1)]
+    for g, ca in per_g.items():
+        cb = [tt - c for tt, c in zip(tot, ca)]
+        na, nb = float(sum(ca)), float(sum(cb))
+        w1 = cum_a = cum_b = 0.0
+        for j, gap in enumerate(gaps):
+            cum_a += ca[j]
+            cum_b += cb[j]
+            w1 += abs(cum_a / na - cum_b / nb) * gap
+        assert got[g] == (int(na), int(nb), round(w1, 6)), g
+
+
+def test_chi2_from_stats_matches_scan_path_on_binned_input(spark, tmp_path):
+    """Over PRE-BINNED values the sidecar chi-square must equal the
+    scan path's chi2_drift_by_group run on the bin ids — binning IS the
+    categorization, so this one is exact, not an approximation."""
+    from parquet_rewriter_spark.operators.drift import chi2_drift_by_group
+    from parquet_rewriter_spark.operators.driftstats import chi2_from_stats
+
+    t, rows = _mk(spark, tmp_path)
+    build_drift_stats(t, "v", "g", EDGES)
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["dof"], r["chi2"])
+           for r in chi2_from_stats(t, "v", "g", EDGES).collect()}
+    binned = spark.createDataFrame(
+        [Row(g=r.g, b=sum(1 for e in EDGES if r.v > e)) for r in rows]
+    )
+    want = {r["source"]: (r["n_group"], r["n_rest"], r["dof"], r["chi2"])
+            for r in chi2_drift_by_group(binned, "b", "g").collect()}
+    assert got == want
+
+
+def test_chi2_from_stats_null_bin_is_a_category(spark, tmp_path):
+    from parquet_rewriter_spark.operators.driftstats import chi2_from_stats
+
+    rows = [
+        Row(k=i, g=("a" if i % 2 == 0 else "b"),
+            v=(None if i % 4 == 0 else i % 40))
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "k long, g string, v int")
+    t = SortedTable.create(spark, str(tmp_path / "tc2"), df, key="k",
+                           max_records_per_file=40)
+    out = {r["g"]: r for r in chi2_from_stats(t, "v", "g", EDGES).collect()}
+    # NULLs only in group a → the NULL bin category alone forces chi2 > 0
+    assert out["a"]["chi2"] > 0
+    # all NULLs live in group a's rows; dof counts the NULL bin too
+    assert out["a"]["n_group"] == 80  # NULL-valued rows still counted
+    assert out["a"]["dof"] == out["b"]["dof"] >= len(EDGES)
