@@ -7314,6 +7314,93 @@ def drift_timeline_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_timeline_by_source",
+    f"""
+    WITH snaps AS (
+      SELECT 0 AS step, source AS g, {_TL_BIN} AS bin
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 1, source, {_TL_BIN} FROM documents WHERE doc_id % 3 IN (0, 1)
+      UNION ALL
+      SELECT 2, source, {_TL_BIN} FROM documents
+    ),
+    bins AS (SELECT unnest(generate_series(-1, 4)) AS bin),
+    steps AS (SELECT unnest(generate_series(0, 2)) AS step),
+    g AS (SELECT DISTINCT source AS g FROM documents
+          WHERE source IS NOT NULL),
+    cnt AS (
+      SELECT step, g, bin, count(*) AS n FROM snaps
+      WHERE g IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT s.step, g.g, b.bin FROM steps s CROSS JOIN g CROSS JOIN bins b
+    ),
+    cells AS (
+      SELECT grid.step, grid.g, grid.bin,
+             CAST(coalesce(cnt.n, 0) AS DOUBLE) AS c
+      FROM grid LEFT JOIN cnt ON cnt.step = grid.step AND cnt.g = grid.g
+                             AND cnt.bin = grid.bin
+    ),
+    tots AS (
+      SELECT step, g, bin, c,
+             sum(c) OVER (PARTITION BY step, g) AS nt
+      FROM cells
+    ),
+    base AS (SELECT g, bin, c AS cb, nt AS nb FROM tots WHERE step = 0)
+    SELECT CAST(t.step AS BIGINT) AS step, t.g AS source,
+           CAST(max(t.nt) AS BIGINT) AS n_rows,
+           round(sum((greatest(t.c / t.nt, 1e-6) - greatest(b.cb / b.nb, 1e-6))
+                     * ln(greatest(t.c / t.nt, 1e-6)
+                          / greatest(b.cb / b.nb, 1e-6))), 6) AS psi
+    FROM tots t JOIN base b ON b.g = t.g AND b.bin = t.bin
+    GROUP BY t.step, t.g
+    """,
+    "drift", "monitoring", "psi", "time-travel", "timeline", "sidecar",
+)
+def drift_timeline_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH source shifted, and when
+    (operators/driftstats.py:psi_timeline_by_group): per retained
+    snapshot, each source's PSI against its OWN baseline distribution —
+    the per-group drill-down of the whole-table timeline, from the same
+    one-scan sidecar + broadcast membership join, ≤ |versions|·|G|·(B+2)
+    driver integers. Three commits growing the corpus by thirds; the
+    oracle recomputes every (step, source) cell from the raw rows each
+    snapshot logically contained (step 0 = baseline vs itself, all
+    zeros)."""
+    from pyspark.sql.window import Window as _W
+
+    from parquet_rewriter_spark.operators.driftstats import (
+        build_drift_stats,
+        psi_timeline_by_group,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = SortedTable.create(
+        spark, _scratch("drifttlg"), d.filter(F.col("doc_id") % 3 == 0),
+        key="doc_id", max_records_per_file=_scaled_mrpf(d, 9),
+    )
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    for wave in (1, 2):
+        muts = d.filter(F.col("doc_id") % 3 == wave).withColumn(
+            "op", F.lit("UPSERT")
+        )
+        merge_into_table(t, muts, allow_splice=False)
+        build_drift_stats(t, "n_chars", "source", EDGES)
+    tl = psi_timeline_by_group(t, "n_chars", "source", EDGES)
+    steps = tl.select("version").distinct().select(
+        "version",
+        (F.row_number().over(_W.orderBy("version")) - 1)
+        .cast("long").alias("step"),
+    )
+    return tl.join(F.broadcast(steps), "version").select(
+        "step", "source", "n_rows", "psi"
+    )
+
+
+@query(
     "source_score_drift_ks_binned",
     """
     WITH sc AS (
@@ -12132,6 +12219,7 @@ _VERIFY_FIRST = (
     "incremental_drift_w1",
     "incremental_drift_chi2",
     "drift_timeline_psi",
+    "drift_timeline_by_source",
     "source_score_drift_ks_binned",
     "incremental_dedup_index_portable",
     # round-7-changed code paths

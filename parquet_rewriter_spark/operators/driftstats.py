@@ -412,30 +412,16 @@ def chi2_from_stats(
     return table.spark.createDataFrame(out, schema)
 
 
-def psi_timeline(
-    table,
-    value_col: str,
-    group_col: str,
-    edges: Sequence[Any],
-    v_base: int | None = None,
-    floor_p: float = 1e-6,
-    round_digits: int = 6,
-) -> DataFrame:
-    """WHEN did the corpus shift: whole-table PSI of EVERY retained
-    snapshot vs a baseline snapshot (default: the oldest retained), in
-    one call — the per-version generalization of
-    :func:`psi_between_versions`. One sidecar scan answers all
-    versions: the (version, file) membership relation is built from the
-    retained manifests (driver-side, manifest-scale) and
-    broadcast-joined to the count matrices, which aggregate to
-    ≤ |versions|·(B+2) integers; retired files' matrices persist until
-    vacuum, so history stays summable, and files missing a matrix
-    (compact/DV-rewrite paths) are healed across ALL versions first.
-    Returns (version, committed_at, n_rows, psi) ordered by version."""
+def _version_cells(table, value_col: str, group_col: str,
+                   edges: Sequence[Any], v_base, keys):
+    """Shared preamble of the timeline statistics: validate the
+    baseline, DV-refuse, heal missing matrices across ALL retained
+    versions, then ONE sidecar scan joined to a broadcast
+    (version, file) membership relation built from the manifests
+    (driver-side, manifest-scale), aggregated to the requested keys.
+    Returns (versions, committed_at map, collected cell rows)."""
     versions = table.versions()
-    if v_base is None:
-        v_base = versions[0]
-    if v_base not in versions:
+    if v_base is not None and v_base not in versions:
         raise ValueError(f"baseline version {v_base} is not retained")
     m_new = table.manifest(versions[-1])
     pv = table.to_physical(value_col, m_new)
@@ -463,7 +449,7 @@ def psi_timeline(
     mem_df = table.spark.createDataFrame(
         membership, "version long, file string"
     )
-    rows = (
+    cells = (
         semi_join_files(
             table.spark.read.parquet(_sidecar(table))
             .filter(F.col("spec") == sid),
@@ -471,18 +457,47 @@ def psi_timeline(
         )
         .dropDuplicates(["file", "grp", "bin"])  # racing double-builds
         .join(F.broadcast(mem_df), "file")
-        .groupBy("version", "bin")
+        .groupBy(*keys)
         .agg(F.sum("n").alias("n"))
-        .collect()  # bounded: ≤ |versions|·(B+2) rows
+        .collect()  # bounded: ≤ |versions|·|G|·(B+2) rows
     )
-    n_bins = len(edges) + 2
-    hists: dict[int, list[int]] = {v: [0] * n_bins for v in versions}
-    for r in rows:
+    for r in cells:
         if r["bin"] is None or not -1 <= r["bin"] <= len(edges):
             raise ValueError(
                 f"corrupt drift sidecar row: bin={r['bin']!r} outside "
                 f"[-1, {len(edges)}] for spec {sid}"
             )
+    return versions, committed, cells
+
+
+def psi_timeline(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    v_base: int | None = None,
+    floor_p: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """WHEN did the corpus shift: whole-table PSI of EVERY retained
+    snapshot vs a baseline snapshot (default: the oldest retained), in
+    one call — the per-version generalization of
+    :func:`psi_between_versions`. One sidecar scan answers all
+    versions: the (version, file) membership relation is built from the
+    retained manifests (driver-side, manifest-scale) and
+    broadcast-joined to the count matrices, which aggregate to
+    ≤ |versions|·(B+2) integers; retired files' matrices persist until
+    vacuum, so history stays summable, and files missing a matrix
+    (compact/DV-rewrite paths) are healed across ALL versions first.
+    Returns (version, committed_at, n_rows, psi) ordered by version."""
+    versions, committed, cells = _version_cells(
+        table, value_col, group_col, edges, v_base, keys=("version", "bin")
+    )
+    if v_base is None:
+        v_base = versions[0]
+    n_bins = len(edges) + 2
+    hists: dict[int, list[int]] = {v: [0] * n_bins for v in versions}
+    for r in cells:
         hists[r["version"]][r["bin"] + 1] += r["n"]
     base = hists[v_base]
     nb = float(sum(base))
@@ -500,3 +515,77 @@ def psi_timeline(
     return table.spark.createDataFrame(
         out, "version long, committed_at string, n_rows long, psi double"
     )
+
+
+def psi_timeline_by_group(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    v_base: int | None = None,
+    floor_p: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """WHICH group shifted, and when: for every retained snapshot, each
+    group's PSI against ITS OWN distribution in the baseline snapshot —
+    the per-source drill-down of :func:`psi_timeline` (which compares
+    whole-table histograms) and the temporal complement of
+    :func:`psi_from_stats` (which compares each group to the rest
+    WITHIN one snapshot). Same single sidecar scan + broadcast
+    membership join, aggregated per (version, group, bin); driver math
+    over ≤ |versions|·|G|·(B+2) integers. A group absent from the
+    baseline compares against an all-floor distribution (a brand-new
+    source IS maximal drift); NULL-group rows have no identity to track
+    and get no output rows. Returns (version, committed_at, group,
+    n_rows, psi) ordered by (version, group)."""
+    versions, committed, cells = _version_cells(
+        table, value_col, group_col, edges, v_base,
+        keys=("version", "grp", "bin"),
+    )
+    if v_base is None:
+        v_base = versions[0]
+    n_bins = len(edges) + 2
+    hists: dict[tuple, list[int]] = {}
+    groups = set()
+    for r in cells:
+        if r["grp"] is None:
+            continue
+        groups.add(r["grp"])
+        hists.setdefault((r["version"], r["grp"]), [0] * n_bins)[
+            r["bin"] + 1
+        ] += r["n"]
+    zeros = [0] * n_bins
+    out = []
+    for v in versions:
+        for g in sorted(groups):
+            h = hists.get((v, g), zeros)
+            base = hists.get((v_base, g), zeros)
+            nv, nb = float(sum(h)), float(sum(base))
+            psi = 0.0
+            for c_b, c_v in zip(base, h):
+                pb = max(c_b / nb, floor_p) if nb > 0 else floor_p
+                pn = max(c_v / nv, floor_p) if nv > 0 else floor_p
+                psi += (pn - pb) * math.log(pn / pb)
+            out.append((v, committed[v], g, int(nv),
+                        round(psi, round_digits)))
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    m_new = table.manifest(versions[-1])
+    pg = table.to_physical(group_col, m_new)
+    gtype = StructType.fromJson(json.loads(m_new.schema_json))[pg].dataType
+    schema = StructType([
+        StructField("version", LongType()),
+        StructField("committed_at", StringType()),
+        StructField(group_col, gtype),
+        StructField("n_rows", LongType()),
+        StructField("psi", DoubleType()),
+    ])
+    return table.spark.createDataFrame(out, schema)

@@ -424,3 +424,42 @@ def test_chi2_from_stats_null_bin_is_a_category(spark, tmp_path):
     # all NULLs live in group a's rows; dof counts the NULL bin too
     assert out["a"]["n_group"] == 80  # NULL-valued rows still counted
     assert out["a"]["dof"] == out["b"]["dof"] >= len(EDGES)
+
+
+def test_psi_timeline_by_group_tracks_per_source_shift(spark, tmp_path):
+    """Per-group timeline: step 0 is all zeros (every group vs itself);
+    a wave shifting ONLY group 'a' moves a's PSI while b/c stay 0; a
+    BRAND-NEW group compares against an all-floor baseline (maximal
+    drift) and groups are tracked from the union of snapshots."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        psi_timeline_by_group,
+    )
+
+    t, rows = _mk(spark, tmp_path)
+    build_drift_stats(t, "v", "g", EDGES)
+    # wave 1: shift ONLY group a (new keys, top bin)
+    merge_into_table(t, spark.createDataFrame(
+        [Row(k=10_000 + i, g="a", v=39, op="UPSERT") for i in range(150)],
+        "k long, g string, v int, op string"))
+    build_drift_stats(t, "v", "g", EDGES)
+    # wave 2: a brand-new group d
+    merge_into_table(t, spark.createDataFrame(
+        [Row(k=20_000 + i, g="d", v=5, op="UPSERT") for i in range(50)],
+        "k long, g string, v int, op string"))
+    build_drift_stats(t, "v", "g", EDGES)
+
+    tl = psi_timeline_by_group(t, "v", "g", EDGES).collect()
+    v0, v1, v2 = t.versions()
+    got = {(r["version"], r["g"]): (r["n_rows"], r["psi"]) for r in tl}
+    # step 0: every group vs itself → psi exactly 0
+    for g in ("a", "b", "c"):
+        assert got[(v0, g)][1] == 0.0
+    # group d absent at baseline → rows (0, all-floor baseline) at v0
+    assert got[(v0, "d")] == (0, 0.0)
+    # wave 1 shifted only a
+    assert got[(v1, "a")][1] > 0
+    assert got[(v1, "b")][1] == 0.0 and got[(v1, "c")][1] == 0.0
+    # wave 2: d appears — vs all-floor baseline, PSI is large
+    assert got[(v2, "d")][0] == 50 and got[(v2, "d")][1] > 1.0
+    # a's drift persists unchanged through wave 2
+    assert got[(v2, "a")] == got[(v1, "a")]
