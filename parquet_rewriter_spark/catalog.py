@@ -7401,6 +7401,100 @@ def drift_timeline_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_drift_stats",
+    f"""
+    WITH ob AS (
+      SELECT {_TL_BIN} AS bin FROM documents WHERE doc_id % 3 <> 0
+    ),
+    nb2 AS (
+      SELECT {_TL_BIN} AS bin FROM documents
+    ),
+    bins AS (SELECT unnest(generate_series(-1, 4)) AS bin),
+    oc AS (SELECT bin, count(*) AS n FROM ob GROUP BY bin),
+    nc AS (SELECT bin, count(*) AS n FROM nb2 GROUP BY bin),
+    cells AS (
+      SELECT b.bin,
+             CAST(coalesce(oc.n, 0) AS DOUBLE) AS co,
+             CAST(coalesce(nc.n, 0) AS DOUBLE) AS cn
+      FROM bins b
+      LEFT JOIN oc ON oc.bin = b.bin
+      LEFT JOIN nc ON nc.bin = b.bin
+    ),
+    tots AS (
+      SELECT bin, co, cn, sum(co) OVER () AS so, sum(cn) OVER () AS sn
+      FROM cells
+    ),
+    psis AS (
+      SELECT CAST(max(so) AS BIGINT) AS n_old,
+             CAST(max(sn) AS BIGINT) AS n_new,
+             round(sum((greatest(cn / sn, 1e-6) - greatest(co / so, 1e-6))
+                       * ln(greatest(cn / sn, 1e-6)
+                            / greatest(co / so, 1e-6))), 6) AS psi
+      FROM tots
+    ),
+    cdf AS (
+      SELECT bin,
+             sum(co) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               / sum(co) OVER () AS fo,
+             sum(cn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               / sum(cn) OVER () AS fn2
+      FROM tots WHERE bin >= 0
+    ),
+    ksw AS (
+      SELECT round(max(abs(fo - fn2)), 6) AS ks_stat,
+             round(sum(CASE WHEN bin <= 2 THEN abs(fo - fn2) * 100.0
+                            ELSE 0.0 END), 6) AS w1
+      FROM cdf
+    ),
+    chis AS (
+      SELECT round(sum(
+               pow(co - so * (co + cn) / (so + sn), 2)
+                 / (so * (co + cn) / (so + sn))
+               + pow(cn - sn * (co + cn) / (so + sn), 2)
+                 / (sn * (co + cn) / (so + sn))), 4) AS chi2,
+             CAST(count(*) - 1 AS BIGINT) AS dof
+      FROM tots WHERE co + cn > 0
+    )
+    SELECT n_old, n_new, psi, ks_stat, w1, chi2, dof
+    FROM psis CROSS JOIN ksw CROSS JOIN chis
+    """,
+    "drift", "monitoring", "psi", "ks", "wasserstein", "chi2",
+    "time-travel", "sidecar",
+)
+def snapshot_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every binned two-snapshot drift statistic in ONE call
+    (operators/driftstats.py:drift_between_versions): PSI (all bins,
+    NULL bin included), binned KS and binned W1 over the ordered bins,
+    and the chi-square of the two-snapshot contingency table with its
+    dof — "did this batch shift the corpus, and how", answered from
+    each snapshot's sidecar matrices without reading a data file. Same
+    lifecycle as snapshot_drift_psi (seed two thirds, merge the rest,
+    compare v0 to current); the oracle recomputes all four statistics
+    from the raw rows each snapshot logically contained."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        build_drift_stats,
+        drift_between_versions,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    t = SortedTable.create(
+        spark, _scratch("snapdrift2"), d.filter(F.col("doc_id") % 3 != 0),
+        key="doc_id", max_records_per_file=_scaled_mrpf(d, 9),
+    )
+    v0 = t.manifest().version
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    muts = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "op", F.lit("UPSERT")
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    build_drift_stats(t, "n_chars", "source", EDGES)
+    return drift_between_versions(t, "n_chars", "source", EDGES, v_old=v0)
+
+
+@query(
     "source_score_drift_ks_binned",
     """
     WITH sc AS (
@@ -12220,6 +12314,7 @@ _VERIFY_FIRST = (
     "incremental_drift_chi2",
     "drift_timeline_psi",
     "drift_timeline_by_source",
+    "snapshot_drift_stats",
     "source_score_drift_ks_binned",
     "incremental_dedup_index_portable",
     # round-7-changed code paths

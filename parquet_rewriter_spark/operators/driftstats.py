@@ -261,6 +261,78 @@ def _typed_out(table, m, pg: str, group_col: str, out, stat_name: str):
     return table.spark.createDataFrame(out, schema)
 
 
+def drift_between_versions(
+    table,
+    value_col: str,
+    group_col: str,
+    edges: Sequence[Any],
+    v_old: int,
+    v_new: int | None = None,
+    floor_p: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EVERY binned two-snapshot drift statistic in one call — "did
+    this batch of ingests shift the corpus, and how": PSI (all bins,
+    NULL bin included), binned KS and binned W1 (non-NULL bins — the
+    CDF statistics need an ordering; W1 is the interior-edge-gap
+    Riemann sum, so it needs numeric edges), and the chi-square of the
+    two-snapshot contingency table over occupied bins (dof = occupied
+    − 1). Histograms come from each snapshot's sidecar matrices
+    (:func:`psi_between_versions`'s machinery); no data file is read
+    when the sidecar is complete, and retired files' matrices keep any
+    retained snapshot answerable until vacuum. Returns one row
+    (n_old, n_new, psi, ks_stat, w1, chi2, dof)."""
+    m_new = table.manifest(v_new)
+    m_old = table.manifest(v_old)
+    pv = table.to_physical(value_col, m_new)
+    pg = table.to_physical(group_col, m_new)
+    sid = _spec_id(pv, pg, edges)
+    old = _histogram_at(table, m_old, pv, pg, edges, sid)
+    new = _histogram_at(table, m_new, pv, pg, edges, sid)
+    no, nn = float(sum(old)), float(sum(new))
+    psi = 0.0
+    for c_o, c_n in zip(old, new):
+        po = max(c_o / no, floor_p) if no > 0 else floor_p
+        pn = max(c_n / nn, floor_p) if nn > 0 else floor_p
+        psi += (pn - po) * math.log(pn / po)
+    # CDF statistics over the ordered (non-NULL) bins
+    o_nn, n_nn = old[1:], new[1:]
+    so, sn = float(sum(o_nn)), float(sum(n_nn))
+    gaps = [float(edges[j + 1]) - float(edges[j])
+            for j in range(len(edges) - 1)]
+    ks = w1 = 0.0
+    cum_o = cum_n = 0.0
+    for j in range(len(o_nn)):
+        cum_o += o_nn[j]
+        cum_n += n_nn[j]
+        if so > 0 and sn > 0:
+            gap_f = abs(cum_o / so - cum_n / sn)
+            ks = max(ks, gap_f)
+            if j < len(gaps):
+                w1 += gap_f * gaps[j]
+    # chi-square of the 2×occupied contingency table (NULL bin = its
+    # own category when present; corpus-empty bins have no term)
+    chi2 = 0.0
+    dof = -1
+    for c_o, c_n in zip(old, new):
+        t = float(c_o + c_n)
+        if t == 0:
+            continue
+        dof += 1
+        eo = no * t / (no + nn)
+        en = nn * t / (no + nn)
+        chi2 += (c_o - eo) ** 2 / eo + (c_n - en) ** 2 / en
+    return table.spark.createDataFrame(
+        [(
+            int(no), int(nn), round(psi, round_digits),
+            round(ks, round_digits), round(w1, round_digits),
+            round(chi2, 4), int(max(dof, 0)),
+        )],
+        "n_old long, n_new long, psi double, ks_stat double, w1 double, "
+        "chi2 double, dof long",
+    )
+
+
 def psi_from_stats(
     table,
     value_col: str,

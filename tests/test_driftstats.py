@@ -463,3 +463,59 @@ def test_psi_timeline_by_group_tracks_per_source_shift(spark, tmp_path):
     assert got[(v2, "d")][0] == 50 and got[(v2, "d")][1] > 1.0
     # a's drift persists unchanged through wave 2
     assert got[(v2, "a")] == got[(v1, "a")]
+
+
+def test_drift_between_versions_all_stats(spark, tmp_path):
+    """One-call two-snapshot statistics: identical snapshots → all
+    zeros; a top-bin-only ingest moves PSI, KS, W1, chi2 together, and
+    each agrees with a python replay of the two histograms."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        drift_between_versions,
+    )
+
+    t, rows = _mk(spark, tmp_path)
+    v0 = t.manifest().version
+    build_drift_stats(t, "v", "g", EDGES)
+    same = drift_between_versions(t, "v", "g", EDGES, v_old=v0).first()
+    assert (same["psi"], same["ks_stat"], same["w1"], same["chi2"]) == (
+        0.0, 0.0, 0.0, 0.0)
+    assert same["n_old"] == same["n_new"] == len(rows)
+
+    merge_into_table(t, spark.createDataFrame(
+        [Row(k=10_000 + i, g="a", v=39, op="UPSERT") for i in range(200)],
+        "k long, g string, v int, op string"))
+    got = drift_between_versions(t, "v", "g", EDGES, v_old=v0).first()
+
+    def hist(rs):
+        h = [0] * (len(EDGES) + 1)
+        for r in rs:
+            h[sum(1 for e in EDGES if r.v > e)] += 1
+        return h
+
+    old = hist(rows)
+    new = hist(rows + [Row(k=0, g="a", v=39)] * 200)
+    no, nn = float(sum(old)), float(sum(new))
+    ks = w1 = 0.0
+    cum_o = cum_n = 0.0
+    gaps = [float(EDGES[j + 1] - EDGES[j]) for j in range(len(EDGES) - 1)]
+    for j in range(len(old)):
+        cum_o += old[j]
+        cum_n += new[j]
+        d = abs(cum_o / no - cum_n / nn)
+        ks = max(ks, d)
+        if j < len(gaps):
+            w1 += d * gaps[j]
+    chi2 = 0.0
+    occ = 0
+    for c_o, c_n in zip(old, new):
+        tt = float(c_o + c_n)
+        if tt == 0:
+            continue
+        occ += 1
+        eo, en = no * tt / (no + nn), nn * tt / (no + nn)
+        chi2 += (c_o - eo) ** 2 / eo + (c_n - en) ** 2 / en
+    assert got["ks_stat"] == round(ks, 6) > 0
+    assert got["w1"] == round(w1, 6) > 0
+    assert got["chi2"] == round(chi2, 4) > 0
+    assert got["dof"] == occ - 1
+    assert got["psi"] > 0
