@@ -6778,6 +6778,54 @@ def incremental_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "auto_drift_monitor_scan",
+    _FIXED_BIN_PSI_SQL,
+    "drift", "monitoring", "psi", "incremental", "sidecar", "auto-maintain",
+)
+def auto_drift_monitor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-MAINTAINED drift monitor
+    (operators/driftstats.py:enable_drift_monitor): the monitor spec is
+    registered IN THE MANIFEST (metadata commit, inherited through
+    every later commit like sketch_cols/rename_map), so the merge that
+    follows refreshes count matrices for exactly the files it rewrote
+    with NO explicit build call — the query asserts the sidecar is
+    complete BEFORE asking for PSI, proving the hook ran rather than
+    the reader self-healing. Oracle: from-scratch fixed-bin PSI over
+    the final corpus."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        _have_files,
+        _spec_id,
+        enable_drift_monitor,
+        psi_from_stats,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    EDGES = [150, 250, 350, 450]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    n = int(d.agg(F.max("doc_id")).first()[0]) + 1
+    gap_lo, gap_hi = n // 6, n // 6 + max(1, n // 9)
+    seed = d.filter(
+        ~((F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi))
+    )
+    t = SortedTable.create(
+        spark, _scratch("autodrift"), seed, key="doc_id",
+        max_records_per_file=_scaled_mrpf(seed, 9),
+    )
+    enable_drift_monitor(t, "n_chars", "source", EDGES)
+    muts = d.filter(
+        (F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi)
+    ).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, allow_splice=False)
+    m = t.manifest()
+    assert m.drift_specs  # registration survived the merge commit
+    # the merge hook covered its files: nothing left for self-heal
+    have = _have_files(t, _spec_id("n_chars", "source", EDGES))
+    assert {e.name for e in m.files} <= have
+    return psi_from_stats(t, "n_chars", "source", EDGES)
+
+
+@query(
     "stream_incremental_drift",
     _FIXED_BIN_PSI_SQL,
     "streaming", "drift", "psi", "incremental", "exactly-once", "sidecar",
@@ -12315,6 +12363,7 @@ _VERIFY_FIRST = (
     "drift_timeline_psi",
     "drift_timeline_by_source",
     "snapshot_drift_stats",
+    "auto_drift_monitor_scan",
     "source_score_drift_ks_binned",
     "incremental_dedup_index_portable",
     # round-7-changed code paths

@@ -115,6 +115,67 @@ def build_drift_stats(
     return _build_for(table, todo, pv, pg, edges, sid)
 
 
+def build_drift_for(table, entries, specs: Sequence[dict]) -> int:
+    """Count matrices for the given manifest entries under every
+    REGISTERED monitor spec — the hook merge_into_table calls for its
+    newly-written files (mirroring build_sketches_for): upkeep cost is
+    proportional to the files the merge rewrote, never the table."""
+    total = 0
+    names = [e.name for e in entries]
+    for spec in specs:
+        pv, pg, edges = spec["value"], spec["group"], spec["edges"]
+        total += _build_for(
+            table, names, pv, pg, edges, _spec_id(pv, pg, edges)
+        )
+    return total
+
+
+def enable_drift_monitor(
+    table, value_col: str, group_col: str, edges: Sequence[Any]
+) -> int:
+    """Register a drift monitor in the table manifest — a metadata-only
+    commit — then backfill count matrices for every live file. From
+    here on merges auto-refresh matrices for the files they rewrite and
+    ``maintain()`` heals any gaps, so the from-stats statistics (PSI,
+    binned KS/W1, chi-square, the timelines) stay scan-free and current
+    without explicit ``build_drift_stats`` calls. Edges must be
+    JSON-native (numbers or strings) — they persist in the manifest.
+    The spec stores PHYSICAL column names (rename-safe, like
+    sketch_cols)."""
+    from parquet_rewriter_spark.table import Manifest
+
+    for e in edges:
+        if not isinstance(e, (int, float, str)) or isinstance(e, bool):
+            raise ValueError(
+                "registered monitor edges must be JSON-native numbers "
+                f"or strings, got {type(e).__name__} (use the explicit "
+                "build_drift_stats path for exotic edge types)"
+            )
+    m = table.manifest()
+    pv = table.to_physical(value_col, m)
+    pg = table.to_physical(group_col, m)
+    spec = {"value": pv, "group": pg, "edges": list(edges)}
+    have = list(m.drift_specs or [])
+    if spec not in have:
+        table._commit_manifest(
+            Manifest(
+                version=m.version + 1,
+                key=m.key,
+                files=list(m.files),
+                schema_json=m.schema_json,
+                stats_cols=m.stats_cols,
+                bloom_cols=m.bloom_cols,
+                sketch_cols=m.sketch_cols,
+                drift_specs=have + [spec],
+                dv_files=list(m.dv_files),
+                operation=(
+                    f"enable-drift-monitor {value_col} by {group_col}"
+                ),
+            )
+        )
+    return build_drift_stats(table, value_col, group_col, edges)
+
+
 def _histogram_at(table, m, pv: str, pg: str, edges: Sequence[Any],
                   sid: str) -> list[int]:
     """Whole-table per-bin counts of snapshot ``m`` from sidecar rows

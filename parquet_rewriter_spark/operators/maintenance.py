@@ -97,6 +97,28 @@ def maintain(
     else:
         report["sketches"] = {"files_sketched": 0}
 
+    if m.drift_specs:
+        # registered drift monitors (enable_drift_monitor): heal count
+        # matrices for files written by paths without the merge hook
+        # (compact, DV rewrite) so from-stats statistics stay scan-free
+        from parquet_rewriter_spark.operators.driftstats import (
+            _build_for,
+            _have_files,
+            _spec_id,
+        )
+
+        built = 0
+        live_names = [e.name for e in m.files]
+        for spec in m.drift_specs:
+            pv, pg, edges = spec["value"], spec["group"], spec["edges"]
+            sid = _spec_id(pv, pg, edges)
+            have = _have_files(table, sid)
+            todo = [n for n in live_names if n not in have]
+            built += _build_for(table, todo, pv, pg, edges, sid)
+        report["drift"] = {"files_counted": built}
+    else:
+        report["drift"] = {"files_counted": 0}
+
     report["vacuum"] = {
         "removed": table.vacuum(retain_versions=retain_versions)
     }

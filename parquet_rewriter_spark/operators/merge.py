@@ -1036,6 +1036,15 @@ def merge_into_table(
         )
 
         build_sketches_for(table, new_entries, m.sketch_cols)
+    if m.drift_specs and new_entries:
+        # registered drift monitors: count matrices for the rewritten
+        # files only (reads would self-heal, but at scan cost the
+        # registration exists to avoid)
+        from parquet_rewriter_spark.operators.driftstats import (
+            build_drift_for,
+        )
+
+        build_drift_for(table, new_entries, m.drift_specs)
     if changelog and version != m.version:
         from parquet_rewriter_spark.operators.cdc import write_changelog
 
@@ -1124,6 +1133,12 @@ def _try_splice(table, m, dirty, clean, mutations, key, t_plan, txn=None) -> dic
         )
 
         build_sketches_for(table, new_entries, m.sketch_cols)
+    if m.drift_specs and new_entries:
+        from parquet_rewriter_spark.operators.driftstats import (
+            build_drift_for,
+        )
+
+        build_drift_for(table, new_entries, m.drift_specs)
     return {
         "version": m.version + 1,
         "files_total": len(m.files),

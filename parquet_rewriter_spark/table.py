@@ -129,6 +129,14 @@ class Manifest:
     # rename_map/txns), so merge/compact/DDL commits keep the
     # registration alive and merge can auto-refresh new files' rows.
     sketch_cols: list[str] | None = None
+    # registered drift monitors (sidecar _driftstats/) — each a
+    # JSON-native dict {"value": <physical col>, "group": <physical
+    # col>, "edges": [...numbers/strings...]}; see
+    # operators/driftstats.py:enable_drift_monitor. Same ``None`` =
+    # "writer didn't think about it" inheritance contract as
+    # sketch_cols, so merges keep auto-refreshing count matrices for
+    # the files they rewrite.
+    drift_specs: list | None = None
     # merge-on-read deletion-vector sidecars (relative paths under the
     # table dir, each a parquet dir of (file, <key>) tombstones) active
     # for THIS snapshot — see operators/deletion_vectors.py. Append-only
@@ -180,6 +188,7 @@ class Manifest:
                 "stats_cols": self.stats_cols,
                 "bloom_cols": self.bloom_cols,
                 "sketch_cols": self.sketch_cols or [],
+                "drift_specs": self.drift_specs or [],
                 "dv_files": self.dv_files,
                 "committed_at": self.committed_at,
                 "operation": self.operation,
@@ -211,6 +220,7 @@ class Manifest:
             stats_cols=d.get("stats_cols") or [],
             bloom_cols=d.get("bloom_cols") or [],
             sketch_cols=d.get("sketch_cols") or [],
+            drift_specs=d.get("drift_specs") or [],
             dv_files=d.get("dv_files") or [],
             committed_at=d.get("committed_at"),
             operation=d.get("operation"),
@@ -456,6 +466,19 @@ class SortedTable:
                 m.sketch_cols = []
         if m.sketch_cols is None:
             m.sketch_cols = []
+        if m.drift_specs is None and m.version > 0:
+            # inherit registered drift monitors the same way — a commit
+            # that forgot about them would otherwise stop auto-refresh
+            # (reads self-heal, but at scan cost the registration was
+            # meant to avoid)
+            try:
+                m.drift_specs = list(
+                    self.manifest(m.version - 1).drift_specs or []
+                )
+            except Exception:  # noqa: BLE001 - vacuumed history
+                m.drift_specs = []
+        if m.drift_specs is None:
+            m.drift_specs = []
         if not m.txns and m.version > 0:
             # carry the txn watermarks forward through commits that
             # don't know about them (compact, DDL, WAP, DV deletes…) —

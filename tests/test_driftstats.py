@@ -519,3 +519,62 @@ def test_drift_between_versions_all_stats(spark, tmp_path):
     assert got["chi2"] == round(chi2, 4) > 0
     assert got["dof"] == occ - 1
     assert got["psi"] > 0
+
+
+def test_enable_drift_monitor_auto_refresh(spark, tmp_path):
+    """Registered monitors survive in the manifest and merges keep the
+    sidecar complete WITHOUT explicit build calls; maintain() heals
+    files written by hook-less paths (compact)."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        _have_files,
+        _spec_id,
+        enable_drift_monitor,
+    )
+    from parquet_rewriter_spark.operators.maintenance import maintain
+
+    t, rows = _mk(spark, tmp_path)
+    built = enable_drift_monitor(t, "v", "g", EDGES)
+    assert built == len(t.manifest().files)
+    assert t.manifest().drift_specs == [
+        {"value": "v", "group": "g", "edges": EDGES}
+    ]
+    # merge with NO explicit build: the hook must cover the new files
+    muts = spark.createDataFrame(
+        [Row(k=i, g="a", v=39, op="UPSERT") for i in range(0, 60, 2)],
+        "k long, g string, v int, op string",
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    m = t.manifest()
+    assert m.drift_specs  # inherited through the merge commit
+    sid = _spec_id("v", "g", EDGES)
+    assert {e.name for e in m.files} <= _have_files(t, sid)
+    # psi is exact without any self-heal trigger
+    mutated = [Row(k=r.k, g="a", v=39) if (r.k < 60 and r.k % 2 == 0)
+               else r for r in rows]
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "v", "g", EDGES).collect()}
+    assert got == _psi_reference(mutated, EDGES)
+
+    # compact has no hook: maintain() heals the rewritten files
+    from parquet_rewriter_spark.operators.compact import compact
+
+    compact(t, max_records_per_file=200)
+    m2 = t.manifest()
+    assert m2.drift_specs  # inherited through compact too
+    missing = {e.name for e in m2.files} - _have_files(t, sid)
+    assert missing  # compact wrote fresh files without matrices
+    rep = maintain(t)
+    assert rep["drift"]["files_counted"] >= len(missing)
+    assert {e.name for e in t.manifest().files} <= _have_files(t, sid)
+
+
+def test_enable_drift_monitor_rejects_exotic_edges(spark, tmp_path):
+    import datetime
+
+    from parquet_rewriter_spark.operators.driftstats import (
+        enable_drift_monitor,
+    )
+
+    t, _rows = _mk(spark, tmp_path, n=20, mrpf=10)
+    with pytest.raises(ValueError, match="JSON-native"):
+        enable_drift_monitor(t, "v", "g", [datetime.date(2024, 1, 1)])
