@@ -53,17 +53,29 @@ def register_sidecar(dirname: str) -> str:
     return dirname
 
 
+# Below this many names an In-literal is the cheaper plan (Spark
+# compiles >10-element lists to an O(1) InSet; a few hundred strings
+# add negligible plan bytes). Above it the literal's analysis/codegen
+# cost grows with the manifest — the names must travel as DATA.
+IN_LIST_MAX = 256
+
+
 def semi_join_files(
     df: DataFrame, names: Iterable[str], col: str = "file"
 ) -> DataFrame:
-    """Keep rows of ``df`` whose ``col`` is one of ``names`` via a
-    broadcast left-semi join against a single-column names relation —
-    never an ``isin`` literal (an O(live-file-count) ``In`` expression
-    is a multi-MB plan at large manifests). Names are sorted for a
-    deterministic plan."""
+    """Keep rows of ``df`` whose ``col`` is one of ``names``. Small
+    sets stay a plain ``isin`` (InSet — cheapest at toy manifests);
+    past ``IN_LIST_MAX`` the filter becomes a broadcast LEFT-SEMI join
+    against a single-column names relation, so the plan stays O(1) in
+    live-file count instead of embedding a multi-MB ``In`` literal at
+    large manifests. Names are sorted for a deterministic plan either
+    way."""
+    names = sorted(names)
+    if len(names) <= IN_LIST_MAX:
+        return df.filter(F.col(col).isin(names))
     spark = df.sparkSession
     names_df = spark.createDataFrame(
-        ((n,) for n in sorted(names)), f"{col} string"
+        ((n,) for n in names), f"{col} string"
     )
     return df.join(F.broadcast(names_df), col, "left_semi")
 

@@ -39,6 +39,17 @@ def test_semi_join_files_filters_correctly(spark):
     assert {r["file"] for r in kept.collect()} == {"b", "c"}
 
 
+def test_semi_join_files_small_sets_stay_in_list(spark):
+    """Below IN_LIST_MAX the filter must stay a plain isin (InSet) —
+    the cheapest plan at toy manifests; the broadcast join is the
+    LARGE-manifest escape, not a tax on every 9-file table."""
+    df = spark.createDataFrame([Row(file=f"f{i}", v=i) for i in range(20)])
+    out = semi_join_files(df, [f"f{i}" for i in range(10)])
+    p = plan_of(out)
+    assert "Join" not in p, p
+    assert out.count() == 10
+
+
 def test_all_four_sidecars_registered():
     """Importing the sidecar modules must register their directories —
     the generic vacuum sweep covers exactly this list, so a missing
