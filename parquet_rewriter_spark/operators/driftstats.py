@@ -176,6 +176,52 @@ def enable_drift_monitor(
     return build_drift_stats(table, value_col, group_col, edges)
 
 
+def validate_drift_stats(table) -> dict:
+    """Integrity audit of every REGISTERED monitor's sidecar: each
+    row of a file lands in exactly one (group, bin) cell — NULL groups
+    and the reserved NULL-value bin included — so a live file's matrix
+    must sum to the manifest's row count for that file, exactly. A
+    mismatch means a torn build, a stale matrix surviving where it
+    shouldn't, or sidecar corruption; missing files are reported
+    separately (they self-heal on read, a mismatch never does).
+    Sidecar + manifest only — no data file is read. Returns
+    {"ok": bool, "specs": n, "missing": n, "mismatched": n}."""
+    m = table.manifest()
+    rows_by_file = {e.name: e.rows for e in m.files}
+    missing = mismatched = 0
+    specs = list(m.drift_specs or [])
+    for spec in specs:
+        pv, pg, edges = spec["value"], spec["group"], spec["edges"]
+        sid = _spec_id(pv, pg, edges)
+        side = _sidecar(table)
+        if not os.path.isdir(side):
+            missing += len(rows_by_file)
+            continue
+        sums = {
+            r["file"]: r["total"]
+            for r in semi_join_files(
+                table.spark.read.parquet(side)
+                .filter(F.col("spec") == sid),
+                rows_by_file,
+            )
+            .dropDuplicates(["file", "grp", "bin"])
+            .groupBy("file")
+            .agg(F.sum("n").alias("total"))
+            .collect()  # one row per live file
+        }
+        for name, rows in rows_by_file.items():
+            if name not in sums:
+                missing += 1
+            elif sums[name] != rows:
+                mismatched += 1
+    return {
+        "ok": mismatched == 0,
+        "specs": len(specs),
+        "missing": missing,
+        "mismatched": mismatched,
+    }
+
+
 def _histogram_at(table, m, pv: str, pg: str, edges: Sequence[Any],
                   sid: str) -> list[int]:
     """Whole-table per-bin counts of snapshot ``m`` from sidecar rows

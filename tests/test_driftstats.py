@@ -578,3 +578,41 @@ def test_enable_drift_monitor_rejects_exotic_edges(spark, tmp_path):
     t, _rows = _mk(spark, tmp_path, n=20, mrpf=10)
     with pytest.raises(ValueError, match="JSON-native"):
         enable_drift_monitor(t, "v", "g", [datetime.date(2024, 1, 1)])
+
+
+def test_validate_drift_stats_detects_corruption(spark, tmp_path):
+    """The per-file sum invariant (matrix total == manifest row count)
+    passes on a healthy table, reports files missing matrices, and
+    flags a corrupted sidecar row as a mismatch."""
+    import os
+
+    from parquet_rewriter_spark.operators.driftstats import (
+        DRIFT_DIR,
+        enable_drift_monitor,
+        validate_drift_stats,
+    )
+
+    t, rows = _mk(spark, tmp_path)
+    enable_drift_monitor(t, "v", "g", EDGES)
+    rep = validate_drift_stats(t)
+    assert rep == {"ok": True, "specs": 1, "missing": 0, "mismatched": 0}
+
+    # hook-covered merge keeps it valid
+    merge_into_table(t, spark.createDataFrame(
+        [Row(k=i, g="a", v=1, op="UPSERT") for i in range(0, 30, 3)],
+        "k long, g string, v int, op string"))
+    assert validate_drift_stats(t)["ok"]
+
+    # corrupt: append a novel-key count row for one LIVE file (a
+    # same-key duplicate would collapse in the racing-double-build
+    # dropDuplicates - the invariant sees extra or lost MASS)
+    from parquet_rewriter_spark.operators.driftstats import _spec_id
+
+    side = os.path.join(t.path, DRIFT_DIR)
+    live0 = t.manifest().files[0].name
+    spark.createDataFrame(
+        [(live0, "zz_corrupt", 2, 7, _spec_id("v", "g", EDGES))],
+        "file string, grp string, bin int, n long, spec string",
+    ).write.mode("append").parquet(side)
+    rep2 = validate_drift_stats(t)
+    assert not rep2["ok"] and rep2["mismatched"] >= 1
