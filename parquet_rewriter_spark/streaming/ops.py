@@ -610,7 +610,13 @@ def stream_maintain_drift(
     exactly-once, then count matrices are recomputed for JUST the files
     that commit rewrote — PSI monitoring stays current with the stream
     at churn cost, exact. Replays are double-safe: the merge skips
-    replayed epochs and the builder only fills files missing a matrix."""
+    replayed epochs and the builder only fills files missing a matrix.
+
+    A table whose monitor is REGISTERED (enable_drift_monitor) does not
+    need this helper: merge_into_table's drift hook refreshes matrices
+    inside every micro-batch merge already — any exactly-once streaming
+    merge keeps such a sidecar current for free. This helper is the
+    explicit-spec path for unregistered tables."""
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         from parquet_rewriter_spark.operators.driftstats import (

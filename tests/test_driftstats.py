@@ -616,3 +616,38 @@ def test_validate_drift_stats_detects_corruption(spark, tmp_path):
     ).write.mode("append").parquet(side)
     rep2 = validate_drift_stats(t)
     assert not rep2["ok"] and rep2["mismatched"] >= 1
+
+
+def test_registered_monitor_streaming_upkeep_for_free(spark, tmp_path):
+    """A REGISTERED monitor needs no explicit streaming helper: plain
+    exactly-once foreachBatch merges keep the sidecar complete via the
+    merge hook, and the final PSI equals a from-scratch replay."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        _have_files,
+        _spec_id,
+        enable_drift_monitor,
+    )
+
+    t, rows = _mk(spark, tmp_path, n=300, mrpf=60)
+    enable_drift_monitor(t, "v", "g", EDGES)
+    # three "micro-batches" of plain merges — no build/stream helper
+    for wave in range(3):
+        muts = spark.createDataFrame(
+            [Row(k=1000 * (wave + 1) + i,
+                 g=("a" if i % 2 == 0 else "b"), v=(i + wave) % 40,
+                 op="UPSERT") for i in range(40)],
+            "k long, g string, v int, op string",
+        )
+        merge_into_table(t, muts, txn=("free_stream", wave),
+                         allow_splice=False)
+    m = t.manifest()
+    sid = _spec_id("v", "g", EDGES)
+    assert {e.name for e in m.files} <= _have_files(t, sid)
+    new_rows = rows + [
+        Row(k=1000 * (w + 1) + i, g=("a" if i % 2 == 0 else "b"),
+            v=(i + w) % 40)
+        for w in range(3) for i in range(40)
+    ]
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "v", "g", EDGES).collect()}
+    assert got == _psi_reference(new_rows, EDGES)
