@@ -598,7 +598,13 @@ def _version_cells(table, value_col: str, group_col: str,
     versions, then ONE sidecar scan joined to a broadcast
     (version, file) membership relation built from the manifests
     (driver-side, manifest-scale), aggregated to the requested keys.
-    Returns (versions, committed_at map, collected cell rows)."""
+    Returns (versions, committed_at map, collected cell rows).
+
+    Driver footprint: the membership list holds Σ_v |files(v)| tuples —
+    the same envelope as reading those manifests at all (each is a
+    driver-side JSON of its file entries). On a million-file table with
+    deep retention, bound the scan with ``retain_versions`` /
+    ``v_base`` rather than asking for every snapshot ever."""
     versions = table.versions()
     if v_base is not None and v_base not in versions:
         raise ValueError(f"baseline version {v_base} is not retained")
