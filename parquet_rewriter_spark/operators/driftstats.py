@@ -402,38 +402,46 @@ def drift_between_versions(
         po = max(c_o / no, floor_p) if no > 0 else floor_p
         pn = max(c_n / nn, floor_p) if nn > 0 else floor_p
         psi += (pn - po) * math.log(pn / po)
-    # CDF statistics over the ordered (non-NULL) bins
+    # CDF statistics over the ordered (non-NULL) bins; an EMPTY side
+    # (empty snapshot, or all-NULL values in one) makes the two-sample
+    # statistics undefined → NULL (PSI above floors instead)
     o_nn, n_nn = old[1:], new[1:]
     so, sn = float(sum(o_nn)), float(sum(n_nn))
     gaps = [float(edges[j + 1]) - float(edges[j])
             for j in range(len(edges) - 1)]
-    ks = w1 = 0.0
-    cum_o = cum_n = 0.0
-    for j in range(len(o_nn)):
-        cum_o += o_nn[j]
-        cum_n += n_nn[j]
-        if so > 0 and sn > 0:
+    ks = w1 = None
+    if so > 0 and sn > 0:
+        ks = w1 = 0.0
+        cum_o = cum_n = 0.0
+        for j in range(len(o_nn)):
+            cum_o += o_nn[j]
+            cum_n += n_nn[j]
             gap_f = abs(cum_o / so - cum_n / sn)
             ks = max(ks, gap_f)
             if j < len(gaps):
                 w1 += gap_f * gaps[j]
     # chi-square of the 2×occupied contingency table (NULL bin = its
     # own category when present; corpus-empty bins have no term)
-    chi2 = 0.0
+    chi2 = 0.0 if no > 0 and nn > 0 else None
     dof = -1
     for c_o, c_n in zip(old, new):
         t = float(c_o + c_n)
         if t == 0:
             continue
         dof += 1
+        if chi2 is None:
+            continue
         eo = no * t / (no + nn)
         en = nn * t / (no + nn)
         chi2 += (c_o - eo) ** 2 / eo + (c_n - en) ** 2 / en
+    def _r(x, d):
+        return None if x is None else round(x, d)
+
     return table.spark.createDataFrame(
         [(
             int(no), int(nn), round(psi, round_digits),
-            round(ks, round_digits), round(w1, round_digits),
-            round(chi2, 4), int(max(dof, 0)),
+            _r(ks, round_digits), _r(w1, round_digits),
+            _r(chi2, 4), int(max(dof, 0)),
         )],
         "n_old long, n_new long, psi double, ks_stat double, w1 double, "
         "chi2 double, dof long",
@@ -464,8 +472,11 @@ def psi_from_stats(
         na, nb = float(sum(ca)), float(sum(cb))
         psi = 0.0
         for c_a, c_b in zip(ca, cb):
-            pa = max(c_a / na, floor_p)
-            pb = max(c_b / nb, floor_p)
+            # an empty rest (single-group table) is all-floor — a
+            # degenerate-but-finite value (the scan path instead raises
+            # divide-by-zero under ANSI sessions)
+            pa = max(c_a / na, floor_p) if na > 0 else floor_p
+            pb = max(c_b / nb, floor_p) if nb > 0 else floor_p
             psi += (pa - pb) * math.log(pa / pb)
         out.append((g, int(na), int(nb), round(psi, round_digits)))
     return _typed_out(table, m, pg, group_col, out, "psi")
@@ -486,7 +497,11 @@ def ks_from_stats(
     gap is bounded by the largest bin's mass (the scan path
     drift.ks_drift_by_group gives the exact statistic at corpus-scan
     cost). NULL values (reserved bin −1) have no place in an ordering
-    and are EXCLUDED — n_group / n_rest count non-NULL rows only.
+    and are EXCLUDED — n_group / n_rest count non-NULL rows only; an
+    EMPTY side (single-group table, or all-NULL values on one side)
+    makes the two-sample statistic undefined → NULL — graceful where
+    the scan path fails loudly (divide-by-zero under ANSI sessions);
+    either way no silently-wrong number escapes.
     Returns (group, n_group, n_rest, ks_stat)."""
     m, pg, tot, per_g = _group_matrices(table, value_col, group_col, edges)
     out = []
@@ -494,12 +509,14 @@ def ks_from_stats(
         ca = per_g[g][1:]  # drop the NULL bin: KS needs an ordering
         cb = [t - c for t, c in zip(tot[1:], ca)]
         na, nb = float(sum(ca)), float(sum(cb))
+        if na == 0 or nb == 0:
+            out.append((g, int(na), int(nb), None))
+            continue
         d = cum_a = cum_b = 0.0
         for c_a, c_b in zip(ca, cb):
             cum_a += c_a
             cum_b += c_b
-            if na > 0 and nb > 0:
-                d = max(d, abs(cum_a / na - cum_b / nb))
+            d = max(d, abs(cum_a / na - cum_b / nb))
         out.append((g, int(na), int(nb), round(d, round_digits)))
     return _typed_out(table, m, pg, group_col, out, "ks_stat")
 
@@ -530,13 +547,16 @@ def w1_from_stats(
         ca = per_g[g][1:]
         cb = [t - c for t, c in zip(tot[1:], ca)]
         na, nb = float(sum(ca)), float(sum(cb))
+        if na == 0 or nb == 0:
+            # empty side → undefined (NULL); refusal over wrong answers
+            out.append((g, int(na), int(nb), None))
+            continue
         w1 = 0.0
         cum_a = cum_b = 0.0
         for j, gap in enumerate(gaps):
             cum_a += ca[j]
             cum_b += cb[j]
-            if na > 0 and nb > 0:
-                w1 += abs(cum_a / na - cum_b / nb) * gap
+            w1 += abs(cum_a / na - cum_b / nb) * gap
         out.append((g, int(na), int(nb), round(w1, round_digits)))
     return _typed_out(table, m, pg, group_col, out, "w1")
 
@@ -563,6 +583,10 @@ def chi2_from_stats(
         ca = per_g[g]
         cb = [t - c for t, c in zip(tot, ca)]
         na, nb = float(sum(ca)), float(sum(cb))
+        if na == 0 or nb == 0:
+            # empty side → zero expectations → undefined (NULL)
+            out.append((g, int(na), int(nb), len(occupied) - 1, None))
+            continue
         chi2 = 0.0
         for i in occupied:
             tv = float(tot[i])

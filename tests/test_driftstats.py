@@ -651,3 +651,35 @@ def test_registered_monitor_streaming_upkeep_for_free(spark, tmp_path):
     got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
            for r in psi_from_stats(t, "v", "g", EDGES).collect()}
     assert got == _psi_reference(new_rows, EDGES)
+
+
+def test_single_group_empty_rest_policy(spark, tmp_path):
+    """A single-group table has an EMPTY rest: the from-stats paths
+    degrade GRACEFULLY — PSI to the finite all-floor value, the
+    two-sample CDF/chi-square statistics to NULL — while the scan
+    paths fail LOUDLY (divide-by-zero under the ANSI sessions Spark 4
+    defaults to). Either way no silently-wrong number escapes."""
+    import pytest
+
+    from parquet_rewriter_spark.operators.drift import ks_drift_by_group
+    from parquet_rewriter_spark.operators.driftstats import (
+        chi2_from_stats,
+        ks_from_stats,
+        w1_from_stats,
+    )
+
+    rows = [Row(k=i, g="only", v=i % 40) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, g string, v int")
+    t = SortedTable.create(spark, str(tmp_path / "t1g"), df, key="k",
+                           max_records_per_file=20)
+    build_drift_stats(t, "v", "g", EDGES)
+
+    sidecar_psi = psi_from_stats(t, "v", "g", EDGES).first()
+    assert sidecar_psi["n_rest"] == 0 and math.isfinite(sidecar_psi["psi"])
+
+    assert ks_from_stats(t, "v", "g", EDGES).first()["ks_stat"] is None
+    assert w1_from_stats(t, "v", "g", EDGES).first()["w1"] is None
+    assert chi2_from_stats(t, "v", "g", EDGES).first()["chi2"] is None
+    if spark.conf.get("spark.sql.ansi.enabled", "true") == "true":
+        with pytest.raises(Exception, match="[Dd]ivide|DIVIDE"):
+            ks_drift_by_group(df, "v", "g").collect()
