@@ -7278,6 +7278,83 @@ def incremental_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_from_stats(t, "n_chars", "source", EDGES)
 
 
+@query(
+    "incremental_lang_drift_chi2",
+    """
+    WITH b AS (
+      SELECT source AS g,
+             CASE WHEN lang IS NULL THEN -1 ELSE
+             (CASE WHEN lang > 'de' THEN 1 ELSE 0 END
+              + CASE WHEN lang > 'en' THEN 1 ELSE 0 END
+              + CASE WHEN lang > 'es' THEN 1 ELSE 0 END
+              + CASE WHEN lang > 'fr' THEN 1 ELSE 0 END
+              + CASE WHEN lang > 'zh' THEN 1 ELSE 0 END) END AS bin
+      FROM documents
+    ),
+    g AS (SELECT DISTINCT g FROM b WHERE g IS NOT NULL),
+    cnt AS (SELECT g, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT bin, sum(n) AS t FROM cnt GROUP BY bin),
+    cells AS (
+      SELECT g.g, tot.bin, CAST(tot.t AS DOUBLE) AS t,
+             CAST(coalesce(cnt.n, 0) AS DOUBLE) AS ca,
+             CAST(tot.t - coalesce(cnt.n, 0) AS DOUBLE) AS cb
+      FROM tot CROSS JOIN g
+      LEFT JOIN cnt ON cnt.g = g.g AND cnt.bin = tot.bin
+    ),
+    w AS (
+      SELECT g, t, ca, cb,
+             sum(ca) OVER (PARTITION BY g) AS na,
+             sum(cb) OVER (PARTITION BY g) AS nb
+      FROM cells
+    )
+    SELECT g AS source,
+           CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           CAST(count(*) - 1 AS BIGINT) AS dof,
+           round(sum(  pow(ca - na * t / (na + nb), 2) / (na * t / (na + nb))
+                     + pow(cb - nb * t / (na + nb), 2) / (nb * t / (na + nb))),
+                 4) AS chi2
+    FROM w GROUP BY g
+    """,
+    "drift", "monitoring", "chi2", "categorical", "incremental", "sidecar",
+)
+def incremental_lang_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL drift at churn cost: the count-matrix sidecar
+    monitors a STRING column exactly by declaring the sorted category
+    alphabet as its edges — ``bin(v) = #{edges < v}`` maps category i
+    to bin i bijectively, so chi2_from_stats over the matrices IS the
+    per-category homogeneity test (the incremental twin of the scan
+    path source_lang_drift_chi2; a post-registration NEW category folds
+    into its lexicographic neighbor's bin — coarser, still
+    drift-visible). Auto-maintained end to end: the monitor is
+    REGISTERED, the merge hook refreshes the churned files, the query
+    asserts completeness before reading. Oracle recomputes the binned
+    contingency table from raw rows."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        _have_files,
+        _spec_id,
+        chi2_from_stats,
+        enable_drift_monitor,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    LANGS = ["de", "en", "es", "fr", "zh"]
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    t = SortedTable.create(
+        spark, _scratch("langdrift"), d.filter(F.col("doc_id") % 4 != 0),
+        key="doc_id", max_records_per_file=_scaled_mrpf(d, 9),
+    )
+    enable_drift_monitor(t, "lang", "source", LANGS)
+    muts = d.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "op", F.lit("UPSERT")
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    have = _have_files(t, _spec_id("lang", "source", LANGS))
+    assert {e.name for e in t.manifest().files} <= have  # hook-complete
+    return chi2_from_stats(t, "lang", "source", LANGS)
+
+
 _TL_BIN = """CASE WHEN n_chars IS NULL THEN -1 ELSE
              (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END
               + CASE WHEN n_chars > 250 THEN 1 ELSE 0 END
@@ -12360,6 +12437,7 @@ _VERIFY_FIRST = (
     "incremental_drift_ks",
     "incremental_drift_w1",
     "incremental_drift_chi2",
+    "incremental_lang_drift_chi2",
     "drift_timeline_psi",
     "drift_timeline_by_source",
     "snapshot_drift_stats",

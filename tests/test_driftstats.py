@@ -683,3 +683,24 @@ def test_single_group_empty_rest_policy(spark, tmp_path):
     if spark.conf.get("spark.sql.ansi.enabled", "true") == "true":
         with pytest.raises(Exception, match="[Dd]ivide|DIVIDE"):
             ks_drift_by_group(df, "v", "g").collect()
+
+
+def test_categorical_monitor_string_edges_exact(spark, tmp_path):
+    """String edges = the sorted category alphabet map category i to
+    bin i bijectively, so chi2_from_stats over the matrices equals the
+    scan path's chi-square over the raw categories."""
+    from parquet_rewriter_spark.operators.drift import chi2_drift_by_group
+    from parquet_rewriter_spark.operators.driftstats import chi2_from_stats
+
+    cats = ["de", "en", "es", "fr", "zh"]
+    rows = [Row(k=i, g=("a" if i % 2 == 0 else "b"),
+                v=cats[(i * 7) % 5]) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, g string, v string")
+    t = SortedTable.create(spark, str(tmp_path / "tcat"), df, key="k",
+                           max_records_per_file=50)
+    build_drift_stats(t, "v", "g", cats)
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["dof"], r["chi2"])
+           for r in chi2_from_stats(t, "v", "g", cats).collect()}
+    want = {r["source"]: (r["n_group"], r["n_rest"], r["dof"], r["chi2"])
+            for r in chi2_drift_by_group(df, "v", "g").collect()}
+    assert got == want
