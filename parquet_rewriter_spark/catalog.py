@@ -7279,6 +7279,98 @@ def incremental_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_length_drift_psi_deciles",
+    """
+    WITH vc AS (
+      SELECT n_chars AS v, count(*) AS n FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY v
+    ),
+    cum AS (
+      SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+             sum(n) OVER () AS N
+      FROM vc
+    ),
+    edges AS (
+      SELECT DISTINCT e FROM (
+        SELECT j, min(v) AS e
+        FROM cum, unnest(generate_series(1, 9)) t(j)
+        WHERE CAST(c AS DOUBLE) >= j * CAST(N AS DOUBLE) / 10.0
+        GROUP BY j)
+    ),
+    b AS (
+      SELECT d.source AS g,
+             CASE WHEN d.n_chars IS NULL THEN -1
+                  ELSE (SELECT count(*) FROM edges e
+                        WHERE d.n_chars > e.e) END AS bin
+      FROM documents d
+    ),
+    bins AS (
+      SELECT unnest(generate_series(-1, (SELECT count(*) FROM edges)))
+        AS bin
+    ),
+    g AS (SELECT DISTINCT g FROM b WHERE g IS NOT NULL),
+    cnt AS (SELECT g, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT bin, sum(n) AS t FROM cnt GROUP BY bin),
+    grid AS (SELECT g.g, bins.bin FROM g CROSS JOIN bins),
+    cells AS (
+      SELECT grid.g, grid.bin,
+             CAST(coalesce(cnt.n, 0) AS DOUBLE) AS ca,
+             CAST(coalesce(tot.t, 0) - coalesce(cnt.n, 0) AS DOUBLE) AS cb
+      FROM grid
+      LEFT JOIN cnt ON cnt.g = grid.g AND cnt.bin = grid.bin
+      LEFT JOIN tot ON tot.bin = grid.bin
+    ),
+    probs AS (
+      SELECT g,
+             greatest(ca / sum(ca) OVER (PARTITION BY g), 1e-6) AS pa,
+             greatest(cb / sum(cb) OVER (PARTITION BY g), 1e-6) AS pb,
+             sum(ca) OVER (PARTITION BY g) AS na,
+             sum(cb) OVER (PARTITION BY g) AS nb
+      FROM cells
+    )
+    SELECT g AS source, CAST(max(na) AS BIGINT) AS n_group,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM probs GROUP BY g
+    """,
+    "drift", "monitoring", "psi", "quantile", "incremental", "sidecar",
+)
+def source_length_drift_psi_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PSI under EQUAL-FREQUENCY (decile) bins — the production
+    convention (operators/drift.py:quantile_edges): edges are exact
+    order statistics of the baseline population, derived in one
+    corpus pass from the distinct-value relation (guarded, no global
+    sort), frozen into a REGISTERED monitor, and served from the
+    auto-maintained sidecar after a churn merge. Every stage is
+    counting + one float comparison, so the oracle re-derives the
+    edges AND the PSI from raw rows — a hash match certifies the
+    quantile derivation, the registration, the merge hook, and the
+    from-stats arithmetic together."""
+    from parquet_rewriter_spark.operators.drift import quantile_edges
+    from parquet_rewriter_spark.operators.driftstats import (
+        enable_drift_monitor,
+        psi_from_stats,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    edges = quantile_edges(d, "n_chars", 10)
+    t = SortedTable.create(
+        spark, _scratch("decdrift"), d.filter(F.col("doc_id") % 5 != 0),
+        key="doc_id", max_records_per_file=_scaled_mrpf(d, 9),
+    )
+    enable_drift_monitor(t, "n_chars", "source", edges)
+    muts = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "op", F.lit("UPSERT")
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    return psi_from_stats(t, "n_chars", "source", edges)
+
+
+@query(
     "incremental_lang_drift_chi2",
     """
     WITH b AS (
@@ -12438,6 +12530,7 @@ _VERIFY_FIRST = (
     "incremental_drift_w1",
     "incremental_drift_chi2",
     "incremental_lang_drift_chi2",
+    "source_length_drift_psi_deciles",
     "drift_timeline_psi",
     "drift_timeline_by_source",
     "snapshot_drift_stats",

@@ -93,6 +93,71 @@ def _quantized(df: DataFrame, value_col: str, quantize: int | None):
     ), qcol
 
 
+def quantile_edges(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    max_distinct: int = MAX_DISTINCT_VALUES,
+) -> list:
+    """EQUAL-FREQUENCY bin edges for drift monitors — the production
+    PSI convention (decile bins frozen from a baseline population, so
+    every bin starts with ~10% mass and the floor never fires on the
+    baseline): edge_j is the exact (j·n/n_bins)-th order statistic of
+    the non-NULL values, j = 1..n_bins−1, computed WITHOUT a global
+    sort — per-value counts (one map-side-combined corpus pass), a
+    cumulative window over the distinct-value relation (|V| skinny
+    rows through one task, guarded by ``max_distinct`` exactly like the
+    drift statistics), and a driver collect of ≤ n_bins−1 values.
+    Duplicate order statistics (heavy values straddling several ranks)
+    collapse, so fewer than n_bins−1 edges can return. Everything is
+    counting + one float comparison — an ANSI engine replays the edges
+    bit-for-bit, which keeps monitors registered from them fully
+    oracle-checkable."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be at least 2")
+    vc = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = (
+        Window.partitionBy()
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    guard = F.assert_true(
+        F.count(F.lit(1)).over(w_all) <= F.lit(max_distinct),
+        F.lit(
+            f"quantile_edges: value column has more than {max_distinct} "
+            "distinct values — quantize/round the column first (or "
+            "raise max_distinct)"
+        ),
+    )
+    cum = vc.select(
+        "__v",
+        F.when(guard.isNull(), F.sum("__n").over(w_cum)).alias("__c"),
+        F.sum("__n").over(w_all).alias("__N"),
+    )
+    ranks = F.array(*[
+        F.lit(j) * F.col("__N").cast("double") / F.lit(float(n_bins))
+        for j in range(1, n_bins)
+    ])
+    # edge_j = smallest v whose cumulative count reaches rank j —
+    # a min-aggregate per crossed rank, no per-rank re-scan
+    crossed = cum.select(
+        "__v",
+        F.explode(
+            F.filter(ranks, lambda r: F.col("__c").cast("double") >= r)
+        ).alias("__r"),
+    )
+    rows = (
+        crossed.groupBy("__r").agg(F.min("__v").alias("__e"))
+        .select("__e").distinct().orderBy("__e").collect()
+    )
+    return [r["__e"] for r in rows]
+
+
 def _per_value_group_counts(
     df: DataFrame,
     value_col: str,

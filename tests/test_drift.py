@@ -265,3 +265,33 @@ def test_quantize_noop_cases(spark):
     df4, col4 = _quantized(mixed, "v", 4)
     vals = [r[col4] for r in df4.select(col4).collect()]
     assert sum(v is None for v in vals) == 1
+
+
+def test_quantile_edges_exact_order_statistics(spark, sf_dir):
+    """Equal-frequency edges: hand-checkable small case (10 values,
+    quartiles), duplicate-rank collapse on skew, NULL exclusion, and
+    the |V| guard."""
+    import pytest
+
+    from parquet_rewriter_spark.operators.drift import quantile_edges
+
+    df = spark.createDataFrame(
+        [Row(v=float(x)) for x in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+        + [Row(v=None)],
+        "v double",
+    )
+    # quartile ranks 2.5, 5, 7.5 → smallest v with cum >= rank
+    assert quantile_edges(df, "v", 4) == [3.0, 5.0, 8.0]
+    # a heavy value straddles several ranks → edges collapse
+    skew = spark.createDataFrame(
+        [Row(v=1.0)] * 9 + [Row(v=2.0)], "v double"
+    )
+    assert quantile_edges(skew, "v", 4) == [1.0]
+    # guard: near-unique column under a tight bound refuses
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") + (F.col("doc_id") % 997) / 997.0).alias("s")
+    )
+    with pytest.raises(Exception, match="quantize|distinct"):
+        quantile_edges(d, "s", 10, max_distinct=50)
+    with pytest.raises(ValueError, match="at least 2"):
+        quantile_edges(df, "v", 1)
