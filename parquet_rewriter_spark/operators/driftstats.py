@@ -288,8 +288,10 @@ def psi_between_versions(
     no, nn = float(sum(old)), float(sum(new))
     psi = 0.0
     for c_o, c_n in zip(old, new):
-        po = max(c_o / no, floor_p)
-        pn = max(c_n / nn, floor_p)
+        # an empty snapshot's distribution is all-floor (no mass) —
+        # same policy as psi_timeline / psi_from_stats
+        po = max(c_o / no, floor_p) if no > 0 else floor_p
+        pn = max(c_n / nn, floor_p) if nn > 0 else floor_p
         psi += (pn - po) * math.log(pn / po)
     return table.spark.createDataFrame(
         [(int(no), int(nn), round(psi, round_digits))],

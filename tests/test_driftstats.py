@@ -704,3 +704,21 @@ def test_categorical_monitor_string_edges_exact(spark, tmp_path):
     want = {r["source"]: (r["n_group"], r["n_rest"], r["dof"], r["chi2"])
             for r in chi2_drift_by_group(df, "v", "g").collect()}
     assert got == want
+
+
+def test_psi_between_versions_empty_baseline(spark, tmp_path):
+    """An all-deleted (empty) snapshot on one side must not crash:
+    its distribution is all-floor, PSI stays finite."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        psi_between_versions,
+    )
+    from parquet_rewriter_spark.operators.merge import delete_where
+
+    t, rows = _mk(spark, tmp_path, n=60, mrpf=20)
+    v0 = t.manifest().version
+    build_drift_stats(t, "v", "g", EDGES)
+    delete_where(t, F.lit(True))  # empty the table
+    build_drift_stats(t, "v", "g", EDGES)
+    got = psi_between_versions(t, "v", "g", EDGES, v_old=v0).first()
+    assert got["n_old"] == len(rows) and got["n_new"] == 0
+    assert math.isfinite(got["psi"])
