@@ -722,3 +722,25 @@ def test_psi_between_versions_empty_baseline(spark, tmp_path):
     got = psi_between_versions(t, "v", "g", EDGES, v_old=v0).first()
     assert got["n_old"] == len(rows) and got["n_new"] == 0
     assert math.isfinite(got["psi"])
+
+
+def test_registered_monitor_survives_rename(spark, tmp_path):
+    """Specs store PHYSICAL names (like sketch_cols): after RENAME
+    COLUMN the hook keeps building against the on-disk name and
+    readers resolve the new logical name through the rename map."""
+    from parquet_rewriter_spark.operators.driftstats import (
+        enable_drift_monitor,
+    )
+
+    t, rows = _mk(spark, tmp_path, n=120, mrpf=30)
+    enable_drift_monitor(t, "v", "g", EDGES)
+    t.rename_column("v", "val")
+    muts = spark.createDataFrame(
+        [Row(k=1000 + i, g="b", val=39, op="UPSERT") for i in range(30)],
+        "k long, g string, val int, op string",
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "val", "g", EDGES).collect()}
+    new_rows = rows + [Row(k=1000 + i, g="b", v=39) for i in range(30)]
+    assert got == _psi_reference(new_rows, EDGES)
