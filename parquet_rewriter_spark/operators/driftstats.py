@@ -176,6 +176,55 @@ def enable_drift_monitor(
     return build_drift_stats(table, value_col, group_col, edges)
 
 
+def disable_drift_monitor(
+    table, value_col: str, group_col: str, edges: Sequence[Any]
+) -> bool:
+    """Unregister a monitor (metadata-only commit) and purge its
+    sidecar rows — without the purge the retired spec's count matrices
+    would linger forever (vacuum sweeps by FILE liveness, not by
+    spec). Other specs' rows are untouched (same atomic
+    rename-rewrite as the vacuum sweep). Returns True if a spec was
+    removed, False if none matched."""
+    import shutil
+    import uuid
+
+    from parquet_rewriter_spark.table import Manifest
+
+    m = table.manifest()
+    pv = table.to_physical(value_col, m)
+    pg = table.to_physical(group_col, m)
+    spec = {"value": pv, "group": pg, "edges": list(edges)}
+    have = list(m.drift_specs or [])
+    if spec not in have:
+        return False
+    table._commit_manifest(
+        Manifest(
+            version=m.version + 1,
+            key=m.key,
+            files=list(m.files),
+            schema_json=m.schema_json,
+            stats_cols=m.stats_cols,
+            bloom_cols=m.bloom_cols,
+            sketch_cols=m.sketch_cols,
+            drift_specs=[s for s in have if s != spec],
+            dv_files=list(m.dv_files),
+            operation=f"disable-drift-monitor {value_col} by {group_col}",
+        )
+    )
+    side = _sidecar(table)
+    if os.path.isdir(side):
+        sid = _spec_id(pv, pg, edges)
+        tmp = side + f".tmp-{uuid.uuid4().hex}"
+        table.spark.read.parquet(side).filter(
+            F.col("spec") != sid
+        ).write.parquet(tmp)
+        old = side + f".old-{uuid.uuid4().hex}"
+        os.rename(side, old)
+        os.rename(tmp, side)
+        shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
 def validate_drift_stats(table) -> dict:
     """Integrity audit of every REGISTERED monitor's sidecar: each
     row of a file lands in exactly one (group, bin) cell — NULL groups

@@ -744,3 +744,49 @@ def test_registered_monitor_survives_rename(spark, tmp_path):
            for r in psi_from_stats(t, "val", "g", EDGES).collect()}
     new_rows = rows + [Row(k=1000 + i, g="b", v=39) for i in range(30)]
     assert got == _psi_reference(new_rows, EDGES)
+
+
+def test_disable_drift_monitor_purges_only_its_rows(spark, tmp_path):
+    """Disable = unregister + purge that spec's sidecar rows; other
+    monitors' rows and answers survive untouched, and the merge hook
+    stops building for the retired spec."""
+    import os
+
+    from parquet_rewriter_spark.operators.driftstats import (
+        DRIFT_DIR,
+        _have_files,
+        _spec_id,
+        disable_drift_monitor,
+        enable_drift_monitor,
+    )
+
+    t, rows = _mk(spark, tmp_path)
+    enable_drift_monitor(t, "v", "g", EDGES)
+    other = [5, 35]
+    enable_drift_monitor(t, "v", "g", other)
+    assert len(t.manifest().drift_specs) == 2
+
+    assert disable_drift_monitor(t, "v", "g", EDGES)
+    assert not disable_drift_monitor(t, "v", "g", EDGES)  # already gone
+    assert t.manifest().drift_specs == [
+        {"value": "v", "group": "g", "edges": other}
+    ]
+    side = os.path.join(t.path, DRIFT_DIR)
+    specs_left = {r["spec"] for r in
+                  spark.read.parquet(side).select("spec").distinct().collect()}
+    assert specs_left == {_spec_id("v", "g", other)}  # purged
+
+    # merge: only the surviving spec gets new matrices via the hook
+    muts = spark.createDataFrame(
+        [Row(k=5000 + i, g="c", v=7, op="UPSERT") for i in range(20)],
+        "k long, g string, v int, op string",
+    )
+    merge_into_table(t, muts, allow_splice=False)
+    live = {e.name for e in t.manifest().files}
+    assert live <= _have_files(t, _spec_id("v", "g", other))
+    assert not (live <= _have_files(t, _spec_id("v", "g", EDGES)))
+    # surviving monitor still answers exactly
+    new_rows = rows + [Row(k=5000 + i, g="c", v=7) for i in range(20)]
+    got = {r["g"]: (r["n_group"], r["n_rest"], r["psi"])
+           for r in psi_from_stats(t, "v", "g", other).collect()}
+    assert got == _psi_reference(new_rows, other)
