@@ -12506,6 +12506,601 @@ def metadata_tables_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- round 8: hybrid search /
+# retrieval evaluation / int8 quantization / sketch algebra / data-mix ops
+
+@query(
+    "hybrid_rrf_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks_ne GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM lens),
+    post AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks_ne
+      WHERE term IN ('join', 'window', 'scan') GROUP BY term, doc_id
+    ),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY term),
+    bm_scores AS (
+      SELECT p.doc_id,
+             round(sum(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * (1.0 + 1.2)
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avg_dl))
+             ), 4) AS score
+      FROM post p JOIN dfs d USING (term) JOIN lens l USING (doc_id), stats s
+      GROUP BY p.doc_id
+    ),
+    bm_ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank
+      FROM bm_scores QUALIFY bm25_rank <= 25
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.v, q.v))), 4) AS cos_sim
+      FROM embeddings e, q
+    ),
+    vec_ranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS vec_rank
+      FROM cos QUALIFY vec_rank <= 25
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, v.doc_id) AS doc_id, b.bm25_rank, v.vec_rank,
+             round(coalesce(1.0 / (60.0 + b.bm25_rank), 0.0)
+                   + coalesce(1.0 / (60.0 + v.vec_rank), 0.0), 6) AS rrf
+      FROM bm_ranked b FULL JOIN vec_ranked v ON b.doc_id = v.doc_id
+    )
+    SELECT doc_id, bm25_rank, vec_rank, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+    "search", "hybrid", "rrf", "similarity",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (operators/search.py:hybrid_rrf_topk): BM25 over the text and exact
+    cosine over the embedding column run independently — each in its
+    own scale shape (postings semi-join / top-k heap) — and the fusion
+    scores 1/(60+rank) sums over the two top-25 lists, a ≤50-row full
+    outer join. Both per-ranker ranks are total-order deterministic
+    (rounded score desc, id), so DuckDB replays the ENTIRE hybrid
+    pipeline — postings, idf, ranks, fusion, final top-10 — and the
+    driver hash-compares the fused ranking itself."""
+    from parquet_rewriter_spark.operators.search import hybrid_rrf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return hybrid_rrf_topk(
+        d, e, "doc_id", "text", "vec_id", "embedding",
+        _BM25_TERMS, qv, k=10, n_cand=25, k0=60,
+    )
+
+
+_PORTABLE_LSH_CTES = """
+    planes AS (
+      SELECT j, i,
+             (('0x' || substr(md5('hp' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000) AS w
+      FROM range(0, 16) p(j), range(1, 65) d(i)
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, d.i AS i, q[d.i] AS v FROM q, range(1, 65) d(i)
+    ),
+    bits AS (
+      SELECT el.vec_id, p.j,
+             CASE WHEN SUM(el.v * p.w) >= 0 THEN '1' ELSE '0' END AS b
+      FROM el JOIN planes p ON p.i = el.i
+      GROUP BY el.vec_id, p.j
+    ),
+    sigb AS (
+      SELECT vec_id, j // 4 AS band, string_agg(b, '' ORDER BY j) AS sig
+      FROM bits GROUP BY vec_id, j // 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, o.vec_id AS neighbor_id
+      FROM sigb p
+      JOIN sigb o ON p.band = o.band AND p.sig = o.sig AND p.vec_id <> o.vec_id
+      WHERE p.vec_id < 5
+    ),
+    norms AS (
+      SELECT vec_id, SUM(v * v) AS nq FROM el GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, SUM(ea.v * eb.v) AS dot
+      FROM cand c
+      JOIN el ea ON ea.vec_id = c.query_id
+      JOIN el eb ON eb.vec_id = c.neighbor_id AND eb.i = ea.i
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             round(CAST(d.dot AS DOUBLE) / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.neighbor_id
+    ),
+    retr AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS BIGINT) AS rnk
+      FROM scored QUALIFY rnk <= 3
+    )
+"""
+
+
+@query(
+    "ann_lsh_retrieval_metrics",
+    f"""
+    WITH {_PORTABLE_LSH_CTES},
+    edots AS (
+      SELECT ea.vec_id AS query_id, eb.vec_id AS neighbor_id, SUM(ea.v * eb.v) AS dot
+      FROM el ea JOIN el eb ON eb.i = ea.i AND eb.vec_id <> ea.vec_id
+      WHERE ea.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    escored AS (
+      SELECT d.query_id, d.neighbor_id,
+             round(CAST(d.dot AS DOUBLE) / (sqrt(na.nq) * sqrt(nb.nq)), 4) AS cos_sim
+      FROM edots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.neighbor_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS BIGINT) AS rnk
+      FROM escored QUALIFY rnk <= 3
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),
+    hits AS (
+      SELECT r.query_id, count(*) AS n_hit, min(r.rnk) AS first_rnk,
+             sum(1.0 / log2(r.rnk + 1)) AS dcg
+      FROM retr r
+      JOIN truth t ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+      GROUP BY r.query_id
+    )
+    SELECT n.query_id,
+           CAST(n.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / CAST(n.n_truth AS DOUBLE), 4) AS recall_at_k,
+           round(coalesce(1.0 / h.first_rnk, 0.0), 4) AS mrr,
+           round(coalesce(h.dcg, 0.0)
+                 / list_sum(list_transform(range(1, n.n_truth + 1),
+                                           i -> 1.0 / log2(i + 1))), 4) AS ndcg_at_k
+    FROM nrel n LEFT JOIN hits h ON h.query_id = n.query_id
+    """,
+    "embeddings", "ann", "evaluation", "portable-oracle",
+)
+def ann_lsh_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation as a relation (operators/eval.py):
+    recall@3, MRR, and nDCG@3 of the portable hyperplane-LSH ANN
+    against the exact brute-force ranking on the SAME integer-quantized
+    cosine — the whole evaluation harness (retrieved ranking, ground
+    truth, metric arithmetic) is hash-compared against DuckDB, so a
+    recall regression in the ANN path flips actual metric cells, not a
+    tolerance flag. Exact truth scores |probes|·|corpus| pairs (the
+    definition of ground truth) via a broadcast of the 5-probe side."""
+    from parquet_rewriter_spark.operators.dedup import (
+        exact_cosine_topk_portable,
+        hyperplane_ann_topk_portable,
+    )
+    from parquet_rewriter_spark.operators.eval import retrieval_metrics
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 3, 4]
+    retrieved = hyperplane_ann_topk_portable(e, probe_ids=probes, k=3)
+    truth = exact_cosine_topk_portable(e, probe_ids=probes, k=3)
+    return retrieval_metrics(retrieved, truth)
+
+
+@query(
+    "embedding_int8_quantization",
+    """
+    WITH el AS (
+      SELECT vec_id, d.i AS i, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) d(i)
+    ),
+    mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM el GROUP BY i),
+    codes AS (
+      SELECT el.i AS dim, el.x, mm.lo, mm.hi,
+             CAST(least(greatest(floor((el.x - mm.lo)
+                                       / ((mm.hi - mm.lo) / 255.0) + 0.5),
+                                 0), 255) AS BIGINT) AS code
+      FROM el JOIN mm ON mm.i = el.i
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(sum(code) AS BIGINT) AS q_sum,
+           CAST(min(code) AS BIGINT) AS q_min,
+           CAST(max(code) AS BIGINT) AS q_max,
+           max(abs(x - (lo + code * ((hi - lo) / 255.0))))
+             <= ((any_value(hi) - any_value(lo)) / 255.0) / 2 + 1e-12
+             AS within_half_step,
+           round(any_value(lo), 6) AS lo_r,
+           round(any_value(hi), 6) AS hi_r
+    FROM codes GROUP BY dim
+    """,
+    "embeddings", "quantization", "storage",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit affine scalar quantization of the embedding column
+    (operators/quantize.py): per-dimension min/max calibration (one
+    map-side-combined pass, dim rows to the driver), then codes via
+    the engine-portable floor(t+0.5) — so DuckDB re-derives the
+    calibration AND replays every code. The compared row per dimension
+    carries exact integer code aggregates (hash-stable) plus the
+    half-step error bound the construction guarantees, as a computed
+    boolean — the audit a 4×-smaller vector store ships with."""
+    from parquet_rewriter_spark.operators.quantize import (
+        calibrate_minmax,
+        quantization_report,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    lo, hi = calibrate_minmax(e, "embedding")
+    rep = quantization_report(e, "embedding", lo, hi)
+    return rep.select(
+        F.col("dim").cast("long").alias("dim"),
+        "q_sum", "q_min", "q_max", "within_half_step", "lo_r", "hi_r",
+    )
+
+
+@query(
+    "int8_cosine_topk",
+    """
+    WITH el AS (
+      SELECT vec_id, d.i AS i, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) d(i)
+    ),
+    mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM el GROUP BY i),
+    rec AS (
+      SELECT el.vec_id, el.i,
+             mm.lo + least(greatest(floor((el.x - mm.lo)
+                                          / ((mm.hi - mm.lo) / 255.0) + 0.5),
+                                    0), 255) * ((mm.hi - mm.lo) / 255.0) AS r
+      FROM el JOIN mm ON mm.i = el.i
+    ),
+    recv AS (SELECT vec_id, list(r ORDER BY i) AS rv FROM rec GROUP BY vec_id),
+    qv AS (SELECT rv FROM recv WHERE vec_id = 0),
+    scored AS (
+      SELECT recv.vec_id AS id,
+             round(list_dot_product(recv.rv, qv.rv)
+                   / (sqrt(list_dot_product(recv.rv, recv.rv))
+                      * sqrt(list_dot_product(qv.rv, qv.rv))), 4) AS cos_q
+      FROM recv, qv
+    ),
+    fq AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    fscored AS (
+      SELECT e.vec_id AS id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), fq.v)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(fq.v, fq.v))), 4) AS cos_f
+      FROM embeddings e, fq
+    ),
+    ftop AS (SELECT id FROM fscored ORDER BY cos_f DESC, id LIMIT 10)
+    SELECT id, cos_q,
+           CAST(row_number() OVER (ORDER BY cos_q DESC, id) AS BIGINT) AS rank,
+           id IN (SELECT id FROM ftop) AS in_float_top10
+    FROM scored QUALIFY rank <= 10
+    """,
+    "embeddings", "quantization", "similarity", "topk",
+)
+def int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search ON the 8-bit codes: both the corpus and the
+    query vector are quantize→dequantize reconstructions, so this is
+    the ranking an int8 vector store actually serves (4× less IO per
+    scan), hash-compared cell-for-cell — and ``in_float_top10`` folds
+    the quantized-vs-float agreement into the oracle, pinning that the
+    compression didn't reorder the answer set beyond what the oracle
+    itself reproduces."""
+    import math
+
+    from parquet_rewriter_spark.functions.vector import cosine
+    from parquet_rewriter_spark.operators.quantize import (
+        calibrate_minmax,
+        dequantize,
+        quantize_codes,
+    )
+    from parquet_rewriter_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    lo, hi = calibrate_minmax(e, "embedding")
+    raw = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+
+    def _rq(x: float, l: float, h: float) -> float:
+        step = (h - l) / 255.0
+        c = min(max(math.floor((x - l) / step + 0.5), 0), 255)
+        return l + c * step
+
+    qv = [_rq(x, l, h) for x, l, h in zip(raw, lo, hi)]
+    recon = dequantize(quantize_codes("embedding", lo, hi), lo, hi)
+    sim = cosine(recon, F.array(*[F.lit(v) for v in qv]))
+    top = (
+        e.select(F.col("vec_id").alias("id"), F.round(sim, 4).alias("cos_q"))
+        .orderBy(F.col("cos_q").desc(), F.col("id"))
+        .limit(10)
+    )
+    float_ids = [r["id"] for r in cosine_topk(e, "vec_id", "embedding", raw, k=10).collect()]
+    return top.select(
+        "id", "cos_q",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_q").desc(), F.col("id")))
+        .cast("long")
+        .alias("rank"),
+        F.col("id").isin(float_ids).alias("in_float_top10"),
+    )
+
+
+@query(
+    "priority_customer_overlap_sketch",
+    """
+    -- contract rows: the HLL inclusion-exclusion estimates must land
+    -- within the declared bands of the exact set sizes
+    WITH du AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS v FROM orders),
+    per AS (SELECT g, count(*) AS n FROM du GROUP BY g),
+    inter AS (
+      SELECT a.g AS group_a, b.g AS group_b, count(*) AS exact_inter
+      FROM du a JOIN du b ON a.v = b.v AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT i.group_a, i.group_b,
+           CAST(pa.n AS BIGINT) AS exact_a,
+           CAST(pb.n AS BIGINT) AS exact_b,
+           CAST(pa.n + pb.n - i.exact_inter AS BIGINT) AS exact_union,
+           CAST(i.exact_inter AS BIGINT) AS exact_inter,
+           TRUE AS singles_within_5pct,
+           TRUE AS union_within_5pct,
+           TRUE AS inter_within_10pct
+    FROM inter i
+    JOIN per pa ON pa.g = i.group_a
+    JOIN per pb ON pb.g = i.group_b
+    """,
+    "sketch", "set-algebra", "approx-distinct",
+)
+def priority_customer_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set ALGEBRA (operators/distinct_sketch.py:sketch_overlap):
+    distinct-customer overlap between every order-priority pair via
+    sketch union + inclusion-exclusion — the audience-overlap query
+    answered from |groups| KB sketches after ONE corpus pass, instead
+    of a distinct-pairs self-join. The oracle recomputes the exact set
+    sizes; the estimate bands (5% singles/union — >3σ at lgK=12 —
+    and 10%-or-±5 for the subtraction-amplified intersection) are
+    folded into the compared rows as computed booleans."""
+    from parquet_rewriter_spark.operators.distinct_sketch import sketch_overlap
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    est = sketch_overlap(o, "o_orderpriority", "o_custkey")
+    du = o.distinct()
+    per = du.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = du.alias("a"), du.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderpriority") < F.col("b.o_orderpriority")),
+        )
+        .groupBy(
+            F.col("a.o_orderpriority").alias("group_a"),
+            F.col("b.o_orderpriority").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    pa = per.select(F.col("g").alias("group_a"), F.col("n").alias("exact_a"))
+    pb = per.select(F.col("g").alias("group_b"), F.col("n").alias("exact_b"))
+    ex = inter.join(F.broadcast(pa), "group_a").join(F.broadcast(pb), "group_b")
+    band = lambda e, x, frac, slack: F.abs(e - x) <= F.greatest(  # noqa: E731
+        F.lit(frac) * x, F.lit(slack)
+    )
+    return (
+        ex.join(F.broadcast(est), ["group_a", "group_b"])
+        .select(
+            "group_a", "group_b", "exact_a", "exact_b",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")).alias("exact_union"),
+            "exact_inter",
+            "est_a", "est_b", "est_union", "est_inter",
+        )
+        .select(
+            "group_a", "group_b", "exact_a", "exact_b", "exact_union", "exact_inter",
+            (
+                band(F.col("est_a"), F.col("exact_a"), 0.05, 2.0)
+                & band(F.col("est_b"), F.col("exact_b"), 0.05, 2.0)
+            ).alias("singles_within_5pct"),
+            band(F.col("est_union"), F.col("exact_union"), 0.05, 2.0).alias(
+                "union_within_5pct"
+            ),
+            band(F.col("est_inter"), F.col("exact_inter"), 0.10, 5.0).alias(
+                "inter_within_10pct"
+            ),
+        )
+    )
+
+
+@query(
+    "source_temperature_mixture",
+    """
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n_weight
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_weight) AS tn, sum(power(n_weight, 0.5)) AS tq FROM per
+    )
+    SELECT source, n_weight,
+           round(n_weight / tn, 6) AS p_raw,
+           round(power(n_weight, 0.5) / tq, 6) AS p_temp,
+           round(power(n_weight, 0.5) / tq * 1000000.0, 2) AS budget,
+           round(power(n_weight, 0.5) / tq * 1000000.0 / n_weight, 4) AS epochs
+    FROM per, tot
+    """,
+    "llm-pipeline", "sampling", "data-mix",
+)
+def source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (operators/sampling.py:
+    temperature_weights, α=0.5): per-source sampling probabilities
+    n^α/Σn^α, the token budget each source gets out of 1M, and the
+    epoch factor (how many times a small source repeats) — the
+    data-mix planning row that feeds mixture_sample. One aggregate +
+    one 1-row broadcast; closed form, replayed to the digit."""
+    from parquet_rewriter_spark.operators.sampling import temperature_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_weights(d, "source", "n_chars", alpha=0.5, total_budget=1_000_000)
+
+
+@query(
+    "length_bucketed_batch_waste",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tok,
+             CASE WHEN tok <= 16 THEN 16 WHEN tok <= 32 THEN 32
+                  WHEN tok <= 64 THEN 64 WHEN tok <= 128 THEN 128
+                  ELSE 256 END AS bucket_len,
+             doc_id % 4 AS shard
+      FROM d
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY bucket_len, shard
+               ORDER BY ((doc_id % 2147483648) * 2654435761 + 0) % 4294967296
+                        / 4294967296.0, doc_id
+             ) AS rn,
+             greatest(floor(512 / bucket_len), 1) AS cap
+      FROM b
+    ),
+    a AS (
+      SELECT bucket_len, shard, floor((rn - 1) / cap) AS batch_id,
+             least(tok, bucket_len) AS used,
+             greatest(bucket_len - tok, 0) AS padded
+      FROM r
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+           count(*) AS n_docs,
+           count(DISTINCT (shard, batch_id)) AS n_batches,
+           CAST(sum(used) AS BIGINT) AS sum_tokens,
+           CAST(sum(padded) AS BIGINT) AS sum_padded,
+           round(sum(padded) / CAST(sum(padded) + sum(used) AS DOUBLE), 4) AS waste_pct
+    FROM a GROUP BY bucket_len
+    """,
+    "llm-pipeline", "packing", "batching",
+)
+def length_bucketed_batch_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (operators/packing.py:
+    length_bucket_batches) — the no-split, pad-to-bucket companion of
+    pack_sequences for fine-tuning workloads: docs bucket into a
+    power-of-two length ladder (CASE chain, no float log2), batches of
+    floor(512/bucket_len) sequences fill in portable-hash order within
+    (bucket, shard), and the padding-waste accounting per bucket is
+    the report a batching config review reads. Assignment is a pure
+    projection + one (bucket, shard) window; the oracle replays docs →
+    buckets → batch ids → waste to the digit."""
+    from parquet_rewriter_spark.operators.packing import length_bucket_batches
+
+    d = _t(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    out = length_bucket_batches(
+        d.select("doc_id", tok.alias("tok")),
+        "doc_id", "tok", batch_tokens=512,
+        min_bucket=16, max_bucket=256, num_shards=4,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    return (
+        out.groupBy(F.col("bucket_len").cast("long").alias("bucket_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("shard"), F.col("batch_id")).alias("n_batches"),
+            F.sum(F.least(F.col("tok"), F.col("bucket_len"))).alias("sum_tokens"),
+            F.sum("padded").alias("sum_padded"),
+        )
+        .select(
+            "bucket_len", "n_docs", "n_batches", "sum_tokens", "sum_padded",
+            F.round(
+                F.col("sum_padded") / (F.col("sum_padded") + F.col("sum_tokens")), 4
+            ).alias("waste_pct"),
+        )
+    )
+
+
+@query(
+    "multimodal_letterbox_geometry",
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             16 + n_chars % 64 AS width,
+             16 + (n_chars * 7) % 64 AS height
+      FROM documents
+    ),
+    g AS (
+      SELECT media_id, width, height,
+             least(224.0 / width, 224.0 / height) AS s
+      FROM dims
+    ),
+    o AS (
+      SELECT media_id, width, height, s,
+             greatest(CAST(floor(width * s) AS BIGINT), 1) AS out_w,
+             greatest(CAST(floor(height * s) AS BIGINT), 1) AS out_h
+      FROM g
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           round(s, 6) AS scale,
+           out_w, out_h,
+           CAST(floor((224 - out_w) / 2) AS BIGINT) AS pad_left,
+           CAST(floor((224 - out_h) / 2) AS BIGINT) AS pad_top,
+           CAST(224 - out_w - floor((224 - out_w) / 2) AS BIGINT) AS pad_right,
+           CAST(224 - out_h - floor((224 - out_h) / 2) AS BIGINT) AS pad_bottom
+    FROM o
+    """,
+    "multimodal", "vision", "preprocessing",
+)
+def multimodal_letterbox_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox resize geometry (sources/multimodal.py:
+    letterbox_geometry): the aspect-preserving scale/pad plan every
+    fixed-input vision encoder needs, as pure codegen arithmetic over
+    decoded dims (dims derive from doc metadata — the decode UDF is
+    the stubbed boundary, same discipline as image_patch_grid). The
+    four pads plus the scaled dims must tile the 224×224 target
+    exactly; the oracle replays every cell."""
+    from parquet_rewriter_spark.sources.multimodal import letterbox_geometry
+
+    d = _t(spark, sf_dir, "documents")
+    dims = d.select(
+        F.col("doc_id").alias("media_id"),
+        (16 + F.col("n_chars") % 64).cast("int").alias("width"),
+        (16 + (F.col("n_chars") * 7) % 64).cast("int").alias("height"),
+    )
+    out = letterbox_geometry(dims, 224, 224)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "scale", "out_w", "out_h",
+        "pad_left", "pad_top", "pad_right", "pad_bottom",
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries

@@ -1113,3 +1113,41 @@ def hyperplane_ann_topk_portable(
         scored.withColumn("rnk", F.row_number().over(win).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def exact_cosine_topk_portable(
+    df: DataFrame,
+    probe_ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    quant: int = 1_000_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """EXACT top-k ground truth on the same integer-quantized cosine as
+    :func:`hyperplane_ann_topk_portable` — the brute-force baseline a
+    recall/MRR/nDCG evaluation compares the ANN path against. Every
+    probe scores the FULL corpus (that is the definition of ground
+    truth), so the shape is a broadcast of the tiny probe side against
+    one corpus scan — |corpus|·|probes| scored rows, never corpus².
+    Scores, ties, and ranks are bit-replayable in SQL (exact BIGINT
+    dots, total tiebreak), which is what lets the driver hash-compare
+    an evaluation harness end to end."""
+    sigs = _hyperplane_sigs(df, id_col, vec_col, bands=1, rows_per_band=1,
+                            quant=quant, dim=dim)
+    probes = sigs.select(F.col("id").alias("query_id")).filter(
+        F.col("query_id").isin(list(probe_ids))
+    )
+    cand = (
+        F.broadcast(probes)
+        .crossJoin(sigs.select(F.col("id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = _scored(sigs, cand, "query_id", "neighbor_id")
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

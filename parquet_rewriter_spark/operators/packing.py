@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from parquet_rewriter_spark.operators.sampling import portable_unit
+
 
 def pack_sequences(
     docs: DataFrame,
@@ -67,4 +69,81 @@ def pack_sequences(
             (F.col("seq_offset") + F.col("__tok")) > F.lit(max_tokens),
         )
         .drop("__tok", "__before")
+    )
+
+
+def _pow2_ladder(min_bucket: int, max_bucket: int) -> list[int]:
+    ladder, b = [], max(min_bucket, 1)
+    while b < max_bucket:
+        ladder.append(b)
+        b *= 2
+    ladder.append(max_bucket)
+    return ladder
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str | Column,
+    batch_tokens: int,
+    min_bucket: int = 16,
+    max_bucket: int = 1024,
+    num_shards: int = 8,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Length-bucketed batch assembly — the NO-SPLIT alternative to
+    :func:`pack_sequences` for fine-tuning / inference workloads where
+    documents must stay whole and batches are padded to a common
+    length: docs bucket into a power-of-two length ladder
+    (min_bucket, 2·min_bucket, …, max_bucket), and within a bucket,
+    batches of ``floor(batch_tokens / bucket_len)`` sequences fill in
+    deterministic hash order. Padding waste is bounded by construction
+    (a doc pads to at most 2× its length, minus one token), versus the
+    unbucketed worst case of padding everything to the global max.
+
+    The ladder is a CASE chain over integer comparisons — no float
+    log2, whose edge behavior at exact powers of two differs between
+    engines — so bucket assignment is bit-replayable in SQL. Docs
+    longer than ``max_bucket`` clamp to the top rung (they'd be
+    truncated by the materializer; ``padded`` is 0 for them).
+
+    Scale shape: assignment is a pure projection; the only shuffle is
+    the (bucket, shard) window — ``num_shards`` hash shards per bucket
+    keep one giant bucket from serializing through a single task
+    (the same sharding contract as pack_sequences; batch ids are per
+    (bucket, shard), which training consumers treat as independent
+    streams). ``shard_col`` overrides the default xxhash64 shard for
+    SQL-replayable assignments (e.g. ``pmod(id, num_shards)``).
+
+    Returns the input plus ``bucket_len``, ``shard``, ``batch_id``,
+    ``padded`` (tokens of padding this doc costs its batch slot)."""
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    ladder = _pow2_ladder(min_bucket, max_bucket)
+    bucket = F.lit(ladder[-1])
+    for rung in reversed(ladder[:-1]):
+        bucket = F.when(tokens <= rung, F.lit(rung)).otherwise(bucket)
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+    )
+    out = (
+        docs.withColumn("__tok", tokens.cast("long"))
+        .withColumn("bucket_len", bucket.cast("long"))
+        .withColumn("shard", shard)
+    )
+    cap = F.greatest(
+        F.floor(F.lit(batch_tokens) / F.col("bucket_len")), F.lit(1)
+    )
+    w = Window.partitionBy("bucket_len", "shard").orderBy(
+        portable_unit(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .withColumn("batch_id", F.floor((F.col("__rn") - 1) / cap))
+        .withColumn(
+            "padded",
+            F.greatest(F.col("bucket_len") - F.col("__tok"), F.lit(0)),
+        )
+        .drop("__tok", "__rn")
     )

@@ -239,6 +239,62 @@ def weighted_sample_key_sql(key_expr: str, weight_expr: str, salt: int = 0) -> s
     return f"-ln(greatest({u}, 1.1641532182693481e-10)) / ({weight_expr})"
 
 
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str | Column,
+    alpha: float = 0.5,
+    total_budget: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights — the standard recipe
+    for rebalancing a multi-source training corpus (the α-sampling of
+    multilingual pretraining: raise each source's mass to α < 1 so
+    low-resource sources are upsampled relative to their raw share,
+    α = 1 keeps the natural mix, α → 0 approaches uniform):
+
+        p_temp(s) = n_s^α / Σ_t n_t^α      (n_s = source token mass)
+
+    Given ``total_budget`` (tokens to draw), each source's allocation
+    is ``budget_s = p_temp·T`` and ``epochs_s = budget_s / n_s`` — the
+    over/under-sampling factor, the number a data-mix review actually
+    reads (epochs ≫ 1 on a small source means it will be repeated that
+    many times; pair with :func:`mixture_sample` to materialize the
+    draw).
+
+    Scale shape: one map-side-combined aggregate to per-source mass
+    (|sources| rows), one 1-row broadcast of the normalization terms —
+    the corpus is scanned once and nothing else moves. Closed form,
+    fully SQL-replayable.
+
+    Returns (source, n_weight, p_raw, p_temp[, budget, epochs]) with
+    p_raw/p_temp rounded 6dp, budget 2dp, epochs 4dp."""
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(wc).cast("double").alias("n_weight")
+    )
+    tot = per.agg(
+        F.sum("n_weight").alias("__tot_n"),
+        F.sum(F.pow("n_weight", F.lit(float(alpha)))).alias("__tot_q"),
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_weight",
+        F.round(F.col("n_weight") / F.col("__tot_n"), 6).alias("p_raw"),
+        F.round(
+            F.pow("n_weight", F.lit(float(alpha))) / F.col("__tot_q"), 6
+        ).alias("p_temp"),
+        (F.pow("n_weight", F.lit(float(alpha))) / F.col("__tot_q")).alias("__pt"),
+    )
+    if total_budget is None:
+        return out.drop("__pt")
+    budget = F.col("__pt") * F.lit(float(total_budget))
+    return out.select(
+        "source", "n_weight", "p_raw", "p_temp",
+        F.round(budget, 2).alias("budget"),
+        F.round(budget / F.col("n_weight"), 4).alias("epochs"),
+    )
+
+
 def negative_samples(
     anchors: DataFrame,
     items: DataFrame,

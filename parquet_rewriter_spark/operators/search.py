@@ -23,7 +23,9 @@ hash-comparable cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parquet_rewriter_spark.functions.vector import as_double, cosine
 
 
 def term_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -88,6 +90,82 @@ def bm25_topk(
         )
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    n_cand: int = 50,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR 2009): run BM25 over the text
+    and exact cosine over the embedding column independently, keep each
+    ranker's top ``n_cand``, and score every candidate as
+
+        rrf(d) = Σ_r 1 / (k0 + rank_r(d))
+
+    over the rankers that retrieved it (a document missing from one
+    list simply contributes nothing for that ranker — the standard RRF
+    contract, no score normalization needed, which is exactly why RRF
+    is the default fusion in production hybrid search: BM25 scores and
+    cosines live on incomparable scales).
+
+    Determinism: both per-ranker rankings order by (rounded score desc,
+    id), so ranks — and therefore the fused list — are total-order
+    stable and SQL-replayable. Scale shape: each ranker is its own
+    already-scale-shaped operator (postings semi-join / top-k heap);
+    the fusion itself touches only 2·n_cand rows — a full outer join of
+    two k-row relations, driver-bounded by construction. The rank
+    windows run over those ≤n_cand-row inputs, not the corpus.
+
+    Returns (doc_id, bm25_rank, vec_rank, rrf, rank) — top ``k`` by
+    (rrf desc, doc_id)."""
+    bm = bm25_topk(docs, id_col, text_col, query_terms, k=n_cand)
+    bm_ranked = bm.select(
+        F.col("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double(vec_col), q)
+    vs = (
+        vectors.select(F.col(vec_id_col).alias("doc_id"), F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+        .limit(n_cand)
+    )
+    vs_ranked = vs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(float(k0)) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(k0)) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        bm_ranked.join(vs_ranked, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "vec_rank", rrf.alias("rrf"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf").desc(), F.col("doc_id")))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= k)
     )
 
 

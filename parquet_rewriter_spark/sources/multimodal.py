@@ -247,6 +247,56 @@ def patch_grid(
     )
 
 
+def letterbox_geometry(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving resize-with-padding ("letterbox") geometry over
+    decoded image dimensions — the preprocessing contract of every
+    fixed-input vision encoder (YOLO/ViT-style): scale by
+    ``min(W/w, H/h)``, center the scaled image, pad the rest.
+
+    PURE ARITHMETIC over metadata columns (the patch_grid discipline):
+    the byte-level resample lives in the decode UDF where the missing
+    image libs are stubbed; the geometry — what actually has to be
+    consistent between the data pipeline and the training harness — is
+    codegen projection, shuffles nothing, and is fully SQL-replayable
+    (floor arithmetic only; no engine-variant rounding).
+
+    Adds ``scale`` (round 6), ``out_w``/``out_h`` (floor of the scaled
+    dims, floored at 1), ``pad_left``/``pad_top`` (centered, floor) and
+    ``pad_right``/``pad_bottom`` (the remainder, so the four pads plus
+    the scaled dims tile the target exactly — an invariant, not a
+    convention)."""
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    out_w = F.greatest(F.floor(w * scale), F.lit(1))
+    out_h = F.greatest(F.floor(h * scale), F.lit(1))
+    return (
+        df.withColumn("scale", F.round(scale, 6))
+        .withColumn("out_w", out_w.cast("long"))
+        .withColumn("out_h", out_h.cast("long"))
+        .withColumn(
+            "pad_left", F.floor((F.lit(target_w) - F.col("out_w")) / 2).cast("long")
+        )
+        .withColumn(
+            "pad_top", F.floor((F.lit(target_h) - F.col("out_h")) / 2).cast("long")
+        )
+        .withColumn(
+            "pad_right",
+            (F.lit(target_w) - F.col("out_w") - F.col("pad_left")).cast("long"),
+        )
+        .withColumn(
+            "pad_bottom",
+            (F.lit(target_h) - F.col("out_h") - F.col("pad_top")).cast("long"),
+        )
+    )
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     """Directory of media files → multimodal table (Spark's binaryFile
     source: distributed read, no driver byte shuffling)."""

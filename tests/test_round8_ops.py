@@ -1,0 +1,303 @@
+"""Round-8 operators: int8 scalar quantization, retrieval-quality
+metrics, hybrid RRF fusion, temperature mixture weights, length-bucketed
+batching, letterbox geometry, HLL sketch set algebra."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from parquet_rewriter_spark.operators.eval import retrieval_metrics
+from parquet_rewriter_spark.operators.packing import length_bucket_batches
+from parquet_rewriter_spark.operators.quantize import (
+    calibrate_minmax,
+    dequantize,
+    quantize_codes,
+    quantize_table,
+)
+from parquet_rewriter_spark.operators.sampling import temperature_weights
+from parquet_rewriter_spark.sources.multimodal import letterbox_geometry
+
+
+# ------------------------------------------------------------- quantization
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, v=[float(x) for x in v]) for i, v in enumerate(rows)]
+    )
+
+
+def test_quantize_codes_in_range_and_error_bounded(spark):
+    df = _vec_df(spark, [[0.0, -1.0, 5.0], [1.0, 1.0, 5.0], [0.5, 0.25, 5.0]])
+    lo, hi = calibrate_minmax(df, "v")
+    assert lo == [0.0, -1.0, 5.0] and hi == [1.0, 1.0, 5.0]
+    out = quantize_table(df, "v", lo, hi, code_col="q8", recon_col="r").collect()
+    for row in out:
+        orig = dict(zip([r["id"] for r in out], [r["v"] for r in out]))[row["id"]]
+        for i, (q, r) in enumerate(zip(row["q8"], row["r"])):
+            assert 0 <= q <= 255
+            step = (hi[i] - lo[i]) / 255.0
+            if hi[i] == lo[i]:  # degenerate dim: code 0, exact recon
+                assert q == 0 and r == lo[i]
+            else:
+                assert abs(orig[i] - r) <= step / 2 + 1e-12
+
+
+def test_quantize_extremes_hit_code_bounds(spark):
+    df = _vec_df(spark, [[0.0], [1.0], [0.5]])
+    lo, hi = calibrate_minmax(df, "v")
+    codes = {
+        r["id"]: r["q"][0]
+        for r in df.select("id", quantize_codes("v", lo, hi).alias("q")).collect()
+    }
+    assert codes[0] == 0 and codes[1] == 255 and codes[2] == 128
+
+
+def test_dequantize_roundtrip_is_idempotent(spark):
+    # quantize(dequantize(quantize(x))) == quantize(x): recon values sit
+    # exactly on grid points, so a second pass is a fixed point
+    df = _vec_df(spark, [[0.13, -2.4], [0.9, 3.3], [-0.5, 0.0], [1.7, 1.1]])
+    lo, hi = calibrate_minmax(df, "v")
+    once = df.select("id", quantize_codes("v", lo, hi).alias("q1"),
+                     dequantize(quantize_codes("v", lo, hi), lo, hi).alias("r"))
+    twice = once.select("id", "q1", quantize_codes("r", lo, hi).alias("q2"))
+    for row in twice.collect():
+        assert row["q1"] == row["q2"]
+
+
+# -------------------------------------------------------- retrieval metrics
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(query_id=q, neighbor_id=n, rnk=r) for q, n, r in rows]
+    )
+
+
+def test_retrieval_metrics_perfect_retrieval(spark):
+    truth = _rank_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    m = retrieval_metrics(truth, truth).collect()[0]
+    assert m["recall_at_k"] == 1.0 and m["mrr"] == 1.0 and m["ndcg_at_k"] == 1.0
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    # retrieved: [10, 99, 12]; truth: [10, 11, 12]
+    # hits at ranks 1 and 3 -> recall 2/3, mrr 1, dcg = 1 + 1/log2(4)
+    retrieved = _rank_df(spark, [(1, 10, 1), (1, 99, 2), (1, 12, 3)])
+    truth = _rank_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    m = retrieval_metrics(retrieved, truth).collect()[0]
+    idcg = sum(1.0 / math.log2(i + 1) for i in (1, 2, 3))
+    assert m["n_truth"] == 3 and m["n_hit"] == 2
+    assert m["recall_at_k"] == round(2 / 3, 4)
+    assert m["mrr"] == 1.0
+    assert m["ndcg_at_k"] == round((1.0 + 1.0 / math.log2(4)) / idcg, 4)
+
+
+def test_retrieval_metrics_zero_hits_scores_zero_not_missing(spark):
+    retrieved = _rank_df(spark, [(1, 99, 1)])
+    truth = _rank_df(spark, [(1, 10, 1), (2, 20, 1)])
+    rows = {r["query_id"]: r for r in retrieval_metrics(retrieved, truth).collect()}
+    assert set(rows) == {1, 2}  # query 2 retrieved nothing at all
+    for q in (1, 2):
+        assert rows[q]["n_hit"] == 0
+        assert rows[q]["recall_at_k"] == 0.0
+        assert rows[q]["mrr"] == 0.0
+        assert rows[q]["ndcg_at_k"] == 0.0
+
+
+def test_exact_portable_truth_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.dedup import exact_cosine_topk_portable
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(60)
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    got = exact_cosine_topk_portable(e, probe_ids=[0, 1], k=3).collect()
+    for probe in (0, 1):
+        q = np.round(rows[probe] * 1e6)
+        sims = {}
+        for vid, v in rows.items():
+            if vid == probe:
+                continue
+            qv = np.round(v * 1e6)
+            sims[vid] = round(float(q @ qv) / (np.linalg.norm(q) * np.linalg.norm(qv)), 4)
+        want = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        have = sorted(
+            [(r["neighbor_id"], r["cos_sim"]) for r in got if r["query_id"] == probe],
+            key=lambda kv: -kv[1],
+        )
+        assert [w[0] for w in want] == [h[0] for h in have]
+
+
+# --------------------------------------------------------------- hybrid RRF
+
+def test_hybrid_rrf_ranks_dual_hits_above_single_hits(spark):
+    from parquet_rewriter_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark shuffle join"),     # lexical hit
+            Row(doc_id=2, text="window scan join"),       # lexical hit
+            Row(doc_id=3, text="unrelated words here"),   # vector-only
+        ]
+    )
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, v=[1.0, 0.0]),   # == query: vector hit
+            Row(vec_id=2, v=[0.0, 1.0]),   # orthogonal
+            Row(vec_id=3, v=[0.9, 0.1]),   # near query
+        ]
+    )
+    out = hybrid_rrf_topk(
+        docs, vecs, "doc_id", "text", "vec_id", "v",
+        ["join"], [1.0, 0.0], k=3, n_cand=3,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 1 is in both lists -> highest fused score
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])][0] == 1
+    assert by_id[1]["bm25_rank"] is not None and by_id[1]["vec_rank"] is not None
+    # doc 3 never matches the term but survives via the vector ranking
+    assert by_id[3]["bm25_rank"] is None and by_id[3]["vec_rank"] is not None
+
+
+def test_hybrid_rrf_score_is_sum_of_reciprocal_ranks(spark):
+    from parquet_rewriter_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="join join")])
+    vecs = spark.createDataFrame([Row(vec_id=1, v=[1.0])])
+    row = hybrid_rrf_topk(
+        docs, vecs, "doc_id", "text", "vec_id", "v", ["join"], [1.0], k=1, n_cand=5
+    ).collect()[0]
+    assert row["rrf"] == round(1 / 61 + 1 / 61, 6)
+
+
+# ------------------------------------------------------- temperature mixing
+
+def test_temperature_alpha_one_keeps_natural_mix(spark):
+    df = spark.createDataFrame(
+        [Row(src="a", w=100), Row(src="a", w=200), Row(src="b", w=700)]
+    )
+    rows = {r["source"]: r for r in
+            temperature_weights(df, "src", "w", alpha=1.0).collect()}
+    assert rows["a"]["p_temp"] == rows["a"]["p_raw"] == 0.3
+    assert rows["b"]["p_temp"] == rows["b"]["p_raw"] == 0.7
+
+
+def test_temperature_alpha_zero_is_uniform(spark):
+    df = spark.createDataFrame([Row(src="a", w=1), Row(src="b", w=999)])
+    rows = {r["source"]: r for r in
+            temperature_weights(df, "src", "w", alpha=0.0).collect()}
+    assert rows["a"]["p_temp"] == rows["b"]["p_temp"] == 0.5
+    assert rows["a"]["p_raw"] == 0.001
+
+
+def test_temperature_budget_and_epochs_consistent(spark):
+    df = spark.createDataFrame([Row(src="a", w=100), Row(src="b", w=400)])
+    rows = {r["source"]: r for r in
+            temperature_weights(df, "src", "w", alpha=0.5, total_budget=1000).collect()}
+    # n^0.5: 10 and 20 -> p_temp 1/3 and 2/3
+    assert rows["a"]["budget"] == round(1000 / 3, 2)
+    assert rows["a"]["epochs"] == round(1000 / 3 / 100, 4)  # small source repeats
+    assert rows["b"]["epochs"] == round(2000 / 3 / 400, 4)
+    assert rows["a"]["epochs"] > 1 > rows["b"]["epochs"] * 0.5
+
+
+# ---------------------------------------------------- length-bucket batches
+
+def test_length_buckets_ladder_and_capacity(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, tok=t) for i, t in enumerate([5, 16, 17, 60, 64, 65, 300, 4000])]
+    )
+    out = length_bucket_batches(
+        df, "id", "tok", batch_tokens=128, min_bucket=16, max_bucket=128,
+        num_shards=1, shard_col=F.lit(0),
+    ).collect()
+    buckets = {r["id"]: r["bucket_len"] for r in out}
+    assert buckets[0] == 16 and buckets[1] == 16 and buckets[2] == 32
+    assert buckets[3] == 64 and buckets[4] == 64 and buckets[5] == 128
+    assert buckets[6] == 128 and buckets[7] == 128  # clamped to the top rung
+    # capacity: floor(128 / bucket_len) sequences per batch
+    from collections import Counter
+
+    per_batch = Counter((r["bucket_len"], r["batch_id"]) for r in out)
+    for (blen, _), n in per_batch.items():
+        assert n <= max(128 // blen, 1)
+    # padding: bucket - tok, floored at 0 for clamped docs
+    for r in out:
+        tok = dict((row["id"], row["tok"]) for row in out)[r["id"]]
+        assert r["padded"] == max(r["bucket_len"] - tok, 0)
+
+
+def test_length_buckets_fill_before_opening_new_batch(spark):
+    # 10 docs of 30 tokens -> bucket 32, cap = floor(128/32) = 4
+    # -> batches of 4, 4, 2
+    df = spark.createDataFrame([Row(id=i, tok=30) for i in range(10)])
+    out = length_bucket_batches(
+        df, "id", "tok", batch_tokens=128, min_bucket=16, max_bucket=128,
+        num_shards=1, shard_col=F.lit(0),
+    ).collect()
+    from collections import Counter
+
+    sizes = sorted(Counter(r["batch_id"] for r in out).values(), reverse=True)
+    assert sizes == [4, 4, 2]
+
+
+def test_length_buckets_assignment_is_partition_invariant(spark):
+    df = spark.createDataFrame([Row(id=i, tok=10 + i % 50) for i in range(200)])
+    a = length_bucket_batches(df.repartition(1), "id", "tok", batch_tokens=256)
+    b = length_bucket_batches(df.repartition(7), "id", "tok", batch_tokens=256)
+    cols = ["id", "bucket_len", "shard", "batch_id", "padded"]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+# ----------------------------------------------------------------- letterbox
+
+def test_letterbox_pads_tile_target_exactly(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, width=640, height=480),
+         Row(media_id=2, width=100, height=900),
+         Row(media_id=3, width=224, height=224),
+         Row(media_id=4, width=1, height=3000)]
+    )
+    for r in letterbox_geometry(df, 224, 224).collect():
+        assert r["out_w"] + r["pad_left"] + r["pad_right"] == 224
+        assert r["out_h"] + r["pad_top"] + r["pad_bottom"] == 224
+        assert r["out_w"] >= 1 and r["out_h"] >= 1
+        # the binding dimension scales to (nearly) the full target
+        assert max(r["out_w"], r["out_h"]) >= 223
+
+
+def test_letterbox_preserves_aspect_ratio(spark):
+    df = spark.createDataFrame([Row(media_id=1, width=400, height=200)])
+    r = letterbox_geometry(df, 224, 224).collect()[0]
+    assert r["out_w"] == 224 and r["out_h"] == 112
+    assert r["pad_top"] == 56 and r["pad_bottom"] == 56
+    assert r["pad_left"] == 0 and r["pad_right"] == 0
+
+
+# --------------------------------------------------------- HLL set algebra
+
+def test_sketch_overlap_estimates_track_exact_sets(spark):
+    from parquet_rewriter_spark.operators.distinct_sketch import sketch_overlap
+
+    rows = (
+        [Row(g="a", v=i) for i in range(0, 300)]
+        + [Row(g="b", v=i) for i in range(200, 500)]   # |a∩b| = 100
+        + [Row(g="c", v=i) for i in range(450, 460)]   # |b∩c| = 10, |a∩c| = 0
+    )
+    df = spark.createDataFrame(rows)
+    got = {(r["group_a"], r["group_b"]): r for r in sketch_overlap(df, "g", "v").collect()}
+    exact = {("a", "b"): (300, 300, 500, 100),
+             ("a", "c"): (300, 10, 310, 0),
+             ("b", "c"): (300, 10, 300, 10)}
+    for pair, (ea, eb, eu, ei) in exact.items():
+        r = got[pair]
+        assert abs(r["est_a"] - ea) <= max(0.05 * ea, 2)
+        assert abs(r["est_b"] - eb) <= max(0.05 * eb, 2)
+        assert abs(r["est_union"] - eu) <= max(0.05 * eu, 2)
+        assert abs(r["est_inter"] - ei) <= max(0.10 * ei, 5)
