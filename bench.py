@@ -83,6 +83,8 @@ HEADLINE = [
     "near_dup_doc_clusters",
     "incremental_dedup_index",
     "cosine_topk_bruteforce",
+    "hybrid_rrf_search",
+    "embedding_int8_quantization",
     "ann_ivf_topk",
     "ann_ivf_index_lifecycle",
     "incremental_bm25_search",
@@ -122,6 +124,12 @@ EXTENDED = [
     "ann_lsh_recall_gate",
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",
+    "ann_lsh_retrieval_metrics",
+    "int8_cosine_topk",
+    "priority_customer_overlap_sketch",
+    "source_temperature_mixture",
+    "length_bucketed_batch_waste",
+    "multimodal_letterbox_geometry",
     "top_orders_by_revenue",
     "order_priority_count",
     "revenue_forecast",

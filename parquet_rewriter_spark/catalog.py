@@ -13113,14 +13113,22 @@ def multimodal_letterbox_geometry(spark: SparkSession, sf_dir: str) -> DataFrame
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # Round-7 rotation (VERDICT r6 #8): round-7 added queries lead
-    # (never seen by any verifier), then the queries whose code paths
-    # round 7 changed (drift |V| guard + NULL-bin policy, sidecar
-    # semi-join readers, generic vacuum sweep), then the STALEST
-    # driver-green queries (last checked in rounds 1-2 — every oracled
-    # query has been driver-checked at least once, so staleness is the
-    # rotation key now), rows-only tail last so full-compare slots go
-    # to strong checks.
+    # Round-8 rotation: round-8 added queries lead (never seen by any
+    # verifier), then the round-7 additions — the driver recorded NO
+    # CORRECTNESS_r07 snapshot, so they too have no driver verdict yet
+    # (locally green in the full harness sweep both rounds) — then
+    # round-7-changed code paths, then the STALEST driver-green queries
+    # (last checked in rounds 1-2), rows-only tail last so full-compare
+    # slots go to strong checks.
+    "hybrid_rrf_search",
+    "ann_lsh_retrieval_metrics",
+    "embedding_int8_quantization",
+    "int8_cosine_topk",
+    "priority_customer_overlap_sketch",
+    "source_temperature_mixture",
+    "length_bucketed_batch_waste",
+    "multimodal_letterbox_geometry",
+    # round-7 additions, no driver verdict yet
     "incremental_drift_ks",
     "incremental_drift_w1",
     "incremental_drift_chi2",
@@ -13140,12 +13148,7 @@ _VERIFY_FIRST = (
     "incremental_drift_monitor",
     "stream_incremental_drift",
     "snapshot_drift_psi",
-    "incremental_embedding_covariance",
-    "stream_incremental_covariance",
-    "embedding_covariance_probe",
     "distinct_sketch_users",
-    "stream_distinct_sketch_users",
-    "maintained_table_scan",
     # stalest driver-green (r01)
     "above_avg_balance_customers",
     "binary_blob_metadata",
@@ -13167,16 +13170,6 @@ _VERIFY_FIRST = (
     "part_string_functions",
     "status_cube",
     "winnow_fingerprint_pairs",
-    # stalest driver-green (r02)
-    "approx_distinct_users",
-    "bloom_pointlookup_scan",
-    "compact_then_scan",
-    "contamination_check",
-    "corpus_top_bigrams",
-    "csv_roundtrip_agg",
-    "customer_balance_deciles",
-    "customer_order_breadth",
-    "customer_running_total",
     # rows-only tail
     "minhash_near_dup_pairs",
     "simhash_near_pairs",
