@@ -125,7 +125,9 @@ EXTENDED = [
     "ann_ivf_recall_gate",
     "ann_pq_recall_gate",
     "ann_lsh_retrieval_metrics",
+    "ann_ivfpq_recall_gate",
     "int8_cosine_topk",
+    "int8_storage_shrink",
     "priority_customer_overlap_sketch",
     "source_temperature_mixture",
     "length_bucketed_batch_waste",

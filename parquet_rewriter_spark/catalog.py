@@ -3055,6 +3055,26 @@ def ann_pq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                        m=8, n_codes=64, rerank=100)
 
 
+@query("ann_ivfpq_recall_gate", _PLANTED_ANN_ORACLE,
+       "similarity", "ann", "ivf", "pq", "recall")
+def ann_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite recall gate on the planted-cluster fixture
+    (operators/similarity.py:ann_ivfpq_topk — the FAISS ``IVFx,PQy``
+    stack: IVF cells prune ROWS, PQ codes shrink BYTES per probed row,
+    exact rerank restores float precision): the normalized copies
+    assign to the base's cell AND encode to its exact codes, so the
+    probed+ADC candidate set must contain all 13 and the rerank must
+    reproduce the brute-force top-13. A hash mismatch localizes to
+    cell assignment, code assignment, or the ADC table — the three
+    moving parts a production IVF-PQ deployment tunes."""
+    from parquet_rewriter_spark.operators.similarity import ann_ivfpq_topk
+
+    cand, qv = _planted_ann_candidates(spark, sf_dir)
+    return ann_ivfpq_topk(cand, "vec_id", "embedding", qv, k=13,
+                          n_centroids=16, n_probe=4, m=8, n_codes=64,
+                          rerank=100)
+
+
 @query("ann_lsh_topk", None, "similarity", "ann", "lsh")
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing with
@@ -13101,6 +13121,80 @@ def multimodal_letterbox_geometry(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "int8_storage_shrink",
+    """
+    WITH el AS (
+      SELECT vec_id, d.i AS i, CAST(embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) d(i)
+    ),
+    mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM el GROUP BY i),
+    codes AS (
+      SELECT CAST(least(greatest(floor((el.x - mm.lo)
+                                       / ((mm.hi - mm.lo) / 255.0) + 0.5),
+                                 0), 255) AS BIGINT) AS code
+      FROM el JOIN mm ON mm.i = el.i
+    )
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+           CAST(sum(code) AS BIGINT) AS q_sum_total,
+           TRUE AS values_match,
+           TRUE AS shrink_ge_2x
+    FROM codes
+    """,
+    "embeddings", "quantization", "storage", "footer-stats",
+)
+def int8_storage_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8 quantization's STORAGE claim, proven from parquet
+    footers: codes persist as a true 1-byte column (tinyint array,
+    codes shifted by −128), the float column rides along, and the
+    footer walk (stats.py:column_storage_report — no data pages read)
+    must show the code column at least 2× smaller compressed (raw
+    ratio is 4×; both columns are near-incompressible noise).
+    ``q_sum_total`` is recomputed FROM THE PERSISTED tinyint codes
+    (un-shifted), so a hash match against the oracle's from-raw-floats
+    replay proves the store→read round trip lost nothing."""
+    import glob as _glob
+
+    from parquet_rewriter_spark.operators.quantize import (
+        calibrate_minmax,
+        quantize_codes,
+    )
+    from parquet_rewriter_spark.stats import column_storage_report
+
+    e = _t(spark, sf_dir, "embeddings")
+    lo, hi = calibrate_minmax(e, "embedding")
+    tiny = F.transform(
+        quantize_codes("embedding", lo, hi), lambda x: (x - 128).cast("tinyint")
+    )
+    d = _scratch("int8_store")
+    e.select("vec_id", "embedding", tiny.alias("q8")).write.mode(
+        "overwrite"
+    ).parquet(d)
+    back = spark.read.parquet(d)
+    n_vectors = back.count()
+    q_sum_total = (
+        back.select(F.posexplode("q8").alias("i", "c"))
+        .agg(F.sum(F.col("c").cast("long") + 128))
+        .first()[0]
+    )
+    rep = column_storage_report(
+        spark, sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    ).collect()
+    emb_bytes = sum(r["compressed_bytes"] for r in rep if r["column"].startswith("embedding"))
+    q8_bytes = sum(r["compressed_bytes"] for r in rep if r["column"].startswith("q8"))
+    emb_vals = sum(r["n_values"] for r in rep if r["column"].startswith("embedding"))
+    q8_vals = sum(r["n_values"] for r in rep if r["column"].startswith("q8"))
+    return spark.createDataFrame(
+        [(
+            int(n_vectors),
+            int(q_sum_total),
+            bool(emb_vals == q8_vals and emb_vals == n_vectors * len(lo)),
+            bool(q8_bytes > 0 and emb_bytes >= 2 * q8_bytes),
+        )],
+        "n_vectors long, q_sum_total long, values_match boolean, shrink_ge_2x boolean",
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -13128,6 +13222,8 @@ _VERIFY_FIRST = (
     "source_temperature_mixture",
     "length_bucketed_batch_waste",
     "multimodal_letterbox_geometry",
+    "ann_ivfpq_recall_gate",
+    "int8_storage_shrink",
     # round-7 additions, no driver verdict yet
     "incremental_drift_ks",
     "incremental_drift_w1",

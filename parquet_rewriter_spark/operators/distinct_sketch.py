@@ -217,10 +217,13 @@ def sketch_overlap(
     and the catalog query pins the contract against exact counts.
 
     Returns (group_a, group_b, est_a, est_b, est_union, est_inter) for
-    each unordered pair (group_a < group_b)."""
+    each unordered pair (group_a < group_b). The |G|-row sketch
+    relation is persisted so the pair self-join reuses it — without
+    the persist each side re-executes the sketch aggregate and the
+    corpus is scanned twice (plan-pinned in test_plans.py)."""
     sk = df.groupBy(F.col(group_col).alias("g")).agg(
         F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sk")
-    )
+    ).persist()
     a = sk.select(F.col("g").alias("group_a"), F.col("sk").alias("__ska"))
     b = sk.select(F.col("g").alias("group_b"), F.col("sk").alias("__skb"))
     est = lambda c: F.round(F.hll_sketch_estimate(c)).cast("long")  # noqa: E731

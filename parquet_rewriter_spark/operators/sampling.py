@@ -261,10 +261,14 @@ def temperature_weights(
     many times; pair with :func:`mixture_sample` to materialize the
     draw).
 
-    Scale shape: one map-side-combined aggregate to per-source mass
-    (|sources| rows), one 1-row broadcast of the normalization terms —
-    the corpus is scanned once and nothing else moves. Closed form,
-    fully SQL-replayable.
+    Scale shape: ONE map-side-combined aggregate to per-source mass
+    (the corpus is scanned exactly once — plan-pinned); the
+    normalization terms come from an unpartitioned window over the
+    |sources|-row result, which is bounded by definition (training
+    mixes name curated domains, not unbounded keys — the same bounded-
+    relation contract the drift group list carries, there with an
+    explicit guard). An aggregate-over-aggregate would instead
+    re-execute the per-source subplan and scan the corpus twice.
 
     Returns (source, n_weight, p_raw, p_temp[, budget, epochs]) with
     p_raw/p_temp rounded 6dp, budget 2dp, epochs 4dp."""
@@ -272,11 +276,13 @@ def temperature_weights(
     per = df.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(wc).cast("double").alias("n_weight")
     )
-    tot = per.agg(
-        F.sum("n_weight").alias("__tot_n"),
-        F.sum(F.pow("n_weight", F.lit(float(alpha)))).alias("__tot_q"),
-    )
-    out = per.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    out = per.select(
+        "source",
+        "n_weight",
+        F.sum("n_weight").over(w).alias("__tot_n"),
+        F.sum(F.pow("n_weight", F.lit(float(alpha)))).over(w).alias("__tot_q"),
+    ).select(
         "source",
         "n_weight",
         F.round(F.col("n_weight") / F.col("__tot_n"), 6).alias("p_raw"),

@@ -232,6 +232,74 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the canonical large-corpus retrieval
+    stack (FAISS ``IVFx,PQy``): IVF cells prune ROWS (probe n_probe of
+    n_centroids cells — at rest the table is partitioned by
+    ``centroid_id``, so this is partition pruning), PQ codes shrink
+    BYTES PER ROW inside the probed cells (m bytes instead of 4·dim),
+    ADC table-lookup scores the survivors, and an exact rerank of the
+    top ``rerank`` candidates restores float precision for the final
+    ``k``. The two approximations compose independently: IVF bounds
+    what is SCANNED, PQ bounds what is READ per scanned row — which is
+    exactly the knob pair a 100 TB vector store tunes.
+
+    Both models train driver-side on bounded samples (k·dim and
+    m·n_codes·(dim/m) floats — KB-scale closures). Returns (id,
+    cos_sim) with cos_sim from the exact rerank."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids if centroids is not None else kmeans_centroids(
+        df, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    B = codebooks if codebooks is not None else pq_train_codebooks(
+        df, vec_col, m=m, n_codes=n_codes, seed=seed
+    )
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = np.argsort(-(C @ qv))[: min(n_probe, len(C))].tolist()
+    cells = ivf_assign(df, vec_col, C).filter(F.col("centroid_id").isin(probe))
+
+    mm, n_codes_b, sub = B.shape
+    dtable = np.stack([B[j] @ qv[j * sub : (j + 1) * sub] for j in range(mm)])
+
+    @pandas_udf("double")
+    def adc_score(codes: pd.Series) -> pd.Series:
+        Cc = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        return pd.Series(dtable[np.arange(mm)[None, :], Cc].sum(axis=1))
+
+    enc = pq_encode(cells, vec_col, B)
+    cand = (
+        enc.select(
+            F.col(id_col).alias("id"),
+            as_double(vec_col).alias("v"),
+            F.round(adc_score("pq_code"), 4).alias("pq_sim"),
+        )
+        .orderBy(F.col("pq_sim").desc(), F.col("id"))
+        .limit(max(k, rerank))
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select("id", F.round(cosine(F.col("v"), q), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -727,3 +727,83 @@ def test_iterative_join_reuses_prepartitioned_cached_edges(spark, sf_dir):
     finally:
         e.unpersist()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_quantize_is_pure_projection_no_exchange(spark, sf_dir):
+    """Quantize/dequantize must stay map-only: codes are zip_with
+    expressions against broadcast-sized calibration literals, so the
+    plan over a scan is exchange-free and Python-free — what makes the
+    4x byte shrink a projection you can bolt onto any write, not a job."""
+    from parquet_rewriter_spark.operators.quantize import (
+        calibrate_minmax,
+        quantize_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lo, hi = calibrate_minmax(e, "embedding")
+    df = quantize_table(e, "embedding", lo, hi, code_col="q8", recon_col="r")
+    assert count_exchanges(df) == 0
+    p = plan_of(df)
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_temperature_weights_single_scan_bounded_window(spark, sf_dir):
+    """The mixture planner reads the corpus ONCE — one map-side-combined
+    aggregate to per-source mass; the normalization terms ride an
+    unpartitioned window over the bounded |sources|-row result (an
+    aggregate-over-aggregate would re-execute the subplan and scan the
+    corpus twice — the regression this pin catches)."""
+    from parquet_rewriter_spark.operators.sampling import temperature_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    df = temperature_weights(d, "source", "n_chars", alpha=0.5, total_budget=1e6)
+    p = plan_of(df)
+    # formatted explain names each scan twice (tree node + details)
+    assert p.count("Scan parquet") == 2
+    assert count_exchanges(df) == 2  # agg shuffle + G-row window exchange
+    assert "CartesianProduct" not in p
+
+
+def test_hybrid_rrf_fusion_has_no_cartesian(spark, sf_dir):
+    """RRF fusion joins two k-row ranked lists — the plan must show the
+    rankers' own shapes (postings aggregation, top-k) and a join of the
+    bounded lists, with every cross join broadcast-wrapped (the 1-row
+    BM25 stats side) and no CartesianProduct anywhere."""
+    df = get("hybrid_rrf_search").fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # the cosine ranker's top-k heap
+
+
+def test_sketch_overlap_pairs_join_is_broadcast(spark, sf_dir):
+    """The |G|-row sketch relation self-joins into |G|^2/2 pairs — a
+    KB-blob pairing that must broadcast, never shuffle (and at corpus
+    scale never touch row-level data twice: one scan feeds the sketch
+    aggregate)."""
+    from parquet_rewriter_spark.operators.distinct_sketch import sketch_overlap
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    p = plan_of(sketch_overlap(o, "o_orderpriority", "o_custkey"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    # the sketch relation is persisted: both join sides read the cache
+    # (one corpus scan at execution), never two parquet aggregates
+    assert p.count("InMemoryTableScan") >= 2
+
+
+def test_length_bucket_batches_single_window_exchange(spark, sf_dir):
+    """Bucket/shard/padding assignment is projection; the ONLY exchange
+    is the (bucket_len, shard) window shuffle — one hash exchange, no
+    sort beyond the window's own, no Python."""
+    from parquet_rewriter_spark.operators.packing import length_bucket_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    df = length_bucket_batches(
+        d.select("doc_id", tok.alias("tok")), "doc_id", "tok", batch_tokens=512,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    assert count_exchanges(df) == 1
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -301,3 +301,56 @@ def test_sketch_overlap_estimates_track_exact_sets(spark):
         assert abs(r["est_b"] - eb) <= max(0.05 * eb, 2)
         assert abs(r["est_union"] - eu) <= max(0.05 * eu, 2)
         assert abs(r["est_inter"] - ei) <= max(0.10 * ei, 5)
+
+
+# ------------------------------------------------------------------- IVF-PQ
+
+def test_ivfpq_recall_tracks_exact_and_prunes_cells(spark, sf_dir):
+    import numpy as np
+
+    from parquet_rewriter_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        cosine_topk,
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    exact = {r["id"] for r in cosine_topk(e, "vec_id", "embedding", qv, k=10).collect()}
+    got = ann_ivfpq_topk(e, "vec_id", "embedding", qv, k=10,
+                         n_centroids=8, n_probe=4, m=8, n_codes=16,
+                         rerank=60).collect()
+    assert len(got) == 10
+    recall = len({r["id"] for r in got} & exact) / 10
+    assert recall >= 0.5, recall  # half the cells probed, PQ-coarse candidates
+    # cell pruning actually restricts the scan: probed cells hold fewer
+    # rows than the table
+    C = kmeans_centroids(e, "embedding", n_centroids=8)
+    q = np.asarray(qv); q = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(C @ q))[:4].tolist())
+    n_probed = (ivf_assign(e, "embedding", C)
+                .filter(F.col("centroid_id").isin(list(probe))).count())
+    assert n_probed < e.count()
+
+
+def test_ivfpq_rerank_improves_or_ties_raw_adc(spark, sf_dir):
+    from parquet_rewriter_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        cosine_topk,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    exact = {r["id"] for r in cosine_topk(e, "vec_id", "embedding", qv, k=10).collect()}
+    small = {r["id"] for r in
+             ann_ivfpq_topk(e, "vec_id", "embedding", qv, k=10, n_centroids=8,
+                            n_probe=4, m=8, n_codes=16, rerank=10).collect()}
+    big = {r["id"] for r in
+           ann_ivfpq_topk(e, "vec_id", "embedding", qv, k=10, n_centroids=8,
+                          n_probe=4, m=8, n_codes=16, rerank=120).collect()}
+    assert len(big & exact) >= len(small & exact)
