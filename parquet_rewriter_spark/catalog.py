@@ -3075,6 +3075,29 @@ def ann_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                           rerank=100)
 
 
+@query("ann_ivfpq_index_gate", _PLANTED_ANN_ORACLE,
+       "similarity", "ann", "ivf", "pq", "index", "recall")
+def ann_ivfpq_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTENT IVF index with PQ codes at rest
+    (operators/ann_index.py: create(pq_m=) + topk(via_pq=True)): every
+    row stores an m-byte pq_code column beside the float vector; a
+    probe manifest-prunes to the cells' files, scores them from the
+    CODE column alone (the scoring scan's ReadSchema excludes the
+    vector — pinned in tests), and exact-reranks the driver-bounded
+    shortlist via the Bloom point-lookup. On the planted-cluster
+    fixture the result must equal the brute-force top-13 — the oracled
+    proof that the byte-shrunk probe path loses nothing the rerank
+    can't recover."""
+    from parquet_rewriter_spark.operators.ann_index import IVFVectorIndex
+
+    cand, qv = _planted_ann_candidates(spark, sf_dir)
+    idx = IVFVectorIndex.create(
+        spark, _scratch("ivfpq_idx"), cand, n_cells=16,
+        max_records_per_file=_scaled_mrpf(cand, 16), pq_m=8, pq_n_codes=64,
+    )
+    return idx.topk(qv, k=13, n_probe=4, via_pq=True, rerank=100)
+
+
 @query("ann_lsh_topk", None, "similarity", "ann", "lsh")
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing with

@@ -32,6 +32,7 @@ import os
 from typing import Any, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_rewriter_spark.functions.vector import as_double, cosine
@@ -69,13 +70,34 @@ class IVFVectorIndex:
         max_records_per_file: int = 4096,
         sample_rows: int = 10_000,
         seed: int = 42,
+        pq_m: int | None = None,
+        pq_n_codes: int = 16,
     ) -> "IVFVectorIndex":
+        """``pq_m`` enables PQ codes AT REST: every row additionally
+        stores an m-byte ``pq_code`` column (trained once on the same
+        driver-bounded sample as the centroids, frozen in the sidecar),
+        and ``topk(via_pq=True)`` scores probes from the code column
+        alone — the probed files' scan reads m bytes per row instead of
+        4·dim (column pruning does the byte accounting), with an exact
+        rerank of the short candidate list reading the float vectors.
+        This is FAISS's ``IVFx,PQy`` made a TABLE: IVF prunes files,
+        PQ shrinks the bytes each probed file contributes."""
         os.makedirs(path, exist_ok=True)
         C = kmeans_centroids(
             df, vec_col, n_centroids=n_cells, sample_rows=sample_rows, seed=seed
         )
+        books = None
+        if pq_m:
+            from parquet_rewriter_spark.operators.similarity import (
+                pq_train_codebooks,
+            )
+
+            books = pq_train_codebooks(
+                df, vec_col, m=pq_m, n_codes=pq_n_codes,
+                sample_rows=sample_rows, seed=seed,
+            )
         idx = cls(spark, path)
-        idx._write_centroids(C, id_col, vec_col)
+        idx._write_centroids(C, id_col, vec_col, books=books)
         assigned = idx._assign(df, id_col, vec_col)
         # Cell boundaries of the composite key are known A PRIORI
         # (cell*CELL_BASE), so the sorted write buckets on them instead
@@ -97,7 +119,10 @@ class IVFVectorIndex:
         )
         return idx
 
-    def _write_centroids(self, C: np.ndarray, id_col: str, vec_col: str) -> None:
+    def _write_centroids(
+        self, C: np.ndarray, id_col: str, vec_col: str,
+        books: np.ndarray | None = None,
+    ) -> None:
         meta = {
             "id_col": id_col,
             "vec_col": vec_col,
@@ -105,10 +130,27 @@ class IVFVectorIndex:
             "dim": int(C.shape[1]),
             "centroids": C.tolist(),
         }
+        # PQ codebooks are orthogonal to the cell layout: rebalance
+        # rewrites centroids without passing books, so preserve any
+        # existing PQ sidecar state unless explicitly replaced.
+        if books is not None:
+            meta["pq"] = {
+                "m": int(books.shape[0]),
+                "n_codes": int(books.shape[1]),
+                "books": books.tolist(),
+            }
+        elif os.path.exists(os.path.join(self.path, "_centroids.json")):
+            old = self._meta()
+            if "pq" in old:
+                meta["pq"] = old["pq"]
         tmp = os.path.join(self.path, "_centroids.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(self.path, "_centroids.json"))
+
+    def _pq_books(self) -> np.ndarray | None:
+        pq = self._meta().get("pq")
+        return None if pq is None else np.asarray(pq["books"], dtype=np.float64)
 
     def _meta(self) -> dict:
         with open(os.path.join(self.path, "_centroids.json")) as f:
@@ -137,12 +179,19 @@ class IVFVectorIndex:
         assert C is not None, "create() must write centroids first"
         a = ivf_assign(df, vec_col, C)
         key = (F.col("centroid_id").cast("long") * F.lit(CELL_BASE)) + F.col(id_col)
-        return a.select(
+        cols = [
             key.alias(IDX_KEY),
             F.col(id_col),
             F.col(vec_col),
             F.col("centroid_id").alias("cell"),
-        )
+        ]
+        books = self._pq_books()
+        if books is not None:
+            from parquet_rewriter_spark.operators.similarity import pq_encode
+
+            a = pq_encode(a, vec_col, books)
+            cols.append(F.col("pq_code"))
+        return a.select(*cols)
 
     # -------------------------------------------------------- mutations
 
@@ -354,11 +403,15 @@ class IVFVectorIndex:
                 "cells_added": int(C.shape[0]) - meta["n_cells"],
                 "rows_moved": 0,
             }
+        # pq_code is cell-independent (codes quantize the vector, not the
+        # cell), so moved rows carry their existing codes unchanged
+        has_pq = "pq_code" in dict(rows.dtypes)
         ups = moved.select(
             F.col("__new_key").alias(IDX_KEY),
             F.col(id_col),
             F.col(vec_col),
             F.col("centroid_id").alias("cell"),
+            *([F.col("pq_code")] if has_pq else []),
             F.lit("UPSERT").alias("op"),
         )
         dels = moved.select(
@@ -366,6 +419,7 @@ class IVFVectorIndex:
             F.lit(None).cast("long").alias(id_col),
             F.lit(None).cast(dict(rows.dtypes)[vec_col]).alias(vec_col),
             F.lit(None).cast("int").alias("cell"),
+            *([F.lit(None).cast("array<tinyint>").alias("pq_code")] if has_pq else []),
             F.lit("DELETE").alias("op"),
         )
         res = merge_into_table(self.table, ups.unionByName(dels))
@@ -392,13 +446,27 @@ class IVFVectorIndex:
     # ------------------------------------------------------------ query
 
     def topk(
-        self, query_vec: Sequence[float], k: int = 10, n_probe: int = 4
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        n_probe: int = 4,
+        via_pq: bool = False,
+        rerank: int = 50,
     ) -> DataFrame:
         """Approximate top-k by cosine: probe the ``n_probe`` cells
         nearest the query; each probe is a manifest-pruned key-range
         scan (only files of that cell are listed), then exact rerank
         within the union. Returns (id, cos_sim) — ids under the index's
-        id_col name."""
+        id_col name.
+
+        ``via_pq=True`` (requires a ``pq_m`` index) scores the probed
+        cells from the m-byte ``pq_code`` column ONLY — the scoring
+        scan's ReadSchema excludes the float vector entirely (pinned in
+        tests), so each probed file contributes m bytes per row — then
+        exact-reranks the top ``rerank`` ADC candidates by joining the
+        tiny candidate list back against the probed ranges' (id, vec)
+        projection. At 100 TB this is the difference between reading
+        probed cells' code pages and their full vector pages."""
         meta = self._meta()
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         C = self.centroids
@@ -414,8 +482,44 @@ class IVFVectorIndex:
             cand = cand.unionByName(p)
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         sim = cosine(as_double(vec_col), q)
+        if not via_pq:
+            return (
+                cand.select(F.col(id_col).alias("id"), F.round(sim, 4).alias("cos_sim"))
+                .orderBy(F.col("cos_sim").desc(), F.col("id"))
+                .limit(k)
+            )
+        books = self._pq_books()
+        if books is None:
+            raise ValueError("via_pq=True requires an index created with pq_m=")
+        from pyspark.sql.functions import pandas_udf
+
+        mm, n_codes, sub = books.shape
+        dtable = np.stack(
+            [books[j] @ qv[j * sub : (j + 1) * sub] for j in range(mm)]
+        )
+
+        @pandas_udf("double")
+        def adc_score(codes: pd.Series) -> pd.Series:
+            Cc = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+            return pd.Series(dtable[np.arange(mm)[None, :], Cc].sum(axis=1))
+
+        shortlist = (
+            cand.select(F.col(id_col).alias("id"),
+                        F.round(adc_score("pq_code"), 4).alias("pq_sim"))
+            .orderBy(F.col("pq_sim").desc(), F.col("id"))
+            .limit(max(k, rerank))
+        )
+        # rerank: the ≤max(k, rerank)-row shortlist is driver-bounded by
+        # construction; fetch its float vectors via the index's Bloom
+        # point-lookup (only candidate FILES are scanned — the same path
+        # delete uses), never a second full-width pass over the probed
+        # cells
+        ids = [r["id"] for r in shortlist.collect()]
+        from parquet_rewriter_spark.operators.bloom import read_point
+
+        hits = read_point(self.table, id_col, ids)
         return (
-            cand.select(F.col(id_col).alias("id"), F.round(sim, 4).alias("cos_sim"))
+            hits.select(F.col(id_col).alias("id"), F.round(sim, 4).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col("id"))
             .limit(k)
         )
