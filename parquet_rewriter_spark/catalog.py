@@ -13246,6 +13246,7 @@ _VERIFY_FIRST = (
     "length_bucketed_batch_waste",
     "multimodal_letterbox_geometry",
     "ann_ivfpq_recall_gate",
+    "ann_ivfpq_index_gate",
     "int8_storage_shrink",
     # round-7 additions, no driver verdict yet
     "incremental_drift_ks",
