@@ -13007,6 +13007,71 @@ def source_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_weights(d, "source", "n_chars", alpha=0.5, total_budget=1_000_000)
 
 
+def _dsir_oracle() -> str:
+    from parquet_rewriter_spark.operators.dsir import (
+        dsir_bucket_sql,
+        gumbel_key_sql,
+        ngram_occurrences_sql,
+    )
+
+    B, A, T, SALT, K = 256, 1.0, 1.0, 7, 20
+    occ = ngram_occurrences_sql("documents", "doc_id", "text")
+    bkt = dsir_bucket_sql(B)
+    gk = gumbel_key_sql("w.doc_id", "w.log_weight", T, SALT)
+    return f"""
+    WITH occ AS ({occ}),
+    tflag AS (SELECT doc_id AS id, (lang = 'en') AS t FROM documents),
+    bo AS (SELECT occ.id, {bkt} AS bucket, tflag.t FROM occ JOIN tflag USING (id)),
+    cnt AS (
+      SELECT g.bucket, coalesce(raw_cnt, 0) AS raw_cnt, coalesce(tgt_cnt, 0) AS tgt_cnt
+      FROM (SELECT unnest(generate_series(0, {B - 1})) AS bucket) g
+      LEFT JOIN (SELECT bucket, count(*) AS raw_cnt,
+                        sum(CASE WHEN t THEN 1 ELSE 0 END) AS tgt_cnt
+                 FROM bo GROUP BY bucket) c USING (bucket)
+    ),
+    lam AS (
+      SELECT bucket,
+             ln((tgt_cnt + {A}) / ((SELECT sum(tgt_cnt) FROM cnt) + {A * B}))
+           - ln((raw_cnt + {A}) / ((SELECT sum(raw_cnt) FROM cnt) + {A * B})) AS log_ratio
+      FROM cnt
+    ),
+    w AS (
+      SELECT bo.id AS doc_id, count(*) AS n_ngrams, sum(lam.log_ratio) AS log_weight
+      FROM bo JOIN lam USING (bucket) GROUP BY bo.id
+    )
+    SELECT w.doc_id, w.n_ngrams, round(w.log_weight, 4) AS log_weight,
+           round({gk}, 4) AS gumbel_key
+    FROM w ORDER BY gumbel_key DESC, w.doc_id LIMIT {K}
+    """
+
+
+@query(
+    "dsir_importance_resample",
+    _dsir_oracle(),
+    "llm-pipeline", "sampling", "data-mix", "dsir", "importance",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023; operators/dsir.py): featurize every document into
+    hashed unigram+bigram counts (md5-bridge buckets, B=256), fit
+    Laplace-smoothed multinomials for the English target slice vs the
+    whole corpus in ONE aggregate, score each doc with the summed
+    bucket log-ratio, and Gumbel-top-20 resample (portable unit noise)
+    so the pick is ∝ softmax(log w), not an argmax onto near-twins of
+    one target-like doc. Two corpus passes by design — fit shuffles ≤ B
+    rows per map partition, score broadcast-joins the B-row λ relation;
+    persisting the token-scale explode to save the re-scan would be
+    strictly worse at 100 TB. The oracle replays featurization, fit,
+    scoring, AND the resample."""
+    from parquet_rewriter_spark.operators.dsir import dsir_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_resample(
+        d, "doc_id", "text", F.col("lang") == "en",
+        k=20, n_buckets=256, alpha=1.0, temperature=1.0, salt=7,
+    )
+
+
 @query(
     "length_bucketed_batch_waste",
     f"""

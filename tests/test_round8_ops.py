@@ -432,3 +432,64 @@ def test_pq_index_add_maintains_codes_and_rebalance_keeps_them(spark, pq_index):
     assert idx._pq_books() is not None
     after = {r["vec_id"]: list(r["pq_code"]) for r in idx.table.read().collect()}
     assert after == before
+
+
+# ---------------------------------------------------------------------- DSIR
+
+def _doc_df(spark, texts, langs=None):
+    langs = langs or ["x"] * len(texts)
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=l) for i, (t, l) in enumerate(zip(texts, langs))]
+    )
+
+
+def test_dsir_ngram_rows_unigrams_and_bigrams(spark):
+    from parquet_rewriter_spark.operators.dsir import _ngram_rows
+
+    df = _doc_df(spark, ["a b  c", "solo"])
+    got = sorted((r["id"], r["ng"]) for r in _ngram_rows(df, "doc_id", "text").collect())
+    assert got == sorted(
+        [(0, "a"), (0, "b"), (0, "c"), (0, "a b"), (0, "b c"), (1, "solo")]
+    )
+
+
+def test_dsir_bucket_ratios_full_coverage_and_conservation(spark):
+    from parquet_rewriter_spark.operators.dsir import dsir_bucket_ratios
+
+    df = _doc_df(spark, ["cat sat", "dog ran far"], langs=["t", "r"])
+    lam = dsir_bucket_ratios(
+        df, "text", F.col("lang") == "t", n_buckets=32, alpha=1.0
+    ).collect()
+    assert len(lam) == 32  # every bucket present, seen or not
+    # occurrences: doc0 has 2 unigrams + 1 bigram, doc1 has 3 + 2
+    assert sum(r["raw_cnt"] for r in lam) == 8
+    assert sum(r["tgt_cnt"] for r in lam) == 3
+    assert all(math.isfinite(r["log_ratio"]) for r in lam)  # smoothing
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from parquet_rewriter_spark.operators.dsir import dsir_log_weights
+
+    # two disjoint vocabularies; target slice speaks only vocab A
+    a = ["alpha beta gamma delta", "beta gamma alpha beta"]
+    b = ["omega psi chi phi", "psi phi omega chi psi"]
+    df = _doc_df(spark, a + b, langs=["t", "t", "r", "r"])
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_log_weights(df, "doc_id", "text",
+                                   F.col("lang") == "t", n_buckets=64).collect()}
+    assert min(w[0], w[1]) > max(w[2], w[3])
+
+
+def test_dsir_resample_deterministic_and_plan_clean(spark, sf_dir):
+    from parquet_rewriter_spark.operators.dsir import dsir_resample
+    from parquet_rewriter_spark.plans import plan_of
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    q = dsir_resample(d, "doc_id", "text", F.col("lang") == "en",
+                      k=5, n_buckets=64)
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # B-row lambda relation broadcast
+    assert "TakeOrderedAndProject" in plan  # top-k heap, no global sort
+    assert [tuple(r) for r in q.collect()] == [tuple(r) for r in q.collect()]
