@@ -13072,6 +13072,82 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_rules_oracle(n_merges: int = 6) -> str:
+    from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
+
+    cte = bpe_vocab_cte_sql("documents", "text", n_merges)
+    union = " UNION ALL ".join(f"SELECT * FROM t{s}" for s in range(1, n_merges + 1))
+    return f"""
+    WITH {cte}
+    SELECT step, lhs, rhs, lhs || rhs AS merged, c AS pair_count
+    FROM ({union}) ORDER BY step
+    """
+
+
+@query(
+    "bpe_merge_rules",
+    _bpe_rules_oracle(6),
+    "llm-pipeline", "tokenizer", "bpe",
+)
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich 2016; operators/bpe.py): the
+    first 6 merge rules learned from the corpus — ONE corpus pass
+    aggregates the word-frequency relation (vocab ≪ corpus), then each
+    merge round is a vocab-scale pair-count aggregate + a literal
+    symbol replace, never touching the corpus again. Deterministic
+    total-order tie-break (count DESC, lhs, rhs) makes training itself
+    hash-comparable: the oracle replays char splitting, pair counting,
+    selection, and the greedy left-to-right replace mechanics in a CTE
+    chain."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, rules_df
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=6)
+    vocab.unpersist()
+    return rules_df(spark, rules).orderBy("step")
+
+
+def _bpe_fertility_oracle(n_merges: int = 6) -> str:
+    from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
+
+    cte = bpe_vocab_cte_sql("documents", "text", n_merges)
+    return f"""
+    WITH {cte},
+    vt AS (
+      SELECT word, len(string_split(trim(sym), ' ')) AS n_tokens FROM v{n_merges}
+    ),
+    occ AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_words, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS fertility
+    FROM occ JOIN vt USING (word)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "bpe_token_fertility",
+    _bpe_fertility_oracle(6),
+    "llm-pipeline", "tokenizer", "bpe", "fertility",
+)
+def bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens per word) per language under the
+    6-merge BPE vocab — the metric multilingual tokenizer work tunes
+    (high fertility = a language pays more tokens per word). Encoding
+    never character-explodes the corpus: each DISTINCT word is encoded
+    once in the vocab relation and documents' words broadcast-join the
+    (word, n_tokens) projection (operators/bpe.py:fertility_by)."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, fertility_by
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=6)
+    out = fertility_by(d, "text", "lang", vocab).orderBy("lang")
+    return out
+
+
 @query(
     "length_bucketed_batch_waste",
     f"""

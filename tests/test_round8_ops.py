@@ -493,3 +493,66 @@ def test_dsir_resample_deterministic_and_plan_clean(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # B-row lambda relation broadcast
     assert "TakeOrderedAndProject" in plan  # top-k heap, no global sort
     assert [tuple(r) for r in q.collect()] == [tuple(r) for r in q.collect()]
+
+
+# ----------------------------------------------------------------------- BPE
+
+def test_bpe_train_textbook_example(spark):
+    from parquet_rewriter_spark.operators.bpe import bpe_train
+
+    docs = _doc_df(spark, ["low lower lowest low low", "newer newest new low"])
+    rules, vocab = bpe_train(docs, "text", n_merges=4)
+    got = [(r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in rules]
+    # 'l o' and 'lo w' both appear 6x ('low' x4 + lower + lowest);
+    # lexicographic tie-break picks 'l o' first, then 'lo w' merges,
+    # then whole-word 'low</w>' (4x), then 'e w' (newer/newest/new)
+    assert got == [
+        (1, "l", "o", "lo", 6),
+        (2, "lo", "w", "low", 6),
+        (3, "low", "</w>", "low</w>", 4),
+        (4, "e", "w", "ew", 3),
+    ]
+    syms = {r["word"]: r["sym"] for r in vocab.collect()}
+    assert syms["low"] == " low</w> "          # fully merged
+    assert syms["lower"] == " low e r </w> "   # prefix merged, tail chars
+    vocab.unpersist()
+
+
+def test_bpe_replace_overlap_semantics_match_duckdb(spark):
+    import duckdb
+
+    # greedy left-to-right non-overlapping replace: ' a a a ' with one
+    # ' a a '->' aa ' pass leaves the third 'a' unmerged in BOTH engines
+    s = spark.range(1).select(
+        F.replace(F.lit(" a a a "), F.lit(" a a "), F.lit(" aa ")).alias("r")
+    ).first()["r"]
+    d = duckdb.connect().execute(
+        "SELECT replace(' a a a ', ' a a ', ' aa ')").fetchone()[0]
+    assert s == d == " aa a "
+
+
+def test_bpe_fertility_by_group(spark):
+    from parquet_rewriter_spark.operators.bpe import bpe_train, fertility_by
+
+    docs = _doc_df(spark, ["low low low low", "lowest newer"], langs=["a", "b"])
+    rules, vocab = bpe_train(docs, "text", n_merges=3)
+    f = {r["lang"]: (r["n_words"], r["n_tokens"], r["fertility"])
+         for r in fertility_by(docs, "text", "lang", vocab).collect()}
+    # merges: 'l o'(5), 'lo w'(5), 'low</w>'(4) -> 'low' = 1 token;
+    # 'lowest' = low+e+s+t+</w> = 5, 'newer' = n+e+w+e+r+</w> = 6
+    assert f["a"] == (4, 4, 1.0)
+    assert f["b"] == (2, 11, 5.5)
+    vocab.unpersist()
+
+
+def test_bpe_tiebreak_total_order(spark):
+    from parquet_rewriter_spark.operators.bpe import bpe_train
+
+    # x and y tie at 3 whole-word occurrences each: the (count DESC,
+    # lhs, rhs) total order must pick 'x </w>' before 'y </w>' —
+    # the determinism the SQL replay depends on
+    docs = _doc_df(spark, ["x y x y", "x y"])
+    rules, vocab = bpe_train(docs, "text", n_merges=2)
+    got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in rules]
+    assert got == [("x", "</w>", 3), ("y", "</w>", 3)]
+    vocab.unpersist()
