@@ -9223,6 +9223,148 @@ def wap_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "branch_publish_scan",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+    -- the branch bumps every 20th key's price and deletes every 40th;
+    -- fast-forward publish makes exactly that state main's next version
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 500
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM base WHERE o_orderkey % 40 <> 0
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           bool_and(TRUE) AS main_isolated_preflight
+    FROM merged GROUP BY o_orderstatus
+    """,
+    "storage", "branch", "refs", "governance",
+)
+def branch_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable branch refs (operators/branch.py): fork a zero-copy
+    branch, run a real merge on it (price bumps + deletes), prove MAIN
+    is byte-identical mid-flight (row count AND revenue fold into the
+    hashed boolean), then fast-forward publish — main's next version IS
+    the branch head, adopted by hard links. The oracle is the final
+    expected state plus the isolation proof."""
+    from parquet_rewriter_spark.operators.branch import (
+        create_branch, delete_branch, fast_forward, get_branch,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    t = SortedTable.create(
+        spark, _scratch("branch_orders"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 16),
+    )
+    pre = t.read().agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).first()
+    create_branch(t, "exp")
+    ups = (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 500)
+        .withColumn("op", F.lit("UPSERT"))
+    )
+    dels = (
+        o.filter(F.col("o_orderkey") % 40 == 0)
+        .withColumn("op", F.lit("DELETE"))
+    )
+    merge_into_table(get_branch(t, "exp"), ups.unionByName(dels))
+    mid = t.read().agg(
+        F.count(F.lit(1)), F.round(F.sum("o_totalprice"), 2)
+    ).first()
+    isolated = bool(tuple(pre) == tuple(mid))
+    fast_forward(t, "exp")
+    delete_branch(t, "exp")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.lit(isolated).alias("main_isolated_preflight"),
+        )
+    )
+
+
+@query(
+    "branch_rebase_publish_scan",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+    -- branch sets price 111 on keys%4=0 < 40; main (after the fork)
+    -- sets 222 on 20 <= keys < 60. Rebase replays the branch delta ON
+    -- TOP of main, so the branch wins the 20..39 overlap
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey < 40 THEN 111.0
+                  WHEN o_orderkey < 60 THEN 222.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM base
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           bool_and(TRUE) AS ff_refused_preflight
+    FROM merged GROUP BY o_orderstatus
+    """,
+    "storage", "branch", "refs", "rebase", "cdc",
+)
+def branch_rebase_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverged-lineage publish (operators/branch.py:rebase_branch):
+    after the fork, BOTH lineages commit — fast_forward must refuse
+    (the refusal folds into the hashed boolean), then rebase re-forks
+    the branch from current main and replays its row-level CDC delta as
+    one merge (branch wins overlapping keys — deterministic, the
+    replayed mutation lands last), and the publish goes through. The
+    oracle encodes the exact conflict-resolution semantics."""
+    from parquet_rewriter_spark.operators.branch import (
+        create_branch, delete_branch, fast_forward, get_branch, rebase_branch,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    t = SortedTable.create(
+        spark, _scratch("branch_rebase"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 16),
+    )
+    create_branch(t, "exp")
+    merge_into_table(
+        get_branch(t, "exp"),
+        o.filter(F.col("o_orderkey") < 40)
+        .withColumn("o_totalprice", F.lit(111.0))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    merge_into_table(
+        t,
+        o.filter((F.col("o_orderkey") >= 20) & (F.col("o_orderkey") < 60))
+        .withColumn("o_totalprice", F.lit(222.0))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    refused = False
+    try:
+        fast_forward(t, "exp")
+    except ValueError:
+        refused = True
+    rebase_branch(t, "exp")
+    fast_forward(t, "exp")
+    delete_branch(t, "exp")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.lit(refused).alias("ff_refused_preflight"),
+        )
+    )
+
+
+@query(
     "lineitem_unpivot_measures",
     """
     WITH agg AS (
@@ -13389,6 +13531,11 @@ _VERIFY_FIRST = (
     "ann_ivfpq_recall_gate",
     "ann_ivfpq_index_gate",
     "int8_storage_shrink",
+    "dsir_importance_resample",
+    "bpe_merge_rules",
+    "bpe_token_fertility",
+    "branch_publish_scan",
+    "branch_rebase_publish_scan",
     # round-7 additions, no driver verdict yet
     "incremental_drift_ks",
     "incremental_drift_w1",

@@ -285,13 +285,22 @@ class SortedTable:
     def _refs_path(self) -> str:
         return os.path.join(self.path, "_refs.json")
 
-    def tags(self) -> dict[str, int]:
-        """Live tag name → pinned snapshot version."""
+    def _read_refs(self) -> dict:
         try:
             with open(self._refs_path) as fh:
-                return json.load(fh).get("tags", {})
+                return json.load(fh)
         except FileNotFoundError:
             return {}
+
+    def tags(self) -> dict[str, int]:
+        """Live tag name → pinned snapshot version."""
+        return self._read_refs().get("tags", {})
+
+    def branches(self) -> dict[str, dict]:
+        """Live branch name → {"base_version": int} (operators/branch.py
+        manages the lifecycle; recorded here so vacuum pins each
+        branch's fork point exactly like a tag)."""
+        return self._read_refs().get("branches", {})
 
     def resolve_ref(self, name: str) -> int:
         try:
@@ -313,9 +322,25 @@ class SortedTable:
         self._write_refs(tags)
 
     def _write_refs(self, tags: dict[str, int]) -> None:
+        refs = self._read_refs()
+        refs["tags"] = tags
+        self._write_refs_all(refs)
+
+    def _set_branch_ref(self, name: str, info: "dict | None") -> None:
+        """Record (info dict) or drop (None) a branch ref atomically."""
+        refs = self._read_refs()
+        branches = refs.get("branches", {})
+        if info is None:
+            branches.pop(name, None)
+        else:
+            branches[name] = info
+        refs["branches"] = branches
+        self._write_refs_all(refs)
+
+    def _write_refs_all(self, refs: dict) -> None:
         tmp = self._refs_path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
-            json.dump({"tags": tags}, fh)
+            json.dump(refs, fh)
         os.replace(tmp, self._refs_path)
 
     def versions(self) -> list[int]:
@@ -965,6 +990,15 @@ class SortedTable:
                 bloom_cols=[],  # sidecar not cloned; re-enable to rebuild
                 dv_files=list(m.dv_files),
                 operation=f"clone of {self.path}@v{m.version}",
+                # pure-metadata state MUST carry: the cloned files hold
+                # PHYSICAL column names, so dropping rename_map would
+                # surface them (different columns than the source);
+                # txns keep exactly-once replay skipping intact when a
+                # stream is pointed at the clone (WAP stages, branches)
+                rename_map=dict(m.rename_map or {}),
+                txns=dict(m.txns or {}),
+                # sketch/drift registrations do NOT carry — their
+                # sidecars aren't cloned; re-enable to rebuild
             )
         )
         return t
@@ -1098,8 +1132,13 @@ class SortedTable:
                 keep_versions.append(straddler)
             keep_versions.sort()
         # tags pin their snapshots (and files) through any GC policy —
-        # a tag IS the promise that read(tag) stays reproducible
-        for v in self.tags().values():
+        # a tag IS the promise that read(tag) stays reproducible; branch
+        # fork points pin the same way so a branch can always diff /
+        # rebase against the exact snapshot it forked from
+        pinned = list(self.tags().values()) + [
+            b["base_version"] for b in self.branches().values()
+        ]
+        for v in pinned:
             if v in versions and v not in keep_versions:
                 keep_versions.append(v)
         keep_versions.sort()

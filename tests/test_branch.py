@@ -1,0 +1,191 @@
+"""Writable branch refs (operators/branch.py): fork isolation,
+ff-only publish, CDC rebase with branch-wins overlap semantics, fork
+-point vacuum pinning, and the clone metadata-carry regression."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_rewriter_spark.operators.branch import (
+    branch_diff,
+    branch_status,
+    create_branch,
+    delete_branch,
+    fast_forward,
+    get_branch,
+    rebase_branch,
+)
+from parquet_rewriter_spark.operators.merge import merge_into_table
+from parquet_rewriter_spark.table import SortedTable
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(400)
+    return SortedTable.create(
+        spark, str(tmp_path / "t"), o, key="o_orderkey", max_records_per_file=100
+    )
+
+
+def _ups(df, pred, price):
+    return (
+        df.where(pred)
+        .withColumn("o_totalprice", F.lit(float(price)))
+        .withColumn("op", F.lit("UPSERT"))
+    )
+
+
+def test_branch_isolation_and_fast_forward(table):
+    t = table
+    pre = (t.read().count(), t.read().agg(F.sum("o_totalprice")).first()[0])
+    create_branch(t, "exp")
+    br = get_branch(t, "exp")
+    merge_into_table(br, _ups(t.read(), "o_orderkey < 30", 9.0))
+    merge_into_table(
+        br,
+        t.read().where("o_orderkey >= 390").withColumn("op", F.lit("DELETE")),
+    )
+    # main untouched by two branch commits
+    assert (t.read().count(), t.read().agg(F.sum("o_totalprice")).first()[0]) == pre
+    st = branch_status(t, "exp")
+    assert st["branch_commits"] == 2 and not st["main_moved"]
+    res = fast_forward(t, "exp")
+    assert res["published_version"] == 1
+    assert t.read().count() == pre[0] - 10
+    got = {r["o_orderkey"] for r in t.read().where("o_totalprice = 9.0").collect()}
+    assert got == set(range(30))
+    # ref advanced with the publish: immediately re-publishable
+    merge_into_table(get_branch(t, "exp"), _ups(t.read(), "o_orderkey = 50", 7.0))
+    assert fast_forward(t, "exp")["published_version"] == 2
+    delete_branch(t, "exp")
+    assert t.branches() == {}
+    assert t.read().count() == pre[0] - 10  # branch files were hard links
+
+
+def test_branch_diff_shape(table):
+    t = table
+    create_branch(t, "d")
+    merge_into_table(get_branch(t, "d"), _ups(t.read(), "o_orderkey < 5", 1.0))
+    merge_into_table(
+        get_branch(t, "d"),
+        t.read().where("o_orderkey = 7").withColumn("op", F.lit("DELETE")),
+    )
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in branch_diff(t, "d").groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert kinds == {"update_postimage": 5, "delete": 1}
+    delete_branch(t, "d")
+
+
+def test_fast_forward_refuses_divergence_and_rebase_branch_wins(table):
+    t = table
+    create_branch(t, "x")
+    merge_into_table(get_branch(t, "x"), _ups(t.read(), "o_orderkey < 40", 111.0))
+    merge_into_table(
+        t, _ups(t.read(), "o_orderkey >= 20 and o_orderkey < 60", 222.0)
+    )
+    with pytest.raises(ValueError, match="rebase_branch"):
+        fast_forward(t, "x")
+    rb = rebase_branch(t, "x")
+    assert rb["replayed_rows"] == 40 and rb["rebased_onto"] == 1
+    fast_forward(t, "x")
+    prices = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in t.read().where("o_orderkey < 60").collect()
+    }
+    assert all(prices[k] == 111.0 for k in range(40))      # branch wins overlap
+    assert all(prices[k] == 222.0 for k in range(40, 60))  # main-only region
+    delete_branch(t, "x")
+
+
+def test_rebase_replays_deletes_and_inserts(table):
+    t = table
+    create_branch(t, "y")
+    br = get_branch(t, "y")
+    new = t.read().where("o_orderkey < 3").withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000
+    ).withColumn("op", F.lit("UPSERT"))
+    dels = t.read().where("o_orderkey = 100").withColumn("op", F.lit("DELETE"))
+    merge_into_table(br, new.unionByName(dels))
+    merge_into_table(t, _ups(t.read(), "o_orderkey = 200", 5.0))  # diverge main
+    rebase_branch(t, "y")
+    fast_forward(t, "y")
+    assert t.read().where("o_orderkey >= 10000").count() == 3
+    assert t.read().where("o_orderkey = 100").count() == 0
+    assert t.read().where("o_orderkey = 200").first()["o_totalprice"] == 5.0
+    delete_branch(t, "y")
+
+
+def test_vacuum_pins_branch_fork_point(table):
+    t = table
+    merge_into_table(t, _ups(t.read(), "o_orderkey = 1", 1.0))  # v1
+    create_branch(t, "pin")  # fork at v1
+    merge_into_table(t, _ups(t.read(), "o_orderkey = 2", 2.0))  # v2
+    merge_into_table(t, _ups(t.read(), "o_orderkey = 3", 3.0))  # v3
+    t.vacuum(retain_versions=1)
+    assert os.path.exists(os.path.join(t.path, "_manifest.v1.json"))  # pinned
+    assert not os.path.exists(os.path.join(t.path, "_manifest.v0.json"))
+    # branch still publishable after main GC'd everything else: v2/v3
+    # changed keys the branch never touched, so rebase+ff must succeed
+    br = get_branch(t, "pin")
+    merge_into_table(br, _ups(br.read(), "o_orderkey = 4", 4.0))
+    rebase_branch(t, "pin")
+    fast_forward(t, "pin")
+    assert t.read().where("o_orderkey = 4").first()["o_totalprice"] == 4.0
+    delete_branch(t, "pin")
+
+
+def test_clone_carries_rename_map_and_txns(spark, table):
+    t = table
+    t.rename_column("o_totalprice", "price_usd")
+    merge_into_table(
+        t,
+        t.read().where("o_orderkey = 1")
+        .withColumn("price_usd", F.lit(1.5))
+        .withColumn("op", F.lit("UPSERT")),
+        txn=("app-a", 7),
+    )
+    c = t.clone(t.path + "_c")
+    assert "price_usd" in c.read().columns           # rename carried
+    assert "o_totalprice" not in c.read().columns
+    assert c.manifest().txns.get("app-a") == 7       # watermark carried
+    # replay at-or-below the watermark is skipped on the clone too
+    res = merge_into_table(
+        c,
+        t.read().where("o_orderkey = 1")
+        .withColumn("price_usd", F.lit(99.0))
+        .withColumn("op", F.lit("UPSERT")),
+        txn=("app-a", 7),
+    )
+    assert res.get("skipped_txn_replay")
+    assert c.read().where("o_orderkey = 1").first()["price_usd"] == 1.5
+
+
+def test_branch_of_renamed_table_speaks_logical_names(table):
+    t = table
+    t.rename_column("o_totalprice", "price_usd")
+    create_branch(t, "r")
+    br = get_branch(t, "r")
+    assert "price_usd" in br.read().columns
+    merge_into_table(
+        br,
+        br.read().where("o_orderkey = 2")
+        .withColumn("price_usd", F.lit(42.0))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    fast_forward(t, "r")
+    assert t.read().where("o_orderkey = 2").first()["price_usd"] == 42.0
+    delete_branch(t, "r")
+
+
+def test_create_branch_twice_rejected(table):
+    create_branch(table, "dup")
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(table, "dup")
+    delete_branch(table, "dup")
