@@ -112,6 +112,9 @@ HEADLINE = [
     "stream_dedup_events",
     "stream_purchase_click_join",
     "stream_user_totals",
+    "dsir_importance_resample",
+    "bpe_merge_rules",
+    "branch_publish_scan",
 ]
 
 EXTENDED = [
@@ -128,6 +131,9 @@ EXTENDED = [
     "ann_ivfpq_recall_gate",
     "int8_cosine_topk",
     "int8_storage_shrink",
+    "ann_ivfpq_index_gate",
+    "bpe_token_fertility",
+    "branch_rebase_publish_scan",
     "priority_customer_overlap_sketch",
     "source_temperature_mixture",
     "length_bucketed_batch_waste",

@@ -13290,6 +13290,84 @@ def bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _stream_dsir_oracle() -> str:
+    from parquet_rewriter_spark.operators.dsir import (
+        dsir_bucket_sql,
+        ngram_occurrences_sql,
+    )
+
+    B, A = 256, 1.0
+    occ = ngram_occurrences_sql("documents", "doc_id", "text")
+    bkt = dsir_bucket_sql(B)
+    return f"""
+    WITH occ AS ({occ}),
+    tflag AS (SELECT doc_id AS id, (lang = 'en') AS t FROM documents),
+    bo AS (SELECT occ.id, {bkt} AS bucket, tflag.t FROM occ JOIN tflag USING (id)),
+    cnt AS (
+      SELECT g.bucket, coalesce(raw_cnt, 0) AS raw_cnt, coalesce(tgt_cnt, 0) AS tgt_cnt
+      FROM (SELECT unnest(generate_series(0, {B - 1})) AS bucket) g
+      LEFT JOIN (SELECT bucket, count(*) AS raw_cnt,
+                        sum(CASE WHEN t THEN 1 ELSE 0 END) AS tgt_cnt
+                 FROM bo GROUP BY bucket) c USING (bucket)
+    ),
+    lam AS (
+      SELECT bucket,
+             ln((tgt_cnt + {A}) / ((SELECT sum(tgt_cnt) FROM cnt) + {A * B}))
+           - ln((raw_cnt + {A}) / ((SELECT sum(raw_cnt) FROM cnt) + {A * B})) AS log_ratio
+      FROM cnt
+    ),
+    w AS (
+      SELECT bo.id AS doc_id, count(*) AS n_ngrams, sum(lam.log_ratio) AS log_weight
+      FROM bo JOIN lam USING (bucket) GROUP BY bo.id
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(w.n_ngrams) AS BIGINT) AS n_ngrams,
+           round(sum(w.log_weight), 2) AS sum_log_weight
+    FROM w JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query(
+    "stream_dsir_scored_ingest",
+    _stream_dsir_oracle(),
+    "streaming", "llm-pipeline", "dsir", "scoring",
+)
+def stream_dsir_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / score-the-firehose DSIR (streaming/ops.py:
+    stream_score_dsir): the λ relation is fitted OFFLINE on the batch
+    corpus, frozen, and every arriving micro-batch runs only the
+    stateless pass-2 (explode → broadcast λ join → per-doc sum) into an
+    epoch-partitioned sink — no streaming state, checkpoint-replay safe
+    via idempotent dynamic-partition overwrite. The per-source rollup
+    read back FROM THE SINK must equal the batch replay — proof the
+    streaming path scores exactly like the offline one."""
+    import shutil
+
+    from parquet_rewriter_spark.operators.dsir import dsir_bucket_ratios
+    from parquet_rewriter_spark.streaming.ops import stream_score_dsir, stream_table
+
+    B = 256
+    d = _t(spark, sf_dir, "documents")
+    lam = dsir_bucket_ratios(d, "text", F.col("lang") == "en", n_buckets=B)
+    base = _scratch("dsir_stream")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    stream_score_dsir(
+        stream_table(spark, sf_dir, "documents"), lam, B, sink, ckpt,
+        keep_cols=("source",),
+    )
+    return (
+        spark.read.parquet(sink)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ngrams").alias("n_ngrams"),
+            F.round(F.sum("log_weight"), 2).alias("sum_log_weight"),
+        )
+    )
+
+
 @query(
     "length_bucketed_batch_waste",
     f"""
@@ -13532,6 +13610,7 @@ _VERIFY_FIRST = (
     "ann_ivfpq_index_gate",
     "int8_storage_shrink",
     "dsir_importance_resample",
+    "stream_dsir_scored_ingest",
     "bpe_merge_rules",
     "bpe_token_fertility",
     "branch_publish_scan",

@@ -134,6 +134,31 @@ def dsir_bucket_ratios(
     )
 
 
+def dsir_score_with_ratios(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """Score ``df`` against a FROZEN λ relation (bucket, log_ratio) —
+    the reusable pass 2: train once, score any corpus/stream batch.
+    (id, n_ngrams, log_weight); λ is broadcast, the only shuffle is the
+    per-document sum (map-side combined)."""
+    occ = _ngram_rows(df, id_col, text_col)
+    b = F.pmod(portable_string_hash(F.col("ng")), F.lit(n_buckets))
+    return (
+        occ.select("id", b.alias("bucket"))
+        .join(F.broadcast(lam.select("bucket", "log_ratio")), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     id_col: str,
@@ -144,23 +169,13 @@ def dsir_log_weights(
 ) -> DataFrame:
     """Score pass: (id, n_ngrams, log_weight) for every document —
     log_weight = Σ over the doc's n-gram occurrences of the fitted
-    bucket log-ratio. The λ-relation is broadcast; the only shuffle is
-    the per-document sum (map-side combined)."""
+    bucket log-ratio. Fit + score of the same corpus; for train-once
+    score-elsewhere (e.g. a stream) use :func:`dsir_bucket_ratios` +
+    :func:`dsir_score_with_ratios`."""
     lam = dsir_bucket_ratios(
         df, text_col, target, n_buckets=n_buckets, alpha=alpha, id_col=id_col
-    ).select("bucket", "log_ratio")
-    occ = _ngram_rows(df, id_col, text_col)
-    b = F.pmod(portable_string_hash(F.col("ng")), F.lit(n_buckets))
-    return (
-        occ.select("id", b.alias("bucket"))
-        .join(F.broadcast(lam), "bucket")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum("log_ratio").alias("log_weight"),
-        )
-        .withColumnRenamed("id", id_col)
     )
+    return dsir_score_with_ratios(df, id_col, text_col, lam, n_buckets)
 
 
 def dsir_resample(
@@ -232,6 +247,7 @@ def gumbel_key_sql(id_expr: str, logw_expr: str, temperature: float, salt: int) 
 
 __all__ = [
     "dsir_bucket_ratios",
+    "dsir_score_with_ratios",
     "dsir_log_weights",
     "dsir_resample",
     "ngram_occurrences_sql",

@@ -911,3 +911,54 @@ def stream_bottomk_sample(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_score_dsir(
+    stream: DataFrame,
+    lam: DataFrame,
+    n_buckets: int,
+    sink_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    timeout_s: int = 300,
+) -> None:
+    """Score an arriving document stream against a FROZEN DSIR λ
+    relation (operators/dsir.py): train once offline, then every
+    micro-batch is the stateless pass-2 — explode n-grams,
+    broadcast-join the B-row λ, per-doc sum — appended to ``sink_dir``
+    with the requested passthrough columns. foreachBatch because the
+    per-doc sum is a batch-local aggregate (each doc arrives whole in
+    one file-source batch), so no streaming state is ever kept; replay
+    safety comes from the checkpoint + idempotent per-batch overwrite
+    partitioning by epoch.
+    """
+    from parquet_rewriter_spark.operators.dsir import dsir_score_with_ratios
+
+    lam_rows = lam.select("bucket", "log_ratio").collect()  # B rows, frozen
+    spark = stream.sparkSession
+    frozen = spark.createDataFrame(lam_rows, "bucket long, log_ratio double")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = dsir_score_with_ratios(
+            batch_df, id_col, text_col, frozen, n_buckets
+        )
+        out = batch_df.select(id_col, *keep_cols).join(scored, id_col)
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")

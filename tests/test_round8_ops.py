@@ -556,3 +556,38 @@ def test_bpe_tiebreak_total_order(spark):
     got = [(r["lhs"], r["rhs"], r["pair_count"]) for r in rules]
     assert got == [("x", "</w>", 3), ("y", "</w>", 3)]
     vocab.unpersist()
+
+
+# ------------------------------------------------------------ streaming DSIR
+
+def test_stream_score_dsir_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    import os
+
+    from parquet_rewriter_spark.operators.dsir import (
+        dsir_bucket_ratios,
+        dsir_score_with_ratios,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.streaming.ops import stream_score_dsir
+
+    B = 64
+    d = load_table(spark, sf_dir, "documents")
+    lam = dsir_bucket_ratios(d, "text", F.col("lang") == "en", n_buckets=B)
+    # multi-file source dir -> maxFilesPerTrigger=1 forces 3 epochs
+    src = str(tmp_path / "src")
+    d.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream_score_dsir(stream, lam, B, sink, ckpt, keep_cols=("lang",))
+    got = spark.read.parquet(sink)
+    assert got.select("_epoch").distinct().count() >= 3
+    want = dsir_score_with_ratios(d, "doc_id", "text", lam, B)
+    g = {r["doc_id"]: (r["n_ngrams"], round(r["log_weight"], 6))
+         for r in got.collect()}
+    w = {r["doc_id"]: (r["n_ngrams"], round(r["log_weight"], 6))
+         for r in want.collect()}
+    assert g == w  # every doc scored once, identically to batch
