@@ -807,3 +807,63 @@ def test_length_bucket_batches_single_window_exchange(spark, sf_dir):
     assert count_exchanges(df) == 1
     p = plan_of(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dsir_fit_is_one_scan_mapside_combined(spark, sf_dir):
+    """The DSIR fit pass reads the corpus ONCE and partial-aggregates
+    to <= B buckets per map partition before the shuffle (a two-branch
+    raw/target plan would scan twice; an un-combined explode would push
+    token-scale rows into the exchange)."""
+    from parquet_rewriter_spark.operators.dsir import dsir_bucket_ratios
+
+    d = load_table(spark, sf_dir, "documents")
+    lam = dsir_bucket_ratios(d, "text", F.col("lang") == "en", n_buckets=64)
+    p = plan_of(lam)
+    assert p.count("Scan parquet") == 2  # formatted explain: node + details
+    assert "partial_count" in p          # map-side combine before the exchange
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_scoring_broadcasts_lambda(spark, sf_dir):
+    """Pass 2 must broadcast the B-row lambda relation into the
+    exploded corpus — a shuffle join here repartitions token-scale
+    rows by bucket (B-way skew at 100 TB)."""
+    from parquet_rewriter_spark.operators.dsir import (
+        dsir_bucket_ratios,
+        dsir_score_with_ratios,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    lam = dsir_bucket_ratios(d, "text", F.col("lang") == "en", n_buckets=64)
+    w = dsir_score_with_ratios(d, "doc_id", "text", lam, 64)
+    p = plan_of(w)
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p  # per-doc sum map-side combined too
+
+
+def test_bpe_pair_counts_mapside_combined(spark, sf_dir):
+    """Each BPE merge round aggregates adjacent-pair counts over the
+    VOCAB relation with map-side combine — the shuffle carries distinct
+    pairs, not pair occurrences."""
+    from parquet_rewriter_spark.operators.bpe import _pair_counts, _init_sym, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = word_counts(d, "text").select("word", "cnt", _init_sym().alias("sym"))
+    p = plan_of(_pair_counts(vocab))
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_fertility_broadcasts_vocab(spark, sf_dir):
+    """Encoding never character-explodes the corpus: the plan joins the
+    corpus' word occurrences against the once-encoded vocab via
+    broadcast."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, fertility_by
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=2)
+    f = fertility_by(d, "text", "lang", vocab)
+    p = plan_of(f)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    vocab.unpersist()
