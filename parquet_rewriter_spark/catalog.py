@@ -9365,6 +9365,99 @@ def branch_rebase_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_branch_publish_scan",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+    c AS (SELECT * FROM customer WHERE c_custkey % 3 = 0),
+    -- the catalog branch bumps every 25th order's price AND flags every
+    -- 9th customer's balance; one catalog commit publishes both
+    om AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 25 = 0 THEN o_totalprice + 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM o
+    ),
+    cm AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 9 = 0 THEN -1.0 ELSE c_acctbal END AS c_acctbal
+      FROM c
+    )
+    SELECT cm.c_mktsegment, count(*) AS n_orders,
+           round(sum(om.o_totalprice), 2) AS revenue,
+           round(sum(cm.c_acctbal), 2) AS acct_sum,
+           bool_and(TRUE) AS catalog_isolated_preflight
+    FROM om JOIN cm ON om.o_custkey = cm.c_custkey
+    GROUP BY cm.c_mktsegment
+    """,
+    "storage", "branch", "catalog", "txn", "governance",
+)
+def catalog_branch_publish_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table branch publish (operators/branch.py:
+    create_catalog_branch + publish_catalog_branch over
+    operators/txn_catalog.py): ONE logical branch forks BOTH tables at
+    their catalog-pinned versions, each gets its own merge, catalog
+    readers stay on the old mutually-consistent pin set mid-flight
+    (both isolation probes fold into the hashed boolean), then the
+    per-table fast-forwards land and a SINGLE catalog commit flips both
+    pins together. The oracle is the post-publish cross-table join."""
+    from parquet_rewriter_spark.operators.branch import (
+        create_catalog_branch, publish_catalog_branch,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = _scratch("catalog_branch")
+    to = SortedTable.create(
+        spark, os.path.join(base, "orders"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 8),
+    )
+    tc = SortedTable.create(
+        spark, os.path.join(base, "cust"), c, key="c_custkey",
+        max_records_per_file=_scaled_mrpf(c, 8),
+    )
+    cat = TransactionCatalog.create(
+        spark, os.path.join(base, "cat"), {"orders": to, "cust": tc}
+    )
+    brs = create_catalog_branch(cat, "exp")
+    merge_into_table(
+        brs["orders"],
+        o.filter(F.col("o_orderkey") % 25 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    merge_into_table(
+        brs["cust"],
+        c.filter(F.col("c_custkey") % 9 == 0)
+        .withColumn("c_acctbal", F.lit(-1.0))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    orig_rev = o.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+    mid_rev = cat.read("orders").agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+    orig_flags = c.filter(F.col("c_acctbal") == -1.0).count()
+    mid_flags = cat.read("cust").filter(F.col("c_acctbal") == -1.0).count()
+    isolated = bool(mid_rev == orig_rev and mid_flags == orig_flags)
+    publish_catalog_branch(cat, "exp")
+    return (
+        cat.read("orders")
+        .join(cat.read("cust"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum("c_acctbal"), 2).alias("acct_sum"),
+            F.lit(isolated).alias("catalog_isolated_preflight"),
+        )
+    )
+
+
+@query(
     "lineitem_unpivot_measures",
     """
     WITH agg AS (
@@ -13615,6 +13708,7 @@ _VERIFY_FIRST = (
     "bpe_token_fertility",
     "branch_publish_scan",
     "branch_rebase_publish_scan",
+    "catalog_branch_publish_scan",
     # round-7 additions, no driver verdict yet
     "incremental_drift_ks",
     "incremental_drift_w1",

@@ -49,13 +49,17 @@ def _branch_path(table: SortedTable, name: str) -> str:
     return table.path.rstrip("/") + f"_branch_{name}"
 
 
-def create_branch(table: SortedTable, name: str) -> SortedTable:
-    """Fork ``name`` off the current snapshot. Zero-copy; records the
-    fork point in the main table's refs (vacuum pins it)."""
+def create_branch(
+    table: SortedTable, name: str, version: "int | str | None" = None
+) -> SortedTable:
+    """Fork ``name`` off the current snapshot (or a retained
+    ``version`` — how catalog branches fork from pinned versions).
+    Zero-copy; records the fork point in the main table's refs
+    (vacuum pins it)."""
     if name in table.branches():
         raise ValueError(f"branch {name!r} already exists at {table.path}")
-    m = table.manifest()
-    br = table.clone(_branch_path(table, name))
+    m = table.manifest(version)
+    br = table.clone(_branch_path(table, name), version=version)
     table._set_branch_ref(name, {"base_version": m.version})
     return br
 
@@ -201,8 +205,52 @@ def rebase_branch(table: SortedTable, name: str) -> dict[str, Any]:
     }
 
 
+# ------------------------------------------------------- catalog branches
+
+
+def create_catalog_branch(cat, name: str) -> dict[str, SortedTable]:
+    """Branch EVERY table of a TransactionCatalog
+    (operators/txn_catalog.py) at its PINNED version — one logical
+    branch spanning the mutually-consistent table set. Returns the
+    per-table branch handles (each a full SortedTable)."""
+    out: dict[str, SortedTable] = {}
+    for tname, pin in cat._state()["tables"].items():
+        t = SortedTable(cat.spark, pin["path"])
+        out[tname] = create_branch(t, name, version=pin["version"])
+    return out
+
+
+def publish_catalog_branch(cat, name: str) -> int:
+    """Publish the catalog branch atomically FOR CATALOG READERS: each
+    touched table fast-forwards (ff-only per table), then ONE catalog
+    commit flips every pin together. A crash between the per-table
+    publishes and the catalog commit leaves readers on the old,
+    mutually-consistent pin set — the exact failure mode the catalog
+    exists to absorb. Tables whose branch made no commits keep their
+    pins (no empty versions). Branch refs are dropped on success."""
+    state = cat._state()
+    new_pins: dict[str, int] = {}
+    touched: list[SortedTable] = []
+    for tname, pin in state["tables"].items():
+        t = SortedTable(cat.spark, pin["path"])
+        if name not in t.branches():
+            continue
+        if get_branch(t, name).manifest().version == 0:
+            delete_branch(t, name)  # nothing committed on this table
+            continue
+        res = fast_forward(t, name)
+        new_pins[tname] = res["published_version"]
+        touched.append(t)
+    v = cat.commit(new_pins) if new_pins else cat.version()
+    for t in touched:
+        delete_branch(t, name)
+    return v
+
+
 __all__ = [
     "create_branch",
+    "create_catalog_branch",
+    "publish_catalog_branch",
     "get_branch",
     "delete_branch",
     "branch_status",

@@ -955,9 +955,13 @@ class SortedTable:
             build_blooms(self, entries, bloom_cols)
         return entries
 
-    def clone(self, dst_path: str) -> "SortedTable":
-        """Zero-copy snapshot clone: hard-link the current snapshot's
-        data files into ``dst_path`` and write a fresh v0 manifest.
+    def clone(
+        self, dst_path: str, version: "int | str | None" = None
+    ) -> "SortedTable":
+        """Zero-copy snapshot clone: hard-link the snapshot's data
+        files into ``dst_path`` and write a fresh v0 manifest.
+        ``version`` (number or tag) clones a RETAINED historical
+        snapshot — how catalog branches fork from pinned versions.
 
         O(files) metadata work, no bytes moved — cheap dev/test copies
         and branch-like workflows. Safe because data files are immutable
@@ -967,7 +971,7 @@ class SortedTable:
         rebuilt lazily if the clone re-opts in; secondary zone maps ride
         along in the manifest itself.
         """
-        m = self.manifest()
+        m = self.manifest(version)
         os.makedirs(dst_path, exist_ok=True)
         for e in m.files:
             os.link(

@@ -189,3 +189,69 @@ def test_create_branch_twice_rejected(table):
     with pytest.raises(ValueError, match="already exists"):
         create_branch(table, "dup")
     delete_branch(table, "dup")
+
+
+# --------------------------------------------------------- catalog branches
+
+def test_catalog_branch_publish_is_atomic_for_catalog_readers(spark, sf_dir, tmp_path):
+    from parquet_rewriter_spark.operators.branch import (
+        create_catalog_branch,
+        publish_catalog_branch,
+    )
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(200)
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).limit(60)
+    to = SortedTable.create(
+        spark, str(tmp_path / "o"), o, key="o_orderkey", max_records_per_file=64
+    )
+    tc = SortedTable.create(
+        spark, str(tmp_path / "c"), c, key="c_custkey", max_records_per_file=32
+    )
+    cat = TransactionCatalog.create(
+        spark, str(tmp_path / "cat"), {"orders": to, "cust": tc}
+    )
+    brs = create_catalog_branch(cat, "exp")
+    merge_into_table(brs["orders"], _ups(o, "o_orderkey < 7", 9.0))
+    merge_into_table(
+        brs["cust"],
+        c.where("c_custkey < 4").withColumn("c_acctbal", F.lit(-5.0))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    # pre-publish: catalog readers see neither table's branch writes
+    assert cat.read("orders").where("o_totalprice = 9.0").count() == 0
+    assert cat.read("cust").where("c_acctbal = -5.0").count() == 0
+    v0 = cat.version()
+    v1 = publish_catalog_branch(cat, "exp")
+    assert v1 == v0 + 1  # ONE catalog commit for two table publishes
+    assert cat.read("orders").where("o_totalprice = 9.0").count() == 7
+    assert cat.read("cust").where("c_acctbal = -5.0").count() == 4
+    assert to.branches() == {} and tc.branches() == {}
+
+
+def test_catalog_branch_untouched_table_keeps_pin(spark, sf_dir, tmp_path):
+    from parquet_rewriter_spark.operators.branch import (
+        create_catalog_branch,
+        publish_catalog_branch,
+    )
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(100)
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).limit(30)
+    to = SortedTable.create(
+        spark, str(tmp_path / "o"), o, key="o_orderkey", max_records_per_file=64
+    )
+    tc = SortedTable.create(
+        spark, str(tmp_path / "c"), c, key="c_custkey", max_records_per_file=32
+    )
+    cat = TransactionCatalog.create(
+        spark, str(tmp_path / "cat"), {"orders": to, "cust": tc}
+    )
+    brs = create_catalog_branch(cat, "only_orders")
+    merge_into_table(brs["orders"], _ups(o, "o_orderkey < 3", 1.0))
+    pins_before = cat.snapshot()
+    publish_catalog_branch(cat, "only_orders")
+    pins = cat.snapshot()
+    assert pins["orders"] == pins_before["orders"] + 1
+    assert pins["cust"] == pins_before["cust"]  # no empty version minted
+    assert tc.manifest().version == 0
