@@ -12784,6 +12784,61 @@ def metadata_tables_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "refs_metadata_scan",
+    """
+    SELECT 'exp' AS name, 'branch' AS kind, CAST(1 AS BIGINT) AS version,
+           CAST(1 AS BIGINT) AS branch_commits,
+           TRUE AS read_through_refs_consistent
+    UNION ALL
+    SELECT 'train-v1', 'tag', CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+    ORDER BY name
+    """,
+    "storage", "metadata", "refs", "introspection",
+)
+def refs_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.refs`` metadata table (table.py:refs_df — Iceberg's refs
+    surface): after a commit, a tag on it, a branch forked from it, and
+    one branch commit, the relation must list exactly those two refs
+    with their pinned/fork versions and the branch's commit count; the
+    folded boolean additionally proves reading THROUGH each ref
+    (read(tag), branch read) sees the right row counts."""
+    from parquet_rewriter_spark.operators.branch import (
+        create_branch, delete_branch, get_branch,
+    )
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.table import SortedTable
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    t = SortedTable.create(
+        spark, _scratch("refs_meta"), o, key="o_orderkey",
+        max_records_per_file=_scaled_mrpf(o, 8),
+    )
+    n0 = o.count()
+    merge_into_table(  # v1: one insert
+        t,
+        o.limit(1).withColumn("o_orderkey", F.lit(-1).cast("long"))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    t.tag("train-v1")
+    create_branch(t, "exp")
+    merge_into_table(  # one branch commit: another insert
+        get_branch(t, "exp"),
+        o.limit(1).withColumn("o_orderkey", F.lit(-2).cast("long"))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    consistent = (
+        t.read("train-v1").count() == n0 + 1
+        and get_branch(t, "exp").read().count() == n0 + 2
+        and t.read().count() == n0 + 1  # main untouched by the branch
+    )
+    out = t.refs_df().withColumn(
+        "read_through_refs_consistent", F.lit(bool(consistent))
+    )
+    delete_branch(t, "exp")
+    return out.orderBy("name")
+
+
 # ------------------------------------------------- round 8: hybrid search /
 # retrieval evaluation / int8 quantization / sketch algebra / data-mix ops
 
@@ -13709,6 +13764,7 @@ _VERIFY_FIRST = (
     "branch_publish_scan",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
+    "refs_metadata_scan",
     # round-7 additions, no driver verdict yet
     "incremental_drift_ks",
     "incremental_drift_w1",

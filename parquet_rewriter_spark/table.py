@@ -415,6 +415,28 @@ class SortedTable:
             "num_files long, rows long, bytes long",
         )
 
+    def refs_df(self) -> DataFrame:
+        """Named refs as a relation (the Iceberg ``.refs`` metadata
+        table): one row per tag (pinned version) and per branch
+        (fork-point version + whether its lineage has commits).
+        Driver-side refs/manifest reads only."""
+        from parquet_rewriter_spark.operators.branch import get_branch
+
+        rows = [
+            (name, "tag", int(v), None)
+            for name, v in sorted(self.tags().items())
+        ]
+        for name, info in sorted(self.branches().items()):
+            try:
+                commits = get_branch(self, name).manifest().version
+            except (FileNotFoundError, ValueError):
+                commits = None
+            rows.append((name, "branch", int(info["base_version"]), commits))
+        return self.spark.createDataFrame(
+            rows,
+            "name string, kind string, version long, branch_commits long",
+        )
+
     @staticmethod
     def _parse_ts(ts: "datetime.datetime | str") -> "datetime.datetime":
         """ISO string or datetime → aware UTC datetime (naive = UTC)."""

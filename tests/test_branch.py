@@ -255,3 +255,52 @@ def test_catalog_branch_untouched_table_keeps_pin(spark, sf_dir, tmp_path):
     assert pins["orders"] == pins_before["orders"] + 1
     assert pins["cust"] == pins_before["cust"]  # no empty version minted
     assert tc.manifest().version == 0
+
+
+def test_refs_df_lists_tags_and_branches(table):
+    t = table
+    merge_into_table(t, _ups(t.read(), "o_orderkey = 1", 1.0))  # v1
+    t.tag("stable")
+    create_branch(t, "exp")
+    merge_into_table(get_branch(t, "exp"), _ups(t.read(), "o_orderkey = 2", 2.0))
+    rows = {(r["name"], r["kind"]): r for r in t.refs_df().collect()}
+    assert rows[("stable", "tag")]["version"] == 1
+    assert rows[("stable", "tag")]["branch_commits"] is None
+    assert rows[("exp", "branch")]["version"] == 1  # fork point
+    assert rows[("exp", "branch")]["branch_commits"] == 1
+    delete_branch(t, "exp")
+    assert {r["name"] for r in t.refs_df().collect()} == {"stable"}
+
+
+def test_streaming_merge_into_branch_then_publish(spark, table, tmp_path):
+    """A micro-batch stream merges into the BRANCH with exactly-once
+    txn watermarks; main only sees the rows at publish — streaming
+    composes with branches with zero new machinery."""
+    from parquet_rewriter_spark.streaming.ops import stream_merge_into_table
+
+    t = table
+    create_branch(t, "ingest")
+    br = get_branch(t, "ingest")
+    src = str(tmp_path / "src")
+    inserts = (
+        t.read().limit(6)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20_000)
+    )
+    inserts.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(inserts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_merge_into_table(
+        stream, br, checkpoint_dir=str(tmp_path / "ckpt"), txn_app="br-ingest"
+    )
+    assert br.read().where("o_orderkey >= 20000").count() == 6
+    assert t.read().where("o_orderkey >= 20000").count() == 0  # isolated
+    assert br.manifest().txns.get("br-ingest") is not None  # watermark kept
+    fast_forward(t, "ingest")
+    assert t.read().where("o_orderkey >= 20000").count() == 6
+    # the published MAIN manifest carries the stream's watermark, so a
+    # post-publish replay of the same epochs is a no-op on main too
+    assert t.manifest().txns.get("br-ingest") is not None
+    delete_branch(t, "ingest")
