@@ -229,12 +229,26 @@ def publish_catalog_branch(cat, name: str) -> int:
     exists to absorb. Tables whose branch made no commits keep their
     pins (no empty versions). Branch refs are dropped on success."""
     state = cat._state()
-    new_pins: dict[str, int] = {}
-    touched: list[SortedTable] = []
+    # validate EVERY fork point before publishing ANY table: a
+    # divergence discovered mid-loop would otherwise leave some heads
+    # advanced with the catalog commit never happening — harmless for
+    # catalog readers (pins unmoved) but confusing for table-level ones
+    publishable: list[tuple[str, SortedTable]] = []
     for tname, pin in state["tables"].items():
         t = SortedTable(cat.spark, pin["path"])
         if name not in t.branches():
             continue
+        st = branch_status(t, name)
+        if st["main_moved"]:
+            raise ValueError(
+                f"table {tname!r} advanced past branch {name!r}'s fork "
+                f"point (v{st['base_version']} -> v{st['main_version']}); "
+                "rebase_branch() it first — no table was published"
+            )
+        publishable.append((tname, t))
+    new_pins: dict[str, int] = {}
+    touched: list[SortedTable] = []
+    for tname, t in publishable:
         if get_branch(t, name).manifest().version == 0:
             delete_branch(t, name)  # nothing committed on this table
             continue

@@ -304,3 +304,45 @@ def test_streaming_merge_into_branch_then_publish(spark, table, tmp_path):
     # post-publish replay of the same epochs is a no-op on main too
     assert t.manifest().txns.get("br-ingest") is not None
     delete_branch(t, "ingest")
+
+
+def test_catalog_branch_publish_prevalidates_all_forks(spark, sf_dir, tmp_path):
+    """A diverged table anywhere in the set must abort the publish
+    BEFORE any table's head moves."""
+    from parquet_rewriter_spark.operators.branch import (
+        create_catalog_branch,
+        publish_catalog_branch,
+    )
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(100)
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).limit(30)
+    to = SortedTable.create(
+        spark, str(tmp_path / "o"), o, key="o_orderkey", max_records_per_file=64
+    )
+    tc = SortedTable.create(
+        spark, str(tmp_path / "c"), c, key="c_custkey", max_records_per_file=32
+    )
+    cat = TransactionCatalog.create(
+        spark, str(tmp_path / "cat"), {"orders": to, "cust": tc}
+    )
+    brs = create_catalog_branch(cat, "x")
+    merge_into_table(brs["orders"], _ups(o, "o_orderkey < 5", 1.0))
+    merge_into_table(
+        brs["cust"],
+        c.where("c_custkey < 3").withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    # diverge CUST's main after the fork
+    merge_into_table(
+        tc,
+        c.where("c_custkey = 9").withColumn("c_acctbal", F.lit(7.0))
+        .withColumn("op", F.lit("UPSERT")),
+    )
+    with pytest.raises(ValueError, match="no table was published"):
+        publish_catalog_branch(cat, "x")
+    # NOTHING published: orders head still v0 (its branch was ready but
+    # must not land), and the catalog pins stay at their fork values —
+    # cust's main head moved to v1, its PIN did not
+    assert to.manifest().version == 0
+    assert cat.snapshot() == {"orders": 0, "cust": 0}
