@@ -86,10 +86,11 @@ def bpe_train(
     [{step, lhs, rhs, merged, pair_count}, ...] in learned order, vocab
     as the final (word, cnt, sym) relation with all merges applied
     (reuse it for encoding — don't retrain)."""
-    vocab = word_counts(df, text_col).select(
+    base = word_counts(df, text_col).select(
         "word", "cnt", _init_sym().alias("sym")
     ).persist()
-    vocab.count()  # materialize: n_merges rounds reuse it
+    base.count()  # materialize: n_merges rounds reuse it
+    vocab = base
     rules: list[dict] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -107,6 +108,13 @@ def bpe_train(
         vocab = vocab.withColumn(
             "sym", F.replace(F.col("sym"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
         )
+    if vocab is not base:
+        # hand the caller a SELF-persisted relation so vocab.unpersist()
+        # actually frees the cache (persisting the derivative reads the
+        # still-cached base once, then the base can go)
+        vocab = vocab.persist()
+        vocab.count()
+        base.unpersist()
     return rules, vocab
 
 
