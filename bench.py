@@ -31,7 +31,13 @@ from parquet_rewriter_spark.session import get_spark
 # Full-tier wall budget (queries + probes): the driver's capture would
 # silently lose a run that outgrows its timeout, so the bench flags
 # itself loudly first (report["budget_exceeded"] + stderr subtotals).
-FULL_TIER_BUDGET_S = 600
+# Recalibrated round 8: 600 s fit the 150-query round-5 tier; the tier
+# now times 203 queries (~3.5 s wall each incl. the interleaved sf0.001
+# warmup), so the same per-query pace lands at ~710 s. The driver's
+# per-round capture runs only the HEADLINE tier (~110-140 s), so this
+# constant guards MANUAL --full runs; keep ~25% headroom over the
+# measured wall rather than trimming coverage breadth.
+FULL_TIER_BUDGET_S = 900
 
 HEADLINE = [
     "pricing_summary",
@@ -329,7 +335,14 @@ def main() -> None:
     # full-tier discrepancy on exactly these two). A second sf0.001
     # warm pass (~1-2 s each) damps the swing; applied only where the
     # noise was observed to keep the headline tier inside its budget.
-    warm_twice = {"schema_ddl_lifecycle_scan", "maintained_table_scan"}
+    warm_twice = {
+        "schema_ddl_lifecycle_scan",
+        "maintained_table_scan",
+        # observed 3-4x run-order swings in round-8 full-tier runs
+        # (3 s isolated, 11-22 s mid-run) — same commit-bound noise
+        "wap_publish_scan",
+        "leakage_safe_split",
+    }
     t_run_start = time.perf_counter()
     for name in names:
         fn = catalog.REGISTRY[name].fn

@@ -169,7 +169,6 @@ def rebase_branch(table: SortedTable, name: str) -> dict[str, Any]:
 
     st = branch_status(table, name)
     delta = branch_diff(table, name).where(F.col("_change_type") != "update_preimage")
-    key = table.manifest().key
     payload = [c for c in delta.columns if c != "_change_type"]
     ops = delta.select(
         *payload,
