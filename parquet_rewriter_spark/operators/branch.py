@@ -219,6 +219,22 @@ def create_catalog_branch(cat, name: str) -> dict[str, SortedTable]:
     return out
 
 
+def rebase_catalog_branch(cat, name: str) -> dict[str, int]:
+    """Rebase every diverged table of the catalog branch onto its
+    CURRENT main head (tables still at their fork point are left
+    alone). Returns {table: replayed_rows} for the rebased ones —
+    after this, :func:`publish_catalog_branch` passes its fork-point
+    pre-validation."""
+    out: dict[str, int] = {}
+    for tname, pin in cat._state()["tables"].items():
+        t = SortedTable(cat.spark, pin["path"])
+        if name not in t.branches():
+            continue
+        if branch_status(t, name)["main_moved"]:
+            out[tname] = rebase_branch(t, name)["replayed_rows"]
+    return out
+
+
 def publish_catalog_branch(cat, name: str) -> int:
     """Publish the catalog branch atomically FOR CATALOG READERS: each
     touched table fast-forwards (ff-only per table), then ONE catalog
@@ -264,6 +280,7 @@ __all__ = [
     "create_branch",
     "create_catalog_branch",
     "publish_catalog_branch",
+    "rebase_catalog_branch",
     "get_branch",
     "delete_branch",
     "branch_status",

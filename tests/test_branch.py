@@ -346,3 +346,39 @@ def test_catalog_branch_publish_prevalidates_all_forks(spark, sf_dir, tmp_path):
     # cust's main head moved to v1, its PIN did not
     assert to.manifest().version == 0
     assert cat.snapshot() == {"orders": 0, "cust": 0}
+
+
+def test_rebase_catalog_branch_unblocks_publish(spark, sf_dir, tmp_path):
+    from parquet_rewriter_spark.operators.branch import (
+        create_catalog_branch,
+        publish_catalog_branch,
+        rebase_catalog_branch,
+    )
+    from parquet_rewriter_spark.operators.txn_catalog import TransactionCatalog
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(100)
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).limit(30)
+    to = SortedTable.create(
+        spark, str(tmp_path / "o"), o, key="o_orderkey", max_records_per_file=64
+    )
+    tc = SortedTable.create(
+        spark, str(tmp_path / "c"), c, key="c_custkey", max_records_per_file=32
+    )
+    cat = TransactionCatalog.create(
+        spark, str(tmp_path / "cat"), {"orders": to, "cust": tc}
+    )
+    brs = create_catalog_branch(cat, "x")
+    merge_into_table(brs["orders"], _ups(o, "o_orderkey < 5", 1.0))
+    merge_into_table(tc, c.where("c_custkey = 9")  # diverge cust's main
+                     .withColumn("c_acctbal", F.lit(7.0))
+                     .withColumn("op", F.lit("UPSERT")))
+    # cust diverged with an EMPTY branch: rebase re-forks it, then the
+    # publish drops it as untouched and only orders' pin advances
+    replayed = rebase_catalog_branch(cat, "x")
+    assert replayed == {"cust": 0}
+    publish_catalog_branch(cat, "x")
+    pins = cat.snapshot()
+    assert pins["orders"] == 1 and pins["cust"] == 0
+    assert cat.read("orders").where("o_totalprice = 1.0").count() == 5
+    # cust's main head kept its own divergence commit untouched
+    assert tc.read().where("c_custkey = 9").first()["c_acctbal"] == 7.0
