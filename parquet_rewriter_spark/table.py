@@ -1364,8 +1364,33 @@ class SortedTable:
             n for n in {e.name for e in self.manifest().files}
             if not os.path.exists(os.path.join(self.path, n))
         )
+        # branch debris lives BESIDE the table dir ({path}_branch_<name>):
+        # a crash between delete_branch's ref drop and its rmtree (or
+        # mid-rebase, leaving .rebasing/.delta) orphans a whole clone's
+        # worth of hard links. Paths are recorded RELATIVE to the
+        # parent, prefixed "../", so repair below can address them.
+        parent = os.path.dirname(os.path.abspath(self.path.rstrip("/"))) or "."
+        prefix = os.path.basename(self.path.rstrip("/")) + "_branch_"
+        refs = set(self.branches())
+        report["orphan_branch"] = []
+        try:
+            siblings = sorted(os.listdir(parent))
+        except OSError:  # pragma: no cover - exotic table paths
+            siblings = []
+        for name in siblings:
+            if not name.startswith(prefix):
+                continue
+            rest = name[len(prefix):]
+            in_flight = rest.endswith((".rebasing", ".delta"))
+            if in_flight or rest not in refs:
+                report["orphan_branch"].append(name)
         if repair:
             repaired = []
+            for name in report["orphan_branch"]:
+                full = os.path.join(parent, name)
+                if _stale(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    repaired.append(name)
             for name in report["orphan_staging"]:
                 full = os.path.join(self.path, name)
                 if _stale(full):

@@ -382,3 +382,26 @@ def test_rebase_catalog_branch_unblocks_publish(spark, sf_dir, tmp_path):
     assert cat.read("orders").where("o_totalprice = 1.0").count() == 5
     # cust's main head kept its own divergence commit untouched
     assert tc.read().where("c_custkey = 9").first()["c_acctbal"] == 7.0
+
+
+def test_fsck_flags_and_repairs_orphan_branch_dirs(table):
+    import shutil
+
+    t = table
+    create_branch(t, "live")
+    # orphan 1: dir left behind after a crashed delete (ref dropped)
+    create_branch(t, "dead")
+    t._set_branch_ref("dead", None)  # simulate crash before rmtree
+    # orphan 2: interrupted rebase leaves .rebasing
+    os.makedirs(t.path + "_branch_live.rebasing", exist_ok=True)
+    rep = t.fsck()
+    assert sorted(rep["orphan_branch"]) == [
+        os.path.basename(t.path) + "_branch_dead",
+        os.path.basename(t.path) + "_branch_live.rebasing",
+    ]
+    rep = t.fsck(repair=True, min_age_s=0.0)
+    assert len(rep["repaired"]) == 2
+    assert not os.path.exists(t.path + "_branch_dead")
+    assert os.path.exists(t.path + "_branch_live")  # live branch untouched
+    assert t.fsck()["orphan_branch"] == []
+    delete_branch(t, "live")
