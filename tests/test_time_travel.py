@@ -363,7 +363,8 @@ def test_fsck_detects_and_repairs_write_debris(spark, tmp_path):
     assert not os.path.exists(os.path.join(t.path, "_distinct.old-crashvac"))
     assert t.read().count() == 100
     assert t.fsck() == {
-        "orphan_staging": [], "orphan_tmp": [], "orphan_data": [], "missing": []
+        "orphan_staging": [], "orphan_tmp": [], "orphan_data": [],
+        "missing": [], "orphan_branch": [],
     }
 
     # missing file detection (report-only)
