@@ -13438,6 +13438,70 @@ def bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bpe_encode_oracle(n_merges: int = 6, max_doc: int = 15) -> str:
+    from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
+
+    cte = bpe_vocab_cte_sql("documents", "text", n_merges)
+    flat = "flatten(list_transform(list_sort(list({'p': wpos, 'l': ids})), s -> s.l))"
+    return f"""
+    WITH {cte},
+    sid AS (
+      SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS token_id
+      FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS symbol
+            FROM v{n_merges})
+    ),
+    wsyms AS (
+      SELECT word, i AS pos, ws[i] AS symbol
+      FROM (SELECT word, string_split(trim(sym), ' ') AS ws FROM v{n_merges}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(list_sort(list({{'p': pos, 'i': token_id}})),
+                            s -> s.i) AS ids
+      FROM wsyms JOIN sid USING (symbol) GROUP BY word
+    ),
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id < {max_doc}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, {flat} AS input_ids,
+           CAST(len({flat}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query(
+    "bpe_encode_sample",
+    _bpe_encode_oracle(6, 15),
+    "llm-pipeline", "tokenizer", "bpe", "encode",
+)
+def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's actual deliverable (operators/bpe.py:
+    encode_docs): documents → BPE token-ID sequences under the 6-merge
+    vocab. Each DISTINCT word is id-mapped once at vocab scale
+    (posexplode symbols → broadcast symbol-id join → order-safe
+    array_sort reassembly), documents' words broadcast-join the
+    (word → ids) projection, and per-doc sequences reassemble via
+    array_sort over (position, ids) structs — never a bare
+    collect_list, whose order is partition-dependent. The oracle
+    replays training, the symbol-id assignment, word encoding, AND the
+    full per-doc id sequences cell-for-cell."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=6)
+    out = encode_docs(
+        d.filter(F.col("doc_id") < 15), "doc_id", "text", vocab
+    ).orderBy("doc_id")
+    return out
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,
@@ -13761,6 +13825,7 @@ _VERIFY_FIRST = (
     "stream_dsir_scored_ingest",
     "bpe_merge_rules",
     "bpe_token_fertility",
+    "bpe_encode_sample",
     "branch_publish_scan",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",

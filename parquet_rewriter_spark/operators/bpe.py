@@ -222,5 +222,74 @@ __all__ = [
     "rules_df",
     "vocab_token_counts",
     "fertility_by",
+    "symbol_vocab",
+    "encode_docs",
     "bpe_vocab_cte_sql",
 ]
+
+
+def symbol_vocab(vocab: DataFrame) -> DataFrame:
+    """The tokenizer ARTIFACT: (symbol, token_id, freq) over the final
+    merged symbols — ids are dense ranks in symbol order (deterministic
+    in any engine), freq is the corpus-weighted occurrence count. The
+    relation is bounded (≤ alphabet + n_merges + |END| symbols), so the
+    single-partition ranking window is a non-issue at any scale."""
+    from pyspark.sql import Window
+
+    syms = vocab.select(
+        F.explode(F.split(F.trim(F.col("sym")), " ")).alias("symbol"),
+        F.col("cnt"),
+    )
+    agg = syms.groupBy("symbol").agg(F.sum("cnt").alias("freq"))
+    w = Window.partitionBy().orderBy("symbol")
+    return agg.select(
+        "symbol", (F.row_number().over(w) - 1).alias("token_id"), "freq"
+    )
+
+
+def encode_docs(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Encode documents to BPE token-id sequences: (id, input_ids,
+    n_tokens). Same discipline as fertility_by — each DISTINCT word is
+    id-mapped ONCE in the vocab relation (vocab-scale), then documents'
+    word occurrences broadcast-join the (word → ids) projection and the
+    per-doc sequence reassembles order-safely via array_sort over
+    (position, ids) structs (never a bare collect_list, whose order is
+    partition-dependent)."""
+    sid = symbol_vocab(vocab)
+    word_syms = vocab.select(
+        "word",
+        F.posexplode(F.split(F.trim(F.col("sym")), " ")).alias("pos", "symbol"),
+    )
+    word_ids = (
+        word_syms.join(F.broadcast(sid.select("symbol", "token_id")), "symbol")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s.token_id,
+            ).alias("ids")
+        )
+    )
+    wlist = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    words = df.select(
+        F.col(id_col).alias("id"), F.posexplode(wlist).alias("wpos", "word")
+    )
+    return (
+        words.join(F.broadcast(word_ids), "word")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda s: s.ids,
+                )
+            ).alias("input_ids")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "input_ids",
+            F.size("input_ids").alias("n_tokens"),
+        )
+    )

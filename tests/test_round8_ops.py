@@ -591,3 +591,43 @@ def test_stream_score_dsir_multibatch_equals_batch(spark, sf_dir, tmp_path):
     w = {r["doc_id"]: (r["n_ngrams"], round(r["log_weight"], 6))
          for r in want.collect()}
     assert g == w  # every doc scored once, identically to batch
+
+
+def test_bpe_encode_docs_hand_example(spark):
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs,
+        symbol_vocab,
+    )
+
+    docs = _doc_df(spark, ["low low lowest"])
+    rules, vocab = bpe_train(docs, "text", n_merges=3)
+    # merges: 'l o'(3), 'lo w'(3), 'low </w>'(2) -> symbols:
+    # low</w>, low, e, s, t, </w>
+    sid = {r["symbol"]: r["token_id"] for r in symbol_vocab(vocab).collect()}
+    assert set(sid) == {"low</w>", "low", "e", "s", "t", "</w>"}
+    out = encode_docs(docs, "doc_id", "text", vocab).collect()[0]
+    want = [sid["low</w>"], sid["low</w>"],
+            sid["low"], sid["e"], sid["s"], sid["t"], sid["</w>"]]
+    assert list(out["input_ids"]) == want and out["n_tokens"] == 7
+    vocab.unpersist()
+
+
+def test_bpe_encode_token_counts_match_fertility(spark, sf_dir):
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs,
+        fertility_by,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    enc_total = encode_docs(d, "doc_id", "text", vocab).agg(
+        F.sum("n_tokens")
+    ).first()[0]
+    fert_total = fertility_by(d, "text", "lang", vocab).agg(
+        F.sum("n_tokens")
+    ).first()[0]
+    assert enc_total == fert_total  # two independent paths, one count
+    vocab.unpersist()
