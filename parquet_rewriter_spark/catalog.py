@@ -13502,6 +13502,103 @@ def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
+    from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
+
+    cte = bpe_vocab_cte_sql("documents", "text", n_merges)
+    flat = "flatten(list_transform(list_sort(list({'p': pos, 'l': piece})), s -> s.l))"
+    return f"""
+    WITH {cte},
+    sid AS (
+      SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS token_id
+      FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS symbol
+            FROM v{n_merges})
+    ),
+    wsyms AS (
+      SELECT word, i AS pos, ws[i] AS symbol
+      FROM (SELECT word, string_split(trim(sym), ' ') AS ws FROM v{n_merges}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(list_sort(list({{'p': pos, 'i': token_id}})),
+                            s -> s.i) AS ids
+      FROM wsyms JOIN sid USING (symbol) GROUP BY word
+    ),
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id,
+             flatten(list_transform(list_sort(list({{'p': wpos, 'l': ids}})),
+                                    s -> s.l)) AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    pk AS (
+      SELECT doc_id, doc_id % {shards} AS shard, input_ids,
+             CAST(len(input_ids) AS BIGINT) AS n_tok,
+             CAST(coalesce(sum(len(input_ids)) OVER (
+               PARTITION BY doc_id % {shards} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS B
+      FROM enc WHERE len(input_ids) > 0
+    ),
+    pieces AS (
+      SELECT shard, p.w AS seq_id, p.pos, p.piece
+      FROM pk, LATERAL (
+        SELECT unnest(list_transform(
+          generate_series(CAST(floor(B / {m}) AS BIGINT),
+                          CAST(floor((B + n_tok - 1) / {m}) AS BIGINT)),
+          w -> {{'w': w,
+                 'piece': list_slice(input_ids,
+                                     CAST(greatest(0, w * {m} - B) + 1 AS BIGINT),
+                                     CAST(least(n_tok, (w + 1) * {m} - B) AS BIGINT)),
+                 'pos': B + greatest(0, w * {m} - B) - w * {m}}})) AS p
+      )
+    )
+    SELECT shard, seq_id, {flat} AS input_ids,
+           CAST(len({flat}) AS INT) AS n_tokens,
+           count(*) AS n_pieces
+    FROM pieces GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """
+
+
+@query(
+    "bpe_packed_training_windows",
+    _bpe_packed_oracle(4, 64, 4),
+    "llm-pipeline", "tokenizer", "bpe", "packing", "pretraining",
+)
+def bpe_packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining batch pipeline, every stage oracled:
+    corpus → BPE token ids (operators/bpe.py:encode_docs, 4 merges) →
+    packed-stream assignment (operators/packing.py:pack_sequences,
+    portable doc_id%4 shards) → MATERIALIZED fixed-64-token windows
+    (materialize_packed — GPT concat-and-cut emitting real id arrays,
+    pure span arithmetic + one (shard, window) hash aggregate, order
+    restored by array_sort over position structs). A hash match proves
+    the full id stream — training, encoding, shard order, window
+    boundaries, split pieces — byte-for-byte across engines."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    enc = encode_docs(d, "doc_id", "text", vocab)
+    p = pack_sequences(
+        enc, "doc_id", F.size("input_ids"), max_tokens=64,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    return materialize_packed(p, "input_ids", 64).orderBy("shard", "seq_id")
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,
@@ -13826,6 +13923,7 @@ _VERIFY_FIRST = (
     "bpe_merge_rules",
     "bpe_token_fertility",
     "bpe_encode_sample",
+    "bpe_packed_training_windows",
     "branch_publish_scan",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",

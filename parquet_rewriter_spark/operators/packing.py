@@ -147,3 +147,70 @@ def length_bucket_batches(
         )
         .drop("__tok", "__rn")
     )
+
+
+def materialize_packed(
+    packed: DataFrame,
+    ids_col: str,
+    max_tokens: int,
+) -> DataFrame:
+    """Materialize :func:`pack_sequences`'s assignment into ACTUAL
+    fixed-length training windows — the GPT-pretraining concat-and-cut,
+    emitting real token-id arrays instead of accounting rows.
+
+    ``packed`` is pack_sequences' output plus a token-id array column
+    ``ids_col`` (e.g. operators/bpe.py:encode_docs). Each document
+    contributes one SLICE per window it overlaps (computed from pure
+    span arithmetic: global offset B = seq_id·M + seq_offset, length
+    L = |ids|, window w gets ids[max(0, wM−B) .. min(L, (w+1)M−B))
+    at in-window position B + a − wM); windows reassemble order-safely
+    via array_sort over (position, piece) structs. Everything is
+    codegen span math + one hash aggregate on (shard, window) — no
+    Python, no collect; every window but a shard's last is exactly
+    ``max_tokens`` long (asserted in tests).
+
+    Returns (shard, seq_id, input_ids, n_tokens, n_pieces)."""
+    M = F.lit(max_tokens).cast("long")
+    B = F.col("seq_id") * M + F.col("seq_offset")
+    ids = F.col(ids_col)
+    L = F.size(ids).cast("long")
+    last_w = F.floor((B + L - F.lit(1)) / M).cast("long")
+    pieces = F.transform(
+        F.sequence(F.col("seq_id"), last_w),
+        lambda w: F.struct(
+            w.cast("long").alias("w"),
+            F.slice(
+                ids,
+                (F.greatest(F.lit(0).cast("long"), w * M - B) + 1).cast("int"),
+                (
+                    F.least(L, (w + 1) * M - B)
+                    - F.greatest(F.lit(0).cast("long"), w * M - B)
+                ).cast("int"),
+            ).alias("piece"),
+            (B + F.greatest(F.lit(0).cast("long"), w * M - B) - w * M).alias("pos"),
+        ),
+    )
+    ex = (
+        packed.where(L > 0)
+        .select("shard", F.explode(pieces).alias("p"))
+        .select("shard", F.col("p.w").alias("seq_id"), F.col("p.pos"), F.col("p.piece"))
+    )
+    return (
+        ex.groupBy("shard", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                    lambda s: s.piece,
+                )
+            ).alias("input_ids"),
+            F.count(F.lit(1)).alias("n_pieces"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "input_ids",
+            F.size("input_ids").alias("n_tokens"),
+            "n_pieces",
+        )
+    )

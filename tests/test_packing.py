@@ -99,3 +99,56 @@ def test_write_jsonl_shards_roundtrip_and_layout(spark, sf_dir, tmp_path):
         with open(os.path.join(sd, f)) as fh:
             ids += [_json.loads(line)["doc_id"] for line in fh if line.strip()]
     assert ids == sorted(ids)
+
+
+# ------------------------------------------------------------ materializer
+
+def test_materialize_packed_stream_invariants(spark):
+    """Every window but a shard's last is exactly M long; the
+    concatenation of a shard's windows equals the concatenation of its
+    docs' ids in doc order (nothing lost, duplicated, or reordered)."""
+    import random
+
+    from pyspark.sql import Row
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    rng = random.Random(7)
+    docs, streams = [], {0: [], 1: []}
+    for i in range(40):
+        ids = [rng.randrange(1000) for _ in range(rng.randrange(0, 23))]
+        docs.append(Row(doc_id=i, input_ids=ids))
+        streams[i % 2].extend(ids)
+    df = spark.createDataFrame(docs, "doc_id long, input_ids array<int>")
+    p = pack_sequences(df, "doc_id", F.size("input_ids"), max_tokens=16,
+                       shard_col=F.pmod(F.col("doc_id"), F.lit(2)))
+    out = materialize_packed(p, "input_ids", 16).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["seq_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for s, rows in by_shard.items():
+        for r in rows[:-1]:
+            assert r["n_tokens"] == 16  # full windows
+        flat = [x for r in rows for x in r["input_ids"]]
+        assert flat == streams[s]  # exact stream conservation
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_materialize_packed_splits_docs_across_boundaries(spark):
+    from pyspark.sql import Row
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, input_ids=list(range(10)))], "doc_id long, input_ids array<int>"
+    )
+    p = pack_sequences(df, "doc_id", F.size("input_ids"), max_tokens=4,
+                       shard_col=F.lit(0))
+    rows = sorted(materialize_packed(p, "input_ids", 4).collect(),
+                  key=lambda r: r["seq_id"])
+    assert [list(r["input_ids"]) for r in rows] == [[0,1,2,3],[4,5,6,7],[8,9]]
+    assert [r["n_pieces"] for r in rows] == [1, 1, 1]  # one doc, 3 fragments
