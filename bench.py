@@ -139,7 +139,12 @@ EXTENDED = [
     "int8_storage_shrink",
     "ann_ivfpq_index_gate",
     "bpe_token_fertility",
+    "bpe_encode_sample",
+    "bpe_packed_training_windows",
     "branch_rebase_publish_scan",
+    "catalog_branch_publish_scan",
+    "refs_metadata_scan",
+    "stream_dsir_scored_ingest",
     "priority_customer_overlap_sketch",
     "source_temperature_mixture",
     "length_bucketed_batch_waste",
