@@ -1491,7 +1491,8 @@ def maintained_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.join(t.path, "_staging-crashed"), exist_ok=True)
     maintain(t, retain_versions=1, fsck_min_age_s=0.0)
     assert t.fsck() == {
-        "orphan_staging": [], "orphan_tmp": [], "orphan_data": [], "missing": []
+        "orphan_staging": [], "orphan_tmp": [], "orphan_data": [],
+        "missing": [], "orphan_branch": [],
     }
     assert t.validate()["ok"]
     return t.read().groupBy("o_orderstatus").agg(
