@@ -13563,7 +13563,9 @@ def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
     )
     SELECT shard, seq_id, {flat} AS input_ids,
            CAST(len({flat}) AS INT) AS n_tokens,
-           count(*) AS n_pieces
+           count(*) AS n_pieces,
+           list_transform(list_sort(list({{'p': pos, 'l': piece}})),
+                          s -> len(s.l)) AS piece_lengths
     FROM pieces GROUP BY shard, seq_id
     ORDER BY shard, seq_id
     """

@@ -169,7 +169,11 @@ def materialize_packed(
     Python, no collect; every window but a shard's last is exactly
     ``max_tokens`` long (asserted in tests).
 
-    Returns (shard, seq_id, input_ids, n_tokens, n_pieces)."""
+    Returns (shard, seq_id, input_ids, n_tokens, n_pieces,
+    piece_lengths) — ``piece_lengths`` lists each document fragment's
+    token count in window order (they sum to ``n_tokens``), exactly
+    what per-window attention-mask construction needs to stop
+    attention at document boundaries inside a packed window."""
     M = F.lit(max_tokens).cast("long")
     B = F.col("seq_id") * M + F.col("seq_offset")
     ids = F.col(ids_col)
@@ -205,6 +209,10 @@ def materialize_packed(
                 )
             ).alias("input_ids"),
             F.count(F.lit(1)).alias("n_pieces"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                lambda s: F.size(s.piece),
+            ).alias("piece_lengths"),
         )
         .select(
             "shard",
@@ -212,5 +220,6 @@ def materialize_packed(
             "input_ids",
             F.size("input_ids").alias("n_tokens"),
             "n_pieces",
+            "piece_lengths",
         )
     )

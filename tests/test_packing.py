@@ -134,6 +134,10 @@ def test_materialize_packed_stream_invariants(spark):
         flat = [x for r in rows for x in r["input_ids"]]
         assert flat == streams[s]  # exact stream conservation
         assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        for r in rows:  # boundary metadata consistent with the ids
+            assert sum(r["piece_lengths"]) == r["n_tokens"]
+            assert len(r["piece_lengths"]) == r["n_pieces"]
+            assert all(pl > 0 for pl in r["piece_lengths"])
 
 
 def test_materialize_packed_splits_docs_across_boundaries(spark):
