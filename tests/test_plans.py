@@ -867,3 +867,39 @@ def test_bpe_fertility_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     vocab.unpersist()
+
+
+def test_bpe_encode_broadcasts_word_ids_no_cartesian(spark, sf_dir):
+    """Encoding joins the corpus' word occurrences against the
+    once-encoded vocab via BROADCAST — a shuffle join here would
+    repartition corpus-scale word rows by word (skewed on stopwords)."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=2)
+    p = plan_of(encode_docs(d, "doc_id", "text", vocab))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    vocab.unpersist()
+
+
+def test_materialize_packed_is_span_math_plus_one_aggregate(spark, sf_dir):
+    """The window materializer is pure codegen span arithmetic + ONE
+    (shard, window) hash aggregate over the exploded pieces — no
+    Python, no cartesian, no join at all downstream of pack's window."""
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("input_ids")
+    )
+    p = pack_sequences(d, "doc_id", F.size("input_ids"), max_tokens=64,
+                       shard_col=F.pmod(F.col("doc_id"), F.lit(4)))
+    plan = plan_of(materialize_packed(p, "input_ids", 64))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # window exchange (pack) + aggregate exchange (materialize) only
+    df = materialize_packed(p, "input_ids", 64)
+    assert count_exchanges(df) <= 2
