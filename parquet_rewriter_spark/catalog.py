@@ -26,7 +26,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from parquet_rewriter_spark.operators.joins import asof_join, range_join
 from parquet_rewriter_spark.operators.merge import apply_mutations, delete_keys
@@ -13439,6 +13439,17 @@ def bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _ids_digest(col: str) -> Column:
+    """md5 of the comma-joined int array — the scalar bridge that lets
+    the driver's pandas canonicalizer (which cannot sort array cells)
+    hash-compare a full token-id stream. DuckDB replay:
+    ``md5(array_to_string(ids, ','))`` — both engines render ints and
+    lowercase hex identically, verified in tests."""
+    return F.md5(
+        F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("string")))
+    )
+
+
 def _bpe_encode_oracle(n_merges: int = 6, max_doc: int = 15) -> str:
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 
@@ -13470,7 +13481,7 @@ def _bpe_encode_oracle(n_merges: int = 6, max_doc: int = 15) -> str:
             FROM documents WHERE doc_id < {max_doc}),
            LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
     )
-    SELECT doc_id, {flat} AS input_ids,
+    SELECT doc_id, md5(array_to_string({flat}, ',')) AS ids_digest,
            CAST(len({flat}) AS INT) AS n_tokens
     FROM dwords JOIN word_ids USING (word)
     GROUP BY doc_id ORDER BY doc_id
@@ -13492,15 +13503,19 @@ def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_sort over (position, ids) structs — never a bare
     collect_list, whose order is partition-dependent. The oracle
     replays training, the symbol-id assignment, word encoding, AND the
-    full per-doc id sequences cell-for-cell."""
+    full per-doc id sequences cell-for-cell. The REGISTERED output is
+    scalar-only (the driver's canonicalizer cannot sort array cells):
+    ``input_ids`` ships as an md5 digest of the comma-joined id stream
+    — still a byte-for-byte proof of the whole sequence — while the
+    array-returning :func:`encode_docs` stays the user API."""
     from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
 
     d = _t(spark, sf_dir, "documents")
     rules, vocab = bpe_train(d, "text", n_merges=6)
-    out = encode_docs(
-        d.filter(F.col("doc_id") < 15), "doc_id", "text", vocab
+    out = encode_docs(d.filter(F.col("doc_id") < 15), "doc_id", "text", vocab)
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
     ).orderBy("doc_id")
-    return out
 
 
 def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
@@ -13561,14 +13576,46 @@ def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
                  'pos': B + greatest(0, w * {m} - B) - w * {m}}})) AS p
       )
     )
-    SELECT shard, seq_id, {flat} AS input_ids,
+    SELECT shard, seq_id, md5(array_to_string({flat}, ',')) AS ids_digest,
            CAST(len({flat}) AS INT) AS n_tokens,
            count(*) AS n_pieces,
-           list_transform(list_sort(list({{'p': pos, 'l': piece}})),
-                          s -> len(s.l)) AS piece_lengths
+           array_to_string(list_transform(list_sort(list({{'p': pos, 'l': piece}})),
+                                          s -> len(s.l)), ',') AS piece_lengths
     FROM pieces GROUP BY shard, seq_id
     ORDER BY shard, seq_id
     """
+
+
+def _packed_windows_scalar(
+    spark: SparkSession, sf_dir: str, n_merges: int, m: int, shards: int
+) -> DataFrame:
+    """Shared body of the packed-window queries: run the end-to-end
+    pipeline, then project the array outputs to driver-safe scalars
+    (digest of the id stream, comma-joined piece lengths)."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=n_merges)
+    enc = encode_docs(d, "doc_id", "text", vocab)
+    p = pack_sequences(
+        enc, "doc_id", F.size("input_ids"), max_tokens=m,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(shards)),
+    )
+    win = materialize_packed(p, "input_ids", m)
+    return win.select(
+        "shard",
+        "seq_id",
+        _ids_digest("input_ids").alias("ids_digest"),
+        "n_tokens",
+        "n_pieces",
+        F.concat_ws(
+            ",", F.transform(F.col("piece_lengths"), lambda x: x.cast("string"))
+        ).alias("piece_lengths"),
+    ).orderBy("shard", "seq_id")
 
 
 @query(
@@ -13585,21 +13632,28 @@ def bpe_packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure span arithmetic + one (shard, window) hash aggregate, order
     restored by array_sort over position structs). A hash match proves
     the full id stream — training, encoding, shard order, window
-    boundaries, split pieces — byte-for-byte across engines."""
-    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
-    from parquet_rewriter_spark.operators.packing import (
-        materialize_packed,
-        pack_sequences,
-    )
+    boundaries, split pieces — byte-for-byte across engines. The
+    REGISTERED output is scalar-only (driver canonicalizer constraint):
+    the id array ships as an md5 digest of its comma-joined stream and
+    ``piece_lengths`` as a comma-joined string; the array-returning
+    materializer stays the user API."""
+    return _packed_windows_scalar(spark, sf_dir, n_merges=4, m=64, shards=4)
 
-    d = _t(spark, sf_dir, "documents")
-    rules, vocab = bpe_train(d, "text", n_merges=4)
-    enc = encode_docs(d, "doc_id", "text", vocab)
-    p = pack_sequences(
-        enc, "doc_id", F.size("input_ids"), max_tokens=64,
-        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
-    )
-    return materialize_packed(p, "input_ids", 64).orderBy("shard", "seq_id")
+
+@query(
+    "bpe_packed_windows_dense",
+    _bpe_packed_oracle(4, 16, 4),
+    "llm-pipeline", "tokenizer", "bpe", "packing", "pretraining",
+)
+def bpe_packed_windows_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-window pipeline at M=16 — small enough that most
+    documents SPAN windows, so split pieces dominate and the span
+    arithmetic's edge cases (a piece ending exactly at a boundary, a
+    single-token tail window, a doc spanning 3+ windows) are all
+    exercised and oracled, not just unit-tested. Same digest proof and
+    attention-mask ``piece_lengths`` contract as
+    ``bpe_packed_training_windows``."""
+    return _packed_windows_scalar(spark, sf_dir, n_merges=4, m=16, shards=4)
 
 
 def _stream_dsir_oracle() -> str:
