@@ -20,14 +20,25 @@ corpus-scale one:
                   ANSI ``replace`` scan left-to-right non-overlapping —
                   identical greedy semantics, pinned in tests)
 
-The word relation is persisted once: training cost = 1 corpus scan +
-``n_merges`` vocab-scale rounds, each a tiny shuffle. At 100 TB the
-corpus scan dominates and happens exactly once.
+The word relation is persisted once, and the merge-round lineage is
+TRUNCATED every ``lineage_every`` rounds (``localCheckpoint`` — the
+replace chain otherwise re-executes all prior rounds' replaces on
+every pair-count pass and grows the logical plan one node per merge;
+at a production vocab of 32k merges that quadratic recompute plus a
+32k-deep plan kills the driver long before the data does). Training
+cost is therefore genuinely 1 corpus scan + ``n_merges`` vocab-scale
+rounds, each re-applying at most ``lineage_every`` replaces over the
+latest snapshot.
 
 ENCODING reuses the same insight: encode each DISTINCT word once (the
-vocab relation already carries the merged symbol strings), then
-broadcast-join documents' exploded words against the ≤vocab-row
-(word → n_tokens) relation — the corpus is never character-exploded.
+vocab relation already carries the merged symbol strings), then join
+documents' exploded words against the (word → n_tokens/ids) relation.
+That relation has one row per DISTINCT CORPUS WORD — merge-bounded in
+symbol count but NOT in row count (typos, numbers, URLs: 10⁸–10⁹
+distinct words at 100 TB) — so the join broadcasts only below a
+counted row threshold and falls back to a plain hash join on ``word``
+above it (one exchange of the exploded words; a forced broadcast
+would remove AQE's fallback and OOM executors at scale).
 
 Everything — char splitting (regexp ``(.) → $1␣``), pair extraction,
 tie-breaks, the replace mechanics — has an exact DuckDB replay emitted
@@ -40,6 +51,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 END = "</w>"
+
+# Broadcast the (word → n_tokens/ids) relation only below this many
+# distinct words; above it, a plain hash join on `word` (the relation
+# is unbounded at corpus scale — see module docstring).
+BROADCAST_MAX_WORDS = 2_000_000
+
+
+def _word_join(occ: DataFrame, rel: DataFrame, n_words: int,
+               broadcast_threshold: int) -> DataFrame:
+    """Join exploded word occurrences against a per-distinct-word
+    relation: broadcast under the threshold, hash join above it."""
+    small = n_words <= broadcast_threshold
+    return occ.join(F.broadcast(rel) if small else rel, "word")
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -80,17 +104,29 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int = 6
+    df: DataFrame, text_col: str, n_merges: int = 6, lineage_every: int = 25
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` merge rules. Returns (rules, vocab): rules as
     [{step, lhs, rhs, merged, pair_count}, ...] in learned order, vocab
     as the final (word, cnt, sym) relation with all merges applied
-    (reuse it for encoding — don't retrain)."""
+    (reuse it for encoding — don't retrain).
+
+    Every ``lineage_every`` merges the vocab is snapshotted with an
+    eager ``localCheckpoint``, truncating both the recompute chain
+    (each pair-count pass otherwise replays EVERY prior round's
+    replace over the cached base — O(n_merges²) work) and the logical
+    plan (one ``withColumn`` node per merge — a 32k-production-vocab
+    plan overwhelms the analyzer). Between snapshots each round
+    re-applies at most ``lineage_every`` replaces; also counts the
+    distinct-word relation once so encode/fertility can pick their
+    join strategy without an extra job (``vocab_n_words`` attribute on
+    the returned DataFrame's ``_pr_n_words``)."""
     base = word_counts(df, text_col).select(
         "word", "cnt", _init_sym().alias("sym")
     ).persist()
-    base.count()  # materialize: n_merges rounds reuse it
+    n_words = base.count()  # materialize: n_merges rounds reuse it
     vocab = base
+    anchor = base  # the persisted/snapshotted ancestor `vocab` derives from
     rules: list[dict] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -108,13 +144,20 @@ def bpe_train(
         vocab = vocab.withColumn(
             "sym", F.replace(F.col("sym"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
         )
-    if vocab is not base:
+        if lineage_every and step % lineage_every == 0 and step < n_merges:
+            # eager snapshot: plan depth and per-round recompute both
+            # reset to zero; free the predecessor's cache
+            vocab = vocab.localCheckpoint(eager=True)
+            anchor.unpersist()
+            anchor = vocab
+    if vocab is not anchor:
         # hand the caller a SELF-persisted relation so vocab.unpersist()
         # actually frees the cache (persisting the derivative reads the
-        # still-cached base once, then the base can go)
+        # still-cached anchor once, then the anchor can go)
         vocab = vocab.persist()
         vocab.count()
-        base.unpersist()
+        anchor.unpersist()
+    vocab._pr_n_words = n_words  # distinct-word count, join-strategy hint
     return rules, vocab
 
 
@@ -147,16 +190,23 @@ def vocab_token_counts(vocab: DataFrame) -> DataFrame:
 
 
 def fertility_by(
-    df: DataFrame, text_col: str, group_col: str, vocab: DataFrame
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    vocab: DataFrame,
+    broadcast_threshold: int = BROADCAST_MAX_WORDS,
 ) -> DataFrame:
     """Tokenizer fertility (tokens per word) per group: explode the
-    corpus into word occurrences, broadcast-join the ≤vocab-row token
-    counts, aggregate. (group, n_words, n_tokens, fertility)."""
+    corpus into word occurrences, join the per-distinct-word token
+    counts (broadcast under ``broadcast_threshold`` distinct words,
+    hash join above — the relation is corpus-unbounded), aggregate.
+    (group, n_words, n_tokens, fertility)."""
     w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     occ = df.select(F.col(group_col).alias("grp"), F.explode(w).alias("word"))
     vt = vocab_token_counts(vocab)
+    n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
     return (
-        occ.join(F.broadcast(vt), "word")
+        _word_join(occ, vt, n_words, broadcast_threshold)
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -248,15 +298,22 @@ def symbol_vocab(vocab: DataFrame) -> DataFrame:
 
 
 def encode_docs(
-    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    broadcast_threshold: int = BROADCAST_MAX_WORDS,
 ) -> DataFrame:
     """Encode documents to BPE token-id sequences: (id, input_ids,
     n_tokens). Same discipline as fertility_by — each DISTINCT word is
     id-mapped ONCE in the vocab relation (vocab-scale), then documents'
-    word occurrences broadcast-join the (word → ids) projection and the
+    word occurrences join the (word → ids) projection (broadcast under
+    ``broadcast_threshold`` distinct words, hash join above) and the
     per-doc sequence reassembles order-safely via array_sort over
     (position, ids) structs (never a bare collect_list, whose order is
-    partition-dependent)."""
+    partition-dependent). The SYMBOL-id relation stays force-broadcast
+    — it is merge-count-bounded (≤ alphabet + n_merges + 1 rows),
+    unlike the distinct-word relation."""
     sid = symbol_vocab(vocab)
     word_syms = vocab.select(
         "word",
@@ -276,8 +333,9 @@ def encode_docs(
     words = df.select(
         F.col(id_col).alias("id"), F.posexplode(wlist).alias("wpos", "word")
     )
+    n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
     return (
-        words.join(F.broadcast(word_ids), "word")
+        _word_join(words, word_ids, n_words, broadcast_threshold)
         .groupBy("id")
         .agg(
             F.flatten(

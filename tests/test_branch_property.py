@@ -128,3 +128,33 @@ def test_bpe_train_matches_pure_python_reference(spark, words):
     want = _bpe_reference(texts, 4)
     vocab.unpersist()
     assert got == want
+
+
+def test_bpe_train_deep_merges_bounded_lineage(spark):
+    """merges ≫ lineage_every: 64 rounds with a snapshot every 8 must
+    (a) learn exactly the pure-Python reference's rules — the
+    localCheckpoint lineage truncation is invisible to semantics — and
+    (b) keep the final plan SHALLOW: at most lineage_every replace
+    nodes survive above the last snapshot (without truncation the plan
+    carries all 64 and every round recomputes its predecessors —
+    the O(k²) recompute the round-8 audit flagged)."""
+    from pyspark.sql import Row
+
+    from parquet_rewriter_spark.operators.bpe import bpe_train
+
+    # long repetitive words so 64 distinct merges exist
+    texts = [
+        " ".join(
+            f"{a}{b}{a}{b}{c}{a}{b}" for a in "abcdef" for b in "abcdef"
+            for c in "ab"
+        )
+        for _ in range(2)
+    ]
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    rules, vocab = bpe_train(docs, "text", n_merges=64, lineage_every=8)
+    got = [(r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in rules]
+    want = _bpe_reference(texts, 64)
+    plan = vocab._jdf.queryExecution().analyzed().toString()
+    vocab.unpersist()
+    assert got == want[: len(got)] and len(got) == len(want)
+    assert plan.count("replace(") <= 8, plan.count("replace(")

@@ -855,9 +855,9 @@ def test_bpe_pair_counts_mapside_combined(spark, sf_dir):
 
 
 def test_bpe_fertility_broadcasts_vocab(spark, sf_dir):
-    """Encoding never character-explodes the corpus: the plan joins the
-    corpus' word occurrences against the once-encoded vocab via
-    broadcast."""
+    """Encoding never character-explodes the corpus: below the
+    distinct-word threshold the plan joins the corpus' word
+    occurrences against the once-encoded vocab via broadcast."""
     from parquet_rewriter_spark.operators.bpe import bpe_train, fertility_by
 
     d = load_table(spark, sf_dir, "documents")
@@ -866,13 +866,29 @@ def test_bpe_fertility_broadcasts_vocab(spark, sf_dir):
     p = plan_of(f)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    # above-threshold: the word relation is corpus-unbounded, so the
+    # word join MUST NOT be force-broadcast (a forced hint on 10⁸+
+    # distinct words removes AQE's fallback and OOMs executors). With
+    # auto-broadcast off, only forced hints broadcast — the plan must
+    # show a shuffle join, still no cartesian.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p0 = plan_of(fertility_by(d, "text", "lang", vocab, broadcast_threshold=0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p0 or "ShuffledHashJoin" in p0
+    assert "CartesianProduct" not in p0
     vocab.unpersist()
 
 
 def test_bpe_encode_broadcasts_word_ids_no_cartesian(spark, sf_dir):
     """Encoding joins the corpus' word occurrences against the
-    once-encoded vocab via BROADCAST — a shuffle join here would
-    repartition corpus-scale word rows by word (skewed on stopwords)."""
+    once-encoded vocab via BROADCAST below the distinct-word threshold
+    (the common case: vocab ≪ corpus), and falls back to a hash join
+    on `word` above it — the word relation has one row per distinct
+    corpus word, which is NOT merge-bounded at 100 TB. The symbol-id
+    relation (alphabet + merges rows) stays broadcast in both shapes."""
     from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
 
     d = load_table(spark, sf_dir, "documents")
@@ -880,6 +896,18 @@ def test_bpe_encode_broadcasts_word_ids_no_cartesian(spark, sf_dir):
     p = plan_of(encode_docs(d, "doc_id", "text", vocab))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    # above-threshold with auto-broadcast off: only FORCED hints
+    # broadcast, so the word join must shuffle while the bounded
+    # symbol-id join stays broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p0 = plan_of(encode_docs(d, "doc_id", "text", vocab, broadcast_threshold=0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p0 or "ShuffledHashJoin" in p0
+    assert "BroadcastHashJoin" in p0  # the bounded symbol-id join
+    assert "CartesianProduct" not in p0
     vocab.unpersist()
 
 
