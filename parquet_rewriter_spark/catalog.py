@@ -13656,6 +13656,116 @@ def bpe_packed_windows_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _packed_windows_scalar(spark, sf_dir, n_merges=4, m=16, shards=4)
 
 
+def _bpe_roundtrip_oracle(n_merges: int = 4) -> str:
+    from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
+
+    cte = bpe_vocab_cte_sql("documents", "text", n_merges)
+    return f"""
+    WITH {cte},
+    sid AS (
+      SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS token_id
+      FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS symbol
+            FROM v{n_merges})
+    ),
+    wsyms AS (
+      SELECT word, i AS pos, ws[i] AS symbol
+      FROM (SELECT word, string_split(trim(sym), ' ') AS ws FROM v{n_merges}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(list_sort(list({{'p': pos, 'i': token_id}})),
+                            s -> s.i) AS ids
+      FROM wsyms JOIN sid USING (symbol) GROUP BY word
+    ),
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id,
+             flatten(list_transform(list_sort(list({{'p': wpos, 'l': ids}})),
+                                    s -> s.l)) AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    dectok AS (
+      SELECT doc_id, i, input_ids[i] AS tid
+      FROM enc, LATERAL (SELECT unnest(generate_series(1, len(input_ids))) AS i)
+    ),
+    dec AS (
+      SELECT d.doc_id,
+             rtrim(replace(string_agg(s.symbol, '' ORDER BY d.i), '</w>', ' '))
+               AS decoded
+      FROM dectok d JOIN sid s ON s.token_id = d.tid
+      GROUP BY d.doc_id
+    ),
+    norm AS (
+      SELECT doc_id, source,
+             array_to_string(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> ''), ' ')
+               AS expect
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, len(input_ids) AS n_tokens FROM enc)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN decoded = expect THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM dec JOIN norm USING (doc_id) JOIN tok USING (doc_id)
+    GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "bpe_roundtrip_fidelity",
+    _bpe_roundtrip_oracle(4),
+    "llm-pipeline", "tokenizer", "bpe", "decode",
+)
+def bpe_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detokenization closes the tokenizer family (train → encode →
+    DECODE → pack): every document is encoded under the 4-merge vocab
+    and decoded back (operators/bpe.py:decode_docs — the bounded
+    symbol table inlined as a map literal; pure codegen transform +
+    concat, zero shuffle, zero Python), then compared against encode's
+    own normalization of the source text. ``n_exact = n_docs`` per
+    source proves the id streams are LOSSLESS — both engines replay
+    encode AND decode independently and must agree on every count."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        decode_docs,
+        encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    enc = encode_docs(d, "doc_id", "text", vocab)
+    dec = decode_docs(enc, "input_ids", vocab)
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ",
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""),
+        ).alias("expect"),
+    )
+    return (
+        dec.join(norm, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("decoded") == F.col("expect"), 1).otherwise(0)
+            ).alias("n_exact"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,

@@ -274,6 +274,7 @@ __all__ = [
     "fertility_by",
     "symbol_vocab",
     "encode_docs",
+    "decode_docs",
     "bpe_vocab_cte_sql",
 ]
 
@@ -350,4 +351,37 @@ def encode_docs(
             "input_ids",
             F.size("input_ids").alias("n_tokens"),
         )
+    )
+
+
+def decode_docs(
+    encoded: DataFrame,
+    ids_col: str,
+    vocab: DataFrame,
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Detokenize: map each token id back to its symbol and reassemble
+    the normalized text (lowercased, single-space word separation —
+    encode's own normalization, so ``decode(encode(t))`` reproduces it
+    EXACTLY; the round-trip query oracles a 100% reconstruction rate).
+
+    Scale shape: the symbol table is merge-count-bounded (≤ alphabet +
+    n_merges + 1 rows), so it is collected once — the same cost class
+    as the broadcast it replaces — and inlined as a MAP LITERAL; the
+    decode itself is pure whole-stage-codegen array arithmetic
+    (``transform`` lookup + ``concat_ws`` + one ``replace``): zero
+    shuffle, zero Python, never an explode of the corpus' tokens."""
+    sid = sorted(
+        (int(r["token_id"]), r["symbol"])
+        for r in symbol_vocab(vocab).select("token_id", "symbol").collect()
+    )
+    m = F.map_from_arrays(
+        F.array(*[F.lit(t) for t, _ in sid]),
+        F.array(*[F.lit(s) for _, s in sid]),
+    )
+    raw = F.concat_ws(
+        "", F.transform(F.col(ids_col), lambda i: F.element_at(m, i))
+    )
+    return encoded.withColumn(
+        out_col, F.rtrim(F.replace(raw, F.lit(END), F.lit(" ")))
     )
