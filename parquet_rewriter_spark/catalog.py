@@ -13845,6 +13845,69 @@ def stream_dsir_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_packed_assignments",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, shard, tok,
+             CAST(coalesce(sum(tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS B
+      FROM d
+    )
+    SELECT doc_id, shard, B // 64 AS seq_id, B % 64 AS seq_offset,
+           (B % 64 + tok) > 64 AS spans_boundary
+    FROM p ORDER BY doc_id
+    """,
+    "streaming", "llm-pipeline", "packing",
+)
+def stream_packed_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST sequence packing (streaming/ops.py:
+    stream_pack_sequences): documents are assigned packed-window
+    positions AS THEY ARRIVE by a custom stateful operator
+    (applyInPandasWithState keyed by shard) whose entire state is one
+    long per shard — the next token offset — so packing a 100-TB
+    firehose carries O(num_shards) state, never history. The sink's
+    per-doc assignments must equal the batch packer's replay (the
+    oracle): proof the streaming offsets are exactly the batch
+    cumulative sums. Multi-batch offset continuation is pinned
+    separately in tests with a maxFilesPerTrigger=1 source."""
+    import shutil
+
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_pack_sequences,
+        stream_table,
+    )
+
+    base = _scratch("stream_pack")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = stream_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    stream_pack_sequences(
+        docs, "doc_id", toks, max_tokens=64, sink_dir=sink, checkpoint_dir=ckpt,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    return (
+        spark.read.parquet(sink)
+        .select(
+            F.col("id").alias("doc_id"),
+            "shard",
+            "seq_id",
+            "seq_offset",
+            "spans_boundary",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "length_bucketed_batch_waste",
     f"""
     WITH d AS (

@@ -962,3 +962,104 @@ def stream_score_dsir(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
+def stream_pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: "Column | str",
+    max_tokens: int,
+    sink_dir: str,
+    checkpoint_dir: str,
+    num_shards: int = 8,
+    shard_col: "Column | None" = None,
+    timeout_s: int = 300,
+) -> None:
+    """STREAMING sequence packing — the on-ingest twin of
+    operators/packing.py:pack_sequences: as documents arrive, each is
+    assigned its position in its shard's packed token stream WITHOUT
+    ever re-reading history. A custom stateful operator
+    (``applyInPandasWithState`` keyed by shard) carries ONE long per
+    shard — the next token offset — across micro-batches; each batch
+    sorts its shard-group by id (the documented arrival-order contract:
+    packing order is arrival order, batch-internal ties by id), assigns
+    offsets cumulatively from the state, and appends
+    (id, shard, seq_id, seq_offset, spans_boundary) to the sink.
+
+    State is O(num_shards) longs TOTAL — independent of stream length —
+    and shards are the unit of parallelism, exactly like the batch
+    packer. With a single-batch replay of a static table the
+    assignment equals the batch packer's (same id order), which is how
+    the oracle verifies it; across multiple micro-batches the offsets
+    CONTINUE where the previous batch stopped (pinned in tests with a
+    maxFilesPerTrigger=1 multi-file source).
+
+    ``id_col`` must be integral (the state kernel sorts and returns it
+    as long). ``tokens_col`` may be a name or expression; it is
+    materialized as a column before entering the stateful kernel.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        shard.cast("int").alias("shard"),
+        tokens.cast("long").alias("n_tok"),
+    )
+    out_schema = (
+        "id long, shard int, seq_id long, seq_offset long, spans_boundary boolean"
+    )
+    state_schema = "offset long"
+    M = int(max_tokens)
+
+    def fn(key_tuple, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        off = int(state.get[0]) if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("id")
+            tok = pdf["n_tok"].to_numpy(dtype="int64")
+            before = off + np.concatenate(([0], np.cumsum(tok[:-1])))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(dtype="int64"),
+                        "shard": np.full(len(pdf), int(key_tuple[0]), dtype="int32"),
+                        "seq_id": before // M,
+                        "seq_offset": before % M,
+                        "spans_boundary": (before % M + tok) > M,
+                    }
+                )
+            )
+            off += int(tok.sum())
+        state.update((off,))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    assigned = base.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        assigned.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")

@@ -77,3 +77,58 @@ def test_bpe_decode_hand_example(spark):
     vocab.unpersist()
     # encode normalizes: lowercase, single-space separation
     assert got == {0: "ab ab ab", 1: "ba"}
+
+
+def test_stream_pack_sequences_continues_offsets_across_batches(spark, tmp_path):
+    """Three files, maxFilesPerTrigger=1 → three micro-batches; each
+    shard's token offset must CONTINUE where the previous batch
+    stopped. With ascending ids per file and mtimes forcing arrival
+    order, the streamed assignment equals the batch packer's on the
+    static union — including seq_ids that straddle batch boundaries."""
+    import os
+    import time
+
+    from parquet_rewriter_spark.operators.packing import pack_sequences
+    from parquet_rewriter_spark.streaming.ops import stream_pack_sequences
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [(i, "w " * (3 + i % 7)) for i in range(30)]
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in range(3):
+        part = df_all.filter(
+            (F.col("doc_id") >= 10 * k) & (F.col("doc_id") < 10 * (k + 1))
+        )
+        p = str(src / f"f{k}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() - 300 + 60 * k
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+        os.utime(p, (t, t))
+
+    schema = df_all.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/f[012].parquet")
+    )
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream_pack_sequences(
+        stream, "doc_id", toks, max_tokens=16, sink_dir=sink,
+        checkpoint_dir=ckpt, shard_col=F.lit(0),
+    )
+    got = {
+        r["id"]: (r["seq_id"], r["seq_offset"], r["spans_boundary"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want_df = pack_sequences(
+        df_all, "doc_id", toks, max_tokens=16, shard_col=F.lit(0)
+    )
+    want = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["spans_boundary"])
+        for r in want_df.collect()
+    }
+    assert len(got) == 30
+    assert got == want
