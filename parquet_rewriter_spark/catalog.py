@@ -13908,6 +13908,57 @@ def stream_packed_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_pack_assignments",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS tok
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, shard, tok,
+             CAST(coalesce(sum(tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS B
+      FROM d
+    )
+    SELECT doc_id, shard, B // 32 AS seq_id, B % 32 AS seq_offset,
+           (B % 32 + tok) > 32 AS spans_boundary
+    FROM p ORDER BY doc_id
+    """,
+    "llm-pipeline", "packing", "incremental",
+)
+def incremental_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY packing of a growing corpus: pack the first corpus
+    increment, persist the num_shards-row offsets manifest
+    (operators/packing.py:shard_next_offsets — one map-side-combined
+    aggregate), then pack the appended increment CONTINUING each
+    shard's token stream from the manifest (pack_sequences'
+    start_offsets, a broadcast join) — history is never repacked. The
+    oracle is the ONE-SHOT pack of the union: incremental must equal
+    full repack, window boundaries included."""
+    from parquet_rewriter_spark.operators.packing import (
+        pack_sequences,
+        shard_next_offsets,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    sh = F.pmod(F.col("doc_id"), F.lit(4))
+    first = d.filter(F.col("doc_id") < 200)
+    rest = d.filter(F.col("doc_id") >= 200)
+    p1 = pack_sequences(first, "doc_id", toks, max_tokens=32, shard_col=sh)
+    offs = shard_next_offsets(first, "doc_id", toks, shard_col=sh)
+    p2 = pack_sequences(
+        rest, "doc_id", toks, max_tokens=32, shard_col=sh, start_offsets=offs
+    )
+    cols = ["doc_id", "shard", "seq_id", "seq_offset", "spans_boundary"]
+    return p1.select(*cols).unionByName(p2.select(*cols)).orderBy("doc_id")
+
+
+@query(
     "length_bucketed_batch_waste",
     f"""
     WITH d AS (

@@ -31,6 +31,7 @@ def pack_sequences(
     max_tokens: int,
     num_shards: int = 64,
     shard_col: Column | None = None,
+    start_offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each doc its position in the packed token stream.
 
@@ -44,6 +45,15 @@ def pack_sequences(
     whitespace token count). ``shard_col`` overrides the default
     xxhash64 hash bucket — e.g. a modulo of a numeric id when the
     assignment must be replayable outside Spark.
+
+    ``start_offsets`` makes packing INCREMENTAL: a (shard, base_off)
+    relation — :func:`shard_next_offsets` of everything packed so far
+    — shifts each shard's cumulative sums, so appending a new corpus
+    increment continues every shard's token stream exactly where the
+    previous pack stopped instead of repacking history (the append
+    path of a growing pretraining corpus; pack-then-append equals the
+    one-shot pack of the union, oracled). The relation is
+    num_shards-bounded, joined broadcast.
     """
     tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     shard = (
@@ -61,6 +71,19 @@ def pack_sequences(
         .withColumn("__tok", tokens.cast("long"))
         .withColumn("__before", F.coalesce(F.sum("__tok").over(w), F.lit(0)))
     )
+    if start_offsets is not None:
+        out = (
+            out.join(
+                F.broadcast(start_offsets.select("shard", "base_off")),
+                "shard",
+                "left",
+            )
+            .withColumn(
+                "__before",
+                F.col("__before") + F.coalesce(F.col("base_off"), F.lit(0)),
+            )
+            .drop("base_off")
+        )
     return (
         out.withColumn("seq_id", (F.col("__before") / max_tokens).cast("long"))
         .withColumn("seq_offset", F.col("__before") % max_tokens)
@@ -69,6 +92,46 @@ def pack_sequences(
             (F.col("seq_offset") + F.col("__tok")) > F.lit(max_tokens),
         )
         .drop("__tok", "__before")
+    )
+
+
+def shard_next_offsets(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str | Column,
+    num_shards: int = 64,
+    shard_col: Column | None = None,
+    start_offsets: DataFrame | None = None,
+) -> DataFrame:
+    """(shard, base_off): total tokens packed per shard so far — one
+    map-side-combined aggregate over the packed increment, folded onto
+    the previous offsets if given. Feed the result to
+    :func:`pack_sequences`'s ``start_offsets`` to pack the NEXT corpus
+    increment without touching history. num_shards rows, trivially
+    persistable as the packing manifest of a growing corpus."""
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+    )
+    totals = (
+        docs.select(shard.alias("shard"), tokens.cast("long").alias("__tok"))
+        .groupBy("shard")
+        .agg(F.sum("__tok").alias("base_off"))
+    )
+    if start_offsets is None:
+        return totals
+    prev = start_offsets.select("shard", F.col("base_off").alias("__prev"))
+    return (
+        totals.join(prev, "shard", "full")
+        .select(
+            "shard",
+            (
+                F.coalesce(F.col("base_off"), F.lit(0))
+                + F.coalesce(F.col("__prev"), F.lit(0))
+            ).alias("base_off"),
+        )
     )
 
 

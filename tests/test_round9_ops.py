@@ -132,3 +132,65 @@ def test_stream_pack_sequences_continues_offsets_across_batches(spark, tmp_path)
     }
     assert len(got) == 30
     assert got == want
+
+
+def test_incremental_pack_equals_one_shot_over_three_increments(spark):
+    """pack → offsets → pack → offsets → pack over three id-ordered
+    increments must equal the one-shot pack of the union, with the
+    default xxhash64 shards (not just the oracle's modulo shards)."""
+    from parquet_rewriter_spark.operators.packing import (
+        pack_sequences,
+        shard_next_offsets,
+    )
+
+    rows = [(i, 2 + (i * 7) % 11) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    parts = [
+        df.filter((F.col("doc_id") >= 30 * k) & (F.col("doc_id") < 30 * (k + 1)))
+        for k in range(3)
+    ]
+    offs = None
+    got = {}
+    for part in parts:
+        p = pack_sequences(
+            part, "doc_id", "tok", max_tokens=16, num_shards=4,
+            start_offsets=offs,
+        )
+        for r in p.collect():
+            got[r["doc_id"]] = (r["shard"], r["seq_id"], r["seq_offset"],
+                                r["spans_boundary"])
+        offs = shard_next_offsets(
+            part, "doc_id", "tok", num_shards=4, start_offsets=offs
+        )
+    want = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["seq_offset"],
+                      r["spans_boundary"])
+        for r in pack_sequences(
+            df, "doc_id", "tok", max_tokens=16, num_shards=4
+        ).collect()
+    }
+    assert len(got) == 90 and got == want
+
+
+def test_incremental_pack_offsets_join_is_broadcast(spark):
+    """The offsets manifest is num_shards rows — its join onto the
+    increment must be broadcast, never a shuffle of the corpus."""
+    from parquet_rewriter_spark.operators.packing import (
+        pack_sequences,
+        shard_next_offsets,
+    )
+    from parquet_rewriter_spark.plans.inspect import plan_of
+
+    df = spark.createDataFrame(
+        [(i, 3) for i in range(40)], "doc_id long, tok long"
+    )
+    offs = shard_next_offsets(df, "doc_id", "tok", num_shards=4)
+    p = plan_of(
+        pack_sequences(
+            df, "doc_id", "tok", max_tokens=16, num_shards=4,
+            start_offsets=offs,
+        )
+    )
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
