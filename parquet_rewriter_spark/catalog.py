@@ -5437,10 +5437,13 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "minhash_portable_near_dup_pairs",
-    f"""
-    WITH docs AS (SELECT * FROM {_DOCS_WITH_DUPS} AS dd),
+def _minhash_portable_cte(docs_sql: str) -> str:
+    """The WITH-body replaying operators/dedup.py:
+    minhash_lsh_pairs_portable over ``docs_sql`` — emits CTEs up to
+    ``pairs`` (id_a, id_b, jaccard ≥ 0.5). Shared by the pair query
+    and the cross-source contamination matrix so the sketch replay
+    lives in one place."""
+    return f"""docs AS (SELECT * FROM {docs_sql} AS dd),
     d AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
     sh AS (
       SELECT doc_id, array_to_string(list_slice(w, j, j + 2), ' ') AS sh
@@ -5468,15 +5471,24 @@ def stream_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN bandkeys b2 ON a.band = b2.band AND a.bkey = b2.bkey
                       AND a.doc_id < b2.doc_id
     ),
-    sets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id)
-    SELECT c.id_a, c.id_b,
-           round(len(list_intersect(sa.s, sb.s))::DOUBLE
-                 / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
-    FROM cand c
-    JOIN sets sa ON sa.doc_id = c.id_a
-    JOIN sets sb ON sb.doc_id = c.id_b
-    WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
-                / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.5
+    sets AS (SELECT doc_id, list_distinct(list(sh)) AS s FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                   / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.id_a
+      JOIN sets sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.5
+    )"""
+
+
+@query(
+    "minhash_portable_near_dup_pairs",
+    f"""
+    WITH {_minhash_portable_cte(_DOCS_WITH_DUPS)}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
     "dedup", "minhash", "lsh", "portable",
 )
@@ -5494,6 +5506,82 @@ def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     d2 = _docs_with_dups(spark, sf_dir)
     return minhash_lsh_pairs_portable(
         d2, "doc_id", "text", threshold=0.5, num_hashes=48, bands=16, shingle_n=3
+    )
+
+
+_DOCS_CROSS_DUPS = """
+    (SELECT * FROM documents
+     UNION ALL
+     SELECT doc_id + 1000000, text, lang, 'mirror_' || source, n_chars
+     FROM documents WHERE doc_id % 5 = 0)
+"""
+
+
+def _docs_cross_dups(spark, sf_dir):
+    """documents ∪ a shifted copy of every 5th doc under a MIRRORED
+    source name — synthetic cross-source duplication, so the
+    contamination matrix has off-diagonal mass to measure."""
+    d = _t(spark, sf_dir, "documents")
+    dups = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.concat(F.lit("mirror_"), F.col("source")))
+    )
+    return d.unionByName(dups)
+
+
+@query(
+    "cross_source_contamination_matrix",
+    f"""
+    WITH {_minhash_portable_cte(_DOCS_CROSS_DUPS)},
+    src AS (SELECT doc_id, source FROM docs)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard
+    FROM pairs p
+    JOIN src sa ON sa.doc_id = p.id_a
+    JOIN src sb ON sb.doc_id = p.id_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dedup", "minhash", "llm-pipeline", "contamination",
+)
+def cross_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH sources duplicate WHICH: the portable MinHash+LSH pair
+    stream rolled up into a source×source matrix (n_pairs, mean
+    verified Jaccard per unordered source pair) — the report that
+    decides which crawl snapshots/dumps to drop before pretraining.
+    Pairs come from the banded sketch (never all-pairs); the source
+    lookup joins the tiny pair relation against (doc_id, source) and
+    the rollup is one hash aggregate. The oracle replays the whole
+    sketch AND the matrix."""
+    from parquet_rewriter_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    d2 = _docs_cross_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs_portable(
+        d2, "doc_id", "text", threshold=0.5, num_hashes=48, bands=16, shingle_n=3
+    )
+    src = d2.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        ).join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 
