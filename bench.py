@@ -121,6 +121,12 @@ HEADLINE = [
     "dsir_importance_resample",
     "bpe_merge_rules",
     "branch_publish_scan",
+    # round-9 families
+    "bpe_roundtrip_fidelity",
+    "stream_packed_assignments",
+    "incremental_pack_assignments",
+    "cross_source_contamination_matrix",
+    "wordpiece_fertility",
 ]
 
 EXTENDED = [
@@ -141,6 +147,9 @@ EXTENDED = [
     "bpe_token_fertility",
     "bpe_encode_sample",
     "bpe_packed_training_windows",
+    "bpe_packed_windows_dense",
+    "wordpiece_vocab_pieces",
+    "wordpiece_segmentation_sample",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

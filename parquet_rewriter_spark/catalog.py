@@ -13854,6 +13854,102 @@ def bpe_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_cte() -> str:
+    from parquet_rewriter_spark.operators.wordpiece import wordpiece_cte_sql
+
+    return wordpiece_cte_sql("documents", "text", max_piece_len=4, vocab_size=150)
+
+
+@query(
+    "wordpiece_vocab_pieces",
+    f"""
+    WITH {_wordpiece_cte()}
+    SELECT piece FROM wp_vocab ORDER BY piece
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece",
+)
+def wordpiece_vocab_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece inventory (operators/wordpiece.py:
+    substring_vocab): top-150 corpus-weighted substrings of length 2-4
+    over the DISTINCT-WORD relation, plus the corpus alphabet —
+    selection is a total order (count DESC, piece ASC), so both
+    engines must pick the identical piece set."""
+    from parquet_rewriter_spark.operators.wordpiece import substring_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return substring_vocab(d, "text", max_piece_len=4, vocab_size=150).orderBy(
+        "piece"
+    )
+
+
+@query(
+    "wordpiece_segmentation_sample",
+    f"""
+    WITH {_wordpiece_cte()}
+    SELECT word, array_to_string(pieces, '|') AS seg,
+           CAST(n_pieces AS INT) AS n_pieces
+    FROM wp_seg JOIN wc USING (word)
+    ORDER BY cnt DESC, word LIMIT 30
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "segment",
+)
+def wordpiece_segmentation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match segmentation of the 30 most frequent
+    corpus words (operators/wordpiece.py:wordpiece_segment — the
+    Arrow-batched vocab-scale match loop). The oracle re-derives every
+    segmentation with a recursive CTE taking the longest matching
+    piece per position — the piece streams must agree cell-for-cell
+    ('|'-joined: scalar outputs only at the driver gate)."""
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_segment,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
+    wc = word_counts(d, "text")
+    top = wc.orderBy(F.col("cnt").desc(), "word").limit(30)
+    segd = wordpiece_segment(top, vocab)
+    return segd.select(
+        "word",
+        F.concat_ws("|", F.col("pieces")).alias("seg"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+    ).orderBy(F.col("cnt").desc(), "word").drop("cnt")
+
+
+@query(
+    "wordpiece_fertility",
+    f"""
+    WITH {_wordpiece_cte()},
+    occ AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS fertility
+    FROM occ JOIN wp_seg USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "fertility",
+)
+def wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility under the WordPiece inventory — the
+    BPE-vs-WordPiece comparison every tokenizer study runs, computed
+    with the shared join discipline (segment each DISTINCT word once;
+    occurrences join broadcast under the counted threshold)."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_fertility_by,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
+    return wordpiece_fertility_by(d, "text", "lang", vocab).orderBy("lang")
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,

@@ -1,0 +1,223 @@
+"""WordPiece-style tokenizer: frequency-selected subword vocabulary +
+greedy longest-match segmentation (Wu et al. 2016's inference scheme;
+Schuster & Nakajima 2012 lineage) — the second tokenizer family next to
+operators/bpe.py, sharing its discipline: everything trains and
+segments on the DISTINCT-WORD relation (vocab ≪ corpus), never the raw
+text, and every step has an exact DuckDB replay.
+
+Reference scope note: the reference engine has no text operators — this
+module is part of the beyond-reference training-data surface.
+
+Vocabulary selection is pure relational algebra: explode every
+substring (length 2..max_piece_len) of every distinct word weighted by
+word count, take the top-K by total weight (count DESC, piece ASC — a
+total order, so selection is deterministic and SQL-replayable), and
+union the corpus alphabet (all single chars) for guaranteed coverage.
+
+Segmentation is greedy longest-match per DISTINCT WORD. Built-in
+column functions cannot express an unbounded data-dependent loop, so
+this is the documented Arrow-batched pandas-UDF exception — but it
+runs at VOCAB scale (one call per distinct word, never per token
+occurrence), with the piece set broadcast once per executor. The
+DuckDB replay is a recursive CTE taking the longest matching piece at
+each position (``ORDER BY len(piece) DESC LIMIT 1`` in a lateral),
+bit-identical to the UDF's loop.
+
+Corpus-scale application then reuses the BPE join discipline: word
+occurrences join the segmented distinct-word relation broadcast below
+a counted row threshold, hash join above (operators/bpe.py:_word_join).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from parquet_rewriter_spark.operators.bpe import (
+    BROADCAST_MAX_WORDS,
+    _word_join,
+    word_counts,
+)
+
+
+def substring_vocab(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 150,
+) -> DataFrame:
+    """(piece) — the WordPiece inventory: top ``vocab_size`` substrings
+    of length 2..max_piece_len by corpus-weighted occurrence count,
+    plus the full corpus alphabet. One vocab-scale job downstream of
+    the single corpus scan in word_counts."""
+    wc = word_counts(df, text_col)
+    lens = F.filter(
+        F.sequence(F.lit(2), F.lit(max_piece_len)),
+        lambda l: F.length("word") >= l,
+    )
+    subs = F.flatten(
+        F.transform(
+            lens,
+            lambda l: F.transform(
+                F.sequence(F.lit(1), F.length("word") - l + 1),
+                lambda i: F.col("word").substr(i, l),
+            ),
+        )
+    )
+    topk = (
+        wc.select(F.explode(subs).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(vocab_size)
+        .select("piece")
+    )
+    chars = wc.select(
+        F.explode(F.split(F.col("word"), "(?!^)")).alias("piece")
+    ).where(F.col("piece") != "").distinct()
+    return topk.unionByName(chars).distinct()
+
+
+def wordpiece_segment(
+    words: DataFrame,
+    pieces: DataFrame,
+    word_col: str = "word",
+) -> DataFrame:
+    """Greedy longest-match segmentation of each row's ``word_col``:
+    adds ``pieces`` (array<string>) and ``n_pieces``. ``pieces`` (the
+    relation) is vocab_size-bounded — collected once and broadcast to
+    executors; the match loop is an Arrow-batched pandas UDF over the
+    (distinct-word-scale) input. A char with no piece (impossible when
+    the vocab's alphabet came from the same corpus) falls back to the
+    single char, keeping segmentation total."""
+    piece_rows = [r["piece"] for r in pieces.select("piece").collect()]
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (frozenset(piece_rows), max((len(p) for p in piece_rows), default=1))
+    )
+
+    @F.pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        pset, lmax = bc.value
+
+        def one(w):
+            if w is None:
+                return None
+            out, pos, n = [], 0, len(w)
+            while pos < n:
+                for l in range(min(lmax, n - pos), 0, -1):
+                    cand = w[pos : pos + l]
+                    if cand in pset:
+                        out.append(cand)
+                        pos += l
+                        break
+                else:
+                    out.append(w[pos])
+                    pos += 1
+            return out
+
+        return col.map(one)
+
+    return words.withColumn("pieces", seg(F.col(word_col))).withColumn(
+        "n_pieces", F.size("pieces")
+    )
+
+
+def wordpiece_fertility_by(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    pieces: DataFrame,
+    broadcast_threshold: int = BROADCAST_MAX_WORDS,
+) -> DataFrame:
+    """Tokenizer fertility per group under the WordPiece inventory:
+    segment each DISTINCT word once, then word occurrences join the
+    (word → n_pieces) relation — broadcast under the distinct-word
+    threshold, hash join above (the BPE join discipline). Returns
+    (group, n_words, n_pieces, fertility)."""
+    wc = word_counts(df, text_col)
+    segd = wordpiece_segment(wc, pieces).select("word", "n_pieces")
+    n_words = wc.count()
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    occ = df.select(F.col(group_col).alias("grp"), F.explode(w).alias("word"))
+    return (
+        _word_join(occ, segd, n_words, broadcast_threshold)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_words",
+            "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 4).alias("fertility"),
+        )
+    )
+
+
+# --------------------------------------------------------------- SQL replay
+
+
+def wordpiece_cte_sql(
+    table: str, text_col: str, max_piece_len: int = 4, vocab_size: int = 150
+) -> str:
+    """DuckDB CTE chain replaying vocabulary selection AND greedy
+    segmentation exactly: emits ``wc`` (word, cnt), ``wp_vocab``
+    (piece) and ``wp_seg`` (word, pieces, n_pieces). The recursive
+    ``seg`` CTE advances each word one greedy longest-match step per
+    iteration — bit-identical to the pandas UDF's loop."""
+    return f"""wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower({text_col}), '\\s+'),
+                 w -> w <> '')) AS word
+        FROM {table}
+      ) GROUP BY word
+    ),
+    wp_topk AS (
+      SELECT piece FROM (
+        SELECT substr(word, i, l) AS piece, sum(cnt) AS c
+        FROM wc,
+             LATERAL (SELECT unnest(generate_series(
+                        2, least(len(word), {max_piece_len}))) AS l),
+             LATERAL (SELECT unnest(generate_series(1, len(word) - l + 1)) AS i)
+        GROUP BY 1
+      ) ORDER BY c DESC, piece LIMIT {vocab_size}
+    ),
+    wp_chars AS (
+      SELECT DISTINCT substr(word, i, 1) AS piece
+      FROM wc, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i)
+    ),
+    wp_vocab AS (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM wp_topk UNION ALL SELECT piece FROM wp_chars)
+    ),
+    seg AS (
+      WITH RECURSIVE seg_r AS (
+        SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM wc
+        UNION ALL
+        SELECT s.word, s.pos + len(p.best) AS pos,
+               list_append(s.pieces, p.best) AS pieces
+        FROM seg_r s,
+             LATERAL (
+               SELECT piece AS best FROM wp_vocab v
+               WHERE substr(s.word, s.pos + 1, len(v.piece)) = v.piece
+               ORDER BY len(v.piece) DESC, v.piece LIMIT 1
+             ) p
+        WHERE s.pos < len(s.word)
+      )
+      SELECT word, pieces FROM seg_r WHERE pos = len(word)
+    ),
+    wp_seg AS (
+      SELECT word, pieces, len(pieces) AS n_pieces FROM seg
+    )"""
+
+
+__all__ = [
+    "substring_vocab",
+    "wordpiece_segment",
+    "wordpiece_fertility_by",
+    "wordpiece_cte_sql",
+]

@@ -194,3 +194,58 @@ def test_incremental_pack_offsets_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_wordpiece_greedy_hand_example(spark):
+    from parquet_rewriter_spark.operators.wordpiece import wordpiece_segment
+
+    words = spark.createDataFrame([("hello",), ("help",), ("qx",)], ["word"])
+    pieces = spark.createDataFrame(
+        [("hell",), ("he",), ("l",), ("o",), ("p",), ("h",), ("e",)], ["piece"]
+    )
+    got = {
+        r["word"]: (list(r["pieces"]), r["n_pieces"])
+        for r in wordpiece_segment(words, pieces).collect()
+    }
+    assert got["hello"] == (["hell", "o"], 2)
+    assert got["help"] == (["he", "l", "p"], 3)
+    # chars missing from the inventory fall back to themselves
+    assert got["qx"] == (["q", "x"], 2)
+
+
+def test_wordpiece_vocab_covers_alphabet(spark, sf_dir):
+    """Every corpus char must be in the inventory — total segmentation
+    by construction."""
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.wordpiece import substring_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = substring_vocab(d, "text", max_piece_len=3, vocab_size=20)
+    chars = {
+        r["c"]
+        for r in word_counts(d, "text")
+        .select(F.explode(F.split("word", "(?!^)")).alias("c"))
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    }
+    pieces = {r["piece"] for r in vocab.collect()}
+    assert chars <= pieces
+
+
+def test_wordpiece_segmentation_reconstructs_words(spark, sf_dir):
+    """Concatenating a word's pieces must reproduce the word, for every
+    distinct corpus word (segmentation is a partition of the chars)."""
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_segment,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = substring_vocab(d, "text", max_piece_len=4, vocab_size=50)
+    segd = wordpiece_segment(word_counts(d, "text"), vocab)
+    bad = segd.filter(
+        F.concat_ws("", F.col("pieces")) != F.col("word")
+    ).count()
+    assert bad == 0
