@@ -14365,55 +14365,36 @@ def int8_storage_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # Round-8 rotation: round-8 added queries lead (never seen by any
-    # verifier), then the round-7 additions — the driver recorded NO
-    # CORRECTNESS_r07 snapshot, so they too have no driver verdict yet
-    # (locally green in the full harness sweep both rounds) — then
-    # round-7-changed code paths, then the STALEST driver-green queries
-    # (last checked in rounds 1-2), rows-only tail last so full-compare
-    # slots go to strong checks.
-    "hybrid_rrf_search",
-    "ann_lsh_retrieval_metrics",
-    "embedding_int8_quantization",
-    "int8_cosine_topk",
-    "priority_customer_overlap_sketch",
-    "source_temperature_mixture",
-    "length_bucketed_batch_waste",
-    "multimodal_letterbox_geometry",
-    "ann_ivfpq_recall_gate",
-    "ann_ivfpq_index_gate",
-    "int8_storage_shrink",
-    "dsir_importance_resample",
-    "stream_dsir_scored_ingest",
-    "bpe_merge_rules",
-    "bpe_token_fertility",
+    # Round-9 rotation. Lead: the two rows that were RED in
+    # CORRECTNESS_r08 (array outputs crashed the driver canonicalizer;
+    # reshaped to scalar digests this round), then every round-9-new
+    # query, then round-9-TOUCHED code paths (bpe.py lineage/broadcast
+    # rework feeds merge_rules/fertility; the minhash oracle was
+    # factored into a shared CTE; packing gained start_offsets), then
+    # the portable SimHash twin (the r8 verdict asked for a SimHash
+    # entry in a driver snapshot), then the STALEST driver-green
+    # queries (last checked in round 1), rows-only tail last —
+    # including the two never-recorded-at-all rows-only queries so
+    # they at least get a weaker check on record.
     "bpe_encode_sample",
     "bpe_packed_training_windows",
-    "branch_publish_scan",
-    "branch_rebase_publish_scan",
-    "catalog_branch_publish_scan",
-    "refs_metadata_scan",
-    # round-7 additions, no driver verdict yet
-    "incremental_drift_ks",
-    "incremental_drift_w1",
-    "incremental_drift_chi2",
-    "incremental_lang_drift_chi2",
-    "source_length_drift_psi_deciles",
-    "drift_timeline_psi",
-    "drift_timeline_by_source",
-    "snapshot_drift_stats",
-    "auto_drift_monitor_scan",
-    "source_score_drift_ks_binned",
-    "incremental_dedup_index_portable",
-    # round-7-changed code paths
-    "source_length_drift_psi",
-    "source_length_drift_ks",
-    "source_length_drift_w1",
-    "source_lang_drift_chi2",
-    "incremental_drift_monitor",
-    "stream_incremental_drift",
-    "snapshot_drift_psi",
-    "distinct_sketch_users",
+    # round-9 new
+    "bpe_packed_windows_dense",
+    "bpe_roundtrip_fidelity",
+    "stream_packed_assignments",
+    "incremental_pack_assignments",
+    "cross_source_contamination_matrix",
+    "wordpiece_vocab_pieces",
+    "wordpiece_segmentation_sample",
+    "wordpiece_fertility",
+    # round-9-touched code paths
+    "bpe_merge_rules",
+    "bpe_token_fertility",
+    "minhash_portable_near_dup_pairs",
+    "pack_training_sequences",
+    "length_bucketed_batch_waste",
+    # r8 verdict item: a portable-SimHash driver entry
+    "simhash_portable_near_pairs",
     # stalest driver-green (r01)
     "above_avg_balance_customers",
     "binary_blob_metadata",
@@ -14435,13 +14416,37 @@ _VERIFY_FIRST = (
     "part_string_functions",
     "status_cube",
     "winnow_fingerprint_pairs",
-    # rows-only tail
+    # stalest driver-green (r02)
+    "approx_distinct_users",
+    "bloom_pointlookup_scan",
+    "compact_then_scan",
+    "contamination_check",
+    "corpus_top_bigrams",
+    "csv_roundtrip_agg",
+    "customer_balance_deciles",
+    "customer_order_breadth",
+    "customer_running_total",
+    "customers_without_orders",
+    "doc_chunks",
+    "doc_tfidf_topterms",
+    "events_props_keyset",
+    "frame_sample_offsets",
+    "incremental_compact_then_scan",
+    "incremental_matview_refresh",
+    "json_roundtrip_agg",
+    "key_range_scan",
+    "knn_join_sample",
+    "lineitem_numeric_profile",
+    "orc_roundtrip_agg",
+    "order_gap_days",
+    # rows-only tail (ann_pq_topk / incremental_dedup_index have never
+    # appeared in any driver snapshot)
+    "ann_pq_topk",
+    "incremental_dedup_index",
     "minhash_near_dup_pairs",
     "simhash_near_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_pq_topk",
-    "incremental_dedup_index",
     "doc_compression_quality",
     "ivf_refined_cell_balance",
 )
