@@ -127,6 +127,7 @@ HEADLINE = [
     "incremental_pack_assignments",
     "cross_source_contamination_matrix",
     "wordpiece_fertility",
+    "unigram_corpus_loglik",
 ]
 
 EXTENDED = [
@@ -150,6 +151,7 @@ EXTENDED = [
     "bpe_packed_windows_dense",
     "wordpiece_vocab_pieces",
     "wordpiece_segmentation_sample",
+    "unigram_best_segmentations",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

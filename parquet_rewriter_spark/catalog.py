@@ -13950,6 +13950,96 @@ def wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_fertility_by(d, "text", "lang", vocab).orderBy("lang")
 
 
+def _unigram_cte() -> str:
+    from parquet_rewriter_spark.operators.unigram import unigram_cte_sql
+
+    return unigram_cte_sql("documents", "text", max_piece_len=4, vocab_size=150)
+
+
+@query(
+    "unigram_best_segmentations",
+    f"""
+    WITH {_unigram_cte()}
+    SELECT word, round(best_ll, 4) AS best_ll, n_opt
+    FROM ug_best JOIN wc USING (word)
+    ORDER BY cnt DESC, word LIMIT 30
+    """,
+    "llm-pipeline", "tokenizer", "unigram",
+)
+def unigram_best_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (Kudo 2018) maximum-likelihood segmentation of the
+    30 most frequent corpus words — the THIRD tokenizer family.
+    Spark runs a Viterbi DP per distinct word (operators/unigram.py:
+    viterbi_segment_stats, Arrow-batched at vocab scale); the oracle
+    ENUMERATES every segmentation path with a recursive CTE and takes
+    the max — independent algorithms that must agree bit-for-bit on
+    the optimum AND the tie count, because scores are products of
+    exact IEEE c/T doubles multiplied in the same order (no libm ln
+    before the argmax)."""
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        viterbi_segment_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    top = word_counts(d, "text").orderBy(F.col("cnt").desc(), "word").limit(30)
+    segd = viterbi_segment_stats(top, stats)
+    return segd.select(
+        "word", F.round("best_ll", 4).alias("best_ll"), "n_opt"
+    ).orderBy(F.col("cnt").desc(), "word").drop("cnt")
+
+
+@query(
+    "unigram_corpus_loglik",
+    f"""
+    WITH {_unigram_cte()},
+    occ AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_words,
+           round(sum(best_ll), 2) AS sum_ll,
+           round(sum(best_ll) / count(*), 4) AS avg_ll
+    FROM occ JOIN ug_best USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "scoring",
+)
+def unigram_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus log-likelihood per language under the unigram model —
+    the quantity SentencePiece's EM maximizes, computed with the
+    shared discipline: Viterbi once per DISTINCT word, occurrences
+    join the per-word relation broadcast under the counted
+    threshold."""
+    from parquet_rewriter_spark.operators.bpe import BROADCAST_MAX_WORDS, _word_join, word_counts
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        viterbi_segment_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    wc = word_counts(d, "text")
+    segd = viterbi_segment_stats(wc, stats).select("word", "best_ll")
+    n_words = wc.count()
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
+    return (
+        _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("best_ll"), 2).alias("sum_ll"),
+            F.round(F.sum("best_ll") / F.count(F.lit(1)), 4).alias("avg_ll"),
+        )
+        .select(F.col("grp").alias("lang"), "n_words", "sum_ll", "avg_ll")
+        .orderBy("lang")
+    )
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,
@@ -14387,6 +14477,8 @@ _VERIFY_FIRST = (
     "wordpiece_vocab_pieces",
     "wordpiece_segmentation_sample",
     "wordpiece_fertility",
+    "unigram_best_segmentations",
+    "unigram_corpus_loglik",
     # round-9-touched code paths
     "bpe_merge_rules",
     "bpe_token_fertility",

@@ -249,3 +249,87 @@ def test_wordpiece_segmentation_reconstructs_words(spark, sf_dir):
         F.concat_ws("", F.col("pieces")) != F.col("word")
     ).count()
     assert bad == 0
+
+
+def test_unigram_viterbi_matches_bruteforce(spark):
+    """DP optimum + tie count vs a pure-Python enumeration of every
+    segmentation — independent of the DuckDB oracle."""
+    import itertools
+    import math
+
+    from parquet_rewriter_spark.operators.unigram import viterbi_segment_stats
+
+    pieces = [("a", 4), ("b", 2), ("ab", 3), ("ba", 3), ("aba", 1)]
+    ratio = {p: c / 13.0 for p, c in pieces}
+
+    def brute(w):
+        best, n = None, 0
+        def paths(rem):
+            if not rem:
+                yield 1.0
+                return
+            for l in range(1, min(3, len(rem)) + 1):
+                if rem[:l] in ratio:
+                    for s in paths(rem[l:]):
+                        # left-to-right product order
+                        yield ratio[rem[:l]] * s
+        # recompute in strict left-to-right order
+        def paths_lr(pos, acc):
+            if pos == len(w):
+                yield acc
+                return
+            for l in range(1, min(3, len(w) - pos) + 1):
+                p = w[pos : pos + l]
+                if p in ratio:
+                    yield from paths_lr(pos + l, acc * ratio[p])
+        for s in paths_lr(0, 1.0):
+            if best is None or s > best:
+                best, n = s, 1
+            elif s == best:
+                n += 1
+        return (math.log(best), n)
+
+    words = ["aba", "abab", "bab", "aabba"]
+    wdf = spark.createDataFrame([(w,) for w in words], ["word"])
+    pdf = spark.createDataFrame(pieces, ["piece", "c"])
+    got = {
+        r["word"]: (r["best_ll"], r["n_opt"])
+        for r in viterbi_segment_stats(wdf, pdf).collect()
+    }
+    for w in words:
+        bll, n = brute(w)
+        assert got[w][1] == n, (w, got[w], n)
+        assert abs(got[w][0] - bll) < 1e-12, (w, got[w], bll)
+
+
+def test_unigram_tie_count_exact(spark):
+    """Symmetric inventory: 'abba' as ab|ba, a|bb|a, ab|b|a, a|b|ba,
+    a|b|b|a — equal-probability pieces make the per-path products
+    exactly equal doubles, so n_opt counts every optimal path."""
+    import math
+
+    from parquet_rewriter_spark.operators.unigram import viterbi_segment_stats
+
+    # all pieces share c=1 → identical ratios; fewest pieces wins and
+    # the two 2-piece segmentations (ab|ba) tie... compute expectation
+    # by brute force to keep the assertion honest
+    pieces = [("a", 1), ("b", 1), ("ab", 1), ("ba", 1), ("bb", 1)]
+    ratio = {p: 1 / 5.0 for p, _ in pieces}
+
+    def paths(w, pos=0, acc=1.0):
+        if pos == len(w):
+            yield acc
+            return
+        for l in (1, 2):
+            p = w[pos : pos + l]
+            if p in ratio:
+                yield from paths(w, pos + l, acc * ratio[p])
+
+    scores = list(paths("abba"))
+    best = max(scores)
+    want = sum(1 for s in scores if s == best)
+    wdf = spark.createDataFrame([("abba",)], ["word"])
+    pdf = spark.createDataFrame(pieces, ["piece", "c"])
+    r = viterbi_segment_stats(wdf, pdf).collect()[0]
+    assert r["n_opt"] == want
+    assert abs(r["best_ll"] - math.log(best)) < 1e-12
