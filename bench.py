@@ -152,6 +152,7 @@ EXTENDED = [
     "wordpiece_vocab_pieces",
     "wordpiece_segmentation_sample",
     "unigram_best_segmentations",
+    "tokenizer_artifact_roundtrip",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

@@ -13950,6 +13950,69 @@ def wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_fertility_by(d, "text", "lang", vocab).orderBy("lang")
 
 
+def _tokenizer_registry_oracle(n_merges: int = 4) -> str:
+    from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
+
+    cte = bpe_vocab_cte_sql("documents", "text", n_merges)
+    rules_union = " UNION ALL ".join(
+        f"SELECT * FROM t{s}" for s in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {cte},
+    vt AS (
+      SELECT word, len(string_split(trim(sym), ' ')) AS n_tokens FROM v{n_merges}
+    ),
+    occ AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    ),
+    nr AS (SELECT CAST(count(*) AS INT) AS n_rules FROM ({rules_union}))
+    SELECT lang, count(*) AS n_words, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS fertility,
+           (SELECT n_rules FROM nr) AS n_rules
+    FROM occ JOIN vt USING (word)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query(
+    "tokenizer_artifact_roundtrip",
+    _tokenizer_registry_oracle(4),
+    "llm-pipeline", "tokenizer", "bpe", "registry", "storage",
+)
+def tokenizer_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER REGISTRY backed by the engine's own storage: train
+    BPE, persist BOTH artifacts — the ordered merge rules and the
+    encoded vocab relation — as SortedTables (sorted write, zone maps,
+    time travel for free: a tokenizer version IS a table version),
+    drop the in-memory copies, reload from disk, and compute fertility
+    FROM THE STORED ARTIFACT. The result must equal the in-memory
+    path's (same oracle), with the stored rule count folded in — a
+    training job and a later encoding job sharing nothing but the
+    table prove the artifact round-trips losslessly."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, fertility_by, rules_df
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    base = _scratch("tok_registry")
+    rt = SortedTable.create(
+        spark, os.path.join(base, "rules"), rules_df(spark, rules), key="step"
+    )
+    vt = SortedTable.create(
+        spark, os.path.join(base, "vocab"),
+        vocab.select("word", "cnt", "sym"), key="word",
+    )
+    vocab.unpersist()
+    stored_vocab = vt.read()
+    n_rules = rt.read().count()
+    out = fertility_by(d, "text", "lang", stored_vocab)
+    return out.withColumn("n_rules", F.lit(int(n_rules)).cast("int")).orderBy(
+        "lang"
+    )
+
+
 def _unigram_cte() -> str:
     from parquet_rewriter_spark.operators.unigram import unigram_cte_sql
 
@@ -14479,6 +14542,7 @@ _VERIFY_FIRST = (
     "wordpiece_fertility",
     "unigram_best_segmentations",
     "unigram_corpus_loglik",
+    "tokenizer_artifact_roundtrip",
     # round-9-touched code paths
     "bpe_merge_rules",
     "bpe_token_fertility",
