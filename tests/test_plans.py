@@ -931,3 +931,46 @@ def test_materialize_packed_is_span_math_plus_one_aggregate(spark, sf_dir):
     # window exchange (pack) + aggregate exchange (materialize) only
     df = materialize_packed(p, "input_ids", 64)
     assert count_exchanges(df) <= 2
+
+
+def test_contamination_matrix_no_cartesian(spark, sf_dir):
+    """The source×source rollup stays sketch-bounded: banded candidate
+    join + two source lookups + one hash aggregate — no cartesian
+    anywhere."""
+    from parquet_rewriter_spark.catalog import REGISTRY
+
+    df = REGISTRY["cross_source_contamination_matrix"].fn(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+
+
+def test_wordpiece_segmentation_python_only_at_vocab_scale(spark, sf_dir):
+    """The greedy-match pandas UDF runs on the DISTINCT-WORD relation:
+    exactly one Arrow eval in the fertility plan (vocab side), zero
+    row-at-a-time Python, no cartesian."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_fertility_by,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = substring_vocab(d, "text", max_piece_len=3, vocab_size=30)
+    p = plan_of(wordpiece_fertility_by(d, "text", "lang", vocab))
+    assert p.count(") ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_viterbi_python_only_at_vocab_scale(spark, sf_dir):
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        viterbi_segment_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=3, vocab_size=30)
+    p = plan_of(viterbi_segment_stats(word_counts(d, "text"), stats))
+    assert p.count(") ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
