@@ -153,6 +153,7 @@ EXTENDED = [
     "wordpiece_segmentation_sample",
     "unigram_best_segmentations",
     "tokenizer_artifact_roundtrip",
+    "stream_contamination_scan",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

@@ -13950,6 +13950,82 @@ def wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_fertility_by(d, "text", "lang", vocab).orderBy("lang")
 
 
+@query(
+    "stream_contamination_scan",
+    """
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g8 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                                     i -> array_to_string(t[i:i+7], ' '))) AS g8
+        FROM tok WHERE len(t) >= 8
+      )
+    ),
+    bench AS (SELECT DISTINCT g8 FROM grams WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
+      FROM grams g JOIN bench b USING (g8)
+      WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(sum(coalesce(h.n_shared, 0)) AS BIGINT) AS n_shared_grams
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 10 <> 0
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "streaming", "llm-pipeline", "contamination",
+)
+def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST contamination screening (streaming/ops.py:
+    stream_contamination_guard): the benchmark 8-gram set is frozen,
+    each arriving micro-batch runs a stateless explode → broadcast
+    benchmark join → per-doc hit count into an epoch-partitioned
+    idempotent sink (the stream_score_dsir discipline — no streaming
+    state, checkpoint-replay safe). The per-source rollup read back
+    FROM THE SINK must equal the batch contamination_check replay."""
+    import shutil
+
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_contamination_guard,
+        stream_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    g8 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 7), "
+        "i -> array_join(slice(split(text, ' '), i, 8), ' ')) "
+        "ELSE array() END"
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(g8).alias("g"))
+        .distinct()
+    )
+    base = _scratch("stream_contam")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    train = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    stream_contamination_guard(
+        train, bench, "doc_id", "text", sink, ckpt, n=8, keep_cols=("source",)
+    )
+    return (
+        spark.read.parquet(sink)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            F.sum("n_shared").alias("n_shared_grams"),
+        )
+        .orderBy("source")
+    )
+
+
 def _tokenizer_registry_oracle(n_merges: int = 4) -> str:
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 
@@ -14543,6 +14619,7 @@ _VERIFY_FIRST = (
     "unigram_best_segmentations",
     "unigram_corpus_loglik",
     "tokenizer_artifact_roundtrip",
+    "stream_contamination_scan",
     # round-9-touched code paths
     "bpe_merge_rules",
     "bpe_token_fertility",

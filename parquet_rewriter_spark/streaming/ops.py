@@ -1063,3 +1063,71 @@ def stream_pack_sequences(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
+def stream_contamination_guard(
+    stream: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    n: int = 8,
+    keep_cols: tuple[str, ...] = (),
+    timeout_s: int = 300,
+) -> None:
+    """ON-INGEST train/benchmark contamination screening: the benchmark
+    word-n-gram set (``bench_grams``: one ``g`` column — benchmark
+    corpora are bounded by construction) is FROZEN, and every arriving
+    micro-batch runs a stateless pass — explode the batch's n-grams,
+    broadcast-join the benchmark set, per-doc distinct-hit count — into
+    an epoch-partitioned sink. No streaming state; checkpoint replay is
+    safe via idempotent dynamic-partition overwrite (the
+    stream_score_dsir discipline). Docs shorter than ``n`` words score
+    0, exactly like the batch operator."""
+    grams_expr = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+    bench = bench_grams.select(F.col(bench_grams.columns[0]).alias("g"))
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        g = batch_df.select(
+            F.col(id_col).alias("id"), F.explode(grams_expr).alias("g")
+        ).distinct()
+        hits = (
+            g.join(F.broadcast(bench), "g")
+            .groupBy("id")
+            .agg(F.count_distinct("g").alias("n_shared"))
+        )
+        out = (
+            batch_df.select(F.col(id_col).alias("id"), *keep_cols)
+            .join(hits, "id", "left")
+            .select(
+                F.col("id").alias(id_col),
+                *keep_cols,
+                F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+                (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias(
+                    "contaminated"
+                ),
+            )
+        )
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
