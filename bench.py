@@ -31,13 +31,14 @@ from parquet_rewriter_spark.session import get_spark
 # Full-tier wall budget (queries + probes): the driver's capture would
 # silently lose a run that outgrows its timeout, so the bench flags
 # itself loudly first (report["budget_exceeded"] + stderr subtotals).
-# Recalibrated round 8: 600 s fit the 150-query round-5 tier; the tier
-# now times 203 queries (~3.5 s wall each incl. the interleaved sf0.001
-# warmup), so the same per-query pace lands at ~710 s. The driver's
-# per-round capture runs only the HEADLINE tier (~110-140 s), so this
-# constant guards MANUAL --full runs; keep ~25% headroom over the
-# measured wall rather than trimming coverage breadth.
-FULL_TIER_BUDGET_S = 900
+# Recalibrated round 9: the tier grew 150 (r5) -> 203 (r8) -> 220
+# queries and the measured clean wall is 800 s (~3.6 s/query incl. the
+# interleaved sf0.001 warmup) — the round-8 constant of 900 s left only
+# ~12% headroom. The driver's per-round capture runs only the HEADLINE
+# tier (~130-140 s), so this constant guards MANUAL --full runs; keep
+# ~25% headroom over the measured wall rather than trimming coverage
+# breadth.
+FULL_TIER_BUDGET_S = 1000
 
 HEADLINE = [
     "pricing_summary",
