@@ -129,6 +129,7 @@ HEADLINE = [
     "cross_source_contamination_matrix",
     "wordpiece_fertility",
     "unigram_corpus_loglik",
+    "nation_revenue_holtwinters",
 ]
 
 EXTENDED = [

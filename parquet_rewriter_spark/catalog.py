@@ -14026,6 +14026,93 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holt_winters_oracle(p: int = 12, h: int = 3) -> str:
+    a, b, g = 0.3, 0.1, 0.2
+    return f"""
+    WITH monthly AS (
+      SELECT n.n_name AS grp, date_trunc('month', o.o_orderdate) AS m,
+             round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT grp, list(rev ORDER BY m) AS ys FROM monthly GROUP BY grp
+    ),
+    hw AS (
+      WITH RECURSIVE r AS (
+        SELECT grp, ys, {p} AS t,
+               list_sum(ys[1:{p}]) / {p} AS level,
+               (list_sum(ys[{p + 1}:{2 * p}]) - list_sum(ys[1:{p}]))
+                 / ({p}.0 * {p}) AS trend,
+               list_transform(ys[1:{p}],
+                              y -> y - list_sum(ys[1:{p}]) / {p}) AS seas
+        FROM series WHERE len(ys) >= {2 * p}
+        UNION ALL
+        SELECT grp, ys, t + 1,
+               {a} * (ys[t + 1] - seas[(t % {p}) + 1])
+                 + (1 - {a}) * (level + trend) AS level,
+               {b} * (({a} * (ys[t + 1] - seas[(t % {p}) + 1])
+                       + (1 - {a}) * (level + trend)) - level)
+                 + (1 - {b}) * trend AS trend,
+               list_transform(seas, (s, i) -> CASE WHEN i = (t % {p}) + 1
+                 THEN {g} * (ys[t + 1] - ({a} * (ys[t + 1] - seas[(t % {p}) + 1])
+                                          + (1 - {a}) * (level + trend)))
+                      + (1 - {g}) * s
+                 ELSE s END) AS seas
+        FROM r WHERE t < len(ys)
+      )
+      SELECT grp, level, trend, seas, len(ys) AS n FROM r WHERE t = len(ys)
+    )
+    SELECT grp AS nation, CAST(hh.h AS INT) AS h,
+           round(level + hh.h * trend + seas[((n + hh.h - 1) % {p}) + 1], 2)
+             AS yhat,
+           CAST(n AS INT) AS n_points
+    FROM hw, (SELECT unnest(generate_series(1, {h})) AS h) hh
+    ORDER BY nation, h
+    """
+
+
+@query(
+    "nation_revenue_holtwinters",
+    _holt_winters_oracle(12, 3),
+    "timeseries", "forecast", "holt-winters",
+)
+def nation_revenue_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal revenue forecasting per nation: additive Holt-Winters
+    (period 12, 3 months ahead) over each nation's monthly revenue
+    series — millions of independent series is the 100-TB shape, so
+    the operator is ONE hash exchange on the group key + a single
+    codegen fold per series (operators/timeseries.py:holt_winters_by;
+    no Python, no per-step jobs). Monthly inputs are rounded to cents
+    in both engines, and both run the identical double-precision
+    recurrence, so forecasts hash-match to the cent."""
+    from parquet_rewriter_spark.operators.timeseries import holt_winters_by
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nat, c["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    hw = holt_winters_by(
+        monthly, "nation", "m", "rev", period=12, horizon=3
+    )
+    return hw.select(
+        "nation",
+        F.col("h").cast("int").alias("h"),
+        F.round("yhat", 2).alias("yhat"),
+        F.col("n_points").cast("int").alias("n_points"),
+    ).orderBy("nation", "h")
+
+
 def _tokenizer_registry_oracle(n_merges: int = 4) -> str:
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 
@@ -14620,6 +14707,7 @@ _VERIFY_FIRST = (
     "unigram_corpus_loglik",
     "tokenizer_artifact_roundtrip",
     "stream_contamination_scan",
+    "nation_revenue_holtwinters",
     # round-9-touched code paths
     "bpe_merge_rules",
     "bpe_token_fertility",

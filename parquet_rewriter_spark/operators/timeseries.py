@@ -198,3 +198,98 @@ def _parse_duration_s(spec: str) -> tuple[float, float]:
     amount_s, unit_s = spec.split()
     units = {"second": 1.0, "minute": 60.0, "hour": 3600.0, "day": 86400.0}
     return units[unit_s.rstrip("s")], float(amount_s)
+
+
+def holt_winters_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizon: int = 3,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) PER GROUP —
+    level + trend + additive seasonality, the classic seasonal
+    forecaster — as one codegen fold per series.
+
+    Scale shape: the 100-TB use is millions of INDEPENDENT series
+    (per customer / SKU / nation) forecast in parallel, so the plan is
+    one hash exchange on the group key, an order-safe array_sort
+    collect per group (series length is bounded — it's a time grid,
+    not the corpus), and a single ``F.aggregate`` fold carrying
+    (level, trend, seasonal array, t) — no Python, no iteration over
+    Spark jobs, no per-step shuffles. Groups shorter than 2·period are
+    dropped (no seasonal init exists for them).
+
+    Initialization follows the textbook convention: level = mean of
+    season 1, trend = (mean of season 2 − mean of season 1)/period,
+    seasonals = season-1 deviations. Updates recompute the new level
+    expression inside the trend/seasonal updates exactly like the SQL
+    replay, so both engines run the identical double-precision
+    recurrence. Returns (group, h, yhat, n_points) for h = 1..horizon:
+    ŷ(n+h) = level + h·trend + seasonal[(n+h−1) mod period]."""
+    P = int(period)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    oma, omb, omg = 1.0 - a, 1.0 - b, 1.0 - g
+
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(time_col).alias("t"),
+                                    F.col(value_col).alias("v")))
+        ),
+        lambda s: s.v.cast("double"),
+    )
+    series = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(vals.alias("ys"))
+        .where(F.size("ys") >= 2 * P)
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    sum1 = F.aggregate(F.slice(ys, 1, P), F.lit(0.0), lambda acc, y: acc + y)
+    sum2 = F.aggregate(F.slice(ys, P + 1, P), F.lit(0.0), lambda acc, y: acc + y)
+    l0 = sum1 / P
+    b0 = (sum2 - sum1) / float(P * P)
+    seas0 = F.transform(F.slice(ys, 1, P), lambda y: y - sum1 / P)
+    init = F.struct(
+        l0.alias("level"), b0.alias("trend"), seas0.alias("seas"),
+        F.lit(P).cast("int").alias("t"),
+    )
+
+    def step(acc, y):
+        idx = F.pmod(acc.t, F.lit(P))  # 0-based seasonal slot of step t
+        s_t = F.element_at(acc.seas, idx + 1)
+        lvl_new = F.lit(a) * (y - s_t) + F.lit(oma) * (acc.level + acc.trend)
+        # recompute lvl_new inside trend/seas exactly like the SQL replay
+        trend_new = F.lit(b) * (lvl_new - acc.level) + F.lit(omb) * acc.trend
+        seas_new = F.transform(
+            acc.seas,
+            lambda s, i: F.when(
+                i == idx, F.lit(g) * (y - lvl_new) + F.lit(omg) * s
+            ).otherwise(s),
+        )
+        return F.struct(
+            lvl_new.alias("level"), trend_new.alias("trend"),
+            seas_new.alias("seas"), (acc.t + 1).alias("t"),
+        )
+
+    st = F.aggregate(F.slice(ys, P + 1, n - P), init, step)
+    fitted = series.select(
+        "grp", n.alias("n_points"), st.alias("st")
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h")
+    out = fitted.select("grp", "n_points", "st", h)
+    yhat = (
+        F.col("st.level")
+        + F.col("h") * F.col("st.trend")
+        + F.element_at(
+            F.col("st.seas"),
+            F.pmod(F.col("n_points") + F.col("h") - 1, F.lit(P)) + 1,
+        )
+    )
+    return out.select(
+        F.col("grp").alias(group_col), "h", yhat.alias("yhat"), "n_points"
+    )

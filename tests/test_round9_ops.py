@@ -333,3 +333,56 @@ def test_unigram_tie_count_exact(spark):
     r = viterbi_segment_stats(wdf, pdf).collect()[0]
     assert r["n_opt"] == want
     assert abs(r["best_ll"] - math.log(best)) < 1e-12
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """The fold must reproduce the textbook additive Holt-Winters
+    recurrence exactly (same init, same update order)."""
+    import math
+
+    from parquet_rewriter_spark.operators.timeseries import holt_winters_by
+
+    P, A, B, G = 4, 0.3, 0.1, 0.2
+    ys = [float(10 + 3 * math.sin(t * math.pi / 2) + 0.5 * t) for t in range(14)]
+
+    def ref(ys, h):
+        l = sum(ys[:P]) / P
+        b = (sum(ys[P : 2 * P]) - sum(ys[:P])) / (P * P)
+        s = [y - l for y in ys[:P]]
+        for t in range(P, len(ys)):
+            i = t % P
+            l_new = A * (ys[t] - s[i]) + (1 - A) * (l + b)
+            b = B * (l_new - l) + (1 - B) * b
+            s[i] = G * (ys[t] - l_new) + (1 - G) * s[i]
+            l = l_new
+        n = len(ys)
+        return [l + k * b + s[(n + k - 1) % P] for k in range(1, h + 1)]
+
+    df = spark.createDataFrame(
+        [("x", t, v) for t, v in enumerate(ys)], "grp string, t int, v double"
+    )
+    got = {
+        r["h"]: r["yhat"]
+        for r in holt_winters_by(
+            df, "grp", "t", "v", period=P, horizon=3
+        ).collect()
+    }
+    want = ref(ys, 3)
+    for k in range(1, 4):
+        assert abs(got[k] - want[k - 1]) < 1e-9, (k, got[k], want[k - 1])
+
+
+def test_holt_winters_drops_short_series_and_is_jvm_side(spark):
+    from parquet_rewriter_spark.operators.timeseries import holt_winters_by
+    from parquet_rewriter_spark.plans.inspect import plan_of
+
+    rows = [("long", t, float(t)) for t in range(10)] + [
+        ("short", t, float(t)) for t in range(5)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    hw = holt_winters_by(df, "grp", "t", "v", period=3, horizon=2)
+    got = {r["grp"] for r in hw.collect()}
+    assert got == {"long"}  # short has < 2*period points
+    p = plan_of(hw)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
