@@ -130,6 +130,7 @@ HEADLINE = [
     "wordpiece_fertility",
     "unigram_corpus_loglik",
     "nation_revenue_holtwinters",
+    "hourly_value_seasonal_anomalies",
 ]
 
 EXTENDED = [

@@ -14026,6 +14026,81 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hourly_value_seasonal_anomalies",
+    """
+    WITH hourly AS (
+      -- v stays UNROUNDED: a rounded grid (k·1e-4) divided by the
+      -- window width lands EXACTLY on rounding midpoints, where the
+      -- engines' last-ulp sum-order differences flip the 4th decimal;
+      -- messy doubles never sit on a boundary
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS h,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tr AS (
+      SELECT h, v,
+             CASE WHEN count(v) OVER win = 25 THEN
+               (sum(v) OVER win
+                - 0.5 * (lag(v, 12) OVER (ORDER BY h)
+                         + lead(v, 12) OVER (ORDER BY h))) / 24
+             END AS trend,
+             (row_number() OVER (ORDER BY h) - 1) % 24 AS slot
+      FROM hourly
+      WINDOW win AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (SELECT *, v - trend AS detr FROM tr),
+    sm AS (SELECT slot, avg(detr) AS sm FROM det GROUP BY slot),
+    c AS (SELECT avg(sm) AS c FROM sm),
+    seas AS (SELECT slot, sm - (SELECT c FROM c) AS seasonal FROM sm),
+    r AS (
+      SELECT d.h, d.v, d.trend, s.seasonal,
+             d.v - d.trend - s.seasonal AS remainder
+      FROM det d JOIN seas s USING (slot)
+    )
+    SELECT h AS hour_epoch, round(v, 4) AS v,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(remainder, 4) AS remainder,
+           abs(remainder) > 3.0 * (SELECT stddev_samp(remainder) FROM r)
+             AS is_anomaly
+    FROM r WHERE trend IS NOT NULL ORDER BY hour_epoch
+    """,
+    "timeseries", "decompose", "anomaly",
+)
+def hourly_value_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: classical additive
+    decomposition (operators/timeseries.py:seasonal_decompose_by —
+    centered even-period moving-average trend, centered per-slot
+    seasonals, residual) of the hourly value series with period 24,
+    flagging hours whose RESIDUAL exceeds 3σ — the alert raw-value
+    thresholds get wrong on daily-cycle data. All window functions +
+    two bounded aggregates; per-group at scale (here one global
+    series, so the single-partition window is the oracle's shape
+    too)."""
+    from parquet_rewriter_spark.operators.timeseries import seasonal_decompose_by
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    ).agg(F.avg("value").alias("v"))
+    dec = seasonal_decompose_by(
+        hourly.withColumn("g", F.lit(1)), "g", "hour_epoch", "v", period=24
+    )
+    return (
+        dec.filter(F.col("trend").isNotNull())
+        .select(
+            "hour_epoch",
+            F.round("v", 4).alias("v"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("remainder", 4).alias("remainder"),
+            "is_anomaly",
+        )
+        .orderBy("hour_epoch")
+    )
+
+
 def _holt_winters_oracle(p: int = 12, h: int = 3) -> str:
     a, b, g = 0.3, 0.1, 0.2
     return f"""
@@ -14708,6 +14783,7 @@ _VERIFY_FIRST = (
     "tokenizer_artifact_roundtrip",
     "stream_contamination_scan",
     "nation_revenue_holtwinters",
+    "hourly_value_seasonal_anomalies",
     # round-9-touched code paths
     "bpe_merge_rules",
     "bpe_token_fertility",

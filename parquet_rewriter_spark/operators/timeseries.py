@@ -293,3 +293,83 @@ def holt_winters_by(
     return out.select(
         F.col("grp").alias(group_col), "h", yhat.alias("yhat"), "n_points"
     )
+
+
+def seasonal_decompose_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    period: int = 24,
+    anomaly_k: float = 3.0,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per group —
+    value = trend + seasonal + remainder — plus seasonally-adjusted
+    anomaly flags (|remainder| > k·stddev), all window functions and
+    two bounded aggregates: the scale shape is millions of independent
+    series decomposed in parallel, each within its own hash partition.
+
+    trend: centered moving average (the even-period convention: a
+    2×P window with half-weight endpoints), NULL where the window is
+    incomplete. seasonal: per-slot mean of the detrended series
+    (slot = row position mod period), centered so the P seasonals sum
+    to zero — the slot-means relation is P rows per group, joined
+    back. remainder: value − trend − seasonal. is_anomaly: the
+    seasonally-adjusted residual exceeds k standard deviations — the
+    alert that raw-value thresholds get wrong on seasonal data.
+    ``round_to`` rounds trend/seasonal before deriving the residual,
+    making every downstream value bit-identical across engines (the
+    SQL-replay knob)."""
+    P, half = int(period), int(period) // 2
+    even = P % 2 == 0
+    v = F.col(value_col).cast("double")
+    w_ord = Window.partitionBy(group_col).orderBy(time_col)
+    span = Window.partitionBy(group_col).orderBy(time_col).rowsBetween(
+        -half, half if even else half
+    )
+    wsum = F.sum(v).over(span)
+    wcnt = F.count(v).over(span)
+    if even:
+        ends = F.lag(v, half).over(w_ord) + F.lead(v, half).over(w_ord)
+        trend = F.when(wcnt == P + 1, (wsum - 0.5 * ends) / P)
+    else:
+        trend = F.when(wcnt == P, wsum / P)
+    base = df.withColumn("__slot", F.pmod(F.row_number().over(w_ord) - 1, F.lit(P)))
+    base = base.withColumn("__trend", trend).withColumn("__detr", v - F.col("__trend"))
+    slot_means = base.groupBy(group_col, "__slot").agg(
+        F.avg("__detr").alias("__sm")
+    )
+    centers = slot_means.groupBy(group_col).agg(F.avg("__sm").alias("__c"))
+    seas = slot_means.join(centers, group_col).select(
+        group_col, "__slot", (F.col("__sm") - F.col("__c")).alias("__seasonal")
+    )
+    out = base.join(seas, [group_col, "__slot"])
+    if round_to is not None:
+        # derive the residual from ROUNDED components: raw window sums
+        # differ across engines in the last ulp and can straddle a
+        # rounding boundary; rounding first makes every downstream
+        # value (remainder, sigma, flags) bit-identical cross-engine
+        out = out.withColumn("__trend", F.round("__trend", round_to)).withColumn(
+            "__seasonal", F.round("__seasonal", round_to)
+        )
+    out = out.withColumn(
+        "__remainder", v - F.col("__trend") - F.col("__seasonal")
+    )
+    if round_to is not None:
+        out = out.withColumn("__remainder", F.round("__remainder", round_to))
+    w_grp = Window.partitionBy(group_col)
+    sd = F.stddev_samp("__remainder").over(w_grp)
+    return (
+        out.withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("__remainder").isNotNull(),
+                F.abs(F.col("__remainder")) > F.lit(float(anomaly_k)) * sd,
+            ),
+        )
+        .withColumnRenamed("__trend", "trend")
+        .withColumnRenamed("__seasonal", "seasonal")
+        .withColumnRenamed("__remainder", "remainder")
+        .drop("__slot", "__detr")
+    )
