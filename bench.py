@@ -155,6 +155,7 @@ EXTENDED = [
     "wordpiece_vocab_pieces",
     "wordpiece_segmentation_sample",
     "unigram_best_segmentations",
+    "hourly_value_robust_anomalies",
     "tokenizer_artifact_roundtrip",
     "stream_contamination_scan",
     "branch_rebase_publish_scan",

@@ -14101,6 +14101,90 @@ def hourly_value_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "hourly_value_robust_anomalies",
+    """
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS h,
+             avg(value) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tr AS (
+      SELECT h, v,
+             CASE WHEN count(v) OVER win = 25 THEN
+               (sum(v) OVER win
+                - 0.5 * (lag(v, 12) OVER (ORDER BY h)
+                         + lead(v, 12) OVER (ORDER BY h))) / 24
+             END AS trend,
+             (row_number() OVER (ORDER BY h) - 1) % 24 AS slot
+      FROM hourly
+      WINDOW win AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (SELECT *, v - trend AS detr FROM tr),
+    sm AS (
+      SELECT slot,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY detr) AS sm
+      FROM det WHERE detr IS NOT NULL GROUP BY slot
+    ),
+    c AS (SELECT avg(sm) AS c FROM sm),
+    seas AS (SELECT slot, sm - (SELECT c FROM c) AS seasonal FROM sm),
+    r AS (
+      SELECT d.h, d.v, d.trend, s.seasonal,
+             d.v - d.trend - s.seasonal AS remainder
+      FROM det d JOIN seas s USING (slot)
+    ),
+    med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY remainder) AS m
+      FROM r WHERE remainder IS NOT NULL
+    ),
+    mad AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP
+               (ORDER BY abs(remainder - (SELECT m FROM med))) AS mad
+      FROM r WHERE remainder IS NOT NULL
+    )
+    SELECT h AS hour_epoch, round(v, 4) AS v,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(remainder, 4) AS remainder,
+           abs(remainder - (SELECT m FROM med))
+             > 3.0 * 1.4826 * (SELECT mad FROM mad) AS is_anomaly
+    FROM r WHERE trend IS NOT NULL ORDER BY hour_epoch
+    """,
+    "timeseries", "decompose", "anomaly", "robust",
+)
+def hourly_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST seasonal anomaly detection (seasonal_decompose_by with
+    robust=True): per-slot MEDIANS instead of means and a MAD-scaled
+    robust z instead of k·stddev — a classical decomposition lets one
+    spike leak -spike/n into its whole slot's seasonal AND inflate the
+    stddev that judges it; the robust variant flags the spike alone
+    (pinned in tests against a planted spike). Spark's percentile()
+    and DuckDB's percentile_cont share linear interpolation, so the
+    replay hash-matches."""
+    from parquet_rewriter_spark.operators.timeseries import seasonal_decompose_by
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    ).agg(F.avg("value").alias("v"))
+    dec = seasonal_decompose_by(
+        hourly.withColumn("g", F.lit(1)), "g", "hour_epoch", "v", period=24,
+        robust=True,
+    )
+    return (
+        dec.filter(F.col("trend").isNotNull())
+        .select(
+            "hour_epoch",
+            F.round("v", 4).alias("v"),
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round("remainder", 4).alias("remainder"),
+            "is_anomaly",
+        )
+        .orderBy("hour_epoch")
+    )
+
+
 def _holt_winters_oracle(p: int = 12, h: int = 3) -> str:
     a, b, g = 0.3, 0.1, 0.2
     return f"""
@@ -14784,6 +14868,7 @@ _VERIFY_FIRST = (
     "stream_contamination_scan",
     "nation_revenue_holtwinters",
     "hourly_value_seasonal_anomalies",
+    "hourly_value_robust_anomalies",
     # round-9-touched code paths
     "bpe_merge_rules",
     "bpe_token_fertility",

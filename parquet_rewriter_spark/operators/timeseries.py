@@ -303,6 +303,7 @@ def seasonal_decompose_by(
     period: int = 24,
     anomaly_k: float = 3.0,
     round_to: int | None = None,
+    robust: bool = False,
 ) -> DataFrame:
     """Classical additive seasonal decomposition per group —
     value = trend + seasonal + remainder — plus seasonally-adjusted
@@ -320,7 +321,13 @@ def seasonal_decompose_by(
     alert that raw-value thresholds get wrong on seasonal data.
     ``round_to`` rounds trend/seasonal before deriving the residual,
     making every downstream value bit-identical across engines (the
-    SQL-replay knob)."""
+    SQL-replay knob). ``robust=True`` swaps the per-slot mean for the
+    per-slot MEDIAN and the k·stddev flag for a MAD-scaled robust z
+    (1.4826·MAD): a classical decomposition lets one spike leak
+    -spike/n into its whole slot's seasonal AND inflate the stddev
+    that judges it — the robust variant flags the spike alone (both
+    statistics share Spark's percentile() / DuckDB's percentile_cont
+    interpolation, so the replay still hash-matches)."""
     P, half = int(period), int(period) // 2
     even = P % 2 == 0
     v = F.col(value_col).cast("double")
@@ -337,9 +344,10 @@ def seasonal_decompose_by(
         trend = F.when(wcnt == P, wsum / P)
     base = df.withColumn("__slot", F.pmod(F.row_number().over(w_ord) - 1, F.lit(P)))
     base = base.withColumn("__trend", trend).withColumn("__detr", v - F.col("__trend"))
-    slot_means = base.groupBy(group_col, "__slot").agg(
-        F.avg("__detr").alias("__sm")
+    slot_stat = (
+        F.expr("percentile(__detr, 0.5)") if robust else F.avg("__detr")
     )
+    slot_means = base.groupBy(group_col, "__slot").agg(slot_stat.alias("__sm"))
     centers = slot_means.groupBy(group_col).agg(F.avg("__sm").alias("__c"))
     seas = slot_means.join(centers, group_col).select(
         group_col, "__slot", (F.col("__sm") - F.col("__c")).alias("__seasonal")
@@ -359,17 +367,32 @@ def seasonal_decompose_by(
     if round_to is not None:
         out = out.withColumn("__remainder", F.round("__remainder", round_to))
     w_grp = Window.partitionBy(group_col)
-    sd = F.stddev_samp("__remainder").over(w_grp)
+    if robust:
+        # MAD-scaled robust z: a spike inflates stddev (masking itself
+        # and its slot); the median absolute deviation doesn't
+        med_r = F.expr("percentile(__remainder, 0.5)").over(w_grp)
+        out = out.withColumn("__absdev", F.abs(F.col("__remainder") - med_r))
+        scale = (
+            F.lit(1.4826)
+            * F.expr("percentile(__absdev, 0.5)").over(w_grp)
+        )
+        dev = F.abs(
+            F.col("__remainder")
+            - F.expr("percentile(__remainder, 0.5)").over(w_grp)
+        )
+    else:
+        scale = F.stddev_samp("__remainder").over(w_grp)
+        dev = F.abs(F.col("__remainder"))
     return (
         out.withColumn(
             "is_anomaly",
             F.when(
                 F.col("__remainder").isNotNull(),
-                F.abs(F.col("__remainder")) > F.lit(float(anomaly_k)) * sd,
+                dev > F.lit(float(anomaly_k)) * scale,
             ),
         )
         .withColumnRenamed("__trend", "trend")
         .withColumnRenamed("__seasonal", "seasonal")
         .withColumnRenamed("__remainder", "remainder")
-        .drop("__slot", "__detr")
+        .drop("__slot", "__detr", "__absdev")
     )

@@ -420,3 +420,30 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     for r in clean:
         assert abs(r["remainder"]) < 3.0, (r["t"], r["remainder"])
     assert spike > 30.0
+
+
+def test_seasonal_decompose_robust_isolates_spike(spark):
+    """robust=True: the planted spike no longer leaks into its slot's
+    seasonal (median, not mean) and no longer masks itself via an
+    inflated stddev (MAD scale) — every clean row, INCLUDING the
+    spike's own slot, has a small residual, and only the spike
+    flags."""
+    from parquet_rewriter_spark.operators.timeseries import seasonal_decompose_by
+
+    cycle = [5.0, -2.0, -4.0, 1.0]
+    rows = []
+    for t in range(40):
+        y = 100.0 + 0.5 * t + cycle[t % 4]
+        if t == 21:
+            y += 60.0
+        rows.append(("s", t, y))
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    dec = seasonal_decompose_by(df, "grp", "t", "v", period=4, robust=True).collect()
+    mid = [r for r in dec if r["trend"] is not None]
+    anomalies = [r["t"] for r in mid if r["is_anomaly"]]
+    assert 21 in anomalies
+    # clean rows AWAY from the spike's trend window: tiny residuals,
+    # slot 1 included (the classical variant leaves them at ~-5)
+    clean = [r for r in mid if not (19 <= r["t"] <= 23)]
+    for r in clean:
+        assert abs(r["remainder"]) < 1.0, (r["t"], r["remainder"])
