@@ -158,6 +158,7 @@ EXTENDED = [
     "hourly_value_robust_anomalies",
     "tokenizer_artifact_roundtrip",
     "stream_contamination_scan",
+    "stream_holtwinters_fit",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

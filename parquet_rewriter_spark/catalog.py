@@ -14272,6 +14272,74 @@ def nation_revenue_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation", "h")
 
 
+@query(
+    "stream_holtwinters_fit",
+    _holt_winters_oracle(12, 3),
+    "streaming", "timeseries", "forecast", "holt-winters",
+)
+def stream_holtwinters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST forecasting (streaming/ops.py:stream_holt_winters):
+    per-nation monthly revenue points stream through a stateful kernel
+    carrying O(period) state per group — buffer two seasons, initialize
+    exactly like the batch fold, then update per arriving point — and
+    the drained state's 3-month forecasts must equal the BATCH
+    Holt-Winters oracle bit-for-bit (same recurrence, same
+    double-precision order). The streaming twin of
+    nation_revenue_holtwinters, same oracle."""
+    import shutil
+
+    from parquet_rewriter_spark.streaming.ops import stream_holt_winters
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nat, c["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.unix_timestamp(
+                F.date_trunc("month", F.col("o_orderdate"))
+            ).alias("m"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    base = _scratch("stream_hw")
+    src = os.path.join(base, "src")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    monthly.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    stream_holt_winters(
+        stream, "nation", "m", "rev", sink, ckpt, period=12,
+    )
+    fitted = spark.read.parquet(sink)
+    w = Window.partitionBy("grp")
+    latest = (
+        fitted.withColumn("__mx", F.max("t").over(w))
+        .filter(F.col("t") == F.col("__mx"))
+        .select("grp", "t", "level", "trend", "seas")
+    )
+    h = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("h")
+    out = latest.select("*", h)
+    yhat = (
+        F.col("level")
+        + F.col("h") * F.col("trend")
+        + F.element_at(
+            F.col("seas"),
+            (F.pmod(F.col("t") + F.col("h") - 1, F.lit(12)) + 1).cast("int"),
+        )
+    )
+    return out.select(
+        F.col("grp").alias("nation"),
+        F.col("h").cast("int").alias("h"),
+        F.round(yhat, 2).alias("yhat"),
+        F.col("t").cast("int").alias("n_points"),
+    ).orderBy("nation", "h")
+
+
 def _tokenizer_registry_oracle(n_merges: int = 4) -> str:
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 
@@ -14869,6 +14937,7 @@ _VERIFY_FIRST = (
     "nation_revenue_holtwinters",
     "hourly_value_seasonal_anomalies",
     "hourly_value_robust_anomalies",
+    "stream_holtwinters_fit",
     # round-9-touched code paths
     "bpe_merge_rules",
     "bpe_token_fertility",

@@ -1131,3 +1131,125 @@ def stream_contamination_guard(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
+def stream_holt_winters(
+    points: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    period: int = 12,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    timeout_s: int = 300,
+) -> None:
+    """ON-INGEST Holt-Winters: maintain each group's (level, trend,
+    seasonal array) as series points arrive — the streaming twin of
+    operators/timeseries.py:holt_winters_by, carrying O(period) state
+    per group instead of refitting history.
+
+    The kernel replays the batch fold EXACTLY: the first 2·period
+    points buffer (initialization needs two full seasons), then
+    initialization + updates run the identical double-precision
+    recurrence in the same left-to-right order, so the drained state
+    equals the batch fit bit-for-bit (pinned in tests across multiple
+    micro-batches). Points must arrive time-ordered across batches
+    (batch-internal ties sorted by the time column — the packing
+    contract); each batch appends the group's newest
+    (t, level, trend, seas) snapshot to the sink, newest = max t."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    P = int(period)
+    a, b, g = float(alpha), float(beta), float(gamma)
+    oma, omb, omg = 1.0 - a, 1.0 - b, 1.0 - g
+    base = points.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    out_schema = (
+        "grp string, t long, level double, trend double, seas array<double>"
+    )
+    state_schema = (
+        "n long, level double, trend double, seas array<double>, warm array<double>"
+    )
+
+    def fn(key_tuple, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n, level, trend, seas, warm = state.get
+            seas, warm = list(seas), list(warm)
+        else:
+            n, level, trend, seas, warm = 0, None, None, [], []
+
+        def update(y):
+            nonlocal level, trend, seas
+            i = int(nxt[0] % P)
+            lvl_new = a * (y - seas[i]) + oma * (level + trend)
+            trend_new = b * (lvl_new - level) + omb * trend
+            seas[i] = g * (y - lvl_new) + omg * seas[i]
+            level, trend = lvl_new, trend_new
+            nxt[0] += 1
+
+        nxt = [n]  # index of the NEXT update step (batch fold's acc.t)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for y in pdf.sort_values("t")["v"].tolist():
+                if level is None:
+                    warm.append(float(y))
+                    if len(warm) == 2 * P:
+                        s1 = 0.0
+                        for x in warm[:P]:
+                            s1 = s1 + x
+                        s2 = 0.0
+                        for x in warm[P : 2 * P]:
+                            s2 = s2 + x
+                        level = s1 / P
+                        trend = (s2 - s1) / float(P * P)
+                        seas = [x - s1 / P for x in warm[:P]]
+                        nxt = [P]
+                        for yy in warm[P:]:
+                            update(yy)
+                        warm = []
+                else:
+                    update(float(y))
+        n = nxt[0] if level is not None else len(warm)
+        state.update(
+            (int(n), level, trend, list(seas), list(warm))
+        )
+        if level is not None:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "grp": [str(key_tuple[0])],
+                    "t": [int(n)],
+                    "level": [level],
+                    "trend": [trend],
+                    "seas": [list(seas)],
+                }
+            )
+
+    fitted = base.groupBy("grp").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        fitted.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")

@@ -447,3 +447,54 @@ def test_seasonal_decompose_robust_isolates_spike(spark):
     clean = [r for r in mid if not (19 <= r["t"] <= 23)]
     for r in clean:
         assert abs(r["remainder"]) < 1.0, (r["t"], r["remainder"])
+
+
+def test_stream_holt_winters_matches_batch_across_batches(spark, tmp_path):
+    """Three time-ordered files, maxFilesPerTrigger=1: the drained
+    streaming state must equal the batch fold bit-for-bit — the
+    warmup buffer, initialization, and every update cross micro-batch
+    boundaries without drift."""
+    import math
+    import os
+    import time
+
+    from parquet_rewriter_spark.operators.timeseries import holt_winters_by
+    from parquet_rewriter_spark.streaming.ops import stream_holt_winters
+
+    P = 4
+    rows = [
+        ("s", t, float(100 + 3 * math.sin(t * math.pi / 2) + 0.7 * t))
+        for t in range(30)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    src = tmp_path / "src"
+    src.mkdir()
+    for k in range(3):
+        part = df.filter((F.col("t") >= 10 * k) & (F.col("t") < 10 * (k + 1)))
+        p = str(src / f"f{k}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        ts = time.time() - 300 + 60 * k
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(p, (ts, ts))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/f[012].parquet")
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream_holt_winters(stream, "grp", "t", "v", sink, ckpt, period=P)
+    fitted = spark.read.parquet(sink)
+    last = max(fitted.collect(), key=lambda r: r["t"])
+    want = {
+        r["h"]: r["yhat"]
+        for r in holt_winters_by(df, "grp", "t", "v", period=P, horizon=3).collect()
+    }
+    n = last["t"]
+    for h in (1, 2, 3):
+        got = (
+            last["level"] + h * last["trend"]
+            + last["seas"][(n + h - 1) % P]
+        )
+        assert got == want[h], (h, got, want[h])  # bit-identical
