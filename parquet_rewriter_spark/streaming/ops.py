@@ -1022,28 +1022,31 @@ def stream_pack_sequences(
         import pandas as pd
 
         off = int(state.get[0]) if state.exists else 0
-        frames = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values("id")
-            tok = pdf["n_tok"].to_numpy(dtype="int64")
+        # Concatenate the WHOLE group-batch before sorting: the Arrow
+        # transfer chunks a large micro-batch (~maxRecordsPerBatch rows
+        # per chunk, shuffle order across chunks), so a per-chunk sort
+        # would assign offsets in chunk-then-id order and silently
+        # break the "batch sorts its shard-group by id" contract the
+        # batch packer is oracled against (pinned in tests with a tiny
+        # Arrow batch size).
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("id")
+            tok = batch["n_tok"].to_numpy(dtype="int64")
             before = off + np.concatenate(([0], np.cumsum(tok[:-1])))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(dtype="int64"),
-                        "shard": np.full(len(pdf), int(key_tuple[0]), dtype="int32"),
-                        "seq_id": before // M,
-                        "seq_offset": before % M,
-                        "spans_boundary": (before % M + tok) > M,
-                    }
-                )
-            )
             off += int(tok.sum())
-        state.update((off,))
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+            state.update((off,))
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"].to_numpy(dtype="int64"),
+                    "shard": np.full(len(batch), int(key_tuple[0]), dtype="int32"),
+                    "seq_id": before // M,
+                    "seq_offset": before % M,
+                    "spans_boundary": (before % M + tok) > M,
+                }
+            )
+        else:
+            state.update((off,))
 
     assigned = base.groupBy("shard").applyInPandasWithState(
         fn,
@@ -1196,10 +1199,16 @@ def stream_holt_winters(
             nxt[0] += 1
 
         nxt = [n]  # index of the NEXT update step (batch fold's acc.t)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            for y in pdf.sort_values("t")["v"].tolist():
+        # Concatenate ALL Arrow chunks and sort by t ONCE: a group with
+        # more than ~maxRecordsPerBatch points in one micro-batch spans
+        # multiple chunks arriving in shuffle order — a per-chunk sort
+        # would replay updates out of time order and the drained state
+        # would no longer equal the batch fold (pinned in tests with a
+        # tiny Arrow batch size).
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("t")
+            for y in batch["v"].tolist():
                 if level is None:
                     warm.append(float(y))
                     if len(warm) == 2 * P:

@@ -1,0 +1,106 @@
+"""Round-10 regressions and operators.
+
+The two Arrow-chunking regressions pin a failure class fixture-scale
+tests cannot reach by default: ``applyInPandasWithState`` feeds each
+group-batch to the kernel as an ITERATOR of Arrow chunks of at most
+``spark.sql.execution.arrow.maxRecordsPerBatch`` rows (default ~10k),
+arriving in shuffle order. A kernel that sorts per chunk instead of
+per group-batch silently diverges from its batch twin the moment a
+group exceeds one chunk. These tests shrink the chunk size to 4 and
+feed deliberately reverse-ordered input, so chunk-local sorting can
+never reproduce the global order by accident.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import math
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Row
+
+
+@contextlib.contextmanager
+def _arrow_chunk_size(spark, n: int):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_stream_pack_sequences_sorts_across_arrow_chunks(spark, tmp_path):
+    """One micro-batch, one shard, ids written in DESCENDING order,
+    Arrow chunk size 4 → the 30-row group spans ~8 chunks whose
+    chunk-local ascending sort is maximally different from the global
+    id order. The streamed assignment must still equal the batch
+    packer's (global id order), proving the kernel concatenates the
+    whole group-batch before sorting."""
+    from parquet_rewriter_spark.operators.packing import pack_sequences
+    from parquet_rewriter_spark.streaming.ops import stream_pack_sequences
+
+    rows = [(i, 2 + (i * 5) % 9) for i in range(29, -1, -1)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    with _arrow_chunk_size(spark, 4):
+        stream_pack_sequences(
+            stream, "doc_id", "tok", max_tokens=16, sink_dir=sink,
+            checkpoint_dir=ckpt, shard_col=F.lit(0),
+        )
+    got = {
+        r["id"]: (r["seq_id"], r["seq_offset"], r["spans_boundary"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["spans_boundary"])
+        for r in pack_sequences(
+            df, "doc_id", "tok", max_tokens=16, shard_col=F.lit(0)
+        ).collect()
+    }
+    assert len(got) == 30
+    assert got == want
+
+
+def test_stream_holt_winters_sorts_across_arrow_chunks(spark, tmp_path):
+    """One micro-batch, one group, points written in DESCENDING time
+    order, Arrow chunk size 4: the drained state must still equal the
+    batch fold bit-for-bit — a per-chunk sort would replay updates out
+    of time order."""
+    from parquet_rewriter_spark.operators.timeseries import holt_winters_by
+    from parquet_rewriter_spark.streaming.ops import stream_holt_winters
+
+    P = 4
+    rows = [
+        ("s", t, float(100 + 3 * math.sin(t * math.pi / 2) + 0.7 * t))
+        for t in range(29, -1, -1)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    with _arrow_chunk_size(spark, 4):
+        stream_holt_winters(stream, "grp", "t", "v", sink, ckpt, period=P)
+    last = max(spark.read.parquet(sink).collect(), key=lambda r: r["t"])
+    want = {
+        r["h"]: r["yhat"]
+        for r in holt_winters_by(df, "grp", "t", "v", period=P, horizon=3).collect()
+    }
+    n = last["t"]
+    for h in (1, 2, 3):
+        got = (
+            last["level"] + h * last["trend"]
+            + last["seas"][(n + h - 1) % P]
+        )
+        assert got == want[h], (h, got, want[h])  # bit-identical
