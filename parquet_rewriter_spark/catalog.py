@@ -14054,15 +14054,20 @@ def stream_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT avg(sm) AS c FROM sm),
     seas AS (SELECT slot, sm - (SELECT c FROM c) AS seasonal FROM sm),
     r AS (
-      SELECT d.h, d.v, d.trend, s.seasonal,
-             d.v - d.trend - s.seasonal AS remainder
+      -- round ALL remainder operands (v, trend, seasonal) BEFORE the
+      -- subtraction and round the result (the operator's round_to=4
+      -- contract): every downstream value is a 4-decimal grid value,
+      -- identical across engines — an unrounded v minus grid values
+      -- lands arbitrarily close to rounding midpoints
+      SELECT d.h, d.v, round(d.trend, 4) AS trend, round(s.seasonal, 4) AS seasonal,
+             round(round(d.v, 4) - round(d.trend, 4) - round(s.seasonal, 4), 4)
+               AS remainder
       FROM det d JOIN seas s USING (slot)
     )
     SELECT h AS hour_epoch, round(v, 4) AS v,
-           round(trend, 4) AS trend,
-           round(seasonal, 4) AS seasonal,
-           round(remainder, 4) AS remainder,
-           abs(remainder) > 3.0 * (SELECT stddev_samp(remainder) FROM r)
+           trend, seasonal, remainder,
+           round(abs(remainder), 4)
+             > round(3.0 * (SELECT stddev_samp(remainder) FROM r), 4)
              AS is_anomaly
     FROM r WHERE trend IS NOT NULL ORDER BY hour_epoch
     """,
@@ -14085,16 +14090,17 @@ def hourly_value_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
     ).agg(F.avg("value").alias("v"))
     dec = seasonal_decompose_by(
-        hourly.withColumn("g", F.lit(1)), "g", "hour_epoch", "v", period=24
+        hourly.withColumn("g", F.lit(1)), "g", "hour_epoch", "v", period=24,
+        round_to=4,
     )
     return (
         dec.filter(F.col("trend").isNotNull())
         .select(
             "hour_epoch",
             F.round("v", 4).alias("v"),
-            F.round("trend", 4).alias("trend"),
-            F.round("seasonal", 4).alias("seasonal"),
-            F.round("remainder", 4).alias("remainder"),
+            "trend",
+            "seasonal",
+            "remainder",
             "is_anomaly",
         )
         .orderBy("hour_epoch")
@@ -14129,8 +14135,11 @@ def hourly_value_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
     c AS (SELECT avg(sm) AS c FROM sm),
     seas AS (SELECT slot, sm - (SELECT c FROM c) AS seasonal FROM sm),
     r AS (
-      SELECT d.h, d.v, d.trend, s.seasonal,
-             d.v - d.trend - s.seasonal AS remainder
+      -- ALL remainder operands rounded (round_to=4), so the
+      -- percentile inputs are bit-identical across engines
+      SELECT d.h, d.v, round(d.trend, 4) AS trend, round(s.seasonal, 4) AS seasonal,
+             round(round(d.v, 4) - round(d.trend, 4) - round(s.seasonal, 4), 4)
+               AS remainder
       FROM det d JOIN seas s USING (slot)
     ),
     med AS (
@@ -14143,11 +14152,9 @@ def hourly_value_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFra
       FROM r WHERE remainder IS NOT NULL
     )
     SELECT h AS hour_epoch, round(v, 4) AS v,
-           round(trend, 4) AS trend,
-           round(seasonal, 4) AS seasonal,
-           round(remainder, 4) AS remainder,
-           abs(remainder - (SELECT m FROM med))
-             > 3.0 * 1.4826 * (SELECT mad FROM mad) AS is_anomaly
+           trend, seasonal, remainder,
+           round(abs(remainder - (SELECT m FROM med)), 4)
+             > round(3.0 * (1.4826 * (SELECT mad FROM mad)), 4) AS is_anomaly
     FROM r WHERE trend IS NOT NULL ORDER BY hour_epoch
     """,
     "timeseries", "decompose", "anomaly", "robust",
@@ -14169,16 +14176,16 @@ def hourly_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(F.avg("value").alias("v"))
     dec = seasonal_decompose_by(
         hourly.withColumn("g", F.lit(1)), "g", "hour_epoch", "v", period=24,
-        robust=True,
+        robust=True, round_to=4,
     )
     return (
         dec.filter(F.col("trend").isNotNull())
         .select(
             "hour_epoch",
             F.round("v", 4).alias("v"),
-            F.round("trend", 4).alias("trend"),
-            F.round("seasonal", 4).alias("seasonal"),
-            F.round("remainder", 4).alias("remainder"),
+            "trend",
+            "seasonal",
+            "remainder",
             "is_anomaly",
         )
         .orderBy("hour_epoch")

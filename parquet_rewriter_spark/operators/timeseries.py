@@ -354,15 +354,21 @@ def seasonal_decompose_by(
     )
     out = base.join(seas, [group_col, "__slot"])
     if round_to is not None:
-        # derive the residual from ROUNDED components: raw window sums
-        # differ across engines in the last ulp and can straddle a
-        # rounding boundary; rounding first makes every downstream
-        # value (remainder, sigma, flags) bit-identical cross-engine
+        # derive the residual from ROUNDED operands — ALL THREE: raw
+        # window sums differ across engines in the last ulp and can
+        # straddle a rounding boundary, and an unrounded v minus two
+        # grid values lands arbitrarily close to a rounding midpoint
+        # (observed at sf0.01: remainder exactly on k·1e-4 + 5e-5).
+        # With every operand on the same decimal grid the difference
+        # is bit-identical cross-engine before its final round.
         out = out.withColumn("__trend", F.round("__trend", round_to)).withColumn(
             "__seasonal", F.round("__seasonal", round_to)
         )
+        v_eff = F.round(v, round_to)
+    else:
+        v_eff = v
     out = out.withColumn(
-        "__remainder", v - F.col("__trend") - F.col("__seasonal")
+        "__remainder", v_eff - F.col("__trend") - F.col("__seasonal")
     )
     if round_to is not None:
         out = out.withColumn("__remainder", F.round("__remainder", round_to))
@@ -383,13 +389,21 @@ def seasonal_decompose_by(
     else:
         scale = F.stddev_samp("__remainder").over(w_grp)
         dev = F.abs(F.col("__remainder"))
+    threshold = F.lit(float(anomaly_k)) * scale
+    if round_to is not None:
+        # The flag itself must be boundary-proof: even with rounded
+        # remainders, the THRESHOLD is a cross-engine aggregate
+        # (stddev / percentile) whose last-ulp sum-order differences
+        # can flip `dev > k*scale` when a residual sits within an ulp
+        # of the cutoff. Compare rounded deviation against rounded
+        # threshold so both sides are k-decimal grid values in every
+        # engine.
+        dev = F.round(dev, round_to)
+        threshold = F.round(threshold, round_to)
     return (
         out.withColumn(
             "is_anomaly",
-            F.when(
-                F.col("__remainder").isNotNull(),
-                dev > F.lit(float(anomaly_k)) * scale,
-            ),
+            F.when(F.col("__remainder").isNotNull(), dev > threshold),
         )
         .withColumnRenamed("__trend", "trend")
         .withColumnRenamed("__seasonal", "seasonal")
