@@ -57,12 +57,41 @@ END = "</w>"
 # is unbounded at corpus scale — see module docstring).
 BROADCAST_MAX_WORDS = 2_000_000
 
+# ... and only below this ESTIMATED serialized payload: the row gate
+# alone under-protects — for encode_docs the relation carries (word,
+# input_ids array), so 2M rows can be hundreds of MB to GBs, big
+# enough to OOM the driver/executors the gate exists to protect, while
+# a forced hint bypasses Spark's own byte-based
+# autoBroadcastJoinThreshold. Above either gate the join is left
+# UN-HINTED, so AQE's byte-based planner still picks a broadcast when
+# the actual build side turns out small.
+BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _relation_bytes(rel: DataFrame) -> int:
+    """Estimated serialized payload of a per-distinct-word relation:
+    one aggregate over the JSON-rendered row width (a close-enough
+    proxy for broadcast width in a go/no-go gate). Only evaluated when
+    the ROW count is already under BROADCAST_MAX_WORDS, so the extra
+    job is bounded by construction."""
+    row = rel.select(
+        F.sum(
+            F.length(F.to_json(F.struct(*[F.col(c) for c in rel.columns])))
+        ).alias("b")
+    ).collect()
+    return int(row[0]["b"] or 0)
+
 
 def _word_join(occ: DataFrame, rel: DataFrame, n_words: int,
                broadcast_threshold: int) -> DataFrame:
     """Join exploded word occurrences against a per-distinct-word
-    relation: broadcast under the threshold, hash join above it."""
-    small = n_words <= broadcast_threshold
+    relation: force-broadcast only when BOTH the distinct-word count
+    and the estimated payload bytes are under their gates; otherwise
+    un-hinted (hash join, with AQE free to re-plan)."""
+    small = (
+        n_words <= broadcast_threshold
+        and _relation_bytes(rel) <= BROADCAST_MAX_BYTES
+    )
     return occ.join(F.broadcast(rel) if small else rel, "word")
 
 

@@ -104,3 +104,28 @@ def test_stream_holt_winters_sorts_across_arrow_chunks(spark, tmp_path):
             + last["seas"][(n + h - 1) % P]
         )
         assert got == want[h], (h, got, want[h])  # bit-identical
+
+
+def test_word_join_byte_gate_blocks_fat_broadcast(spark, sf_dir, monkeypatch):
+    """The word-relation broadcast is gated on ESTIMATED BYTES, not
+    just row count: with the byte cap forced to 1, even a
+    fixture-sized (word -> ids) relation must fall back to an
+    un-hinted shuffle join (auto-broadcast off), while the bounded
+    symbol-id relation stays force-broadcast."""
+    from parquet_rewriter_spark.operators import bpe
+    from parquet_rewriter_spark.plans.inspect import plan_of
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, vocab = bpe.bpe_train(d, "text", n_merges=2)
+    monkeypatch.setattr(bpe, "BROADCAST_MAX_BYTES", 1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(bpe.encode_docs(d, "doc_id", "text", vocab))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    vocab.unpersist()
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" in p  # the merge-bounded symbol-id join
+    assert "CartesianProduct" not in p
