@@ -13606,11 +13606,47 @@ def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _packed_oracle_tail(m: int, shards: int) -> str:
+    """Shared packing SQL for every tokenizer family's packed-window
+    oracle: consumes an ``enc`` CTE of (doc_id, input_ids), replays
+    pack_sequences (doc_id % shards, cumulative offsets) and
+    materialize_packed (span slicing + order-safe window reassembly),
+    and emits the scalarized window rows."""
+    flat = "flatten(list_transform(list_sort(list({'p': pos, 'l': piece})), s -> s.l))"
+    return f"""pk AS (
+      SELECT doc_id, doc_id % {shards} AS shard, input_ids,
+             CAST(len(input_ids) AS BIGINT) AS n_tok,
+             CAST(coalesce(sum(len(input_ids)) OVER (
+               PARTITION BY doc_id % {shards} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS B
+      FROM enc WHERE len(input_ids) > 0
+    ),
+    pieces AS (
+      SELECT shard, p.w AS seq_id, p.pos, p.piece
+      FROM pk, LATERAL (
+        SELECT unnest(list_transform(
+          generate_series(CAST(floor(B / {m}) AS BIGINT),
+                          CAST(floor((B + n_tok - 1) / {m}) AS BIGINT)),
+          w -> {{'w': w,
+                 'piece': list_slice(input_ids,
+                                     CAST(greatest(0, w * {m} - B) + 1 AS BIGINT),
+                                     CAST(least(n_tok, (w + 1) * {m} - B) AS BIGINT)),
+                 'pos': B + greatest(0, w * {m} - B) - w * {m}}})) AS p
+      )
+    )
+    SELECT shard, seq_id, md5(array_to_string({flat}, ',')) AS ids_digest,
+           CAST(len({flat}) AS INT) AS n_tokens,
+           count(*) AS n_pieces,
+           array_to_string(list_transform(list_sort(list({{'p': pos, 'l': piece}})),
+                                          s -> len(s.l)), ',') AS piece_lengths
+    FROM pieces GROUP BY shard, seq_id
+    ORDER BY shard, seq_id"""
+
+
 def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 
     cte = bpe_vocab_cte_sql("documents", "text", n_merges)
-    flat = "flatten(list_transform(list_sort(list({'p': pos, 'l': piece})), s -> s.l))"
     return f"""
     WITH {cte},
     sid AS (
@@ -13643,52 +13679,20 @@ def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
                                     s -> s.l)) AS input_ids
       FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
     ),
-    pk AS (
-      SELECT doc_id, doc_id % {shards} AS shard, input_ids,
-             CAST(len(input_ids) AS BIGINT) AS n_tok,
-             CAST(coalesce(sum(len(input_ids)) OVER (
-               PARTITION BY doc_id % {shards} ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS B
-      FROM enc WHERE len(input_ids) > 0
-    ),
-    pieces AS (
-      SELECT shard, p.w AS seq_id, p.pos, p.piece
-      FROM pk, LATERAL (
-        SELECT unnest(list_transform(
-          generate_series(CAST(floor(B / {m}) AS BIGINT),
-                          CAST(floor((B + n_tok - 1) / {m}) AS BIGINT)),
-          w -> {{'w': w,
-                 'piece': list_slice(input_ids,
-                                     CAST(greatest(0, w * {m} - B) + 1 AS BIGINT),
-                                     CAST(least(n_tok, (w + 1) * {m} - B) AS BIGINT)),
-                 'pos': B + greatest(0, w * {m} - B) - w * {m}}})) AS p
-      )
-    )
-    SELECT shard, seq_id, md5(array_to_string({flat}, ',')) AS ids_digest,
-           CAST(len({flat}) AS INT) AS n_tokens,
-           count(*) AS n_pieces,
-           array_to_string(list_transform(list_sort(list({{'p': pos, 'l': piece}})),
-                                          s -> len(s.l)), ',') AS piece_lengths
-    FROM pieces GROUP BY shard, seq_id
-    ORDER BY shard, seq_id
+    {_packed_oracle_tail(m, shards)}
     """
 
 
-def _packed_windows_scalar(
-    spark: SparkSession, sf_dir: str, n_merges: int, m: int, shards: int
-) -> DataFrame:
-    """Shared body of the packed-window queries: run the end-to-end
-    pipeline, then project the array outputs to driver-safe scalars
-    (digest of the id stream, comma-joined piece lengths)."""
-    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+def _scalarized_windows(enc: DataFrame, m: int, shards: int) -> DataFrame:
+    """Shared tail of every tokenizer family's packed-window queries:
+    pack the encoded corpus (portable doc_id % shards), materialize
+    fixed-M windows, and project the array outputs to driver-safe
+    scalars (digest of the id stream, comma-joined piece lengths)."""
     from parquet_rewriter_spark.operators.packing import (
         materialize_packed,
         pack_sequences,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    rules, vocab = bpe_train(d, "text", n_merges=n_merges)
-    enc = encode_docs(d, "doc_id", "text", vocab)
     p = pack_sequences(
         enc, "doc_id", F.size("input_ids"), max_tokens=m,
         shard_col=F.pmod(F.col("doc_id"), F.lit(shards)),
@@ -13704,6 +13708,18 @@ def _packed_windows_scalar(
             ",", F.transform(F.col("piece_lengths"), lambda x: x.cast("string"))
         ).alias("piece_lengths"),
     ).orderBy("shard", "seq_id")
+
+
+def _packed_windows_scalar(
+    spark: SparkSession, sf_dir: str, n_merges: int, m: int, shards: int
+) -> DataFrame:
+    """BPE flavor of the end-to-end packed-window pipeline."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=n_merges)
+    enc = encode_docs(d, "doc_id", "text", vocab)
+    return _scalarized_windows(enc, m, shards)
 
 
 @query(
@@ -13948,6 +13964,161 @@ def wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     vocab = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
     return wordpiece_fertility_by(d, "text", "lang", vocab).orderBy("lang")
+
+
+def _wordpiece_word_ids_cte() -> str:
+    """CTEs mapping each distinct word to its WordPiece piece-id array:
+    dense piece ids in piece order over wp_vocab, per-word id lists
+    reassembled in piece position order. Compose after
+    ``_wordpiece_cte()``."""
+    return """pid AS (
+      SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS piece_id
+      FROM wp_vocab
+    ),
+    wp_pos AS (
+      SELECT word, i AS pos, pieces[i] AS piece
+      FROM wp_seg, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS i)
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(list_sort(list({'p': pos, 'i': piece_id})),
+                            s -> s.i) AS ids
+      FROM wp_pos JOIN pid USING (piece) GROUP BY word
+    )"""
+
+
+_WP_FLAT = "flatten(list_transform(list_sort(list({'p': wpos, 'l': ids})), s -> s.l))"
+
+
+@query(
+    "wordpiece_encode_sample",
+    f"""
+    WITH {_wordpiece_cte()},
+    {_wordpiece_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id < 15),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "encode",
+)
+def wordpiece_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece's actual pretraining deliverable — documents →
+    piece-ID sequences (operators/wordpiece.py:wordpiece_encode_docs),
+    closing the lifecycle gap with BPE: each DISTINCT word is greedily
+    segmented once at vocab scale, its pieces id-mapped through the
+    broadcast bounded (piece → id) relation, and per-doc sequences
+    reassemble order-safely through the thresholded word join
+    (bpe.assemble_doc_ids). The oracle replays vocabulary selection,
+    greedy segmentation (recursive CTE), id assignment AND the full
+    per-doc id streams; the registered output ships the stream as an
+    md5 digest (driver canonicalizer is scalar-only)."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
+    out = wordpiece_encode_docs(
+        d.filter(F.col("doc_id") < 15), "doc_id", "text", pieces
+    )
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
+@query(
+    "wordpiece_packed_windows",
+    f"""
+    WITH {_wordpiece_cte()},
+    {_wordpiece_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id, {_WP_FLAT} AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    {_packed_oracle_tail(32, 4)}
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "packing", "pretraining",
+)
+def wordpiece_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece end-to-end pretraining pipeline — corpus → greedy
+    piece-id encoding → packed-stream assignment → materialized
+    fixed-32-token windows — proving the packing materializer is
+    tokenizer-agnostic: the same pack/materialize tail (and the same
+    shared SQL replay) consumes any family's (doc_id, input_ids). A
+    hash match covers segmentation, id mapping, shard order, window
+    boundaries, and split pieces byte-for-byte."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
+    enc = wordpiece_encode_docs(d, "doc_id", "text", pieces)
+    return _scalarized_windows(enc, m=32, shards=4)
+
+
+@query(
+    "wordpiece_artifact_roundtrip",
+    f"""
+    WITH {_wordpiece_cte()},
+    occ AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 4) AS fertility,
+           (SELECT CAST(count(*) AS INT) FROM wp_vocab) AS vocab_rows
+    FROM occ JOIN wp_seg USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "registry", "storage",
+)
+def wordpiece_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece in the TOKENIZER REGISTRY: persist the piece
+    inventory as a SortedTable (key=piece — zone maps, time travel; a
+    tokenizer version IS a table version), drop the in-memory copy,
+    reload, and compute per-language fertility FROM THE STORED
+    ARTIFACT, with the stored vocab row count folded in. Registry
+    parity with BPE's tokenizer_artifact_roundtrip."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_fertility_by,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents")
+    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
+    base = _scratch("wp_registry")
+    pt = SortedTable.create(
+        spark, os.path.join(base, "pieces"), pieces, key="piece"
+    )
+    stored = pt.read()
+    n_vocab = stored.count()
+    out = wordpiece_fertility_by(d, "text", "lang", stored)
+    return out.withColumn(
+        "vocab_rows", F.lit(int(n_vocab)).cast("int")
+    ).orderBy("lang")
 
 
 @query(

@@ -302,6 +302,7 @@ __all__ = [
     "vocab_token_counts",
     "fertility_by",
     "symbol_vocab",
+    "assemble_doc_ids",
     "encode_docs",
     "decode_docs",
     "bpe_vocab_cte_sql",
@@ -324,6 +325,45 @@ def symbol_vocab(vocab: DataFrame) -> DataFrame:
     w = Window.partitionBy().orderBy("symbol")
     return agg.select(
         "symbol", (F.row_number().over(w) - 1).alias("token_id"), "freq"
+    )
+
+
+def assemble_doc_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    word_ids: DataFrame,
+    n_words: int,
+    broadcast_threshold: int = BROADCAST_MAX_WORDS,
+) -> DataFrame:
+    """Corpus-side half of every tokenizer family's encode path,
+    shared by BPE/WordPiece/unigram: documents' word occurrences join
+    a (word → ids array) relation — each DISTINCT word id-mapped ONCE
+    at vocab scale by the caller — through the thresholded
+    :func:`_word_join`, and per-doc sequences reassemble order-safely
+    via array_sort over (position, ids) structs (never a bare
+    collect_list, whose order is partition-dependent). Returns
+    (id_col, input_ids, n_tokens)."""
+    wlist = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    words = df.select(
+        F.col(id_col).alias("id"), F.posexplode(wlist).alias("wpos", "word")
+    )
+    return (
+        _word_join(words, word_ids, n_words, broadcast_threshold)
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda s: s.ids,
+                )
+            ).alias("input_ids")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "input_ids",
+            F.size("input_ids").alias("n_tokens"),
+        )
     )
 
 
@@ -359,27 +399,9 @@ def encode_docs(
             ).alias("ids")
         )
     )
-    wlist = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    words = df.select(
-        F.col(id_col).alias("id"), F.posexplode(wlist).alias("wpos", "word")
-    )
     n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
-    return (
-        _word_join(words, word_ids, n_words, broadcast_threshold)
-        .groupBy("id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
-                    lambda s: s.ids,
-                )
-            ).alias("input_ids")
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "input_ids",
-            F.size("input_ids").alias("n_tokens"),
-        )
+    return assemble_doc_ids(
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold
     )
 
 

@@ -133,6 +133,124 @@ def viterbi_segment_stats(
     ).drop("__v")
 
 
+def viterbi_segment(
+    words: DataFrame,
+    pieces: DataFrame,
+    word_col: str = "word",
+) -> DataFrame:
+    """Per-word maximum-likelihood SEGMENTATION (not just its score):
+    adds ``pieces`` (array<string>, the optimal piece sequence) and
+    ``n_pieces``. Ties on the exact product score are broken by the
+    LEXICOGRAPHICALLY SMALLEST space-joined piece string — a total
+    order both engines share bit-for-bit (scores are exact IEEE
+    products in identical order; the joined strings of two
+    segmentations of the same word first differ at a space-vs-char
+    position, and ASCII space sorts below every word char in both
+    Python and DuckDB's binary collation, so prefix-wise DP lexmin
+    equals path-enumeration lexmin — no proper-prefix ambiguity exists
+    because de-spacing any candidate yields the same word). The oracle
+    (``ug_seg`` in :func:`unigram_cte_sql`) enumerates every path and
+    takes max score then min string — an independent algorithm that
+    must agree exactly."""
+    import math
+
+    rows = pieces.select("piece", "c").collect()
+    total = float(sum(int(r["c"]) for r in rows))
+    ratio = {r["piece"]: int(r["c"]) / total for r in rows}
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (ratio, max((len(p) for p in ratio), default=1))
+    )
+
+    @F.pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        rmap, lmax = bc.value
+
+        def one(w):
+            if not w:
+                return None
+            n = len(w)
+            best = [None] * (n + 1)  # (score, space-joined pieces)
+            best[0] = (1.0, "")
+            for i in range(1, n + 1):
+                for l in range(1, min(lmax, i) + 1):
+                    r = rmap.get(w[i - l : i])
+                    if r is None or best[i - l] is None:
+                        continue
+                    s = best[i - l][0] * r
+                    prev = best[i - l][1]
+                    cand = w[i - l : i] if not prev else prev + " " + w[i - l : i]
+                    if (
+                        best[i] is None
+                        or s > best[i][0]
+                        or (s == best[i][0] and cand < best[i][1])
+                    ):
+                        best[i] = (s, cand)
+            if best[n] is None:
+                return None
+            return best[n][1].split(" ")
+
+        return col.map(one)
+
+    return words.withColumn("pieces", seg(F.col(word_col))).withColumn(
+        "n_pieces", F.size("pieces")
+    )
+
+
+def unigram_piece_ids(pieces: DataFrame) -> DataFrame:
+    """(piece, piece_id): dense ids in piece order over the bounded
+    unigram inventory — the artifact id map, deterministic in any
+    engine (single-partition window over ≤ vocab_size + alphabet
+    rows)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy().orderBy("piece")
+    return pieces.select(
+        "piece", (F.row_number().over(w) - 1).alias("piece_id")
+    )
+
+
+def unigram_encode_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: DataFrame,
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
+    """Encode documents to unigram-LM piece-id sequences — lifecycle
+    parity with operators/bpe.py:encode_docs: Viterbi-segment each
+    DISTINCT word once (lexmin tie-break, vocab scale), id-map the
+    pieces through the broadcast bounded piece-id relation, and
+    reassemble per-doc sequences order-safely through the thresholded
+    word join (bpe.assemble_doc_ids). Returns (id_col, input_ids,
+    n_tokens)."""
+    from parquet_rewriter_spark.operators.bpe import (
+        BROADCAST_MAX_WORDS,
+        assemble_doc_ids,
+    )
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_MAX_WORDS
+    wc = word_counts(df, text_col)
+    segd = viterbi_segment(wc, pieces)
+    pid = unigram_piece_ids(pieces)
+    word_ids = (
+        segd.select("word", F.posexplode("pieces").alias("pos", "piece"))
+        .join(F.broadcast(pid), "piece")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "piece_id"))),
+                lambda s: s.piece_id,
+            ).alias("ids")
+        )
+    )
+    n_words = wc.count()
+    return assemble_doc_ids(
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+    )
+
+
 # --------------------------------------------------------------- SQL replay
 
 
@@ -179,14 +297,18 @@ def unigram_cte_sql(
     ),
     ug_paths AS (
       WITH RECURSIVE p AS (
-        SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS score FROM wc
+        SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS score,
+               CAST('' AS VARCHAR) AS ps
+        FROM wc
         UNION ALL
-        SELECT p.word, p.pos + len(v.piece) AS pos, p.score * v.r AS score
+        SELECT p.word, p.pos + len(v.piece) AS pos, p.score * v.r AS score,
+               CASE WHEN p.ps = '' THEN v.piece
+                    ELSE p.ps || ' ' || v.piece END AS ps
         FROM p JOIN ug_ratio v
           ON substr(p.word, p.pos + 1, len(v.piece)) = v.piece
         WHERE p.pos < len(p.word)
       )
-      SELECT word, score FROM p WHERE pos = len(word)
+      SELECT word, score, ps FROM p WHERE pos = len(word)
     ),
     ug_best AS (
       SELECT word, ln(max(score)) AS best_ll,
@@ -194,7 +316,27 @@ def unigram_cte_sql(
       FROM (SELECT word, score, max(score) OVER (PARTITION BY word) AS m
             FROM ug_paths)
       GROUP BY word
+    ),
+    ug_seg AS (
+      -- the optimal SEGMENTATION: max exact product score, ties broken
+      -- by the lexicographically smallest space-joined piece string
+      -- (binary collation == Python's ASCII compare; see
+      -- viterbi_segment) — the independent-path-enumeration twin of
+      -- Spark's DP lexmin
+      SELECT word, string_split(min(ps) FILTER (WHERE score = m), ' ') AS pieces,
+             CAST(len(string_split(min(ps) FILTER (WHERE score = m), ' '))
+                  AS INT) AS n_pieces
+      FROM (SELECT word, score, ps, max(score) OVER (PARTITION BY word) AS m
+            FROM ug_paths)
+      GROUP BY word
     )"""
 
 
-__all__ = ["piece_stats", "viterbi_segment_stats", "unigram_cte_sql"]
+__all__ = [
+    "piece_stats",
+    "viterbi_segment_stats",
+    "viterbi_segment",
+    "unigram_piece_ids",
+    "unigram_encode_docs",
+    "unigram_cte_sql",
+]

@@ -33,9 +33,12 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pyspark.sql import Window
+
 from parquet_rewriter_spark.operators.bpe import (
     BROADCAST_MAX_WORDS,
     _word_join,
+    assemble_doc_ids,
     word_counts,
 )
 
@@ -156,6 +159,53 @@ def wordpiece_fertility_by(
     )
 
 
+def piece_ids(pieces: DataFrame) -> DataFrame:
+    """The WordPiece tokenizer ARTIFACT id map: (piece, piece_id) with
+    dense ids in piece order — deterministic in any engine. The
+    inventory is vocab_size-bounded, so the single-partition ranking
+    window is a non-issue at any scale (same cost class as
+    operators/bpe.py:symbol_vocab)."""
+    w = Window.partitionBy().orderBy("piece")
+    return pieces.select(
+        "piece", (F.row_number().over(w) - 1).alias("piece_id")
+    )
+
+
+def wordpiece_encode_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: DataFrame,
+    broadcast_threshold: int = BROADCAST_MAX_WORDS,
+) -> DataFrame:
+    """Encode documents to WordPiece piece-id sequences — the full
+    lifecycle parity with operators/bpe.py:encode_docs: segment each
+    DISTINCT word once (greedy longest-match at vocab scale), id-map
+    its pieces through the broadcast vocab_size-bounded piece-id
+    relation, then documents' word occurrences join the (word → ids)
+    projection through the thresholded word join and reassemble
+    order-safely (bpe.assemble_doc_ids). Returns (id_col, input_ids,
+    n_tokens)."""
+    wc = word_counts(df, text_col)
+    segd = wordpiece_segment(wc, pieces)
+    pid = piece_ids(pieces)
+    word_ids = (
+        segd.select("word", F.posexplode("pieces").alias("pos", "piece"))
+        .join(F.broadcast(pid), "piece")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "piece_id"))),
+                lambda s: s.piece_id,
+            ).alias("ids")
+        )
+    )
+    n_words = wc.count()
+    return assemble_doc_ids(
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+    )
+
+
 # --------------------------------------------------------------- SQL replay
 
 
@@ -219,5 +269,7 @@ __all__ = [
     "substring_vocab",
     "wordpiece_segment",
     "wordpiece_fertility_by",
+    "piece_ids",
+    "wordpiece_encode_docs",
     "wordpiece_cte_sql",
 ]
