@@ -14671,6 +14671,181 @@ def unigram_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_word_ids_cte() -> str:
+    """CTEs mapping each distinct word to its unigram piece-id array:
+    dense piece ids in piece order over the inventory, the per-word
+    optimal segmentation (``ug_seg``: max exact score, lexmin
+    tie-break) id-mapped in position order. Compose after
+    ``_unigram_cte()``."""
+    return """upid AS (
+      SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS piece_id
+      FROM ug_stats
+    ),
+    ug_pos AS (
+      SELECT word, i AS pos, pieces[i] AS piece
+      FROM ug_seg, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS i)
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(list_sort(list({'p': pos, 'i': piece_id})),
+                            s -> s.i) AS ids
+      FROM ug_pos JOIN upid USING (piece) GROUP BY word
+    )"""
+
+
+@query(
+    "unigram_encode_sample",
+    f"""
+    WITH {_unigram_cte()},
+    {_unigram_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id < 15),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "encode",
+)
+def unigram_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM's pretraining deliverable — documents → maximum-
+    likelihood piece-ID sequences (operators/unigram.py:
+    unigram_encode_docs), closing the lifecycle gap with BPE: the
+    Viterbi DP picks each DISTINCT word's optimal segmentation once
+    (ties broken by the lexicographically smallest piece string — a
+    total order both engines share bit-for-bit), pieces id-map through
+    the broadcast bounded inventory, and per-doc sequences reassemble
+    through the thresholded word join. The oracle ENUMERATES every
+    path (independent algorithm), takes max exact-product score then
+    min joined string, and must reproduce the full id streams."""
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        unigram_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    out = unigram_encode_docs(
+        d.filter(F.col("doc_id") < 15), "doc_id", "text", stats
+    )
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
+@query(
+    "unigram_packed_windows",
+    f"""
+    WITH {_unigram_cte()},
+    {_unigram_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id, {_WP_FLAT} AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    {_packed_oracle_tail(32, 4)}
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "packing", "pretraining",
+)
+def unigram_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM end-to-end pretraining pipeline — corpus →
+    Viterbi piece-id encoding → packed fixed-32-token windows through
+    the tokenizer-agnostic pack/materialize tail. With this all THREE
+    tokenizer families (BPE, WordPiece, unigram) feed the same packing
+    materializer, each hash-verified end to end."""
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        unigram_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    enc = unigram_encode_docs(d, "doc_id", "text", stats)
+    return _scalarized_windows(enc, m=32, shards=4)
+
+
+@query(
+    "unigram_artifact_roundtrip",
+    f"""
+    WITH {_unigram_cte()},
+    occ AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_words,
+           round(sum(best_ll), 2) AS sum_ll,
+           round(sum(best_ll) / count(*), 4) AS avg_ll,
+           (SELECT CAST(count(*) AS INT) FROM ug_stats) AS vocab_rows
+    FROM occ JOIN ug_best USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "registry", "storage",
+)
+def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM in the TOKENIZER REGISTRY: persist the (piece, c)
+    inventory as a SortedTable (key=piece), reload from disk, and
+    score the corpus FROM THE STORED ARTIFACT (per-language Viterbi
+    log-likelihood, the unigram_corpus_loglik contract) with the
+    stored vocab row count folded in — a training job and a later
+    scoring job sharing nothing but the table. Registry parity with
+    BPE and WordPiece."""
+    from parquet_rewriter_spark.operators.bpe import (
+        BROADCAST_MAX_WORDS,
+        _word_join,
+        word_counts,
+    )
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        viterbi_segment_stats,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    base = _scratch("ug_registry")
+    st = SortedTable.create(
+        spark, os.path.join(base, "pieces"), stats, key="piece"
+    )
+    stored = st.read()
+    n_vocab = stored.count()
+    wc = word_counts(d, "text")
+    segd = viterbi_segment_stats(wc, stored).select("word", "best_ll")
+    n_words = wc.count()
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
+    return (
+        _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("best_ll"), 2).alias("sum_ll"),
+            F.round(F.sum("best_ll") / F.count(F.lit(1)), 4).alias("avg_ll"),
+        )
+        .select(
+            F.col("grp").alias("lang"),
+            "n_words",
+            "sum_ll",
+            "avg_ll",
+            F.lit(int(n_vocab)).cast("int").alias("vocab_rows"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,

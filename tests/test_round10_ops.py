@@ -129,3 +129,95 @@ def test_word_join_byte_gate_blocks_fat_broadcast(spark, sf_dir, monkeypatch):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert "BroadcastHashJoin" in p  # the merge-bounded symbol-id join
     assert "CartesianProduct" not in p
+
+
+def test_unigram_viterbi_segment_matches_bruteforce_lexmin(spark):
+    """viterbi_segment's DP (max exact-product score, lexicographic-
+    min piece-string tie-break) must equal brute-force path
+    enumeration applying the same rule — including words engineered to
+    TIE on the optimum ('aa' with p(a)^2 == p(aa) when counts align),
+    where only the lexmin rule decides."""
+    from parquet_rewriter_spark.operators.unigram import viterbi_segment
+
+    # hand-built inventory with exact-tie potential: p = c / T
+    inv = [("a", 4), ("b", 2), ("aa", 2), ("ab", 1), ("ba", 1), ("aab", 2)]
+    T = float(sum(c for _, c in inv))
+    rmap = {p: c / T for p, c in inv}
+    lmax = max(len(p) for p in rmap)
+
+    def brute(w):
+        best = []  # (score, joined)
+
+        def rec(pos, score, parts):
+            if pos == len(w):
+                best.append((score, " ".join(parts)))
+                return
+            for l in range(1, min(lmax, len(w) - pos) + 1):
+                piece = w[pos : pos + l]
+                r = rmap.get(piece)
+                if r is not None:
+                    rec(pos + l, score * r, parts + [piece])
+
+        rec(0, 1.0, [])
+        if not best:
+            return None
+        m = max(s for s, _ in best)
+        return min(ps for s, ps in best if s == m).split(" ")
+
+    words = ["aa", "aab", "aaba", "abab", "baab", "aaaa", "b", "abba"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    pieces = spark.createDataFrame(inv, "piece string, c long")
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in viterbi_segment(df, pieces).collect()
+    }
+    for w in words:
+        assert got[w] == brute(w), (w, got[w], brute(w))
+        assert "".join(got[w]) == w  # segmentation is total and exact
+
+
+def test_tokenizer_families_share_packing_materializer(spark, sf_dir):
+    """All three families' encode outputs are drop-in inputs to
+    pack_sequences/materialize_packed: every non-final window is
+    exactly M tokens and the id streams concatenate losslessly."""
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        unigram_encode_docs,
+    )
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_encode_docs,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    M = 32
+    encs = {
+        "wordpiece": wordpiece_encode_docs(
+            d, "doc_id", "text", substring_vocab(d, "text", 4, 80)
+        ),
+        "unigram": unigram_encode_docs(
+            d, "doc_id", "text", piece_stats(d, "text", 4, 80)
+        ),
+    }
+    for fam, enc in encs.items():
+        p = pack_sequences(
+            enc, "doc_id", F.size("input_ids"), max_tokens=M,
+            shard_col=F.pmod(F.col("doc_id"), F.lit(2)),
+        )
+        win = materialize_packed(p, "input_ids", M).collect()
+        assert win, fam
+        total = {r["doc_id"]: r["n_tokens"] for r in enc.collect()}
+        packed_total = sum(r["n_tokens"] for r in win)
+        assert packed_total == sum(total.values()), fam
+        last = {
+            s: max(r["seq_id"] for r in win if r["shard"] == s)
+            for s in {r["shard"] for r in win}
+        }
+        for r in win:
+            if r["seq_id"] != last[r["shard"]]:
+                assert r["n_tokens"] == M, (fam, r["shard"], r["seq_id"])
