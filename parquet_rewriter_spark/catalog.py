@@ -14846,6 +14846,45 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_em_cte() -> str:
+    from parquet_rewriter_spark.operators.unigram import unigram_em_cte_sql
+
+    return unigram_em_cte_sql(
+        "documents", "text", max_piece_len=4, seed_size=300,
+        keep_size=150, n_rounds=2,
+    )
+
+
+@query(
+    "unigram_em_vocab",
+    f"""
+    WITH {_unigram_em_cte()}
+    SELECT piece, piece_len, c, p FROM em_final
+    ORDER BY c DESC, piece
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "training", "em",
+)
+def unigram_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual SentencePiece TRAINER (Kudo 2018 §3.2), not just
+    substring counting: two EM rounds — forward-backward expected
+    piece counts over ALL segmentations at distinct-word scale,
+    expected-count pruning to 150 multi-char pieces (chars always
+    survive), integer-ratio M-step — via operators/unigram.py:
+    unigram_em_train. The oracle replays every round CELL-FOR-CELL:
+    per-position posteriors are quantized to integers from
+    bit-identical DP doubles (same term order, same parenthesization,
+    same floor(x·1e6+0.5)), so all aggregation is exact integer
+    arithmetic and the final (piece, c, p) table matches exactly, not
+    within tolerance."""
+    from parquet_rewriter_spark.operators.unigram import unigram_em_train
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_em_train(
+        d, "text", max_piece_len=4, seed_size=300, keep_size=150, n_rounds=2
+    )
+    return out.orderBy(F.col("c").desc(), "piece")
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,

@@ -251,6 +251,143 @@ def unigram_encode_docs(
     )
 
 
+def _em_expected_counts(
+    wc: DataFrame,
+    ratio: dict,
+    max_piece_len: int,
+    scale: float,
+) -> DataFrame:
+    """One EM E-step at DISTINCT-WORD scale: per word, forward
+    (alpha) and backward (beta) sums over all segmentations, then the
+    expected count each inventory piece earns at each position —
+    ``cnt · alpha[i]·r·beta[i+l] / alpha[n]`` — QUANTIZED per position
+    to an integer (``floor(x·scale + 0.5)``). Quantizing at the
+    per-position level is what makes the whole round bit-replayable in
+    SQL: alpha/beta are DP recurrences both engines evaluate with the
+    same left-to-right term order (terms l=1..4 added in order, exact
+    IEEE), so each position's double is bit-identical, its quantum is
+    bit-identical, and every downstream aggregate is EXACT integer
+    arithmetic — order-free, unlike a float sum. Returns (piece, ec)."""
+    import math
+
+    spark = wc.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (ratio, max_piece_len, float(scale))
+    )
+
+    @F.pandas_udf("array<struct<piece: string, q: long>>")
+    def estep(words: pd.Series, cnts: pd.Series) -> pd.Series:
+        rmap, lmax, S = bc.value
+
+        def one(w, cnt):
+            if not w:
+                return []
+            n = len(w)
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for i in range(1, n + 1):
+                s = 0.0
+                for l in range(1, min(lmax, i) + 1):
+                    r = rmap.get(w[i - l : i])
+                    if r is not None:
+                        s = s + alpha[i - l] * r
+                alpha[i] = s
+            an = alpha[n]
+            if an == 0.0:
+                return []
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for i in range(n - 1, -1, -1):
+                s = 0.0
+                for l in range(1, min(lmax, n - i) + 1):
+                    r = rmap.get(w[i : i + l])
+                    if r is not None:
+                        s = s + r * beta[i + l]
+                beta[i] = s
+            c = float(cnt)
+            acc: dict = {}
+            for i in range(n):
+                for l in range(1, min(lmax, n - i) + 1):
+                    piece = w[i : i + l]
+                    r = rmap.get(piece)
+                    if r is None:
+                        continue
+                    post = ((alpha[i] * r) * beta[i + l]) / an
+                    q = math.floor(((post * c) * S) + 0.5)
+                    if q:
+                        acc[piece] = acc.get(piece, 0) + q
+            return sorted(acc.items())
+
+        return pd.Series([one(w, c) for w, c in zip(words, cnts)])
+
+    return (
+        wc.select(F.explode(estep(F.col("word"), F.col("cnt"))).alias("pq"))
+        .groupBy(F.col("pq.piece").alias("piece"))
+        .agg(F.sum("pq.q").alias("ec"))
+    )
+
+
+def unigram_em_train(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int = 4,
+    seed_size: int = 300,
+    keep_size: int = 150,
+    n_rounds: int = 2,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Unigram-LM EM TRAINING (Kudo 2018 §3.2 — the SentencePiece
+    trainer, here with expected-count pruning, the standard
+    approximation to per-piece loss): seed with the top
+    ``seed_size`` substring-count pieces plus the corpus alphabet,
+    then for each of ``n_rounds`` rounds (1) E-step: expected piece
+    counts over ALL segmentations via forward-backward at
+    distinct-word scale, per-position-quantized to integers
+    (:func:`_em_expected_counts`), (2) prune to the top ``keep_size``
+    multi-char pieces by (expected count DESC, piece ASC) — single
+    chars always survive with at least one quantum, preserving
+    coverage — and (3) M-step: re-estimate probabilities as exact
+    integer-count ratios ``c / T``.
+
+    Cross-engine determinism: every round's inventory is an INTEGER
+    relation, so probabilities are exact IEEE quotients of identical
+    ints, the DP doubles are bit-identical, the per-position quanta
+    are bit-identical, and the only rounding anywhere happens on
+    identical doubles — the SQL replay (:func:`unigram_em_cte_sql`)
+    reproduces the final table cell-for-cell, not approximately.
+
+    Scale shape: each round is one Arrow-batched vocab-scale pass
+    over the distinct-word relation plus a hash aggregate of
+    inventory-bounded (piece, q) pairs; the inventory (≤ seed_size +
+    alphabet rows) is collected/broadcast per round — the same cost
+    class as BPE's per-merge collect. Returns (piece, piece_len, c,
+    p) — the trained inventory with quantized expected counts and
+    exact-ratio probabilities."""
+    spark = df.sparkSession
+    wc = word_counts(df, text_col).persist()
+    wc.count()
+    seed = piece_stats(df, text_col, max_piece_len, vocab_size=seed_size)
+    inv = [(r["piece"], int(r["c"])) for r in seed.collect()]
+    chars = sorted(p for p, _ in inv if len(p) == 1)
+    for _ in range(int(n_rounds)):
+        total = float(sum(c for _, c in inv))
+        ratio = {p: c / total for p, c in inv}
+        ec_df = _em_expected_counts(wc, ratio, max_piece_len, scale)
+        ec = {r["piece"]: int(r["ec"]) for r in ec_df.collect()}
+        multi = sorted(
+            ((p, c) for p, c in ec.items() if len(p) >= 2 and c > 0),
+            key=lambda t: (-t[1], t[0]),
+        )[: int(keep_size)]
+        inv = multi + [(ch, max(ec.get(ch, 0), 1)) for ch in chars]
+    wc.unpersist()
+    total = float(sum(c for _, c in inv))
+    out = spark.createDataFrame(
+        [(p, len(p), c, c / total) for p, c in inv],
+        "piece string, piece_len int, c long, p double",
+    )
+    return out
+
+
 # --------------------------------------------------------------- SQL replay
 
 
@@ -332,11 +469,175 @@ def unigram_cte_sql(
     )"""
 
 
+def unigram_em_cte_sql(
+    table: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    seed_size: int = 300,
+    keep_size: int = 150,
+    n_rounds: int = 2,
+    scale: float = 1_000_000.0,
+) -> str:
+    """DuckDB CTE chain replaying :func:`unigram_em_train` EXACTLY —
+    not approximately: per round ``k`` it emits ``em_r{k}`` (exact
+    integer-ratio probabilities), ``em_a{k}``/``em_b{k}`` (the
+    forward/backward DP as recursive CTEs carrying the last
+    ``max_piece_len`` values, terms added l=1..L in the SAME
+    left-to-right order as the Spark kernel — every alpha/beta double
+    is bit-identical), ``em_e{k}`` (per-position posteriors quantized
+    with the identical ``floor(x·scale + 0.5)`` parenthesization, then
+    an order-free INTEGER sum), and ``em_c{k+1}`` (prune: top
+    ``keep_size`` multi-char by (ec DESC, piece ASC), chars kept with
+    ≥1 quantum). ``em_final`` carries (piece, piece_len, c, p)."""
+    L = int(max_piece_len)
+
+    parts = [
+        f"""wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower({text_col}), '\\s+'),
+                 w -> w <> '')) AS word
+        FROM {table}
+      ) GROUP BY word
+    ),
+    em_counts AS MATERIALIZED (
+      SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS c
+      FROM wc,
+           LATERAL (SELECT unnest(generate_series(
+                      1, least(len(word), {L}))) AS l),
+           LATERAL (SELECT unnest(generate_series(1, len(word) - l + 1)) AS i)
+      GROUP BY 1
+    ),
+    em_c0 AS MATERIALIZED (
+      SELECT piece, c FROM (
+        SELECT piece, c FROM em_counts WHERE len(piece) >= 2
+        ORDER BY c DESC, piece LIMIT {int(seed_size)}
+      )
+      UNION ALL
+      SELECT piece, c FROM em_counts WHERE len(piece) = 1
+    ),
+    em_chars AS MATERIALIZED (SELECT piece FROM em_c0 WHERE len(piece) = 1)"""
+    ]
+    for k in range(int(n_rounds)):
+        # alpha[i+1] = sum_l alpha[i+1-l] * r(word[i+2-l .. i+1]),
+        # terms added l=1..L in order; missing pieces/short prefixes
+        # contribute an exact 0.0 (x + 0.0 == x bitwise for x >= 0).
+        # Ratio lookups are LEFT JOINs, not correlated subqueries:
+        # DuckDB 1.0 mis-evaluates scalar subqueries against
+        # materialized CTEs inside recursive steps (observed: the l=1
+        # lookup silently yields NULL on the first iteration).
+        a_terms = "0.0"
+        a_joins = []
+        for l in range(1, L + 1):
+            a_joins.append(
+                f"LEFT JOIN em_r{k} r{l} "
+                f"ON r{l}.piece = substr(s.word, s.i + {2 - l}, {l})"
+            )
+            term = f"s.a{l - 1} * coalesce(r{l}.r, 0.0)"
+            if l > 1:
+                term = f"CASE WHEN s.i >= {l - 1} THEN {term} ELSE 0.0 END"
+            a_terms = f"({a_terms} + {term})"
+        b_terms = "0.0"
+        b_joins = []
+        for l in range(1, L + 1):
+            b_joins.append(
+                f"LEFT JOIN em_r{k} r{l} "
+                f"ON r{l}.piece = substr(s.word, s.i, {l})"
+            )
+            term = f"coalesce(r{l}.r, 0.0) * s.b{l - 1}"
+            term = (
+                f"CASE WHEN s.i - 1 + {l} <= len(s.word) "
+                f"THEN {term} ELSE 0.0 END"
+            )
+            b_terms = f"({b_terms} + {term})"
+        a_shift = ", ".join(f"s.a{j - 1} AS a{j}" for j in range(1, L))
+        b_shift = ", ".join(f"s.b{j - 1} AS b{j}" for j in range(1, L))
+        a_zeros = ", ".join(
+            f"CAST(0.0 AS DOUBLE) AS a{j}" for j in range(1, L)
+        )
+        b_zeros = ", ".join(
+            f"CAST(0.0 AS DOUBLE) AS b{j}" for j in range(1, L)
+        )
+        parts.append(
+            f"""em_r{k} AS MATERIALIZED (
+      SELECT piece, c / (SELECT CAST(sum(c) AS DOUBLE) FROM em_c{k}) AS r
+      FROM em_c{k}
+    )"""
+        )
+        parts.append(
+            f"""em_a{k} AS MATERIALIZED (
+      WITH RECURSIVE a AS (
+        SELECT word, 0 AS i, CAST(1.0 AS DOUBLE) AS a0, {a_zeros}
+        FROM wc
+        UNION ALL
+        SELECT s.word, s.i + 1 AS i, {a_terms} AS a0, {a_shift}
+        FROM a s {' '.join(a_joins)}
+        WHERE s.i < len(s.word)
+      )
+      SELECT word, i, a0 AS al FROM a
+    )"""
+        )
+        parts.append(
+            f"""em_b{k} AS MATERIALIZED (
+      WITH RECURSIVE b AS (
+        SELECT word, len(word) AS i, CAST(1.0 AS DOUBLE) AS b0, {b_zeros}
+        FROM wc
+        UNION ALL
+        SELECT s.word, s.i - 1 AS i, {b_terms} AS b0, {b_shift}
+        FROM b s {' '.join(b_joins)}
+        WHERE s.i > 0
+      )
+      SELECT word, i, b0 AS be FROM b
+    )"""
+        )
+        parts.append(
+            f"""em_e{k} AS MATERIALIZED (
+      SELECT piece, CAST(sum(q) AS BIGINT) AS ec FROM (
+        SELECT r.piece AS piece,
+               CAST(floor((((((a.al * r.r) * b.be) / an.al) * w.cnt)
+                           * {scale!r}) + 0.5) AS BIGINT) AS q
+        FROM wc w,
+             LATERAL (SELECT unnest(generate_series(0, len(w.word) - 1)) AS i) li,
+             LATERAL (SELECT unnest(generate_series(
+                        1, least({L}, len(w.word) - li.i))) AS l) ll
+        JOIN em_a{k} a ON a.word = w.word AND a.i = li.i
+        JOIN em_a{k} an ON an.word = w.word AND an.i = len(w.word)
+        JOIN em_b{k} b ON b.word = w.word AND b.i = li.i + ll.l
+        JOIN em_r{k} r ON r.piece = substr(w.word, li.i + 1, ll.l)
+        WHERE an.al > 0
+      ) GROUP BY piece
+    )"""
+        )
+        parts.append(
+            f"""em_c{k + 1} AS MATERIALIZED (
+      SELECT piece, c FROM (
+        SELECT piece, ec AS c FROM em_e{k}
+        WHERE len(piece) >= 2 AND ec > 0
+        ORDER BY ec DESC, piece LIMIT {int(keep_size)}
+      )
+      UNION ALL
+      SELECT ch.piece, CAST(greatest(coalesce(e.ec, 0), 1) AS BIGINT) AS c
+      FROM em_chars ch LEFT JOIN em_e{k} e USING (piece)
+    )"""
+        )
+    parts.append(
+        f"""em_final AS (
+      SELECT piece, CAST(len(piece) AS INT) AS piece_len, c,
+             c / (SELECT CAST(sum(c) AS DOUBLE) FROM em_c{int(n_rounds)}) AS p
+      FROM em_c{int(n_rounds)}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
 __all__ = [
     "piece_stats",
     "viterbi_segment_stats",
     "viterbi_segment",
     "unigram_piece_ids",
     "unigram_encode_docs",
+    "unigram_em_train",
+    "unigram_em_cte_sql",
     "unigram_cte_sql",
 ]

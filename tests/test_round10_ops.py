@@ -221,3 +221,95 @@ def test_tokenizer_families_share_packing_materializer(spark, sf_dir):
         for r in win:
             if r["seq_id"] != last[r["shard"]]:
                 assert r["n_tokens"] == M, (fam, r["shard"], r["seq_id"])
+
+
+def test_unigram_em_train_matches_python_reference(spark):
+    """Two EM rounds on a hand corpus must reproduce an INDEPENDENT
+    pure-Python forward-backward implementation exactly — inventory,
+    quantized expected counts, and exact-ratio probabilities."""
+    from parquet_rewriter_spark.operators.unigram import unigram_em_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat",
+        "a cat a mat a bat",
+        "on and on and on",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    L, SEED, KEEP, ROUNDS, S = 4, 20, 8, 2, 1_000_000.0
+
+    # --- independent reference ------------------------------------
+    import math
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in t.lower().split())
+
+    def seed_inventory():
+        sub = Counter()
+        for w, c in wc.items():
+            for l in range(1, min(L, len(w)) + 1):
+                for i in range(len(w) - l + 1):
+                    sub[w[i : i + l]] += c
+        multi = sorted(
+            ((p, c) for p, c in sub.items() if len(p) >= 2),
+            key=lambda t: (-t[1], t[0]),
+        )[:SEED]
+        chars = [(p, c) for p, c in sub.items() if len(p) == 1]
+        return multi + chars
+
+    def em(inv, chars):
+        total = float(sum(c for _, c in inv))
+        rmap = {p: c / total for p, c in inv}
+        ec = Counter()
+        for w, cnt in wc.items():
+            n = len(w)
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for i in range(1, n + 1):
+                s = 0.0
+                for l in range(1, min(L, i) + 1):
+                    r = rmap.get(w[i - l : i])
+                    if r is not None:
+                        s = s + alpha[i - l] * r
+                alpha[i] = s
+            if alpha[n] == 0.0:
+                continue
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for i in range(n - 1, -1, -1):
+                s = 0.0
+                for l in range(1, min(L, n - i) + 1):
+                    r = rmap.get(w[i : i + l])
+                    if r is not None:
+                        s = s + r * beta[i + l]
+                beta[i] = s
+            for i in range(n):
+                for l in range(1, min(L, n - i) + 1):
+                    piece = w[i : i + l]
+                    r = rmap.get(piece)
+                    if r is None:
+                        continue
+                    post = ((alpha[i] * r) * beta[i + l]) / alpha[n]
+                    q = math.floor(((post * float(cnt)) * S) + 0.5)
+                    if q:
+                        ec[piece] += q
+        multi = sorted(
+            ((p, c) for p, c in ec.items() if len(p) >= 2 and c > 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:KEEP]
+        return multi + [(ch, max(ec.get(ch, 0), 1)) for ch in chars]
+
+    inv = seed_inventory()
+    chars = sorted(p for p, _ in inv if len(p) == 1)
+    for _ in range(ROUNDS):
+        inv = em(inv, chars)
+    total = float(sum(c for _, c in inv))
+    want = {p: (c, c / total) for p, c in inv}
+
+    got_df = unigram_em_train(
+        df, "text", max_piece_len=L, seed_size=SEED, keep_size=KEEP,
+        n_rounds=ROUNDS, scale=S,
+    )
+    got = {r["piece"]: (r["c"], r["p"]) for r in got_df.collect()}
+    assert got == want  # bit-identical, including the exact p doubles
