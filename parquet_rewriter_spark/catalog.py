@@ -14518,6 +14518,99 @@ def stream_holtwinters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation", "h")
 
 
+def _holtwinters_backtest_oracle(p: int = 12, h: int = 3) -> str:
+    a, b, g = 0.3, 0.1, 0.2
+    return f"""
+    WITH monthly AS (
+      SELECT n.n_name AS grp, date_trunc('month', o.o_orderdate) AS m,
+             round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT grp, list(rev ORDER BY m) AS full_ys FROM monthly GROUP BY grp
+    ),
+    hw AS (
+      WITH RECURSIVE r AS (
+        SELECT grp, full_ys, full_ys[1:len(full_ys) - {h}] AS ys, {p} AS t,
+               list_sum(full_ys[1:{p}]) / {p} AS level,
+               (list_sum(full_ys[{p + 1}:{2 * p}]) - list_sum(full_ys[1:{p}]))
+                 / ({p}.0 * {p}) AS trend,
+               list_transform(full_ys[1:{p}],
+                              y -> y - list_sum(full_ys[1:{p}]) / {p}) AS seas
+        FROM series WHERE len(full_ys) - {h} >= {2 * p}
+        UNION ALL
+        SELECT grp, full_ys, ys, t + 1,
+               {a} * (ys[t + 1] - seas[(t % {p}) + 1])
+                 + (1 - {a}) * (level + trend) AS level,
+               {b} * (({a} * (ys[t + 1] - seas[(t % {p}) + 1])
+                       + (1 - {a}) * (level + trend)) - level)
+                 + (1 - {b}) * trend AS trend,
+               list_transform(seas, (s, i) -> CASE WHEN i = (t % {p}) + 1
+                 THEN {g} * (ys[t + 1] - ({a} * (ys[t + 1] - seas[(t % {p}) + 1])
+                                          + (1 - {a}) * (level + trend)))
+                      + (1 - {g}) * s
+                 ELSE s END) AS seas
+        FROM r WHERE t < len(ys)
+      )
+      SELECT grp, full_ys, level, trend, seas, len(ys) AS n
+      FROM r WHERE t = len(ys)
+    ),
+    fc AS (
+      SELECT grp, hh.h AS h, n,
+             round(level + hh.h * trend + seas[((n + hh.h - 1) % {p}) + 1], 2)
+               AS yhat,
+             full_ys[CAST(n + hh.h AS BIGINT)] AS y
+      FROM hw, (SELECT unnest(generate_series(1, {h})) AS h) hh
+    )
+    SELECT grp AS nation, CAST(max(n) AS INT) AS n_train,
+           round(avg(abs(y - yhat) / abs(y)), 4) AS mape,
+           round(avg(2.0 * abs(y - yhat) / (abs(y) + abs(yhat))), 4) AS smape
+    FROM fc GROUP BY grp ORDER BY nation
+    """
+
+
+@query(
+    "holtwinters_backtest_mape",
+    _holtwinters_backtest_oracle(12, 3),
+    "timeseries", "forecast", "holt-winters", "evaluation", "backtest",
+)
+def holtwinters_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin FORECAST-QUALITY evaluation (operators/
+    timeseries.py:holt_winters_backtest): hold out each nation's last
+    3 monthly-revenue points, fit Holt-Winters on the prefix (the
+    identical codegen fold, so the oracle replays the recurrence on
+    the truncated series), forecast the held-out months, and report
+    per-nation MAPE/sMAPE — the 'how wrong is it' number every
+    production forecaster ships with. Forecasts and actuals are
+    cent-grid values, so error terms are bit-identical; metric
+    averages round to 4."""
+    from parquet_rewriter_spark.operators.timeseries import (
+        holt_winters_backtest,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nat, c["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    bt = holt_winters_backtest(
+        monthly, "nation", "m", "rev", period=12, horizon=3
+    )
+    return bt.select(
+        "nation", F.col("n_train").cast("int").alias("n_train"), "mape", "smape"
+    ).orderBy("nation")
+
+
 def _tokenizer_registry_oracle(n_merges: int = 4) -> str:
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 

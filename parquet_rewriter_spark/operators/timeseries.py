@@ -295,6 +295,66 @@ def holt_winters_by(
     )
 
 
+def holt_winters_backtest(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    horizon: int = 3,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    round_to: int = 2,
+) -> DataFrame:
+    """ROLLING-ORIGIN BACKTEST for :func:`holt_winters_by` — the
+    accuracy measurement every production use of a forecaster starts
+    with: hold out each series' LAST ``horizon`` points, fit on the
+    prefix, forecast h = 1..horizon, and report per-group MAPE and
+    sMAPE against the held-out actuals.
+
+    Pure relational algebra over the existing fold: one ranking
+    window splits train/holdout, the train prefix feeds the same
+    single-codegen-fold fitter, forecasts join actuals on (group, h),
+    and two bounded aggregates produce the metrics — per-series
+    parallelism is unchanged (millions of independent series hash
+    across the cluster). Forecasts are rounded to ``round_to`` before
+    the error arithmetic so both engines difference identical grid
+    values. Groups whose TRAIN prefix is shorter than 2·period drop
+    (no fit exists). Returns (group, n_train, mape, smape)."""
+    H = int(horizon)
+    w_desc = Window.partitionBy(group_col).orderBy(F.col(time_col).desc())
+    ranked = df.withColumn("__rn", F.row_number().over(w_desc))
+    train = ranked.filter(F.col("__rn") > H).drop("__rn")
+    hold = ranked.filter(F.col("__rn") <= H).select(
+        F.col(group_col).alias("grp"),
+        (F.lit(H) - F.col("__rn") + 1).alias("h"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    fit = holt_winters_by(
+        train, group_col, time_col, value_col,
+        period=period, alpha=alpha, beta=beta, gamma=gamma, horizon=H,
+    )
+    j = fit.select(
+        F.col(group_col).alias("grp"),
+        "h",
+        F.round("yhat", round_to).alias("yhat"),
+        "n_points",
+    ).join(hold, ["grp", "h"])
+    err = F.abs(F.col("y") - F.col("yhat"))
+    ape = err / F.abs(F.col("y"))
+    sape = F.lit(2.0) * err / (F.abs(F.col("y")) + F.abs(F.col("yhat")))
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("n_points").alias("n_train"),
+            F.round(F.avg(ape), 4).alias("mape"),
+            F.round(F.avg(sape), 4).alias("smape"),
+        )
+        .select(F.col("grp").alias(group_col), "n_train", "mape", "smape")
+    )
+
+
 def seasonal_decompose_by(
     df: DataFrame,
     group_col: str,

@@ -313,3 +313,33 @@ def test_unigram_em_train_matches_python_reference(spark):
     )
     got = {r["piece"]: (r["c"], r["p"]) for r in got_df.collect()}
     assert got == want  # bit-identical, including the exact p doubles
+
+
+def test_holt_winters_backtest_scores_clean_series_better(spark):
+    """A noiseless trend+seasonal series must backtest near-zero MAPE;
+    the same series with heavy noise in the holdout must score worse —
+    and n_train reflects the held-out points."""
+    import math
+
+    from parquet_rewriter_spark.operators.timeseries import (
+        holt_winters_backtest,
+    )
+
+    P, N, H = 4, 40, 3
+    rows = []
+    for t in range(N):
+        clean = 100.0 + 2.0 * t + 10.0 * math.sin(t * math.pi / 2)
+        rows.append(("clean", t, clean))
+        noisy = clean + (80.0 if t >= N - H else 0.0)
+        rows.append(("noisy", t, noisy))
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    bt = {
+        r["grp"]: r
+        for r in holt_winters_backtest(
+            df, "grp", "t", "v", period=P, horizon=H
+        ).collect()
+    }
+    assert bt["clean"]["n_train"] == N - H
+    assert bt["clean"]["mape"] < 0.05
+    assert bt["noisy"]["mape"] > 5 * bt["clean"]["mape"]
+    assert 0.0 <= bt["clean"]["smape"] <= 2.0
