@@ -15393,98 +15393,87 @@ def int8_storage_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # Round-9 rotation. Lead: the two rows that were RED in
-    # CORRECTNESS_r08 (array outputs crashed the driver canonicalizer;
-    # reshaped to scalar digests this round), then every round-9-new
-    # query, then round-9-TOUCHED code paths (bpe.py lineage/broadcast
-    # rework feeds merge_rules/fertility; the minhash oracle was
-    # factored into a shared CTE; packing gained start_offsets), then
-    # the portable SimHash twin (the r8 verdict asked for a SimHash
-    # entry in a driver snapshot), then the STALEST driver-green
-    # queries (last checked in round 1), rows-only tail last —
-    # including the two never-recorded-at-all rows-only queries so
-    # they at least get a weaker check on record.
-    "bpe_encode_sample",
-    "bpe_packed_training_windows",
-    # round-9 new
-    "bpe_packed_windows_dense",
-    "bpe_roundtrip_fidelity",
+    # Round-10 rotation. Lead: every round-10-NEW query (WordPiece/
+    # unigram encode+packing+registry parity, the unigram EM trainer,
+    # the Holt-Winters backtest), then round-10-TOUCHED code paths
+    # (the two streaming chunk-sort kernel fixes; the anomaly queries'
+    # rounded-flag derivation; everything downstream of _word_join's
+    # new byte gate; the packed-oracle SQL-tail refactor), then —
+    # verdict #7 — the two rows-only queries that have NEVER appeared
+    # in any driver snapshot across nine rounds, placed inside the
+    # ~50-slot budget this round, then the STALEST driver-green pool
+    # (last recorded in round 3).
+    # round-10 new
+    "wordpiece_encode_sample",
+    "wordpiece_packed_windows",
+    "wordpiece_artifact_roundtrip",
+    "unigram_encode_sample",
+    "unigram_packed_windows",
+    "unigram_artifact_roundtrip",
+    "unigram_em_vocab",
+    "holtwinters_backtest_mape",
+    # round-10-touched code paths
     "stream_packed_assignments",
-    "incremental_pack_assignments",
-    "cross_source_contamination_matrix",
-    "wordpiece_vocab_pieces",
-    "wordpiece_segmentation_sample",
-    "wordpiece_fertility",
-    "unigram_best_segmentations",
-    "unigram_corpus_loglik",
-    "tokenizer_artifact_roundtrip",
-    "stream_contamination_scan",
-    "nation_revenue_holtwinters",
+    "stream_holtwinters_fit",
     "hourly_value_seasonal_anomalies",
     "hourly_value_robust_anomalies",
-    "stream_holtwinters_fit",
-    # round-9-touched code paths
-    "bpe_merge_rules",
+    "bpe_encode_sample",
     "bpe_token_fertility",
-    "minhash_portable_near_dup_pairs",
-    "pack_training_sequences",
-    "length_bucketed_batch_waste",
-    # r8 verdict item: a portable-SimHash driver entry
-    "simhash_portable_near_pairs",
-    # stalest driver-green (r01)
-    "above_avg_balance_customers",
-    "binary_blob_metadata",
-    "cosine_topk_bruteforce",
-    "dedup_exact_docs",
-    "doc_fingerprint_dups",
-    "doc_quality_scores",
-    "doc_sentences_udtf",
-    "doc_token_stats",
-    "embedding_array_stats",
-    "embedding_near_dup_pairs",
-    "lang_distribution",
-    "lang_id_confusion",
-    "merge_then_aggregate",
-    "min_price_part_suppliers",
-    "monthly_order_stats",
-    "ngram_jaccard_pairs",
-    "orders_with_big_lineitem",
-    "part_string_functions",
-    "status_cube",
-    "winnow_fingerprint_pairs",
-    # stalest driver-green (r02)
-    "approx_distinct_users",
-    "bloom_pointlookup_scan",
-    "compact_then_scan",
-    "contamination_check",
-    "corpus_top_bigrams",
-    "csv_roundtrip_agg",
-    "customer_balance_deciles",
-    "customer_order_breadth",
-    "customer_running_total",
-    "customers_without_orders",
-    "doc_chunks",
-    "doc_tfidf_topterms",
-    "events_props_keyset",
-    "frame_sample_offsets",
-    "incremental_compact_then_scan",
-    "incremental_matview_refresh",
-    "json_roundtrip_agg",
-    "key_range_scan",
-    "knn_join_sample",
-    "lineitem_numeric_profile",
-    "orc_roundtrip_agg",
-    "order_gap_days",
-    # rows-only tail (ann_pq_topk / incremental_dedup_index have never
-    # appeared in any driver snapshot)
+    "bpe_packed_training_windows",
+    "bpe_packed_windows_dense",
+    "wordpiece_fertility",
+    "unigram_corpus_loglik",
+    "tokenizer_artifact_roundtrip",
+    "nation_revenue_holtwinters",
+    # verdict #7: never-driver-recorded rows-only queries, inside the
+    # 50-slot budget for one round
     "ann_pq_topk",
     "incremental_dedup_index",
-    "minhash_near_dup_pairs",
-    "simhash_near_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "doc_compression_quality",
-    "ivf_refined_cell_balance",
+    # stalest driver-green (r03)
+    "active_user_intersection",
+    "brand_association_rules",
+    "browsers_never_err",
+    "cms_token_frequency_bounds",
+    "constrained_merge_scan",
+    "contrastive_negative_pairs",
+    "copurchase_reach_2hop",
+    "copurchase_triangle_count",
+    "corpus_curation_pipeline",
+    "dow_adjusted_revenue_anomalies",
+    "event_type_stats",
+    "events_json_extract",
+    "events_within_5min_pairs",
+    "hourly_event_counts",
+    "image_patch_grid",
+    "leakage_safe_split",
+    "multi_table_txn_scan",
+    "purchase_asof_click",
+    "q10_returned_revenue",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_variety",
+    "q19_bracketed_disjunction_revenue",
+    "q20_dominant_shippers",
+    "q9_profit_by_nation_year",
+    "referential_orphans_report",
+    "region_nation_revenue_shares",
+    "rolling_7d_distinct_users",
+    "routed_scan_report",
+    "stratified_sample_docs",
+    "stream_cms_token_frequencies",
+    "stream_dedup_events",
+    "stream_purchase_click_join",
+    "stream_pyds_table_changes",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "stream_window_approx_users",
+    "train_val_test_split",
+    "user_event_type_map",
+    "user_session_stats",
+    "variant_props_stats",
+    "weighted_median_price",
 )
 
 
