@@ -169,6 +169,7 @@ EXTENDED = [
     "unigram_encode_sample",
     "unigram_packed_windows",
     "unigram_artifact_roundtrip",
+    "unigram_em_encode_sample",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

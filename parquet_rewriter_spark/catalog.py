@@ -14978,6 +14978,95 @@ def unigram_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("c").desc(), "piece")
 
 
+@query(
+    "unigram_em_encode_sample",
+    f"""
+    WITH {_unigram_em_cte()},
+    em_ratio AS MATERIALIZED (SELECT piece, p AS r FROM em_final),
+    em_paths AS MATERIALIZED (
+      WITH RECURSIVE p AS (
+        SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS score,
+               CAST('' AS VARCHAR) AS ps
+        FROM wc
+        UNION ALL
+        SELECT p.word, p.pos + len(v.piece) AS pos, p.score * v.r AS score,
+               CASE WHEN p.ps = '' THEN v.piece
+                    ELSE p.ps || ' ' || v.piece END AS ps
+        FROM p JOIN em_ratio v
+          ON substr(p.word, p.pos + 1, len(v.piece)) = v.piece
+        WHERE p.pos < len(p.word)
+      )
+      SELECT word, score, ps FROM p WHERE pos = len(word)
+    ),
+    em_seg AS MATERIALIZED (
+      SELECT word, string_split(min(ps) FILTER (WHERE score = m), ' ') AS pieces
+      FROM (SELECT word, score, ps, max(score) OVER (PARTITION BY word) AS m
+            FROM em_paths)
+      GROUP BY word
+    ),
+    empid AS (
+      SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS piece_id
+      FROM em_final
+    ),
+    em_pos AS (
+      SELECT word, i AS pos, pieces[i] AS piece
+      FROM em_seg, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS i)
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(list_sort(list({{'p': pos, 'i': piece_id}})),
+                            s -> s.i) AS ids
+      FROM em_pos JOIN empid USING (piece) GROUP BY word
+    ),
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id < 15),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "training", "registry", "encode",
+)
+def unigram_em_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE trainer→registry→encoder lifecycle in one query:
+    EM-train the unigram inventory (2 rounds), persist the trained
+    (piece, c, p) artifact as a SortedTable, RELOAD it from disk, and
+    encode documents with the stored model (Viterbi under the trained
+    probabilities, lexmin tie-break, dense piece ids). The oracle
+    replays EM training cell-exactly, re-derives the optimal
+    segmentations by path enumeration under the trained ratios, and
+    must reproduce the full per-doc id streams — proving the trained
+    artifact, not just the seed counts, drives an identical encoder in
+    both engines."""
+    from parquet_rewriter_spark.operators.unigram import (
+        unigram_em_train,
+        unigram_encode_docs,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents")
+    trained = unigram_em_train(
+        d, "text", max_piece_len=4, seed_size=300, keep_size=150, n_rounds=2
+    )
+    base = _scratch("ug_em_registry")
+    st = SortedTable.create(
+        spark, os.path.join(base, "model"), trained, key="piece"
+    )
+    stored = st.read()
+    out = unigram_encode_docs(
+        d.filter(F.col("doc_id") < 15), "doc_id", "text", stored
+    )
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,
@@ -15411,6 +15500,7 @@ _VERIFY_FIRST = (
     "unigram_packed_windows",
     "unigram_artifact_roundtrip",
     "unigram_em_vocab",
+    "unigram_em_encode_sample",
     "holtwinters_backtest_mape",
     # round-10-touched code paths
     "stream_packed_assignments",
