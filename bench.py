@@ -170,6 +170,8 @@ EXTENDED = [
     "unigram_packed_windows",
     "unigram_artifact_roundtrip",
     "unigram_em_encode_sample",
+    "wordpiece_marked_encode_sample",
+    "wordpiece_marked_roundtrip",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

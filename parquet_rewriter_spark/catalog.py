@@ -14121,6 +14121,162 @@ def wordpiece_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _wordpiece_marked_cte() -> str:
+    from parquet_rewriter_spark.operators.wordpiece import (
+        wordpiece_marked_cte_sql,
+    )
+
+    return wordpiece_marked_cte_sql(
+        "documents", "text", max_piece_len=4, vocab_size=150
+    )
+
+
+_WPM_WORD_IDS = """mpid AS (
+      SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS piece_id
+      FROM wpm_vocab
+    ),
+    wpm_pos AS (
+      SELECT word, i AS pos, pieces[i] AS piece
+      FROM wpm_seg, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS i)
+    ),
+    word_ids AS (
+      SELECT word,
+             list_transform(list_sort(list({'p': pos, 'i': piece_id})),
+                            s -> s.i) AS ids
+      FROM wpm_pos JOIN mpid USING (piece) GROUP BY word
+    )"""
+
+
+@query(
+    "wordpiece_marked_encode_sample",
+    f"""
+    WITH {_wordpiece_marked_cte()},
+    {_WPM_WORD_IDS},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id < 15),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "marked", "encode",
+)
+def wordpiece_marked_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-convention WordPiece encoding (Devlin 2019: bare pieces
+    open a word, ``##`` pieces continue it — the marker that makes the
+    id stream losslessly decodable): position-aware greedy
+    longest-match per DISTINCT word under the marked inventory
+    (operators/wordpiece.py:wordpiece_encode_marked), full per-doc id
+    streams oracled as digests against a position-aware recursive
+    greedy CTE."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab_marked,
+        wordpiece_encode_marked,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pieces = substring_vocab_marked(d, "text", max_piece_len=4, vocab_size=150)
+    out = wordpiece_encode_marked(
+        d.filter(F.col("doc_id") < 15), "doc_id", "text", pieces
+    )
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
+@query(
+    "wordpiece_marked_roundtrip",
+    f"""
+    WITH {_wordpiece_marked_cte()},
+    {_WPM_WORD_IDS},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id, {_WP_FLAT} AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    dectok AS (
+      SELECT doc_id, i, input_ids[i] AS pid
+      FROM enc, LATERAL (SELECT unnest(generate_series(1, len(input_ids))) AS i)
+    ),
+    dec AS (
+      SELECT d.doc_id,
+             ltrim(string_agg(
+               CASE WHEN m.piece LIKE '##%' THEN substr(m.piece, 3)
+                    ELSE ' ' || m.piece END, '' ORDER BY d.i)) AS decoded
+      FROM dectok d JOIN mpid m ON m.piece_id = d.pid
+      GROUP BY d.doc_id
+    ),
+    norm AS (
+      SELECT doc_id, source,
+             array_to_string(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> ''), ' ')
+               AS expect
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, len(input_ids) AS n_tokens FROM enc)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN decoded = expect THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM dec JOIN norm USING (doc_id) JOIN tok USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "marked", "decode",
+)
+def wordpiece_marked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS WordPiece round trip — the capability the unmarked
+    family structurally lacks (without continuation markers, word
+    boundaries are gone from the id stream): every document is encoded
+    under the marked inventory and decoded back (operators/
+    wordpiece.py:wordpiece_decode_docs — map-literal piece table, pure
+    codegen, zero shuffle), then compared to encode's own
+    normalization. ``n_exact = n_docs`` per source; both engines
+    replay encode AND decode independently."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab_marked,
+        wordpiece_decode_docs,
+        wordpiece_encode_marked,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pieces = substring_vocab_marked(d, "text", max_piece_len=4, vocab_size=150)
+    enc = wordpiece_encode_marked(d, "doc_id", "text", pieces)
+    dec = wordpiece_decode_docs(enc, "input_ids", pieces)
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ",
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""),
+        ).alias("expect"),
+    )
+    return (
+        dec.join(norm, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("decoded") == F.col("expect"), 1).otherwise(0)
+            ).alias("n_exact"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "stream_contamination_scan",
     """
@@ -15501,6 +15657,8 @@ _VERIFY_FIRST = (
     "unigram_artifact_roundtrip",
     "unigram_em_vocab",
     "unigram_em_encode_sample",
+    "wordpiece_marked_encode_sample",
+    "wordpiece_marked_roundtrip",
     "holtwinters_backtest_mape",
     # round-10-touched code paths
     "stream_packed_assignments",

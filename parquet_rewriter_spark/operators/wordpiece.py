@@ -206,6 +206,170 @@ def wordpiece_encode_docs(
     )
 
 
+# ------------------------------------------------------- marked variant
+
+MARK = "##"
+
+
+def substring_vocab_marked(
+    df: DataFrame,
+    text_col: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 150,
+) -> DataFrame:
+    """BERT-convention WordPiece inventory (Devlin et al. 2019;
+    Schuster & Nakajima 2012): word-INITIAL substrings enter bare,
+    word-INTERNAL substrings enter ``##``-prefixed — the marker that
+    makes the id stream LOSSLESSLY decodable (a bare piece starts a
+    word, a ``##`` piece continues it). Top ``vocab_size`` marked
+    substrings of inner length 2..max_piece_len by corpus weight
+    (count DESC, piece ASC — total order), plus the corpus alphabet in
+    BOTH forms for guaranteed coverage. Assumes the corpus' words do
+    not themselves contain the marker (standard WordPiece
+    preprocessing strips it)."""
+    wc = word_counts(df, text_col)
+    lens = F.filter(
+        F.sequence(F.lit(2), F.lit(max_piece_len)),
+        lambda l: F.length("word") >= l,
+    )
+    subs = F.flatten(
+        F.transform(
+            lens,
+            lambda l: F.transform(
+                F.sequence(F.lit(1), F.length("word") - l + 1),
+                lambda i: F.when(i == 1, F.col("word").substr(i, l)).otherwise(
+                    F.concat(F.lit(MARK), F.col("word").substr(i, l))
+                ),
+            ),
+        )
+    )
+    topk = (
+        wc.select(F.explode(subs).alias("piece"), "cnt")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(vocab_size)
+        .select("piece")
+    )
+    chars = wc.select(
+        F.explode(F.split(F.col("word"), "(?!^)")).alias("ch")
+    ).where(F.col("ch") != "").distinct()
+    both = chars.select(F.col("ch").alias("piece")).unionByName(
+        chars.select(F.concat(F.lit(MARK), F.col("ch")).alias("piece"))
+    )
+    return topk.unionByName(both).distinct()
+
+
+def wordpiece_segment_marked(
+    words: DataFrame,
+    pieces: DataFrame,
+    word_col: str = "word",
+) -> DataFrame:
+    """Position-aware greedy longest-match under the MARKED inventory:
+    at word position 0 only bare pieces match, after it only ``##``
+    pieces (their inner text). Adds ``pieces`` (array of marked
+    strings) and ``n_pieces``; same vocab-scale Arrow-batched shape as
+    :func:`wordpiece_segment`, replayed by the position-aware
+    recursive CTE in :func:`wordpiece_marked_cte_sql`."""
+    piece_rows = [r["piece"] for r in pieces.select("piece").collect()]
+    inner_max = max(
+        (len(p) - len(MARK) if p.startswith(MARK) else len(p))
+        for p in piece_rows
+    ) if piece_rows else 1
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast((frozenset(piece_rows), inner_max))
+
+    @F.pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        pset, lmax = bc.value
+
+        def one(w):
+            if w is None:
+                return None
+            out, pos, n = [], 0, len(w)
+            while pos < n:
+                for l in range(min(lmax, n - pos), 0, -1):
+                    key = w[pos : pos + l] if pos == 0 else MARK + w[pos : pos + l]
+                    if key in pset:
+                        out.append(key)
+                        pos += l
+                        break
+                else:
+                    out.append(w[pos] if pos == 0 else MARK + w[pos])
+                    pos += 1
+            return out
+
+        return col.map(one)
+
+    return words.withColumn("pieces", seg(F.col(word_col))).withColumn(
+        "n_pieces", F.size("pieces")
+    )
+
+
+def wordpiece_encode_marked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pieces: DataFrame,
+    broadcast_threshold: int = BROADCAST_MAX_WORDS,
+) -> DataFrame:
+    """Documents → marked-WordPiece piece-id sequences — the same
+    shared-tail discipline as :func:`wordpiece_encode_docs`, under the
+    marked inventory (so the stream decodes losslessly)."""
+    wc = word_counts(df, text_col)
+    segd = wordpiece_segment_marked(wc, pieces)
+    pid = piece_ids(pieces)
+    word_ids = (
+        segd.select("word", F.posexplode("pieces").alias("pos", "piece"))
+        .join(F.broadcast(pid), "piece")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "piece_id"))),
+                lambda s: s.piece_id,
+            ).alias("ids")
+        )
+    )
+    n_words = wc.count()
+    return assemble_doc_ids(
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+    )
+
+
+def wordpiece_decode_docs(
+    encoded: DataFrame,
+    ids_col: str,
+    pieces: DataFrame,
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Detokenize a marked-WordPiece id stream back to normalized text
+    (lowercase, single-space words — encode's own normalization, so
+    ``decode(encode(t))`` reproduces it EXACTLY): a bare piece opens a
+    new word, a ``##`` piece appends its inner text. The
+    vocab-bounded piece table is collected once and inlined as a MAP
+    LITERAL; the decode is pure whole-stage-codegen array arithmetic
+    (transform lookup + concat_ws + ltrim) — zero shuffle, zero
+    Python (the operators/bpe.py:decode_docs discipline)."""
+    pid = sorted(
+        (int(r["piece_id"]), r["piece"])
+        for r in piece_ids(pieces).collect()
+    )
+    m = F.map_from_arrays(
+        F.array(*[F.lit(i) for i, _ in pid]),
+        F.array(*[F.lit(p) for _, p in pid]),
+    )
+
+    def render(i):
+        p = F.element_at(m, i)
+        return F.when(
+            F.substring(p, 1, len(MARK)) == MARK,
+            F.substring(p, len(MARK) + 1, 1 << 20),
+        ).otherwise(F.concat(F.lit(" "), p))
+
+    raw = F.concat_ws("", F.transform(F.col(ids_col), render))
+    return encoded.withColumn(out_col, F.ltrim(raw))
+
+
 # --------------------------------------------------------------- SQL replay
 
 
@@ -265,6 +429,74 @@ def wordpiece_cte_sql(
     )"""
 
 
+def wordpiece_marked_cte_sql(
+    table: str, text_col: str, max_piece_len: int = 4, vocab_size: int = 150
+) -> str:
+    """DuckDB CTE chain for the MARKED family: ``wc`` (word, cnt),
+    ``wpm_vocab`` (marked piece inventory) and ``wpm_seg`` (word,
+    pieces, n_pieces). The recursive greedy CTE is position-aware —
+    bare pieces match only at position 0, ``##`` pieces (by inner
+    text) only after it — bit-identical to the marked UDF's loop."""
+    ml = len(MARK)
+    return f"""wc AS (
+      SELECT word, count(*) AS cnt
+      FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower({text_col}), '\\s+'),
+                 w -> w <> '')) AS word
+        FROM {table}
+      ) GROUP BY word
+    ),
+    wpm_topk AS (
+      SELECT piece FROM (
+        SELECT CASE WHEN i = 1 THEN substr(word, i, l)
+                    ELSE '{MARK}' || substr(word, i, l) END AS piece,
+               sum(cnt) AS c
+        FROM wc,
+             LATERAL (SELECT unnest(generate_series(
+                        2, least(len(word), {max_piece_len}))) AS l),
+             LATERAL (SELECT unnest(generate_series(1, len(word) - l + 1)) AS i)
+        GROUP BY 1
+      ) ORDER BY c DESC, piece LIMIT {vocab_size}
+    ),
+    wpm_chars AS (
+      SELECT DISTINCT substr(word, i, 1) AS ch
+      FROM wc, LATERAL (SELECT unnest(generate_series(1, len(word))) AS i)
+    ),
+    wpm_vocab AS (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM wpm_topk
+        UNION ALL SELECT ch FROM wpm_chars
+        UNION ALL SELECT '{MARK}' || ch FROM wpm_chars)
+    ),
+    wpm_seg AS (
+      WITH RECURSIVE seg_r AS (
+        SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM wc
+        UNION ALL
+        SELECT s.word, s.pos + p.clen AS pos,
+               list_append(s.pieces, p.best) AS pieces
+        FROM seg_r s,
+             LATERAL (
+               SELECT v.piece AS best,
+                      CASE WHEN s.pos = 0 THEN len(v.piece)
+                           ELSE len(v.piece) - {ml} END AS clen
+               FROM wpm_vocab v
+               WHERE CASE WHEN s.pos = 0
+                      THEN v.piece NOT LIKE '{MARK}%'
+                           AND substr(s.word, 1, len(v.piece)) = v.piece
+                      ELSE v.piece LIKE '{MARK}%'
+                           AND substr(s.word, s.pos + 1, len(v.piece) - {ml})
+                               = substr(v.piece, {ml + 1})
+                      END
+               ORDER BY clen DESC, v.piece LIMIT 1
+             ) p
+        WHERE s.pos < len(s.word)
+      )
+      SELECT word, pieces, len(pieces) AS n_pieces FROM seg_r
+      WHERE pos = len(word)
+    )"""
+
+
 __all__ = [
     "substring_vocab",
     "wordpiece_segment",
@@ -272,4 +504,10 @@ __all__ = [
     "piece_ids",
     "wordpiece_encode_docs",
     "wordpiece_cte_sql",
+    "MARK",
+    "substring_vocab_marked",
+    "wordpiece_segment_marked",
+    "wordpiece_encode_marked",
+    "wordpiece_decode_docs",
+    "wordpiece_marked_cte_sql",
 ]

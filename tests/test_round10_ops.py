@@ -343,3 +343,53 @@ def test_holt_winters_backtest_scores_clean_series_better(spark):
     assert bt["clean"]["mape"] < 0.05
     assert bt["noisy"]["mape"] > 5 * bt["clean"]["mape"]
     assert 0.0 <= bt["clean"]["smape"] <= 2.0
+
+
+def test_wordpiece_marked_decode_roundtrips_and_is_codegen(spark):
+    """Marked-WordPiece decode must reproduce encode's normalization
+    exactly (the marker carries word boundaries through the id
+    stream) and stay pure codegen — zero exchanges, zero Python."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab_marked,
+        wordpiece_decode_docs,
+        wordpiece_encode_marked,
+    )
+    from parquet_rewriter_spark.plans.inspect import plan_of
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="Unaffable  unable Fable"),
+            Row(doc_id=1, text="able unable  ab"),
+        ]
+    )
+    pieces = substring_vocab_marked(docs, "text", max_piece_len=4, vocab_size=30)
+    enc = wordpiece_encode_marked(docs, "doc_id", "text", pieces)
+    dec = wordpiece_decode_docs(enc, "input_ids", pieces)
+    got = {r["doc_id"]: r["decoded"] for r in dec.collect()}
+    assert got == {0: "unaffable unable fable", 1: "able unable ab"}
+    # decode adds no exchange and no Python on top of the encoded rows
+    stub = spark.createDataFrame([Row(doc_id=0, input_ids=[0, 1, 2])])
+    p = plan_of(wordpiece_decode_docs(stub, "input_ids", pieces))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_wordpiece_marked_segmentation_position_aware(spark):
+    """Bare pieces must match only word-initially and ## pieces only
+    internally: with 'ab' bare and '##ab' both in the inventory, the
+    word 'abab' segments [ab, ##ab], never [ab, ab]."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        wordpiece_segment_marked,
+    )
+
+    words = spark.createDataFrame([("abab",), ("ba",)], "word string")
+    pieces = spark.createDataFrame(
+        [("ab",), ("##ab",), ("a",), ("b",), ("##a",), ("##b",)],
+        "piece string",
+    )
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in wordpiece_segment_marked(words, pieces).collect()
+    }
+    assert got["abab"] == ["ab", "##ab"]
+    assert got["ba"] == ["b", "##a"]
