@@ -172,6 +172,8 @@ EXTENDED = [
     "unigram_em_encode_sample",
     "wordpiece_marked_encode_sample",
     "wordpiece_marked_roundtrip",
+    "bpe_encode_holdout_sample",
+    "stream_bpe_encoded_ingest",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

@@ -13606,6 +13606,162 @@ def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bpe_rules_encode_oracle(
+    train_where: str, encode_where: str, n_merges: int = 4
+) -> str:
+    """Frozen-tokenizer oracle: train the merge rules on the
+    ``train_where`` slice, re-apply them to the ``encode_where``
+    slice's OWN distinct words (the nv chain — identical literal
+    replaces), id-map through the TRAINING symbol table with −1 for
+    out-of-alphabet symbols (LEFT join), and emit per-doc digests."""
+    from parquet_rewriter_spark.operators.bpe import END, bpe_vocab_cte_sql
+
+    cte = bpe_vocab_cte_sql(
+        f"(SELECT * FROM documents WHERE {train_where}) train_docs",
+        "text",
+        n_merges,
+    )
+    nv = [
+        f"""nv0 AS (
+      SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{END} ' AS sym
+      FROM (
+        SELECT DISTINCT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w <> '')) AS word
+        FROM documents WHERE {encode_where}
+      )
+    )"""
+    ]
+    for s in range(1, n_merges + 1):
+        nv.append(
+            f"""nv{s} AS (
+      SELECT word, replace(sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
+                                ' ' || t.lhs || t.rhs || ' ') AS sym
+      FROM nv{s - 1}, t{s} t
+    )"""
+        )
+    nv_chain = ",\n    ".join(nv)
+    flat = "flatten(list_transform(list_sort(list({'p': wpos, 'l': ids})), s -> s.l))"
+    return f"""
+    WITH {cte},
+    {nv_chain},
+    sid AS (
+      SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS token_id
+      FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS symbol
+            FROM v{n_merges})
+    ),
+    wsyms2 AS (
+      SELECT word, i AS pos, ws[i] AS symbol
+      FROM (SELECT word, string_split(trim(sym), ' ') AS ws FROM nv{n_merges}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    word_ids AS (
+      SELECT w.word,
+             list_transform(list_sort(list({{'p': w.pos,
+                                             'i': coalesce(s.token_id, -1)}})),
+                            x -> x.i) AS ids
+      FROM wsyms2 w LEFT JOIN sid s USING (symbol) GROUP BY w.word
+    ),
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE {encode_where}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({flat}, ',')) AS ids_digest,
+           CAST(len({flat}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query(
+    "bpe_encode_holdout_sample",
+    _bpe_rules_encode_oracle(
+        "doc_id % 2 = 0", "doc_id % 2 = 1 AND doc_id < 30", 4
+    ),
+    "llm-pipeline", "tokenizer", "bpe", "encode", "frozen",
+)
+def bpe_encode_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-TOKENIZER encoding of a corpus DISJOINT from training —
+    the production shape (train once, encode new data forever) that
+    `encode_docs` structurally cannot serve (its word join covers only
+    training-corpus words; unseen words would be silently dropped):
+    train on even doc_ids, then encode odd documents by re-applying
+    the trained merge rules to THEIR distinct words
+    (operators/bpe.py:encode_docs_with_rules — n_merges literal
+    replaces per distinct word, Arrow-batched, bit-identical to
+    training's replace semantics) with −1 for symbols outside the
+    training alphabet. Full id streams oracled as digests."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs_with_rules,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d.filter(F.col("doc_id") % 2 == 0), "text", n_merges=4)
+    holdout = d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 30))
+    out = encode_docs_with_rules(
+        holdout, "doc_id", "text", rules, vocab, unk_id=-1
+    )
+    vocab.unpersist()
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
+@query(
+    "stream_bpe_encoded_ingest",
+    _bpe_rules_encode_oracle("doc_id % 2 = 0", "doc_id < 15", 4),
+    "streaming", "llm-pipeline", "tokenizer", "bpe", "encode", "frozen",
+)
+def stream_bpe_encoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST tokenization under a frozen tokenizer (streaming/
+    ops.py:stream_encode_docs): rules + symbol table frozen from an
+    even-doc training run, documents stream through in micro-batches
+    (maxFilesPerTrigger=1), each batch re-segments its OWN distinct
+    words and appends to an epoch-partitioned idempotent sink. The
+    read-back digests must equal the batch frozen-tokenizer oracle —
+    per-word rule application is batch-independent, so the streamed
+    stream equals the one-shot encode."""
+    import shutil
+
+    from parquet_rewriter_spark.operators.bpe import bpe_train, symbol_vocab
+    from parquet_rewriter_spark.streaming.ops import stream_encode_docs
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d.filter(F.col("doc_id") % 2 == 0), "text", n_merges=4)
+    sid_rows = [
+        (r["symbol"], int(r["token_id"]))
+        for r in symbol_vocab(vocab).select("symbol", "token_id").collect()
+    ]
+    vocab.unpersist()
+    base = _scratch("stream_bpe_enc")
+    src = os.path.join(base, "src")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        d.filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .repartition(3)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_encode_docs(
+        stream, "doc_id", "text", rules, sid_rows, sink, ckpt, unk_id=-1
+    )
+    out = spark.read.parquet(sink)
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
 def _packed_oracle_tail(m: int, shards: int) -> str:
     """Shared packing SQL for every tokenizer family's packed-window
     oracle: consumes an ``enc`` CTE of (doc_id, input_ids), replays
@@ -15659,6 +15815,8 @@ _VERIFY_FIRST = (
     "unigram_em_encode_sample",
     "wordpiece_marked_encode_sample",
     "wordpiece_marked_roundtrip",
+    "bpe_encode_holdout_sample",
+    "stream_bpe_encoded_ingest",
     "holtwinters_backtest_mape",
     # round-10-touched code paths
     "stream_packed_assignments",

@@ -48,6 +48,7 @@ stats are hash-compared, not spot-checked.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 END = "</w>"
@@ -304,6 +305,8 @@ __all__ = [
     "symbol_vocab",
     "assemble_doc_ids",
     "encode_docs",
+    "apply_merges",
+    "encode_docs_with_rules",
     "decode_docs",
     "bpe_vocab_cte_sql",
 ]
@@ -400,6 +403,96 @@ def encode_docs(
         )
     )
     n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
+    return assemble_doc_ids(
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+    )
+
+
+def apply_merges(
+    words: DataFrame,
+    rules: list[dict],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply TRAINED merge rules to new distinct words — the frozen-
+    tokenizer path: encoding a corpus the tokenizer was NOT trained on
+    (the production shape: train once, encode firehoses forever).
+    Each word initializes to its padded symbol string and replays the
+    rules in learned order as literal string replaces — Python
+    ``str.replace`` scans left-to-right non-overlapping exactly like
+    Spark's ``replace`` and ANSI ``replace``, so the result is
+    bit-identical to training's own application and to the SQL replay.
+    Arrow-batched at DISTINCT-WORD scale (n_merges replaces per
+    distinct word, never per occurrence); the rule list is
+    merge-count-bounded and broadcast. Adds ``sym``."""
+    seq = [
+        (f" {r['lhs']} {r['rhs']} ", f" {r['lhs']}{r['rhs']} ") for r in rules
+    ]
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(seq)
+
+    @F.pandas_udf("string")
+    def app(col: pd.Series) -> pd.Series:
+        rs = bc.value
+
+        def one(w):
+            if w is None:
+                return None
+            s = " " + " ".join(w) + " " + END + " "
+            for old, new in rs:
+                s = s.replace(old, new)
+            return s
+
+        return col.map(one)
+
+    return words.withColumn("sym", app(F.col(word_col)))
+
+
+def encode_docs_with_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[dict],
+    train_vocab: DataFrame | None = None,
+    unk_id: int = -1,
+    broadcast_threshold: int = BROADCAST_MAX_WORDS,
+    symbol_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Encode ANY corpus — including one disjoint from the training
+    corpus — under a frozen tokenizer: the merge rules re-segment this
+    corpus' OWN distinct words (:func:`apply_merges`), symbols id-map
+    through the training vocab's bounded symbol table with ``unk_id``
+    for symbols outside the training alphabet (a LEFT join — an inner
+    join would silently shorten sequences), and per-doc reassembly
+    uses the shared thresholded tail. ``encode_docs`` remains the
+    fast path when the corpus IS the training corpus (its vocab
+    relation already carries the merged symbols). Pass either
+    ``train_vocab`` (the symbol table is derived) or a precomputed
+    ``symbol_ids`` (symbol, token_id) relation — the frozen-artifact
+    form the streaming twin broadcasts once."""
+    sid = symbol_ids if symbol_ids is not None else symbol_vocab(train_vocab)
+    wc = word_counts(df, text_col)
+    seg = apply_merges(wc, rules)
+    word_syms = seg.select(
+        "word",
+        F.posexplode(F.split(F.trim(F.col("sym")), " ")).alias("pos", "symbol"),
+    )
+    word_ids = (
+        word_syms.join(
+            F.broadcast(sid.select("symbol", "token_id")), "symbol", "left"
+        )
+        .withColumn(
+            "token_id",
+            F.coalesce(F.col("token_id"), F.lit(int(unk_id))).cast("int"),
+        )
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s.token_id,
+            ).alias("ids")
+        )
+    )
+    n_words = wc.count()
     return assemble_doc_ids(
         df, id_col, text_col, word_ids, n_words, broadcast_threshold
     )

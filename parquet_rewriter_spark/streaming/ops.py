@@ -1068,6 +1068,60 @@ def stream_pack_sequences(
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
 
 
+def stream_encode_docs(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[dict],
+    symbol_ids_rows: list[tuple],
+    sink_dir: str,
+    checkpoint_dir: str,
+    unk_id: int = -1,
+    timeout_s: int = 300,
+) -> None:
+    """ON-INGEST TOKENIZATION under a FROZEN tokenizer — the
+    production encode path (train once, encode the firehose forever),
+    as a stateless streaming pass: the merge rules (merge-count-
+    bounded) and the symbol-id table (alphabet + merges rows) are
+    frozen at start; each micro-batch re-segments ITS OWN distinct
+    words via operators/bpe.py:encode_docs_with_rules (batch-vocab
+    scale, identical literal-replace semantics to training) and
+    appends (id, input_ids, n_tokens) to an epoch-partitioned
+    idempotent sink (the streaming-DSIR discipline: replays overwrite
+    their own epoch partition, zero streaming state). Unknown symbols
+    map to ``unk_id`` — a firehose WILL contain characters the
+    training corpus never saw."""
+    from parquet_rewriter_spark.operators.bpe import encode_docs_with_rules
+
+    spark = stream.sparkSession
+    frozen = spark.createDataFrame(
+        symbol_ids_rows, "symbol string, token_id int"
+    )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        out = encode_docs_with_rules(
+            batch_df, id_col, text_col, rules,
+            unk_id=unk_id, symbol_ids=frozen,
+        )
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
 def stream_contamination_guard(
     stream: DataFrame,
     bench_grams: DataFrame,

@@ -393,3 +393,44 @@ def test_wordpiece_marked_segmentation_position_aware(spark):
     }
     assert got["abab"] == ["ab", "##ab"]
     assert got["ba"] == ["b", "##a"]
+
+
+def test_frozen_tokenizer_encodes_unseen_corpus_with_unk(spark):
+    """encode_docs_with_rules must (a) reproduce the training-path
+    encoding exactly on training-corpus words and (b) map symbols
+    outside the training alphabet to unk_id instead of silently
+    dropping them."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs,
+        encode_docs_with_rules,
+    )
+
+    train = spark.createDataFrame(
+        [Row(doc_id=0, text="low lower lowest low low"),
+         Row(doc_id=1, text="new newer newest")]
+    )
+    rules, vocab = bpe_train(train, "text", n_merges=3)
+    # (a) same corpus: rule application == vocab-relation encoding
+    want = {
+        r["doc_id"]: (r["n_tokens"],)
+        for r in encode_docs(train, "doc_id", "text", vocab).collect()
+    }
+    got_df = encode_docs_with_rules(train, "doc_id", "text", rules, vocab)
+    got = {r["doc_id"]: (r["n_tokens"],) for r in got_df.collect()}
+    assert got == want
+    # (b) disjoint corpus with a char ('z', 'q') the training never saw
+    new = spark.createDataFrame([Row(doc_id=9, text="low quiz")])
+    out = encode_docs_with_rules(
+        new, "doc_id", "text", rules, vocab, unk_id=-1
+    ).collect()[0]
+    enc_train = {
+        r["doc_id"]: r
+        for r in encode_docs(train, "doc_id", "text", vocab).collect()
+    }
+    vocab.unpersist()
+    ids = list(out["input_ids"])
+    assert -1 in ids  # unseen chars surfaced, not dropped
+    assert out["n_tokens"] == len(ids)
+    known = [i for i in ids if i >= 0]
+    assert known  # 'low' still encodes through trained symbols
