@@ -174,6 +174,7 @@ EXTENDED = [
     "wordpiece_marked_roundtrip",
     "bpe_encode_holdout_sample",
     "stream_bpe_encoded_ingest",
+    "wordpiece_encode_holdout_sample",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

@@ -14433,6 +14433,67 @@ def wordpiece_marked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_frozen_cte() -> str:
+    from parquet_rewriter_spark.operators.wordpiece import (
+        wordpiece_frozen_cte_sql,
+    )
+
+    return wordpiece_frozen_cte_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0) train_docs",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1 AND doc_id < 30) enc_docs",
+        "text",
+        max_piece_len=4,
+        vocab_size=150,
+    )
+
+
+@query(
+    "wordpiece_encode_holdout_sample",
+    f"""
+    WITH {_wordpiece_frozen_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id % 2 = 1 AND doc_id < 30),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "encode", "frozen",
+)
+def wordpiece_encode_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN WordPiece encoding of a corpus disjoint from training
+    (the BPE holdout discipline applied to the second family): the
+    inventory is selected on even doc_ids, odd documents are encoded
+    with ``unk_id=-1`` — the segmenter's single-char fallback can emit
+    pieces the inventory never saw, and the LEFT id join surfaces them
+    instead of silently shortening the sequence. The oracle segments
+    the holdout's OWN words with a fallback-aware greedy CTE against
+    the train-side vocab."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pieces = substring_vocab(
+        d.filter(F.col("doc_id") % 2 == 0), "text",
+        max_piece_len=4, vocab_size=150,
+    )
+    holdout = d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 30))
+    out = wordpiece_encode_docs(
+        holdout, "doc_id", "text", pieces, unk_id=-1
+    )
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
 @query(
     "stream_contamination_scan",
     """
@@ -15817,6 +15878,7 @@ _VERIFY_FIRST = (
     "wordpiece_marked_roundtrip",
     "bpe_encode_holdout_sample",
     "stream_bpe_encoded_ingest",
+    "wordpiece_encode_holdout_sample",
     "holtwinters_backtest_mape",
     # round-10-touched code paths
     "stream_packed_assignments",

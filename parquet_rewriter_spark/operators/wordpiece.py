@@ -177,6 +177,7 @@ def wordpiece_encode_docs(
     text_col: str,
     pieces: DataFrame,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """Encode documents to WordPiece piece-id sequences — the full
     lifecycle parity with operators/bpe.py:encode_docs: segment each
@@ -185,20 +186,31 @@ def wordpiece_encode_docs(
     relation, then documents' word occurrences join the (word → ids)
     projection through the thresholded word join and reassemble
     order-safely (bpe.assemble_doc_ids). Returns (id_col, input_ids,
-    n_tokens)."""
+    n_tokens).
+
+    ``unk_id`` enables the FROZEN-TOKENIZER path (inventory trained on
+    a different corpus): the segmenter's single-char fallback can emit
+    pieces outside the inventory, which the default inner id join
+    would SILENTLY DROP, shortening sequences — with ``unk_id`` set,
+    the join is LEFT and out-of-inventory pieces surface as that id."""
     wc = word_counts(df, text_col)
     segd = wordpiece_segment(wc, pieces)
     pid = piece_ids(pieces)
-    word_ids = (
-        segd.select("word", F.posexplode("pieces").alias("pos", "piece"))
-        .join(F.broadcast(pid), "piece")
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "piece_id"))),
-                lambda s: s.piece_id,
-            ).alias("ids")
+    exploded = segd.select(
+        "word", F.posexplode("pieces").alias("pos", "piece")
+    )
+    if unk_id is None:
+        joined = exploded.join(F.broadcast(pid), "piece")
+    else:
+        joined = exploded.join(F.broadcast(pid), "piece", "left").withColumn(
+            "piece_id",
+            F.coalesce(F.col("piece_id"), F.lit(int(unk_id))).cast("int"),
         )
+    word_ids = joined.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "piece_id"))),
+            lambda s: s.piece_id,
+        ).alias("ids")
     )
     n_words = wc.count()
     return assemble_doc_ids(
@@ -429,6 +441,68 @@ def wordpiece_cte_sql(
     )"""
 
 
+def wordpiece_frozen_cte_sql(
+    train_table: str,
+    encode_table: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 150,
+) -> str:
+    """FROZEN-PATH oracle CTEs: the inventory comes from
+    ``train_table``, segmentation runs over ``encode_table``'s OWN
+    distinct words with the UDF's single-char FALLBACK modeled in the
+    lateral (a frozen tokenizer meets characters training never saw),
+    and the id map is a LEFT join with −1 for out-of-inventory
+    pieces. Emits ``wc2``, ``seg2``, ``fpid`` and ``word_ids`` on top
+    of :func:`wordpiece_cte_sql`'s train-side CTEs."""
+    base = wordpiece_cte_sql(train_table, text_col, max_piece_len, vocab_size)
+    return base + f""",
+    wc2 AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(
+                 regexp_split_to_array(lower({text_col}), '\\s+'),
+                 w -> w <> '')) AS word
+        FROM {encode_table}
+      ) GROUP BY word
+    ),
+    seg2 AS (
+      WITH RECURSIVE seg_r AS (
+        SELECT word, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM wc2
+        UNION ALL
+        SELECT s.word, s.pos + p.clen AS pos,
+               list_append(s.pieces, p.best) AS pieces
+        FROM seg_r s,
+             LATERAL (
+               SELECT best, clen FROM (
+                 SELECT v.piece AS best, len(v.piece) AS clen, 0 AS prio
+                 FROM wp_vocab v
+                 WHERE substr(s.word, s.pos + 1, len(v.piece)) = v.piece
+                 UNION ALL
+                 SELECT substr(s.word, s.pos + 1, 1) AS best, 1 AS clen,
+                        1 AS prio
+               ) ORDER BY prio, clen DESC, best LIMIT 1
+             ) p
+        WHERE s.pos < len(s.word)
+      )
+      SELECT word, pieces FROM seg_r WHERE pos = len(word)
+    ),
+    fpid AS (
+      SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS piece_id
+      FROM wp_vocab
+    ),
+    f_pos AS (
+      SELECT word, i AS pos, pieces[i] AS piece
+      FROM seg2, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS i)
+    ),
+    word_ids AS (
+      SELECT w.word,
+             list_transform(list_sort(list({{'p': w.pos,
+                                             'i': coalesce(p.piece_id, -1)}})),
+                            x -> x.i) AS ids
+      FROM f_pos w LEFT JOIN fpid p USING (piece) GROUP BY w.word
+    )"""
+
+
 def wordpiece_marked_cte_sql(
     table: str, text_col: str, max_piece_len: int = 4, vocab_size: int = 150
 ) -> str:
@@ -504,6 +578,7 @@ __all__ = [
     "piece_ids",
     "wordpiece_encode_docs",
     "wordpiece_cte_sql",
+    "wordpiece_frozen_cte_sql",
     "MARK",
     "substring_vocab_marked",
     "wordpiece_segment_marked",
