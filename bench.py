@@ -135,6 +135,7 @@ HEADLINE = [
     "unigram_em_vocab",
     "wordpiece_encode_sample",
     "holtwinters_backtest_mape",
+    "hourly_event_rate_cusum",
 ]
 
 EXTENDED = [
@@ -175,6 +176,7 @@ EXTENDED = [
     "bpe_encode_holdout_sample",
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
+    "region_revenue_holt_linear",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

@@ -14736,6 +14736,143 @@ def hourly_value_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "region_revenue_holt_linear",
+    """
+    WITH quarterly AS (
+      SELECT r.r_name AS grp, date_trunc('quarter', o.o_orderdate) AS q,
+             round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT grp, list(rev ORDER BY q) AS ys FROM quarterly GROUP BY grp
+    ),
+    hl AS (
+      WITH RECURSIVE rr AS (
+        SELECT grp, ys, 2 AS t, ys[2] AS level, ys[2] - ys[1] AS trend
+        FROM series WHERE len(ys) >= 2
+        UNION ALL
+        SELECT grp, ys, t + 1,
+               0.3 * ys[t + 1] + (1 - 0.3) * (level + trend) AS level,
+               0.1 * ((0.3 * ys[t + 1] + (1 - 0.3) * (level + trend)) - level)
+                 + (1 - 0.1) * trend AS trend
+        FROM rr WHERE t < len(ys)
+      )
+      SELECT grp, level, trend, len(ys) AS n FROM rr WHERE t = len(ys)
+    )
+    SELECT grp AS region, CAST(hh.h AS INT) AS h,
+           round(level + hh.h * trend, 2) AS yhat, CAST(n AS INT) AS n_points
+    FROM hl, (SELECT unnest(generate_series(1, 4)) AS h) hh
+    ORDER BY region, h
+    """,
+    "timeseries", "forecast", "holt-linear",
+)
+def region_revenue_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-seasonal trend forecasting: Holt's linear method (double
+    exponential smoothing, operators/timeseries.py:holt_linear_by)
+    over each region's QUARTERLY revenue, 4 quarters ahead — the
+    forecaster for series too short or too aperiodic for the seasonal
+    fit (needs 2 points, not 2·period). Same one-codegen-fold-per-
+    series shape; cent-grid inputs keep the recurrence bit-identical
+    across engines."""
+    from parquet_rewriter_spark.operators.timeseries import holt_linear_by
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    quarterly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nat, c["c_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("quarter", F.col("o_orderdate")).alias("q"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    hl = holt_linear_by(quarterly, "region", "q", "rev", horizon=4)
+    return hl.select(
+        "region",
+        F.col("h").cast("int").alias("h"),
+        F.round("yhat", 2).alias("yhat"),
+        F.col("n_points").cast("int").alias("n_points"),
+    ).orderBy("region", "h")
+
+
+@query(
+    "hourly_event_rate_cusum",
+    """
+    WITH hourly AS (
+      -- COUNTS, not value averages: counts are integers, exact in
+      -- every engine, so the only cross-engine aggregates left are
+      -- mu (an exact integer ratio) and sigma (rounded) — the CUSUM
+      -- fold then runs on bit-identical inputs by construction
+      SELECT event_type AS grp,
+             CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT grp, list({'t': t, 'v': v} ORDER BY t) AS pts,
+             round(avg(v), 4) AS mu, round(stddev_samp(v), 4) AS sigma
+      FROM hourly GROUP BY grp
+    ),
+    cu AS (
+      WITH RECURSIVE r AS (
+        SELECT grp, pts, mu, sigma, 0 AS i,
+               CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn
+        FROM series WHERE sigma IS NOT NULL
+        UNION ALL
+        SELECT grp, pts, mu, sigma, i + 1,
+               greatest(0.0, sp + ((round(pts[i + 1].v, 4) - mu)
+                                   - 0.5 * sigma)) AS sp,
+               greatest(0.0, sn + ((mu - round(pts[i + 1].v, 4))
+                                   - 0.5 * sigma)) AS sn
+        FROM r WHERE i < len(pts)
+      )
+      SELECT grp, pts[i].t AS t, sp, sn, sigma FROM r WHERE i >= 1
+    )
+    -- raw states, no display round(): they are bit-identical across
+    -- engines by construction, and the engines' round() impls disagree
+    -- exactly at the grid boundaries CUSUM states live on
+    SELECT grp AS event_type, t AS hour_epoch,
+           sp AS cusum_pos, sn AS cusum_neg,
+           (sp > 5.0 * sigma OR sn > 5.0 * sigma) AS alarm
+    FROM cu ORDER BY event_type, hour_epoch
+    """,
+    "timeseries", "changepoint", "cusum",
+)
+def hourly_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-shift change detection per event type: tabular CUSUM
+    (operators/timeseries.py:cusum_by, k=0.5, h=5) over each type's
+    hourly EVENT-COUNT series — running one-sided sums accumulate
+    small persistent drifts that per-point 3-sigma anomaly flags never
+    catch. One (mu, sigma) aggregate + one codegen fold per series.
+    Counts are integers (exact in every engine) and mu is an exact
+    integer ratio, so after sigma's single grid-rounding the fold's
+    every state is bit-identical across engines by construction."""
+    from parquet_rewriter_spark.operators.timeseries import cusum_by
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    cu = cusum_by(hourly, "event_type", "hour_epoch", "v", k=0.5, h=5.0)
+    return cu.select(
+        "event_type",
+        "hour_epoch",
+        "cusum_pos",
+        "cusum_neg",
+        "alarm",
+    ).orderBy("event_type", "hour_epoch")
+
+
 def _holt_winters_oracle(p: int = 12, h: int = 3) -> str:
     a, b, g = 0.3, 0.1, 0.2
     return f"""
@@ -15880,6 +16017,8 @@ _VERIFY_FIRST = (
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
     "holtwinters_backtest_mape",
+    "region_revenue_holt_linear",
+    "hourly_event_rate_cusum",
     # round-10-touched code paths
     "stream_packed_assignments",
     "stream_holtwinters_fit",

@@ -295,6 +295,144 @@ def holt_winters_by(
     )
 
 
+def holt_linear_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt's LINEAR-TREND forecaster (double exponential smoothing) —
+    the non-seasonal sibling of :func:`holt_winters_by` for series too
+    short or too aperiodic for a seasonal fit (that operator drops
+    groups under 2·period; this one needs just 2 points): level +
+    trend, no seasonal array, as the same ONE-codegen-fold-per-series
+    shape. Textbook init l₂=y₂, b₂=y₂−y₁ (so the first update's
+    one-step forecast l+b targets y₃ — an l=y₁ init is off by one and
+    visibly lags a perfectly linear series), then
+    l_t = α·y_t + (1−α)(l+b); b_t = β(l_t−l) + (1−β)b over y₃.., and
+    ŷ(n+h) = l + h·b. Both engines run the identical double recurrence
+    (grid-rounded inputs recommended). Returns (group, h, yhat,
+    n_points)."""
+    a, b = float(alpha), float(beta)
+    oma, omb = 1.0 - a, 1.0 - b
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(time_col).alias("t"),
+                                    F.col(value_col).alias("v")))
+        ),
+        lambda s: s.v.cast("double"),
+    )
+    series = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(vals.alias("ys"))
+        .where(F.size("ys") >= 2)
+    )
+    ys = F.col("ys")
+    n = F.size(ys)
+    init = F.struct(
+        F.element_at(ys, 2).alias("level"),
+        (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("trend"),
+    )
+
+    def step(acc, y):
+        lvl_new = F.lit(a) * y + F.lit(oma) * (acc.level + acc.trend)
+        trend_new = F.lit(b) * (lvl_new - acc.level) + F.lit(omb) * acc.trend
+        return F.struct(lvl_new.alias("level"), trend_new.alias("trend"))
+
+    st = F.aggregate(F.slice(ys, 3, n - 2), init, step)
+    fitted = series.select("grp", n.alias("n_points"), st.alias("st"))
+    h = F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("h")
+    out = fitted.select("grp", "n_points", "st", h)
+    yhat = F.col("st.level") + F.col("h") * F.col("st.trend")
+    return out.select(
+        F.col("grp").alias(group_col), "h", yhat.alias("yhat"), "n_points"
+    )
+
+
+def cusum_by(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Tabular CUSUM change detection per group (Page 1954; the
+    non-resetting open-ended form): running one-sided sums
+    s⁺_t = max(0, s⁺ + (x_t − μ − k·σ)) and
+    s⁻_t = max(0, s⁻ + (μ − x_t − k·σ)), alarming when either exceeds
+    h·σ — the standard detector for small persistent mean SHIFTS that
+    per-point anomaly flags (3σ residuals) never accumulate. One
+    codegen fold per series after a (μ, σ) aggregate; groups
+    parallelize on the hash, series arrays are grid-bounded.
+
+    Cross-engine determinism: μ and σ are cross-engine aggregates, so
+    they (and each value) round to ``round_to`` BEFORE the fold —
+    after that every state is an exact IEEE function of identical grid
+    inputs, so sums, flags, and displays are bit-identical with no
+    further rounding logic. Single-point groups (σ undefined) drop.
+    Returns (group, time, cusum_pos, cusum_neg, alarm)."""
+    K, H = float(k), float(h)
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(time_col).cast("long").alias("t"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    series = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            pts.alias("pts"),
+            F.round(F.avg(value_col), round_to).alias("mu"),
+            F.round(F.stddev_samp(value_col), round_to).alias("sigma"),
+        )
+        .where(F.col("sigma").isNotNull())
+    )
+    mu, sig = F.col("mu"), F.col("sigma")
+    slack = F.lit(K) * sig
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.array().cast("array<struct<t:bigint,sp:double,sn:double>>").alias("out"),
+    )
+
+    def step(acc, p):
+        x = F.round(p.v, round_to)
+        sp = F.greatest(F.lit(0.0), acc.sp + ((x - mu) - slack))
+        sn = F.greatest(F.lit(0.0), acc.sn + ((mu - x) - slack))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.concat(
+                acc.out,
+                F.array(F.struct(p.t.alias("t"), sp.alias("sp"), sn.alias("sn"))),
+            ).alias("out"),
+        )
+
+    st = F.aggregate(F.col("pts"), init, step)
+    out = series.select("grp", "sigma", F.explode(st.out).alias("o"))
+    thr = F.lit(H) * F.col("sigma")
+    # the states ship RAW: they are bit-identical across engines by
+    # construction, while a display round() is NOT engine-portable
+    # exactly here — CUSUM states are sums of grid values, i.e. always
+    # a hair from a rounding boundary, and DuckDB's multiply-first
+    # round() disagrees with Spark's BigDecimal round() on those
+    # (observed: 3.3200499999999997 → 3.3201 vs 3.3200)
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("o.t").alias(time_col),
+        F.col("o.sp").alias("cusum_pos"),
+        F.col("o.sn").alias("cusum_neg"),
+        ((F.col("o.sp") > thr) | (F.col("o.sn") > thr)).alias("alarm"),
+    )
+
+
 def holt_winters_backtest(
     df: DataFrame,
     group_col: str,

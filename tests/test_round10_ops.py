@@ -434,3 +434,62 @@ def test_frozen_tokenizer_encodes_unseen_corpus_with_unk(spark):
     assert out["n_tokens"] == len(ids)
     known = [i for i in ids if i >= 0]
     assert known  # 'low' still encodes through trained symbols
+
+
+def test_cusum_detects_small_persistent_shift(spark):
+    """A small persistent mean shift must trip the CUSUM alarm while
+    never exceeding a 3-sigma per-point threshold — the exact failure
+    mode of per-point anomaly flags; the pre-shift region stays
+    quiet. Deterministic series: ±0.1 alternation around 10.0, then a
+    +2.0 step at t=160 (well under 3 sigma of the bimodal series)."""
+    rows = []
+    for t in range(200):
+        base = 10.0 + (0.1 if t % 2 == 0 else -0.1)
+        if t >= 160:
+            base += 2.0
+        rows.append(("s", t, base))
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    from parquet_rewriter_spark.operators.timeseries import cusum_by
+
+    out = sorted(
+        cusum_by(df, "grp", "t", "v", k=0.5, h=5.0).collect(),
+        key=lambda r: r["t"],
+    )
+    alarms = [r["t"] for r in out if r["alarm"]]
+    assert alarms, "shift never detected"
+    assert min(alarms) >= 160  # no false alarm before the shift
+    assert min(alarms) <= 175  # detected within ~15 points
+    # per-point 3-sigma on the same series misses the shift entirely
+    vals = [v for _, _, v in rows]
+    mu = sum(vals) / len(vals)
+    sd = (sum((x - mu) ** 2 for x in vals) / (len(vals) - 1)) ** 0.5
+    assert all(abs(v - mu) < 3 * sd for _, t, v in rows if t >= 160)
+
+
+def test_holt_linear_matches_python_and_handles_short_series(spark):
+    """The linear-trend fold must equal a pure-Python reference
+    bit-for-bit, fit a 2-point series (the seasonal fitter needs
+    2*period), and extrapolate a clean linear series exactly."""
+    from parquet_rewriter_spark.operators.timeseries import holt_linear_by
+
+    a, b = 0.3, 0.1
+    ys = [5.0, 7.5, 9.0, 13.0, 14.5, 18.0, 19.5]
+    rows = [("s", t, y) for t, y in enumerate(ys)]
+    rows += [("tiny", 0, 4.0), ("tiny", 1, 6.0)]
+    rows += [("lin", t, 2.0 + 3.0 * t) for t in range(5)]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    got = {
+        (r["grp"], r["h"]): r["yhat"]
+        for r in holt_linear_by(df, "grp", "t", "v", horizon=2).collect()
+    }
+    level, trend = ys[1], ys[1] - ys[0]  # textbook: l2=y2, b2=y2-y1
+    for y in ys[2:]:
+        lvl_new = a * y + (1 - a) * (level + trend)
+        trend = b * (lvl_new - level) + (1 - b) * trend
+        level = lvl_new
+    for h in (1, 2):
+        assert got[("s", h)] == level + h * trend  # bit-identical
+    assert got[("tiny", 1)] == 6.0 + 1 * 2.0  # l=y2, b=y2-y1, no updates
+    # a perfectly linear series extrapolates EXACTLY on the line —
+    # the probe that catches an off-by-one l=y1 init
+    assert abs(got[("lin", 1)] - 17.0) < 1e-9
