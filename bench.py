@@ -177,6 +177,7 @@ EXTENDED = [
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
     "region_revenue_holt_linear",
+    "stream_event_rate_cusum",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

@@ -14804,9 +14804,7 @@ def region_revenue_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("region", "h")
 
 
-@query(
-    "hourly_event_rate_cusum",
-    """
+_CUSUM_RATE_ORACLE = """
     WITH hourly AS (
       -- COUNTS, not value averages: counts are integers, exact in
       -- every engine, so the only cross-engine aggregates left are
@@ -14844,7 +14842,12 @@ def region_revenue_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
            sp AS cusum_pos, sn AS cusum_neg,
            (sp > 5.0 * sigma OR sn > 5.0 * sigma) AS alarm
     FROM cu ORDER BY event_type, hour_epoch
-    """,
+    """
+
+
+@query(
+    "hourly_event_rate_cusum",
+    _CUSUM_RATE_ORACLE,
     "timeseries", "changepoint", "cusum",
 )
 def hourly_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14871,6 +14874,65 @@ def hourly_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_neg",
         "alarm",
     ).orderBy("event_type", "hour_epoch")
+
+
+@query(
+    "stream_event_rate_cusum",
+    _CUSUM_RATE_ORACLE,
+    "streaming", "timeseries", "changepoint", "cusum",
+)
+def stream_event_rate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST change detection (streaming/ops.py:stream_cusum):
+    reference (mu, sigma) frozen offline — a live baseline would let
+    the shift poison itself — then the hourly count series streams
+    through a stateful kernel carrying O(1) state per group (the two
+    one-sided sums), appending one row per point. The drained sink
+    must equal the batch operator row-for-row, so this query shares
+    hourly_event_rate_cusum's oracle VERBATIM (the streaming-twin
+    discipline)."""
+    import shutil
+
+    from parquet_rewriter_spark.streaming.ops import stream_cusum
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type").alias("grp"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("t"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    stats = (
+        hourly.groupBy("grp")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mu"),
+            F.round(F.stddev_samp("v"), 4).alias("sigma"),
+        )
+        .where(F.col("sigma").isNotNull())
+    )
+    stats_rows = [
+        (r["grp"], float(r["mu"]), float(r["sigma"])) for r in stats.collect()
+    ]
+    base = _scratch("stream_cusum")
+    src = os.path.join(base, "src")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    hourly.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    stream_cusum(stream, "grp", "t", "v", stats_rows, sink, ckpt, k=0.5)
+    out = spark.read.parquet(sink)
+    sig = spark.createDataFrame(
+        [(g, s) for g, _m, s in stats_rows], "grp string, sigma double"
+    )
+    thr = F.lit(5.0) * F.col("sigma")
+    return (
+        out.join(F.broadcast(sig), "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("t").alias("hour_epoch"),
+            F.col("sp").alias("cusum_pos"),
+            F.col("sn").alias("cusum_neg"),
+            ((F.col("sp") > thr) | (F.col("sn") > thr)).alias("alarm"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
 
 
 def _holt_winters_oracle(p: int = 12, h: int = 3) -> str:
@@ -16019,6 +16081,7 @@ _VERIFY_FIRST = (
     "holtwinters_backtest_mape",
     "region_revenue_holt_linear",
     "hourly_event_rate_cusum",
+    "stream_event_rate_cusum",
     # round-10-touched code paths
     "stream_packed_assignments",
     "stream_holtwinters_fit",

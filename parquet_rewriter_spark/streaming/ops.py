@@ -1122,6 +1122,88 @@ def stream_encode_docs(
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
 
 
+def stream_cusum(
+    points: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    stats_rows: list[tuple],
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: float = 0.5,
+    round_to: int = 4,
+    timeout_s: int = 300,
+) -> None:
+    """ON-INGEST CUSUM change detection — the streaming twin of
+    operators/timeseries.py:cusum_by with O(1) state per group (the
+    two one-sided sums): reference statistics (group, mu, sigma) are
+    FROZEN offline (the DSIR/contamination frozen-artifact
+    discipline — a live mean would let the shift poison its own
+    baseline), each micro-batch concatenates ALL its Arrow chunks and
+    sorts by time ONCE (the round-10 chunk-safety contract), folds the
+    identical grid-rounded recurrence, and APPENDS one row per point
+    (t, sp, sn) to the sink — so a drained single-source replay equals
+    the batch operator row-for-row, bit-for-bit. Points must arrive
+    time-ordered across batches (the packing contract)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    K = float(k)
+    stats = {str(g): (float(m), float(s)) for g, m, s in stats_rows}
+    base = points.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(time_col).cast("long").alias("t"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    out_schema = "grp string, t long, sp double, sn double"
+    state_schema = "sp double, sn double"
+    R = int(round_to)
+
+    def fn(key_tuple, pdfs, state):
+        import pandas as pd
+
+        grp = str(key_tuple[0])
+        ms = stats.get(grp)
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks or ms is None:
+            state.update((float(sp), float(sn)))
+            return
+        mu, sigma = ms
+        slack = K * sigma
+        batch = pd.concat(chunks, ignore_index=True).sort_values("t")
+        ts, sps, sns = [], [], []
+        for t, v in zip(batch["t"], batch["v"]):
+            x = round(float(v), R)
+            sp = max(0.0, sp + ((x - mu) - slack))
+            sn = max(0.0, sn + ((mu - x) - slack))
+            ts.append(int(t))
+            sps.append(sp)
+            sns.append(sn)
+        state.update((float(sp), float(sn)))
+        yield pd.DataFrame(
+            {"grp": grp, "t": ts, "sp": sps, "sn": sns}
+        )
+
+    flagged = base.groupBy("grp").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
 def stream_contamination_guard(
     stream: DataFrame,
     bench_grams: DataFrame,

@@ -493,3 +493,58 @@ def test_holt_linear_matches_python_and_handles_short_series(spark):
     # a perfectly linear series extrapolates EXACTLY on the line —
     # the probe that catches an off-by-one l=y1 init
     assert abs(got[("lin", 1)] - 17.0) < 1e-9
+
+
+def test_stream_cusum_continues_state_across_batches(spark, tmp_path):
+    """Three time-ordered files, maxFilesPerTrigger=1: the one-sided
+    sums must CONTINUE across micro-batches — the drained sink equals
+    the batch operator row-for-row, bit-for-bit, including points
+    whose alarm state straddles a batch boundary."""
+    import os
+    import time
+
+    from parquet_rewriter_spark.operators.timeseries import cusum_by
+    from parquet_rewriter_spark.streaming.ops import stream_cusum
+
+    rows = []
+    for t in range(90):
+        v = 10.0 + (0.1 if t % 2 == 0 else -0.1) + (2.0 if t >= 60 else 0.0)
+        rows.append(("s", t, v))
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    stats = [
+        (r["grp"], float(r["mu"]), float(r["sigma"]))
+        for r in df.groupBy("grp")
+        .agg(
+            F.round(F.avg("v"), 4).alias("mu"),
+            F.round(F.stddev_samp("v"), 4).alias("sigma"),
+        )
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for kf in range(3):
+        part = df.filter((F.col("t") >= 30 * kf) & (F.col("t") < 30 * (kf + 1)))
+        p = str(src / f"f{kf}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(p)
+        ts = time.time() - 300 + 60 * kf
+        for root, _dirs, files in os.walk(p):
+            for fl in files:
+                os.utime(os.path.join(root, fl), (ts, ts))
+        os.utime(p, (ts, ts))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/f[012].parquet")
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream_cusum(stream, "grp", "t", "v", stats, sink, ckpt, k=0.5)
+    got = {
+        r["t"]: (r["sp"], r["sn"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        r["t"]: (r["cusum_pos"], r["cusum_neg"])
+        for r in cusum_by(df, "grp", "t", "v", k=0.5, h=5.0).collect()
+    }
+    assert len(got) == 90
+    assert got == want  # bit-identical states across batch boundaries
