@@ -178,6 +178,7 @@ EXTENDED = [
     "wordpiece_encode_holdout_sample",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
+    "tokenizer_family_compression",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

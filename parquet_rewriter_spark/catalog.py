@@ -15511,6 +15511,117 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_cte_nowc() -> str:
+    from parquet_rewriter_spark.operators.unigram import unigram_cte_sql
+
+    return unigram_cte_sql("documents", "text", 4, 150, include_wc=False)
+
+
+def _bpe_cte_4merges() -> str:
+    from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
+
+    return bpe_vocab_cte_sql("documents", "text", 4)
+
+
+@query(
+    "tokenizer_family_compression",
+    f"""
+    WITH {_wordpiece_cte()},
+    {_unigram_cte_nowc()},
+    {_bpe_cte_4merges()},
+    occ AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    ),
+    bpe_wt AS (
+      SELECT word, len(string_split(trim(sym), ' ')) AS n FROM v4
+    ),
+    fam AS (
+      SELECT 'bpe' AS family, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(len(word)) AS BIGINT) AS n_chars
+      FROM occ JOIN bpe_wt USING (word)
+      UNION ALL
+      SELECT 'unigram', CAST(count(*) AS BIGINT),
+             CAST(sum(n_pieces) AS BIGINT), CAST(sum(len(word)) AS BIGINT)
+      FROM occ JOIN ug_seg USING (word)
+      UNION ALL
+      SELECT 'wordpiece', CAST(count(*) AS BIGINT),
+             CAST(sum(n_pieces) AS BIGINT), CAST(sum(len(word)) AS BIGINT)
+      FROM occ JOIN wp_seg USING (word)
+    )
+    SELECT family, n_words, n_tokens,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token,
+           round(CAST(n_tokens AS DOUBLE) / n_words, 4) AS fertility
+    FROM fam ORDER BY family
+    """,
+    "llm-pipeline", "tokenizer", "evaluation", "compression",
+)
+def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer BAKE-OFF every pretraining effort runs before
+    committing a vocabulary: all three families trained on the same
+    corpus at the same budget (4 BPE merges / 150-piece inventories),
+    compared on total token count, chars-per-token (compression), and
+    fertility — one corpus scan into the shared word relation, each
+    family segmenting at distinct-word scale, three thresholded joins.
+    BPE counts include its ``</w>`` end-markers where unmerged (its
+    own accounting); unigram uses the maximum-likelihood segmentation
+    length. Every number replayed in one combined SQL chain."""
+    from parquet_rewriter_spark.operators.bpe import (
+        BROADCAST_MAX_WORDS,
+        _word_join,
+        bpe_train,
+        vocab_token_counts,
+        word_counts,
+    )
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        viterbi_segment,
+    )
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_segment,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wc = word_counts(d, "text")
+    n_words = wc.count()
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    bpe_rel = vocab_token_counts(vocab).withColumnRenamed("n_tokens", "n")
+    wp_rel = wordpiece_segment(
+        wc, substring_vocab(d, "text", 4, 150)
+    ).select("word", F.col("n_pieces").alias("n"))
+    ug_rel = viterbi_segment(
+        wc, piece_stats(d, "text", 4, 150)
+    ).select("word", F.col("n_pieces").alias("n"))
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    occ = d.select(F.explode(w).alias("word"))
+    parts = []
+    for fam, rel in (("bpe", bpe_rel), ("unigram", ug_rel), ("wordpiece", wp_rel)):
+        j = _word_join(occ, rel, n_words, BROADCAST_MAX_WORDS)
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n").alias("n_tokens"),
+                F.sum(F.length("word")).alias("n_chars"),
+            ).select(F.lit(fam).alias("family"), "n_words", "n_tokens", "n_chars")
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    vocab.unpersist()
+    return out.select(
+        "family",
+        "n_words",
+        "n_tokens",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 4).alias(
+            "fertility"
+        ),
+    ).orderBy("family")
+
+
 def _unigram_em_cte() -> str:
     from parquet_rewriter_spark.operators.unigram import unigram_em_cte_sql
 
@@ -16082,6 +16193,7 @@ _VERIFY_FIRST = (
     "region_revenue_holt_linear",
     "hourly_event_rate_cusum",
     "stream_event_rate_cusum",
+    "tokenizer_family_compression",
     # round-10-touched code paths
     "stream_packed_assignments",
     "stream_holtwinters_fit",

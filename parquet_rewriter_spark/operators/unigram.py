@@ -392,7 +392,11 @@ def unigram_em_train(
 
 
 def unigram_cte_sql(
-    table: str, text_col: str, max_piece_len: int = 4, vocab_size: int = 150
+    table: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 150,
+    include_wc: bool = True,
 ) -> str:
     """DuckDB CTE chain: ``wc`` (word, cnt), ``ug_stats`` (piece, c),
     ``ug_ratio`` (piece, r = c/T) and ``ug_best`` (word, best_ll,
@@ -402,8 +406,11 @@ def unigram_cte_sql(
     counts must still match bit-for-bit because both engines multiply
     the same exact c/T doubles in the same order. Path count per word
     is bounded by the composition count over piece lengths 1..4 of a
-    ≤~20-char word — fine for an oracle, never the production path."""
-    return f"""wc AS (
+    ≤~20-char word — fine for an oracle, never the production path.
+    ``include_wc=False`` omits the leading ``wc`` CTE so the chain can
+    compose with another family's chain that already defines it (the
+    word normalization is identical across families)."""
+    wc_cte = f"""wc AS (
       SELECT word, count(*) AS cnt
       FROM (
         SELECT unnest(list_filter(
@@ -412,7 +419,8 @@ def unigram_cte_sql(
         FROM {table}
       ) GROUP BY word
     ),
-    ug_counts AS (
+    """ if include_wc else ""
+    return f"""{wc_cte}ug_counts AS (
       SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS c
       FROM wc,
            LATERAL (SELECT unnest(generate_series(
