@@ -179,6 +179,7 @@ EXTENDED = [
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",
+    "holtwinters_vs_naive_skill",
     "branch_rebase_publish_scan",
     "catalog_branch_publish_scan",
     "refs_metadata_scan",

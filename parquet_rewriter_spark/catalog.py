@@ -15183,6 +15183,86 @@ def holtwinters_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation")
 
 
+def _hw_vs_naive_oracle(p: int = 12, h: int = 3) -> str:
+    base = _holtwinters_backtest_oracle(p, h)
+    # reuse the backtest chain up to `fc`, then add the naive baseline
+    head, tail = base.rsplit("SELECT grp AS nation,", 1)
+    return (
+        head
+        + f""", hmet AS (
+      SELECT grp, round(avg(abs(y - yhat) / abs(y)), 4) AS mape_hw
+      FROM fc GROUP BY grp
+    ),
+    naive AS (
+      SELECT grp, hh.h AS h,
+             full_ys[CAST(n - {p} + hh.h AS BIGINT)] AS yhat,
+             full_ys[CAST(n + hh.h AS BIGINT)] AS y
+      FROM hw, (SELECT unnest(generate_series(1, {h})) AS h) hh
+    ),
+    nmet AS (
+      SELECT grp, round(avg(abs(y - yhat) / abs(y)), 4) AS mape_naive
+      FROM naive GROUP BY grp
+    )
+    SELECT hm.grp AS nation, hm.mape_hw, nm.mape_naive,
+           round(1 - hm.mape_hw / nm.mape_naive, 4) AS skill
+    FROM hmet hm JOIN nmet nm ON nm.grp = hm.grp
+    ORDER BY nation
+    """
+    )
+
+
+@query(
+    "holtwinters_vs_naive_skill",
+    _hw_vs_naive_oracle(12, 3),
+    "timeseries", "forecast", "evaluation", "skill",
+)
+def holtwinters_vs_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast SKILL against the seasonal-naive baseline — the 'does
+    the model beat last season's value' number that decides whether a
+    forecaster earns a deploy: per nation, the Holt-Winters backtest
+    MAPE, the seasonal-naive backtest MAPE on the identical holdout
+    (operators/timeseries.py:seasonal_naive_backtest — pure window
+    algebra, no fitting), and skill = 1 − mape_hw/mape_naive (positive
+    = beats naive). Skill is derived from the two rounded MAPEs, so
+    it is an exact quotient of identical grid values in both
+    engines."""
+    from parquet_rewriter_spark.operators.timeseries import (
+        holt_winters_backtest,
+        seasonal_naive_backtest,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(nat, c["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    hw = holt_winters_backtest(
+        monthly, "nation", "m", "rev", period=12, horizon=3
+    ).select("nation", F.col("mape").alias("mape_hw"))
+    naive = seasonal_naive_backtest(
+        monthly, "nation", "m", "rev", period=12, horizon=3
+    ).select("nation", F.col("mape").alias("mape_naive"))
+    return (
+        hw.join(naive, "nation")
+        .select(
+            "nation",
+            "mape_hw",
+            "mape_naive",
+            F.round(
+                F.lit(1.0) - F.col("mape_hw") / F.col("mape_naive"), 4
+            ).alias("skill"),
+        )
+        .orderBy("nation")
+    )
+
+
 def _tokenizer_registry_oracle(n_merges: int = 4) -> str:
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 
@@ -16190,6 +16270,7 @@ _VERIFY_FIRST = (
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
     "holtwinters_backtest_mape",
+    "holtwinters_vs_naive_skill",
     "region_revenue_holt_linear",
     "hourly_event_rate_cusum",
     "stream_event_rate_cusum",

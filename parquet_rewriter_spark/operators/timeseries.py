@@ -433,6 +433,62 @@ def cusum_by(
     )
 
 
+def seasonal_naive_backtest(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    horizon: int = 3,
+) -> DataFrame:
+    """Rolling-origin backtest of the SEASONAL-NAIVE baseline —
+    ŷ(n+h) = y(n+h−P), last season's same slot — the forecast every
+    model must beat before it earns a deploy (a Holt-Winters MAPE
+    means nothing without it). Same holdout protocol as
+    :func:`holt_winters_backtest`; pure window algebra, no fitting:
+    one ranking window splits train/holdout, holdout rows join the
+    train point one period back by position. Requires horizon ≤ period
+    and a train prefix of at least ``period`` points. Returns (group,
+    n_train, mape, smape)."""
+    H, P = int(horizon), int(period)
+    if H > P:
+        raise ValueError("seasonal-naive needs horizon <= period")
+    w_desc = Window.partitionBy(group_col).orderBy(F.col(time_col).desc())
+    w_asc = Window.partitionBy(group_col).orderBy(F.col(time_col))
+    w_all = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("__rn", F.row_number().over(w_desc))
+        .withColumn("__idx", F.row_number().over(w_asc))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    nt = F.col("__n") - H  # train length
+    hold = ranked.filter(F.col("__rn") <= H).select(
+        F.col(group_col).alias("grp"),
+        (F.lit(H) - F.col("__rn") + 1).alias("h"),
+        F.col(value_col).cast("double").alias("y"),
+        nt.alias("n_train"),
+        (nt - P + (F.lit(H) - F.col("__rn") + 1)).alias("__src_idx"),
+    )
+    src = ranked.select(
+        F.col(group_col).alias("grp"),
+        F.col("__idx").alias("__src_idx"),
+        F.col(value_col).cast("double").alias("yhat"),
+    )
+    j = hold.filter(F.col("__src_idx") >= 1).join(src, ["grp", "__src_idx"])
+    err = F.abs(F.col("y") - F.col("yhat"))
+    ape = err / F.abs(F.col("y"))
+    sape = F.lit(2.0) * err / (F.abs(F.col("y")) + F.abs(F.col("yhat")))
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.round(F.avg(ape), 4).alias("mape"),
+            F.round(F.avg(sape), 4).alias("smape"),
+        )
+        .select(F.col("grp").alias(group_col), "n_train", "mape", "smape")
+    )
+
+
 def holt_winters_backtest(
     df: DataFrame,
     group_col: str,

@@ -548,3 +548,48 @@ def test_stream_cusum_continues_state_across_batches(spark, tmp_path):
     }
     assert len(got) == 90
     assert got == want  # bit-identical states across batch boundaries
+
+
+def test_new_timeseries_ops_are_jvm_side(spark):
+    """holt_linear_by, cusum_by, and seasonal_naive_backtest must stay
+    whole-stage-codegen territory: no Python eval, no cartesian."""
+    from parquet_rewriter_spark.operators.timeseries import (
+        cusum_by,
+        holt_linear_by,
+        seasonal_naive_backtest,
+    )
+    from parquet_rewriter_spark.plans.inspect import plan_of
+
+    rows = [("g", t, float(10 + t % 5)) for t in range(30)]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    for op in (
+        holt_linear_by(df, "grp", "t", "v", horizon=2),
+        cusum_by(df, "grp", "t", "v"),
+        seasonal_naive_backtest(df, "grp", "t", "v", period=5, horizon=2),
+    ):
+        p = plan_of(op)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+
+
+def test_seasonal_naive_backtest_exact_on_periodic_series(spark):
+    """A perfectly periodic series is predicted EXACTLY by the
+    seasonal-naive baseline (MAPE 0), while a drifting series is not —
+    and the holdout indexing lines up with the last season."""
+    from parquet_rewriter_spark.operators.timeseries import (
+        seasonal_naive_backtest,
+    )
+
+    P, H = 4, 2
+    rows = [("per", t, float(10 + (t % P))) for t in range(20)]
+    rows += [("drift", t, float(10 + (t % P) + 0.5 * t)) for t in range(20)]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    got = {
+        r["grp"]: r
+        for r in seasonal_naive_backtest(
+            df, "grp", "t", "v", period=P, horizon=H
+        ).collect()
+    }
+    assert got["per"]["mape"] == 0.0
+    assert got["per"]["n_train"] == 18
+    assert got["drift"]["mape"] > 0.05
