@@ -31,14 +31,14 @@ from parquet_rewriter_spark.session import get_spark
 # Full-tier wall budget (queries + probes): the driver's capture would
 # silently lose a run that outgrows its timeout, so the bench flags
 # itself loudly first (report["budget_exceeded"] + stderr subtotals).
-# Recalibrated round 9: the tier grew 150 (r5) -> 203 (r8) -> 220
-# queries and the measured clean wall is 800 s (~3.6 s/query incl. the
-# interleaved sf0.001 warmup) — the round-8 constant of 900 s left only
-# ~12% headroom. The driver's per-round capture runs only the HEADLINE
-# tier (~130-140 s), so this constant guards MANUAL --full runs; keep
-# ~25% headroom over the measured wall rather than trimming coverage
-# breadth.
-FULL_TIER_BUDGET_S = 1000
+# Recalibrated round 10: the tier grew 150 (r5) -> 220 (r9) -> 243
+# queries and the measured clean wall is 901.5 s (~3.7 s/query incl.
+# the interleaved sf0.001 warmup) — the round-9 constant of 1000 s was
+# down to ~10% headroom. The driver's per-round capture runs only the
+# HEADLINE tier (~150 s), so this constant guards MANUAL --full runs;
+# keep ~25% headroom over the measured wall rather than trimming
+# coverage breadth.
+FULL_TIER_BUDGET_S = 1150
 
 HEADLINE = [
     "pricing_summary",
