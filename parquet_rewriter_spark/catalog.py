@@ -14226,9 +14226,14 @@ def wordpiece_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_encode_docs,
     )
 
+    from parquet_rewriter_spark.operators.bpe import word_counts
+
     d = _t(spark, sf_dir, "documents")
-    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
-    enc = wordpiece_encode_docs(d, "doc_id", "text", pieces)
+    # ONE persisted corpus scan shared by vocab selection and encoding
+    # (at 100 TB each word_counts recompute is a full corpus scan)
+    wc = word_counts(d, "text").persist()
+    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
+    enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
     return _scalarized_windows(enc, m=32, shards=4)
 
 
@@ -14263,15 +14268,18 @@ def wordpiece_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from parquet_rewriter_spark.table import SortedTable
 
+    from parquet_rewriter_spark.operators.bpe import word_counts
+
     d = _t(spark, sf_dir, "documents")
-    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150)
+    wc = word_counts(d, "text").persist()  # shared corpus scan
+    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
     base = _scratch("wp_registry")
     pt = SortedTable.create(
         spark, os.path.join(base, "pieces"), pieces, key="piece"
     )
     stored = pt.read()
     n_vocab = stored.count()
-    out = wordpiece_fertility_by(d, "text", "lang", stored)
+    out = wordpiece_fertility_by(d, "text", "lang", stored, wc=wc)
     return out.withColumn(
         "vocab_rows", F.lit(int(n_vocab)).cast("int")
     ).orderBy("lang")
@@ -14407,9 +14415,14 @@ def wordpiece_marked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         wordpiece_encode_marked,
     )
 
+    from parquet_rewriter_spark.operators.bpe import word_counts
+
     d = _t(spark, sf_dir, "documents")
-    pieces = substring_vocab_marked(d, "text", max_piece_len=4, vocab_size=150)
-    enc = wordpiece_encode_marked(d, "doc_id", "text", pieces)
+    wc = word_counts(d, "text").persist()  # shared corpus scan
+    pieces = substring_vocab_marked(
+        d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    )
+    enc = wordpiece_encode_marked(d, "doc_id", "text", pieces, wc=wc)
     dec = wordpiece_decode_docs(enc, "input_ids", pieces)
     norm = d.select(
         "doc_id",
@@ -15516,9 +15529,12 @@ def unigram_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_encode_docs,
     )
 
+    from parquet_rewriter_spark.operators.bpe import word_counts
+
     d = _t(spark, sf_dir, "documents")
-    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
-    enc = unigram_encode_docs(d, "doc_id", "text", stats)
+    wc = word_counts(d, "text").persist()  # shared corpus scan
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
+    enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
     return _scalarized_windows(enc, m=32, shards=4)
 
 
@@ -15560,14 +15576,14 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.table import SortedTable
 
     d = _t(spark, sf_dir, "documents")
-    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    wc = word_counts(d, "text").persist()  # shared corpus scan
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
     base = _scratch("ug_registry")
     st = SortedTable.create(
         spark, os.path.join(base, "pieces"), stats, key="piece"
     )
     stored = st.read()
     n_vocab = stored.count()
-    wc = word_counts(d, "text")
     segd = viterbi_segment_stats(wc, stored).select("word", "best_ll")
     n_words = wc.count()
     w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
@@ -15665,15 +15681,15 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    wc = word_counts(d, "text")
+    wc = word_counts(d, "text").persist()  # shared by all three families
     n_words = wc.count()
     rules, vocab = bpe_train(d, "text", n_merges=4)
     bpe_rel = vocab_token_counts(vocab).withColumnRenamed("n_tokens", "n")
     wp_rel = wordpiece_segment(
-        wc, substring_vocab(d, "text", 4, 150)
+        wc, substring_vocab(d, "text", 4, 150, wc=wc)
     ).select("word", F.col("n_pieces").alias("n"))
     ug_rel = viterbi_segment(
-        wc, piece_stats(d, "text", 4, 150)
+        wc, piece_stats(d, "text", 4, 150, wc=wc)
     ).select("word", F.col("n_pieces").alias("n"))
     w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     occ = d.select(F.explode(w).alias("word"))

@@ -40,13 +40,15 @@ def piece_stats(
     text_col: str,
     max_piece_len: int = 4,
     vocab_size: int = 150,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, c) — the unigram inventory with corpus-weighted
     substring occurrence counts: top ``vocab_size`` multi-char pieces
     (count DESC, piece ASC — total order) plus every corpus char with
     its own count (guaranteed coverage). One vocab-scale job over the
     distinct-word relation."""
-    wc = word_counts(df, text_col)
+    if wc is None:
+        wc = word_counts(df, text_col)
     lens = F.filter(
         F.sequence(F.lit(1), F.lit(max_piece_len)),
         lambda l: F.length("word") >= l,
@@ -216,6 +218,7 @@ def unigram_encode_docs(
     text_col: str,
     pieces: DataFrame,
     broadcast_threshold: int | None = None,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """Encode documents to unigram-LM piece-id sequences — lifecycle
     parity with operators/bpe.py:encode_docs: Viterbi-segment each
@@ -231,7 +234,8 @@ def unigram_encode_docs(
 
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_MAX_WORDS
-    wc = word_counts(df, text_col)
+    if wc is None:
+        wc = word_counts(df, text_col)
     segd = viterbi_segment(wc, pieces)
     pid = unigram_piece_ids(pieces)
     word_ids = (

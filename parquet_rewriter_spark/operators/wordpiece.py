@@ -48,12 +48,14 @@ def substring_vocab(
     text_col: str,
     max_piece_len: int = 4,
     vocab_size: int = 150,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """(piece) — the WordPiece inventory: top ``vocab_size`` substrings
     of length 2..max_piece_len by corpus-weighted occurrence count,
     plus the full corpus alphabet. One vocab-scale job downstream of
     the single corpus scan in word_counts."""
-    wc = word_counts(df, text_col)
+    if wc is None:
+        wc = word_counts(df, text_col)
     lens = F.filter(
         F.sequence(F.lit(2), F.lit(max_piece_len)),
         lambda l: F.length("word") >= l,
@@ -132,13 +134,15 @@ def wordpiece_fertility_by(
     group_col: str,
     pieces: DataFrame,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer fertility per group under the WordPiece inventory:
     segment each DISTINCT word once, then word occurrences join the
     (word → n_pieces) relation — broadcast under the distinct-word
     threshold, hash join above (the BPE join discipline). Returns
     (group, n_words, n_pieces, fertility)."""
-    wc = word_counts(df, text_col)
+    if wc is None:
+        wc = word_counts(df, text_col)
     segd = wordpiece_segment(wc, pieces).select("word", "n_pieces")
     n_words = wc.count()
     w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
@@ -178,6 +182,7 @@ def wordpiece_encode_docs(
     pieces: DataFrame,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
     unk_id: int | None = None,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """Encode documents to WordPiece piece-id sequences — the full
     lifecycle parity with operators/bpe.py:encode_docs: segment each
@@ -193,7 +198,8 @@ def wordpiece_encode_docs(
     pieces outside the inventory, which the default inner id join
     would SILENTLY DROP, shortening sequences — with ``unk_id`` set,
     the join is LEFT and out-of-inventory pieces surface as that id."""
-    wc = word_counts(df, text_col)
+    if wc is None:
+        wc = word_counts(df, text_col)
     segd = wordpiece_segment(wc, pieces)
     pid = piece_ids(pieces)
     exploded = segd.select(
@@ -228,6 +234,7 @@ def substring_vocab_marked(
     text_col: str,
     max_piece_len: int = 4,
     vocab_size: int = 150,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """BERT-convention WordPiece inventory (Devlin et al. 2019;
     Schuster & Nakajima 2012): word-INITIAL substrings enter bare,
@@ -239,7 +246,8 @@ def substring_vocab_marked(
     BOTH forms for guaranteed coverage. Assumes the corpus' words do
     not themselves contain the marker (standard WordPiece
     preprocessing strips it)."""
-    wc = word_counts(df, text_col)
+    if wc is None:
+        wc = word_counts(df, text_col)
     lens = F.filter(
         F.sequence(F.lit(2), F.lit(max_piece_len)),
         lambda l: F.length("word") >= l,
@@ -324,11 +332,13 @@ def wordpiece_encode_marked(
     text_col: str,
     pieces: DataFrame,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """Documents → marked-WordPiece piece-id sequences — the same
     shared-tail discipline as :func:`wordpiece_encode_docs`, under the
     marked inventory (so the stream decodes losslessly)."""
-    wc = word_counts(df, text_col)
+    if wc is None:
+        wc = word_counts(df, text_col)
     segd = wordpiece_segment_marked(wc, pieces)
     pid = piece_ids(pieces)
     word_ids = (
