@@ -171,6 +171,7 @@ EXTENDED = [
     "unigram_packed_windows",
     "unigram_artifact_roundtrip",
     "unigram_em_encode_sample",
+    "unigram_em_corpus_loglik",
     "wordpiece_marked_encode_sample",
     "wordpiece_marked_roundtrip",
     "bpe_encode_holdout_sample",

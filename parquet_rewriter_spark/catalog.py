@@ -15846,6 +15846,79 @@ def unigram_em_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "unigram_em_corpus_loglik",
+    f"""
+    WITH {_unigram_em_cte()},
+    em_ratio AS MATERIALIZED (SELECT piece, p AS r FROM em_final),
+    em_paths AS MATERIALIZED (
+      WITH RECURSIVE p AS (
+        SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS score FROM wc
+        UNION ALL
+        SELECT p.word, p.pos + len(v.piece) AS pos, p.score * v.r AS score
+        FROM p JOIN em_ratio v
+          ON substr(p.word, p.pos + 1, len(v.piece)) = v.piece
+        WHERE p.pos < len(p.word)
+      )
+      SELECT word, score FROM p WHERE pos = len(word)
+    ),
+    em_best AS MATERIALIZED (
+      SELECT word, ln(max(score)) AS best_ll FROM em_paths GROUP BY word
+    ),
+    occ AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS word
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_words,
+           round(sum(best_ll), 2) AS sum_ll,
+           round(sum(best_ll) / count(*), 4) AS avg_ll
+    FROM occ JOIN em_best USING (word)
+    GROUP BY lang ORDER BY lang
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "training", "scoring",
+)
+def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus log-likelihood per language under the TRAINED EM model —
+    the deployment-side counterpart of unigram_corpus_loglik (which
+    scores under raw seed counts): EM-train, then Viterbi-score every
+    distinct word under the trained probabilities and roll up per
+    language through the thresholded word join. Comparing the two
+    queries' avg_ll side by side is the 'did training help' readout.
+    The oracle replays EM cell-exactly, then enumerates paths under
+    the trained ratios."""
+    from parquet_rewriter_spark.operators.bpe import (
+        BROADCAST_MAX_WORDS,
+        _word_join,
+        word_counts,
+    )
+    from parquet_rewriter_spark.operators.unigram import (
+        unigram_em_train,
+        viterbi_segment_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    trained = unigram_em_train(
+        d, "text", max_piece_len=4, seed_size=300, keep_size=150, n_rounds=2
+    )
+    wc = word_counts(d, "text").persist()
+    n_words = wc.count()
+    segd = viterbi_segment_stats(wc, trained).select("word", "best_ll")
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
+    return (
+        _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("best_ll"), 2).alias("sum_ll"),
+            F.round(F.sum("best_ll") / F.count(F.lit(1)), 4).alias("avg_ll"),
+        )
+        .select(F.col("grp").alias("lang"), "n_words", "sum_ll", "avg_ll")
+        .orderBy("lang")
+    )
+
+
 def _stream_dsir_oracle() -> str:
     from parquet_rewriter_spark.operators.dsir import (
         dsir_bucket_sql,
@@ -16280,6 +16353,7 @@ _VERIFY_FIRST = (
     "unigram_artifact_roundtrip",
     "unigram_em_vocab",
     "unigram_em_encode_sample",
+    "unigram_em_corpus_loglik",
     "wordpiece_marked_encode_sample",
     "wordpiece_marked_roundtrip",
     "bpe_encode_holdout_sample",
