@@ -177,6 +177,7 @@ EXTENDED = [
     "bpe_encode_holdout_sample",
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
+    "stream_wordpiece_encoded_ingest",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

@@ -14507,6 +14507,86 @@ def wordpiece_encode_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("doc_id")
 
 
+def _wordpiece_frozen_stream_cte() -> str:
+    from parquet_rewriter_spark.operators.wordpiece import (
+        wordpiece_frozen_cte_sql,
+    )
+
+    return wordpiece_frozen_cte_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0) train_docs",
+        "(SELECT * FROM documents WHERE doc_id < 15) enc_docs",
+        "text",
+        max_piece_len=4,
+        vocab_size=150,
+    )
+
+
+@query(
+    "stream_wordpiece_encoded_ingest",
+    f"""
+    WITH {_wordpiece_frozen_stream_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id < 15),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "streaming", "llm-pipeline", "tokenizer", "wordpiece", "encode", "frozen",
+)
+def stream_wordpiece_encoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST WordPiece tokenization under a frozen inventory
+    (streaming/ops.py:stream_wordpiece_encode_docs): pieces selected
+    on even doc_ids, documents stream through in micro-batches
+    (maxFilesPerTrigger=1), each batch greedily segments its OWN
+    distinct words with unk_id=-1 for out-of-inventory pieces. The
+    read-back digests must equal the batch frozen-WordPiece oracle —
+    per-word segmentation is batch-independent. With this, BOTH
+    rule-based (BPE) and inventory-based (WordPiece) frozen encoders
+    have streaming twins."""
+    import shutil
+
+    from parquet_rewriter_spark.operators.wordpiece import substring_vocab
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_wordpiece_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pieces = substring_vocab(
+        d.filter(F.col("doc_id") % 2 == 0), "text",
+        max_piece_len=4, vocab_size=150,
+    )
+    piece_rows = [r["piece"] for r in pieces.collect()]
+    base = _scratch("stream_wp_enc")
+    src = os.path.join(base, "src")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        d.filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .repartition(3)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_wordpiece_encode_docs(
+        stream, "doc_id", "text", piece_rows, sink, ckpt, unk_id=-1
+    )
+    out = spark.read.parquet(sink)
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
 @query(
     "stream_contamination_scan",
     """
@@ -16359,6 +16439,7 @@ _VERIFY_FIRST = (
     "bpe_encode_holdout_sample",
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
+    "stream_wordpiece_encoded_ingest",
     "holtwinters_backtest_mape",
     "holtwinters_vs_naive_skill",
     "region_revenue_holt_linear",

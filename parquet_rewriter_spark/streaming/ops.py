@@ -1122,6 +1122,58 @@ def stream_encode_docs(
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
 
 
+def stream_wordpiece_encode_docs(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    piece_rows: list[str],
+    sink_dir: str,
+    checkpoint_dir: str,
+    unk_id: int = -1,
+    timeout_s: int = 300,
+) -> None:
+    """ON-INGEST WordPiece tokenization under a FROZEN inventory —
+    the second family's stream_encode_docs twin: the vocab_size-
+    bounded piece list is frozen at start, each micro-batch greedily
+    segments ITS OWN distinct words (batch-vocab scale) through
+    operators/wordpiece.py:wordpiece_encode_docs with ``unk_id`` (the
+    firehose contains pieces the inventory never saw — the LEFT id
+    join surfaces them), and (id, input_ids, n_tokens) appends to an
+    epoch-partitioned idempotent sink. Stateless: per-word
+    segmentation is batch-independent, so the drained replay equals
+    the one-shot batch encode."""
+    from parquet_rewriter_spark.operators.wordpiece import (
+        wordpiece_encode_docs,
+    )
+
+    spark = stream.sparkSession
+    frozen = spark.createDataFrame(
+        [(p,) for p in piece_rows], "piece string"
+    )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        out = wordpiece_encode_docs(
+            batch_df, id_col, text_col, frozen, unk_id=unk_id
+        )
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
 def stream_cusum(
     points: DataFrame,
     group_col: str,
