@@ -172,6 +172,7 @@ EXTENDED = [
     "unigram_artifact_roundtrip",
     "unigram_em_encode_sample",
     "unigram_em_corpus_loglik",
+    "unigram_em_resume_roundtrip",
     "wordpiece_marked_encode_sample",
     "wordpiece_marked_roundtrip",
     "bpe_encode_holdout_sample",

@@ -15927,6 +15927,47 @@ def unigram_em_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_em_resume_roundtrip",
+    f"""
+    WITH {_unigram_em_cte()}
+    SELECT piece, piece_len, c, p FROM em_final
+    ORDER BY c DESC, piece
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "training", "registry", "incremental",
+)
+def unigram_em_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESUMABLE EM training through the registry: train ONE round,
+    persist the inventory as a SortedTable, reload it in a disjoint
+    reader, and train ONE MORE round seeded from the stored state —
+    the result must equal the one-shot two-round trainer CELL-FOR-CELL
+    (this query shares unigram_em_vocab's oracle verbatim), because
+    EM's entire state IS the integer inventory and every round is a
+    pure function of it. The checkpoint-and-continue discipline of a
+    long-running production training job, on the engine's own
+    storage."""
+    from parquet_rewriter_spark.operators.unigram import unigram_em_train
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents")
+    r1 = unigram_em_train(
+        d, "text", max_piece_len=4, seed_size=300, keep_size=150, n_rounds=1
+    )
+    base = _scratch("ug_em_resume")
+    st = SortedTable.create(
+        spark, os.path.join(base, "ckpt"), r1, key="piece"
+    )
+    stored = [
+        (r["piece"], int(r["c"]))
+        for r in st.read().select("piece", "c").collect()
+    ]
+    out = unigram_em_train(
+        d, "text", max_piece_len=4, seed_size=300, keep_size=150,
+        n_rounds=1, init_inventory=stored,
+    )
+    return out.orderBy(F.col("c").desc(), "piece")
+
+
+@query(
     "unigram_em_corpus_loglik",
     f"""
     WITH {_unigram_em_cte()},
@@ -16434,6 +16475,7 @@ _VERIFY_FIRST = (
     "unigram_em_vocab",
     "unigram_em_encode_sample",
     "unigram_em_corpus_loglik",
+    "unigram_em_resume_roundtrip",
     "wordpiece_marked_encode_sample",
     "wordpiece_marked_roundtrip",
     "bpe_encode_holdout_sample",

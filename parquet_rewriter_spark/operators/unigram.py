@@ -339,6 +339,7 @@ def unigram_em_train(
     keep_size: int = 150,
     n_rounds: int = 2,
     scale: float = 1_000_000.0,
+    init_inventory: list | None = None,
 ) -> DataFrame:
     """Unigram-LM EM TRAINING (Kudo 2018 §3.2 — the SentencePiece
     trainer, here with expected-count pruning, the standard
@@ -366,12 +367,22 @@ def unigram_em_train(
     alphabet rows) is collected/broadcast per round — the same cost
     class as BPE's per-merge collect. Returns (piece, piece_len, c,
     p) — the trained inventory with quantized expected counts and
-    exact-ratio probabilities."""
+    exact-ratio probabilities.
+
+    ``init_inventory`` makes training RESUMABLE: pass a stored
+    (piece, c) list (a previous run's output — EM's entire state IS
+    the integer inventory) to skip seeding and continue from it;
+    train-k-rounds → persist → reload → train-m-more is EXACTLY equal
+    to one-shot k+m rounds, because every round is a pure function of
+    the integer inventory (oracled)."""
     spark = df.sparkSession
     wc = word_counts(df, text_col).persist()
     wc.count()
-    seed = piece_stats(df, text_col, max_piece_len, vocab_size=seed_size)
-    inv = [(r["piece"], int(r["c"])) for r in seed.collect()]
+    if init_inventory is None:
+        seed = piece_stats(df, text_col, max_piece_len, vocab_size=seed_size)
+        inv = [(r["piece"], int(r["c"])) for r in seed.collect()]
+    else:
+        inv = [(str(p), int(c)) for p, c in init_inventory]
     chars = sorted(p for p, _ in inv if len(p) == 1)
     for _ in range(int(n_rounds)):
         total = float(sum(c for _, c in inv))
