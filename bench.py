@@ -179,6 +179,7 @@ EXTENDED = [
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
     "stream_wordpiece_encoded_ingest",
+    "stream_unigram_encoded_ingest",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

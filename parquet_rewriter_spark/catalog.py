@@ -15578,6 +15578,68 @@ def unigram_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_unigram_encoded_ingest",
+    f"""
+    WITH {_unigram_cte()},
+    {_unigram_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents WHERE doc_id < 15),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "streaming", "llm-pipeline", "tokenizer", "unigram", "encode", "frozen",
+)
+def stream_unigram_encoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST unigram-LM tokenization (streaming/ops.py:
+    stream_unigram_encode_docs) — the trio is complete: BPE (rule
+    replay), WordPiece (greedy), and unigram (Viterbi, lexmin
+    tie-break) all encode the firehose under frozen artifacts. Each
+    micro-batch Viterbi-segments its OWN distinct words; per-word
+    segmentation is batch-independent, so the drained sink's digests
+    share unigram_encode_sample's oracle VERBATIM."""
+    import shutil
+
+    from parquet_rewriter_spark.operators.unigram import piece_stats
+    from parquet_rewriter_spark.streaming.ops import (
+        stream_unigram_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    stats_rows = [(r["piece"], int(r["c"])) for r in stats.collect()]
+    base = _scratch("stream_ug_enc")
+    src = os.path.join(base, "src")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        d.filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .repartition(3)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_unigram_encode_docs(
+        stream, "doc_id", "text", stats_rows, sink, ckpt
+    )
+    out = spark.read.parquet(sink)
+    return out.select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
+
+
+@query(
     "unigram_packed_windows",
     f"""
     WITH {_unigram_cte()},
@@ -16482,6 +16544,7 @@ _VERIFY_FIRST = (
     "stream_bpe_encoded_ingest",
     "wordpiece_encode_holdout_sample",
     "stream_wordpiece_encoded_ingest",
+    "stream_unigram_encoded_ingest",
     "holtwinters_backtest_mape",
     "holtwinters_vs_naive_skill",
     "region_revenue_holt_linear",

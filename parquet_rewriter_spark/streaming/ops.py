@@ -1174,6 +1174,53 @@ def stream_wordpiece_encode_docs(
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
 
 
+def stream_unigram_encode_docs(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    stats_rows: list[tuple],
+    sink_dir: str,
+    checkpoint_dir: str,
+    timeout_s: int = 300,
+) -> None:
+    """ON-INGEST unigram-LM tokenization under a FROZEN inventory —
+    completing the trio (BPE rules, WordPiece greedy, unigram
+    Viterbi): the bounded (piece, c) stats are frozen at start, each
+    micro-batch Viterbi-segments ITS OWN distinct words (batch-vocab
+    scale, lexmin tie-break — per-word and batch-independent) and
+    appends (id, input_ids, n_tokens) to an epoch-partitioned
+    idempotent sink, so the drained replay equals the one-shot batch
+    encode."""
+    from parquet_rewriter_spark.operators.unigram import (
+        unigram_encode_docs,
+    )
+
+    spark = stream.sparkSession
+    frozen = spark.createDataFrame(
+        [(str(p), int(c)) for p, c in stats_rows], "piece string, c long"
+    )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        out = unigram_encode_docs(batch_df, id_col, text_col, frozen)
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
 def stream_cusum(
     points: DataFrame,
     group_col: str,
