@@ -593,3 +593,76 @@ def test_seasonal_naive_backtest_exact_on_periodic_series(spark):
     assert got["per"]["mape"] == 0.0
     assert got["per"]["n_train"] == 18
     assert got["drift"]["mape"] > 0.05
+
+
+def test_cusum_and_holt_linear_property_match_python(spark):
+    """Property check over randomized series shapes: the codegen folds
+    must equal pure-Python folds BIT-FOR-BIT (same grid-rounding, same
+    operation order) — many series in one job, varied lengths and
+    scales, deterministic seed."""
+    import random
+
+    from parquet_rewriter_spark.operators.timeseries import (
+        cusum_by,
+        holt_linear_by,
+    )
+
+    rng = random.Random(1234)
+    rows = []
+    series = {}
+    for g in range(12):
+        n = rng.randint(2, 40)
+        # INTEGER-valued series (the CUSUM catalog contract: counts):
+        # sums of integers are exact in any order, so mu is an exact
+        # ratio — fractional values can land the mean exactly on a
+        # rounding midpoint where sum-order ulps flip round(mu, 4)
+        # (cusum_by documents that sensitivity; the rate queries avoid
+        # it by construction, and so does this fixture)
+        scalev = 10 ** rng.randint(0, 3)
+        ys = [float(rng.randint(1, 2 * scalev)) for _ in range(n)]
+        series[f"g{g}"] = ys
+        rows += [(f"g{g}", t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+
+    # --- Holt linear ------------------------------------------------
+    a, b = 0.3, 0.1
+    got = {
+        (r["grp"], r["h"]): r["yhat"]
+        for r in holt_linear_by(df, "grp", "t", "v", horizon=2).collect()
+    }
+    for g, ys in series.items():
+        level, trend = ys[1], ys[1] - ys[0]
+        for y in ys[2:]:
+            lvl_new = a * y + (1 - a) * (level + trend)
+            trend = b * (lvl_new - level) + (1 - b) * trend
+            level = lvl_new
+        for h in (1, 2):
+            assert got[(g, h)] == level + h * trend, (g, h)
+
+    # --- CUSUM ------------------------------------------------------
+    out = {}
+    for r in cusum_by(df, "grp", "t", "v", k=0.5, h=4.0).collect():
+        out[(r["grp"], r["t"])] = (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+    import statistics
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        # Spark's round() is HALF_UP over the double's shortest decimal
+        # repr (BigDecimal.valueOf) — Python's built-in round is
+        # banker's and disagrees exactly on .00005 boundaries
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    for g, ys in series.items():
+        if len(ys) < 2:
+            continue
+        mu = r4(sum(ys) / len(ys))
+        sigma = r4(statistics.stdev(ys))
+        sp = sn = 0.0
+        for t, y in enumerate(ys):
+            x = r4(y)
+            sp = max(0.0, sp + ((x - mu) - 0.5 * sigma))
+            sn = max(0.0, sn + ((mu - x) - 0.5 * sigma))
+            want_alarm = sp > 4.0 * sigma or sn > 4.0 * sigma
+            assert out[(g, t)] == (sp, sn, want_alarm), (g, t)
