@@ -53,6 +53,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 END = "</w>"
 
+# GPT-2-style PRETOKENIZATION (Radford et al. 2019's pattern, reduced
+# to the Java∩RE2-portable subset — the functions/pii.py discipline):
+# lowercased text splits into runs of letters, runs of digits, and
+# runs of other printable characters, so `word,` / `word.` / `word`
+# all contribute the SAME letter run to the vocabulary instead of
+# gluing punctuation into distinct entries. Whitespace is the
+# explicit class [ \t\n\r\f] (Java's \s adds \x0B, RE2's drops it —
+# spelling it out keeps both engines on the identical set).
+PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]+"
+
 # Broadcast the (word → n_tokens/ids) relation only below this many
 # distinct words; above it, a plain hash join on `word` (the relation
 # is unbounded at corpus scale — see module docstring).
@@ -69,18 +79,31 @@ BROADCAST_MAX_WORDS = 2_000_000
 BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
-def _relation_bytes(rel: DataFrame) -> int:
+# Rows sampled for the byte-gate width estimate — bounds the extra
+# plan-construction job regardless of relation size.
+_BYTE_GATE_SAMPLE_ROWS = 65_536
+
+
+def _relation_bytes(rel: DataFrame, n_rows: int) -> int:
     """Estimated serialized payload of a per-distinct-word relation:
-    one aggregate over the JSON-rendered row width (a close-enough
-    proxy for broadcast width in a go/no-go gate). Only evaluated when
-    the ROW count is already under BROADCAST_MAX_WORDS, so the extra
-    job is bounded by construction."""
-    row = rel.select(
+    average JSON-rendered row width over a bounded LIMIT sample,
+    extrapolated by the already-counted row count (a close-enough
+    proxy for broadcast width in a go/no-go gate). The sample cap
+    keeps the estimate job O(sample) even when the relation itself is
+    millions of (word, ids-array) rows — a full-relation scan here
+    would add a corpus-vocab-scale job per encode call. Only
+    evaluated when the ROW count is already under
+    BROADCAST_MAX_WORDS."""
+    row = rel.limit(_BYTE_GATE_SAMPLE_ROWS).select(
         F.sum(
             F.length(F.to_json(F.struct(*[F.col(c) for c in rel.columns])))
-        ).alias("b")
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()
-    return int(row[0]["b"] or 0)
+    b, n = int(row[0]["b"] or 0), int(row[0]["n"] or 0)
+    if n == 0:
+        return 0
+    return int(b / n * max(n_rows, n))
 
 
 def _word_join(occ: DataFrame, rel: DataFrame, n_words: int,
@@ -91,28 +114,55 @@ def _word_join(occ: DataFrame, rel: DataFrame, n_words: int,
     un-hinted (hash join, with AQE free to re-plan)."""
     small = (
         n_words <= broadcast_threshold
-        and _relation_bytes(rel) <= BROADCAST_MAX_BYTES
+        and _relation_bytes(rel, n_words) <= BROADCAST_MAX_BYTES
     )
     return occ.join(F.broadcast(rel) if small else rel, "word")
 
 
-def word_counts(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, cnt) over lowercased whitespace tokens — the one
-    corpus-scale pass of BPE training."""
-    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+def words_expr(text_col: str, pretokenize: bool = False) -> Column:
+    """The SHARED word-normalization front end of every tokenizer
+    family (BPE/WordPiece/unigram import it): an array of word tokens
+    from ``text_col``. Default: lowercased whitespace split.
+    ``pretokenize=True``: the GPT-2-style :data:`PRETOK_RE` extraction
+    — letter runs, digit runs, punctuation runs — so punctuation never
+    glues to words. Both forms replay identically in DuckDB
+    (``regexp_split_to_array`` / ``regexp_extract_all``)."""
+    if pretokenize:
+        return F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(PRETOK_RE), 0
+        )
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def word_counts(
+    df: DataFrame, text_col: str, pretokenize: bool = False
+) -> DataFrame:
+    """(word, cnt) over normalized word tokens — the one corpus-scale
+    pass of BPE training (see :func:`words_expr` for the two
+    normalizations)."""
     return (
-        df.select(F.explode(w).alias("word"))
+        df.select(F.explode(words_expr(text_col, pretokenize)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def _init_sym() -> Column:
+def _init_sym(byte_level: bool = False) -> Column:
     """Padded initial symbol string of ``word``:
     ``' h e l l o </w> '`` — every symbol has a space on both sides so
-    a merge is ONE literal replace."""
-    return F.concat(F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 "),
-                    F.lit(END), F.lit(" "))
+    a merge is ONE literal replace. ``byte_level=True`` initializes to
+    the word's UTF-8 BYTES as uppercase hex pairs
+    (``' 68 65 6C 6C 6F </w> '``) — GPT-2's byte-level alphabet: ≤256
+    base symbols, every string representable, no unk possible. Hex
+    rendering is byte-identical across engines (Spark
+    ``hex(encode(w))`` == DuckDB ``hex(w)``, both uppercase)."""
+    if byte_level:
+        body = F.regexp_replace(
+            F.hex(F.encode(F.col("word"), "UTF-8")), "(..)", "$1 "
+        )
+    else:
+        body = F.regexp_replace(F.col("word"), "(.)", "$1 ")
+    return F.concat(F.lit(" "), body, F.lit(END), F.lit(" "))
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
@@ -134,7 +184,12 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int = 6, lineage_every: int = 25
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+    lineage_every: int = 25,
+    pretokenize: bool = False,
+    byte_level: bool = False,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``n_merges`` merge rules. Returns (rules, vocab): rules as
     [{step, lhs, rhs, merged, pair_count}, ...] in learned order, vocab
@@ -150,9 +205,15 @@ def bpe_train(
     re-applies at most ``lineage_every`` replaces; also counts the
     distinct-word relation once so encode/fertility can pick their
     join strategy without an extra job (``vocab_n_words`` attribute on
-    the returned DataFrame's ``_pr_n_words``)."""
-    base = word_counts(df, text_col).select(
-        "word", "cnt", _init_sym().alias("sym")
+    the returned DataFrame's ``_pr_n_words``).
+
+    ``pretokenize`` trains on GPT-2-style pretokenized runs instead of
+    whitespace words; ``byte_level`` initializes symbols to UTF-8 hex
+    byte pairs (see :func:`_init_sym`) — together the production
+    combination: punctuation never glues to words, and EVERY string is
+    losslessly encodable from a ≤256-symbol base alphabet."""
+    base = word_counts(df, text_col, pretokenize).select(
+        "word", "cnt", _init_sym(byte_level).alias("sym")
     ).persist()
     n_words = base.count()  # materialize: n_merges rounds reuse it
     vocab = base
@@ -254,19 +315,45 @@ def fertility_by(
 # --------------------------------------------------------------- SQL replay
 
 
-def bpe_vocab_cte_sql(table: str, text_col: str, n_merges: int) -> str:
+def words_unnest_sql(text_col: str, pretokenize: bool = False) -> str:
+    """DuckDB expression producing one ``word`` per row from
+    ``text_col`` — the oracle twin of :func:`words_expr` (compose
+    inside ``SELECT ... AS word FROM <table>``)."""
+    if pretokenize:
+        return (
+            f"unnest(regexp_extract_all(lower({text_col}), "
+            f"'{PRETOK_RE}'))"
+        )
+    return (
+        f"unnest(list_filter(regexp_split_to_array(lower({text_col}), "
+        f"'\\s+'), w -> w <> ''))"
+    )
+
+
+def bpe_vocab_cte_sql(
+    table: str,
+    text_col: str,
+    n_merges: int,
+    pretokenize: bool = False,
+    byte_level: bool = False,
+) -> str:
     """DuckDB CTE chain replaying training exactly: emits CTEs
     ``v0..v{n}`` (word, cnt, sym) and ``t1..t{n}`` (step, lhs, rhs, c).
     Compose with a final SELECT over the ``t``s (merge rules) or
-    ``v{n}`` (encoded vocab)."""
+    ``v{n}`` (encoded vocab). ``pretokenize``/``byte_level`` replay
+    the corresponding training flags (DuckDB ``hex(word)`` hexes the
+    VARCHAR's UTF-8 bytes — byte-identical to Spark's
+    ``hex(encode(word))``, both uppercase)."""
+    if byte_level:
+        sym0 = f"' ' || regexp_replace(hex(word), '(..)', '\\1 ', 'g') || '{END} '"
+    else:
+        sym0 = f"' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{END} '"
     parts = [
         f"""v0 AS (
           SELECT word, count(*) AS cnt,
-                 ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{END} ' AS sym
+                 {sym0} AS sym
           FROM (
-            SELECT unnest(list_filter(
-                     regexp_split_to_array(lower({text_col}), '\\s+'),
-                     w -> w <> '')) AS word
+            SELECT {words_unnest_sql(text_col, pretokenize)} AS word
             FROM {table}
           ) GROUP BY word
         )"""
@@ -297,6 +384,9 @@ def bpe_vocab_cte_sql(table: str, text_col: str, n_merges: int) -> str:
 
 __all__ = [
     "END",
+    "PRETOK_RE",
+    "words_expr",
+    "words_unnest_sql",
     "word_counts",
     "bpe_train",
     "rules_df",
@@ -312,18 +402,32 @@ __all__ = [
 ]
 
 
-def symbol_vocab(vocab: DataFrame) -> DataFrame:
+def symbol_vocab(vocab: DataFrame, base_bytes: bool = False) -> DataFrame:
     """The tokenizer ARTIFACT: (symbol, token_id, freq) over the final
     merged symbols — ids are dense ranks in symbol order (deterministic
     in any engine), freq is the corpus-weighted occurrence count. The
     relation is bounded (≤ alphabet + n_merges + |END| symbols), so the
-    single-partition ranking window is a non-issue at any scale."""
+    single-partition ranking window is a non-issue at any scale.
+
+    ``base_bytes=True`` (byte-level tokenizers only) unions ALL 256
+    base byte symbols (uppercase hex pairs, freq 0 when unseen in
+    training) into the artifact — the GPT-2 guarantee that the frozen
+    tokenizer can encode EVERY string without unk: a holdout word's
+    un-merged symbols are always single bytes, and every single byte
+    has an id."""
     from pyspark.sql import Window
 
     syms = vocab.select(
         F.explode(F.split(F.trim(F.col("sym")), " ")).alias("symbol"),
         F.col("cnt"),
     )
+    if base_bytes:
+        spark = vocab.sparkSession
+        base = spark.range(256).select(
+            F.lpad(F.upper(F.hex(F.col("id"))), 2, "0").alias("symbol"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+        syms = syms.unionByName(base)
     agg = syms.groupBy("symbol").agg(F.sum("cnt").alias("freq"))
     w = Window.partitionBy().orderBy("symbol")
     return agg.select(
@@ -338,6 +442,7 @@ def assemble_doc_ids(
     word_ids: DataFrame,
     n_words: int,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Corpus-side half of every tokenizer family's encode path,
     shared by BPE/WordPiece/unigram: documents' word occurrences join
@@ -346,8 +451,9 @@ def assemble_doc_ids(
     :func:`_word_join`, and per-doc sequences reassemble order-safely
     via array_sort over (position, ids) structs (never a bare
     collect_list, whose order is partition-dependent). Returns
-    (id_col, input_ids, n_tokens)."""
-    wlist = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    (id_col, input_ids, n_tokens). ``pretokenize`` MUST match the
+    normalization the ``word_ids`` relation was built with."""
+    wlist = words_expr(text_col, pretokenize)
     words = df.select(
         F.col(id_col).alias("id"), F.posexplode(wlist).alias("wpos", "word")
     )
@@ -376,6 +482,7 @@ def encode_docs(
     text_col: str,
     vocab: DataFrame,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Encode documents to BPE token-id sequences: (id, input_ids,
     n_tokens). Same discipline as fertility_by — each DISTINCT word is
@@ -404,7 +511,8 @@ def encode_docs(
     )
     n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
     return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+        pretokenize=pretokenize,
     )
 
 
@@ -412,6 +520,7 @@ def apply_merges(
     words: DataFrame,
     rules: list[dict],
     word_col: str = "word",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Apply TRAINED merge rules to new distinct words — the frozen-
     tokenizer path: encoding a corpus the tokenizer was NOT trained on
@@ -423,21 +532,26 @@ def apply_merges(
     bit-identical to training's own application and to the SQL replay.
     Arrow-batched at DISTINCT-WORD scale (n_merges replaces per
     distinct word, never per occurrence); the rule list is
-    merge-count-bounded and broadcast. Adds ``sym``."""
+    merge-count-bounded and broadcast. Adds ``sym``. ``byte_level``
+    MUST match training's (hex-pair initialization, bit-identical to
+    :func:`_init_sym`: Python ``'%02X'`` == Spark/DuckDB ``hex``)."""
     seq = [
         (f" {r['lhs']} {r['rhs']} ", f" {r['lhs']}{r['rhs']} ") for r in rules
     ]
     spark = words.sparkSession
-    bc = spark.sparkContext.broadcast(seq)
+    bc = spark.sparkContext.broadcast((seq, bool(byte_level)))
 
     @F.pandas_udf("string")
     def app(col: pd.Series) -> pd.Series:
-        rs = bc.value
+        rs, as_bytes = bc.value
 
         def one(w):
             if w is None:
                 return None
-            s = " " + " ".join(w) + " " + END + " "
+            syms = (
+                ["%02X" % b for b in w.encode("utf-8")] if as_bytes else list(w)
+            )
+            s = " " + " ".join(syms) + " " + END + " "
             for old, new in rs:
                 s = s.replace(old, new)
             return s
@@ -456,6 +570,9 @@ def encode_docs_with_rules(
     unk_id: int = -1,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
     symbol_ids: DataFrame | None = None,
+    pretokenize: bool = False,
+    byte_level: bool = False,
+    base_bytes: bool = False,
 ) -> DataFrame:
     """Encode ANY corpus — including one disjoint from the training
     corpus — under a frozen tokenizer: the merge rules re-segment this
@@ -468,10 +585,20 @@ def encode_docs_with_rules(
     relation already carries the merged symbols). Pass either
     ``train_vocab`` (the symbol table is derived) or a precomputed
     ``symbol_ids`` (symbol, token_id) relation — the frozen-artifact
-    form the streaming twin broadcasts once."""
-    sid = symbol_ids if symbol_ids is not None else symbol_vocab(train_vocab)
-    wc = word_counts(df, text_col)
-    seg = apply_merges(wc, rules)
+    form the streaming twin broadcasts once.
+
+    ``pretokenize``/``byte_level`` MUST match training's flags;
+    ``base_bytes=True`` (byte-level only, with ``train_vocab``)
+    derives the symbol table with all 256 base bytes so NO unk is
+    possible — every un-merged holdout symbol is a single byte and
+    every byte has an id."""
+    sid = (
+        symbol_ids
+        if symbol_ids is not None
+        else symbol_vocab(train_vocab, base_bytes=base_bytes)
+    )
+    wc = word_counts(df, text_col, pretokenize)
+    seg = apply_merges(wc, rules, byte_level=byte_level)
     word_syms = seg.select(
         "word",
         F.posexplode(F.split(F.trim(F.col("sym")), " ")).alias("pos", "symbol"),
@@ -494,15 +621,19 @@ def encode_docs_with_rules(
     )
     n_words = wc.count()
     return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+        pretokenize=pretokenize,
     )
 
 
 def decode_docs(
     encoded: DataFrame,
     ids_col: str,
-    vocab: DataFrame,
+    vocab: DataFrame | None = None,
     out_col: str = "decoded",
+    byte_level: bool = False,
+    symbol_ids: DataFrame | None = None,
+    base_bytes: bool = False,
 ) -> DataFrame:
     """Detokenize: map each token id back to its symbol and reassemble
     the normalized text (lowercased, single-space word separation —
@@ -510,14 +641,28 @@ def decode_docs(
     EXACTLY; the round-trip query oracles a 100% reconstruction rate).
 
     Scale shape: the symbol table is merge-count-bounded (≤ alphabet +
-    n_merges + 1 rows), so it is collected once — the same cost class
-    as the broadcast it replaces — and inlined as a MAP LITERAL; the
-    decode itself is pure whole-stage-codegen array arithmetic
-    (``transform`` lookup + ``concat_ws`` + one ``replace``): zero
-    shuffle, zero Python, never an explode of the corpus' tokens."""
+    n_merges + 1 rows, ≤ +256 with ``base_bytes``), so it is collected
+    once — the same cost class as the broadcast it replaces — and
+    inlined as a MAP LITERAL; the decode itself is pure
+    whole-stage-codegen array arithmetic (``transform`` lookup +
+    ``concat_ws`` + one ``replace``): zero shuffle, zero Python, never
+    an explode of the corpus' tokens.
+
+    ``byte_level=True`` decodes a BYTE-LEVEL stream: the concatenated
+    symbols form a hex string with ``</w>`` word markers — replace
+    the marker with the space byte ``20``, ``unhex``, decode UTF-8
+    (both engines bit-identical), so ``decode(encode(t))`` reproduces
+    the pretokenized normalization of ANY input exactly. Pass either
+    ``vocab`` (table derived, ``base_bytes`` honored) or a frozen
+    ``symbol_ids`` relation."""
+    sid_df = (
+        symbol_ids
+        if symbol_ids is not None
+        else symbol_vocab(vocab, base_bytes=base_bytes)
+    )
     sid = sorted(
         (int(r["token_id"]), r["symbol"])
-        for r in symbol_vocab(vocab).select("token_id", "symbol").collect()
+        for r in sid_df.select("token_id", "symbol").collect()
     )
     m = F.map_from_arrays(
         F.array(*[F.lit(t) for t, _ in sid]),
@@ -526,6 +671,15 @@ def decode_docs(
     raw = F.concat_ws(
         "", F.transform(F.col(ids_col), lambda i: F.element_at(m, i))
     )
+    if byte_level:
+        return encoded.withColumn(
+            out_col,
+            F.rtrim(
+                F.decode(
+                    F.unhex(F.replace(raw, F.lit(END), F.lit("20"))), "UTF-8"
+                )
+            ),
+        )
     return encoded.withColumn(
         out_col, F.rtrim(F.replace(raw, F.lit(END), F.lit(" ")))
     )

@@ -447,9 +447,11 @@ def seasonal_naive_backtest(
     means nothing without it). Same holdout protocol as
     :func:`holt_winters_backtest`; pure window algebra, no fitting:
     one ranking window splits train/holdout, holdout rows join the
-    train point one period back by position. Requires horizon ≤ period
-    and a train prefix of at least ``period`` points. Returns (group,
-    n_train, mape, smape)."""
+    train point one period back by position. Requires horizon ≤ period;
+    groups whose TRAIN prefix is shorter than ``period`` DROP entirely
+    (no last-season source exists for every holdout point — averaging
+    the few that do would report a partial-coverage metric that looks
+    complete). Returns (group, n_train, mape, smape)."""
     H, P = int(horizon), int(period)
     if H > P:
         raise ValueError("seasonal-naive needs horizon <= period")
@@ -474,7 +476,10 @@ def seasonal_naive_backtest(
         F.col("__idx").alias("__src_idx"),
         F.col(value_col).cast("double").alias("yhat"),
     )
-    j = hold.filter(F.col("__src_idx") >= 1).join(src, ["grp", "__src_idx"])
+    # n_train >= P guarantees every holdout point h=1..H has a source
+    # (min __src_idx = n_train - P + 1 >= 1): the metric's denominator
+    # is always the full horizon, never a partial average
+    j = hold.filter(F.col("n_train") >= P).join(src, ["grp", "__src_idx"])
     err = F.abs(F.col("y") - F.col("yhat"))
     ape = err / F.abs(F.col("y"))
     sape = F.lit(2.0) * err / (F.abs(F.col("y")) + F.abs(F.col("yhat")))

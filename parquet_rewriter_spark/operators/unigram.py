@@ -153,9 +153,17 @@ def viterbi_segment(
     because de-spacing any candidate yields the same word). The oracle
     (``ug_seg`` in :func:`unigram_cte_sql`) enumerates every path and
     takes max score then min string — an independent algorithm that
-    must agree exactly."""
-    import math
+    must agree exactly.
 
+    Words with NO path under the inventory (a frozen tokenizer meeting
+    characters training never saw) fall back to their per-CHARACTER
+    split instead of a NULL — sequences must never silently shorten
+    and docs must never vanish on disjoint corpora (the BPE/WordPiece
+    frozen-path contract); out-of-inventory chars then surface as
+    ``unk_id`` at the id-map step (:func:`unigram_encode_docs`). On
+    the training corpus itself every char is in the inventory, so the
+    fallback is unreachable there and existing results are
+    unchanged."""
     rows = pieces.select("piece", "c").collect()
     total = float(sum(int(r["c"]) for r in rows))
     ratio = {r["piece"]: int(r["c"]) / total for r in rows}
@@ -189,7 +197,7 @@ def viterbi_segment(
                     ):
                         best[i] = (s, cand)
             if best[n] is None:
-                return None
+                return list(w)  # char fallback: never drop the word
             return best[n][1].split(" ")
 
         return col.map(one)
@@ -219,6 +227,7 @@ def unigram_encode_docs(
     pieces: DataFrame,
     broadcast_threshold: int | None = None,
     wc: DataFrame | None = None,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """Encode documents to unigram-LM piece-id sequences — lifecycle
     parity with operators/bpe.py:encode_docs: Viterbi-segment each
@@ -226,7 +235,14 @@ def unigram_encode_docs(
     pieces through the broadcast bounded piece-id relation, and
     reassemble per-doc sequences order-safely through the thresholded
     word join (bpe.assemble_doc_ids). Returns (id_col, input_ids,
-    n_tokens)."""
+    n_tokens).
+
+    ``unk_id`` enables the FROZEN-TOKENIZER path (inventory trained on
+    a different corpus): unsegmentable words char-fallback in
+    :func:`viterbi_segment` and their out-of-inventory chars id-map
+    through a LEFT join to ``unk_id`` — the inner-join default would
+    SILENTLY DROP those occurrences and could make whole docs vanish
+    (the BPE/WordPiece frozen twins' unk parity)."""
     from parquet_rewriter_spark.operators.bpe import (
         BROADCAST_MAX_WORDS,
         assemble_doc_ids,
@@ -238,16 +254,21 @@ def unigram_encode_docs(
         wc = word_counts(df, text_col)
     segd = viterbi_segment(wc, pieces)
     pid = unigram_piece_ids(pieces)
-    word_ids = (
-        segd.select("word", F.posexplode("pieces").alias("pos", "piece"))
-        .join(F.broadcast(pid), "piece")
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "piece_id"))),
-                lambda s: s.piece_id,
-            ).alias("ids")
+    exploded = segd.select(
+        "word", F.posexplode("pieces").alias("pos", "piece")
+    )
+    if unk_id is None:
+        joined = exploded.join(F.broadcast(pid), "piece")
+    else:
+        joined = exploded.join(F.broadcast(pid), "piece", "left").withColumn(
+            "piece_id",
+            F.coalesce(F.col("piece_id"), F.lit(int(unk_id))).cast("int"),
         )
+    word_ids = joined.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "piece_id"))),
+            lambda s: s.piece_id,
+        ).alias("ids")
     )
     n_words = wc.count()
     return assemble_doc_ids(

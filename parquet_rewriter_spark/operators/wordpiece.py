@@ -183,6 +183,7 @@ def wordpiece_encode_docs(
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
     unk_id: int | None = None,
     wc: DataFrame | None = None,
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Encode documents to WordPiece piece-id sequences — the full
     lifecycle parity with operators/bpe.py:encode_docs: segment each
@@ -197,9 +198,13 @@ def wordpiece_encode_docs(
     a different corpus): the segmenter's single-char fallback can emit
     pieces outside the inventory, which the default inner id join
     would SILENTLY DROP, shortening sequences — with ``unk_id`` set,
-    the join is LEFT and out-of-inventory pieces surface as that id."""
+    the join is LEFT and out-of-inventory pieces surface as that id.
+
+    ``pretokenize`` uses the GPT-2-style shared front end
+    (operators/bpe.py:words_expr) — it MUST match the normalization
+    the inventory (and any passed ``wc``) was built with."""
     if wc is None:
-        wc = word_counts(df, text_col)
+        wc = word_counts(df, text_col, pretokenize)
     segd = wordpiece_segment(wc, pieces)
     pid = piece_ids(pieces)
     exploded = segd.select(
@@ -220,7 +225,8 @@ def wordpiece_encode_docs(
     )
     n_words = wc.count()
     return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+        pretokenize=pretokenize,
     )
 
 
@@ -396,19 +402,25 @@ def wordpiece_decode_docs(
 
 
 def wordpiece_cte_sql(
-    table: str, text_col: str, max_piece_len: int = 4, vocab_size: int = 150
+    table: str,
+    text_col: str,
+    max_piece_len: int = 4,
+    vocab_size: int = 150,
+    pretokenize: bool = False,
 ) -> str:
     """DuckDB CTE chain replaying vocabulary selection AND greedy
     segmentation exactly: emits ``wc`` (word, cnt), ``wp_vocab``
     (piece) and ``wp_seg`` (word, pieces, n_pieces). The recursive
     ``seg`` CTE advances each word one greedy longest-match step per
-    iteration — bit-identical to the pandas UDF's loop."""
+    iteration — bit-identical to the pandas UDF's loop.
+    ``pretokenize`` swaps the wc front end for the GPT-2-style run
+    extraction (operators/bpe.py:words_unnest_sql)."""
+    from parquet_rewriter_spark.operators.bpe import words_unnest_sql
+
     return f"""wc AS (
       SELECT word, count(*) AS cnt
       FROM (
-        SELECT unnest(list_filter(
-                 regexp_split_to_array(lower({text_col}), '\\s+'),
-                 w -> w <> '')) AS word
+        SELECT {words_unnest_sql(text_col, pretokenize)} AS word
         FROM {table}
       ) GROUP BY word
     ),

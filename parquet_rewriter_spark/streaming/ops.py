@@ -1181,6 +1181,7 @@ def stream_unigram_encode_docs(
     stats_rows: list[tuple],
     sink_dir: str,
     checkpoint_dir: str,
+    unk_id: int = -1,
     timeout_s: int = 300,
 ) -> None:
     """ON-INGEST unigram-LM tokenization under a FROZEN inventory —
@@ -1190,7 +1191,10 @@ def stream_unigram_encode_docs(
     scale, lexmin tie-break — per-word and batch-independent) and
     appends (id, input_ids, n_tokens) to an epoch-partitioned
     idempotent sink, so the drained replay equals the one-shot batch
-    encode."""
+    encode. ``unk_id`` gives the trio's shared unk parity: a firehose
+    WILL contain characters training never saw — unsegmentable words
+    char-fallback and out-of-inventory chars surface as ``unk_id``
+    instead of silently dropping occurrences (or whole docs)."""
     from parquet_rewriter_spark.operators.unigram import (
         unigram_encode_docs,
     )
@@ -1201,7 +1205,9 @@ def stream_unigram_encode_docs(
     )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        out = unigram_encode_docs(batch_df, id_col, text_col, frozen)
+        out = unigram_encode_docs(
+            batch_df, id_col, text_col, frozen, unk_id=unk_id
+        )
         (
             out.withColumn("_epoch", F.lit(epoch_id))
             .write.mode("overwrite")
@@ -1259,6 +1265,19 @@ def stream_cusum(
 
     def fn(key_tuple, pdfs, state):
         import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        # Spark's F.round (the batch twin's grid) is HALF_UP over the
+        # double's shortest decimal repr (BigDecimal.valueOf); Python's
+        # built-in round is banker's-on-exact-binary and diverges at
+        # .5-midpoints of the grid (e.g. 2.675 at R=2), which would
+        # break the bit-for-bit stream==batch contract.
+        quantum = Decimal(1).scaleb(-R)
+
+        def r_grid(x: float) -> float:
+            return float(
+                Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP)
+            )
 
         grp = str(key_tuple[0])
         ms = stats.get(grp)
@@ -1272,7 +1291,7 @@ def stream_cusum(
         batch = pd.concat(chunks, ignore_index=True).sort_values("t")
         ts, sps, sns = [], [], []
         for t, v in zip(batch["t"], batch["v"]):
-            x = round(float(v), R)
+            x = r_grid(float(v))
             sp = max(0.0, sp + ((x - mu) - slack))
             sn = max(0.0, sn + ((mu - x) - slack))
             ts.append(int(t))
