@@ -13799,12 +13799,13 @@ def _packed_oracle_tail(m: int, shards: int) -> str:
     ORDER BY shard, seq_id"""
 
 
-def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
+def _bpe_enc_head(n_merges: int = 4) -> str:
+    """CTE chain corpus → per-doc BPE id arrays (``enc``), shared by
+    the packed-window oracles (plain and EOS/span flavors)."""
     from parquet_rewriter_spark.operators.bpe import bpe_vocab_cte_sql
 
     cte = bpe_vocab_cte_sql("documents", "text", n_merges)
-    return f"""
-    WITH {cte},
+    return f"""{cte},
     sid AS (
       SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS token_id
       FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS symbol
@@ -13834,7 +13835,12 @@ def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
              flatten(list_transform(list_sort(list({{'p': wpos, 'l': ids}})),
                                     s -> s.l)) AS input_ids
       FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
-    ),
+    )"""
+
+
+def _bpe_packed_oracle(n_merges: int = 4, m: int = 64, shards: int = 4) -> str:
+    return f"""
+    WITH {_bpe_enc_head(n_merges)},
     {_packed_oracle_tail(m, shards)}
     """
 
@@ -16945,6 +16951,239 @@ def bpe_bytelevel_holdout_no_unk(
         return _settle(spark, out, "bpe_frozen_bytes")
     finally:
         vocab.unpersist()
+
+
+# -------------------------------------- round-11: EOS + doc-span packing
+# Special tokens + document boundaries in packed windows (VERDICT r10
+# next-round #2): every production pretraining batch needs an EOS
+# separator per document and per-window (doc, start, len) spans so the
+# consumer can mask attention across document boundaries. The special
+# id is RESERVED by convention: artifacts assign dense ids 0..n−1, so
+# eos_id = n (the artifact row count) — deterministic in any engine.
+
+_SPAN_FLAT = (
+    "flatten(list_transform(list_sort(list({'p': pos, 'd': doc_id, "
+    "'l': piece})), s -> s.l))"
+)
+_SPAN_SORT = (
+    "list_transform(list_sort(list({'p': pos, 'd': doc_id, 'l': piece})), "
+    "s -> CAST(s.d AS VARCHAR) || ':' || CAST(s.p AS VARCHAR) || ':' || "
+    "CAST(len(s.l) AS VARCHAR))"
+)
+_LEN_SORT = (
+    "list_transform(list_sort(list({'p': pos, 'd': doc_id, 'l': piece})), "
+    "s -> len(s.l))"
+)
+
+
+def _packed_eos_tail(m: int, shards: int, eos_expr: str) -> str:
+    """Shared packing SQL for the EOS/span flavor: consumes an ``enc``
+    CTE of (doc_id, input_ids), appends the EOS id (``eos_expr``, the
+    artifact row count) per doc BEFORE the span arithmetic, replays
+    pack_sequences + materialize_packed(doc_col=...), and emits
+    scalarized windows including the ``d:start:len;...`` span string."""
+    return f"""pk AS (
+      SELECT doc_id, doc_id % {shards} AS shard,
+             list_append(input_ids, CAST({eos_expr} AS INTEGER)) AS input_ids,
+             CAST(len(input_ids) + 1 AS BIGINT) AS n_tok,
+             CAST(coalesce(sum(len(input_ids) + 1) OVER (
+               PARTITION BY doc_id % {shards} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS B
+      FROM enc
+    ),
+    pieces AS (
+      SELECT shard, doc_id, p.w AS seq_id, p.pos, p.piece
+      FROM pk, LATERAL (
+        SELECT unnest(list_transform(
+          generate_series(CAST(floor(B / {m}) AS BIGINT),
+                          CAST(floor((B + n_tok - 1) / {m}) AS BIGINT)),
+          w -> {{'w': w,
+                 'piece': list_slice(input_ids,
+                                     CAST(greatest(0, w * {m} - B) + 1 AS BIGINT),
+                                     CAST(least(n_tok, (w + 1) * {m} - B) AS BIGINT)),
+                 'pos': B + greatest(0, w * {m} - B) - w * {m}}})) AS p
+      )
+    )
+    SELECT shard, seq_id, md5(array_to_string({_SPAN_FLAT}, ',')) AS ids_digest,
+           CAST(len({_SPAN_FLAT}) AS INT) AS n_tokens,
+           count(*) AS n_pieces,
+           array_to_string({_LEN_SORT}, ',') AS piece_lengths,
+           array_to_string({_SPAN_SORT}, ';') AS doc_spans
+    FROM pieces GROUP BY shard, seq_id
+    ORDER BY shard, seq_id"""
+
+
+def _scalarized_windows_eos(
+    enc: DataFrame, m: int, shards: int, eos_id: int
+) -> DataFrame:
+    """Spark half of the EOS/span packed tail, shared by all three
+    tokenizer families: append EOS per doc (operators/packing.py:
+    with_eos), pack (portable doc_id % shards), materialize with doc
+    provenance (materialize_packed(doc_col=...)), scalarize spans as
+    ``doc:start:len;...`` strings for the driver."""
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+        with_eos,
+    )
+
+    enc2 = with_eos(enc, "input_ids", eos_id)
+    p = pack_sequences(
+        enc2, "doc_id", F.size("input_ids"), max_tokens=m,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(shards)),
+    )
+    win = materialize_packed(p, "input_ids", m, doc_col="doc_id")
+    spans = F.concat_ws(
+        ";",
+        F.transform(
+            F.col("doc_spans"),
+            lambda s: F.concat_ws(
+                ":",
+                s.doc.cast("string"),
+                s.start.cast("string"),
+                s.len.cast("string"),
+            ),
+        ),
+    )
+    return win.select(
+        "shard",
+        "seq_id",
+        _ids_digest("input_ids").alias("ids_digest"),
+        "n_tokens",
+        "n_pieces",
+        F.concat_ws(
+            ",", F.transform(F.col("piece_lengths"), lambda x: x.cast("string"))
+        ).alias("piece_lengths"),
+        spans.alias("doc_spans"),
+    ).orderBy("shard", "seq_id")
+
+
+@query(
+    "bpe_packed_windows_eos",
+    f"""
+    WITH {_bpe_enc_head(4)},
+    {_packed_eos_tail(64, 4, "(SELECT count(*) FROM sid)")}
+    """,
+    "llm-pipeline", "tokenizer", "bpe", "packing", "pretraining", "eos",
+)
+def bpe_packed_windows_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed BPE training windows WITH document separators and span
+    provenance — what a production batch actually ships: every doc's
+    id stream gets the reserved EOS id (= the artifact's row count,
+    the first free dense id) appended BEFORE the span arithmetic, and
+    every window carries (doc, start, len) spans so attention masking
+    across document boundaries needs no external lookup. Span algebra
+    replayed in SQL; hash-verified end to end including the span
+    strings."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs,
+        symbol_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    try:
+        eos_id = symbol_vocab(vocab).count()  # ids 0..n−1 → eos = n
+        enc = encode_docs(d, "doc_id", "text", vocab)
+        out = _scalarized_windows_eos(enc, m=64, shards=4, eos_id=eos_id)
+        return _settle(spark, out, "bpe_packed_eos")
+    finally:
+        vocab.unpersist()
+
+
+@query(
+    "wordpiece_packed_windows_eos",
+    f"""
+    WITH {_wordpiece_cte()},
+    {_wordpiece_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id, {_WP_FLAT} AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    {_packed_eos_tail(32, 4, "(SELECT count(*) FROM wp_vocab)")}
+    """,
+    "llm-pipeline", "tokenizer", "wordpiece", "packing", "pretraining", "eos",
+)
+def wordpiece_packed_windows_eos(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EOS + doc-span packed windows for the WordPiece family — same
+    reserved-id convention (eos = inventory row count) and the same
+    shared pack/materialize tail as BPE, proving the span-and-EOS
+    contract is tokenizer-agnostic."""
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.wordpiece import (
+        substring_vocab,
+        wordpiece_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wc = word_counts(d, "text").persist()
+    try:
+        pieces = substring_vocab(
+            d, "text", max_piece_len=4, vocab_size=150, wc=wc
+        )
+        eos_id = pieces.count()
+        enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
+        out = _scalarized_windows_eos(enc, m=32, shards=4, eos_id=eos_id)
+        return _settle(spark, out, "wp_packed_eos")
+    finally:
+        wc.unpersist()
+
+
+@query(
+    "unigram_packed_windows_eos",
+    f"""
+    WITH {_unigram_cte()},
+    {_unigram_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id, {_WP_FLAT} AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    {_packed_eos_tail(32, 4, "(SELECT count(*) FROM ug_stats)")}
+    """,
+    "llm-pipeline", "tokenizer", "unigram", "packing", "pretraining", "eos",
+)
+def unigram_packed_windows_eos(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EOS + doc-span packed windows for the unigram-LM family —
+    completing the contract across all three tokenizer families via
+    the one shared Spark helper and the one shared SQL tail."""
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        unigram_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wc = word_counts(d, "text").persist()
+    try:
+        stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
+        eos_id = stats.count()
+        enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
+        out = _scalarized_windows_eos(enc, m=32, shards=4, eos_id=eos_id)
+        return _settle(spark, out, "ug_packed_eos")
+    finally:
+        wc.unpersist()
 
 
 # ---------------------------------------------------------------- helpers

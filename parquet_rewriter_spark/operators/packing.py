@@ -212,10 +212,32 @@ def length_bucket_batches(
     )
 
 
+def with_eos(
+    docs: DataFrame,
+    ids_col: str,
+    eos_id: int,
+) -> DataFrame:
+    """Append the EOS special id to each document's token stream —
+    the document separator every production packing pipeline inserts
+    BEFORE the span arithmetic, so a training consumer can detect
+    boundaries inside a packed window even without span metadata.
+
+    The special-id RESERVATION convention (shared with the SQL
+    replays): tokenizer artifacts assign dense piece ids 0..n−1, so
+    ``eos_id = n`` (the artifact's row count) is the first free id —
+    deterministic in any engine, no registry mutation needed. Pure
+    projection: zero shuffle, zero Python."""
+    return docs.withColumn(
+        ids_col,
+        F.concat(F.col(ids_col), F.array(F.lit(int(eos_id)).cast("int"))),
+    )
+
+
 def materialize_packed(
     packed: DataFrame,
     ids_col: str,
     max_tokens: int,
+    doc_col: str | None = None,
 ) -> DataFrame:
     """Materialize :func:`pack_sequences`'s assignment into ACTUAL
     fixed-length training windows — the GPT-pretraining concat-and-cut,
@@ -236,7 +258,14 @@ def materialize_packed(
     piece_lengths) — ``piece_lengths`` lists each document fragment's
     token count in window order (they sum to ``n_tokens``), exactly
     what per-window attention-mask construction needs to stop
-    attention at document boundaries inside a packed window."""
+    attention at document boundaries inside a packed window.
+
+    ``doc_col`` (the packed relation's document id) additionally emits
+    ``doc_spans``: array<struct<doc, start, len>> in window order —
+    the full provenance a training consumer needs to mask attention
+    across document boundaries AND trace every window token back to
+    its source document. Same single hash aggregate; the only extra
+    state per window is one (doc, start, len) triple per fragment."""
     M = F.lit(max_tokens).cast("long")
     B = F.col("seq_id") * M + F.col("seq_offset")
     ids = F.col(ids_col)
@@ -257,32 +286,58 @@ def materialize_packed(
             (B + F.greatest(F.lit(0).cast("long"), w * M - B) - w * M).alias("pos"),
         ),
     )
+    doc_cols = (
+        [F.col(doc_col).cast("long").alias("docref")] if doc_col else []
+    )
     ex = (
         packed.where(L > 0)
-        .select("shard", F.explode(pieces).alias("p"))
-        .select("shard", F.col("p.w").alias("seq_id"), F.col("p.pos"), F.col("p.piece"))
-    )
-    return (
-        ex.groupBy("shard", "seq_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "piece"))),
-                    lambda s: s.piece,
-                )
-            ).alias("input_ids"),
-            F.count(F.lit(1)).alias("n_pieces"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "piece"))),
-                lambda s: F.size(s.piece),
-            ).alias("piece_lengths"),
-        )
+        .select("shard", *doc_cols, F.explode(pieces).alias("p"))
         .select(
             "shard",
-            "seq_id",
-            "input_ids",
-            F.size("input_ids").alias("n_tokens"),
-            "n_pieces",
-            "piece_lengths",
+            *(["docref"] if doc_col else []),
+            F.col("p.w").alias("seq_id"),
+            F.col("p.pos"),
+            F.col("p.piece"),
         )
     )
+    # ONE sorted collect per window (positions are unique within a
+    # window, so (pos, ...) is a total order); every output column is
+    # a pure transform of it
+    item = (
+        F.struct("pos", "docref", "piece") if doc_col
+        else F.struct("pos", "piece")
+    )
+    grouped = ex.groupBy("shard", "seq_id").agg(
+        F.array_sort(F.collect_list(item)).alias("__arr")
+    )
+    arr = F.col("__arr")
+    out_cols = [
+        "shard",
+        "seq_id",
+        F.flatten(F.transform(arr, lambda s: s.piece)).alias("input_ids"),
+        F.size(arr).cast("long").alias("n_pieces"),
+        F.transform(arr, lambda s: F.size(s.piece)).alias("piece_lengths"),
+    ]
+    if doc_col:
+        out_cols.append(
+            F.transform(
+                arr,
+                lambda s: F.struct(
+                    s.docref.alias("doc"),
+                    s.pos.alias("start"),
+                    F.size(s.piece).cast("long").alias("len"),
+                ),
+            ).alias("doc_spans")
+        )
+    sel = grouped.select(*out_cols)
+    final = [
+        "shard",
+        "seq_id",
+        "input_ids",
+        F.size("input_ids").alias("n_tokens"),
+        "n_pieces",
+        "piece_lengths",
+    ]
+    if doc_col:
+        final.append("doc_spans")
+    return sel.select(*final)

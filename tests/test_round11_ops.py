@@ -239,6 +239,83 @@ def test_seasonal_naive_drops_short_train_groups(spark):
     assert "short" not in got
 
 
+# ------------------------------------------------- EOS + doc spans
+
+
+def test_packed_windows_eos_and_spans_invariants(spark):
+    """with_eos + materialize_packed(doc_col=...): every doc's stream
+    ends with the EOS id, spans tile each window exactly (start
+    offsets chain, lengths sum to n_tokens, equal piece_lengths), and
+    every window but a shard's last is exactly M tokens."""
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+        with_eos,
+    )
+
+    EOS, M = 99, 8
+    rows = [(i, list(range(i + 1))) for i in range(12)]  # lens 1..12
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    enc = with_eos(df, "input_ids", EOS)
+    p = pack_sequences(
+        enc, "doc_id", F.size("input_ids"), max_tokens=M,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(2)),
+    )
+    win = materialize_packed(p, "input_ids", M, doc_col="doc_id").collect()
+    assert win
+    # reconstruct each doc's stream from the spans: must end with EOS
+    per_doc: dict = {}
+    for r in win:
+        ids, spans = list(r["input_ids"]), r["doc_spans"]
+        assert [s["len"] for s in spans] == list(r["piece_lengths"])
+        assert sum(s["len"] for s in spans) == r["n_tokens"] == len(ids)
+        off = 0
+        for s in spans:
+            assert s["start"] == off  # spans tile the window exactly
+            frag = ids[off : off + s["len"]]
+            per_doc.setdefault(s["doc"], []).append(frag)
+            off += s["len"]
+    for doc, frags in per_doc.items():
+        stream = [x for f in frags for x in f]
+        assert stream == list(range(doc + 1)) + [EOS], doc
+    # full windows are exactly M
+    by_shard: dict = {}
+    for r in win:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, ws in by_shard.items():
+        ws.sort(key=lambda r: r["seq_id"])
+        for r in ws[:-1]:
+            assert r["n_tokens"] == M, (shard, r["seq_id"])
+
+
+def test_materialize_packed_without_doc_col_unchanged(spark):
+    """The doc_col extension must not change the default output: same
+    schema, same windows."""
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    rows = [(i, list(range(3 * i, 3 * i + 5))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    p = pack_sequences(
+        df, "doc_id", F.size("input_ids"), max_tokens=4,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(2)),
+    )
+    out = materialize_packed(p, "input_ids", 4)
+    assert out.columns == [
+        "shard", "seq_id", "input_ids", "n_tokens", "n_pieces",
+        "piece_lengths",
+    ]
+    withdoc = materialize_packed(p, "input_ids", 4, doc_col="doc_id")
+    a = {(r["shard"], r["seq_id"]): list(r["input_ids"]) for r in out.collect()}
+    b = {
+        (r["shard"], r["seq_id"]): list(r["input_ids"])
+        for r in withdoc.collect()
+    }
+    assert a == b
+
+
 # ------------------------------------------------- cache hygiene
 
 
@@ -261,6 +338,9 @@ def test_new_tokenizer_queries_leave_no_persistent_rdds(spark, sf_dir):
         "wordpiece_pretok_encode_sample",
         "bpe_bytelevel_roundtrip",
         "bpe_bytelevel_holdout_no_unk",
+        "bpe_packed_windows_eos",
+        "wordpiece_packed_windows_eos",
+        "unigram_packed_windows_eos",
     ):
         rows = catalog.get(name).fn(spark, sf_dir).collect()
         assert rows, name
