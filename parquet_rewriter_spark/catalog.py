@@ -17186,6 +17186,323 @@ def unigram_packed_windows_eos(
         wc.unpersist()
 
 
+# --------------------------------- round-11: end-to-end pretraining flagship
+
+
+def _pretraining_pipeline_oracle(n_merges: int = 4, m: int = 64) -> str:
+    from parquet_rewriter_spark.operators.bpe import END, bpe_vocab_cte_sql
+
+    nv = [
+        f"""nv0 AS (
+      SELECT word,
+             ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '{END} ' AS sym
+      FROM (SELECT DISTINCT unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'),
+              w -> w <> '')) AS word FROM clean)
+    )"""
+    ]
+    for s in range(1, n_merges + 1):
+        nv.append(
+            f"""nv{s} AS (
+      SELECT word, replace(sym, ' ' || t.lhs || ' ' || t.rhs || ' ',
+                                ' ' || t.lhs || t.rhs || ' ') AS sym
+      FROM nv{s - 1}, t{s} t
+    )"""
+        )
+    nv_chain = ",\n    ".join(nv)
+    flat = "flatten(list_transform(list_sort(list({'p': wpos, 'l': ids})), s -> s.l))"
+    wflat = "flatten(list_transform(list_sort(list({'p': pos, 'l': piece})), s -> s.l))"
+    return f"""
+    WITH q AS (
+      SELECT * FROM {_DOCS_WITH_DUPS} base
+      WHERE len(string_split(text, ' ')) BETWEEN 40 AND 90
+    ),
+    uniq AS (
+      SELECT * EXCLUDE rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q) WHERE rn = 1
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM uniq),
+    grams AS (
+      SELECT DISTINCT doc_id, g8 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                      i -> array_to_string(t[i:i+7], ' '))) AS g8
+        FROM tok WHERE len(t) >= 8
+      )
+    ),
+    btok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {_DOCS_WITH_DUPS} b
+      WHERE doc_id % 10 = 3 AND doc_id < 1000000
+    ),
+    bgrams AS (
+      SELECT DISTINCT g8 FROM (
+        SELECT unnest(list_transform(range(1, len(t) - 6),
+                      i -> array_to_string(t[i:i+7], ' '))) AS g8
+        FROM btok WHERE len(t) >= 8
+      )
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM grams JOIN bgrams USING (g8)),
+    clean AS (
+      SELECT u.* FROM uniq u LEFT JOIN contaminated c USING (doc_id)
+      WHERE c.doc_id IS NULL
+        AND NOT (u.doc_id % 10 = 3 AND u.doc_id < 1000000)
+    ),
+    clean_even AS (SELECT * FROM clean WHERE doc_id % 2 = 0),
+    {bpe_vocab_cte_sql("clean_even", "text", n_merges)},
+    {nv_chain},
+    sid AS (
+      SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS token_id
+      FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS symbol
+            FROM v{n_merges})
+    ),
+    wsyms2 AS (
+      SELECT word, i AS pos, ws[i] AS symbol
+      FROM (SELECT word, string_split(trim(sym), ' ') AS ws FROM nv{n_merges}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    word_ids AS (
+      SELECT w.word,
+             list_transform(list_sort(list({{'p': w.pos,
+                                             'i': coalesce(s.token_id, -1)}})),
+                            x -> x.i) AS ids
+      FROM wsyms2 w LEFT JOIN sid s USING (symbol) GROUP BY w.word
+    ),
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM clean),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc AS (
+      SELECT doc_id, {flat} AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    ),
+    pk AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             list_append(input_ids,
+                         CAST((SELECT count(*) FROM sid) AS INTEGER)) AS input_ids,
+             CAST(len(input_ids) + 1 AS BIGINT) AS n_tok,
+             CAST(coalesce(sum(len(input_ids) + 1) OVER (
+               PARTITION BY doc_id % 4 ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS B
+      FROM enc
+    ),
+    pieces AS (
+      SELECT shard, p.w AS seq_id, p.pos, p.piece
+      FROM pk, LATERAL (
+        SELECT unnest(list_transform(
+          generate_series(CAST(floor(B / {m}) AS BIGINT),
+                          CAST(floor((B + n_tok - 1) / {m}) AS BIGINT)),
+          w -> {{'w': w,
+                 'piece': list_slice(input_ids,
+                                     CAST(greatest(0, w * {m} - B) + 1 AS BIGINT),
+                                     CAST(least(n_tok, (w + 1) * {m} - B) AS BIGINT)),
+                 'pos': B + greatest(0, w * {m} - B) - w * {m}}})) AS p
+      )
+    ),
+    win AS (
+      SELECT shard, seq_id,
+             md5(array_to_string({wflat}, ',')) AS dig
+      FROM pieces GROUP BY shard, seq_id
+    ),
+    sh AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_w,
+             md5(string_agg(dig, ',' ORDER BY seq_id)) AS sd
+      FROM win GROUP BY shard
+    ),
+    gl AS (
+      SELECT CAST(sum(n_w) AS BIGINT) AS n_windows,
+             md5(string_agg(sd, ',' ORDER BY shard)) AS windows_digest
+      FROM sh
+    ),
+    p_raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+              FROM {_DOCS_WITH_DUPS} x GROUP BY source),
+    p_q AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality
+            FROM q GROUP BY source),
+    p_u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+            FROM uniq GROUP BY source),
+    p_c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_clean
+            FROM clean GROUP BY source),
+    p_t AS (SELECT c.source, CAST(sum(len(e.input_ids)) AS BIGINT) AS n_tokens
+            FROM enc e JOIN clean c USING (doc_id) GROUP BY c.source)
+    SELECT r.source, r.n_raw,
+           coalesce(q2.n_quality, 0) AS n_quality,
+           coalesce(u.n_unique, 0) AS n_unique,
+           coalesce(c.n_clean, 0) AS n_clean,
+           coalesce(t.n_tokens, 0) AS n_tokens,
+           g.n_windows, g.windows_digest
+    FROM p_raw r
+    LEFT JOIN p_q q2 USING (source)
+    LEFT JOIN p_u u USING (source)
+    LEFT JOIN p_c c USING (source)
+    LEFT JOIN p_t t USING (source)
+    CROSS JOIN gl g
+    ORDER BY r.source
+    """
+
+
+@query(
+    "pretraining_pipeline_end_to_end",
+    _pretraining_pipeline_oracle(4, 64),
+    "llm-pipeline", "pretraining", "curation", "tokenizer", "packing",
+    "contamination", "dedup",
+)
+def pretraining_pipeline_end_to_end(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE FLAGSHIP: the whole pretraining data pipeline holding hands
+    in one query — curation (length-window quality rule → exact dedup
+    keep-lowest-id → benchmark 8-gram contamination gate, benchmark
+    docs themselves excluded) → FROZEN-tokenizer encode (BPE rules
+    trained on the curated corpus's even-id split, re-applied to every
+    curated doc with unk surfacing) → EOS-separated packed 64-token
+    windows — reporting the per-source provenance funnel (n_raw →
+    n_quality → n_unique → n_clean → n_tokens) plus the global window
+    count and a windows digest.
+
+    Scale shape, stage by stage: ONE corpus-with-dups relation feeds
+    quality (a projection filter), dedup (hash aggregate on text),
+    and the gram explode; the benchmark gram set is bounded and
+    broadcast (never an all-pairs doc comparison); tokenizer training
+    is vocab-scale after one corpus scan; frozen encoding re-segments
+    only distinct words; packing is the sharded window exchange; and
+    the digest folds per shard THEN across the 4 shard digests — the
+    only total-order fold is over num_shards rows, never windows. The
+    oracle replays every stage cell-for-cell, so a hash match proves
+    curation counts, tokenizer rules, id streams, window boundaries,
+    and provenance arithmetic simultaneously."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs_with_rules,
+        symbol_vocab,
+    )
+    from parquet_rewriter_spark.operators.dedup import exact_dedup
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+        with_eos,
+    )
+
+    base = _docs_with_dups(spark, sf_dir)
+    n_words = F.size(F.split(F.col("text"), " "))
+    q = base.filter((n_words >= 40) & (n_words <= 90))
+    uniq = exact_dedup(q, ["text"], "doc_id")
+    g8 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 8 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 7), "
+        "i -> array_join(slice(split(text, ' '), i, 8), ' ')) "
+        "ELSE array() END"
+    )
+    is_bench = (F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 1000000)
+    bgrams = (
+        base.filter(is_bench)
+        .select(F.explode(g8).alias("g8"))
+        .distinct()
+    )
+    tgrams = uniq.select("doc_id", F.explode(g8).alias("g8")).distinct()
+    contaminated = (
+        tgrams.join(F.broadcast(bgrams), "g8").select("doc_id").distinct()
+    )
+    clean = (
+        uniq.join(contaminated, "doc_id", "left_anti")
+        .filter(~is_bench)
+        .persist()
+    )
+    try:
+        rules, vocab = bpe_train(
+            clean.filter(F.col("doc_id") % 2 == 0), "text", n_merges=4
+        )
+        try:
+            eos_id = symbol_vocab(vocab).count()
+            enc = encode_docs_with_rules(
+                clean, "doc_id", "text", rules, vocab, unk_id=-1
+            ).persist()
+            try:
+                packed = pack_sequences(
+                    with_eos(enc, "input_ids", eos_id),
+                    "doc_id", F.size("input_ids"), max_tokens=64,
+                    shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+                )
+                win = materialize_packed(packed, "input_ids", 64)
+                wd = win.select(
+                    "shard", "seq_id", _ids_digest("input_ids").alias("dig")
+                )
+                sh = wd.groupBy("shard").agg(
+                    F.count(F.lit(1)).alias("n_w"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(F.struct("seq_id", "dig"))
+                                ),
+                                lambda s: s.dig,
+                            ),
+                        )
+                    ).alias("sd"),
+                )
+                gl = sh.agg(
+                    F.sum("n_w").alias("n_windows"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(F.struct("shard", "sd"))
+                                ),
+                                lambda s: s.sd,
+                            ),
+                        )
+                    ).alias("windows_digest"),
+                )
+                p_raw = base.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_raw")
+                )
+                p_q = q.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_quality")
+                )
+                p_u = uniq.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_unique")
+                )
+                p_c = clean.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_clean")
+                )
+                p_t = (
+                    enc.join(clean.select("doc_id", "source"), "doc_id")
+                    .groupBy("source")
+                    .agg(F.sum(F.size("input_ids")).alias("n_tokens"))
+                )
+                out = (
+                    p_raw.join(p_q, "source", "left")
+                    .join(p_u, "source", "left")
+                    .join(p_c, "source", "left")
+                    .join(p_t, "source", "left")
+                    .crossJoin(F.broadcast(gl))
+                    .select(
+                        "source",
+                        "n_raw",
+                        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+                        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+                        F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+                        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                        "n_windows",
+                        "windows_digest",
+                    )
+                    .orderBy("source")
+                )
+                return _settle(spark, out, "pretraining_e2e")
+            finally:
+                enc.unpersist()
+        finally:
+            vocab.unpersist()
+    finally:
+        clean.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries

@@ -341,6 +341,7 @@ def test_new_tokenizer_queries_leave_no_persistent_rdds(spark, sf_dir):
         "bpe_packed_windows_eos",
         "wordpiece_packed_windows_eos",
         "unigram_packed_windows_eos",
+        "pretraining_pipeline_end_to_end",
     ):
         rows = catalog.get(name).fn(spark, sf_dir).collect()
         assert rows, name
