@@ -17503,6 +17503,73 @@ def pretraining_pipeline_end_to_end(
         clean.unpersist()
 
 
+# ----------------------------------- round-11: token-count zone maps
+
+
+@query(
+    "token_budget_from_stats",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               w -> w <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((100000 * n_tokens) // (SELECT sum(n_tokens) FROM s)
+                AS BIGINT) AS token_budget
+    FROM s ORDER BY source
+    """,
+    "llm-pipeline", "sampling", "mixture", "sidecar", "incremental",
+    "metadata-only",
+)
+def token_budget_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN ACCOUNTING FROM METADATA — the mixture planner's budget
+    fold served by the per-file (source, n_docs, n_tokens) sidecar
+    (operators/tokenstats.py) instead of a corpus re-scan: seed a
+    table missing a contiguous doc_id range → build stats (one row set
+    per file) → one merge inserts the gap → refresh builds stats ONLY
+    for the churned files (asserted ≪ table) → fold the sidecar and
+    allocate a 100k-token budget proportionally in exact INTEGER
+    arithmetic. The oracle recomputes everything from a full scan of
+    the final corpus, so a hash match proves the incrementally-
+    maintained sidecar converged bit-for-bit to the from-scratch
+    totals — the Iceberg count(*)-from-metadata idea applied to token
+    budgeting at 100 TB."""
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.operators.tokenstats import (
+        build_token_stats,
+        token_budget_plan,
+        token_stats,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n = int(d.agg(F.max("doc_id")).first()[0]) + 1
+    gap_lo, gap_hi = n // 3, n // 3 + max(1, n // 10)
+    seed = d.filter(
+        ~((F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi))
+    )
+    t = SortedTable.create(
+        spark, _scratch("tokenstats"), seed, key="doc_id",
+        max_records_per_file=_scaled_mrpf(seed, 9),
+    )
+    built0 = build_token_stats(t)
+    assert built0 == len(t.manifest().files)  # one row set per file
+
+    muts = d.filter(
+        (F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi)
+    ).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, allow_splice=False)
+
+    built1 = build_token_stats(t)
+    # refresh ∝ churn: only files the merge wrote need new stats
+    assert 0 < built1 < len(t.manifest().files)
+    stats = token_stats(t)
+    return token_budget_plan(stats, budget_tokens=100_000).orderBy("source")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries

@@ -316,6 +316,55 @@ def test_materialize_packed_without_doc_col_unchanged(spark):
     assert a == b
 
 
+# ------------------------------------------------- token-count sidecar
+
+
+def test_token_stats_refresh_is_churn_proportional(spark, sf_dir, tmp_path):
+    """The token-count sidecar's maintenance contract: the first build
+    covers every file; after a merge touching a small key range, the
+    refresh builds rows ONLY for the churned files; the fold equals
+    the from-scratch scan exactly (integer rows, order-free)."""
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.operators.tokenstats import (
+        build_token_stats,
+        token_stats,
+    )
+    from parquet_rewriter_spark.sources.readers import load_table
+    from parquet_rewriter_spark.table import SortedTable
+    from parquet_rewriter_spark.operators.bpe import words_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    t = SortedTable.create(
+        spark, str(tmp_path / "tok"), d.filter(F.col("doc_id") >= 20),
+        key="doc_id", max_records_per_file=60,
+    )
+    n_files = len(t.manifest().files)
+    assert build_token_stats(t) == n_files
+    assert build_token_stats(t) == 0  # idempotent: nothing to do
+
+    head = d.filter(F.col("doc_id") < 20).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, head, allow_splice=False)
+    churn = build_token_stats(t)
+    assert 0 < churn < len(t.manifest().files)  # ∝ churn, never the table
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in token_stats(t).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words_expr("text")).cast("long")).alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert got == want  # sidecar fold == from-scratch scan, exactly
+
+
 # ------------------------------------------------- cache hygiene
 
 
