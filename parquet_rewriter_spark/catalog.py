@@ -17570,6 +17570,122 @@ def token_budget_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_plan(stats, budget_tokens=100_000).orderBy("source")
 
 
+# ---------------------- round-11: unigram frozen-path unk parity
+
+
+def _unigram_unk_oracle(max_doc: int = 15) -> str:
+    """Frozen-unigram oracle WITH the char-fallback modeled: inventory
+    from the plain corpus, holdout = decorated docs (punctuation/digit
+    chars the inventory lacks). Words with at least one full path take
+    the max-score/lexmin segmentation (path enumeration); words with
+    NO path fall back to their per-char split; out-of-inventory chars
+    id-map to −1 through a LEFT join."""
+    return f"""
+    WITH {_unigram_cte()},
+    hwc AS (
+      SELECT DISTINCT unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               w -> w <> '')) AS word
+      FROM ({_DECOR_SQL}) decor WHERE doc_id < {max_doc}
+    ),
+    h_paths AS (
+      WITH RECURSIVE p AS (
+        SELECT word, 0 AS pos, CAST(1.0 AS DOUBLE) AS score,
+               CAST('' AS VARCHAR) AS ps
+        FROM hwc
+        UNION ALL
+        SELECT p.word, p.pos + len(v.piece) AS pos, p.score * v.r AS score,
+               CASE WHEN p.ps = '' THEN v.piece
+                    ELSE p.ps || ' ' || v.piece END AS ps
+        FROM p JOIN ug_ratio v
+          ON substr(p.word, p.pos + 1, len(v.piece)) = v.piece
+        WHERE p.pos < len(p.word)
+      )
+      SELECT word, score, ps FROM p WHERE pos = len(word)
+    ),
+    h_seg AS (
+      SELECT word, string_split(min(ps) FILTER (WHERE score = m), ' ') AS pieces
+      FROM (SELECT word, score, ps, max(score) OVER (PARTITION BY word) AS m
+            FROM h_paths)
+      GROUP BY word
+    ),
+    h_fall AS (
+      SELECT w.word, string_split(w.word, '') AS pieces
+      FROM hwc w LEFT JOIN h_seg s USING (word)
+      WHERE s.word IS NULL
+    ),
+    h_all AS (
+      SELECT word, pieces FROM h_seg
+      UNION ALL SELECT word, pieces FROM h_fall
+    ),
+    upid AS (
+      SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS piece_id
+      FROM ug_stats
+    ),
+    h_pos AS (
+      SELECT word, i AS pos, pieces[i] AS piece
+      FROM h_all, LATERAL (SELECT unnest(generate_series(1, len(pieces))) AS i)
+    ),
+    word_ids AS (
+      SELECT w.word,
+             list_transform(list_sort(list({{'p': w.pos,
+                                             'i': coalesce(p.piece_id, -1)}})),
+                            x -> x.i) AS ids
+      FROM h_pos w LEFT JOIN upid p USING (piece) GROUP BY w.word
+    ),
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM ({_DECOR_SQL}) decor WHERE doc_id < {max_doc}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    enc2 AS (
+      SELECT doc_id, {_WP_FLAT} AS input_ids
+      FROM dwords JOIN word_ids USING (word) GROUP BY doc_id
+    )
+    SELECT doc_id, md5(array_to_string(input_ids, ',')) AS ids_digest,
+           CAST(len(input_ids) AS INT) AS n_tokens,
+           CAST(len(list_filter(input_ids, x -> x = -1)) AS INT) AS n_unk
+    FROM enc2 ORDER BY doc_id
+    """
+
+
+@query(
+    "unigram_encode_unk_holdout",
+    _unigram_unk_oracle(15),
+    "llm-pipeline", "tokenizer", "unigram", "encode", "frozen", "unk",
+)
+def unigram_encode_unk_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN unigram tokenizer meeting characters training never saw
+    — the trio's unk parity closed (BPE and WordPiece had it; unigram
+    silently DROPPED unsegmentable words before this round): the
+    inventory trains on the plain corpus, the holdout is the decorated
+    corpus (commas, digits, ``#``/``!`` — chars with no inventory
+    piece). Unsegmentable words char-fall-back in the Viterbi UDF and
+    out-of-inventory chars surface as −1 (operators/unigram.py:
+    viterbi_segment / unigram_encode_docs(unk_id=...)), so every doc
+    keeps its full token count — n_unk > 0 rows prove unks surfaced
+    rather than rows shortening. The oracle enumerates paths for
+    segmentable words and models the fallback explicitly."""
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        unigram_encode_docs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
+    hold = _decorated_docs(spark, sf_dir).filter(F.col("doc_id") < 15)
+    out = unigram_encode_docs(hold, "doc_id", "text", stats, unk_id=-1)
+    return out.select(
+        "doc_id",
+        _ids_digest("input_ids").alias("ids_digest"),
+        "n_tokens",
+        F.size(F.filter("input_ids", lambda x: x == -1)).alias("n_unk"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
