@@ -136,9 +136,21 @@ HEADLINE = [
     "wordpiece_encode_sample",
     "holtwinters_backtest_mape",
     "hourly_event_rate_cusum",
+    # round-11 families
+    "pretraining_pipeline_end_to_end",
+    "bpe_pretok_encode_sample",
+    "bpe_packed_windows_eos",
+    "token_budget_from_stats",
 ]
 
 EXTENDED = [
+    # round-11 remainder
+    "wordpiece_pretok_encode_sample",
+    "bpe_bytelevel_roundtrip",
+    "bpe_bytelevel_holdout_no_unk",
+    "wordpiece_packed_windows_eos",
+    "unigram_packed_windows_eos",
+    "unigram_encode_unk_holdout",
     "bulk_bucketed_merge_scan",
     "rekey_inflight_read_scan",
     "source_length_drift_psi",

@@ -54,6 +54,45 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _settle(spark: SparkSession, out: DataFrame, name: str) -> DataFrame:
+    """Materialize a query's (bounded, driver-safe) result to scratch
+    parquet and hand back the reader — so the query body can unpersist
+    its cached intermediates in ``finally`` WITHOUT the caller's later
+    collect recomputing the lineage cold: executor storage stays clean
+    after every catalog query and the returned plan is a plain
+    distributed scan."""
+    import shutil
+
+    path = os.path.join(_scratch(f"settle_{name}"), "out")
+    shutil.rmtree(path, ignore_errors=True)
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _clean_query(fn):
+    """Cache-hygiene wrapper for query bodies whose persists live
+    INSIDE operator calls (splitters, dedup clusterers, graph loops)
+    rather than in the body itself: snapshot the session's persistent
+    RDD ids, run the body, settle the result while those caches are
+    hot, then unpersist exactly the caches the body created — never a
+    caller's. Bodies that persist directly still prefer the explicit
+    try/finally + _settle form (greppable ownership)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        before = {int(r) for r in jmap.keySet().toArray()}
+        res = _settle(spark, fn(spark, sf_dir), fn.__name__)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if int(rid) not in before:
+                jmap.get(rid).unpersist(False)
+        return res
+
+    return wrapped
+
+
 # ---------------------------------------------------------------- scans/agg
 
 @query(
@@ -1121,6 +1160,7 @@ def brand_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "analytics", "rfm", "segmentation", "window",
 )
+@_clean_query
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation WITHOUT the global-sort anti-pattern: each
     dimension's total order comes from the range-partitioned contiguous
@@ -1548,6 +1588,7 @@ def maintained_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "observability", "funnel",
 )
+@_clean_query
 def curation_survivorship_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline observability: document counts through each curation
     stage (raw → quality gate → exact dedup → near-dup canonical) as a
@@ -2543,6 +2584,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "dedup", "cluster", "graph",
 )
+@_clean_query
 def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERS over the Jaccard pair graph
     (operators/cluster.py): min-label propagation — per round one
@@ -2590,6 +2632,7 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "dedup", "cluster", "canonical", "quality",
 )
+@_clean_query
 def canonical_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best dedup (operators/cluster.py:canonical_dedup): the
     near-dup clusters of the Jaccard pair graph each surrender all but
@@ -2644,6 +2687,7 @@ def mixture_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("incremental_dedup_index", None, "dedup", "index", "incremental", "lsh")
+@_clean_query
 def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a PERSISTENT MinHash index
     (operators/dedup_index.py): signatures live in a SortedTable keyed
@@ -2746,6 +2790,7 @@ def incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "dedup", "index", "incremental", "lsh", "portable",
 )
+@_clean_query
 def incremental_dedup_index_portable(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2779,6 +2824,7 @@ def incremental_dedup_index_portable(
 
 
 @query("minhash_near_dup_pairs", None, "dedup", "minhash", "lsh")
+@_clean_query
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection over a corpus with injected
     duplicates: word-3-gram shingles (the standard document unit — the
@@ -2796,6 +2842,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("simhash_near_pairs", None, "dedup", "simhash")
+@_clean_query
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit, built-in bit ops) near pairs within hamming ≤ 12,
     pigeonhole-blocked (13 blocks → at least one matches exactly, so
@@ -5492,6 +5539,7 @@ def _minhash_portable_cte(docs_sql: str) -> str:
     """,
     "dedup", "minhash", "lsh", "portable",
 )
+@_clean_query
 def minhash_portable_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the engine-portable hash family
     (operators/dedup.py:minhash_lsh_pairs_portable): one md5 per
@@ -5545,6 +5593,7 @@ def _docs_cross_dups(spark, sf_dir):
     """,
     "dedup", "minhash", "llm-pipeline", "contamination",
 )
+@_clean_query
 def cross_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHICH sources duplicate WHICH: the portable MinHash+LSH pair
     stream rolled up into a source×source matrix (n_pairs, mean
@@ -5717,6 +5766,7 @@ def dow_adjusted_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     "market-basket", "association-rules", "join",
 )
+@_clean_query
 def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets at the BRAND level (25
     brands → the pair space is bounded at 300 whatever the corpus
@@ -5888,6 +5938,7 @@ def referential_orphans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "timeseries", "rolling-distinct", "wau",
 )
+@_clean_query
 def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct users (WAU) per day — the rolling-DISTINCT
     aggregate a range window cannot express (window count_distinct is
@@ -5963,6 +6014,7 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "pipeline", "capstone", "dedup", "split",
 )
+@_clean_query
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPSTONE: the full corpus-curation pipeline as ONE verified
     composition — quality gate (length + token-count) → exact dedup
@@ -6042,6 +6094,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "aggregation", "weighted-quantile", "two-phase",
 )
+@_clean_query
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT quantity-weighted median per return flag, computed with
     the two-phase binned search that survives 100 TB: phase one
@@ -6154,6 +6207,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "sampling", "split", "dedup", "leakage",
 )
+@_clean_query
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/test split: hash-split by near-dup CLUSTER id
     instead of doc id, so a document and its near-duplicates land in
@@ -6462,6 +6516,7 @@ def stream_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "dedup", "simhash", "portable",
 )
+@_clean_query
 def simhash_portable_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the engine-portable hash family
     (operators/dedup.py:simhash_portable_near_pairs): 48-bit
@@ -7947,6 +8002,7 @@ def source_score_drift_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "graph", "triangles", "join",
 )
+@_clean_query
 def copurchase_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the part co-purchase graph via DEGREE-ORDERED
     edge orientation (Suri & Vassilvitskii, "Counting triangles and the
@@ -8307,6 +8363,7 @@ def ann_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     "search", "bm25", "incremental", "index", "cdc",
 )
+@_clean_query
 def incremental_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from a PERSISTENT, incrementally-maintained index
     (operators/search_index.py): docs live in a SortedTable (the
@@ -8489,13 +8546,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv")
-    ).localCheckpoint(eager=False)  # both consumers read the materialized agg
-    # global total = sum of the per-part partials (re-aggregates the
-    # small grouped result, NOT the base table — one lineitem scan)
-    total = per_part.agg(F.sum("pv").alias("tv"))
+    )
+    # the decorrelated scalar is ONE row — collect it and inline as a
+    # literal (the legitimate driver-side scale class; a cached/
+    # checkpointed reuse of per_part would leave executor storage
+    # behind after the query). The returned plan stays one scan.
+    tv = float(per_part.agg(F.sum("pv").alias("tv")).first()["tv"])
     return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("pv") > F.col("tv") * 0.00084)
+        per_part.filter(F.col("pv") > F.lit(tv) * 0.00084)
         .select("l_partkey", F.round("pv", 2).alias("part_value"))
     )
 
@@ -8535,12 +8593,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_revenue"
             )
         )
-        .localCheckpoint(eager=False)  # reuse: max + equality filter, one computation
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    # the scalar max is ONE row — collect and inline (max is order-free
+    # exact, so the literal equals any recompute bit-for-bit); no cache
+    # outlives the query
+    mx = float(rev.agg(F.max("total_revenue").alias("mx")).first()["mx"])
     return (
-        rev.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx"))
+        rev.filter(F.col("total_revenue") == F.lit(mx))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
     )
@@ -8980,7 +9039,9 @@ def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("sq"))
-        .persist()  # consumed by the per-part total AND the back-join
+        # consumed by the per-part total AND the back-join — identical
+        # subtrees, so ReuseExchange shares the shuffle without a cache
+        # (a persist here would outlive the query: executor-storage leak)
     )
     tot = sp.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     dominant = (
@@ -9184,6 +9245,7 @@ def substring_dup_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "ids", "zipwithindex",
 )
+@_clean_query
 def doc_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global ids equal to row_number()-1 over (lang, doc_id) —
     but produced WITHOUT the single-partition global sort: range
@@ -9233,6 +9295,7 @@ def doc_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "dedup", "semantic", "embedding",
 )
+@_clean_query
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: exact cosine pairs (blocked
     matmul — operators/blockmatrix, no row cross-join) → connected
@@ -9768,6 +9831,7 @@ def schema_ddl_lifecycle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm", "export", "multimodal", "webdataset",
 )
+@_clean_query
 def webdataset_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar-shard export as an oracle-gated op: the corpus is
     ACTUALLY written as 4 tar shards (<key>.txt payload + <key>.json
@@ -9803,6 +9867,7 @@ def webdataset_export_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm", "export", "sharding",
 )
+@_clean_query
 def training_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced training-shard export (operators/export.py): round-robin
     over the descending-token-count total order — LPT-style balance
@@ -10810,6 +10875,7 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "entity-resolution", "fuzzy", "cluster", "composition",
 )
+@_clean_query
 def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution as a composition of three existing
     operators: blocked fuzzy self-join (operators/fuzzy.py — q-gram
@@ -10948,6 +11014,7 @@ _PR_ITERS = 3
     """,
     "graph", "pagerank", "iterative",
 )
+@_clean_query
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-graph PageRank as relational algebra: the co-purchase
     graph (parts sharing an order) built with one self-join on the
@@ -12206,6 +12273,7 @@ def column_purge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "embeddings", "lsh", "near-dup", "portable-oracle",
 )
+@_clean_query
 def hyperplane_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded hyperplane LSH over embeddings, fully SQL-replayable
     (operators/dedup.py:hyperplane_lsh_pairs_portable): md5-bridge
@@ -13108,6 +13176,7 @@ _PORTABLE_LSH_CTES = """
     """,
     "embeddings", "ann", "evaluation", "portable-oracle",
 )
+@_clean_query
 def ann_lsh_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation as a relation (operators/eval.py):
     recall@3, MRR, and nDCG@3 of the portable hyperplane-LSH ANN
@@ -13294,6 +13363,7 @@ def int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "sketch", "set-algebra", "approx-distinct",
 )
+@_clean_query
 def priority_customer_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set ALGEBRA (operators/distinct_sketch.py:sketch_overlap):
     distinct-customer overlap between every order-priority pair via
@@ -13512,6 +13582,7 @@ def _bpe_fertility_oracle(n_merges: int = 6) -> str:
     _bpe_fertility_oracle(6),
     "llm-pipeline", "tokenizer", "bpe", "fertility",
 )
+@_clean_query
 def bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (tokens per word) per language under the
     6-merge BPE vocab — the metric multilingual tokenizer work tunes
@@ -13581,6 +13652,7 @@ def _bpe_encode_oracle(n_merges: int = 6, max_doc: int = 15) -> str:
     _bpe_encode_oracle(6, 15),
     "llm-pipeline", "tokenizer", "bpe", "encode",
 )
+@_clean_query
 def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer's actual deliverable (operators/bpe.py:
     encode_docs): documents → BPE token-ID sequences under the 6-merge
@@ -13889,6 +13961,7 @@ def _packed_windows_scalar(
     _bpe_packed_oracle(4, 64, 4),
     "llm-pipeline", "tokenizer", "bpe", "packing", "pretraining",
 )
+@_clean_query
 def bpe_packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END pretraining batch pipeline, every stage oracled:
     corpus → BPE token ids (operators/bpe.py:encode_docs, 4 merges) →
@@ -13911,6 +13984,7 @@ def bpe_packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     _bpe_packed_oracle(4, 16, 4),
     "llm-pipeline", "tokenizer", "bpe", "packing", "pretraining",
 )
+@_clean_query
 def bpe_packed_windows_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-window pipeline at M=16 — small enough that most
     documents SPAN windows, so split pieces dominate and the span
@@ -13991,6 +14065,7 @@ def _bpe_roundtrip_oracle(n_merges: int = 4) -> str:
     _bpe_roundtrip_oracle(4),
     "llm-pipeline", "tokenizer", "bpe", "decode",
 )
+@_clean_query
 def bpe_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detokenization closes the tokenizer family (train → encode →
     DECODE → pack): every document is encoded under the 4-merge vocab
@@ -14236,11 +14311,19 @@ def wordpiece_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     # ONE persisted corpus scan shared by vocab selection and encoding
-    # (at 100 TB each word_counts recompute is a full corpus scan)
+    # (at 100 TB each word_counts recompute is a full corpus scan);
+    # settled + unpersisted so the query leaves no executor storage
     wc = word_counts(d, "text").persist()
-    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
-    enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
-    return _scalarized_windows(enc, m=32, shards=4)
+    try:
+        pieces = substring_vocab(
+            d, "text", max_piece_len=4, vocab_size=150, wc=wc
+        )
+        enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
+        return _settle(
+            spark, _scalarized_windows(enc, m=32, shards=4), "wp_packed"
+        )
+    finally:
+        wc.unpersist()
 
 
 @query(
@@ -14278,17 +14361,26 @@ def wordpiece_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     wc = word_counts(d, "text").persist()  # shared corpus scan
-    pieces = substring_vocab(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
-    base = _scratch("wp_registry")
-    pt = SortedTable.create(
-        spark, os.path.join(base, "pieces"), pieces, key="piece"
-    )
-    stored = pt.read()
-    n_vocab = stored.count()
-    out = wordpiece_fertility_by(d, "text", "lang", stored, wc=wc)
-    return out.withColumn(
-        "vocab_rows", F.lit(int(n_vocab)).cast("int")
-    ).orderBy("lang")
+    try:
+        pieces = substring_vocab(
+            d, "text", max_piece_len=4, vocab_size=150, wc=wc
+        )
+        base = _scratch("wp_registry")
+        pt = SortedTable.create(
+            spark, os.path.join(base, "pieces"), pieces, key="piece"
+        )
+        stored = pt.read()
+        n_vocab = stored.count()
+        out = wordpiece_fertility_by(d, "text", "lang", stored, wc=wc)
+        return _settle(
+            spark,
+            out.withColumn(
+                "vocab_rows", F.lit(int(n_vocab)).cast("int")
+            ).orderBy("lang"),
+            "wp_registry_rt",
+        )
+    finally:
+        wc.unpersist()
 
 
 def _wordpiece_marked_cte() -> str:
@@ -14425,31 +14517,37 @@ def wordpiece_marked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     wc = word_counts(d, "text").persist()  # shared corpus scan
-    pieces = substring_vocab_marked(
-        d, "text", max_piece_len=4, vocab_size=150, wc=wc
-    )
-    enc = wordpiece_encode_marked(d, "doc_id", "text", pieces, wc=wc)
-    dec = wordpiece_decode_docs(enc, "input_ids", pieces)
-    norm = d.select(
-        "doc_id",
-        "source",
-        F.concat_ws(
-            " ",
-            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""),
-        ).alias("expect"),
-    )
-    return (
-        dec.join(norm, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.when(F.col("decoded") == F.col("expect"), 1).otherwise(0)
-            ).alias("n_exact"),
-            F.sum("n_tokens").alias("n_tokens"),
+    try:
+        pieces = substring_vocab_marked(
+            d, "text", max_piece_len=4, vocab_size=150, wc=wc
         )
-        .orderBy("source")
-    )
+        enc = wordpiece_encode_marked(d, "doc_id", "text", pieces, wc=wc)
+        dec = wordpiece_decode_docs(enc, "input_ids", pieces)
+        norm = d.select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                ),
+            ).alias("expect"),
+        )
+        out = (
+            dec.join(norm, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(
+                    F.when(F.col("decoded") == F.col("expect"), 1).otherwise(0)
+                ).alias("n_exact"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            .orderBy("source")
+        )
+        return _settle(spark, out, "wpm_roundtrip")
+    finally:
+        wc.unpersist()
 
 
 def _wordpiece_frozen_cte() -> str:
@@ -15681,9 +15779,14 @@ def unigram_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     wc = word_counts(d, "text").persist()  # shared corpus scan
-    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
-    enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
-    return _scalarized_windows(enc, m=32, shards=4)
+    try:
+        stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
+        enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
+        return _settle(
+            spark, _scalarized_windows(enc, m=32, shards=4), "ug_packed"
+        )
+    finally:
+        wc.unpersist()
 
 
 @query(
@@ -15725,34 +15828,38 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     wc = word_counts(d, "text").persist()  # shared corpus scan
-    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
-    base = _scratch("ug_registry")
-    st = SortedTable.create(
-        spark, os.path.join(base, "pieces"), stats, key="piece"
-    )
-    stored = st.read()
-    n_vocab = stored.count()
-    segd = viterbi_segment_stats(wc, stored).select("word", "best_ll")
-    n_words = wc.count()
-    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
-    return (
-        _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.round(F.sum("best_ll"), 2).alias("sum_ll"),
-            F.round(F.sum("best_ll") / F.count(F.lit(1)), 4).alias("avg_ll"),
+    try:
+        stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
+        base = _scratch("ug_registry")
+        st = SortedTable.create(
+            spark, os.path.join(base, "pieces"), stats, key="piece"
         )
-        .select(
-            F.col("grp").alias("lang"),
-            "n_words",
-            "sum_ll",
-            "avg_ll",
-            F.lit(int(n_vocab)).cast("int").alias("vocab_rows"),
+        stored = st.read()
+        n_vocab = stored.count()
+        segd = viterbi_segment_stats(wc, stored).select("word", "best_ll")
+        n_words = wc.count()
+        w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
+        out = (
+            _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.round(F.sum("best_ll"), 2).alias("sum_ll"),
+                F.round(F.sum("best_ll") / F.count(F.lit(1)), 4).alias("avg_ll"),
+            )
+            .select(
+                F.col("grp").alias("lang"),
+                "n_words",
+                "sum_ll",
+                "avg_ll",
+                F.lit(int(n_vocab)).cast("int").alias("vocab_rows"),
+            )
+            .orderBy("lang")
         )
-        .orderBy("lang")
-    )
+        return _settle(spark, out, "ug_registry_rt")
+    finally:
+        wc.unpersist()
 
 
 def _unigram_cte_nowc() -> str:
@@ -15832,38 +15939,45 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = word_counts(d, "text").persist()  # shared by all three families
     n_words = wc.count()
     rules, vocab = bpe_train(d, "text", n_merges=4)
-    bpe_rel = vocab_token_counts(vocab).withColumnRenamed("n_tokens", "n")
-    wp_rel = wordpiece_segment(
-        wc, substring_vocab(d, "text", 4, 150, wc=wc)
-    ).select("word", F.col("n_pieces").alias("n"))
-    ug_rel = viterbi_segment(
-        wc, piece_stats(d, "text", 4, 150, wc=wc)
-    ).select("word", F.col("n_pieces").alias("n"))
-    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    occ = d.select(F.explode(w).alias("word"))
-    parts = []
-    for fam, rel in (("bpe", bpe_rel), ("unigram", ug_rel), ("wordpiece", wp_rel)):
-        j = _word_join(occ, rel, n_words, BROADCAST_MAX_WORDS)
-        parts.append(
-            j.agg(
-                F.count(F.lit(1)).alias("n_words"),
-                F.sum("n").alias("n_tokens"),
-                F.sum(F.length("word")).alias("n_chars"),
-            ).select(F.lit(fam).alias("family"), "n_words", "n_tokens", "n_chars")
-        )
-    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    vocab.unpersist()
-    return out.select(
-        "family",
-        "n_words",
-        "n_tokens",
-        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias(
-            "chars_per_token"
-        ),
-        F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 4).alias(
-            "fertility"
-        ),
-    ).orderBy("family")
+    try:
+        bpe_rel = vocab_token_counts(vocab).withColumnRenamed("n_tokens", "n")
+        wp_rel = wordpiece_segment(
+            wc, substring_vocab(d, "text", 4, 150, wc=wc)
+        ).select("word", F.col("n_pieces").alias("n"))
+        ug_rel = viterbi_segment(
+            wc, piece_stats(d, "text", 4, 150, wc=wc)
+        ).select("word", F.col("n_pieces").alias("n"))
+        w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        occ = d.select(F.explode(w).alias("word"))
+        parts = []
+        for fam, rel in (
+            ("bpe", bpe_rel), ("unigram", ug_rel), ("wordpiece", wp_rel)
+        ):
+            j = _word_join(occ, rel, n_words, BROADCAST_MAX_WORDS)
+            parts.append(
+                j.agg(
+                    F.count(F.lit(1)).alias("n_words"),
+                    F.sum("n").alias("n_tokens"),
+                    F.sum(F.length("word")).alias("n_chars"),
+                ).select(
+                    F.lit(fam).alias("family"), "n_words", "n_tokens", "n_chars"
+                )
+            )
+        out = parts[0].unionByName(parts[1]).unionByName(parts[2]).select(
+            "family",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 4
+            ).alias("chars_per_token"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("fertility"),
+        ).orderBy("family")
+        return _settle(spark, out, "tok_family")
+    finally:
+        vocab.unpersist()
+        wc.unpersist()
 
 
 def _unigram_em_cte() -> str:
@@ -16091,21 +16205,25 @@ def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", max_piece_len=4, seed_size=300, keep_size=150, n_rounds=2
     )
     wc = word_counts(d, "text").persist()
-    n_words = wc.count()
-    segd = viterbi_segment_stats(wc, trained).select("word", "best_ll")
-    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-    occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
-    return (
-        _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.round(F.sum("best_ll"), 2).alias("sum_ll"),
-            F.round(F.sum("best_ll") / F.count(F.lit(1)), 4).alias("avg_ll"),
+    try:
+        n_words = wc.count()
+        segd = viterbi_segment_stats(wc, trained).select("word", "best_ll")
+        w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
+        out = (
+            _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.round(F.sum("best_ll"), 2).alias("sum_ll"),
+                F.round(F.sum("best_ll") / F.count(F.lit(1)), 4).alias("avg_ll"),
+            )
+            .select(F.col("grp").alias("lang"), "n_words", "sum_ll", "avg_ll")
+            .orderBy("lang")
         )
-        .select(F.col("grp").alias("lang"), "n_words", "sum_ll", "avg_ll")
-        .orderBy("lang")
-    )
+        return _settle(spark, out, "em_corpus_ll")
+    finally:
+        wc.unpersist()
 
 
 def _stream_dsir_oracle() -> str:
@@ -16544,21 +16662,6 @@ _DECOR_SQL = (
     "CAST(doc_id AS VARCHAR) || '.' || CAST(n_chars AS VARCHAR) || '!' AS text, "
     "source FROM documents"
 )
-
-
-def _settle(spark: SparkSession, out: DataFrame, name: str) -> DataFrame:
-    """Materialize a query's (bounded, driver-safe) result to scratch
-    parquet and hand back the reader — so the query body can unpersist
-    its cached intermediates in ``finally`` WITHOUT the caller's later
-    collect recomputing the lineage cold: executor storage stays clean
-    after every catalog query (VERDICT r10 'What's wrong' #1) and the
-    returned plan is a plain distributed scan."""
-    import shutil
-
-    path = os.path.join(_scratch(f"settle_{name}"), "out")
-    shutil.rmtree(path, ignore_errors=True)
-    out.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
 
 
 def _bpe_pretok_encode_oracle(n_merges: int = 4, max_doc: int = 15) -> str:
@@ -17698,71 +17801,41 @@ def unigram_encode_unk_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # Round-10 rotation. Lead: every round-10-NEW query (WordPiece/
-    # unigram encode+packing+registry parity, the unigram EM trainer,
-    # the Holt-Winters backtest), then round-10-TOUCHED code paths
-    # (the two streaming chunk-sort kernel fixes; the anomaly queries'
-    # rounded-flag derivation; everything downstream of _word_join's
-    # new byte gate; the packed-oracle SQL-tail refactor), then —
-    # verdict #7 — the two rows-only queries that have NEVER appeared
-    # in any driver snapshot across nine rounds, placed inside the
-    # ~50-slot budget this round, then the STALEST driver-green pool
-    # (last recorded in round 3).
-    # round-10 new
-    "wordpiece_encode_sample",
-    "wordpiece_packed_windows",
-    "wordpiece_artifact_roundtrip",
-    "unigram_encode_sample",
-    "unigram_packed_windows",
-    "unigram_artifact_roundtrip",
-    "unigram_em_vocab",
-    "unigram_em_encode_sample",
-    "unigram_em_corpus_loglik",
-    "unigram_em_resume_roundtrip",
-    "wordpiece_marked_encode_sample",
-    "wordpiece_marked_roundtrip",
-    "bpe_encode_holdout_sample",
-    "stream_bpe_encoded_ingest",
-    "wordpiece_encode_holdout_sample",
-    "stream_wordpiece_encoded_ingest",
-    "stream_unigram_encoded_ingest",
-    "holtwinters_backtest_mape",
+    # Round-11 rotation. Lead: every round-11-NEW query (the
+    # pretokenizer + byte-level BPE family, EOS/doc-span packed
+    # windows, the end-to-end pretraining flagship, the token-count
+    # sidecar, the frozen-unigram unk holdout), then round-11-TOUCHED
+    # code paths (the q11/q15/q20 cache-hygiene rewrites; the
+    # seasonal-naive full-horizon filter; the stream-CUSUM HALF_UP
+    # rounding; the frozen-unigram unk default; the single-collect
+    # materialize_packed refactor under every packed query), then —
+    # verdict r10 #4 — the REMAINDER of the r03-stale driver pool
+    # (r10's snapshot drained the pool's first 13; this fills the
+    # budget with the rest, emptying it).
+    # round-11 new
+    "bpe_pretok_encode_sample",
+    "wordpiece_pretok_encode_sample",
+    "bpe_bytelevel_roundtrip",
+    "bpe_bytelevel_holdout_no_unk",
+    "bpe_packed_windows_eos",
+    "wordpiece_packed_windows_eos",
+    "unigram_packed_windows_eos",
+    "pretraining_pipeline_end_to_end",
+    "token_budget_from_stats",
+    "unigram_encode_unk_holdout",
+    # round-11-touched code paths
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_dominant_shippers",
     "holtwinters_vs_naive_skill",
-    "region_revenue_holt_linear",
-    "hourly_event_rate_cusum",
+    "stream_unigram_encoded_ingest",
     "stream_event_rate_cusum",
-    "tokenizer_family_compression",
-    # round-10-touched code paths
-    "stream_packed_assignments",
-    "stream_holtwinters_fit",
-    "hourly_value_seasonal_anomalies",
-    "hourly_value_robust_anomalies",
-    "bpe_encode_sample",
-    "bpe_token_fertility",
     "bpe_packed_training_windows",
     "bpe_packed_windows_dense",
-    "wordpiece_fertility",
-    "unigram_corpus_loglik",
-    "tokenizer_artifact_roundtrip",
-    "nation_revenue_holtwinters",
-    # verdict #7: never-driver-recorded rows-only queries, inside the
-    # 50-slot budget for one round
-    "ann_pq_topk",
-    "incremental_dedup_index",
-    # stalest driver-green (r03)
-    "active_user_intersection",
-    "brand_association_rules",
-    "browsers_never_err",
-    "cms_token_frequency_bounds",
-    "constrained_merge_scan",
-    "contrastive_negative_pairs",
-    "copurchase_reach_2hop",
-    "copurchase_triangle_count",
-    "corpus_curation_pipeline",
-    "dow_adjusted_revenue_anomalies",
-    "event_type_stats",
-    "events_json_extract",
-    "events_within_5min_pairs",
+    "wordpiece_packed_windows",
+    "unigram_packed_windows",
+    "stream_packed_assignments",
+    # stalest driver-green pool (last recorded round 3) — the rest
     "hourly_event_counts",
     "image_patch_grid",
     "leakage_safe_split",
@@ -17774,7 +17847,6 @@ _VERIFY_FIRST = (
     "q14_promo_revenue_share",
     "q16_supplier_part_variety",
     "q19_bracketed_disjunction_revenue",
-    "q20_dominant_shippers",
     "q9_profit_by_nation_year",
     "referential_orphans_report",
     "region_nation_revenue_shares",
