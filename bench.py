@@ -429,6 +429,13 @@ def main() -> None:
         # minhash/dedup plans), not a plan regression; the r9 diff
         # never touched its body
         "corpus_curation_pipeline",
+        # r10→r11 triage (verdict r10 item 7): committed headlines
+        # bounce 7.5/9.5/8.5/20.2/7.6/8.5/10.0/8.8 s across rounds
+        # with NO monotone trend and no body change; idle-box ×3 after
+        # double warmup still spreads 8.97-10.21 s — 3 commits +
+        # full-probe exactness make it commit-bound by design. Noise
+        # class, damped here like its siblings.
+        "ann_ivf_index_lifecycle",
     }
     t_run_start = time.perf_counter()
     for name in names:
