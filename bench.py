@@ -152,6 +152,8 @@ EXTENDED = [
     "wordpiece_packed_windows_eos",
     "unigram_packed_windows_eos",
     "unigram_encode_unk_holdout",
+    "unigram_pretok_encode_sample",
+    "token_budget_auto_maintained",
     "bulk_bucketed_merge_scan",
     "rekey_inflight_read_scan",
     "source_length_drift_psi",

@@ -17609,9 +17609,7 @@ def pretraining_pipeline_end_to_end(
 # ----------------------------------- round-11: token-count zone maps
 
 
-@query(
-    "token_budget_from_stats",
-    """
+_TOKEN_BUDGET_ORACLE = """
     WITH s AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len(list_filter(
@@ -17623,7 +17621,12 @@ def pretraining_pipeline_end_to_end(
            CAST((100000 * n_tokens) // (SELECT sum(n_tokens) FROM s)
                 AS BIGINT) AS token_budget
     FROM s ORDER BY source
-    """,
+    """
+
+
+@query(
+    "token_budget_from_stats",
+    _TOKEN_BUDGET_ORACLE,
     "llm-pipeline", "sampling", "mixture", "sidecar", "incremental",
     "metadata-only",
 )
@@ -17669,6 +17672,57 @@ def token_budget_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     built1 = build_token_stats(t)
     # refresh ∝ churn: only files the merge wrote need new stats
     assert 0 < built1 < len(t.manifest().files)
+    stats = token_stats(t)
+    return token_budget_plan(stats, budget_tokens=100_000).orderBy("source")
+
+
+@query(
+    "token_budget_auto_maintained",
+    _TOKEN_BUDGET_ORACLE,
+    "llm-pipeline", "sampling", "mixture", "sidecar", "auto-maintain",
+    "metadata-only",
+)
+def token_budget_auto_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token accounting through the MAINTENANCE cron path — no
+    explicit refresh call after the churn: seed a table missing a
+    doc_id gap → build stats once → one merge inserts the gap (no
+    build call) → ``maintain()`` heals the sidecar as part of its
+    standard pass (the tokenstats sidecar is SELF-DESCRIBING: every
+    row carries its spec, so the heal step discovers registered
+    accountings with no manifest field — and covers compaction
+    outputs, which the merge hook path never sees) → fold + integer
+    budget allocation. Same from-scratch oracle as
+    ``token_budget_from_stats``: the cron-job path must converge to
+    the identical totals."""
+    from parquet_rewriter_spark.operators.maintenance import maintain
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.operators.tokenstats import (
+        build_token_stats,
+        token_budget_plan,
+        token_stats,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n = int(d.agg(F.max("doc_id")).first()[0]) + 1
+    gap_lo, gap_hi = n // 4, n // 4 + max(1, n // 8)
+    seed = d.filter(
+        ~((F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi))
+    )
+    t = SortedTable.create(
+        spark, _scratch("tokenstats_auto"), seed, key="doc_id",
+        max_records_per_file=_scaled_mrpf(seed, 9),
+    )
+    build_token_stats(t)
+    muts = d.filter(
+        (F.col("doc_id") >= gap_lo) & (F.col("doc_id") < gap_hi)
+    ).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, allow_splice=False)
+    rep = maintain(t, retain_versions=10)
+    # the heal step, not an explicit build call, covered the churn
+    assert rep["token_stats"]["files_built"] > 0
     stats = token_stats(t)
     return token_budget_plan(stats, budget_tokens=100_000).orderBy("source")
 
@@ -17789,6 +17843,66 @@ def unigram_encode_unk_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _unigram_pretok_oracle(max_doc: int = 15) -> str:
+    from parquet_rewriter_spark.operators.bpe import PRETOK_RE
+    from parquet_rewriter_spark.operators.unigram import unigram_cte_sql
+
+    return f"""
+    WITH {unigram_cte_sql(f"({_DECOR_SQL}) decor", "text",
+                          max_piece_len=4, vocab_size=150,
+                          pretokenize=True)},
+    {_unigram_word_ids_cte()},
+    dwords AS (
+      SELECT doc_id, i AS wpos, ws[i] AS word
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '{PRETOK_RE}') AS ws
+            FROM ({_DECOR_SQL}) decor WHERE doc_id < {max_doc}),
+           LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    )
+    SELECT doc_id, md5(array_to_string({_WP_FLAT}, ',')) AS ids_digest,
+           CAST(len({_WP_FLAT}) AS INT) AS n_tokens
+    FROM dwords JOIN word_ids USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query(
+    "unigram_pretok_encode_sample",
+    _unigram_pretok_oracle(15),
+    "llm-pipeline", "tokenizer", "unigram", "encode", "pretokenize",
+)
+def unigram_pretok_encode_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM under the SHARED pretokenization front end — all
+    THREE families now train and encode through one normalization
+    (operators/bpe.py:words_expr): inventory from pretokenized runs of
+    the decorated corpus, Viterbi encode of sample docs, full id
+    streams digested; the oracle enumerates paths over the identically
+    pretokenized words."""
+    from parquet_rewriter_spark.operators.bpe import word_counts
+    from parquet_rewriter_spark.operators.unigram import (
+        piece_stats,
+        unigram_encode_docs,
+    )
+
+    d = _decorated_docs(spark, sf_dir)
+    wc = word_counts(d, "text", pretokenize=True).persist()
+    try:
+        stats = piece_stats(
+            d, "text", max_piece_len=4, vocab_size=150, wc=wc
+        )
+        out = unigram_encode_docs(
+            d.filter(F.col("doc_id") < 15), "doc_id", "text", stats,
+            pretokenize=True,
+        ).select(
+            "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+        ).orderBy("doc_id")
+        return _settle(spark, out, "ug_pretok_enc")
+    finally:
+        wc.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -17822,7 +17936,9 @@ _VERIFY_FIRST = (
     "unigram_packed_windows_eos",
     "pretraining_pipeline_end_to_end",
     "token_budget_from_stats",
+    "token_budget_auto_maintained",
     "unigram_encode_unk_holdout",
+    "unigram_pretok_encode_sample",
     # round-11-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

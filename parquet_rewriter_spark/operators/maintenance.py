@@ -119,6 +119,15 @@ def maintain(
     else:
         report["drift"] = {"files_counted": 0}
 
+    # token-count zone maps: the sidecar is self-describing (every row
+    # carries its spec), so heal covers all registered accountings —
+    # compaction outputs included — without a manifest field
+    from parquet_rewriter_spark.operators.tokenstats import (
+        heal_token_stats,
+    )
+
+    report["token_stats"] = {"files_built": heal_token_stats(table)}
+
     report["vacuum"] = {
         "removed": table.vacuum(retain_versions=retain_versions)
     }

@@ -91,6 +91,43 @@ def build_token_stats(
     return _build_for(table, todo, pt, ps, pretokenize, sid)
 
 
+def _parse_spec(sid: str) -> tuple[str, str, bool]:
+    """Invert :func:`_spec_id` — the sidecar is SELF-DESCRIBING: every
+    row carries its spec, so maintenance can heal all registered
+    accountings without a manifest field (column names must not
+    contain ``|``, same contract as the drift-spec JSON)."""
+    body, pt = sid.rsplit("|pt=", 1)
+    ps, pt_col = body.split("|", 1)
+    return ps, pt_col, pt == "1"
+
+
+def heal_token_stats(table) -> int:
+    """Build (file, source, n_docs, n_tokens) rows for live files
+    missing them under EVERY spec the sidecar already holds — the
+    ``maintain()`` heal step (the distinct-sketch "whatever the
+    sidecar holds" discipline): compactions, DV rewrites, and merges
+    all stay accounted without explicit ``build_token_stats`` calls.
+    Cost ∝ unaccounted files, zero when current. Returns files
+    built."""
+    side = _sidecar(table)
+    if not os.path.isdir(side):
+        return 0
+    specs = [
+        r["spec"]
+        for r in table.spark.read.parquet(side)
+        .select("spec").distinct().collect()
+    ]
+    m = table.manifest()
+    live = [e.name for e in m.files]
+    built = 0
+    for sid in specs:
+        ps, pt_col, pt = _parse_spec(sid)
+        have = have_files(table, TOKEN_DIR, where=F.col("spec") == sid)
+        todo = [n for n in live if n not in have]
+        built += _build_for(table, todo, pt_col, ps, pt, sid)
+    return built
+
+
 def token_stats(
     table,
     text_col: str = "text",
@@ -140,6 +177,7 @@ def token_budget_plan(stats: DataFrame, budget_tokens: int) -> DataFrame:
 __all__ = [
     "TOKEN_DIR",
     "build_token_stats",
+    "heal_token_stats",
     "token_stats",
     "token_budget_plan",
 ]

@@ -41,14 +41,16 @@ def piece_stats(
     max_piece_len: int = 4,
     vocab_size: int = 150,
     wc: DataFrame | None = None,
+    pretokenize: bool = False,
 ) -> DataFrame:
     """(piece, c) — the unigram inventory with corpus-weighted
     substring occurrence counts: top ``vocab_size`` multi-char pieces
     (count DESC, piece ASC — total order) plus every corpus char with
     its own count (guaranteed coverage). One vocab-scale job over the
-    distinct-word relation."""
+    distinct-word relation. ``pretokenize`` selects the shared
+    GPT-2-style front end (operators/bpe.py:words_expr)."""
     if wc is None:
-        wc = word_counts(df, text_col)
+        wc = word_counts(df, text_col, pretokenize)
     lens = F.filter(
         F.sequence(F.lit(1), F.lit(max_piece_len)),
         lambda l: F.length("word") >= l,
@@ -228,6 +230,7 @@ def unigram_encode_docs(
     broadcast_threshold: int | None = None,
     wc: DataFrame | None = None,
     unk_id: int | None = None,
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Encode documents to unigram-LM piece-id sequences — lifecycle
     parity with operators/bpe.py:encode_docs: Viterbi-segment each
@@ -251,7 +254,7 @@ def unigram_encode_docs(
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_MAX_WORDS
     if wc is None:
-        wc = word_counts(df, text_col)
+        wc = word_counts(df, text_col, pretokenize)
     segd = viterbi_segment(wc, pieces)
     pid = unigram_piece_ids(pieces)
     exploded = segd.select(
@@ -272,7 +275,8 @@ def unigram_encode_docs(
     )
     n_words = wc.count()
     return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+        pretokenize=pretokenize,
     )
 
 
@@ -433,6 +437,7 @@ def unigram_cte_sql(
     max_piece_len: int = 4,
     vocab_size: int = 150,
     include_wc: bool = True,
+    pretokenize: bool = False,
 ) -> str:
     """DuckDB CTE chain: ``wc`` (word, cnt), ``ug_stats`` (piece, c),
     ``ug_ratio`` (piece, r = c/T) and ``ug_best`` (word, best_ll,
@@ -445,13 +450,15 @@ def unigram_cte_sql(
     ≤~20-char word — fine for an oracle, never the production path.
     ``include_wc=False`` omits the leading ``wc`` CTE so the chain can
     compose with another family's chain that already defines it (the
-    word normalization is identical across families)."""
+    word normalization is identical across families); ``pretokenize``
+    swaps the wc front end for the shared GPT-2-style run extraction
+    (operators/bpe.py:words_unnest_sql)."""
+    from parquet_rewriter_spark.operators.bpe import words_unnest_sql
+
     wc_cte = f"""wc AS (
       SELECT word, count(*) AS cnt
       FROM (
-        SELECT unnest(list_filter(
-                 regexp_split_to_array(lower({text_col}), '\\s+'),
-                 w -> w <> '')) AS word
+        SELECT {words_unnest_sql(text_col, pretokenize)} AS word
         FROM {table}
       ) GROUP BY word
     ),

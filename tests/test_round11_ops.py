@@ -389,6 +389,8 @@ _HYGIENE_QUERIES = (
     "wordpiece_packed_windows_eos",
     "unigram_packed_windows_eos",
     "pretraining_pipeline_end_to_end",
+    "unigram_pretok_encode_sample",
+    "token_budget_auto_maintained",
     # formerly leaking (round-11 full-registry audit)
     "ann_lsh_retrieval_metrics",
     "bpe_encode_sample",
