@@ -974,3 +974,79 @@ def test_unigram_viterbi_python_only_at_vocab_scale(spark, sf_dir):
     assert p.count(") ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bytelevel_decode_is_zero_exchange_codegen(spark, sf_dir):
+    """Byte-level decode (symbol map literal → hex concat → unhex →
+    UTF-8) must stay pure whole-stage codegen over the encoded
+    relation: zero shuffles, zero Python — the map literal replaces
+    the join a naive decode would shuffle on."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        decode_docs,
+        encode_docs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(
+        d, "text", n_merges=2, pretokenize=True, byte_level=True
+    )
+    enc = encode_docs(
+        d, "doc_id", "text", vocab, pretokenize=True
+    ).localCheckpoint(eager=True)  # pin: decode's own plan only
+    p = plan_of(decode_docs(enc, "input_ids", vocab, byte_level=True))
+    vocab.unpersist()
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_token_stats_fold_never_scans_the_corpus(spark, sf_dir, tmp_path):
+    """The mixture planner's whole point: token totals come from the
+    per-file sidecar (manifest-scale rows), never a corpus re-scan —
+    the fold's plan must not reference the table's data files."""
+    from parquet_rewriter_spark.operators.tokenstats import (
+        build_token_stats,
+        token_stats,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    t = SortedTable.create(
+        spark, str(tmp_path / "tok"), d, key="doc_id",
+        max_records_per_file=100,
+    )
+    build_token_stats(t)
+    p = plan_of(token_stats(t))
+    # exactly ONE scanned location, and it is the sidecar — the
+    # live-file names may appear as In-literal FILTER values (the
+    # ≤256-name isin fast path), but never as a scanned location
+    assert p.count("Location:") == 1, p
+    loc = p.split("Location:")[1].splitlines()[0]
+    assert "_tokenstats" in loc, loc
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_materialize_packed_spans_single_aggregate(spark):
+    """The doc-span flavor keeps the materializer's shape: one window
+    exchange (pack) + one hash-aggregate exchange (windows) — the span
+    output must not add a shuffle, a Python eval, or a cartesian."""
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+        with_eos,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, list(range(5))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, input_ids array<int>")
+    p4 = pack_sequences(
+        with_eos(df, "input_ids", 99), "doc_id", F.size("input_ids"),
+        max_tokens=8, shard_col=F.pmod(F.col("doc_id"), F.lit(2)),
+    )
+    plain = plan_of(materialize_packed(p4, "input_ids", 8))
+    spans = plan_of(materialize_packed(p4, "input_ids", 8, doc_col="doc_id"))
+    assert spans.count("Exchange") == plain.count("Exchange")
+    assert "CartesianProduct" not in spans
+    assert "ArrowEvalPython" not in spans and "BatchEvalPython" not in spans
