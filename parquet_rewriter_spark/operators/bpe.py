@@ -86,15 +86,30 @@ _BYTE_GATE_SAMPLE_ROWS = 65_536
 
 def _relation_bytes(rel: DataFrame, n_rows: int) -> int:
     """Estimated serialized payload of a per-distinct-word relation:
-    average JSON-rendered row width over a bounded LIMIT sample,
-    extrapolated by the already-counted row count (a close-enough
-    proxy for broadcast width in a go/no-go gate). The sample cap
-    keeps the estimate job O(sample) even when the relation itself is
-    millions of (word, ids-array) rows — a full-relation scan here
-    would add a corpus-vocab-scale job per encode call. Only
-    evaluated when the ROW count is already under
-    BROADCAST_MAX_WORDS."""
-    row = rel.limit(_BYTE_GATE_SAMPLE_ROWS).select(
+    average JSON-rendered row width over a DETERMINISTIC HASH-MOD
+    sample (~:data:`_BYTE_GATE_SAMPLE_ROWS` rows), extrapolated by
+    the already-counted row count — a close-enough proxy for
+    broadcast width in a go/no-go gate. Hash-mod (xxhash64 of the
+    relation's first column, a unique key in every caller) is UNBIASED
+    with respect to layout, unlike the former ``LIMIT`` sample, which
+    read whatever partitions answered first and could skew the width
+    estimate when row width correlates with order (e.g. a
+    frequency-sorted vocab whose long-tail words carry the widest id
+    arrays). The modulus derives from the already-known row count, so
+    the sample stays bounded; rows at or under the sample cap measure
+    exactly. Only evaluated when the ROW count is already under
+    BROADCAST_MAX_WORDS, so the one hash+filter pass is vocab-scale
+    at worst — the same cost class as the count that produced
+    ``n_rows``."""
+    mod = max(1, n_rows // _BYTE_GATE_SAMPLE_ROWS)
+    sample = (
+        rel
+        if mod == 1
+        else rel.where(
+            F.pmod(F.xxhash64(F.col(rel.columns[0])), F.lit(mod)) == 0
+        )
+    )
+    row = sample.select(
         F.sum(
             F.length(F.to_json(F.struct(*[F.col(c) for c in rel.columns])))
         ).alias("b"),
@@ -249,7 +264,42 @@ def bpe_train(
         vocab.count()
         anchor.unpersist()
     vocab._pr_n_words = n_words  # distinct-word count, join-strategy hint
+    # stamp the training normalization so encode paths can refuse a
+    # silent flag mismatch (unseen words would just drop through the
+    # inner word join, shrinking or vanishing docs with no error)
+    vocab._pr_flags = (bool(pretokenize), bool(byte_level))
     return rules, vocab
+
+
+def _assert_train_flags(
+    vocab: DataFrame,
+    pretokenize: bool,
+    byte_level: bool | None = None,
+    where: str = "encode",
+) -> None:
+    """Refuse a train/encode normalization mismatch when the vocab
+    carries its training stamp (:func:`bpe_train` sets ``_pr_flags``).
+    A mismatch is otherwise SILENT — pretokenized encode words never
+    match whitespace-trained vocab rows (and vice versa), so docs
+    shrink or vanish through the inner word join. Vocabs without the
+    stamp (e.g. reloaded from parquet) fall back to the documented
+    caller contract."""
+    flags = getattr(vocab, "_pr_flags", None)
+    if flags is None:
+        return
+    t_pt, t_bl = flags
+    if bool(pretokenize) != t_pt:
+        raise ValueError(
+            f"{where}: pretokenize={bool(pretokenize)} does not match the "
+            f"vocab's training stamp pretokenize={t_pt}; unseen words would "
+            "silently drop through the word join"
+        )
+    if byte_level is not None and bool(byte_level) != t_bl:
+        raise ValueError(
+            f"{where}: byte_level={bool(byte_level)} does not match the "
+            f"vocab's training stamp byte_level={t_bl}; symbol alphabets "
+            "would silently disagree"
+        )
 
 
 def rules_df(spark: SparkSession, rules: list[dict]) -> DataFrame:
@@ -286,13 +336,17 @@ def fertility_by(
     group_col: str,
     vocab: DataFrame,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
+    pretokenize: bool = False,
 ) -> DataFrame:
     """Tokenizer fertility (tokens per word) per group: explode the
     corpus into word occurrences, join the per-distinct-word token
     counts (broadcast under ``broadcast_threshold`` distinct words,
     hash join above — the relation is corpus-unbounded), aggregate.
-    (group, n_words, n_tokens, fertility)."""
-    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    (group, n_words, n_tokens, fertility). ``pretokenize`` MUST match
+    the vocab's training normalization (asserted when the vocab
+    carries its training stamp)."""
+    _assert_train_flags(vocab, pretokenize, where="fertility_by")
+    w = words_expr(text_col, pretokenize)
     occ = df.select(F.col(group_col).alias("grp"), F.explode(w).alias("word"))
     vt = vocab_token_counts(vocab)
     n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
@@ -494,6 +548,7 @@ def encode_docs(
     partition-dependent). The SYMBOL-id relation stays force-broadcast
     — it is merge-count-bounded (≤ alphabet + n_merges + 1 rows),
     unlike the distinct-word relation."""
+    _assert_train_flags(vocab, pretokenize, where="encode_docs")
     sid = symbol_vocab(vocab)
     word_syms = vocab.select(
         "word",
@@ -592,6 +647,11 @@ def encode_docs_with_rules(
     derives the symbol table with all 256 base bytes so NO unk is
     possible — every un-merged holdout symbol is a single byte and
     every byte has an id."""
+    if train_vocab is not None:
+        _assert_train_flags(
+            train_vocab, pretokenize, byte_level,
+            where="encode_docs_with_rules",
+        )
     sid = (
         symbol_ids
         if symbol_ids is not None

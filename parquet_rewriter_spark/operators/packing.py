@@ -286,9 +286,11 @@ def materialize_packed(
             (B + F.greatest(F.lit(0).cast("long"), w * M - B) - w * M).alias("pos"),
         ),
     )
-    doc_cols = (
-        [F.col(doc_col).cast("long").alias("docref")] if doc_col else []
-    )
+    # keep the doc column's ORIGINAL type: the span struct's sort key
+    # is pos (unique within a window), so the doc field's type is free
+    # — a long cast here would silently NULL string/uuid doc ids,
+    # losing exactly the provenance doc_spans exists to provide
+    doc_cols = [F.col(doc_col).alias("docref")] if doc_col else []
     ex = (
         packed.where(L > 0)
         .select("shard", *doc_cols, F.explode(pieces).alias("p"))

@@ -12,18 +12,41 @@ fold over the sidecar, never a 100-TB corpus re-scan. This is the
 Iceberg-count(*)-from-metadata idea extended to token totals: counts
 the format does not keep, the engine's sidecar does.
 
+TWO accounting units:
+
+- WORD counts (default): ``n_tokens`` = pretokenized word count via
+  the shared front end (operators/bpe.py:words_expr) — cheap, purely
+  JVM-side, tokenizer-free.
+- FROZEN-TOKENIZER TOKEN counts (``tokenizer=``): ``n_tokens`` = the
+  number of tokens the frozen BPE artifact actually emits for each
+  doc. A production mixture planner budgets in tokenizer TOKENS, not
+  words — fertility varies ~1.1–2× across sources/languages, so
+  word-budgets systematically misallocate exactly where mixtures
+  matter most. Counting needs ONLY the ordered merge rules (a word's
+  token count is its re-segmented symbol count — id-mapping and unk
+  resolution never change sequence LENGTH, by the frozen-path
+  contract of operators/bpe.py:encode_docs_with_rules), so the spec
+  carries a RULES-ARTIFACT PATH and the per-file build re-segments
+  each churned file's DISTINCT words once (Arrow-batched
+  apply_merges, vocab ≪ corpus) and folds symbol counts back through
+  the thresholded word join.
+
 Maintenance contract (shared with the drift/bloom/HLL sidecars):
 ``build_token_stats`` computes rows only for LIVE files missing one
 under the spec — after a merge that is the churn, never the table —
 and readers filter to the current snapshot's files via the
 broadcast-semi-join helper, so the plan stays O(1) in file count.
 Rows are additive integers, so folds are exact and order-free in any
-engine.
+engine. The sidecar is SELF-DESCRIBING for BOTH units: every row
+carries its spec, and a tokenizer spec embeds the artifact path, so
+``maintain()``'s heal step reloads the frozen rules and rebuilds
+unaccounted files with no manifest field and no retraining.
 """
 
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -37,36 +60,139 @@ from parquet_rewriter_spark.operators.sidecar import (
 TOKEN_DIR = register_sidecar("_tokenstats")
 
 
+@dataclass(frozen=True)
+class TokenizerRef:
+    """A FROZEN tokenizer for token accounting: ``rules_path`` is a
+    parquet relation of ordered merge rules (step, lhs, rhs, merged —
+    operators/bpe.py:rules_df's schema; a tokenizer-registry
+    SortedTable's data directory works too, rules are append-only),
+    ``pretokenize``/``byte_level`` are the training normalization
+    flags. The path is embedded in the sidecar spec (no ``|`` or
+    newlines), making tokenizer accountings heal-able from the
+    sidecar alone."""
+
+    rules_path: str
+    pretokenize: bool = False
+    byte_level: bool = False
+
+    def __post_init__(self):
+        if "|" in self.rules_path or "\n" in self.rules_path:
+            raise ValueError(
+                "tokenizer rules_path must not contain '|' or newlines "
+                "(it is embedded in the sidecar spec string)"
+            )
+
+
 def _sidecar(table) -> str:
     return os.path.join(table.path, TOKEN_DIR)
 
 
-def _spec_id(source_col: str, text_col: str, pretokenize: bool) -> str:
-    return f"{source_col}|{text_col}|pt={int(bool(pretokenize))}"
+def _spec_id(
+    source_col: str,
+    text_col: str,
+    pretokenize: bool,
+    tokenizer: TokenizerRef | None = None,
+) -> str:
+    base = f"{source_col}|{text_col}|pt={int(bool(pretokenize))}"
+    if tokenizer is not None:
+        base += (
+            f"|bl={int(bool(tokenizer.byte_level))}|tok={tokenizer.rules_path}"
+        )
+    return base
+
+
+def _load_rules(spark, rules_path: str) -> list[dict]:
+    """Reload the frozen merge rules from their artifact path, in
+    learned order — the artifact is rule-count-bounded (≤ n_merges
+    rows), so the collect is the same cost class as training's own
+    per-merge collect."""
+    rows = (
+        spark.read.parquet(rules_path)
+        .select("step", "lhs", "rhs")
+        .orderBy("step")
+        .collect()
+    )
+    return [
+        {"step": int(r["step"]), "lhs": r["lhs"], "rhs": r["rhs"],
+         "merged": r["lhs"] + r["rhs"]}
+        for r in rows
+    ]
 
 
 def _build_for(
-    table, names: list[str], pt: str, ps: str, pretokenize: bool, sid: str
+    table,
+    names: list[str],
+    pt: str,
+    ps: str,
+    pretokenize: bool,
+    sid: str,
+    tokenizer: TokenizerRef | None = None,
 ) -> int:
     if not names:
         return 0
     spark = table.spark
-    src = spark.read.parquet(
+    base = spark.read.parquet(
         *[os.path.join(table.path, n) for n in names]
     ).select(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
         F.col(ps).alias("source"),
-        F.size(words_expr(pt, pretokenize)).cast("long").alias("__tok"),
+        words_expr(pt, pretokenize).alias("__words"),
     )
-    rows = (
-        src.groupBy("file", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__tok").alias("n_tokens"),
+    if tokenizer is None:
+        rows = (
+            base.select(
+                "file", "source", F.size("__words").cast("long").alias("__tok")
+            )
+            .groupBy("file", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__tok").alias("n_tokens"),
+            )
+            .withColumn("spec", F.lit(sid))
         )
-        .withColumn("spec", F.lit(sid))
+        rows.write.mode("append").parquet(_sidecar(table))
+        return len(names)
+    from parquet_rewriter_spark.operators.bpe import (
+        BROADCAST_MAX_WORDS,
+        _word_join,
+        apply_merges,
     )
-    rows.write.mode("append").parquet(_sidecar(table))
+
+    rules = _load_rules(spark, tokenizer.rules_path)
+    occ = base.select("file", "source", F.explode("__words").alias("word"))
+    wc = occ.select("word").distinct().persist()
+    try:
+        n_words = wc.count()
+        seg = apply_merges(wc, rules, byte_level=tokenizer.byte_level)
+        wtok = seg.select(
+            "word",
+            F.size(F.split(F.trim(F.col("sym")), " "))
+            .cast("long")
+            .alias("__ntw"),
+        )
+        toks = (
+            _word_join(occ, wtok, n_words, BROADCAST_MAX_WORDS)
+            .groupBy("file", "source")
+            .agg(F.sum("__ntw").alias("n_tokens"))
+        )
+        docs = base.groupBy("file", "source").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        rows = (
+            docs.join(toks, ["file", "source"], "left")
+            .select(
+                "file",
+                "source",
+                "n_docs",
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+            )
+            .withColumn("spec", F.lit(sid))
+        )
+        rows.write.mode("append").parquet(_sidecar(table))
+    finally:
+        wc.unpersist()
     return len(names)
 
 
@@ -75,30 +201,48 @@ def build_token_stats(
     text_col: str = "text",
     source_col: str = "source",
     pretokenize: bool = False,
+    tokenizer: TokenizerRef | None = None,
 ) -> int:
     """(file, source, n_docs, n_tokens) rows for every LIVE file
     missing one under this spec. Returns the number of files built —
     after a merge this is the churn, never the table. ``pretokenize``
     selects the shared GPT-2-style word normalization
     (operators/bpe.py:words_expr) so the accounting matches whichever
-    tokenizer front end the pipeline trains with."""
+    tokenizer front end the pipeline trains with. ``tokenizer``
+    switches the unit from WORDS to FROZEN-TOKENIZER TOKENS (see
+    module docstring): its ``pretokenize`` flag overrides the word
+    normalization so occurrence words always match what the artifact
+    was trained on."""
     m = table.manifest()
     pt = table.to_physical(text_col, m)
     ps = table.to_physical(source_col, m)
-    sid = _spec_id(ps, pt, pretokenize)
+    if tokenizer is not None:
+        pretokenize = tokenizer.pretokenize
+    sid = _spec_id(ps, pt, pretokenize, tokenizer)
     have = have_files(table, TOKEN_DIR, where=F.col("spec") == sid)
     todo = [e.name for e in m.files if e.name not in have]
-    return _build_for(table, todo, pt, ps, pretokenize, sid)
+    return _build_for(table, todo, pt, ps, pretokenize, sid, tokenizer)
 
 
-def _parse_spec(sid: str) -> tuple[str, str, bool]:
+def _parse_spec(sid: str) -> tuple[str, str, bool, TokenizerRef | None]:
     """Invert :func:`_spec_id` — the sidecar is SELF-DESCRIBING: every
     row carries its spec, so maintenance can heal all registered
     accountings without a manifest field (column names must not
-    contain ``|``, same contract as the drift-spec JSON)."""
+    contain ``|``, same contract as the drift-spec JSON). Tokenizer
+    specs additionally carry the flags and rules-artifact path needed
+    to reload the frozen tokenizer."""
+    tok: TokenizerRef | None = None
+    tok_path = None
+    if "|tok=" in sid:
+        sid, tok_path = sid.split("|tok=", 1)
+        sid, bl = sid.rsplit("|bl=", 1)
+        byte_level = bl == "1"
     body, pt = sid.rsplit("|pt=", 1)
     ps, pt_col = body.split("|", 1)
-    return ps, pt_col, pt == "1"
+    pretokenize = pt == "1"
+    if tok_path is not None:
+        tok = TokenizerRef(tok_path, pretokenize, byte_level)
+    return ps, pt_col, pretokenize, tok
 
 
 def heal_token_stats(table) -> int:
@@ -106,9 +250,10 @@ def heal_token_stats(table) -> int:
     missing them under EVERY spec the sidecar already holds — the
     ``maintain()`` heal step (the distinct-sketch "whatever the
     sidecar holds" discipline): compactions, DV rewrites, and merges
-    all stay accounted without explicit ``build_token_stats`` calls.
-    Cost ∝ unaccounted files, zero when current. Returns files
-    built."""
+    all stay accounted without explicit ``build_token_stats`` calls,
+    for word AND frozen-tokenizer accountings alike (tokenizer specs
+    reload their rules from the embedded artifact path). Cost ∝
+    unaccounted files, zero when current. Returns files built."""
     side = _sidecar(table)
     if not os.path.isdir(side):
         return 0
@@ -121,10 +266,10 @@ def heal_token_stats(table) -> int:
     live = [e.name for e in m.files]
     built = 0
     for sid in specs:
-        ps, pt_col, pt = _parse_spec(sid)
+        ps, pt_col, pretokenize, tok = _parse_spec(sid)
         have = have_files(table, TOKEN_DIR, where=F.col("spec") == sid)
         todo = [n for n in live if n not in have]
-        built += _build_for(table, todo, pt_col, ps, pt, sid)
+        built += _build_for(table, todo, pt_col, ps, pretokenize, sid, tok)
     return built
 
 
@@ -133,16 +278,20 @@ def token_stats(
     text_col: str = "text",
     source_col: str = "source",
     pretokenize: bool = False,
+    tokenizer: TokenizerRef | None = None,
 ) -> DataFrame:
     """(source, n_docs, n_tokens) for the CURRENT snapshot — a
     manifest-scale fold over the sidecar (live-file semi-join, one
     integer sum per source), zero corpus I/O. Exact: the per-file rows
     are integers, so the fold is order-free and equals the from-scratch
-    scan bit-for-bit."""
+    scan bit-for-bit. Pass the same ``tokenizer`` the stats were built
+    with to read the frozen-token accounting."""
     m = table.manifest()
     pt = table.to_physical(text_col, m)
     ps = table.to_physical(source_col, m)
-    sid = _spec_id(ps, pt, pretokenize)
+    if tokenizer is not None:
+        pretokenize = tokenizer.pretokenize
+    sid = _spec_id(ps, pt, pretokenize, tokenizer)
     sc = table.spark.read.parquet(_sidecar(table)).where(
         F.col("spec") == sid
     )
@@ -176,6 +325,7 @@ def token_budget_plan(stats: DataFrame, budget_tokens: int) -> DataFrame:
 
 __all__ = [
     "TOKEN_DIR",
+    "TokenizerRef",
     "build_token_stats",
     "heal_token_stats",
     "token_stats",

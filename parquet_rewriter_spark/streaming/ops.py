@@ -1264,20 +1264,36 @@ def stream_cusum(
     R = int(round_to)
 
     def fn(key_tuple, pdfs, state):
+        import math
+
         import pandas as pd
-        from decimal import ROUND_HALF_UP, Decimal
+        from decimal import ROUND_HALF_UP, Decimal, localcontext
 
         # Spark's F.round (the batch twin's grid) is HALF_UP over the
         # double's shortest decimal repr (BigDecimal.valueOf); Python's
         # built-in round is banker's-on-exact-binary and diverges at
         # .5-midpoints of the grid (e.g. 2.675 at R=2), which would
-        # break the bit-for-bit stream==batch contract.
+        # break the bit-for-bit stream==batch contract. Non-finite
+        # inputs pass through un-quantized (Decimal.quantize raises on
+        # NaN/±Inf where F.round propagates them), and the quantize
+        # runs under a raised-precision context so a large-magnitude
+        # sensor value can't overflow the default 28-digit coefficient
+        # and kill the whole micro-batch.
         quantum = Decimal(1).scaleb(-R)
 
         def r_grid(x: float) -> float:
-            return float(
-                Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP)
-            )
+            if not math.isfinite(x):
+                return x  # F.round propagates NaN/±Inf unchanged
+            with localcontext() as ctx:
+                # a double's integer part has ≤ 309 decimal digits;
+                # 400 covers any finite double at any grid scale, so
+                # quantize can never raise InvalidOperation here
+                ctx.prec = 400
+                return float(
+                    Decimal(repr(x)).quantize(
+                        quantum, rounding=ROUND_HALF_UP
+                    )
+                )
 
         grp = str(key_tuple[0])
         ms = stats.get(grp)
