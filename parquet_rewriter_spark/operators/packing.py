@@ -212,6 +212,108 @@ def length_bucket_batches(
     )
 
 
+# Default (shard → global key) stride for persisted packed windows:
+# pack_key = shard · stride + seq_id. 2^40 windows/shard ≈ 4.5e18
+# tokens at 4k-token windows — far beyond any corpus — while
+# shard < 2^23 keeps the product inside a signed BIGINT.
+PACK_KEY_STRIDE = 1 << 40
+
+
+def persist_packed(
+    windows: DataFrame,
+    path: str,
+    ids_col: str = "input_ids",
+    key_stride: int = PACK_KEY_STRIDE,
+    tag: str | None = None,
+    max_records_per_file: int | None = None,
+):
+    """Persist :func:`materialize_packed`'s windows as a VERSIONED
+    SortedTable — the registry discipline the tokenizer artifacts
+    already get, extended to the training shards themselves: a
+    reproducible training run needs the exact window set ON the
+    engine's storage, with tags, time travel, and zone maps, not an
+    ephemeral DataFrame. Keyed by ``pack_key = shard · key_stride +
+    seq_id`` (integer, collision-free by construction, SQL-replayable)
+    so the sorted write range-partitions by shard-then-sequence —
+    training consumers read shard-contiguous files; (shard, seq_id)
+    zone maps prune single-shard reads to that shard's files. Adds
+    ``ids_digest`` (md5 of the comma-joined id stream) as a stored
+    integrity column: a disjoint reader can verify a reloaded window
+    against the digest without re-deriving the pipeline. ``tag`` pins
+    the created snapshot (a tag survives any vacuum policy —
+    ``read(tag)`` stays reproducible forever).
+
+    Scale shape: one range exchange (the sorted write), no collect;
+    everything else is pure projection."""
+    from parquet_rewriter_spark.table import (
+        DEFAULT_MAX_RECORDS_PER_FILE,
+        SortedTable,
+    )
+
+    wd = windows.withColumn(
+        "pack_key",
+        (F.col("shard").cast("long") * F.lit(int(key_stride))
+         + F.col("seq_id").cast("long")),
+    ).withColumn(
+        "ids_digest",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col(ids_col), lambda x: x.cast("string"))
+            )
+        ),
+    )
+    t = SortedTable.create(
+        windows.sparkSession,
+        path,
+        wd,
+        key="pack_key",
+        max_records_per_file=(
+            max_records_per_file or DEFAULT_MAX_RECORDS_PER_FILE
+        ),
+        stats_cols=["shard", "seq_id"],
+    )
+    if tag is not None:
+        t.tag(tag)
+    return t
+
+
+def training_order(
+    windows: DataFrame,
+    shard_col: str = "shard",
+    seq_col: str = "seq_id",
+    salt: int = 0,
+    out_col: str = "order_key",
+) -> DataFrame:
+    """DETERMINISTIC GLOBAL SHUFFLE ORDER for packed training windows
+    — every production run consumes windows in a reproducible
+    pseudo-random order, not document order (document order correlates
+    adjacent windows by source/topic; SGD wants them scattered). Adds
+    ``out_col`` = md5 of ``salt:shard:seq_id`` — a pure projection
+    (zero exchange, zero Python) whose lexicographic order IS the
+    training order contract: ORDER BY (order_key, shard, seq_id), the
+    trailing columns a total tiebreak. md5 renders identical lowercase
+    hex in Spark, DuckDB, and Python, so the order is engine-portable
+    and a different ``salt`` per epoch gives an independent
+    deterministic reshuffle.
+
+    Scale shape: the order is a SORT KEY, not a materialized global
+    rank — consumers range-partition on it (Spark's sort is a
+    distributed range exchange), so no single-partition window ever
+    exists; the key's first hex chars are uniform, so range splits are
+    balanced by construction."""
+    return windows.withColumn(
+        out_col,
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(int(salt)).cast("string"),
+                F.col(shard_col).cast("string"),
+                F.col(seq_col).cast("string"),
+            )
+        ),
+    )
+
+
 def with_eos(
     docs: DataFrame,
     ids_col: str,

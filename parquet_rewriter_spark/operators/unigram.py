@@ -35,6 +35,15 @@ from pyspark.sql import DataFrame, functions as F
 from parquet_rewriter_spark.operators.bpe import word_counts
 
 
+def hex_word(word_col: str = "word") -> "F.Column":
+    """Uppercase hex rendering of a word's UTF-8 bytes — the
+    byte-level unigram alphabet (the operators/bpe.py:_init_sym
+    discipline without symbol padding): Spark ``hex(encode(w))`` ==
+    DuckDB ``hex(w)`` == Python ``'%02X'``, all uppercase, so every
+    byte-level relation replays bit-identically across engines."""
+    return F.hex(F.encode(F.col(word_col), "UTF-8"))
+
+
 def piece_stats(
     df: DataFrame,
     text_col: str,
@@ -42,39 +51,74 @@ def piece_stats(
     vocab_size: int = 150,
     wc: DataFrame | None = None,
     pretokenize: bool = False,
+    byte_level: bool = False,
 ) -> DataFrame:
     """(piece, c) — the unigram inventory with corpus-weighted
     substring occurrence counts: top ``vocab_size`` multi-char pieces
     (count DESC, piece ASC — total order) plus every corpus char with
     its own count (guaranteed coverage). One vocab-scale job over the
     distinct-word relation. ``pretokenize`` selects the shared
-    GPT-2-style front end (operators/bpe.py:words_expr)."""
+    GPT-2-style front end (operators/bpe.py:words_expr).
+
+    ``byte_level=True`` is SentencePiece's byte-fallback alphabet
+    applied to the unigram family: pieces are BYTE-ALIGNED substrings
+    of the word's UTF-8 hex rendering (even length 2·k, even offsets —
+    a piece is always a whole-byte run, never a split nibble), the
+    guaranteed-coverage class is single BYTES (hex pairs), and the
+    multi-piece rung starts at two bytes. Because every inventory
+    piece has even length and the DP/oracle both extend from offset 0,
+    segmentations can never go mid-byte — alignment is structural, not
+    checked."""
     if wc is None:
         wc = word_counts(df, text_col, pretokenize)
-    lens = F.filter(
-        F.sequence(F.lit(1), F.lit(max_piece_len)),
-        lambda l: F.length("word") >= l,
-    )
-    subs = F.flatten(
-        F.transform(
-            lens,
-            lambda l: F.transform(
-                F.sequence(F.lit(1), F.length("word") - l + 1),
-                lambda i: F.col("word").substr(i, l),
+    if byte_level:
+        wc = wc.select(hex_word("word").alias("word"), "cnt")
+        lens = F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(max_piece_len)),
+                lambda b: b * 2,
             ),
+            lambda l: F.length("word") >= l,
         )
-    )
+        subs = F.flatten(
+            F.transform(
+                lens,
+                lambda l: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        ((F.length("word") - l) / 2).cast("int"),
+                    ),
+                    lambda j: F.col("word").substr(j * 2 + 1, l),
+                ),
+            )
+        )
+        min_multi = 4  # two bytes
+    else:
+        lens = F.filter(
+            F.sequence(F.lit(1), F.lit(max_piece_len)),
+            lambda l: F.length("word") >= l,
+        )
+        subs = F.flatten(
+            F.transform(
+                lens,
+                lambda l: F.transform(
+                    F.sequence(F.lit(1), F.length("word") - l + 1),
+                    lambda i: F.col("word").substr(i, l),
+                ),
+            )
+        )
+        min_multi = 2
     counts = (
         wc.select(F.explode(subs).alias("piece"), "cnt")
         .groupBy("piece")
         .agg(F.sum("cnt").alias("c"))
     )
     topk = (
-        counts.where(F.length("piece") >= 2)
+        counts.where(F.length("piece") >= min_multi)
         .orderBy(F.col("c").desc(), "piece")
         .limit(vocab_size)
     )
-    chars = counts.where(F.length("piece") == 1)
+    chars = counts.where(F.length("piece") < min_multi)
     return topk.unionByName(chars)
 
 
@@ -141,6 +185,7 @@ def viterbi_segment(
     words: DataFrame,
     pieces: DataFrame,
     word_col: str = "word",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Per-word maximum-likelihood SEGMENTATION (not just its score):
     adds ``pieces`` (array<string>, the optimal piece sequence) and
@@ -165,18 +210,27 @@ def viterbi_segment(
     ``unk_id`` at the id-map step (:func:`unigram_encode_docs`). On
     the training corpus itself every char is in the inventory, so the
     fallback is unreachable there and existing results are
-    unchanged."""
+    unchanged.
+
+    ``byte_level=True`` segments BYTE-ALIGNED hex words (the input
+    column must already be the :func:`hex_word` rendering): inventory
+    pieces all have even length, so every DP extension from offset 0
+    lands on a byte boundary — alignment is structural — and the
+    no-path fallback splits into HEX PAIRS (single bytes), the
+    SentencePiece byte-fallback: combined with a base-256 id table
+    (:func:`unigram_piece_ids` ``base_bytes=True``) NO input can ever
+    produce an unk."""
     rows = pieces.select("piece", "c").collect()
     total = float(sum(int(r["c"]) for r in rows))
     ratio = {r["piece"]: int(r["c"]) / total for r in rows}
     spark = words.sparkSession
     bc = spark.sparkContext.broadcast(
-        (ratio, max((len(p) for p in ratio), default=1))
+        (ratio, max((len(p) for p in ratio), default=1), bool(byte_level))
     )
 
     @F.pandas_udf("array<string>")
     def seg(col: pd.Series) -> pd.Series:
-        rmap, lmax = bc.value
+        rmap, lmax, as_bytes = bc.value
 
         def one(w):
             if not w:
@@ -199,7 +253,11 @@ def viterbi_segment(
                     ):
                         best[i] = (s, cand)
             if best[n] is None:
-                return list(w)  # char fallback: never drop the word
+                # never drop the word: per-char fallback, per-BYTE
+                # (hex-pair) in byte-level mode
+                if as_bytes:
+                    return [w[k : k + 2] for k in range(0, n, 2)]
+                return list(w)
             return best[n][1].split(" ")
 
         return col.map(one)
@@ -209,15 +267,28 @@ def viterbi_segment(
     )
 
 
-def unigram_piece_ids(pieces: DataFrame) -> DataFrame:
+def unigram_piece_ids(pieces: DataFrame, base_bytes: bool = False) -> DataFrame:
     """(piece, piece_id): dense ids in piece order over the bounded
     unigram inventory — the artifact id map, deterministic in any
     engine (single-partition window over ≤ vocab_size + alphabet
-    rows)."""
+    rows).
+
+    ``base_bytes=True`` (byte-level inventories only) unions ALL 256
+    single-byte pieces (uppercase hex pairs) into the id space — the
+    operators/bpe.py:symbol_vocab(base_bytes=True) guarantee carried
+    to the unigram family: a no-path holdout word byte-fallbacks into
+    hex pairs (:func:`viterbi_segment`), and every hex pair has an id,
+    so NO input can surface an unk."""
     from pyspark.sql import Window
 
+    ps = pieces.select("piece")
+    if base_bytes:
+        base = pieces.sparkSession.range(256).select(
+            F.lpad(F.upper(F.hex(F.col("id"))), 2, "0").alias("piece")
+        )
+        ps = ps.unionByName(base).distinct()
     w = Window.partitionBy().orderBy("piece")
-    return pieces.select(
+    return ps.select(
         "piece", (F.row_number().over(w) - 1).alias("piece_id")
     )
 
@@ -231,6 +302,8 @@ def unigram_encode_docs(
     wc: DataFrame | None = None,
     unk_id: int | None = None,
     pretokenize: bool = False,
+    byte_level: bool = False,
+    base_bytes: bool = False,
 ) -> DataFrame:
     """Encode documents to unigram-LM piece-id sequences — lifecycle
     parity with operators/bpe.py:encode_docs: Viterbi-segment each
@@ -245,7 +318,14 @@ def unigram_encode_docs(
     :func:`viterbi_segment` and their out-of-inventory chars id-map
     through a LEFT join to ``unk_id`` — the inner-join default would
     SILENTLY DROP those occurrences and could make whole docs vanish
-    (the BPE/WordPiece frozen twins' unk parity)."""
+    (the BPE/WordPiece frozen twins' unk parity).
+
+    ``byte_level``/``base_bytes`` are the no-unk production pair
+    (must match the inventory's training): words segment as
+    byte-aligned hex renderings, no-path words fall back to hex
+    PAIRS, and the id table carries all 256 base bytes — so even on a
+    fully disjoint corpus every sequence id-maps completely
+    (``min_id`` ≥ 0, the byte-level BPE twin's guarantee)."""
     from parquet_rewriter_spark.operators.bpe import (
         BROADCAST_MAX_WORDS,
         assemble_doc_ids,
@@ -255,8 +335,18 @@ def unigram_encode_docs(
         broadcast_threshold = BROADCAST_MAX_WORDS
     if wc is None:
         wc = word_counts(df, text_col, pretokenize)
-    segd = viterbi_segment(wc, pieces)
-    pid = unigram_piece_ids(pieces)
+    if byte_level:
+        # segment the hex rendering; the corpus join key stays the
+        # raw word (assemble_doc_ids joins docs' words against it)
+        segd = viterbi_segment(
+            wc.withColumn("__hexw", hex_word("word")),
+            pieces,
+            word_col="__hexw",
+            byte_level=True,
+        ).drop("__hexw")
+    else:
+        segd = viterbi_segment(wc, pieces)
+    pid = unigram_piece_ids(pieces, base_bytes=base_bytes)
     exploded = segd.select(
         "word", F.posexplode("pieces").alias("pos", "piece")
     )
