@@ -142,9 +142,16 @@ HEADLINE = [
     "bpe_pretok_encode_sample",
     "bpe_packed_windows_eos",
     "token_budget_from_stats",
+    # round-12 families
+    "token_budget_bpe_tokens",
+    "packed_shards_versioned_table",
+    "unigram_bytelevel_holdout",
 ]
 
 EXTENDED = [
+    # round-12 remainder
+    "packed_windows_training_order",
+    "image_header_dims_patch_grid",
     # round-11 remainder
     "wordpiece_pretok_encode_sample",
     "bpe_bytelevel_roundtrip",

@@ -18556,73 +18556,90 @@ def image_header_dims_patch_grid(
 # weaker check should be re-recorded. Everything else keeps definition
 # order and rotates through the remaining slots.
 _VERIFY_FIRST = (
-    # Round-11 rotation. Lead: every round-11-NEW query (the
-    # pretokenizer + byte-level BPE family, EOS/doc-span packed
-    # windows, the end-to-end pretraining flagship, the token-count
-    # sidecar, the frozen-unigram unk holdout), then round-11-TOUCHED
-    # code paths (the q11/q15/q20 cache-hygiene rewrites; the
-    # seasonal-naive full-horizon filter; the stream-CUSUM HALF_UP
-    # rounding; the frozen-unigram unk default; the single-collect
-    # materialize_packed refactor under every packed query), then —
-    # verdict r10 #4 — the REMAINDER of the r03-stale driver pool
-    # (r10's snapshot drained the pool's first 13; this fills the
-    # budget with the rest, emptying it).
-    # round-11 new
-    "bpe_pretok_encode_sample",
-    "wordpiece_pretok_encode_sample",
-    "bpe_bytelevel_roundtrip",
-    "bpe_bytelevel_holdout_no_unk",
+    # Round-12 rotation (VERDICT r11 #5). Lead: the three queries the
+    # 52-entry r11 list pushed past the 50-slot budget (the last
+    # r03-stale records), then every round-12-NEW query, then
+    # round-12-TOUCHED code paths (the q11/q15 empty-aggregate guards;
+    # the stream-CUSUM quantize hardening; materialize_packed's
+    # doc-type preservation under every doc_spans query; the tokenizer
+    # flag stamps under every encode/fertility query; the tokenstats
+    # tokenizer refactor; the unigram piece_stats/piece_ids byte-level
+    # refactor; the patch-grid/letterbox consumers of the new real-dims
+    # path). TAIL POLICY (new this round): oldest-driver-record-first —
+    # the remaining slots drain whichever green records are stalest
+    # (annotated with their last CORRECTNESS_r{N} appearance), so
+    # staleness can never accumulate again; regenerate the tail each
+    # round from the CORRECTNESS_r*.json history.
+    # lead: the three r03-stale queries the r11 snapshot missed
+    "user_session_stats",
+    "variant_props_stats",
+    "weighted_median_price",
+    # round-12 new
+    "token_budget_bpe_tokens",
+    "packed_shards_versioned_table",
+    "packed_windows_training_order",
+    "unigram_bytelevel_holdout",
+    "image_header_dims_patch_grid",
+    # round-12-touched code paths
+    "q11_important_parts",
+    "q15_top_supplier",
+    "stream_event_rate_cusum",
     "bpe_packed_windows_eos",
     "wordpiece_packed_windows_eos",
     "unigram_packed_windows_eos",
     "pretraining_pipeline_end_to_end",
     "token_budget_from_stats",
     "token_budget_auto_maintained",
+    "bpe_encode_sample",
+    "bpe_token_fertility",
+    "tokenizer_artifact_roundtrip",
+    "bpe_pretok_encode_sample",
+    "bpe_bytelevel_holdout_no_unk",
+    "unigram_best_segmentations",
     "unigram_encode_unk_holdout",
     "unigram_pretok_encode_sample",
-    # round-11-touched code paths
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q20_dominant_shippers",
-    "holtwinters_vs_naive_skill",
-    "stream_unigram_encoded_ingest",
-    "stream_event_rate_cusum",
-    "bpe_packed_training_windows",
-    "bpe_packed_windows_dense",
-    "wordpiece_packed_windows",
-    "unigram_packed_windows",
-    "stream_packed_assignments",
-    # stalest driver-green pool (last recorded round 3) — the rest
-    "hourly_event_counts",
     "image_patch_grid",
-    "leakage_safe_split",
-    "multi_table_txn_scan",
-    "purchase_asof_click",
-    "q10_returned_revenue",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q16_supplier_part_variety",
-    "q19_bracketed_disjunction_revenue",
-    "q9_profit_by_nation_year",
-    "referential_orphans_report",
-    "region_nation_revenue_shares",
-    "rolling_7d_distinct_users",
-    "routed_scan_report",
-    "stratified_sample_docs",
-    "stream_cms_token_frequencies",
-    "stream_dedup_events",
-    "stream_purchase_click_join",
-    "stream_pyds_table_changes",
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "stream_window_approx_users",
-    "train_val_test_split",
-    "user_event_type_map",
-    "user_session_stats",
-    "variant_props_stats",
-    "weighted_median_price",
+    # oldest-driver-record-first tail (last recorded round annotated)
+    "ann_ivf_topk",  # r01
+    "ann_lsh_topk",  # r01
+    "minhash_near_dup_pairs",  # r01
+    "simhash_near_pairs",  # r01
+    "customer_balance_deciles",  # r02
+    "customer_order_breadth",  # r02
+    "customer_running_total",  # r02
+    "customers_without_orders",  # r02
+    "doc_chunks",  # r02
+    "doc_tfidf_topterms",  # r02
+    "events_props_keyset",  # r02
+    "frame_sample_offsets",  # r02
+    "incremental_compact_then_scan",  # r02
+    "incremental_matview_refresh",  # r02
+    "json_roundtrip_agg",  # r02
+    "key_range_scan",  # r02
+    "knn_join_sample",  # r02
+    "lineitem_numeric_profile",  # r02
+    "orc_roundtrip_agg",  # r02
+    "order_gap_days",  # r02
+    "order_priority_count",  # r02
+    "order_value_percentiles",  # r02
+    "orders_constraint_report",  # r02
+    "orders_snapshot_diff",  # r02
+    "pii_redaction_stats",  # r02
+    "pricing_summary",  # r02
+    "priority_grouping_sets",  # r02
+    "repeat_status_customers",  # r02
+    "retention_delete_scan",  # r02
+    "revenue_by_nation",  # r02
+    "revenue_forecast",  # r02
+    "rolling_30d_revenue",  # r02
+    "schema_evolution_scan",  # r02
+    "secondary_zonemap_scan",  # r02
+    "single_status_customers",  # r02
+    "status_pivot_by_priority",  # r02
+    "status_priority_rollup",  # r02
+    "stream_table_changes",  # r02
+    "supplier_nation_join",  # r02
+    "table_changes_feed",  # r02
 )
 
 
