@@ -547,6 +547,29 @@ def _same_family(a, b) -> bool:
     return isinstance(a, fam) and isinstance(b, fam)
 
 
+def _eq_ignore_nullability(a, b) -> bool:
+    """Type equality modulo nullability at EVERY nesting level —
+    ``array<int>`` with ``containsNull=false`` (a ``transform`` over a
+    non-null array) must merge into a table column written with
+    ``containsNull=true`` (a ``concat``/``when`` lineage), and vice
+    versa: parquet stores the values identically and the union in
+    apply_mutations coerces nullability anyway. Without this, two
+    columns that both print ``array<int>`` refuse to merge."""
+
+    def norm(j):
+        if isinstance(j, dict):
+            return {
+                k: (True if k in ("nullable", "containsNull",
+                                  "valueContainsNull") else norm(v))
+                for k, v in j.items()
+            }
+        if isinstance(j, list):
+            return [norm(x) for x in j]
+        return j
+
+    return norm(a.jsonValue()) == norm(b.jsonValue())
+
+
 def plan_dirty_files(
     spark: SparkSession,
     manifest: Manifest,
@@ -801,7 +824,11 @@ def merge_into_table(
         widened_fields: list[StructField] = []
         for f in table_schema.fields:
             mt = mut_types.get(f.name)
-            if mt is not None and mt != f.dataType:
+            if (
+                mt is not None
+                and mt != f.dataType
+                and not _eq_ignore_nullability(mt, f.dataType)
+            ):
                 if _widens(f.dataType, mt):
                     widened_fields.append(StructField(f.name, mt, True))
                     widened_any = True

@@ -277,6 +277,99 @@ def persist_packed(
     return t
 
 
+def append_packed(
+    table,
+    win_inc: DataFrame,
+    key_stride: int = PACK_KEY_STRIDE,
+) -> dict:
+    """Append a corpus INCREMENT's materialized windows to a persisted
+    packed-shard table (:func:`persist_packed`) — the growing-corpus
+    path: pack the increment with :func:`pack_sequences`
+    ``start_offsets=`` (so its global offsets continue each shard's
+    stream), materialize, then call this. Intersection semantics: the
+    increment's FIRST window per shard may be the continuation of the
+    table's last PARTIAL window — their arrays concatenate
+    position-correctly by construction (materialize_packed's pieces
+    are pos-sorted and the increment's in-window positions start
+    exactly at the old fragment's length; doc_spans carry absolute
+    in-window starts, so provenance concatenates too). Everything else
+    is a plain insert. After this, the table equals the one-shot pack
+    of the union bit-for-bit (oracled).
+
+    Scale shape: the boundary windows are at most ONE KEY PER SHARD —
+    fetched as num_shards zone-map-pruned point reads (the reference's
+    R5 stats-pruned seek), never a table scan; the combine is a
+    broadcast join against that num_shards-row relation; the write is
+    one ``merge_into_table`` whose churn is the touched files only.
+    Returns the merge report."""
+    from functools import reduce
+
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+
+    inc = win_inc.withColumn(
+        "pack_key",
+        (F.col("shard").cast("long") * F.lit(int(key_stride))
+         + F.col("seq_id").cast("long")),
+    )
+    # the only windows that can already exist: each shard's FIRST
+    # increment window (num_shards rows, collected as a plan constant)
+    firsts = (
+        inc.groupBy("shard").agg(F.min("seq_id").alias("seq_id")).collect()
+    )
+    keys = [
+        int(r["shard"]) * int(key_stride) + int(r["seq_id"]) for r in firsts
+    ]
+    olds = [
+        table.read_where({"pack_key": (k, k)}) for k in sorted(keys)
+    ]
+    old = (
+        reduce(lambda a, b: a.unionByName(b), olds)
+        if olds
+        else table.read().limit(0)
+    )
+    o = old.select(
+        "pack_key",
+        F.col("input_ids").alias("__o_ids"),
+        F.col("piece_lengths").alias("__o_pl"),
+        *(
+            [F.col("doc_spans").alias("__o_ds")]
+            if "doc_spans" in old.columns
+            else []
+        ),
+    )
+    j = inc.join(F.broadcast(o), "pack_key", "left")
+    has_old = F.col("__o_ids").isNotNull()
+    ids = F.when(has_old, F.concat("__o_ids", "input_ids")).otherwise(
+        F.col("input_ids")
+    )
+    pl = F.when(has_old, F.concat("__o_pl", "piece_lengths")).otherwise(
+        F.col("piece_lengths")
+    )
+    cols = [
+        F.col("pack_key"),
+        F.col("shard"),
+        F.col("seq_id"),
+        ids.alias("input_ids"),
+        F.size(ids).alias("n_tokens"),
+        F.size(pl).cast("long").alias("n_pieces"),
+        pl.alias("piece_lengths"),
+    ]
+    if "doc_spans" in win_inc.columns:
+        ds = F.when(has_old, F.concat("__o_ds", "doc_spans")).otherwise(
+            F.col("doc_spans")
+        )
+        cols.append(ds.alias("doc_spans"))
+    cols.append(
+        F.md5(
+            F.concat_ws(",", F.transform(ids, lambda x: x.cast("string")))
+        ).alias("ids_digest")
+    )
+    muts = j.select(*cols).withColumn("op", F.lit("UPSERT"))
+    # column order must match the table schema
+    muts = muts.select(*[c for c in table.read().columns], "op")
+    return merge_into_table(table, muts)
+
+
 def training_order(
     windows: DataFrame,
     shard_col: str = "shard",

@@ -1050,3 +1050,73 @@ def test_materialize_packed_spans_single_aggregate(spark):
     assert spans.count("Exchange") == plain.count("Exchange")
     assert "CartesianProduct" not in spans
     assert "ArrowEvalPython" not in spans and "BatchEvalPython" not in spans
+
+
+def test_training_order_is_pure_projection(spark):
+    """The per-epoch shuffle key must add ZERO exchanges and ZERO
+    Python over the windows it decorates — it is a sort KEY, not a
+    materialized rank."""
+    from parquet_rewriter_spark.operators.packing import training_order
+
+    win = spark.range(100).select(
+        (F.col("id") % 4).alias("shard"),
+        (F.col("id") / 4).cast("long").alias("seq_id"),
+    ).localCheckpoint(eager=True)
+    base = plan_of(win)
+    ordered = plan_of(training_order(win, salt=3))
+    assert ordered.count("Exchange") == base.count("Exchange")
+    assert "ArrowEvalPython" not in ordered and "BatchEvalPython" not in ordered
+
+
+def test_tokenizer_token_stats_fold_never_scans_the_corpus(spark, sf_dir, tmp_path):
+    """The frozen-token accounting keeps the sidecar discipline: the
+    READ-side fold scans only the sidecar, never the table's data
+    files or the rules artifact."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, rules_df
+    from parquet_rewriter_spark.operators.tokenstats import (
+        TokenizerRef,
+        build_token_stats,
+        token_stats,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).limit(200)
+    rules, vocab = bpe_train(d, "text", n_merges=2)
+    vocab.unpersist()
+    rp = str(tmp_path / "rules")
+    rules_df(spark, rules).write.parquet(rp)
+    ref = TokenizerRef(rp)
+    t = SortedTable.create(
+        spark, str(tmp_path / "tok"), d, key="doc_id",
+        max_records_per_file=50,
+    )
+    build_token_stats(t, tokenizer=ref)
+    p = plan_of(token_stats(t, tokenizer=ref))
+    assert p.count("Location:") == 1, p
+    loc = p.split("Location:")[1].splitlines()[0]
+    assert "_tokenstats" in loc, loc
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_image_header_constructors_are_codegen(spark):
+    """pack_png_header / pack_jpeg_header build real bytes as pure
+    projection — no shuffle, no Python, no UDF."""
+    from parquet_rewriter_spark.sources.multimodal import (
+        pack_jpeg_header,
+        pack_png_header,
+    )
+
+    d = spark.range(50).select(F.col("id").alias("media_id"))
+    w = (F.lit(16) + (F.col("media_id") * 7) % 97).cast("int")
+    h = (F.lit(16) + (F.col("media_id") * 13) % 83).cast("int")
+    p = plan_of(
+        d.select(
+            F.when(F.col("media_id") % 2 == 0, pack_png_header(w, h))
+            .otherwise(pack_jpeg_header(w, h, (F.col("media_id") % 7 + 1).cast("int")))
+            .alias("payload")
+        )
+    )
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

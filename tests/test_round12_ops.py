@@ -505,6 +505,7 @@ def test_unigram_bytelevel_pieces_stay_byte_aligned(spark):
 _R12_QUERIES = (
     "token_budget_bpe_tokens",
     "packed_shards_versioned_table",
+    "packed_shards_incremental_append",
     "packed_windows_training_order",
     "unigram_bytelevel_holdout",
     "image_header_dims_patch_grid",
@@ -526,3 +527,107 @@ def test_round12_queries_leave_no_persistent_rdds(spark, sf_dir):
         rows = catalog.get(name).fn(spark, sf_dir).collect()
         assert rows, name
         assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, name
+
+
+# --------------------------- incremental packed-shard append
+
+
+def test_append_packed_equals_one_shot_pack(spark, tmp_path):
+    """persist(A) then append(B with start_offsets) must equal the
+    one-shot pack of A∪B — including the boundary window that splices
+    fragments from both batches."""
+    from parquet_rewriter_spark.operators.packing import (
+        append_packed,
+        materialize_packed,
+        pack_sequences,
+        persist_packed,
+        shard_next_offsets,
+    )
+
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.sequence(F.lit(0), (F.col("id") % 6 + 1).cast("int")).alias(
+            "input_ids"
+        ),
+    )
+    shard = F.pmod(F.col("doc_id"), F.lit(3))
+    a = docs.filter(F.col("doc_id") < 40)
+    b = docs.filter(F.col("doc_id") >= 40)
+
+    p_a = pack_sequences(a, "doc_id", F.size("input_ids"), 16, shard_col=shard)
+    win_a = materialize_packed(p_a, "input_ids", 16, doc_col="doc_id")
+    t = persist_packed(win_a, str(tmp_path / "t"), max_records_per_file=4)
+    offs = shard_next_offsets(a, "doc_id", F.size("input_ids"), shard_col=shard)
+    p_b = pack_sequences(
+        b, "doc_id", F.size("input_ids"), 16, shard_col=shard,
+        start_offsets=offs,
+    )
+    win_b = materialize_packed(p_b, "input_ids", 16, doc_col="doc_id")
+    rep = append_packed(t, win_b)
+    assert rep["files_written"] > 0
+
+    got = {
+        (r["shard"], r["seq_id"]): (
+            list(r["input_ids"]),
+            list(r["piece_lengths"]),
+            [(s["doc"], s["start"], s["len"]) for s in r["doc_spans"]],
+        )
+        for r in t.read().collect()
+    }
+    p_all = pack_sequences(
+        docs, "doc_id", F.size("input_ids"), 16, shard_col=shard
+    )
+    want = {
+        (r["shard"], r["seq_id"]): (
+            list(r["input_ids"]),
+            list(r["piece_lengths"]),
+            [(s["doc"], s["start"], s["len"]) for s in r["doc_spans"]],
+        )
+        for r in materialize_packed(p_all, "input_ids", 16, doc_col="doc_id")
+        .collect()
+    }
+    assert got == want
+    # at least one boundary window genuinely spliced (old + new pieces)
+    boundary = [
+        k for k in want
+        if any(s[0] < 40 for s in want[k][2]) and any(s[0] >= 40 for s in want[k][2])
+    ]
+    assert boundary, "fixture produced no cross-batch window"
+
+
+def test_merge_accepts_nullability_variant_complex_types(spark, tmp_path):
+    """array<int> columns whose nullability flags differ (transform vs
+    concat lineage) must merge — the values are identical in parquet."""
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    from parquet_rewriter_spark.operators.merge import (
+        _eq_ignore_nullability,
+        merge_into_table,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    assert _eq_ignore_nullability(
+        ArrayType(IntegerType(), True), ArrayType(IntegerType(), False)
+    )
+    assert not _eq_ignore_nullability(
+        ArrayType(IntegerType(), True), ArrayType(LongType(), True)
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1, 2]), (1, [3])],
+        StructType([
+            StructField("k", LongType()),
+            StructField("ids", ArrayType(IntegerType(), containsNull=True)),
+        ]),
+    )
+    t = SortedTable.create(spark, str(tmp_path / "t"), base, key="k")
+    muts = spark.createDataFrame(
+        [(1, [9, 9]), (2, [7])],
+        StructType([
+            StructField("k", LongType()),
+            StructField("ids", ArrayType(IntegerType(), containsNull=False)),
+        ]),
+    ).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, allow_splice=False)
+    got = {r["k"]: list(r["ids"]) for r in t.read().collect()}
+    assert got == {0: [1, 2], 1: [9, 9], 2: [7]}
