@@ -160,16 +160,19 @@ def _build_for(
 
     rules = _load_rules(spark, tokenizer.rules_path)
     occ = base.select("file", "source", F.explode("__words").alias("word"))
-    wc = occ.select("word").distinct().persist()
+    wc = occ.select("word").distinct()
+    # persist the SEGMENTED per-word relation, not the raw words: the
+    # broadcast byte-gate samples it AND the join consumes it — an
+    # unpersisted wtok would run the Arrow re-segmentation twice
+    seg = apply_merges(wc, rules, byte_level=tokenizer.byte_level)
+    wtok = seg.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), " "))
+        .cast("long")
+        .alias("__ntw"),
+    ).persist()
     try:
-        n_words = wc.count()
-        seg = apply_merges(wc, rules, byte_level=tokenizer.byte_level)
-        wtok = seg.select(
-            "word",
-            F.size(F.split(F.trim(F.col("sym")), " "))
-            .cast("long")
-            .alias("__ntw"),
-        )
+        n_words = wtok.count()
         toks = (
             _word_join(occ, wtok, n_words, BROADCAST_MAX_WORDS)
             .groupBy("file", "source")
@@ -192,7 +195,7 @@ def _build_for(
         )
         rows.write.mode("append").parquet(_sidecar(table))
     finally:
-        wc.unpersist()
+        wtok.unpersist()
     return len(names)
 
 
