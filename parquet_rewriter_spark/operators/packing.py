@@ -212,6 +212,51 @@ def length_bucket_batches(
     )
 
 
+def completion_loss_spans(
+    win: DataFrame,
+    spans_col: str = "doc_spans",
+    out_col: str = "loss_spans",
+) -> DataFrame:
+    """SFT LOSS-MASK spans: instruction tuning trains only on
+    COMPLETION tokens — prompt tokens are masked out of the loss. Each
+    packed doc's id stream is ``prompt_ids ++ completion_ids (++
+    EOS)``, and word-level tokenization makes that concatenation exact
+    (encoding is per-word, so the prompt's token count is a pure
+    function of the prompt text alone). Given windows whose
+    ``doc_spans`` carry a STRUCT doc ref with a ``prompt_len`` field
+    (pack with ``doc_col`` pointing at ``struct(doc_id, prompt_len)``
+    — the materializer preserves the doc column's type), each
+    fragment's loss region is the intersection of its doc positions
+    [doc_off, doc_off+len) with the completion region [prompt_len, ∞),
+    shifted into window coordinates:
+
+        skip = max(0, prompt_len − doc_off)
+        loss = (start + skip, len − skip)        # dropped when empty
+
+    Adds ``out_col`` (array<struct<start, len>> in window order, empty
+    fragments filtered) and ``n_loss_tokens``. PURE CODEGEN over the
+    spans already in the row — zero exchange, zero Python, no join:
+    the prompt length rides inside the doc ref, so the mask derives
+    locally in any engine. EOS lands in the loss region by
+    construction (appended after the completion, standard practice)."""
+    L0 = F.lit(0).cast("long")
+
+    def one(s):
+        skip = F.greatest(L0, s.doc.prompt_len - s.doc_off)
+        return F.struct(
+            (s.start + skip).alias("start"),
+            F.greatest(L0, s.len - skip).alias("len"),
+        )
+
+    spans = F.filter(
+        F.transform(F.col(spans_col), one), lambda x: x.len > 0
+    )
+    return win.withColumn(out_col, spans).withColumn(
+        "n_loss_tokens",
+        F.aggregate(F.col(out_col), L0, lambda acc, x: acc + x.len),
+    )
+
+
 # Default (shard → global key) stride for persisted packed windows:
 # pack_key = shard · stride + seq_id. 2^40 windows/shard ≈ 4.5e18
 # tokens at 4k-token windows — far beyond any corpus — while
@@ -479,6 +524,11 @@ def materialize_packed(
                 ).cast("int"),
             ).alias("piece"),
             (B + F.greatest(F.lit(0).cast("long"), w * M - B) - w * M).alias("pos"),
+            # the slice's offset WITHIN its document — what loss-mask
+            # construction needs to know which doc positions a
+            # fragment covers (a doc split across windows has one
+            # fragment per window, each at a different doc offset)
+            F.greatest(F.lit(0).cast("long"), w * M - B).alias("off"),
         ),
     )
     # keep the doc column's ORIGINAL type: the span struct's sort key
@@ -495,13 +545,14 @@ def materialize_packed(
             F.col("p.w").alias("seq_id"),
             F.col("p.pos"),
             F.col("p.piece"),
+            F.col("p.off"),
         )
     )
     # ONE sorted collect per window (positions are unique within a
     # window, so (pos, ...) is a total order); every output column is
     # a pure transform of it
     item = (
-        F.struct("pos", "docref", "piece") if doc_col
+        F.struct("pos", "docref", "off", "piece") if doc_col
         else F.struct("pos", "piece")
     )
     grouped = ex.groupBy("shard", "seq_id").agg(
@@ -523,6 +574,7 @@ def materialize_packed(
                     s.docref.alias("doc"),
                     s.pos.alias("start"),
                     F.size(s.piece).cast("long").alias("len"),
+                    s.off.alias("doc_off"),
                 ),
             ).alias("doc_spans")
         )

@@ -506,6 +506,7 @@ _R12_QUERIES = (
     "token_budget_bpe_tokens",
     "packed_shards_versioned_table",
     "packed_shards_incremental_append",
+    "sft_pack_loss_mask",
     "packed_windows_training_order",
     "unigram_bytelevel_holdout",
     "image_header_dims_patch_grid",
@@ -631,3 +632,48 @@ def test_merge_accepts_nullability_variant_complex_types(spark, tmp_path):
     merge_into_table(t, muts, allow_splice=False)
     got = {r["k"]: list(r["ids"]) for r in t.read().collect()}
     assert got == {0: [1, 2], 1: [9, 9], 2: [7]}
+
+
+# --------------------------- SFT loss-mask spans
+
+
+def test_completion_loss_spans_handles_boundary_crossing_docs(spark):
+    """A doc whose prompt/completion boundary falls in one window and
+    whose completion continues into the next must mask correctly in
+    BOTH fragments — the doc_off field is what makes that local."""
+    from parquet_rewriter_spark.operators.packing import (
+        completion_loss_spans,
+        materialize_packed,
+        pack_sequences,
+    )
+
+    # one shard, doc 0: 10 tokens (prompt 4), doc 1: 6 tokens (prompt 2);
+    # M=8 → doc 0 spans windows 0..1 with its boundary inside window 0
+    docs = spark.createDataFrame(
+        [(0, list(range(10)), 4), (1, list(range(100, 106)), 2)],
+        "doc_id long, input_ids array<int>, prompt_len long",
+    ).withColumn("docref", F.struct("doc_id", "prompt_len"))
+    p = pack_sequences(
+        docs, "doc_id", F.size("input_ids"), max_tokens=8,
+        shard_col=F.lit(0),
+    )
+    win = completion_loss_spans(
+        materialize_packed(p, "input_ids", 8, doc_col="docref")
+    )
+    rows = {r["seq_id"]: r for r in win.collect()}
+    # window 0: doc0[0:8] — loss = positions 4..7 (completion within)
+    assert [(s["start"], s["len"]) for s in rows[0]["loss_spans"]] == [(4, 4)]
+    # window 1: doc0[8:10] at pos 0 (all completion) + doc1[0:6] at pos 2
+    # (prompt 2 → loss from pos 4, len 4)
+    assert [(s["start"], s["len"]) for s in rows[1]["loss_spans"]] == [
+        (0, 2),
+        (4, 4),
+    ]
+    assert int(rows[0]["n_loss_tokens"]) == 4
+    assert int(rows[1]["n_loss_tokens"]) == 6
+    # loss tokens are exactly the completion ids
+    ids0, ids1 = rows[0]["input_ids"], rows[1]["input_ids"]
+    got = [ids0[s["start"]:s["start"]+s["len"]] for s in rows[0]["loss_spans"]]
+    got += [ids1[s["start"]:s["start"]+s["len"]] for s in rows[1]["loss_spans"]]
+    flat = [x for f in got for x in f]
+    assert flat == [4, 5, 6, 7, 8, 9, 102, 103, 104, 105]
