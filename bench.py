@@ -150,6 +150,7 @@ HEADLINE = [
 
 EXTENDED = [
     # round-12 remainder
+    "mixture_budget_sampling",
     "sft_pack_loss_mask",
     "packed_shards_incremental_append",
     "packed_windows_training_order",

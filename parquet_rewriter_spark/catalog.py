@@ -18370,6 +18370,141 @@ def packed_shards_incremental_append(
         vocab.unpersist()
 
 
+def _mixture_budget_sampling_oracle(n_merges: int = 4, budget: int = 32_000) -> str:
+    from parquet_rewriter_spark.operators.sampling import portable_unit_sql
+
+    u = portable_unit_sql("t.doc_id")
+    return f"""
+    WITH {_bpe_enc_head(n_merges)},
+    d_tok AS (
+      SELECT e.doc_id, d.source, CAST(len(e.input_ids) AS BIGINT) AS n_tokens
+      FROM enc e JOIN documents d USING (doc_id)
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM d_tok GROUP BY source
+    ),
+    plan AS (
+      SELECT source, src_tokens,
+             CAST(({budget} * src_tokens)
+                  // (SELECT sum(src_tokens) FROM s) AS BIGINT) AS token_budget
+      FROM s
+    ),
+    ex AS (
+      SELECT t.source, t.n_tokens,
+             sum(t.n_tokens) OVER (
+               PARTITION BY t.source
+               ORDER BY {u}, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d_tok t
+    ),
+    exk AS (
+      SELECT e.source, CAST(count(*) AS BIGINT) AS docs_exact,
+             CAST(sum(e.n_tokens) AS BIGINT) AS tokens_exact
+      FROM ex e JOIN plan p USING (source)
+      WHERE e.cum <= p.token_budget GROUP BY e.source
+    ),
+    rk AS (
+      SELECT t.source, CAST(count(*) AS BIGINT) AS docs_rate,
+             CAST(sum(t.n_tokens) AS BIGINT) AS tokens_rate
+      FROM d_tok t JOIN plan p USING (source)
+      WHERE {u} < least(CAST(p.token_budget AS DOUBLE)
+                        / CAST(p.src_tokens AS DOUBLE), 1.0)
+      GROUP BY t.source
+    )
+    SELECT p.source, p.token_budget,
+           coalesce(docs_exact, 0) AS docs_exact,
+           coalesce(tokens_exact, 0) AS tokens_exact,
+           coalesce(docs_rate, 0) AS docs_rate,
+           coalesce(tokens_rate, 0) AS tokens_rate
+    FROM plan p
+    LEFT JOIN exk USING (source)
+    LEFT JOIN rk USING (source)
+    ORDER BY p.source
+    """
+
+
+@query(
+    "mixture_budget_sampling",
+    _mixture_budget_sampling_oracle(4, 32_000),
+    "llm-pipeline", "sampling", "mixture", "tokenizer",
+)
+def mixture_budget_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM TOKEN BUDGETS TO ACTUAL DOCUMENT SELECTION — the planner's
+    integer allocation (token_budget_plan) executed by two samplers:
+    the EXACT greedy prefix (docs in deterministic portable-hash order
+    per source, kept while the running frozen-token total fits the
+    budget — tight, never over) and the RATE-based 100-TB path (keep
+    probability = budget/total per source, pure projection, no
+    per-source sequential scan — expected-value accurate). Both are
+    engine-portable by construction (portable_unit's integer hash, an
+    exact IEEE quotient of two plan integers) and both replay in SQL;
+    the hash compare covers kept-doc counts AND kept-token masses per
+    source. In-body assert: exact never exceeds its budget."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+    from parquet_rewriter_spark.operators.tokenstats import (
+        sample_at_token_rate,
+        sample_to_token_budget,
+        token_budget_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    try:
+        d_tok = (
+            encode_docs(d, "doc_id", "text", vocab)
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+            .join(d.select("doc_id", "source"), "doc_id")
+            .persist()
+        )
+        try:
+            stats = d_tok.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            plan = token_budget_plan(stats, budget_tokens=32_000).persist()
+            try:
+                exact = sample_to_token_budget(d_tok, plan)
+                over = exact.groupBy("source").agg(
+                    F.max(F.col("cum_tokens") - F.col("token_budget")).alias("o")
+                ).where(F.col("o") > 0).count()
+                assert over == 0  # exact sampler never exceeds a budget
+                e = exact.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("docs_exact"),
+                    F.sum("n_tokens").alias("tokens_exact"),
+                )
+                r = sample_at_token_rate(d_tok, plan).groupBy("source").agg(
+                    F.count(F.lit(1)).alias("docs_rate"),
+                    F.sum("n_tokens").alias("tokens_rate"),
+                )
+                out = (
+                    plan.select("source", "token_budget")
+                    .join(e, "source", "left")
+                    .join(r, "source", "left")
+                    .select(
+                        "source",
+                        "token_budget",
+                        F.coalesce("docs_exact", F.lit(0)).alias("docs_exact"),
+                        F.coalesce("tokens_exact", F.lit(0)).alias(
+                            "tokens_exact"
+                        ),
+                        F.coalesce("docs_rate", F.lit(0)).alias("docs_rate"),
+                        F.coalesce("tokens_rate", F.lit(0)).alias(
+                            "tokens_rate"
+                        ),
+                    )
+                    .orderBy("source")
+                )
+                return _settle(spark, out, "mixture_budget_sampling")
+            finally:
+                plan.unpersist()
+        finally:
+            d_tok.unpersist()
+    finally:
+        vocab.unpersist()
+
+
 def _sft_loss_oracle(n_merges: int = 4, m: int = 48, shards: int = 4,
                      k_prompt: int = 5) -> str:
     """Replay of the SFT loss-mask pack: prompt length per doc = the
@@ -18852,6 +18987,7 @@ _VERIFY_FIRST = (
     "packed_shards_versioned_table",
     "packed_shards_incremental_append",
     "sft_pack_loss_mask",
+    "mixture_budget_sampling",
     "packed_windows_training_order",
     "unigram_bytelevel_holdout",
     "image_header_dims_patch_grid",

@@ -326,6 +326,76 @@ def token_budget_plan(stats: DataFrame, budget_tokens: int) -> DataFrame:
     )
 
 
+def sample_to_token_budget(
+    docs: DataFrame,
+    plan: DataFrame,
+    key_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """EXACT budget sampling — the planner's allocation turned into an
+    actual document selection: within each source, docs line up in
+    deterministic portable-hash order (operators/sampling.py:
+    portable_unit — replayable in any engine; a new ``salt`` is an
+    independent reshuffle) and the greedy prefix whose RUNNING token
+    total stays ≤ the source's ``token_budget`` is kept. Deterministic,
+    engine-portable, and tight: kept tokens never exceed the budget,
+    and no further doc could be added without exceeding it.
+
+    Scale shape: ONE hash exchange on source + a per-source running
+    sum — sequential within a source, so a single 100-TB source
+    serializes through one task. That is inherent to EXACT prefix
+    selection; at that scale use :func:`sample_at_token_rate` (pure
+    projection, expected-value accuracy) or pre-shard sources. Returns
+    the kept docs plus ``cum_tokens``."""
+    from pyspark.sql import Window
+
+    from parquet_rewriter_spark.operators.sampling import portable_unit
+
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(portable_unit(F.col(key_col), salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = plan.select(source_col, "token_budget")
+    return (
+        docs.join(F.broadcast(budget), source_col)
+        .withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .where(F.col("cum_tokens") <= F.col("token_budget"))
+    )
+
+
+def sample_at_token_rate(
+    docs: DataFrame,
+    plan: DataFrame,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """RATE-BASED budget sampling — the 100-TB path: each source's
+    keep probability is ``token_budget / n_tokens`` (both integers
+    from the plan, so the IEEE quotient is bit-identical in any
+    engine) and a doc is kept iff its portable-hash unit value falls
+    under it. PURE PROJECTION after a broadcast join: no window, no
+    per-source sequential scan, embarrassingly parallel; kept token
+    mass hits the budget in expectation with O(√N) relative error —
+    the standard accounting tolerance for mixture sampling at scale.
+    Adds ``keep_rate``."""
+    from parquet_rewriter_spark.operators.sampling import portable_unit
+
+    rate = (
+        F.col("token_budget").cast("double")
+        / F.col("n_tokens").cast("double")
+    )
+    rates = plan.select(
+        source_col, F.least(rate, F.lit(1.0)).alias("keep_rate")
+    )
+    return docs.join(F.broadcast(rates), source_col).where(
+        portable_unit(F.col(key_col), salt) < F.col("keep_rate")
+    )
+
+
 __all__ = [
     "TOKEN_DIR",
     "TokenizerRef",
@@ -333,4 +403,6 @@ __all__ = [
     "heal_token_stats",
     "token_stats",
     "token_budget_plan",
+    "sample_to_token_budget",
+    "sample_at_token_rate",
 ]

@@ -507,6 +507,7 @@ _R12_QUERIES = (
     "packed_shards_versioned_table",
     "packed_shards_incremental_append",
     "sft_pack_loss_mask",
+    "mixture_budget_sampling",
     "packed_windows_training_order",
     "unigram_bytelevel_holdout",
     "image_header_dims_patch_grid",
