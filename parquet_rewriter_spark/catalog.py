@@ -18623,54 +18623,68 @@ def sft_pack_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         plen = encode_docs(prompt, "doc_id", "text", vocab).select(
             "doc_id", F.col("n_tokens").cast("long").alias("prompt_len")
         )
+        # persist the encoded+joined relation: it feeds the pack AND
+        # the invariant check (two encode passes otherwise re-run the
+        # corpus word join for each consumer)
         enc2 = with_eos(
             enc.join(plen, "doc_id"), "input_ids", eos_id
         ).withColumn(
             "docref", F.struct(F.col("doc_id"), F.col("prompt_len"))
-        )
-        p = pack_sequences(
-            enc2, "doc_id", F.size("input_ids"), max_tokens=48,
-            shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
-        )
-        win = completion_loss_spans(
-            materialize_packed(p, "input_ids", 48, doc_col="docref")
-        )
-        # global invariant: the loss mass equals completion + EOS
-        chk = win.agg(F.sum("n_loss_tokens").alias("a")).crossJoin(
-            enc.join(plen, "doc_id").agg(
-                F.sum(F.col("n_tokens") - F.col("prompt_len") + 1).alias("b")
+        ).persist()
+        try:
+            p = pack_sequences(
+                enc2, "doc_id", F.size("input_ids"), max_tokens=48,
+                shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
             )
-        ).first()
-        assert int(chk["a"]) == int(chk["b"]), (chk["a"], chk["b"])
-        out = win.select(
-            "shard",
-            "seq_id",
-            _ids_digest("input_ids").alias("ids_digest"),
-            "n_tokens",
-            "n_loss_tokens",
-            F.concat_ws(
-                ";",
-                F.transform(
-                    F.col("loss_spans"),
-                    lambda x: F.concat_ws(
-                        ":", x.start.cast("string"), x.len.cast("string")
-                    ),
-                ),
-            ).alias("loss_spans"),
-            F.concat_ws(
-                ";",
-                F.transform(
-                    F.col("doc_spans"),
-                    lambda s: F.concat_ws(
-                        ":",
-                        s.doc.doc_id.cast("string"),
-                        s.start.cast("string"),
-                        s.len.cast("string"),
-                    ),
-                ),
-            ).alias("doc_spans"),
-        ).orderBy("shard", "seq_id")
-        return _settle(spark, out, "sft_loss_mask")
+            win = completion_loss_spans(
+                materialize_packed(p, "input_ids", 48, doc_col="docref")
+            ).persist()  # the check and the settle both consume it
+            try:
+                # global invariant: loss mass equals completion + EOS
+                # (enc2's n_tokens pre-dates the EOS append → the +1)
+                chk = win.agg(F.sum("n_loss_tokens").alias("a")).crossJoin(
+                    enc2.agg(
+                        F.sum(
+                            F.col("n_tokens") - F.col("prompt_len") + 1
+                        ).alias("b")
+                    )
+                ).first()
+                assert int(chk["a"]) == int(chk["b"]), (chk["a"], chk["b"])
+                out = win.select(
+                    "shard",
+                    "seq_id",
+                    _ids_digest("input_ids").alias("ids_digest"),
+                    "n_tokens",
+                    "n_loss_tokens",
+                    F.concat_ws(
+                        ";",
+                        F.transform(
+                            F.col("loss_spans"),
+                            lambda x: F.concat_ws(
+                                ":",
+                                x.start.cast("string"),
+                                x.len.cast("string"),
+                            ),
+                        ),
+                    ).alias("loss_spans"),
+                    F.concat_ws(
+                        ";",
+                        F.transform(
+                            F.col("doc_spans"),
+                            lambda s: F.concat_ws(
+                                ":",
+                                s.doc.doc_id.cast("string"),
+                                s.start.cast("string"),
+                                s.len.cast("string"),
+                            ),
+                        ),
+                    ).alias("doc_spans"),
+                ).orderBy("shard", "seq_id")
+                return _settle(spark, out, "sft_loss_mask")
+            finally:
+                win.unpersist()
+        finally:
+            enc2.unpersist()
     finally:
         vocab.unpersist()
 
