@@ -678,3 +678,42 @@ def test_completion_loss_spans_handles_boundary_crossing_docs(spark):
     got += [ids1[s["start"]:s["start"]+s["len"]] for s in rows[1]["loss_spans"]]
     flat = [x for f in got for x in f]
     assert flat == [4, 5, 6, 7, 8, 9, 102, 103, 104, 105]
+
+
+def test_packed_table_point_reads_prune_files(spark, tmp_path):
+    """append_packed's boundary fetch is num_shards zone-map point
+    reads — a single-pack_key read_where must scan a small file
+    subset, not the table."""
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+        persist_packed,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.sequence(F.lit(0), (F.col("id") % 7 + 1).cast("int")).alias(
+            "input_ids"
+        ),
+    )
+    p = pack_sequences(
+        docs, "doc_id", F.size("input_ids"), max_tokens=16,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    win = materialize_packed(p, "input_ids", 16)
+    t = persist_packed(win, str(tmp_path / "t"), max_records_per_file=8)
+    n_files = len(t.manifest().files)
+    assert n_files >= 6  # the pin is meaningless on a 1-file table
+    k = int(
+        t.read().agg(F.max("pack_key")).first()[0]
+    )  # a real key: the last window of the highest shard
+    # one key hits exactly one row...
+    assert t.read_where({"pack_key": (k, k)}).count() == 1
+    # ...and driver-side zone pruning keeps range-disjoint files out
+    # of the plan entirely (zone_keep IS read_where's pruning decision)
+    m = t.manifest()
+    kept = [
+        e.name for e in m.files
+        if t.zone_keep(m, e, {"pack_key": (k, k)})
+    ]
+    assert len(kept) < n_files / 2, (len(kept), n_files)
