@@ -18874,7 +18874,8 @@ def unigram_bytelevel_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IMG_DIMS_ORACLE = """
     WITH m AS (
       SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             WHEN 2 THEN 'gif' ELSE 'bmp' END AS fmt,
              CAST(16 + (doc_id * 7) % 97 AS INT) AS width,
              CAST(16 + (doc_id * 13) % 83 AS INT) AS height
       FROM documents
@@ -18911,21 +18912,25 @@ def image_header_dims_patch_grid(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """REAL image bytes end to end, no codec needed (VERDICT r11 #3):
-    build spec-correct PNG headers (signature + IHDR, even docs) and
-    JPEG headers (SOI + VARIABLE-length COM + SOF0 + EOI, odd docs —
-    the COM forces a genuine marker walk, dims are never at a fixed
-    offset) in pure codegen, then parse them BLIND with the
-    Arrow-batched header parser (sources/multimodal.py:decode_dims —
-    the only inputs it sees are the bytes), and run the ViT patch
-    grid and the letterbox geometry over the PARSED dimensions. The
-    oracle computes everything from the construction formulas — a
-    hash match proves the blind byte-level parse recovered every
-    width/height and classified every format, i.e. the multimodal
-    metadata path now runs on real image layouts, with only pixel
-    decode still environment-guarded."""
+    build spec-correct PNG (signature + IHDR, big-endian), JPEG (SOI +
+    VARIABLE-length COM + SOF0 + EOI — the COM forces a genuine marker
+    walk, dims are never at a fixed offset), GIF89a (little-endian
+    u16 screen descriptor) and BMP (BITMAPINFOHEADER, little-endian
+    i32) headers in pure codegen — four real formats covering both
+    endiannesses and both fixed- and walked-offset layouts — then
+    parse them BLIND with the Arrow-batched header parser
+    (sources/multimodal.py:decode_dims — the only inputs it sees are
+    the bytes), and run the ViT patch grid and the letterbox geometry
+    over the PARSED dimensions. The oracle computes everything from
+    the construction formulas — a hash match proves the blind
+    byte-level parse recovered every width/height and classified
+    every format, i.e. the multimodal metadata path now runs on real
+    image layouts, with only pixel decode still environment-guarded."""
     from parquet_rewriter_spark.sources.multimodal import (
         decode_dims,
         letterbox_geometry,
+        pack_bmp_header,
+        pack_gif_header,
         pack_jpeg_header,
         pack_png_header,
         patch_grid,
@@ -18935,10 +18940,13 @@ def image_header_dims_patch_grid(
     w = (F.lit(16) + (F.col("doc_id") * 7) % 97).cast("int")
     h = (F.lit(16) + (F.col("doc_id") * 13) % 83).cast("int")
     com = (F.col("doc_id") % 7 + 1).cast("int")
+    kind = F.col("doc_id") % 4
     media = d.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, pack_png_header(w, h))
-        .otherwise(pack_jpeg_header(w, h, com))
+        F.when(kind == 0, pack_png_header(w, h))
+        .when(kind == 1, pack_jpeg_header(w, h, com))
+        .when(kind == 2, pack_gif_header(w, h))
+        .otherwise(pack_bmp_header(w, h))
         .alias("payload"),
     )
     dims = decode_dims(media)  # blind: sees only the bytes

@@ -248,14 +248,73 @@ def pack_jpeg_header(width, height, com_bytes):
     return F.unhex(F.concat(F.lit("FFD8"), com, sof, F.lit("FFD9")))
 
 
+def _le16(col) -> F.Column:
+    """Little-endian u16 hex rendering of an int column (byte-swapped
+    big-endian hex) — pure codegen, for GIF/BMP header construction."""
+    h = F.lpad(F.hex(col), 4, "0")
+    return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+
+def _le32(col) -> F.Column:
+    """Little-endian u32 hex rendering of an int column."""
+    h = F.lpad(F.hex(col), 8, "0")
+    return F.concat(
+        F.substring(h, 7, 2), F.substring(h, 5, 2),
+        F.substring(h, 3, 2), F.substring(h, 1, 2),
+    )
+
+
+def pack_gif_header(width, height):
+    """A REAL GIF89a logical-screen descriptor as a binary column —
+    signature + little-endian u16 width/height + packed fields,
+    background, aspect (pure codegen; same fixture purpose as
+    :func:`pack_png_header`)."""
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    return F.unhex(
+        F.concat(
+            F.lit("474946383961"),  # "GIF89a"
+            _le16(w), _le16(h),
+            F.lit("F70000"),        # packed fields, bg index, aspect
+        )
+    )
+
+
+def pack_bmp_header(width, height):
+    """A REAL BMP file header + BITMAPINFOHEADER as a binary column —
+    "BM", little-endian sizes/offsets, i32 width/height, 24-bit
+    uncompressed (pure codegen)."""
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    return F.unhex(
+        F.concat(
+            F.lit("424D"),              # "BM"
+            F.lit("36000000"),          # file size (header-only fixture)
+            F.lit("00000000"),          # reserved
+            F.lit("36000000"),          # pixel-data offset (54)
+            F.lit("28000000"),          # BITMAPINFOHEADER size (40)
+            _le32(w), _le32(h),
+            F.lit("0100"),              # planes
+            F.lit("1800"),              # 24 bpp
+            F.lit("00000000"),          # BI_RGB
+            F.lit("00000000"),          # image size (0 for BI_RGB)
+            F.lit("130B0000130B0000"),  # 72 dpi x/y
+            F.lit("0000000000000000"),  # palette counts
+        )
+    )
+
+
 def _parse_dims(b: bytes):
     """Blind header parse of real image bytes: PNG signature + IHDR
-    (width/height at fixed offsets 16/20, big-endian u32) or JPEG
+    (width/height at fixed offsets 16/20, big-endian u32), JPEG
     marker walk (skip segments by their length fields until a SOF0-3
     frame header; height/width are big-endian u16 after the precision
-    byte). Returns (fmt, width, height); unknown/truncated payloads
-    yield NULLs rather than raising — one bad blob must not kill an
-    Arrow batch."""
+    byte), GIF87a/89a (little-endian u16 at 6/8), or BMP
+    (BITMAPINFOHEADER little-endian i32 at 18/22 — height may be
+    negative for top-down rows, reported as magnitude; the ancient
+    BITMAPCOREHEADER u16 variant handled too). Returns (fmt, width,
+    height); unknown/truncated payloads yield NULLs rather than
+    raising — one bad blob must not kill an Arrow batch."""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         if len(b) >= 24 and b[12:16] == b"IHDR":
             return (
@@ -264,6 +323,28 @@ def _parse_dims(b: bytes):
                 int.from_bytes(b[20:24], "big"),
             )
         return ("png", None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        return ("gif", None, None)
+    if b[:2] == b"BM":
+        if len(b) >= 18:
+            hdr = int.from_bytes(b[14:18], "little")
+            if hdr >= 40 and len(b) >= 26:  # BITMAPINFOHEADER onward
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = int.from_bytes(b[22:26], "little", signed=True)
+                return ("bmp", abs(w), abs(h))
+            if hdr == 12 and len(b) >= 22:  # BITMAPCOREHEADER (u16)
+                return (
+                    "bmp",
+                    int.from_bytes(b[18:20], "little"),
+                    int.from_bytes(b[20:22], "little"),
+                )
+        return ("bmp", None, None)
     if b[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(b):

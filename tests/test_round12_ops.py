@@ -717,3 +717,53 @@ def test_packed_table_point_reads_prune_files(spark, tmp_path):
         if t.zone_keep(m, e, {"pack_key": (k, k)})
     ]
     assert len(kept) < n_files / 2, (len(kept), n_files)
+
+
+def test_parse_dims_gif_bmp_real_and_hostile():
+    import struct
+
+    from parquet_rewriter_spark.sources.multimodal import _parse_dims
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert _parse_dims(gif) == ("gif", 320, 200)
+    gif87 = b"GIF87a" + struct.pack("<HH", 1, 65535) + b"\x00\x00\x00"
+    assert _parse_dims(gif87) == ("gif", 1, 65535)
+    # BITMAPINFOHEADER, including the top-down negative-height form
+    def bmp(w, h, hdr=40):
+        return (
+            b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+            + struct.pack("<Iii", hdr, w, h)
+        )
+    assert _parse_dims(bmp(640, 480)) == ("bmp", 640, 480)
+    assert _parse_dims(bmp(640, -480)) == ("bmp", 640, 480)
+    core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack(
+        "<IHH", 12, 99, 77
+    )
+    assert _parse_dims(core) == ("bmp", 99, 77)
+    assert _parse_dims(b"GIF89a\x01") == ("gif", None, None)
+    assert _parse_dims(b"BMxx") == ("bmp", None, None)
+
+
+def test_packed_gif_bmp_headers_parse_blind(spark):
+    from parquet_rewriter_spark.sources.multimodal import (
+        decode_dims,
+        pack_bmp_header,
+        pack_gif_header,
+    )
+
+    d = spark.range(10).select(F.col("id").alias("media_id"))
+    w = (F.lit(20) + F.col("media_id") * 3).cast("int")
+    h = (F.lit(30) + F.col("media_id") * 5).cast("int")
+    media = d.select(
+        "media_id",
+        F.when(F.col("media_id") % 2 == 0, pack_gif_header(w, h))
+        .otherwise(pack_bmp_header(w, h))
+        .alias("payload"),
+    )
+    got = {
+        r["media_id"]: (r["fmt"], r["width"], r["height"])
+        for r in decode_dims(media).collect()
+    }
+    for i in range(10):
+        fmt = "gif" if i % 2 == 0 else "bmp"
+        assert got[i] == (fmt, 20 + i * 3, 30 + i * 5)
