@@ -272,8 +272,32 @@ def heal_token_stats(table) -> int:
         ps, pt_col, pretokenize, tok = _parse_spec(sid)
         have = have_files(table, TOKEN_DIR, where=F.col("spec") == sid)
         todo = [n for n in live if n not in have]
+        if tok is not None and not _rules_readable(table.spark, tok):
+            # a tokenizer spec whose rules artifact was deleted must
+            # not poison maintenance for the whole table: skip it
+            # (its sidecar rows go stale-but-harmless — readers of
+            # that spec fail loudly at their own _load_rules) and
+            # keep healing every other accounting
+            import warnings
+
+            warnings.warn(
+                f"tokenstats heal: rules artifact missing for spec "
+                f"{sid!r}; skipping this accounting",
+                stacklevel=2,
+            )
+            continue
         built += _build_for(table, todo, pt_col, ps, pretokenize, sid, tok)
     return built
+
+
+def _rules_readable(spark, tok: TokenizerRef) -> bool:
+    """True iff the spec's rules artifact still exists and reads — the
+    heal step's guard against a vacuumed/relocated artifact."""
+    try:
+        spark.read.parquet(tok.rules_path).select("step").limit(1).collect()
+        return True
+    except Exception:  # noqa: BLE001 - any read failure means skip
+        return False
 
 
 def token_stats(

@@ -767,3 +767,44 @@ def test_packed_gif_bmp_headers_parse_blind(spark):
     for i in range(10):
         fmt = "gif" if i % 2 == 0 else "bmp"
         assert got[i] == (fmt, 20 + i * 3, 30 + i * 5)
+
+
+def test_heal_skips_missing_rules_artifact(spark, tmp_path):
+    """A tokenizer spec whose rules artifact was deleted must not
+    poison maintenance: heal warns, skips that accounting, and still
+    heals the word-unit spec."""
+    import shutil
+    import warnings
+
+    from parquet_rewriter_spark.operators.bpe import bpe_train, rules_df
+    from parquet_rewriter_spark.operators.merge import merge_into_table
+    from parquet_rewriter_spark.operators.tokenstats import (
+        TokenizerRef,
+        build_token_stats,
+        heal_token_stats,
+    )
+
+    d = (
+        spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        .select("doc_id", "source", "text")
+        .limit(80)
+    )
+    rules, vocab = bpe_train(d, "text", n_merges=2)
+    vocab.unpersist()
+    rp = str(tmp_path / "rules")
+    rules_df(spark, rules).write.parquet(rp)
+    ref = TokenizerRef(rp)
+
+    seed = d.filter(F.col("doc_id") < 60)
+    t = _seed_table(spark, tmp_path, seed)
+    build_token_stats(t)                      # word-unit spec
+    build_token_stats(t, tokenizer=ref)       # tokenizer spec
+    shutil.rmtree(rp)                         # the artifact vanishes
+
+    muts = d.filter(F.col("doc_id") >= 60).withColumn("op", F.lit("UPSERT"))
+    merge_into_table(t, muts, allow_splice=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        built = heal_token_stats(t)
+    assert built > 0                          # the word spec healed
+    assert any("rules artifact missing" in str(x.message) for x in w)
