@@ -143,6 +143,7 @@ HEADLINE = [
     "bpe_packed_windows_eos",
     "token_budget_from_stats",
     # round-12 families
+    "pretraining_pipeline_v2_persisted",
     "token_budget_bpe_tokens",
     "packed_shards_versioned_table",
     "unigram_bytelevel_holdout",

@@ -18370,6 +18370,313 @@ def packed_shards_incremental_append(
         vocab.unpersist()
 
 
+def _pretraining_v2_oracle(
+    n_merges: int = 4, m: int = 64, shards: int = 4, budget: int = 60_000,
+    lo: int = 150, hi: int = 600,
+) -> str:
+    """Replay of the v2 flagship: full-corpus frozen tokenizer →
+    quality window → integer token budgets → exact prefix sampling →
+    EOS pack → order-pinned global digest. The persisted-table leg is
+    Spark-side (asserted in-body); the oracle proves the RELOADED
+    window set is the pipeline's output."""
+    from parquet_rewriter_spark.operators.sampling import portable_unit_sql
+
+    u = portable_unit_sql("t.doc_id")
+    flat = (
+        "flatten(list_transform(list_sort(list({'p': pos, 'l': piece})), "
+        "s -> s.l))"
+    )
+    return f"""
+    WITH {_bpe_enc_head(n_merges)},
+    dt AS (
+      SELECT e.doc_id, d.source, d.n_chars, e.input_ids,
+             CAST(len(e.input_ids) AS BIGINT) AS n_tokens
+      FROM enc e JOIN documents d USING (doc_id)
+    ),
+    q AS (SELECT * FROM dt WHERE n_chars BETWEEN {lo} AND {hi}),
+    s AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM q GROUP BY source
+    ),
+    plan AS (
+      SELECT source,
+             CAST(({budget} * src_tokens)
+                  // (SELECT sum(src_tokens) FROM s) AS BIGINT)
+               AS token_budget
+      FROM s
+    ),
+    cum AS (
+      SELECT t.doc_id, t.source, t.n_tokens, t.input_ids,
+             sum(t.n_tokens) OVER (
+               PARTITION BY t.source ORDER BY {u}, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q t
+    ),
+    samp AS (
+      SELECT c.* FROM cum c JOIN plan p USING (source)
+      WHERE c.cum <= p.token_budget
+    ),
+    pk AS (
+      SELECT doc_id, doc_id % {shards} AS shard,
+             list_append(input_ids,
+                         CAST((SELECT count(*) FROM sid) AS INTEGER))
+               AS input_ids,
+             CAST(len(input_ids) + 1 AS BIGINT) AS n_tok,
+             CAST(coalesce(sum(len(input_ids) + 1) OVER (
+               PARTITION BY doc_id % {shards} ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS B
+      FROM samp
+    ),
+    pieces AS (
+      SELECT shard, p.w AS seq_id, p.pos, p.piece
+      FROM pk, LATERAL (
+        SELECT unnest(list_transform(
+          generate_series(CAST(floor(B / {m}) AS BIGINT),
+                          CAST(floor((B + n_tok - 1) / {m}) AS BIGINT)),
+          w -> {{'w': w,
+                 'piece': list_slice(input_ids,
+                                     CAST(greatest(0, w * {m} - B) + 1 AS BIGINT),
+                                     CAST(least(n_tok, (w + 1) * {m} - B) AS BIGINT)),
+                 'pos': B + greatest(0, w * {m} - B) - w * {m}}})) AS p
+      )
+    ),
+    win AS (
+      SELECT shard, seq_id, md5(array_to_string({flat}, ',')) AS wd
+      FROM pieces GROUP BY shard, seq_id
+    ),
+    ob AS (
+      SELECT shard, seq_id, wd,
+             md5('1:' || CAST(shard AS VARCHAR) || ':'
+                      || CAST(seq_id AS VARCHAR)) AS ok
+      FROM win
+    ),
+    bd AS (
+      SELECT substr(ok, 1, 1) AS bucket, CAST(count(*) AS BIGINT) AS nb,
+             md5(string_agg(wd, ',' ORDER BY ok, shard, seq_id)) AS bdig
+      FROM ob GROUP BY 1
+    ),
+    gl AS (
+      SELECT CAST(sum(nb) AS BIGINT) AS n_windows,
+             md5(string_agg(bdig, ',' ORDER BY bucket)) AS windows_digest
+      FROM bd
+    ),
+    fr AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+      FROM documents GROUP BY source
+    ),
+    fq AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_quality
+      FROM q GROUP BY source
+    ),
+    fs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_sampled
+      FROM samp GROUP BY source
+    )
+    SELECT fr.source, fr.n_raw,
+           coalesce(fq.n_quality, 0) AS n_quality,
+           coalesce(fs.n_sampled, 0) AS n_sampled,
+           coalesce(fs.tokens_sampled, 0) AS tokens_sampled,
+           coalesce(plan.token_budget, 0) AS token_budget,
+           gl.n_windows, gl.windows_digest
+    FROM fr
+    LEFT JOIN fq USING (source)
+    LEFT JOIN fs USING (source)
+    LEFT JOIN plan USING (source), gl
+    ORDER BY fr.source
+    """
+
+
+@query(
+    "pretraining_pipeline_v2_persisted",
+    _pretraining_v2_oracle(4, 64, 4, 60_000, 150, 600),
+    "llm-pipeline", "pretraining", "pipeline", "sampling", "packing",
+    "storage", "ordering",
+)
+def pretraining_pipeline_v2_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE ROUND-12 COMPONENTS AS ONE PIPELINE — what a production
+    data-curation run actually chains: train the frozen tokenizer once
+    on the full corpus → quality window (n_chars 150–600) → integer
+    token budgets in FROZEN-TOKENIZER tokens → EXACT budget sampling
+    (deterministic portable-hash prefix per source, never over budget)
+    → EOS-packed 64-token windows → PERSIST as a tagged SortedTable
+    (``train-v2``) → a disjoint reader reloads the tag and computes
+    the ORDER-PINNED global digest under the reproducible training
+    order (salt 1). Per-source funnel (n_raw → n_quality → n_sampled
+    → tokens_sampled vs token_budget) plus the global window count
+    and digest, every stage replayed in ONE DuckDB oracle — the v1
+    flagship's curation story upgraded with the unit, storage, and
+    ordering guarantees a reproducible training run needs. In-body
+    asserts: persisted reload equals the in-memory window set
+    (full-outer digest mismatch 0)."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs,
+        symbol_vocab,
+    )
+    from parquet_rewriter_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+        persist_packed,
+        training_order,
+        with_eos,
+    )
+    from parquet_rewriter_spark.operators.tokenstats import (
+        sample_to_token_budget,
+        token_budget_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    try:
+        eos_id = symbol_vocab(vocab).count()
+        dt = (
+            encode_docs(d, "doc_id", "text", vocab)
+            .join(d.select("doc_id", "source", "n_chars"), "doc_id")
+            .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+            .persist()
+        )
+        try:
+            q = dt.filter(F.col("n_chars").between(150, 600))
+            stats = q.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            plan = token_budget_plan(stats, budget_tokens=60_000).persist()
+            try:
+                samp = sample_to_token_budget(q, plan).persist()
+                try:
+                    enc2 = with_eos(
+                        samp.select("doc_id", "input_ids"), "input_ids",
+                        eos_id,
+                    )
+                    p = pack_sequences(
+                        enc2, "doc_id", F.size("input_ids"), max_tokens=64,
+                        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+                    )
+                    win = materialize_packed(p, "input_ids", 64).persist()
+                    try:
+                        n_win = win.count()
+                        t = persist_packed(
+                            win, _scratch("pretrain_v2"), tag="train-v2",
+                            max_records_per_file=max(1, n_win // 8),
+                        )
+                        rel = t.read("train-v2")
+                        # disjoint reload == in-memory window set
+                        a = win.select(
+                            "shard", "seq_id",
+                            _ids_digest("input_ids").alias("dm"),
+                        )
+                        b = rel.select(
+                            "shard", "seq_id",
+                            F.col("ids_digest").alias("ds"),
+                        )
+                        bad = (
+                            a.join(b, ["shard", "seq_id"], "full")
+                            .where(
+                                F.col("dm").isNull()
+                                | F.col("ds").isNull()
+                                | (F.col("dm") != F.col("ds"))
+                            )
+                            .count()
+                        )
+                        assert bad == 0, f"{bad} windows diverged"
+                        ordered = training_order(rel, salt=1).select(
+                            "order_key", "shard", "seq_id",
+                            F.col("ids_digest").alias("wd"),
+                        )
+                        bd = ordered.groupBy(
+                            F.substring("order_key", 1, 1).alias("bucket")
+                        ).agg(
+                            F.count(F.lit(1)).alias("nb"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    F.transform(
+                                        F.array_sort(
+                                            F.collect_list(
+                                                F.struct(
+                                                    "order_key", "shard",
+                                                    "seq_id", "wd",
+                                                )
+                                            )
+                                        ),
+                                        lambda s: s.wd,
+                                    ),
+                                )
+                            ).alias("bdig"),
+                        )
+                        gl = bd.agg(
+                            F.sum("nb").alias("n_windows"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    F.transform(
+                                        F.array_sort(
+                                            F.collect_list(
+                                                F.struct("bucket", "bdig")
+                                            )
+                                        ),
+                                        lambda s: s.bdig,
+                                    ),
+                                )
+                            ).alias("windows_digest"),
+                        )
+                        f_raw = d.groupBy("source").agg(
+                            F.count(F.lit(1)).alias("n_raw")
+                        )
+                        f_q = q.groupBy("source").agg(
+                            F.count(F.lit(1)).alias("n_quality")
+                        )
+                        f_s = samp.groupBy("source").agg(
+                            F.count(F.lit(1)).alias("n_sampled"),
+                            F.sum("n_tokens").alias("tokens_sampled"),
+                        )
+                        out = (
+                            f_raw.join(f_q, "source", "left")
+                            .join(f_s, "source", "left")
+                            .join(
+                                plan.select("source", "token_budget"),
+                                "source",
+                                "left",
+                            )
+                            .crossJoin(F.broadcast(gl))
+                            .select(
+                                "source",
+                                "n_raw",
+                                F.coalesce("n_quality", F.lit(0)).alias(
+                                    "n_quality"
+                                ),
+                                F.coalesce("n_sampled", F.lit(0)).alias(
+                                    "n_sampled"
+                                ),
+                                F.coalesce("tokens_sampled", F.lit(0)).alias(
+                                    "tokens_sampled"
+                                ),
+                                F.coalesce("token_budget", F.lit(0)).alias(
+                                    "token_budget"
+                                ),
+                                "n_windows",
+                                "windows_digest",
+                            )
+                            .orderBy("source")
+                        )
+                        return _settle(spark, out, "pretrain_v2")
+                    finally:
+                        win.unpersist()
+                finally:
+                    samp.unpersist()
+            finally:
+                plan.unpersist()
+        finally:
+            dt.unpersist()
+    finally:
+        vocab.unpersist()
+
+
 def _mixture_budget_sampling_oracle(n_merges: int = 4, budget: int = 32_000) -> str:
     from parquet_rewriter_spark.operators.sampling import portable_unit_sql
 
@@ -19005,6 +19312,7 @@ _VERIFY_FIRST = (
     "variant_props_stats",
     "weighted_median_price",
     # round-12 new
+    "pretraining_pipeline_v2_persisted",
     "token_budget_bpe_tokens",
     "packed_shards_versioned_table",
     "packed_shards_incremental_append",

@@ -503,6 +503,7 @@ def test_unigram_bytelevel_pieces_stay_byte_aligned(spark):
 
 
 _R12_QUERIES = (
+    "pretraining_pipeline_v2_persisted",
     "token_budget_bpe_tokens",
     "packed_shards_versioned_table",
     "packed_shards_incremental_append",
