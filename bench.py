@@ -147,6 +147,8 @@ HEADLINE = [
     "token_budget_bpe_tokens",
     "packed_shards_versioned_table",
     "unigram_bytelevel_holdout",
+    "lm_perplexity_buckets",
+    "epoch_mixture_plan",
 ]
 
 EXTENDED = [

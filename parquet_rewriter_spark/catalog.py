@@ -19281,6 +19281,233 @@ def image_header_dims_patch_grid(
     return _settle(spark, out, "img_header_dims")
 
 
+_LM_PERPLEXITY_ORACLE = """
+WITH rw AS (
+  SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'
+),
+uni AS (
+  SELECT u.w, CAST(count(*) AS BIGINT) AS c
+  FROM rw, unnest(w) AS u(w) GROUP BY u.w
+),
+bi AS (
+  SELECT w[j] AS w1, w[j + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM rw, unnest(generate_series(1, len(w) - 1)) AS t(j)
+  GROUP BY w1, w2
+),
+nn AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS n FROM rw),
+dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+db AS (
+  SELECT doc_id, w[j] AS w1, w[j + 1] AS w2
+  FROM dw, unnest(generate_series(1, len(w) - 1)) AS t(j)
+),
+sc AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CASE
+           WHEN bi.c12 IS NOT NULL THEN
+             CAST(bi.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+           WHEN u2.c IS NOT NULL THEN
+             CAST(0.4 AS DOUBLE) * CAST(u2.c AS DOUBLE)
+               / (SELECT n FROM nn)
+           ELSE CAST(0.4 AS DOUBLE) / (SELECT n FROM nn)
+         END) * 1000000.0) AS BIGINT) AS q
+  FROM db b
+  LEFT JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+  LEFT JOIN uni u1 ON b.w1 = u1.w
+  LEFT JOIN uni u2 ON b.w2 = u2.w
+),
+dce AS (
+  SELECT doc_id, CAST((-sum(q)) // count(*) AS BIGINT) AS ce_micro
+  FROM sc GROUP BY doc_id
+),
+bk AS (
+  SELECT d.lang, c.ce_micro,
+         ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY c.ce_micro, c.doc_id
+         ) AS bucket
+  FROM dce c JOIN documents d USING (doc_id)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ce_micro) AS BIGINT) AS sum_ce_micro,
+       min(ce_micro) AS min_ce_micro,
+       max(ce_micro) AS max_ce_micro
+FROM bk GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@query(
+    "lm_perplexity_buckets",
+    _LM_PERPLEXITY_ORACLE,
+    "llm", "quality", "perplexity", "lm", "ccnet",
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (operators/lm_quality.py): train a
+    stupid-backoff bigram LM on the trusted slice (lang='en'), score
+    EVERY document's per-token cross-entropy under it, and bucket
+    head/middle/tail per language — the standard web-corpus quality
+    partition. Per-bigram log-scores are integer-quantized micro-nats
+    before the per-doc fold (order-free, engine-exact), the mean is an
+    integer quotient of positive operands, and the bucket edges are an
+    exact per-language ntile with a total tiebreak — the full train +
+    score + bucket path replays in one SQL oracle. In-body assert:
+    within every language the head bucket's max ce ≤ the tail bucket's
+    min ce (the ntile is a genuine ordering, not a hash split)."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        perplexity_buckets,
+        score_docs_backoff,
+        train_backoff_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, n_total = train_backoff_lm(
+        d.where(F.col("lang") == "en"), "text"
+    )
+    uni = uni.persist()
+    bi = bi.persist()
+    try:
+        scored = score_docs_backoff(d, uni, bi, n_total, "doc_id", "text")
+        lab = scored.join(d.select("doc_id", "lang"), "doc_id")
+        bk = perplexity_buckets(lab, "lang", "doc_id", k=3)
+        out = (
+            bk.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ce_micro").alias("sum_ce_micro"),
+                F.min("ce_micro").alias("min_ce_micro"),
+                F.max("ce_micro").alias("max_ce_micro"),
+            )
+            .orderBy("lang", "bucket")
+        )
+        res = _settle(spark, out, "lm_perplexity_buckets")
+        rows = {(r["lang"], r["bucket"]): r for r in res.collect()}
+        langs = {k[0] for k in rows}
+        for lg in langs:  # buckets are a genuine quality ordering
+            assert rows[(lg, 1)]["max_ce_micro"] <= rows[(lg, 3)][
+                "min_ce_micro"
+            ], lg
+        return res
+    finally:
+        uni.unpersist()
+        bi.unpersist()
+
+
+_EPOCH_MIXTURE_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(1 + (CAST(substr(source, 4) AS INT) % 7) AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+tt AS (SELECT CAST((sum(n_tokens) * 15) // 10 AS BIGINT) AS t_tot FROM s),
+c AS (
+  SELECT source, n_tokens, weight,
+         (2500000 * n_tokens) // 1000000 AS cap_tokens,
+         CAST((2500000 * n_tokens) // 1000000 AS DOUBLE)
+           / CAST(weight AS DOUBLE) AS ratio
+  FROM s
+),
+agg AS (
+  SELECT CAST(sum(cap_tokens) AS BIGINT) AS tot_cap,
+         CAST(sum(weight) AS BIGINT) AS tot_w
+  FROM c
+),
+win AS (
+  SELECT c.*,
+         coalesce(sum(cap_tokens) OVER (
+           ORDER BY ratio, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cap_before,
+         coalesce(sum(weight) OVER (
+           ORDER BY ratio, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS w_before,
+         lag(ratio) OVER (ORDER BY ratio, source) AS prev_ratio
+  FROM c
+),
+tr AS (
+  SELECT w.*, agg.tot_cap, agg.tot_w, tt.t_tot,
+         (CAST(tt.t_tot AS DOUBLE) - CAST(cap_before AS DOUBLE))
+           / CAST(agg.tot_w - w_before AS DOUBLE) AS t_row
+  FROM win w, agg, tt
+),
+piv AS (
+  SELECT min(t_row) AS t_star FROM tr
+  WHERE ratio > t_row
+    AND coalesce(prev_ratio, -1e308) <= t_row
+    AND t_tot < tot_cap
+),
+al AS (
+  SELECT source, n_tokens, weight, cap_tokens,
+         CAST(CASE
+           WHEN t_tot >= tot_cap THEN cap_tokens
+           WHEN ratio <= (SELECT t_star FROM piv) THEN cap_tokens
+           ELSE CAST(floor((SELECT t_star FROM piv)
+                           * CAST(weight AS DOUBLE)) AS BIGINT)
+         END AS BIGINT) AS allocated
+  FROM tr
+)
+SELECT source, n_tokens, weight, cap_tokens, allocated,
+       (allocated * 1000000) // n_tokens AS epochs_micro,
+       CASE WHEN allocated >= cap_tokens THEN 1 ELSE 0 END AS saturated
+FROM al ORDER BY source
+"""
+
+
+@query(
+    "epoch_mixture_plan",
+    _EPOCH_MIXTURE_ORACLE,
+    "llm", "mixture", "planner", "epochs",
+)
+def epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-AWARE mixture allocation
+    (operators/tokenstats.py:plan_epoch_mixture): token budget 1.5× the
+    total supply, per-source weights 1–7 (deterministic from the source
+    name), repetition capped at 2.5 epochs — high-weight sources hit
+    the cap and their excess water-fills into the rest, still ∝ weight,
+    via the closed-form sorted-saturation threshold. Everything is
+    integer arithmetic plus IEEE quotients of exact integers, so the
+    whole plan — caps, pivot, allocations, micro-epochs — replays
+    bit-for-bit in SQL. In-body asserts: no source above its cap,
+    Σ allocated ≤ budget, and the plan genuinely mixes (≥1 saturated
+    AND ≥1 unsaturated source)."""
+    from parquet_rewriter_spark.operators.tokenstats import (
+        plan_epoch_mixture,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    stats = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+        )
+        .withColumn(
+            "weight",
+            (F.lit(1) + F.expr("CAST(substr(source, 4) AS INT)") % 7)
+            .cast("long"),
+        )
+    )
+    total = int(stats.agg(F.sum("n_tokens")).first()[0])
+    plan = plan_epoch_mixture(
+        stats, (total * 15) // 10, max_epochs_micro=2_500_000
+    )
+    out = plan.select(
+        "source",
+        "n_tokens",
+        "weight",
+        "cap_tokens",
+        "allocated",
+        "epochs_micro",
+        F.col("saturated").cast("int").alias("saturated"),
+    ).orderBy("source")
+    res = _settle(spark, out, "epoch_mixture_plan")
+    rows = res.collect()
+    assert all(r["allocated"] <= r["cap_tokens"] for r in rows)
+    assert sum(r["allocated"] for r in rows) <= (total * 15) // 10
+    sat = {r["saturated"] for r in rows}
+    assert sat == {0, 1}  # the cap binds for some sources, not all
+    return res
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -19321,6 +19548,8 @@ _VERIFY_FIRST = (
     "packed_windows_training_order",
     "unigram_bytelevel_holdout",
     "image_header_dims_patch_grid",
+    "lm_perplexity_buckets",
+    "epoch_mixture_plan",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

@@ -420,6 +420,116 @@ def sample_at_token_rate(
     )
 
 
+def plan_epoch_mixture(
+    stats: DataFrame,
+    total_tokens: int,
+    max_epochs_micro: int = 1_000_000,
+    weight_col: str = "weight",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """EPOCH-AWARE mixture allocation — the planner step between "how
+    many tokens does each source have" (the sidecar) and "how many
+    tokens does each source CONTRIBUTE to the run". A training mixture
+    wants tokens ∝ weight, but a source can only repeat so many times
+    before repetition hurts (the standard multi-epoch cap, e.g.
+    Muennighoff et al. 2023 "Scaling Data-Constrained Language
+    Models"): each source is capped at
+    ``cap = (max_epochs_micro · n_tokens) div 1e6`` tokens, and budget
+    that would exceed a cap WATER-FILLS into the uncapped sources,
+    still ∝ weight.
+
+    The fill threshold has the classic closed form: sort sources by
+    ``ratio = cap / weight`` ascending; sources saturate in exactly
+    that order, so the pivot — the first UNsaturated source — is the
+    row where ``t = (T − Σcap_before) / (Σw_total − Σw_before)`` first
+    falls below the row's own ratio (and not below its predecessor's).
+    One window pass over the |sources|-row stats relation + one
+    scalar fold: planner-scale work, nothing touches the corpus.
+
+    Engine-portable by construction: caps and cumulative sums are
+    integer arithmetic; ``t`` is an IEEE quotient of two exact
+    integers; per-source allocation is ``min(cap, floor(t · w))`` with
+    integer weights, and ``epochs_micro = (allocated · 1e6) div
+    n_tokens`` — every step replays bit-for-bit in SQL. If the budget
+    exceeds the total capped supply, every source saturates at its cap
+    (the plan is infeasible and says so: Σ allocated < T). Returns
+    (source, n_tokens, weight, cap_tokens, allocated, epochs_micro,
+    saturated)."""
+    from pyspark.sql import Window
+
+    T = int(total_tokens)
+    me = int(max_epochs_micro)
+    base = stats.select(
+        source_col,
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.expr(f"({me} * CAST({tokens_col} AS BIGINT)) div 1000000")
+        .alias("cap_tokens"),
+    ).withColumn(
+        "ratio",
+        F.col("cap_tokens").cast("double") / F.col("weight").cast("double"),
+    )
+    tot = base.agg(
+        F.sum("cap_tokens").alias("tot_cap"), F.sum("weight").alias("tot_w")
+    )
+    w = Window.orderBy("ratio", source_col)
+    cum = (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cap_before",
+            F.coalesce(
+                F.sum("cap_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "w_before",
+            F.coalesce(
+                F.sum("weight").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("prev_ratio", F.lag("ratio").over(w))
+        .withColumn(
+            "t_row",
+            (F.lit(T).cast("double") - F.col("cap_before").cast("double"))
+            / (F.col("tot_w") - F.col("w_before")).cast("double"),
+        )
+    )
+    # the unique pivot row (first unsaturated source); empty when the
+    # budget covers every cap, in which case everything saturates
+    t_star = cum.where(
+        (F.col("ratio") > F.col("t_row"))
+        & (F.coalesce(F.col("prev_ratio"), F.lit(float("-inf")))
+           <= F.col("t_row"))
+        & (F.lit(T) < F.col("tot_cap"))
+    ).agg(F.min("t_row").alias("t_star"))
+    alloc = F.when(F.lit(T) >= F.col("tot_cap"), F.col("cap_tokens")).when(
+        F.col("ratio") <= F.col("t_star"), F.col("cap_tokens")
+    ).otherwise(
+        F.floor(F.col("t_star") * F.col("weight").cast("double"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(t_star))
+        .withColumn("allocated", alloc.cast("long"))
+        .select(
+            source_col,
+            "n_tokens",
+            "weight",
+            "cap_tokens",
+            "allocated",
+            F.expr("(allocated * 1000000) div n_tokens")
+            .alias("epochs_micro"),
+            (F.col("allocated") >= F.col("cap_tokens")).alias("saturated"),
+        )
+    )
+
+
 __all__ = [
     "TOKEN_DIR",
     "TokenizerRef",
@@ -429,4 +539,5 @@ __all__ = [
     "token_budget_plan",
     "sample_to_token_budget",
     "sample_at_token_rate",
+    "plan_epoch_mixture",
 ]

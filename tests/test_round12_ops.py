@@ -512,6 +512,8 @@ _R12_QUERIES = (
     "packed_windows_training_order",
     "unigram_bytelevel_holdout",
     "image_header_dims_patch_grid",
+    "lm_perplexity_buckets",
+    "epoch_mixture_plan",
 )
 
 
@@ -809,3 +811,165 @@ def test_heal_skips_missing_rules_artifact(spark, tmp_path):
         built = heal_token_stats(t)
     assert built > 0                          # the word spec healed
     assert any("rules artifact missing" in str(x.message) for x in w)
+
+
+# --------------------------- stupid-backoff LM quality (lm_quality.py)
+
+
+def _py_backoff_ce(ref_texts, text, alpha=0.4):
+    """Independent pure-Python replay of score_docs_backoff for one
+    doc: stupid-backoff bigram scores, HALF_UP micro-nat quantization,
+    integer mean."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    n = 0
+    for t in ref_texts:
+        ws = t.split(" ")
+        n += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    qs = []
+    ws = text.split(" ")
+    for a, b in zip(ws, ws[1:]):
+        if (a, b) in bi:
+            p = bi[(a, b)] / uni[a]
+        elif b in uni:
+            p = alpha * uni[b] / float(n)
+        else:
+            p = alpha / float(n)
+        qs.append(int(
+            Decimal(repr(math.log(p) * 1_000_000.0))
+            .quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        ))
+    return len(qs), (-sum(qs)) // len(qs)
+
+
+def test_backoff_lm_matches_python_reference(spark):
+    """Spark's relational train+score reproduces an independently
+    written Python implementation bit-for-bit, covering all three
+    backoff branches (seen bigram, unseen bigram with seen unigram,
+    double OOV)."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff,
+        train_backoff_lm,
+    )
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog sat",
+    ]
+    cand = [
+        (1, "the cat sat on the log"),      # all bigrams seen
+        (2, "mat the dog zzz unseen cat"),  # backoff + double-OOV
+        (3, "zzz qqq"),                     # double-OOV only
+    ]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], ["text"])
+    docs = spark.createDataFrame(cand, ["doc_id", "text"])
+    uni, bi, n = train_backoff_lm(ref, "text")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ce_micro"])
+        for r in score_docs_backoff(
+            docs, uni, bi, n, "doc_id", "text"
+        ).collect()
+    }
+    for doc_id, text in cand:
+        assert got[doc_id] == _py_backoff_ce(ref_texts, text), doc_id
+
+
+def test_perplexity_buckets_are_an_ordering(spark):
+    """Within each group, every bucket-1 ce <= every bucket-2 ce <=
+    every bucket-3 ce, and bucket sizes differ by at most one."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        perplexity_buckets,
+    )
+
+    rows = [("g1", i, (i * 37) % 100) for i in range(10)]
+    rows += [("g2", 100 + i, (i * 53) % 100) for i in range(7)]
+    scored = spark.createDataFrame(rows, ["lang", "doc_id", "ce_micro"])
+    bk = perplexity_buckets(scored, "lang", "doc_id", k=3).collect()
+    for g in ("g1", "g2"):
+        per = {}
+        for r in bk:
+            if r["lang"] == g:
+                per.setdefault(r["bucket"], []).append(r["ce_micro"])
+        assert max(per[1]) <= min(per[2]) and max(per[2]) <= min(per[3])
+        sizes = [len(v) for _, v in sorted(per.items())]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # ntile front-loads
+
+
+# --------------------------- epoch-aware mixture planning
+
+
+def _plan(spark, stats_rows, total, me):
+    from parquet_rewriter_spark.operators.tokenstats import (
+        plan_epoch_mixture,
+    )
+
+    stats = spark.createDataFrame(
+        stats_rows, ["source", "n_tokens", "weight"]
+    )
+    return {
+        r["source"]: r
+        for r in plan_epoch_mixture(
+            stats, total, max_epochs_micro=me
+        ).collect()
+    }
+
+
+def test_plan_epoch_mixture_waterfill_properties(spark):
+    """The allocation is feasible, near-exhausts the budget, is
+    weight-fair among unsaturated sources, and saturates exactly the
+    sources the threshold says it should — on a mixed case that
+    includes a ratio TIE."""
+    rows = [
+        ("a", 1000, 1),
+        ("b", 1000, 8),    # high weight, saturates
+        ("c", 4000, 2),
+        ("d", 1000, 8),    # exact ratio tie with b
+        ("e", 500, 1),
+    ]
+    me = 2_000_000  # 2 epochs -> caps = 2 * n_tokens
+    total = 12_000  # < tot_cap (15_000), > unconstrained fair share
+    plan = _plan(spark, rows, total, me)
+    caps = {s: 2 * n for s, n, _ in rows}
+    alloc = {s: plan[s]["allocated"] for s in plan}
+    assert all(alloc[s] <= caps[s] for s in alloc)
+    spent = sum(alloc.values())
+    n_unsat = sum(1 for s in plan if not plan[s]["saturated"])
+    assert spent <= total and total - spent <= max(n_unsat, 1)
+    # weight-fairness among unsaturated: alloc ~ t* x w (same t*)
+    unsat = [s for s in plan if not plan[s]["saturated"]]
+    ts = [alloc[s] / plan[s]["weight"] for s in unsat]
+    assert max(ts) - min(ts) < 1.0  # floor() jitter only
+    # the tied pair behaves identically
+    assert plan["b"]["saturated"] == plan["d"]["saturated"]
+    assert alloc["b"] == alloc["d"]
+    # epochs in integer micro-units
+    for s in plan:
+        n_tok = dict((x[0], x[1]) for x in rows)[s]
+        assert plan[s]["epochs_micro"] == (alloc[s] * 1_000_000) // n_tok
+
+
+def test_plan_epoch_mixture_degenerate_cases(spark):
+    """Budget >= total capped supply -> every source saturates at its
+    cap; enormous caps -> nobody saturates and allocations are
+    weight-proportional within floor jitter."""
+    rows = [("a", 100, 1), ("b", 200, 3), ("c", 300, 2)]
+    # infeasible: caps are 2x tokens = 1200 total, ask for more
+    plan = _plan(spark, rows, 5_000, 2_000_000)
+    assert all(plan[s]["saturated"] for s in plan)
+    assert {plan[s]["allocated"] for s in plan} == {200, 400, 600}
+    assert all(plan[s]["epochs_micro"] == 2_000_000 for s in plan)
+    # unconstrained: caps 1000x tokens, budget tiny
+    plan = _plan(spark, rows, 600, 1_000_000_000)
+    assert not any(plan[s]["saturated"] for s in plan)
+    ts = [plan[s]["allocated"] / plan[s]["weight"] for s in plan]
+    assert max(ts) - min(ts) < 1.0
+    assert 600 - sum(plan[s]["allocated"] for s in plan) <= 3
