@@ -149,6 +149,7 @@ HEADLINE = [
     "unigram_bytelevel_holdout",
     "lm_perplexity_buckets",
     "epoch_mixture_plan",
+    "epoch_plan_execution",
 ]
 
 EXTENDED = [

@@ -19508,6 +19508,166 @@ def epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def _epoch_execution_oracle() -> str:
+    from parquet_rewriter_spark.operators.sampling import portable_unit_sql
+
+    u = portable_unit_sql("t.doc_id")
+    plan_ctes = _EPOCH_MIXTURE_ORACLE.split("al AS (")[0] + """al AS (
+  SELECT source, n_tokens, weight, cap_tokens,
+         CAST(CASE
+           WHEN t_tot >= tot_cap THEN cap_tokens
+           WHEN ratio <= (SELECT t_star FROM piv) THEN cap_tokens
+           ELSE CAST(floor((SELECT t_star FROM piv)
+                           * CAST(weight AS DOUBLE)) AS BIGINT)
+         END AS BIGINT) AS allocated
+  FROM tr
+)"""
+    return f"""{plan_ctes},
+pl AS (
+  SELECT source, allocated,
+         allocated // n_tokens AS full_epochs,
+         allocated - (allocated // n_tokens) * n_tokens AS rem
+  FROM al
+),
+dt AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+fullp AS (
+  SELECT d.source, d.n_tokens
+  FROM dt d JOIN pl p USING (source),
+       unnest(generate_series(0, p.full_epochs - 1)) AS e(epoch)
+),
+fa AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs_full,
+         CAST(sum(n_tokens) AS BIGINT) AS tok_full
+  FROM fullp GROUP BY source
+),
+ex AS (
+  SELECT t.source, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY {u}, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dt t
+),
+fr AS (
+  SELECT e.source, CAST(count(*) AS BIGINT) AS docs_frac,
+         CAST(sum(e.n_tokens) AS BIGINT) AS tok_frac
+  FROM ex e JOIN pl p USING (source)
+  WHERE e.cum <= p.rem GROUP BY e.source
+)
+SELECT p.source, p.allocated, p.full_epochs,
+       coalesce(fa.docs_full, 0) AS docs_full,
+       coalesce(fr.docs_frac, 0) AS docs_frac,
+       coalesce(fa.tok_full, 0) + coalesce(fr.tok_frac, 0)
+         AS tokens_emitted
+FROM pl p
+LEFT JOIN fa USING (source)
+LEFT JOIN fr USING (source)
+ORDER BY p.source
+"""
+
+
+@query(
+    "epoch_plan_execution",
+    _epoch_execution_oracle(),
+    "llm", "mixture", "epochs", "sampling",
+)
+def epoch_plan_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE EPOCH PLAN EXECUTED
+    (operators/tokenstats.py:sample_with_epochs): plan_epoch_mixture's
+    allocations become an actual repeated-document stream — each source
+    contributes ``allocated div supply`` COMPLETE passes (a
+    zero-exchange explode of a broadcast-joined sequence: repeating
+    every doc needs no coordination) plus the exact deterministic
+    prefix of the fractional remainder (sample_to_token_budget's
+    portable-hash order). In-body asserts: per source the emitted
+    token mass never exceeds the allocation and undershoots it by
+    LESS THAN ONE DOCUMENT (full passes are exact, the prefix is
+    tight); at least one source repeats (full_epochs ≥ 2 under the
+    2.5-epoch cap) while another stays fractional-only."""
+    from parquet_rewriter_spark.operators.tokenstats import (
+        plan_epoch_mixture,
+        sample_with_epochs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d_tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    stats = (
+        d_tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .withColumn(
+            "weight",
+            (F.lit(1) + F.expr("CAST(substr(source, 4) AS INT)") % 7)
+            .cast("long"),
+        )
+    )
+    total = int(stats.agg(F.sum("n_tokens")).first()[0])
+    plan = plan_epoch_mixture(
+        stats, (total * 15) // 10, max_epochs_micro=2_500_000
+    ).persist()
+    try:
+        pl = plan.select(
+            "source",
+            "allocated",
+            F.expr("allocated div n_tokens").alias("full_epochs"),
+        )
+        sel = sample_with_epochs(d_tok, plan)
+        agg = (
+            sel.join(F.broadcast(pl), "source")
+            .groupBy("source")
+            .agg(
+                F.sum(
+                    F.when(F.col("epoch") < F.col("full_epochs"), 1)
+                    .otherwise(0).cast("long")
+                ).alias("docs_full"),
+                F.sum(
+                    F.when(F.col("epoch") >= F.col("full_epochs"), 1)
+                    .otherwise(0).cast("long")
+                ).alias("docs_frac"),
+                F.sum("n_tokens").alias("tokens_emitted"),
+            )
+        )
+        out = (
+            pl.join(agg, "source", "left")
+            .select(
+                "source",
+                "allocated",
+                "full_epochs",
+                F.coalesce("docs_full", F.lit(0).cast("long"))
+                .alias("docs_full"),
+                F.coalesce("docs_frac", F.lit(0).cast("long"))
+                .alias("docs_frac"),
+                F.coalesce("tokens_emitted", F.lit(0).cast("long"))
+                .alias("tokens_emitted"),
+            )
+            .orderBy("source")
+        )
+        res = _settle(spark, out, "epoch_plan_execution")
+        rows = res.collect()
+        maxdoc = {
+            r["source"]: r["m"]
+            for r in d_tok.groupBy("source")
+            .agg(F.max("n_tokens").alias("m"))
+            .collect()
+        }
+        for r in rows:  # tight: never over, under by < one document
+            gap = r["allocated"] - r["tokens_emitted"]
+            assert 0 <= gap <= maxdoc[r["source"]], r["source"]
+        assert any(r["full_epochs"] >= 2 for r in rows)
+        assert any(r["full_epochs"] == 0 and r["docs_frac"] > 0
+                   for r in rows)
+        return res
+    finally:
+        plan.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -19550,6 +19710,7 @@ _VERIFY_FIRST = (
     "image_header_dims_patch_grid",
     "lm_perplexity_buckets",
     "epoch_mixture_plan",
+    "epoch_plan_execution",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

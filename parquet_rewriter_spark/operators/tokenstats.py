@@ -530,6 +530,66 @@ def plan_epoch_mixture(
     )
 
 
+def sample_with_epochs(
+    docs: DataFrame,
+    plan: DataFrame,
+    key_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+    salt: int = 0,
+) -> DataFrame:
+    """EXECUTE an epoch plan (:func:`plan_epoch_mixture`) as an actual
+    repeated-document selection: a source allocated ``allocated``
+    tokens out of an ``n_tokens``-token supply contributes
+    ``full = allocated div n_tokens`` COMPLETE passes over its docs
+    plus a FRACTIONAL pass — the exact greedy prefix (deterministic
+    portable-hash order, same discipline as
+    :func:`sample_to_token_budget`) whose running token total stays
+    within the ``allocated - full·n_tokens`` remainder. Emits one row
+    per (doc, epoch) with ``epoch`` ∈ [0, full] — epoch ids are stable
+    input to :func:`operators.packing.training_order`-style per-epoch
+    reshuffles.
+
+    Scale shape: the full-pass fan-out is ``explode(sequence(0,
+    full-1))`` over a broadcast-joined plan — a PURE PROJECTION, zero
+    exchange, because repeating every doc needs no coordination; only
+    the fractional prefix pays the per-source window
+    (sample_to_token_budget's documented cost — rate-sample the
+    remainder instead if a source's residual is itself huge).
+    Deterministic and engine-portable end to end; total emitted tokens
+    per source never exceed the allocation, and undershoot it by less
+    than one document."""
+    pl = plan.select(
+        source_col,
+        F.expr("allocated div n_tokens").alias("__full"),
+        F.expr("allocated - (allocated div n_tokens) * n_tokens")
+        .alias("token_budget"),  # the fractional remainder
+    )
+    base = docs.join(F.broadcast(pl), source_col)
+    full = base.select(
+        *[F.col(c) for c in docs.columns],
+        F.explode(
+            F.expr(
+                "CASE WHEN __full > 0 THEN sequence(0L, __full - 1) "
+                "ELSE CAST(array() AS array<bigint>) END"
+            )
+        ).alias("epoch"),
+    )
+    frac = sample_to_token_budget(
+        docs,
+        pl.select(source_col, "token_budget"),
+        key_col=key_col,
+        tokens_col=tokens_col,
+        source_col=source_col,
+        salt=salt,
+    ).join(F.broadcast(pl.select(source_col, "__full")), source_col)
+    frac = frac.select(
+        *[F.col(c) for c in docs.columns],
+        F.col("__full").cast("long").alias("epoch"),
+    )
+    return full.unionByName(frac)
+
+
 __all__ = [
     "TOKEN_DIR",
     "TokenizerRef",
@@ -540,4 +600,5 @@ __all__ = [
     "sample_to_token_budget",
     "sample_at_token_rate",
     "plan_epoch_mixture",
+    "sample_with_epochs",
 ]

@@ -514,6 +514,7 @@ _R12_QUERIES = (
     "image_header_dims_patch_grid",
     "lm_perplexity_buckets",
     "epoch_mixture_plan",
+    "epoch_plan_execution",
 )
 
 
@@ -973,3 +974,47 @@ def test_plan_epoch_mixture_degenerate_cases(spark):
     ts = [plan[s]["allocated"] / plan[s]["weight"] for s in plan]
     assert max(ts) - min(ts) < 1.0
     assert 600 - sum(plan[s]["allocated"] for s in plan) <= 3
+
+
+def test_sample_with_epochs_exactness(spark):
+    """Emitted stream = full copies of every doc for each whole epoch
+    plus the exact greedy prefix of the remainder: epoch ids dense,
+    token mass never over the allocation and under by less than one
+    document, full-epoch multiplicity uniform across docs."""
+    from parquet_rewriter_spark.operators.tokenstats import (
+        sample_with_epochs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a", 10 + (i % 3)) for i in range(6)]
+        + [(10 + i, "b", 5) for i in range(4)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    # a: supply 66, allocate 150 -> 2 full epochs + 18-token prefix
+    # b: supply 20, allocate 12  -> 0 full epochs + 12-token prefix
+    plan = spark.createDataFrame(
+        [("a", 66, 150), ("b", 20, 12)],
+        ["source", "n_tokens", "allocated"],
+    )
+    sel = sample_with_epochs(docs, plan).collect()
+    for src, supply, alloc in (("a", 66, 150), ("b", 20, 12)):
+        rows = [r for r in sel if r["source"] == src]
+        full = alloc // supply
+        by_epoch = {}
+        for r in rows:
+            by_epoch.setdefault(r["epoch"], []).append(r)
+        assert set(by_epoch) <= set(range(full + 1))
+        n_docs = len([r for r in sel if r["source"] == src
+                      and r["epoch"] == 0]) if full else None
+        for e in range(full):  # whole passes carry every doc once
+            assert sorted(r["doc_id"] for r in by_epoch[e]) == sorted(
+                r["doc_id"] for r in rows if r["epoch"] == 0
+            )
+            assert len(by_epoch[e]) == (6 if src == "a" else 4)
+        emitted = sum(r["n_tokens"] for r in rows)
+        gap = alloc - emitted
+        assert 0 <= gap < max(r["n_tokens"] for r in rows) + 1
+        # fractional pass is a strict subset of one full pass
+        frac = by_epoch.get(full, [])
+        assert len({r["doc_id"] for r in frac}) == len(frac)
+        assert sum(r["n_tokens"] for r in frac) <= alloc - full * supply
