@@ -209,6 +209,7 @@ EXTENDED = [
     "wordpiece_encode_holdout_sample",
     "stream_wordpiece_encoded_ingest",
     "stream_unigram_encoded_ingest",
+    "stream_lm_perplexity_scores",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

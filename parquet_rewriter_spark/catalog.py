@@ -19316,7 +19316,8 @@ sc AS (
   LEFT JOIN uni u2 ON b.w2 = u2.w
 ),
 dce AS (
-  SELECT doc_id, CAST((-sum(q)) // count(*) AS BIGINT) AS ce_micro
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST((-sum(q)) // count(*) AS BIGINT) AS ce_micro
   FROM sc GROUP BY doc_id
 ),
 bk AS (
@@ -19668,6 +19669,63 @@ def epoch_plan_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan.unpersist()
 
 
+_STREAM_LM_ORACLE = (
+    _LM_PERPLEXITY_ORACLE.split("bk AS")[0].rstrip().rstrip(",")
+    + """
+SELECT doc_id, n_bigrams, ce_micro FROM dce ORDER BY doc_id
+"""
+)
+
+
+@query(
+    "stream_lm_perplexity_scores",
+    _STREAM_LM_ORACLE,
+    "streaming", "llm", "quality", "perplexity", "lm", "frozen",
+)
+def stream_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON-INGEST LM perplexity scoring (streaming/ops.py:
+    stream_score_backoff) — the quality gate meets the firehose: the
+    stupid-backoff bigram model trains once on the trusted lang='en'
+    slice, freezes, and every arriving micro-batch scores its own docs
+    (per-doc cross-entropy is doc-local given the model, so batches
+    are independent and the drained sink shares the BATCH scorer's
+    oracle CTEs verbatim — the engine's standard batch/stream parity
+    proof, same as the tokenizer trio and CUSUM)."""
+    import shutil
+
+    from parquet_rewriter_spark.operators.lm_quality import (
+        train_backoff_lm,
+    )
+    from parquet_rewriter_spark.streaming.ops import stream_score_backoff
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, n_total = train_backoff_lm(
+        d.where(F.col("lang") == "en"), "text"
+    )
+    uni_rows = [(r["w"], int(r["c"])) for r in uni.collect()]
+    bi_rows = [
+        (r["w1"], r["w2"], int(r["c12"])) for r in bi.collect()
+    ]
+    base = _scratch("stream_lm_ppl")
+    src = os.path.join(base, "src")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    d.select("doc_id", "text").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_score_backoff(
+        stream, "doc_id", "text", uni_rows, bi_rows, n_total, sink, ckpt
+    )
+    return (
+        spark.read.parquet(sink)
+        .select("doc_id", "n_bigrams", "ce_micro")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -19711,6 +19769,7 @@ _VERIFY_FIRST = (
     "lm_perplexity_buckets",
     "epoch_mixture_plan",
     "epoch_plan_execution",
+    "stream_lm_perplexity_scores",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

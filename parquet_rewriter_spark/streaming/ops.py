@@ -1532,3 +1532,62 @@ def stream_holt_winters(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"stream did not drain within {timeout_s}s")
+
+
+def stream_score_backoff(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni_rows: list[tuple],
+    bi_rows: list[tuple],
+    n_total: int,
+    sink_dir: str,
+    checkpoint_dir: str,
+    alpha: float = 0.4,
+    timeout_s: int = 300,
+) -> None:
+    """ON-INGEST LM perplexity scoring — the streaming half of the
+    CCNet-style quality gate (operators/lm_quality.py): the
+    stupid-backoff bigram model is FROZEN at start (vocabulary-bounded
+    count relations, the same frozen-artifact discipline as the
+    tokenizer trio; a model too large to ship as rows would join as a
+    persisted relation instead), and each micro-batch scores ITS OWN
+    documents — per-doc cross-entropy is doc-local given the model, so
+    batches are independent and the drained sink equals the one-shot
+    batch scoring bit-for-bit (integer micro-nat quantization
+    included). Appends (id, n_bigrams, ce_micro) to an
+    epoch-partitioned idempotent sink."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff,
+    )
+
+    spark = stream.sparkSession
+    uni = spark.createDataFrame(
+        [(str(w), int(c)) for w, c in uni_rows], "w string, c long"
+    )
+    bi = spark.createDataFrame(
+        [(str(a), str(b), int(c)) for a, b, c in bi_rows],
+        "w1 string, w2 string, c12 long",
+    )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        out = score_docs_backoff(
+            batch_df, uni, bi, n_total, id_col, text_col, alpha=alpha
+        )
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_s}s")

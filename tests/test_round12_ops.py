@@ -515,6 +515,7 @@ _R12_QUERIES = (
     "lm_perplexity_buckets",
     "epoch_mixture_plan",
     "epoch_plan_execution",
+    "stream_lm_perplexity_scores",
 )
 
 
