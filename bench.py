@@ -210,6 +210,7 @@ EXTENDED = [
     "stream_wordpiece_encoded_ingest",
     "stream_unigram_encoded_ingest",
     "stream_lm_perplexity_scores",
+    "lm_artifact_roundtrip",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

@@ -19726,6 +19726,81 @@ def stream_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_ARTIFACT_ORACLE = (
+    _LM_PERPLEXITY_ORACLE.split("bk AS")[0].rstrip().rstrip(",")
+    + """
+SELECT doc_id, n_bigrams, ce_micro,
+       CAST((SELECT count(*) FROM uni) AS BIGINT) AS n_uni_entries,
+       CAST((SELECT count(*) FROM bi) AS BIGINT) AS n_bi_entries
+FROM dce WHERE doc_id < 40 ORDER BY doc_id
+"""
+)
+
+
+@query(
+    "lm_artifact_roundtrip",
+    _LM_ARTIFACT_ORACLE,
+    "llm", "quality", "perplexity", "lm", "registry", "storage",
+)
+def lm_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-GATE MODEL REGISTRY backed by the engine's own storage
+    (the tokenizer_artifact_roundtrip discipline applied to the
+    CCNet-style LM): train the stupid-backoff model, persist BOTH
+    count relations as SortedTables (unigrams keyed by word, bigrams
+    by the joined pair — sorted write, zone maps, time travel: a model
+    version IS a table version), reload in a disjoint reader, and
+    score documents FROM THE STORED ARTIFACT. The backoff denominator
+    is NOT stored — it folds back out of the stored unigram counts
+    (Σc = total reference tokens, integer-exact), so the artifact is
+    self-contained by construction; in-body assert pins the folded
+    total to the training-time value. Scores must equal the in-memory
+    path's (same oracle head as lm_perplexity_buckets)."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff,
+        train_backoff_lm,
+    )
+    from parquet_rewriter_spark.table import SortedTable
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, n_total = train_backoff_lm(
+        d.where(F.col("lang") == "en"), "text"
+    )
+    base = _scratch("lm_registry")
+    ut = SortedTable.create(
+        spark, os.path.join(base, "uni"), uni, key="w"
+    )
+    bt = SortedTable.create(
+        spark,
+        os.path.join(base, "bi"),
+        bi.withColumn("bg", F.concat_ws(" ", "w1", "w2")),
+        key="bg",
+    )
+    stored_uni = ut.read().select("w", "c")
+    stored_bi = bt.read().select("w1", "w2", "c12")
+    n_stored = int(stored_uni.agg(F.sum("c")).first()[0])
+    assert n_stored == n_total  # the artifact is self-contained
+    n_uni = stored_uni.count()
+    n_bi = stored_bi.count()
+    scored = score_docs_backoff(
+        d.where(F.col("doc_id") < 40),
+        stored_uni,
+        stored_bi,
+        n_stored,
+        "doc_id",
+        "text",
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            "ce_micro",
+            F.lit(n_uni).cast("long").alias("n_uni_entries"),
+            F.lit(n_bi).cast("long").alias("n_bi_entries"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -19770,6 +19845,7 @@ _VERIFY_FIRST = (
     "epoch_mixture_plan",
     "epoch_plan_execution",
     "stream_lm_perplexity_scores",
+    "lm_artifact_roundtrip",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

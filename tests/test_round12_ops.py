@@ -516,6 +516,7 @@ _R12_QUERIES = (
     "epoch_mixture_plan",
     "epoch_plan_execution",
     "stream_lm_perplexity_scores",
+    "lm_artifact_roundtrip",
 )
 
 
