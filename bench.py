@@ -211,6 +211,7 @@ EXTENDED = [
     "stream_unigram_encoded_ingest",
     "stream_lm_perplexity_scores",
     "lm_artifact_roundtrip",
+    "lm_trigram_vs_bigram",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

@@ -19801,6 +19801,102 @@ def lm_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_TRIGRAM_ORACLE = (
+    _LM_PERPLEXITY_ORACLE.split("bk AS")[0].rstrip().rstrip(",")
+    + """,
+tri AS (
+  SELECT w[j] AS w1, w[j + 1] AS w2, w[j + 2] AS w3,
+         CAST(count(*) AS BIGINT) AS c123
+  FROM rw, unnest(generate_series(1, len(w) - 2)) AS t(j)
+  GROUP BY w1, w2, w3
+),
+dtg AS (
+  SELECT doc_id, w[j] AS w1, w[j + 1] AS w2, w[j + 2] AS w3
+  FROM dw, unnest(generate_series(1, len(w) - 2)) AS t(j)
+),
+sc3 AS (
+  SELECT g.doc_id,
+         CAST(round(ln(CASE
+           WHEN t.c123 IS NOT NULL THEN
+             CAST(t.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE)
+           WHEN b23.c12 IS NOT NULL THEN
+             CAST(0.4 AS DOUBLE) * CAST(b23.c12 AS DOUBLE)
+               / CAST(u2.c AS DOUBLE)
+           WHEN u3.c IS NOT NULL THEN
+             CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+               * CAST(u3.c AS DOUBLE) / (SELECT n FROM nn)
+           ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+               / (SELECT n FROM nn)
+         END) * 1000000.0) AS BIGINT) AS q
+  FROM dtg g
+  LEFT JOIN tri t
+    ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+  LEFT JOIN bi b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+  LEFT JOIN bi b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+  LEFT JOIN uni u2 ON g.w2 = u2.w
+  LEFT JOIN uni u3 ON g.w3 = u3.w
+),
+dce3 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST((-sum(q)) // count(*) AS BIGINT) AS ce3_micro
+  FROM sc3 GROUP BY doc_id
+)
+SELECT d2.doc_id, d2.ce_micro AS ce2_micro, d3.n_trigrams,
+       d3.ce3_micro
+FROM dce d2 JOIN dce3 d3 USING (doc_id)
+WHERE doc_id < 40 ORDER BY doc_id
+"""
+)
+
+
+@query(
+    "lm_trigram_vs_bigram",
+    _LM_TRIGRAM_ORACLE,
+    "llm", "quality", "perplexity", "lm", "trigram",
+)
+def lm_trigram_vs_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIGRAM stupid backoff (operators/lm_quality.py:
+    score_docs_backoff3) against the bigram scorer on the same docs —
+    the production n-gram depth (CCNet ships 5-gram KenLM; the chain
+    S(w3|w1w2) → α·S(w3|w2) → α²·S(w3) is the same construction at any
+    depth, each level one more token-keyed count join). Both scorings
+    share one model head; the oracle replays bigram AND trigram
+    scoring from scratch. Output is the per-doc (ce2, ce3) sample —
+    the pair a filtering-threshold study would plot."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff,
+        score_docs_backoff3,
+        train_backoff_lm,
+        trigram_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("lang") == "en")
+    uni, bi, n_total = train_backoff_lm(ref, "text")
+    tri = trigram_counts(ref, "text")
+    uni = uni.persist()
+    bi = bi.persist()
+    try:
+        sample = d.where(F.col("doc_id") < 40)
+        s2 = score_docs_backoff(
+            sample, uni, bi, n_total, "doc_id", "text"
+        ).select("doc_id", F.col("ce_micro").alias("ce2_micro"))
+        s3 = score_docs_backoff3(
+            sample, uni, bi, tri, n_total, "doc_id", "text"
+        ).select(
+            "doc_id", "n_trigrams", F.col("ce_micro").alias("ce3_micro")
+        )
+        out = (
+            s2.join(s3, "doc_id")
+            .select("doc_id", "ce2_micro", "n_trigrams", "ce3_micro")
+            .orderBy("doc_id")
+        )
+        return _settle(spark, out, "lm_trigram_vs_bigram")
+    finally:
+        uni.unpersist()
+        bi.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -19846,6 +19942,7 @@ _VERIFY_FIRST = (
     "epoch_plan_execution",
     "stream_lm_perplexity_scores",
     "lm_artifact_roundtrip",
+    "lm_trigram_vs_bigram",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

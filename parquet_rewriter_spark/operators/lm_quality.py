@@ -154,3 +154,106 @@ def perplexity_buckets(
     projection instead."""
     w = Window.partitionBy(by_col).orderBy("ce_micro", id_col)
     return scored.withColumn("bucket", F.ntile(k).over(w))
+
+
+def _trigrams(text_col: str) -> F.Column:
+    """array<struct<w1,w2,w3>> of adjacent triples — codegen indexed
+    transform (0-based array indexing), no self-join."""
+    return F.expr(
+        f"transform(slice(split({text_col}, ' '), 1,"
+        f"                 greatest(size(split({text_col}, ' ')) - 2, 0)),"
+        f"          (x, i) -> struct(x AS w1,"
+        f"                           split({text_col}, ' ')[i + 1] AS w2,"
+        f"                           split({text_col}, ' ')[i + 2] AS w3))"
+    )
+
+
+def trigram_counts(ref: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, w3, c123) counts — the third model level. One explode
+    + one hash aggregation, same shape as the bigram level."""
+    return (
+        ref.select(F.explode(_trigrams(text_col)).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+    )
+
+
+def score_docs_backoff3(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    tri: DataFrame,
+    n_total: int,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document cross-entropy under TRIGRAM stupid backoff — the
+    production n-gram depth (CCNet ships 5-gram KenLM; the backoff
+    chain is identical at any depth):
+
+        S(w3 | w1 w2) = c(w1w2w3) / c(w1w2)        if seen
+                      = alpha   · c(w2w3) / c(w2)   else if (w2,w3) seen
+                      = alpha^2 · c(w3) / N         else if w3 seen
+                      = alpha^2 · 1 / N             else
+
+    Each doc is scored over its n-2 full-context trigram windows
+    (docs under three tokens drop — no trigram context exists).
+    Same integer micro-nat quantization discipline as the bigram
+    scorer; every join is token-keyed (model may exceed broadcast).
+    Returns (id, n_trigrams, ce_micro)."""
+    n = float(n_total)
+    tg = docs.select(
+        id_col, F.explode(_trigrams(text_col)).alias("t")
+    ).select(id_col, "t.w1", "t.w2", "t.w3")
+    scored = (
+        tg.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select(
+                F.col("w1"), F.col("w2"), F.col("c12").alias("c12a")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c12").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("c").alias("c3")),
+            "w3",
+            "left",
+        )
+        .select(
+            id_col,
+            F.expr(
+                "CAST(round(ln(CASE"
+                "  WHEN c123 IS NOT NULL THEN"
+                "    CAST(c123 AS DOUBLE) / CAST(c12a AS DOUBLE)"
+                f"  WHEN c23 IS NOT NULL THEN"
+                f"    CAST({alpha!r} AS DOUBLE) * CAST(c23 AS DOUBLE)"
+                f"      / CAST(c2 AS DOUBLE)"
+                f"  WHEN c3 IS NOT NULL THEN"
+                f"    CAST({alpha!r} AS DOUBLE) * CAST({alpha!r} AS DOUBLE)"
+                f"      * CAST(c3 AS DOUBLE) / CAST({n!r} AS DOUBLE)"
+                f"  ELSE CAST({alpha!r} AS DOUBLE) * CAST({alpha!r} AS DOUBLE)"
+                f"      / CAST({n!r} AS DOUBLE)"
+                f" END) * {QUANT}.0) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.expr("(-sum(q)) div count(1)").alias("ce_micro"),
+    )

@@ -517,6 +517,7 @@ _R12_QUERIES = (
     "epoch_plan_execution",
     "stream_lm_perplexity_scores",
     "lm_artifact_roundtrip",
+    "lm_trigram_vs_bigram",
 )
 
 
@@ -1020,3 +1021,66 @@ def test_sample_with_epochs_exactness(spark):
         frac = by_epoch.get(full, [])
         assert len({r["doc_id"] for r in frac}) == len(frac)
         assert sum(r["n_tokens"] for r in frac) <= alloc - full * supply
+
+
+def test_trigram_backoff_matches_python_reference(spark):
+    """Trigram stupid backoff reproduces an independent Python
+    implementation bit-for-bit across all four branches (seen trigram,
+    bigram backoff, unigram backoff, double-alpha OOV)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff3,
+        train_backoff_lm,
+        trigram_counts,
+    )
+
+    ref_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog sat",
+    ]
+    cand = [
+        (1, "the cat sat on the log"),        # seen trigrams + backoffs
+        (2, "mat the dog zzz unseen cat on"), # all lower branches
+        (3, "zzz qqq rrr"),                   # double-alpha OOV only
+    ]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], ["text"])
+    docs = spark.createDataFrame(cand, ["doc_id", "text"])
+    uni, bi, n = train_backoff_lm(ref, "text")
+    tri = trigram_counts(ref, "text")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["ce_micro"])
+        for r in score_docs_backoff3(
+            docs, uni, bi, tri, n, "doc_id", "text"
+        ).collect()
+    }
+
+    unid, bid, trid, ntot = {}, {}, {}, 0
+    for t in ref_texts:
+        ws = t.split(" ")
+        ntot += len(ws)
+        for w in ws:
+            unid[w] = unid.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bid[(a, b)] = bid.get((a, b), 0) + 1
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            trid[(a, b, c)] = trid.get((a, b, c), 0) + 1
+    for doc_id, text in cand:
+        ws = text.split(" ")
+        qs = []
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            if (a, b, c) in trid:
+                p = trid[(a, b, c)] / bid[(a, b)]
+            elif (b, c) in bid:
+                p = 0.4 * bid[(b, c)] / unid[b]
+            elif c in unid:
+                p = 0.4 * 0.4 * unid[c] / float(ntot)
+            else:
+                p = 0.4 * 0.4 / float(ntot)
+            qs.append(int(
+                Decimal(repr(math.log(p) * 1_000_000.0))
+                .quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+            ))
+        assert got[doc_id] == (len(qs), (-sum(qs)) // len(qs)), doc_id
