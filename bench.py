@@ -150,6 +150,7 @@ HEADLINE = [
     "lm_perplexity_buckets",
     "epoch_mixture_plan",
     "epoch_plan_execution",
+    "quality_gated_budget_selection",
 ]
 
 EXTENDED = [

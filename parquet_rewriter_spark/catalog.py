@@ -19897,6 +19897,189 @@ def lm_trigram_vs_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.unpersist()
 
 
+def _quality_gated_oracle() -> str:
+    from parquet_rewriter_spark.operators.sampling import portable_unit_sql
+
+    u = portable_unit_sql("t.doc_id")
+    head = _LM_PERPLEXITY_ORACLE.split("bk AS")[0].rstrip().rstrip(",")
+    return f"""{head},
+bk2 AS (
+  SELECT c.doc_id,
+         ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY c.ce_micro, c.doc_id
+         ) AS bucket
+  FROM dce c JOIN documents d USING (doc_id)
+),
+kept AS (
+  SELECT k.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM bk2 k JOIN documents d USING (doc_id)
+  WHERE k.bucket <= 2
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+  FROM kept GROUP BY source
+),
+tot AS (
+  SELECT CAST((sum(tokens_kept) * 6) // 10 AS BIGINT) AS b,
+         CAST(sum(tokens_kept) AS BIGINT) AS t
+  FROM st
+),
+plan AS (
+  SELECT source, tokens_kept,
+         ((SELECT b FROM tot) * tokens_kept) // (SELECT t FROM tot)
+           AS token_budget
+  FROM st
+),
+ex AS (
+  SELECT t.source, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY {u}, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM kept t
+),
+sel AS (
+  SELECT e.source, CAST(count(*) AS BIGINT) AS docs_selected,
+         CAST(sum(e.n_tokens) AS BIGINT) AS tokens_selected
+  FROM ex e JOIN plan p USING (source)
+  WHERE e.cum <= p.token_budget GROUP BY e.source
+)
+SELECT s.source, s.n_docs_kept, s.tokens_kept, p.token_budget,
+       coalesce(sel.docs_selected, 0) AS docs_selected,
+       coalesce(sel.tokens_selected, 0) AS tokens_selected
+FROM st s
+JOIN plan p USING (source)
+LEFT JOIN sel USING (source)
+ORDER BY s.source
+"""
+
+
+@query(
+    "quality_gated_budget_selection",
+    _quality_gated_oracle(),
+    "llm", "quality", "perplexity", "mixture", "sampling", "pipeline",
+)
+def quality_gated_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE QUALITY GATE COMPOSED INTO THE MIXTURE PIPELINE: perplexity
+    buckets (lm_quality.py) drop each language's tail third, the
+    SURVIVING docs' token masses feed token_budget_plan (60% of the
+    kept supply), and sample_to_token_budget executes the allocation
+    as the exact deterministic prefix — CCNet's filter feeding the
+    planner feeding the sampler, every stage replayed in ONE oracle.
+    In-body asserts: per-language kept count == n − n div 3 (the ntile
+    gate is exact, not approximate) and no source selects past its
+    budget."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        perplexity_buckets,
+        score_docs_backoff,
+        train_backoff_lm,
+    )
+    from parquet_rewriter_spark.operators.tokenstats import (
+        sample_to_token_budget,
+        token_budget_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, n_total = train_backoff_lm(
+        d.where(F.col("lang") == "en"), "text"
+    )
+    uni = uni.persist()
+    bi = bi.persist()
+    try:
+        scored = score_docs_backoff(d, uni, bi, n_total, "doc_id", "text")
+        bk = perplexity_buckets(
+            scored.join(d.select("doc_id", "lang"), "doc_id"),
+            "lang",
+            "doc_id",
+            k=3,
+        )
+        # per-language gate-exactness: kept == n - n div 3
+        per_lang = {
+            r["lang"]: (r["n"], r["kept"])
+            for r in bk.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("bucket") <= 2, 1).otherwise(0)
+                ).alias("kept"),
+            ).collect()
+        }
+        assert all(k == n - n // 3 for n, k in per_lang.values())
+        kept = (
+            bk.where(F.col("bucket") <= 2)
+            .select("doc_id")
+            .join(
+                d.select(
+                    "doc_id",
+                    "source",
+                    F.size(F.split(F.col("text"), " "))
+                    .cast("long")
+                    .alias("n_tokens"),
+                ),
+                "doc_id",
+            )
+            .persist()
+        )
+        try:
+            stats = kept.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+            total_kept = int(stats.agg(F.sum("n_tokens")).first()[0])
+            plan = token_budget_plan(
+                stats, budget_tokens=(total_kept * 6) // 10
+            ).persist()
+            try:
+                sel = sample_to_token_budget(kept, plan)
+                over = (
+                    sel.groupBy("source")
+                    .agg(
+                        F.max(
+                            F.col("cum_tokens") - F.col("token_budget")
+                        ).alias("o")
+                    )
+                    .where(F.col("o") > 0)
+                    .count()
+                )
+                assert over == 0  # selection never exceeds a budget
+                agg = sel.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("docs_selected"),
+                    F.sum("n_tokens").alias("tokens_selected"),
+                )
+                out = (
+                    plan.select(
+                        "source",
+                        F.col("n_docs").alias("n_docs_kept"),
+                        F.col("n_tokens").alias("tokens_kept"),
+                        "token_budget",
+                    )
+                    .join(agg, "source", "left")
+                    .select(
+                        "source",
+                        "n_docs_kept",
+                        "tokens_kept",
+                        "token_budget",
+                        F.coalesce("docs_selected", F.lit(0).cast("long"))
+                        .alias("docs_selected"),
+                        F.coalesce(
+                            "tokens_selected", F.lit(0).cast("long")
+                        ).alias("tokens_selected"),
+                    )
+                    .orderBy("source")
+                )
+                return _settle(
+                    spark, out, "quality_gated_budget_selection"
+                )
+            finally:
+                plan.unpersist()
+        finally:
+            kept.unpersist()
+    finally:
+        uni.unpersist()
+        bi.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -19943,6 +20126,7 @@ _VERIFY_FIRST = (
     "stream_lm_perplexity_scores",
     "lm_artifact_roundtrip",
     "lm_trigram_vs_bigram",
+    "quality_gated_budget_selection",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

@@ -518,6 +518,7 @@ _R12_QUERIES = (
     "stream_lm_perplexity_scores",
     "lm_artifact_roundtrip",
     "lm_trigram_vs_bigram",
+    "quality_gated_budget_selection",
 )
 
 
