@@ -109,6 +109,11 @@ def score_docs_backoff(
     is exact integer arithmetic (order-free, engine-portable), and the
     mean is the integer quotient ``(-sum) div n`` (operands positive,
     so Spark ``div`` == DuckDB ``//``). Docs without bigrams drop."""
+    if int(n_total) <= 0:
+        raise ValueError(
+            "score_docs_backoff: empty reference corpus (n_total == 0) — "
+            "the backoff denominator is undefined"
+        )
     n = float(n_total)
     big = docs.select(
         id_col, F.explode(_bigrams(text_col)).alias("b")
@@ -203,6 +208,11 @@ def score_docs_backoff3(
     Same integer micro-nat quantization discipline as the bigram
     scorer; every join is token-keyed (model may exceed broadcast).
     Returns (id, n_trigrams, ce_micro)."""
+    if int(n_total) <= 0:
+        raise ValueError(
+            "score_docs_backoff3: empty reference corpus (n_total == 0) — "
+            "the backoff denominator is undefined"
+        )
     n = float(n_total)
     tg = docs.select(
         id_col, F.explode(_trigrams(text_col)).alias("t")

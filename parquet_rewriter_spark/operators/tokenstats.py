@@ -447,6 +447,11 @@ def plan_epoch_mixture(
     One window pass over the |sources|-row stats relation + one
     scalar fold: planner-scale work, nothing touches the corpus.
 
+    Weights must be POSITIVE integers (integer weights keep every
+    cumulative sum exact; a zero weight degenerates gracefully — the
+    source sorts last by infinite ratio and allocates zero — but the
+    contract is positive).
+
     Engine-portable by construction: caps and cumulative sums are
     integer arithmetic; ``t`` is an IEEE quotient of two exact
     integers; per-source allocation is ``min(cap, floor(t · w))`` with

@@ -1085,3 +1085,21 @@ def test_trigram_backoff_matches_python_reference(spark):
                 .quantize(Decimal("1"), rounding=ROUND_HALF_UP)
             ))
         assert got[doc_id] == (len(qs), (-sum(qs)) // len(qs)), doc_id
+
+
+def test_backoff_scorers_refuse_empty_reference(spark):
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff,
+        score_docs_backoff3,
+        train_backoff_lm,
+    )
+
+    empty = spark.createDataFrame([], "text string")
+    uni, bi, n = train_backoff_lm(empty, "text")
+    assert n == 0
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty reference"):
+        score_docs_backoff(docs, uni, bi, n, "doc_id", "text")
+    with _pt.raises(ValueError, match="empty reference"):
+        score_docs_backoff3(docs, uni, bi, uni, n, "doc_id", "text")
