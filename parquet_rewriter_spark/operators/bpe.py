@@ -481,7 +481,16 @@ def symbol_vocab(vocab: DataFrame, base_bytes: bool = False) -> DataFrame:
             F.lpad(F.upper(F.hex(F.col("id"))), 2, "0").alias("symbol"),
             F.lit(0).cast("long").alias("cnt"),
         )
-        syms = syms.unionByName(base)
+        # END belongs to the STRUCTURAL alphabet too: every segmented
+        # word ends with it, and it only reaches the artifact through
+        # training words — an EMPTY training slice would otherwise
+        # leave the marker id-less and every encoded word would carry
+        # one spurious unk (hypothesis-found; for any non-empty corpus
+        # END is already present, so ids are unchanged)
+        end = spark.range(1).select(
+            F.lit(END).alias("symbol"), F.lit(0).cast("long").alias("cnt")
+        )
+        syms = syms.unionByName(base).unionByName(end)
     agg = syms.groupBy("symbol").agg(F.sum("cnt").alias("freq"))
     w = Window.partitionBy().orderBy("symbol")
     return agg.select(

@@ -1103,3 +1103,38 @@ def test_backoff_scorers_refuse_empty_reference(spark):
         score_docs_backoff(docs, uni, bi, n, "doc_id", "text")
     with _pt.raises(ValueError, match="empty reference"):
         score_docs_backoff3(docs, uni, bi, uni, n, "doc_id", "text")
+
+
+def test_bytelevel_base_artifact_covers_end_marker(spark):
+    """The hypothesis-found hole: a byte-level artifact frozen from an
+    EMPTY training slice must still encode everything unk-free — the
+    END marker is structural alphabet, not a training observation."""
+    from pyspark.sql import functions as F2
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        decode_docs,
+        encode_docs_with_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "0")], "doc_id long, text string"
+    )
+    rules, vocab = bpe_train(
+        df.filter(F2.col("doc_id") % 2 == 0), "text",
+        n_merges=2, pretokenize=True, byte_level=True,
+    )
+    try:
+        enc = encode_docs_with_rules(
+            df, "doc_id", "text", rules, vocab, unk_id=-1,
+            pretokenize=True, byte_level=True, base_bytes=True,
+        )
+        rows = enc.collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 1
+        assert min(rows[0]["input_ids"]) >= 0  # no unk, END included
+        assert rows[0]["n_tokens"] == 2        # byte '30' + END
+        dec = decode_docs(
+            enc, "input_ids", vocab, byte_level=True, base_bytes=True
+        ).collect()
+        assert dec[0]["decoded"] == "0"
+    finally:
+        vocab.unpersist()
