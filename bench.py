@@ -213,6 +213,7 @@ EXTENDED = [
     "stream_lm_perplexity_scores",
     "lm_artifact_roundtrip",
     "lm_trigram_vs_bigram",
+    "lm_quality_cutoff_buckets",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

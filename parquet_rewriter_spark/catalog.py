@@ -20080,6 +20080,111 @@ def quality_gated_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
         bi.unpersist()
 
 
+_LM_CUTOFF_ORACLE = (
+    _LM_PERPLEXITY_ORACLE.split("bk AS")[0].rstrip().rstrip(",")
+    + """,
+lab AS (
+  SELECT c.doc_id, d.lang, c.ce_micro
+  FROM dce c JOIN documents d USING (doc_id)
+),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM lab GROUP BY lang),
+cnts AS (
+  SELECT lang, ce_micro, CAST(count(*) AS BIGINT) AS c
+  FROM lab GROUP BY lang, ce_micro
+),
+cum AS (
+  SELECT lang, ce_micro, c,
+         sum(c) OVER (
+           PARTITION BY lang ORDER BY ce_micro
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM cnts
+),
+cut1 AS (
+  SELECT c.lang, min(c.ce_micro) AS q1
+  FROM cum c JOIN tot t USING (lang)
+  WHERE c.cm >= ((1 * t.n) + 2) // 3 GROUP BY c.lang
+),
+cut2 AS (
+  SELECT c.lang, min(c.ce_micro) AS q2
+  FROM cum c JOIN tot t USING (lang)
+  WHERE c.cm >= ((2 * t.n) + 2) // 3 GROUP BY c.lang
+),
+bk3 AS (
+  SELECT l.lang,
+         CASE WHEN l.ce_micro <= c1.q1 THEN 1
+              WHEN l.ce_micro <= c2.q2 THEN 2
+              ELSE 3 END AS bucket,
+         l.ce_micro
+  FROM lab l JOIN cut1 c1 USING (lang) JOIN cut2 c2 USING (lang)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(ce_micro) AS min_ce_micro, max(ce_micro) AS max_ce_micro
+FROM bk3 GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+)
+
+
+@query(
+    "lm_quality_cutoff_buckets",
+    _LM_CUTOFF_ORACLE,
+    "llm", "quality", "perplexity", "lm", "scale-path",
+)
+def lm_quality_cutoff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100-TB BUCKET PATH MADE REAL (operators/lm_quality.py:
+    quantile_cutoffs + perplexity_buckets_by_cutoff): instead of an
+    ntile window sorting every document, the exact tertile cutoffs
+    come from a window over the DISTINCT (lang, ce) values only —
+    bounded by value-space granularity, not corpus size — and
+    bucketing is a broadcast join + one CASE projection per row, no
+    per-row sort anywhere. Threshold semantics: boundary TIES land in
+    the lower bucket together, so a document's bucket depends on its
+    score alone (what a production filter wants), and bucket counts
+    may deviate from n/3 exactly by those ties. The oracle replays the
+    cutoff selection (running count over distinct values ≥ ceil(j·n/3))
+    and the CASE bucketing from scratch. In-body assert: buckets
+    partition each language and are value-ordered."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        perplexity_buckets_by_cutoff,
+        score_docs_backoff,
+        train_backoff_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, n_total = train_backoff_lm(
+        d.where(F.col("lang") == "en"), "text"
+    )
+    uni = uni.persist()
+    bi = bi.persist()
+    try:
+        scored = score_docs_backoff(d, uni, bi, n_total, "doc_id", "text")
+        lab = scored.join(d.select("doc_id", "lang"), "doc_id")
+        bk = perplexity_buckets_by_cutoff(lab, "lang", "ce_micro", k=3)
+        out = (
+            bk.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("ce_micro").alias("min_ce_micro"),
+                F.max("ce_micro").alias("max_ce_micro"),
+            )
+            .orderBy("lang", "bucket")
+        )
+        res = _settle(spark, out, "lm_quality_cutoff_buckets")
+        rows = sorted(
+            res.collect(), key=lambda r: (r["lang"], r["bucket"])
+        )
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lg, rs in by_lang.items():  # ordered partition per language
+            for a, b in zip(rs, rs[1:]):
+                assert a["max_ce_micro"] < b["min_ce_micro"], lg
+        return res
+    finally:
+        uni.unpersist()
+        bi.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -20127,6 +20232,7 @@ _VERIFY_FIRST = (
     "lm_artifact_roundtrip",
     "lm_trigram_vs_bigram",
     "quality_gated_budget_selection",
+    "lm_quality_cutoff_buckets",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

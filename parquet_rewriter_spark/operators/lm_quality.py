@@ -267,3 +267,71 @@ def score_docs_backoff3(
         F.count(F.lit(1)).alias("n_trigrams"),
         F.expr("(-sum(q)) div count(1)").alias("ce_micro"),
     )
+
+
+def quantile_cutoffs(
+    scored: DataFrame,
+    by_col: str,
+    value_col: str = "ce_micro",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT k-quantile cutoffs per group WITHOUT a per-row sort — the
+    100-TB bucket path: aggregate to (group, value, count) first, then
+    window over the DISTINCT values only (bounded by value-space
+    granularity, not corpus size), cumulative-sum the counts, and take
+    ``cutoff_j = min value whose running count ≥ ceil(j·n/k)`` (the
+    standard discrete lower quantile). Integer arithmetic end to end —
+    deterministic and SQL-replayable. Returns (by_col, q, cutoff) with
+    q ∈ 1..k-1."""
+    counts = scored.groupBy(by_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(by_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = scored.groupBy(by_col).agg(F.count(F.lit(1)).alias("__n"))
+    cum = counts.withColumn("__cum", F.sum("__c").over(w)).join(
+        F.broadcast(tot), by_col
+    )
+    qs = None
+    for j in range(1, k):
+        # rank threshold ceil(j*n/k): positive-operand form — both
+        # engines' integer division agrees only away from negatives
+        thr = F.expr(f"(({j} * __n) + {k - 1}) div {k}")
+        cj = (
+            cum.where(F.col("__cum") >= thr)
+            .groupBy(by_col)
+            .agg(F.min(value_col).alias("cutoff"))
+            .select(by_col, F.lit(j).alias("q"), "cutoff")
+        )
+        qs = cj if qs is None else qs.unionByName(cj)
+    return qs
+
+
+def perplexity_buckets_by_cutoff(
+    scored: DataFrame,
+    by_col: str,
+    value_col: str = "ce_micro",
+    k: int = 3,
+) -> DataFrame:
+    """THRESHOLD bucketing under the exact cutoffs — the scalable
+    alternative to :func:`perplexity_buckets`: after the bounded
+    cutoff computation, bucketing is a broadcast join + one CASE
+    projection per row, no per-row window anywhere. Semantics differ
+    from ntile ONLY on ties at a boundary (all equal values land in
+    the lower bucket together — threshold semantics), which is what a
+    production filter wants: a document's bucket depends on its score
+    alone, never on its tiebreak position. Adds ``bucket`` ∈ 1..k."""
+    cuts = quantile_cutoffs(scored, by_col, value_col, k)
+    wide = cuts.groupBy(by_col).pivot("q", list(range(1, k))).agg(
+        F.first("cutoff")
+    )
+    out = scored.join(F.broadcast(wide), by_col)
+    bucket = F.lit(k)
+    for j in range(k - 1, 0, -1):
+        bucket = F.when(F.col(value_col) <= F.col(str(j)), j).otherwise(
+            bucket
+        )
+    return out.withColumn("bucket", bucket).drop(
+        *[str(j) for j in range(1, k)]
+    )

@@ -519,6 +519,7 @@ _R12_QUERIES = (
     "lm_artifact_roundtrip",
     "lm_trigram_vs_bigram",
     "quality_gated_budget_selection",
+    "lm_quality_cutoff_buckets",
 )
 
 
@@ -1138,3 +1139,48 @@ def test_bytelevel_base_artifact_covers_end_marker(spark):
         assert dec[0]["decoded"] == "0"
     finally:
         vocab.unpersist()
+
+
+def test_quantile_cutoffs_match_python_reference(spark):
+    """Exact discrete lower-quantile cutoffs (computed over distinct
+    values only) match a per-row sorted Python reference, including a
+    heavy TIE straddling a boundary; threshold buckets then partition
+    by value with ties co-located."""
+    import math
+
+    from parquet_rewriter_spark.operators.lm_quality import (
+        perplexity_buckets_by_cutoff,
+        quantile_cutoffs,
+    )
+
+    vals = {"g1": [5, 5, 5, 5, 7, 9, 11, 13], "g2": [1, 2, 2, 2, 2, 3]}
+    rows = [
+        (g, i, v)
+        for g, vs in vals.items()
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "ce_micro"])
+    cuts = {
+        (r["lang"], r["q"]): r["cutoff"]
+        for r in quantile_cutoffs(df, "lang", "ce_micro", k=3).collect()
+    }
+    for g, vs in vals.items():
+        s = sorted(vs)
+        for j in (1, 2):
+            want = s[math.ceil(j * len(s) / 3) - 1]  # rank ceil(j*n/k)
+            assert cuts[(g, j)] == want, (g, j, cuts[(g, j)], want)
+    bk = perplexity_buckets_by_cutoff(df, "lang", "ce_micro", k=3).collect()
+    for g, vs in vals.items():
+        per = {}
+        for r in bk:
+            if r["lang"] == g:
+                per.setdefault(r["bucket"], []).append(r["ce_micro"])
+        assert sum(len(v) for v in per.values()) == len(vs)
+        got = sorted(per)
+        for a, b in zip(got, got[1:]):  # value-ordered partition
+            assert max(per[a]) < min(per[b])
+        # ties co-locate: every occurrence of a value shares a bucket
+        seen = {}
+        for b, vs2 in per.items():
+            for v in vs2:
+                assert seen.setdefault(v, b) == b
