@@ -214,6 +214,7 @@ EXTENDED = [
     "lm_artifact_roundtrip",
     "lm_trigram_vs_bigram",
     "lm_quality_cutoff_buckets",
+    "lm_per_language_quality",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

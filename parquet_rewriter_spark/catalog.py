@@ -20185,6 +20185,132 @@ def lm_quality_cutoff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.unpersist()
 
 
+_LM_PER_LANG_ORACLE = """
+WITH cw AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+uni AS (
+  SELECT lang, u.w, CAST(count(*) AS BIGINT) AS c
+  FROM cw, unnest(w) AS u(w) GROUP BY lang, u.w
+),
+bi AS (
+  SELECT lang, w[j] AS w1, w[j + 1] AS w2,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM cw, unnest(generate_series(1, len(w) - 1)) AS t(j)
+  GROUP BY lang, w1, w2
+),
+tt AS (
+  SELECT lang, CAST(sum(len(w)) AS BIGINT) AS n_total
+  FROM cw GROUP BY lang
+),
+db AS (
+  SELECT doc_id, lang, w[j] AS w1, w[j + 1] AS w2
+  FROM cw, unnest(generate_series(1, len(w) - 1)) AS t(j)
+),
+sc AS (
+  SELECT b.doc_id, b.lang,
+         CAST(round(ln(CASE
+           WHEN bi.c12 IS NOT NULL THEN
+             CAST(bi.c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+           WHEN u2.c IS NOT NULL THEN
+             CAST(0.4 AS DOUBLE) * CAST(u2.c AS DOUBLE)
+               / CAST(t.n_total AS DOUBLE)
+           ELSE CAST(0.4 AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+         END) * 1000000.0) AS BIGINT) AS q
+  FROM db b
+  LEFT JOIN bi
+    ON b.lang = bi.lang AND b.w1 = bi.w1 AND b.w2 = bi.w2
+  LEFT JOIN uni u1 ON b.lang = u1.lang AND b.w1 = u1.w
+  LEFT JOIN uni u2 ON b.lang = u2.lang AND b.w2 = u2.w
+  JOIN tt t ON b.lang = t.lang
+),
+dce AS (
+  SELECT doc_id, lang,
+         CAST((-sum(q)) // count(*) AS BIGINT) AS ce_micro
+  FROM sc GROUP BY doc_id, lang
+),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM dce GROUP BY lang),
+cnts AS (
+  SELECT lang, ce_micro, CAST(count(*) AS BIGINT) AS c
+  FROM dce GROUP BY lang, ce_micro
+),
+cum AS (
+  SELECT lang, ce_micro, c,
+         sum(c) OVER (
+           PARTITION BY lang ORDER BY ce_micro
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM cnts
+),
+cut1 AS (
+  SELECT c.lang, min(c.ce_micro) AS q1
+  FROM cum c JOIN tot t USING (lang)
+  WHERE c.cm >= ((1 * t.n) + 2) // 3 GROUP BY c.lang
+),
+cut2 AS (
+  SELECT c.lang, min(c.ce_micro) AS q2
+  FROM cum c JOIN tot t USING (lang)
+  WHERE c.cm >= ((2 * t.n) + 2) // 3 GROUP BY c.lang
+),
+bk AS (
+  SELECT l.lang,
+         CASE WHEN l.ce_micro <= c1.q1 THEN 1
+              WHEN l.ce_micro <= c2.q2 THEN 2
+              ELSE 3 END AS bucket,
+         l.ce_micro
+  FROM dce l JOIN cut1 c1 USING (lang) JOIN cut2 c2 USING (lang)
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(ce_micro) AS min_ce_micro, max(ce_micro) AS max_ce_micro
+FROM bk GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@query(
+    "lm_per_language_quality",
+    _LM_PER_LANG_ORACLE,
+    "llm", "quality", "perplexity", "lm", "per-language",
+)
+def lm_per_language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet FIDELITY: every language scored under ITS OWN reference
+    model (operators/lm_quality.py:train_backoff_lm_by /
+    score_docs_backoff_by) — a German document's fluency is
+    meaningless under an English LM, so CCNet trains one KenLM per
+    language; here the per-group trainer adds the language to every
+    model key and the backoff denominator becomes a broadcast
+    |langs|-row relation. Buckets use the scalable exact-cutoff path.
+    The whole thing — 5 models trained, every doc scored under its
+    own, cutoff bucketing — replays in ONE oracle."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        perplexity_buckets_by_cutoff,
+        score_docs_backoff_by,
+        train_backoff_lm_by,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, totals = train_backoff_lm_by(d, "text", "lang")
+    uni = uni.persist()
+    bi = bi.persist()
+    try:
+        scored = score_docs_backoff_by(
+            d, uni, bi, totals, "doc_id", "text", "lang"
+        )
+        bk = perplexity_buckets_by_cutoff(scored, "lang", "ce_micro", k=3)
+        out = (
+            bk.groupBy("lang", F.col("bucket").cast("long").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("ce_micro").alias("min_ce_micro"),
+                F.max("ce_micro").alias("max_ce_micro"),
+            )
+            .orderBy("lang", "bucket")
+        )
+        return _settle(spark, out, "lm_per_language_quality")
+    finally:
+        uni.unpersist()
+        bi.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -20233,6 +20359,7 @@ _VERIFY_FIRST = (
     "lm_trigram_vs_bigram",
     "quality_gated_budget_selection",
     "lm_quality_cutoff_buckets",
+    "lm_per_language_quality",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

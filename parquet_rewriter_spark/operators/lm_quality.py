@@ -335,3 +335,89 @@ def perplexity_buckets_by_cutoff(
     return out.withColumn("bucket", bucket).drop(
         *[str(j) for j in range(1, k)]
     )
+
+
+def train_backoff_lm_by(
+    ref: DataFrame, text_col: str, by_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """PER-GROUP count models — CCNet fidelity: each language is
+    scored under ITS OWN reference model, never a shared one (a German
+    doc's fluency is meaningless under an English LM). Same two hash
+    aggregations with ``by_col`` added to every key; the backoff
+    denominator becomes a |groups|-row relation (by_col, n_total)
+    instead of a scalar. Returns (uni, bi, totals)."""
+    uni = (
+        ref.select(by_col, F.explode(_words(text_col)).alias("w"))
+        .groupBy(by_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        ref.select(by_col, F.explode(_bigrams(text_col)).alias("b"))
+        .select(by_col, "b.w1", "b.w2")
+        .groupBy(by_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    totals = ref.groupBy(by_col).agg(
+        F.sum(F.size(_words(text_col))).cast("long").alias("n_total")
+    )
+    return uni, bi, totals
+
+
+def score_docs_backoff_by(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    totals: DataFrame,
+    id_col: str,
+    text_col: str,
+    by_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-group scoring under the per-group models: identical backoff
+    chain and micro-nat quantization, with every model join keyed by
+    (group, token...) and the denominator broadcast from the
+    |groups|-row totals (exact integer→double cast, IEEE quotient —
+    engine-portable). Docs whose group has an empty model never match
+    a count row and score as all-OOV under that group's N; a group
+    absent from ``totals`` entirely drops (no denominator exists).
+    Returns (id, by_col, n_bigrams, ce_micro)."""
+    big = docs.select(
+        id_col, by_col, F.explode(_bigrams(text_col)).alias("b")
+    ).select(id_col, by_col, "b.w1", "b.w2")
+    scored = (
+        big.join(bi, [by_col, "w1", "w2"], "left")
+        .join(
+            uni.select(
+                by_col, F.col("w").alias("w1"), F.col("c").alias("c1")
+            ),
+            [by_col, "w1"],
+            "left",
+        )
+        .join(
+            uni.select(
+                by_col, F.col("w").alias("w2"), F.col("c").alias("c2")
+            ),
+            [by_col, "w2"],
+            "left",
+        )
+        .join(F.broadcast(totals), by_col)
+        .select(
+            id_col,
+            by_col,
+            F.expr(
+                "CAST(round(ln(CASE"
+                "  WHEN c12 IS NOT NULL THEN"
+                "    CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)"
+                f"  WHEN c2 IS NOT NULL THEN"
+                f"    CAST({alpha!r} AS DOUBLE) * CAST(c2 AS DOUBLE)"
+                f"      / CAST(n_total AS DOUBLE)"
+                f"  ELSE CAST({alpha!r} AS DOUBLE)"
+                f"      / CAST(n_total AS DOUBLE)"
+                f" END) * {QUANT}.0) AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    return scored.groupBy(id_col, by_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("(-sum(q)) div count(1)").alias("ce_micro"),
+    )

@@ -520,6 +520,7 @@ _R12_QUERIES = (
     "lm_trigram_vs_bigram",
     "quality_gated_budget_selection",
     "lm_quality_cutoff_buckets",
+    "lm_per_language_quality",
 )
 
 
@@ -1184,3 +1185,41 @@ def test_quantile_cutoffs_match_python_reference(spark):
         for b, vs2 in per.items():
             for v in vs2:
                 assert seen.setdefault(v, b) == b
+
+
+def test_per_group_scorer_consistent_with_scalar_scorer(spark):
+    """score_docs_backoff_by restricted to one group must equal the
+    scalar scorer run on that group alone — per-group keying changes
+    the model's partitioning, never its arithmetic."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff,
+        score_docs_backoff_by,
+        train_backoff_lm,
+        train_backoff_lm_by,
+    )
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog sat on the log"),
+        (2, "de", "der hund sitzt auf dem baum"),
+        (3, "de", "der baum sitzt auf dem hund"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    uni, bi, totals = train_backoff_lm_by(d, "text", "lang")
+    got = {
+        (r["lang"], r["doc_id"]): (r["n_bigrams"], r["ce_micro"])
+        for r in score_docs_backoff_by(
+            d, uni, bi, totals, "doc_id", "text", "lang"
+        ).collect()
+    }
+    for lg in ("en", "de"):
+        sub = d.where(F.col("lang") == lg)
+        u1, b1, n1 = train_backoff_lm(sub, "text")
+        want = {
+            r["doc_id"]: (r["n_bigrams"], r["ce_micro"])
+            for r in score_docs_backoff(
+                sub, u1, b1, n1, "doc_id", "text"
+            ).collect()
+        }
+        for doc_id, v in want.items():
+            assert got[(lg, doc_id)] == v, (lg, doc_id)
