@@ -215,6 +215,7 @@ EXTENDED = [
     "lm_trigram_vs_bigram",
     "lm_quality_cutoff_buckets",
     "lm_per_language_quality",
+    "dpo_preference_pairs_report",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

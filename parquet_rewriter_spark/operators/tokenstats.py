@@ -361,8 +361,11 @@ def sample_to_token_budget(
     """EXACT budget sampling — the planner's allocation turned into an
     actual document selection: within each source, docs line up in
     deterministic portable-hash order (operators/sampling.py:
-    portable_unit — replayable in any engine; a new ``salt`` is an
-    independent reshuffle) and the greedy prefix whose RUNNING token
+    portable_unit — replayable in any engine; the hash is affine in
+    the key, so a new ``salt`` ROTATES the ring: the selected prefix
+    window moves substantially, but relative cyclic order is
+    preserved — use an md5 order key when true order-independence
+    matters) and the greedy prefix whose RUNNING token
     total stays ≤ the source's ``token_budget`` is kept. Deterministic,
     engine-portable, and tight: kept tokens never exceed the budget,
     and no further doc could be added without exceeding it.

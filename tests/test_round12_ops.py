@@ -521,6 +521,7 @@ _R12_QUERIES = (
     "quality_gated_budget_selection",
     "lm_quality_cutoff_buckets",
     "lm_per_language_quality",
+    "dpo_preference_pairs_report",
 )
 
 
@@ -1223,3 +1224,49 @@ def test_per_group_scorer_consistent_with_scalar_scorer(spark):
         }
         for doc_id, v in want.items():
             assert got[(lg, doc_id)] == v, (lg, doc_id)
+
+
+def test_contrastive_preference_pairs_properties(spark):
+    """Pairing is a cyclic derangement within each group: every doc
+    appears exactly once as chosen-owner, rejected completions are a
+    permutation of the group's completions with NO fixed point, and
+    singleton groups drop."""
+    from parquet_rewriter_spark.operators.preference import (
+        contrastive_preference_pairs,
+        prompt_completion_split,
+    )
+
+    rows = [
+        (i, "g1", "p q r s t " + " ".join(f"w{i}_{j}" for j in range(4)))
+        for i in range(6)
+    ] + [(100, "solo", "a b c d e f g h")]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    sp = prompt_completion_split(d, "doc_id", "text", 5)
+    pairs = contrastive_preference_pairs(sp, "doc_id", "lang", salt=3)
+    got = pairs.collect()
+    assert all(r["lang"] == "g1" for r in got)  # singleton dropped
+    assert sorted(r["doc_id"] for r in got) == list(range(6))
+    chosen = {r["doc_id"]: r["chosen"] for r in got}
+    rejected = {r["doc_id"]: r["rejected"] for r in got}
+    assert sorted(rejected.values()) == sorted(chosen.values())
+    assert all(rejected[i] != chosen[i] for i in chosen)  # derangement
+    # a different salt re-pairs (cyclic order depends on the hash)
+    pairs2 = contrastive_preference_pairs(sp, "doc_id", "lang", salt=4)
+    rej2 = {r["doc_id"]: r["rejected"] for r in pairs2.collect()}
+    assert rej2 != rejected
+
+
+def test_prompt_completion_split_word_exact(spark):
+    from parquet_rewriter_spark.operators.preference import (
+        prompt_completion_split,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "a b c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in
+           prompt_completion_split(d, "doc_id", "text", 3).collect()}
+    assert set(got) == {0}  # doc 1 has no completion -> drops
+    assert got[0]["prompt"] == "a b c"
+    assert got[0]["completion"] == "d e f g"
+    assert got[0]["prompt"] + " " + got[0]["completion"] == "a b c d e f g"
