@@ -216,6 +216,7 @@ EXTENDED = [
     "lm_quality_cutoff_buckets",
     "lm_per_language_quality",
     "dpo_preference_pairs_report",
+    "dpo_tokenized_records",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

@@ -20474,6 +20474,150 @@ def dpo_preference_pairs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.unpersist()
 
 
+def _dpo_tokenized_oracle(n_merges: int = 4, k_prompt: int = 5,
+                          salt: int = 7, max_doc: int = 120) -> str:
+    head = _bpe_enc_head(n_merges).split("dwords AS (")[0].rstrip().rstrip(",")
+    u = f"md5('{salt}:' || CAST(doc_id AS VARCHAR))"
+    flat = ("flatten(list_transform(list_sort(list({'p': wpos, 'i': ids})),"
+            " s -> s.i))")
+    enc_side = lambda src, col: f"""
+  SELECT p.doc_id,
+         md5(array_to_string({flat}, ',')) AS {col}_digest,
+         CAST(len({flat}) AS BIGINT) AS n_{col}_tokens
+  FROM (
+    SELECT doc_id, i AS wpos, ws[i] AS word
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower({src}), '\\s+'),
+                             w -> w <> '') AS ws
+          FROM pr WHERE n_grp > 1),
+         LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+  ) p JOIN word_ids USING (word)
+  GROUP BY p.doc_id
+"""
+    return f"""WITH {head},
+sp AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w
+  FROM documents WHERE len(string_split(text, ' ')) > {k_prompt}
+    AND doc_id < {max_doc}
+),
+pc AS (
+  SELECT doc_id, lang,
+         array_to_string(w[1:{k_prompt}], ' ') AS prompt,
+         array_to_string(w[{k_prompt + 1}:len(w)], ' ') AS completion,
+         {u} AS unit
+  FROM sp
+),
+pr AS (
+  SELECT doc_id, lang, prompt, completion,
+         coalesce(
+           lead(completion) OVER (
+             PARTITION BY lang ORDER BY unit, doc_id),
+           first_value(completion) OVER (
+             PARTITION BY lang ORDER BY unit, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)) AS rejected,
+         count(*) OVER (PARTITION BY lang) AS n_grp
+  FROM pc
+),
+ep AS ({enc_side("prompt", "prompt")}),
+ec AS ({enc_side("completion", "chosen")}),
+er AS ({enc_side("rejected", "rejected")})
+SELECT p.doc_id, p.lang,
+       ep.n_prompt_tokens, ec.n_chosen_tokens, er.n_rejected_tokens,
+       ec.chosen_digest, er.rejected_digest
+FROM (SELECT DISTINCT doc_id, lang FROM pr WHERE n_grp > 1) p
+JOIN ep USING (doc_id) JOIN ec USING (doc_id) JOIN er USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@query(
+    "dpo_tokenized_records",
+    _dpo_tokenized_oracle(4, 5, 7, 120),
+    "llm", "preference", "dpo", "tokenizer",
+)
+def dpo_tokenized_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE PAIRS UNDER THE FROZEN TOKENIZER — the record a DPO
+    trainer actually consumes: each side of every pair frozen-encoded
+    to id arrays (digested to scalars for the gate). The load-bearing
+    property, asserted in-body over EVERY pair: word-level encoding
+    makes concatenation exact, so encode(prompt) ++ encode(chosen) ==
+    encode(original document) digest-for-digest — the prompt/chosen
+    token boundary a DPO loss needs is therefore known WITHOUT
+    re-encoding the joined text (the same property the SFT loss masks
+    stand on). The oracle replays training, pairing, and all three
+    encodes from scratch."""
+    from parquet_rewriter_spark.operators.bpe import bpe_train, encode_docs
+    from parquet_rewriter_spark.operators.preference import (
+        contrastive_preference_pairs,
+        prompt_completion_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    rules, vocab = bpe_train(d, "text", n_merges=4)
+    try:
+        sub = d.where(F.col("doc_id") < 120)
+        pairs = contrastive_preference_pairs(
+            prompt_completion_split(
+                sub.select("doc_id", "lang", "text"), "doc_id", "text", 5
+            ),
+            "doc_id",
+            "lang",
+            salt=7,
+        ).persist()
+        try:
+            def enc(col, name):
+                return (
+                    encode_docs(
+                        pairs.select("doc_id", F.col(col).alias("t")),
+                        "doc_id", "t", vocab,
+                    )
+                    .select(
+                        "doc_id",
+                        F.col("input_ids").alias(f"{name}_ids"),
+                        F.col("n_tokens").cast("long")
+                        .alias(f"n_{name}_tokens"),
+                    )
+                )
+
+            ep = enc("prompt", "prompt")
+            ec = enc("chosen", "chosen")
+            er = enc("rejected", "rejected")
+            full = encode_docs(
+                sub.join(pairs.select("doc_id"), "doc_id")
+                .select("doc_id", "text"),
+                "doc_id", "text", vocab,
+            ).select("doc_id", F.col("input_ids").alias("full_ids"))
+            j = (
+                pairs.select("doc_id", "lang")
+                .join(ep, "doc_id").join(ec, "doc_id").join(er, "doc_id")
+                .join(full, "doc_id")
+            )
+            # concatenation exactness: prompt ++ chosen == original doc
+            bad = (
+                j.withColumn(
+                    "__pc", F.concat("prompt_ids", "chosen_ids")
+                )
+                .where(_ids_digest("__pc") != _ids_digest("full_ids"))
+                .count()
+            )
+            assert bad == 0, f"{bad} pairs break concat exactness"
+            out = j.select(
+                "doc_id",
+                "lang",
+                "n_prompt_tokens",
+                "n_chosen_tokens",
+                "n_rejected_tokens",
+                _ids_digest("chosen_ids").alias("chosen_digest"),
+                _ids_digest("rejected_ids").alias("rejected_digest"),
+            ).orderBy("doc_id")
+            return _settle(spark, out, "dpo_tokenized_records")
+        finally:
+            pairs.unpersist()
+    finally:
+        vocab.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -20524,6 +20668,7 @@ _VERIFY_FIRST = (
     "lm_quality_cutoff_buckets",
     "lm_per_language_quality",
     "dpo_preference_pairs_report",
+    "dpo_tokenized_records",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

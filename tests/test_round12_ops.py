@@ -522,6 +522,7 @@ _R12_QUERIES = (
     "lm_quality_cutoff_buckets",
     "lm_per_language_quality",
     "dpo_preference_pairs_report",
+    "dpo_tokenized_records",
 )
 
 
