@@ -217,6 +217,7 @@ EXTENDED = [
     "lm_per_language_quality",
     "dpo_preference_pairs_report",
     "dpo_tokenized_records",
+    "epoch_shuffled_consumption",
     "region_revenue_holt_linear",
     "stream_event_rate_cusum",
     "tokenizer_family_compression",

@@ -20618,6 +20618,144 @@ def dpo_tokenized_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.unpersist()
 
 
+_EPOCH_SHUFFLE_ORACLE = (
+    _EPOCH_MIXTURE_ORACLE.split("al AS (")[0] + """al AS (
+  SELECT source, n_tokens, weight, cap_tokens,
+         CAST(CASE
+           WHEN t_tot >= tot_cap THEN cap_tokens
+           WHEN ratio <= (SELECT t_star FROM piv) THEN cap_tokens
+           ELSE CAST(floor((SELECT t_star FROM piv)
+                           * CAST(weight AS DOUBLE)) AS BIGINT)
+         END AS BIGINT) AS allocated
+  FROM tr
+),
+pl AS (
+  SELECT source, allocated // n_tokens AS full_epochs,
+         allocated - (allocated // n_tokens) * n_tokens AS rem
+  FROM al
+),
+dt AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+fullp AS (
+  SELECT d.doc_id, d.source, e.epoch
+  FROM dt d JOIN pl p USING (source),
+       unnest(generate_series(0, p.full_epochs - 1)) AS e(epoch)
+),
+ex AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         sum(t.n_tokens) OVER (
+           PARTITION BY t.source
+           ORDER BY ((doc_id % 2147483648) * 2654435761 + 0)
+                      % 4294967296 / 4294967296.0, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dt t
+),
+sel AS (
+  SELECT doc_id, source, epoch FROM fullp
+  UNION ALL
+  SELECT e.doc_id, e.source, p.full_epochs AS epoch
+  FROM ex e JOIN pl p USING (source) WHERE e.cum <= p.rem
+)
+SELECT epoch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+             ORDER BY md5(CAST(epoch AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)), doc_id))
+         AS order_digest
+FROM sel GROUP BY epoch ORDER BY epoch
+"""
+)
+
+
+@query(
+    "epoch_shuffled_consumption",
+    _EPOCH_SHUFFLE_ORACLE,
+    "llm", "mixture", "epochs", "ordering",
+)
+def epoch_shuffled_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH INDEPENDENT RESHUFFLES: the epoch plan's emitted
+    stream (sample_with_epochs) consumed in a DIFFERENT deterministic
+    order each epoch — order key ``md5(epoch:doc_id)``, the engine's
+    md5 bridge (an additive-salted knuth hash could NOT do this: it is
+    affine in the key, so it would give every epoch the same cyclic
+    order — the preference-pairing lesson applied to training-order
+    reproducibility). One ORDER-pinned digest per epoch; the oracle
+    replays plan, emission, and each epoch's order via
+    ``string_agg(... ORDER BY ...)``. The order CONTRACT itself is the
+    md5 key — a pure projection, scale-free; the per-epoch sorted
+    digest fold here exists only for the gate (production consumers
+    sort-on-read per shard, as packed_windows_training_order's
+    per-bucket folds demonstrate). In-body assert: every epoch's
+    digest differs (the reshuffles are genuinely distinct)."""
+    from parquet_rewriter_spark.operators.tokenstats import (
+        plan_epoch_mixture,
+        sample_with_epochs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d_tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    stats = (
+        d_tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .withColumn(
+            "weight",
+            (F.lit(1) + F.expr("CAST(substr(source, 4) AS INT)") % 7)
+            .cast("long"),
+        )
+    )
+    total = int(stats.agg(F.sum("n_tokens")).first()[0])
+    plan = plan_epoch_mixture(
+        stats, (total * 15) // 10, max_epochs_micro=2_500_000
+    ).persist()
+    try:
+        sel = sample_with_epochs(d_tok, plan)
+        okey = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        out = (
+            sel.withColumn("__k", okey)
+            .groupBy("epoch")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("__k"),
+                                        F.col("doc_id").alias("d"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["d"].cast("string"),
+                        ),
+                    )
+                ).alias("order_digest"),
+            )
+            .orderBy("epoch")
+        )
+        res = _settle(spark, out, "epoch_shuffled_consumption")
+        rows = res.collect()
+        digs = [r["order_digest"] for r in rows]
+        assert len(set(digs)) == len(digs)  # each epoch reshuffles
+        return res
+    finally:
+        plan.unpersist()
+
+
 # ---------------------------------------------------------------- helpers
 
 # Driver-verify priority: the correctness snapshot caps at ~48 queries
@@ -20669,6 +20807,7 @@ _VERIFY_FIRST = (
     "lm_per_language_quality",
     "dpo_preference_pairs_report",
     "dpo_tokenized_records",
+    "epoch_shuffled_consumption",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",

@@ -523,6 +523,7 @@ _R12_QUERIES = (
     "lm_per_language_quality",
     "dpo_preference_pairs_report",
     "dpo_tokenized_records",
+    "epoch_shuffled_consumption",
 )
 
 
