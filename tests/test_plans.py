@@ -1120,3 +1120,70 @@ def test_image_header_constructors_are_codegen(spark):
     )
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_lm_scorer_is_udf_free_token_keyed(spark, sf_dir):
+    """The backoff scorer must plan zero Python evals (pure codegen +
+    joins) — the LM quality gate's JVM-side contract."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        score_docs_backoff,
+        train_backoff_lm,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    uni, bi, n = train_backoff_lm(d.filter(F.col("lang") == "en"), "text")
+    p = plan_of(score_docs_backoff(d, uni, bi, n, "doc_id", "text"))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_sample_with_epochs_full_passes_add_no_exchange(spark, sf_dir):
+    """The whole-epoch fan-out is explode over a broadcast-joined
+    sequence: beyond the broadcast itself, the full-pass branch must
+    add NO exchange over a plain scan (repeating every doc needs no
+    coordination). The fractional branch pays the documented
+    per-source window; the union's exchanges must all belong to it."""
+    from parquet_rewriter_spark.operators.tokenstats import (
+        sample_with_epochs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    # literal plan relation: isolates the CORPUS-side shape (in the
+    # catalog queries the computed plan is persisted, so its planner
+    # subtree is equally trivial at execution time)
+    plan = spark.createDataFrame(
+        [("src0", 1000, 900), ("src1", 1200, 2500)],
+        "source string, n_tokens long, allocated long",
+    )
+    p = plan_of(sample_with_epochs(d, plan))
+    # exactly ONE hash exchange on source — the fractional prefix's
+    # window; the full-pass side contributes only broadcast exchanges
+    assert p.count("hashpartitioning(source") == 1, p
+
+
+def test_cutoff_bucketing_has_no_per_row_sort(spark, sf_dir):
+    """perplexity_buckets_by_cutoff must plan NO window over the
+    per-row relation — the cutoffs' window runs over the aggregated
+    distinct-value relation and bucketing is a broadcast join + CASE.
+    A per-row Sort before a Window would be the ntile shape this op
+    exists to avoid."""
+    from parquet_rewriter_spark.operators.lm_quality import (
+        perplexity_buckets_by_cutoff,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") % 97).cast("long").alias("ce_micro"),
+    )
+    p = plan_of(perplexity_buckets_by_cutoff(d, "lang", "ce_micro", k=3))
+    # the only window functions run post-aggregation (distinct values);
+    # scoring rows reach their bucket through joins, never a window
+    import re
+    wins = re.findall(r"Window \[.*?\]", p)
+    assert all("ntile" not in w for w in wins), wins
+    # and the row-side relation joins broadcast cutoffs
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
