@@ -1612,7 +1612,11 @@ def curation_survivorship_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.filter(
         F.col("n_chars").between(50, 199) & (token_count("text") >= 8)
     )
-    exact = exact_dedup(quality, ["text"], "doc_id")
+    # persisted: four consumers (both jaccard self-join sides, the
+    # cluster node set, the stage-count action) otherwise each re-run
+    # scan + quality filter + dedup window shuffle (guide §2.4/§5);
+    # the @_clean_query wrapper unpersists it after the settle
+    exact = exact_dedup(quality, ["text"], "doc_id").persist()
     pairs = jaccard_pairs(exact, "doc_id", "text", 0.4, block_cols=["lang"],
                           shingle_n=1)
     clusters = near_dup_clusters(exact, pairs)
@@ -6043,7 +6047,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.filter(
         F.col("n_chars").between(50, 199) & (token_count("text") >= 8)
     )
-    exact = exact_dedup(quality, ["text"], "doc_id")
+    # persisted: four consumers (both jaccard self-join sides, the
+    # cluster node set, the canonical join) otherwise each re-run the
+    # scan + quality filter + dedup window shuffle (guide §2.4/§5);
+    # the @_clean_query wrapper unpersists it after the settle
+    exact = exact_dedup(quality, ["text"], "doc_id").persist()
     pairs = jaccard_pairs(exact, "doc_id", "text", 0.4, block_cols=["lang"],
                           shingle_n=1)
     clusters = near_dup_clusters(exact, pairs)
@@ -11043,12 +11051,18 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass dropped (documented simplification both engines share). The
     oracle unrolls the same three iterations in SQL."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
+    # per-order pair generation as ONE grouped collect_set + double
+    # explode instead of distinct + self-join: the map-side-combined
+    # set aggregate replaces the items-distinct exchange AND the
+    # self-join's two exchanges (guide §2.4 — remove shuffles
+    # outright); orders are small groups, so the explode² is the same
+    # row count the join produced, and the edge SET is identical
+    # (collect_set dedups within the order exactly as DISTINCT did)
+    sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .persist()
     )
@@ -17509,7 +17523,12 @@ def pretraining_pipeline_end_to_end(
     base = _docs_with_dups(spark, sf_dir)
     n_words = F.size(F.split(F.col("text"), " "))
     q = base.filter((n_words >= 40) & (n_words <= 90))
-    uniq = exact_dedup(q, ["text"], "doc_id")
+    # persisted: the dedup window otherwise re-executes (base union +
+    # quality filter + text-partition shuffle) for each of its three
+    # consumers — the contamination grams, the clean materialization,
+    # and the per-source funnel count (optimization guide §2.4/§5; the
+    # r12 plan diff shows the settle plan's Exchange count drop)
+    uniq = exact_dedup(q, ["text"], "doc_id").persist()
     g8 = F.expr(
         "CASE WHEN size(split(text, ' ')) >= 8 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 7), "
@@ -17578,11 +17597,15 @@ def pretraining_pipeline_end_to_end(
                         )
                     ).alias("windows_digest"),
                 )
-                p_raw = base.groupBy("source").agg(
-                    F.count(F.lit(1)).alias("n_raw")
-                )
-                p_q = q.groupBy("source").agg(
-                    F.count(F.lit(1)).alias("n_quality")
+                # ONE base pass serves both raw and quality counts (a
+                # conditional aggregate) instead of two full scans of
+                # the with-dups union; n_unique reads the uniq cache
+                p_rq = base.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_raw"),
+                    F.sum(
+                        F.when((n_words >= 40) & (n_words <= 90), 1)
+                        .otherwise(0)
+                    ).cast("long").alias("n_quality"),
                 )
                 p_u = uniq.groupBy("source").agg(
                     F.count(F.lit(1)).alias("n_unique")
@@ -17596,8 +17619,7 @@ def pretraining_pipeline_end_to_end(
                     .agg(F.sum(F.size("input_ids")).alias("n_tokens"))
                 )
                 out = (
-                    p_raw.join(p_q, "source", "left")
-                    .join(p_u, "source", "left")
+                    p_rq.join(p_u, "source", "left")
                     .join(p_c, "source", "left")
                     .join(p_t, "source", "left")
                     .crossJoin(F.broadcast(gl))
@@ -17620,6 +17642,7 @@ def pretraining_pipeline_end_to_end(
             vocab.unpersist()
     finally:
         clean.unpersist()
+        uniq.unpersist()
 
 
 # ----------------------------------- round-11: token-count zone maps
@@ -19987,14 +20010,18 @@ def quality_gated_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
     )
     uni = uni.persist()
     bi = bi.persist()
+    bk = None
     try:
         scored = score_docs_backoff(d, uni, bi, n_total, "doc_id", "text")
+        # persisted: both the gate-exactness assert and the kept
+        # materialization otherwise re-run the whole score + ntile
+        # lineage (guide §5: reused AND expensive to recompute)
         bk = perplexity_buckets(
             scored.join(d.select("doc_id", "lang"), "doc_id"),
             "lang",
             "doc_id",
             k=3,
-        )
+        ).persist()
         # per-language gate-exactness: kept == n - n div 3
         per_lang = {
             r["lang"]: (r["n"], r["kept"])
@@ -20032,20 +20059,32 @@ def quality_gated_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
             ).persist()
             try:
                 sel = sample_to_token_budget(kept, plan)
-                over = (
+                # ONE pass over the selection serves both the
+                # never-over-budget assert and the per-source rollup
+                # (the assert's separate aggregate re-ran the whole
+                # selection window lineage — guide §1.2 step 1); the
+                # per-source relation is collected once (bounded:
+                # source is low-cardinality) and rebuilt as a local
+                # relation for the output join
+                agg_rows = (
                     sel.groupBy("source")
                     .agg(
+                        F.count(F.lit(1)).alias("docs_selected"),
+                        F.sum("n_tokens").alias("tokens_selected"),
                         F.max(
                             F.col("cum_tokens") - F.col("token_budget")
-                        ).alias("o")
+                        ).alias("over_budget"),
                     )
-                    .where(F.col("o") > 0)
-                    .count()
+                    .collect()
                 )
-                assert over == 0  # selection never exceeds a budget
-                agg = sel.groupBy("source").agg(
-                    F.count(F.lit(1)).alias("docs_selected"),
-                    F.sum("n_tokens").alias("tokens_selected"),
+                # selection never exceeds a budget
+                assert all(r["over_budget"] <= 0 for r in agg_rows)
+                agg = spark.createDataFrame(
+                    [
+                        (r["source"], r["docs_selected"], r["tokens_selected"])
+                        for r in agg_rows
+                    ],
+                    "source string, docs_selected long, tokens_selected long",
                 )
                 out = (
                     plan.select(
@@ -20078,6 +20117,8 @@ def quality_gated_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         uni.unpersist()
         bi.unpersist()
+        if bk is not None:
+            bk.unpersist()
 
 
 _LM_CUTOFF_ORACLE = (
