@@ -2607,6 +2607,9 @@ def near_dup_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.operators.cluster import near_dup_clusters
     from parquet_rewriter_spark.operators.dedup import jaccard_pairs
 
+    # NOT persisted (measured r12): the three consumers re-run only a
+    # bare filtered scan — recompute is cheaper than the cache churn
+    # (guide §5's "reused AND expensive" test fails on the scan alone)
     d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") < 200)
     pairs = jaccard_pairs(d, "doc_id", "text", 0.4, block_cols=["lang"], shingle_n=1)
     return near_dup_clusters(d, pairs)
@@ -2848,7 +2851,12 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     S-curve recall properties are asserted in tests/test_llm_ops.py."""
     from parquet_rewriter_spark.operators.dedup import minhash_lsh_pairs
 
-    d2 = _docs_with_dups(spark, sf_dir)
+    # persisted: the with-dups union feeds both the signature build and
+    # the verify-phase semi-join (operator-internal second corpus pass);
+    # without the cache each pass re-runs scan + union (guide §5 —
+    # reused and nontrivial to recompute; MEMORY_AND_DISK default keeps
+    # it disk-backed at scale). @_clean_query unpersists after settle.
+    d2 = _docs_with_dups(spark, sf_dir).persist()
     return minhash_lsh_pairs(
         d2, "doc_id", "text", threshold=0.5, num_hashes=48, bands=16, shingle_n=3
     )
@@ -5618,7 +5626,10 @@ def cross_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataF
     sketch AND the matrix."""
     from parquet_rewriter_spark.operators.dedup import minhash_lsh_pairs_portable
 
-    d2 = _docs_cross_dups(spark, sf_dir)
+    # persisted: four consumers (signature build, verify semi-join, and
+    # the two source-lookup sides below) otherwise each re-run the
+    # cross-dups scan + union (guide §5). @_clean_query unpersists.
+    d2 = _docs_cross_dups(spark, sf_dir).persist()
     pairs = minhash_lsh_pairs_portable(
         d2, "doc_id", "text", threshold=0.5, num_hashes=48, bands=16, shingle_n=3
     )
@@ -6628,11 +6639,20 @@ def routed_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("customer_point", dict(equals={"o_custkey": [42, 777]})),
         ("priority_filter", dict(equals={"o_orderpriority": ["1-URGENT"]})),
     ]
-    rows = []
-    for name, kwargs in probes:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _probe(item):
+        name, kwargs = item
         df, rep = smart_read(t, **kwargs)
         pruned = rep["files_scanned"] < rep["files_total"]
-        rows.append((name, rep["strategy"], pruned, df.count()))
+        return (name, rep["strategy"], pruned, df.count())
+
+    # the four probes are independent reads of ONE immutable snapshot —
+    # overlap them so each count's task tail back-fills the next probe's
+    # scan instead of serializing four fixed per-job latencies (guide
+    # §2.6); pool.map keeps the output row order deterministic
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rows = list(pool.map(_probe, probes))
     return spark.createDataFrame(
         rows, "probe string, strategy string, pruned boolean, n_rows long"
     )

@@ -43,41 +43,57 @@ def replicate(src: SortedTable, dst_path: str) -> dict:
 
     manifest_path = os.path.join(dst_path, "_manifest.json")
     if not os.path.exists(manifest_path):
-        # seed: full snapshot copy, bookmarked at the source version
-        dst = SortedTable.create(
-            spark,
-            dst_path,
-            src.read(),
-            key=src_m.key,
-            max_records_per_file=max((e.rows for e in src_m.files), default=1_000_000),
-        )
-        # stamp the bookmark with a zero-row txn-tagged merge: the seed
-        # itself must not be re-applied by a concurrent re-run
-        from parquet_rewriter_spark.operators.merge import merge_into_table
+        # seed: CLONE the snapshot — copy the manifest-listed data files
+        # (and any sidecar state) byte-identical and commit a manifest
+        # carrying the same entries plus the replication bookmark. The
+        # previous path re-read and re-range-sorted the whole table
+        # through a Spark write (a sampling job + full exchange + fresh
+        # stats scan) to rebuild bytes that are ALREADY sorted, stats'd
+        # and file-split on the key (optimization guide §1.2: the
+        # cheapest pass is no pass — the reference's raw-passthrough
+        # idea applied to replication). Zone maps / bloom / DV sidecars
+        # stay valid because the bytes are identical. The copy loop is
+        # manifest-scale driver work, the same class as commit itself;
+        # on an object store each copy is a server-side copy request.
+        # It also fixes a latent fidelity gap: the rewrite seed dropped
+        # stats_cols/bloom_cols/sketch registrations and flattened
+        # rename maps; the clone preserves them all.
+        import dataclasses
+        import shutil
 
-        empty = spark.createDataFrame([], src.read().schema).withColumn(
-            "op", F.lit("UPSERT")
-        )
-        merge_into_table(dst, empty, txn=(app, src_m.version))
-        # a zero-change merge doesn't commit; record the bookmark via a
-        # metadata-only manifest flip instead
-        m = dst.manifest()
-        if m.txns.get(app) != src_m.version:
-            from parquet_rewriter_spark.table import Manifest
+        def _link_or_copy(s: str, d: str) -> None:
+            # data files are immutable (merges write NEW files; vacuum
+            # unlinks, which leaves the other name's inode intact), so a
+            # hard link is a safe zero-byte clone — same argument as
+            # SortedTable.clone; cross-filesystem replicas fall back to
+            # a real copy
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
-            dst._commit_manifest(
-                Manifest(
-                    version=m.version + 1,
-                    key=m.key,
-                    files=m.files,
-                    schema_json=m.schema_json,
-                    stats_cols=m.stats_cols,
-                    bloom_cols=m.bloom_cols,
-                    dv_files=list(m.dv_files),
-                    operation="replicate (seed bookmark)",
-                    txns={**m.txns, app: src_m.version},
-                )
+        os.makedirs(dst_path, exist_ok=True)
+        for e in src_m.files:
+            _link_or_copy(
+                os.path.join(src.path, e.name), os.path.join(dst_path, e.name)
             )
+        for side in ("_dv", "_blooms", "_distinct", "_driftstats", "_tokenstats"):
+            sp = os.path.join(src.path, side)
+            if os.path.isdir(sp):
+                shutil.copytree(
+                    sp, os.path.join(dst_path, side), dirs_exist_ok=True,
+                    copy_function=_link_or_copy,
+                )
+        dst = SortedTable(spark, dst_path)
+        dst._commit_manifest(
+            dataclasses.replace(
+                src_m,
+                version=0,
+                operation="replicate (seed clone)",
+                txns={app: src_m.version},
+                committed_at=None,
+            )
+        )
         return {
             "mode": "seed",
             "src_version": src_m.version,
