@@ -236,19 +236,34 @@ class IVFVectorIndex:
             ids = [r[0] for r in ids_df.collect()]
 
         if not distributed:
-            stale: Any = self._locate(ids)
-            if stale:
-                # A re-added vector that STAYS in its cell keeps the same
-                # composite key; merge resolves same-key DELETE-over-UPSERT,
-                # so a stale key the upsert overwrites in place must not
-                # become a DELETE (mirrors the distributed branch's
-                # left_anti). The point path is driver-bounded by
-                # construction, so collecting the batch's new keys is one
-                # bounded action.
-                new_keys = {
-                    r[0] for r in ups.select(IDX_KEY).distinct().collect()
-                }
-                stale = [k for k in stale if k not in new_keys]
+            # A re-added vector that STAYS in its cell keeps the same
+            # composite key; merge resolves same-key DELETE-over-UPSERT,
+            # so a stale key the upsert overwrites in place must not
+            # become a DELETE (mirrors the distributed branch's
+            # left_anti). Both bounded sets — the Bloom-located stale
+            # keys AND the batch's new keys — come back in ONE fused
+            # collect (the point path is driver-bounded by
+            # construction), where locate-then-collect-new-keys used to
+            # pay two sequential job latencies.
+            from parquet_rewriter_spark.operators.bloom import read_point
+
+            located = read_point(self.table, id_col, ids).select(
+                F.col(IDX_KEY).alias("__k"), F.lit(True).alias("__stale")
+            ) if ids else None
+            stale: Any = []
+            if located is not None:
+                fused = located.unionByName(
+                    ups.select(
+                        F.col(IDX_KEY).alias("__k"),
+                        F.lit(False).alias("__stale"),
+                    ).distinct()
+                ).collect()
+                new_keys = {r["__k"] for r in fused if not r["__stale"]}
+                stale = [
+                    r["__k"]
+                    for r in fused
+                    if r["__stale"] and r["__k"] not in new_keys
+                ]
             n_stale = len(stale)
             stale_df = (
                 self.spark.createDataFrame(

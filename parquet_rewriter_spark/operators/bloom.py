@@ -71,13 +71,17 @@ def _hash_exprs(col: str) -> list:
     ]
 
 
-def _hash_values(spark: SparkSession, col_type, values: Sequence[Any]) -> np.ndarray:
-    """Hash probe VALUES with the exact expression the build used —
-    same engine, same result, no Python reimplementation of xxhash64.
-    One driver-local job over len(values) rows."""
+def _hashed_values_rel(spark: SparkSession, col_type, values: Sequence[Any]):
+    """Probe VALUES hashed with the exact expressions the build used —
+    same engine, same result, no Python reimplementation of xxhash64 —
+    as a 1-row relation ``(all_hs: array<array<long>>)``. Returned as a
+    RELATION (not a collect) so the caller can fold the hashing into
+    the same job as the sidecar membership test instead of paying a
+    separate sequential job latency for a len(values)-row hash pass."""
     df = spark.createDataFrame([(v,) for v in values], f"v {col_type}")
-    rows = df.select(*_hash_exprs("v")).collect()
-    return np.array([[r[i] for i in range(BLOOM_K)] for r in rows], dtype=np.int64)
+    return df.select(F.array(*_hash_exprs("v")).alias("__hs")).agg(
+        F.collect_list("__hs").alias("all_hs")
+    )
 
 
 def build_blooms(
@@ -163,14 +167,21 @@ def candidate_files(
         return None
     live = {e.name for e in m_.files}
     col_type = table.read_physical().schema[col].dataType.simpleString()
-    hashes = _hash_values(spark, col_type, values)  # (n_values, k)
-    bch = spark.sparkContext.broadcast(hashes)
+    # ONE job: the probe hashes compute in a broadcast sub-plan of the
+    # membership test itself (cross-joined 1-row relation), where a
+    # collect-then-broadcast used to pay two sequential job latencies
+    hv = _hashed_values_rel(spark, col_type, values)
 
     def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hs = bch.value
         for pdf in batches:
             out = []
             for b in pdf.itertuples():
+                hs = np.array(
+                    [np.asarray(h) for h in b.all_hs], dtype=np.int64
+                ).reshape(-1, BLOOM_K)
+                if hs.size == 0:
+                    out.append((b.file, False))
+                    continue
                 bm = np.frombuffer(b.bits, dtype=np.uint8)
                 pos = hs % b.m  # (n_values, k), non-negative (numpy % sign)
                 present = (bm[pos >> 3] >> (pos & 7)) & 1  # bit test
@@ -181,10 +192,10 @@ def candidate_files(
     rows = (
         spark.read.parquet(side)
         .filter(F.col("col") == col)
+        .crossJoin(F.broadcast(hv))
         .mapInPandas(test, schema="file string, hit boolean")
         .collect()
     )
-    bch.unpersist()
     has_bloom = {r.file for r in rows}
     hits = {r.file for r in rows if r.hit}
     # live ∩ (hit ∪ bloom-less); stale rows of vacuumed files are ignored

@@ -171,7 +171,42 @@ class SearchIndex:
             .select(self._bucket(F.col("term")).alias("bucket"))
             .distinct()
         )
-        buckets = [r["bucket"] for r in touched.collect()]  # ≤ n_buckets ints
+        # ONE collect serves both bounded folds over the persisted diff
+        # — the touched-bucket set AND the stats deltas — where two
+        # sequential jobs used to pay two job latencies for ≤ n_buckets
+        # + ≤ 4 rows
+        stat_rows = (
+            diff.select(
+                "_change_type",
+                F.size(
+                    F.filter(
+                        F.split(F.coalesce("text", F.lit("")), " "),
+                        lambda x: x != "",
+                    )
+                ).alias("dl"),
+            )
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+            )
+        )
+        fused = touched.select(
+            F.lit(None).cast("string").alias("_change_type"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("dl"),
+        ).unionByName(
+            stat_rows.select(
+                "_change_type",
+                F.lit(None).cast("long").alias("bucket"),
+                F.col("n").cast("long").alias("n"),
+                F.col("dl").cast("long").alias("dl"),
+            )
+        ).collect()
+        buckets = [
+            int(r["bucket"]) for r in fused if r["_change_type"] is None
+        ]  # ≤ n_buckets ints
         if buckets:
             spark = self.table.spark
             existing = spark.read.parquet(self._postings_path).filter(
@@ -205,18 +240,9 @@ class SearchIndex:
                     self.table.spark, self._postings_path, "bucket", emptied
                 )
 
-        # stats deltas from the same feed (no corpus scan)
-        d = (
-            diff.select(
-                "_change_type",
-                F.size(
-                    F.filter(F.split(F.coalesce("text", F.lit("")), " "), lambda x: x != "")
-                ).alias("dl"),
-            )
-            .groupBy("_change_type")
-            .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"))
-        ).collect()
+        # stats deltas came from the same fused collect (no corpus scan)
         diff.unpersist()
+        d = [r for r in fused if r["_change_type"] is not None]
         n_of = {r["_change_type"]: r["n"] for r in d}
         dl_of = {r["_change_type"]: r["dl"] for r in d}
         st = self._read_stats()
