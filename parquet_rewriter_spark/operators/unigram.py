@@ -183,7 +183,7 @@ def viterbi_segment_stats(
 
 def viterbi_segment(
     words: DataFrame,
-    pieces: DataFrame,
+    pieces: "DataFrame | list",
     word_col: str = "word",
     byte_level: bool = False,
 ) -> DataFrame:
@@ -220,7 +220,11 @@ def viterbi_segment(
     SentencePiece byte-fallback: combined with a base-256 id table
     (:func:`unigram_piece_ids` ``base_bytes=True``) NO input can ever
     produce an unk."""
-    rows = pieces.select("piece", "c").collect()
+    rows = (
+        pieces
+        if isinstance(pieces, list)
+        else pieces.select("piece", "c").collect()
+    )
     total = float(sum(int(r["c"]) for r in rows))
     ratio = {r["piece"]: int(r["c"]) / total for r in rows}
     spark = words.sparkSession
@@ -293,6 +297,25 @@ def unigram_piece_ids(pieces: DataFrame, base_bytes: bool = False) -> DataFrame:
     )
 
 
+def _unigram_piece_ids_local(
+    spark, piece_list: list[str], base_bytes: bool = False
+) -> DataFrame:
+    """:func:`unigram_piece_ids` computed driver-side from an
+    already-collected inventory — Python's code-point sort equals
+    Spark's UTF8 binary ORDER BY, so the (piece, piece_id) relation is
+    bit-identical to the window form without re-executing the
+    inventory plan that produced the pieces."""
+    if base_bytes:
+        rows = sorted(
+            set(piece_list) | {format(i, "02X") for i in range(256)}
+        )
+    else:
+        rows = sorted(piece_list)
+    return spark.createDataFrame(
+        [(p, i) for i, p in enumerate(rows)], "piece string, piece_id int"
+    )
+
+
 def unigram_encode_docs(
     df: DataFrame,
     id_col: str,
@@ -335,18 +358,27 @@ def unigram_encode_docs(
         broadcast_threshold = BROADCAST_MAX_WORDS
     if wc is None:
         wc = word_counts(df, text_col, pretokenize)
+    # ONE execution of the inventory plan: collect the bounded
+    # (piece, c) rows, hand them to the segmenter (which would
+    # otherwise collect again) and rebuild the id map driver-side
+    # (which would otherwise re-run the whole inventory subtree inside
+    # the id join)
+    piece_rows = pieces.select("piece", "c").collect()
     if byte_level:
         # segment the hex rendering; the corpus join key stays the
         # raw word (assemble_doc_ids joins docs' words against it)
         segd = viterbi_segment(
             wc.withColumn("__hexw", hex_word("word")),
-            pieces,
+            piece_rows,
             word_col="__hexw",
             byte_level=True,
         ).drop("__hexw")
     else:
-        segd = viterbi_segment(wc, pieces)
-    pid = unigram_piece_ids(pieces, base_bytes=base_bytes)
+        segd = viterbi_segment(wc, piece_rows)
+    pid = _unigram_piece_ids_local(
+        df.sparkSession, [r["piece"] for r in piece_rows],
+        base_bytes=base_bytes,
+    )
     exploded = segd.select(
         "word", F.posexplode("pieces").alias("pos", "piece")
     )

@@ -83,9 +83,31 @@ def substring_vocab(
     return topk.unionByName(chars).distinct()
 
 
+def _piece_list(pieces: "DataFrame | list[str]") -> list[str]:
+    """The vocab_size-bounded inventory as a driver list — collected
+    once when given as a relation, passed through when the caller
+    already collected it (so encode paths never re-execute the
+    corpus-scale vocab plan a second time)."""
+    if isinstance(pieces, list):
+        return pieces
+    return [r["piece"] for r in pieces.select("piece").collect()]
+
+
+def _piece_ids_local(spark, piece_rows: list[str]) -> DataFrame:
+    """:func:`piece_ids` computed driver-side from an already-collected
+    inventory: dense ids in piece order. Python's code-point sort
+    equals Spark's UTF8 binary ORDER BY for distinct strings, so the
+    (piece, piece_id) relation is bit-identical to the window form —
+    without re-executing the vocab plan that produced the pieces."""
+    return spark.createDataFrame(
+        [(p, i) for i, p in enumerate(sorted(piece_rows))],
+        "piece string, piece_id int",
+    )
+
+
 def wordpiece_segment(
     words: DataFrame,
-    pieces: DataFrame,
+    pieces: "DataFrame | list[str]",
     word_col: str = "word",
 ) -> DataFrame:
     """Greedy longest-match segmentation of each row's ``word_col``:
@@ -95,7 +117,7 @@ def wordpiece_segment(
     (distinct-word-scale) input. A char with no piece (impossible when
     the vocab's alphabet came from the same corpus) falls back to the
     single char, keeping segmentation total."""
-    piece_rows = [r["piece"] for r in pieces.select("piece").collect()]
+    piece_rows = _piece_list(pieces)
     spark = words.sparkSession
     bc = spark.sparkContext.broadcast(
         (frozenset(piece_rows), max((len(p) for p in piece_rows), default=1))
@@ -205,8 +227,13 @@ def wordpiece_encode_docs(
     the inventory (and any passed ``wc``) was built with."""
     if wc is None:
         wc = word_counts(df, text_col, pretokenize)
-    segd = wordpiece_segment(wc, pieces)
-    pid = piece_ids(pieces)
+    # ONE execution of the vocab plan: collect the bounded inventory,
+    # hand the list to the segmenter (which would otherwise collect it
+    # again) and rebuild the id map driver-side (which would otherwise
+    # re-run the whole substring_vocab subtree inside the id join)
+    piece_rows = _piece_list(pieces)
+    segd = wordpiece_segment(wc, piece_rows)
+    pid = _piece_ids_local(df.sparkSession, piece_rows)
     exploded = segd.select(
         "word", F.posexplode("pieces").alias("pos", "piece")
     )
@@ -288,7 +315,7 @@ def substring_vocab_marked(
 
 def wordpiece_segment_marked(
     words: DataFrame,
-    pieces: DataFrame,
+    pieces: "DataFrame | list[str]",
     word_col: str = "word",
 ) -> DataFrame:
     """Position-aware greedy longest-match under the MARKED inventory:
@@ -297,7 +324,7 @@ def wordpiece_segment_marked(
     strings) and ``n_pieces``; same vocab-scale Arrow-batched shape as
     :func:`wordpiece_segment`, replayed by the position-aware
     recursive CTE in :func:`wordpiece_marked_cte_sql`."""
-    piece_rows = [r["piece"] for r in pieces.select("piece").collect()]
+    piece_rows = _piece_list(pieces)
     inner_max = max(
         (len(p) - len(MARK) if p.startswith(MARK) else len(p))
         for p in piece_rows
@@ -345,8 +372,11 @@ def wordpiece_encode_marked(
     marked inventory (so the stream decodes losslessly)."""
     if wc is None:
         wc = word_counts(df, text_col)
-    segd = wordpiece_segment_marked(wc, pieces)
-    pid = piece_ids(pieces)
+    # same one-execution discipline as wordpiece_encode_docs: the vocab
+    # plan runs once, the id map rebuilds driver-side
+    piece_rows = _piece_list(pieces)
+    segd = wordpiece_segment_marked(wc, piece_rows)
+    pid = _piece_ids_local(df.sparkSession, piece_rows)
     word_ids = (
         segd.select("word", F.posexplode("pieces").alias("pos", "piece"))
         .join(F.broadcast(pid), "piece")
@@ -378,10 +408,7 @@ def wordpiece_decode_docs(
     LITERAL; the decode is pure whole-stage-codegen array arithmetic
     (transform lookup + concat_ws + ltrim) — zero shuffle, zero
     Python (the operators/bpe.py:decode_docs discipline)."""
-    pid = sorted(
-        (int(r["piece_id"]), r["piece"])
-        for r in piece_ids(pieces).collect()
-    )
+    pid = list(enumerate(sorted(_piece_list(pieces))))
     m = F.map_from_arrays(
         F.array(*[F.lit(i) for i, _ in pid]),
         F.array(*[F.lit(p) for _, p in pid]),
