@@ -15637,7 +15637,12 @@ def unigram_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared discipline: Viterbi once per DISTINCT word, occurrences
     join the per-word relation broadcast under the counted
     threshold."""
-    from parquet_rewriter_spark.operators.bpe import BROADCAST_MAX_WORDS, _word_join, word_counts
+    from parquet_rewriter_spark.operators.bpe import (
+        BROADCAST_MAX_WORDS,
+        _word_join,
+        count_with_bytes,
+        word_counts,
+    )
     from parquet_rewriter_spark.operators.unigram import (
         piece_stats,
         viterbi_segment_stats,
@@ -15647,11 +15652,13 @@ def unigram_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
     wc = word_counts(d, "text")
     segd = viterbi_segment_stats(wc, stats).select("word", "best_ll")
-    n_words = wc.count()
+    # one job: the distinct-word count (segd is 1:1 with wc) plus the
+    # byte-gate estimate the word join needs
+    n_words, est = count_with_bytes(segd)
     w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
     return (
-        _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+        _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS, est_bytes=est)
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -15868,6 +15875,7 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.operators.bpe import (
         BROADCAST_MAX_WORDS,
         _word_join,
+        count_with_bytes,
         word_counts,
     )
     from parquet_rewriter_spark.operators.unigram import (
@@ -15887,11 +15895,13 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stored = st.read()
         n_vocab = stored.count()
         segd = viterbi_segment_stats(wc, stored).select("word", "best_ll")
-        n_words = wc.count()
+        # one job: the distinct-word count (segd is 1:1 with the
+        # persisted wc, which materializes here) + the byte-gate probe
+        n_words, est = count_with_bytes(segd)
         w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
         occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
         out = (
-            _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+            _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS, est_bytes=est)
             .groupBy("grp")
             .agg(
                 F.count(F.lit(1)).alias("n_words"),
@@ -15973,6 +15983,7 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         BROADCAST_MAX_WORDS,
         _word_join,
         bpe_train,
+        count_with_bytes,
         vocab_token_counts,
         word_counts,
     )
@@ -15987,7 +15998,6 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     wc = word_counts(d, "text").persist()  # shared by all three families
-    n_words = wc.count()
     rules, vocab = bpe_train(d, "text", n_merges=4)
     try:
         bpe_rel = vocab_token_counts(vocab).withColumnRenamed("n_tokens", "n")
@@ -16003,7 +16013,12 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fam, rel in (
             ("bpe", bpe_rel), ("unigram", ug_rel), ("wordpiece", wp_rel)
         ):
-            j = _word_join(occ, rel, n_words, BROADCAST_MAX_WORDS)
+            # per-family fused count+byte-gate job (each rel is 1:1
+            # with wc, so the count doubles as the distinct-word
+            # count the former shared wc.count() delivered)
+            n_words, est = count_with_bytes(rel)
+            j = _word_join(occ, rel, n_words, BROADCAST_MAX_WORDS,
+                           est_bytes=est)
             parts.append(
                 j.agg(
                     F.count(F.lit(1)).alias("n_words"),
@@ -16243,6 +16258,7 @@ def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.operators.bpe import (
         BROADCAST_MAX_WORDS,
         _word_join,
+        count_with_bytes,
         word_counts,
     )
     from parquet_rewriter_spark.operators.unigram import (
@@ -16256,12 +16272,14 @@ def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = word_counts(d, "text").persist()
     try:
-        n_words = wc.count()
         segd = viterbi_segment_stats(wc, trained).select("word", "best_ll")
+        # one job: distinct-word count (1:1 with the persisted wc,
+        # which materializes here) + the byte-gate probe
+        n_words, est = count_with_bytes(segd)
         w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
         occ = d.select(F.col("lang").alias("grp"), F.explode(w).alias("word"))
         out = (
-            _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS)
+            _word_join(occ, segd, n_words, BROADCAST_MAX_WORDS, est_bytes=est)
             .groupBy("grp")
             .agg(
                 F.count(F.lit(1)).alias("n_words"),

@@ -53,6 +53,11 @@ BLOOM_BITS_PER_KEY = 10
 
 _SIDECAR_SCHEMA = "file string, col string, m long, bits binary"
 
+# probe-value count at or under which the hashes inline as literal
+# expressions (zero extra jobs); above it they ride a broadcast
+# relation so the expression tree stays bounded
+_LITERAL_PROBE_MAX = 128
+
 
 def _m_for_rows(rows: int) -> int:
     """Bitmap size in bits: next power of two ≥ rows × bits_per_key
@@ -166,36 +171,60 @@ def candidate_files(
     if not os.path.isdir(side):
         return None
     live = {e.name for e in m_.files}
-    col_type = table.read_physical().schema[col].dataType.simpleString()
-    # ONE job: the probe hashes compute in a broadcast sub-plan of the
-    # membership test itself (cross-joined 1-row relation), where a
-    # collect-then-broadcast used to pay two sequential job latencies
-    hv = _hashed_values_rel(spark, col_type, values)
+    if m_.schema_json is not None:
+        # physical schema straight from the manifest — building a
+        # reader over every live file just to name a column's type
+        # costs ~40 ms of driver work per probe
+        import json as _json
 
-    def test(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for b in pdf.itertuples():
-                hs = np.array(
-                    [np.asarray(h) for h in b.all_hs], dtype=np.int64
-                ).reshape(-1, BLOOM_K)
-                if hs.size == 0:
-                    out.append((b.file, False))
-                    continue
-                bm = np.frombuffer(b.bits, dtype=np.uint8)
-                pos = hs % b.m  # (n_values, k), non-negative (numpy % sign)
-                present = (bm[pos >> 3] >> (pos & 7)) & 1  # bit test
-                # candidate iff SOME value has all k bits set
-                out.append((b.file, bool(present.all(axis=1).any())))
-            yield pd.DataFrame(out, columns=["file", "hit"])
+        from pyspark.sql.types import StructType
 
-    rows = (
-        spark.read.parquet(side)
-        .filter(F.col("col") == col)
-        .crossJoin(F.broadcast(hv))
-        .mapInPandas(test, schema="file string, hit boolean")
-        .collect()
+        phys = StructType.fromJson(_json.loads(m_.schema_json))
+        col_type = phys[col].dataType.simpleString()
+    else:
+        col_type = table.read_physical().schema[col].dataType.simpleString()
+
+    # Membership test as PURE JVM higher-order functions (no Python
+    # worker round trip on the latency-critical probe path — guide
+    # §4.1): candidate iff SOME value's k hash positions are all set.
+    # Bit test over the binary bitmap: byte = conv(hex(substring(...)))
+    # of the 1-byte slice at pos div 8 (substring is 1-based), then
+    # mask with 1 << (pos mod 8). pmod matches numpy's
+    # divisor-sign modulo, so positions are bit-identical to the
+    # former pandas test.
+    bit_at = (
+        "(cast(conv(hex(substring(bits, cast(pmod(h, m) div 8 as int) + 1, 1)),"
+        " 16, 10) as int) & shiftleft(1, cast(pmod(h, m) % 8 as int))) != 0"
     )
+    hit = F.expr(
+        "exists(all_hs, hs -> aggregate(hs, true,"
+        f" (acc, h) -> acc and ({bit_at})))"
+    )
+    probe = spark.read.schema(_SIDECAR_SCHEMA).parquet(side).filter(
+        F.col("col") == col
+    )
+    if len(values) <= _LITERAL_PROBE_MAX:
+        # point-lookup fast path: the probe hashes are LITERAL
+        # expressions (xxhash64 of a cast literal — the exact
+        # expression the build used), constant-folded at plan time —
+        # no createDataFrame, no broadcast sub-job, ONE job total
+        all_hs = F.array(*[
+            F.array(*[
+                F.xxhash64(F.lit(v).cast(col_type), F.lit(s))
+                for s in range(BLOOM_K)
+            ])
+            for v in values
+        ])
+        probe = probe.withColumn("all_hs", all_hs)
+    else:
+        # large probe sets ride a broadcast 1-row relation (an
+        # expression tree with |values|·k literal nodes would bloat
+        # analysis); the hashes compute in a broadcast sub-plan of the
+        # membership job itself
+        probe = probe.crossJoin(
+            F.broadcast(_hashed_values_rel(spark, col_type, values))
+        )
+    rows = probe.select("file", hit.alias("hit")).collect()
     has_bloom = {r.file for r in rows}
     hits = {r.file for r in rows if r.hit}
     # live ∩ (hit ∪ bloom-less); stale rows of vacuumed files are ignored

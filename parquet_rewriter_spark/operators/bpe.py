@@ -121,16 +121,47 @@ def _relation_bytes(rel: DataFrame, n_rows: int) -> int:
     return int(b / n * max(n_rows, n))
 
 
+def count_with_bytes(rel: DataFrame, sample_mod: int = 16) -> tuple[int, int]:
+    """(row count, estimated serialized bytes) of a per-distinct-word
+    relation in ONE job — the fusion of the count callers already pay
+    and the byte-gate probe :func:`_word_join` would otherwise run as
+    a separate sequential job (guide §1.2 — don't run two jobs where
+    one does). The byte estimate is the same deterministic hash-mod
+    sample as :func:`_relation_bytes` at a fixed 1/``sample_mod`` rate
+    (to_json width on sampled rows only), extrapolated by the exact
+    count. A zero-sample outcome (tiny relations) estimates 0 — a
+    relation too small to hit the sample is trivially broadcastable."""
+    row = rel.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.pmod(F.xxhash64(F.col(rel.columns[0])), F.lit(sample_mod))
+                == 0,
+                F.length(
+                    F.to_json(F.struct(*[F.col(c) for c in rel.columns]))
+                ),
+            )
+        ).alias("b"),
+    ).collect()
+    n = int(row[0]["n"] or 0)
+    est = int(row[0]["b"] or 0) * sample_mod
+    return n, est
+
+
 def _word_join(occ: DataFrame, rel: DataFrame, n_words: int,
-               broadcast_threshold: int) -> DataFrame:
+               broadcast_threshold: int,
+               est_bytes: int | None = None) -> DataFrame:
     """Join exploded word occurrences against a per-distinct-word
     relation: force-broadcast only when BOTH the distinct-word count
     and the estimated payload bytes are under their gates; otherwise
-    un-hinted (hash join, with AQE free to re-plan)."""
-    small = (
-        n_words <= broadcast_threshold
-        and _relation_bytes(rel, n_words) <= BROADCAST_MAX_BYTES
-    )
+    un-hinted (hash join, with AQE free to re-plan). ``est_bytes``
+    (from :func:`count_with_bytes`) skips the byte-probe job when the
+    caller already measured the relation."""
+    small = n_words <= broadcast_threshold and (
+        est_bytes
+        if est_bytes is not None
+        else _relation_bytes(rel, n_words)
+    ) <= BROADCAST_MAX_BYTES
     return occ.join(F.broadcast(rel) if small else rel, "word")
 
 

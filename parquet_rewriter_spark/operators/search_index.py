@@ -155,58 +155,75 @@ class SearchIndex:
         diff = snapshot_diff(self.table, v0, include_preimage=True).persist()
 
         # retractions: preimages + deletes; additions: postimages + inserts
-        old_rows = diff.filter(
-            F.col("_change_type").isin("delete", "update_preimage")
-        )
         new_rows = diff.filter(
             F.col("_change_type").isin("insert", "update_postimage")
         )
         churned_ids = diff.select(_ID).distinct()
-        # affected buckets = buckets of every term the change touches
-        # (old terms must retract even if the new text drops them)
-        touched = (
-            old_rows.unionByName(new_rows)
-            .select(F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("term"))
-            .filter(F.col("term") != "")
-            .select(self._bucket(F.col("term")).alias("bucket"))
-            .distinct()
+        # ONE map-side-combinable aggregation serves every bounded fold
+        # over the persisted diff — the touched-bucket set AND the
+        # stats deltas. Affected buckets = buckets of every term the
+        # change touches (old terms must retract even if the new text
+        # drops them); with n_buckets ≤ 64 the per-row bucket set is a
+        # BITMASK folded with bit_or, so the former explode → distinct
+        # shuffle (term-scale rows) disappears entirely (guide §2.3 —
+        # aggregate before you shuffle; the shuffle now carries ≤ 4
+        # 4-long rows).
+        words = F.filter(
+            F.split(F.coalesce("text", F.lit("")), " "), lambda x: x != ""
         )
-        # ONE collect serves both bounded folds over the persisted diff
-        # — the touched-bucket set AND the stats deltas — where two
-        # sequential jobs used to pay two job latencies for ≤ n_buckets
-        # + ≤ 4 rows
-        stat_rows = (
-            diff.select(
-                "_change_type",
-                F.size(
-                    F.filter(
-                        F.split(F.coalesce("text", F.lit("")), " "),
-                        lambda x: x != "",
-                    )
-                ).alias("dl"),
+        if self.n_buckets <= 64:
+            mask = F.expr(
+                "aggregate(filter(split(coalesce(text, ''), ' '),"
+                " x -> x != ''), 0L, (acc, w) -> acc |"
+                " shiftleft(1L, cast(pmod(xxhash64(w),"
+                f" {self.n_buckets}) as int)))"
             )
-            .groupBy("_change_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+            fused = (
+                diff.select(
+                    "_change_type", F.size(words).alias("dl"), mask.alias("bm")
+                )
+                .groupBy("_change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+                    F.bit_or("bm").alias("bm"),
+                )
+                .collect()
             )
-        )
-        fused = touched.select(
-            F.lit(None).cast("string").alias("_change_type"),
-            F.col("bucket").cast("long").alias("bucket"),
-            F.lit(None).cast("long").alias("n"),
-            F.lit(None).cast("long").alias("dl"),
-        ).unionByName(
-            stat_rows.select(
-                "_change_type",
-                F.lit(None).cast("long").alias("bucket"),
-                F.col("n").cast("long").alias("n"),
-                F.col("dl").cast("long").alias("dl"),
+            all_mask = 0
+            for r in fused:
+                all_mask |= int(r["bm"] or 0)
+            buckets = [b for b in range(self.n_buckets) if all_mask >> b & 1]
+        else:
+            touched = (
+                diff.select(F.explode(words).alias("term"))
+                .select(self._bucket(F.col("term")).alias("bucket"))
+                .distinct()
             )
-        ).collect()
-        buckets = [
-            int(r["bucket"]) for r in fused if r["_change_type"] is None
-        ]  # ≤ n_buckets ints
+            stat_rows = (
+                diff.select("_change_type", F.size(words).alias("dl"))
+                .groupBy("_change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+                )
+            )
+            fused = touched.select(
+                F.lit(None).cast("string").alias("_change_type"),
+                F.col("bucket").cast("long").alias("bucket"),
+                F.lit(None).cast("long").alias("n"),
+                F.lit(None).cast("long").alias("dl"),
+            ).unionByName(
+                stat_rows.select(
+                    "_change_type",
+                    F.lit(None).cast("long").alias("bucket"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("dl").cast("long").alias("dl"),
+                )
+            ).collect()
+            buckets = [
+                int(r["bucket"]) for r in fused if r["_change_type"] is None
+            ]  # ≤ n_buckets ints
         if buckets:
             spark = self.table.spark
             existing = spark.read.parquet(self._postings_path).filter(
@@ -227,12 +244,23 @@ class SearchIndex:
                 .select("bucket", "term", _ID, "tf", "dl")
                 .localCheckpoint(eager=True)
             )
+
+            def _bucket_files(b: int) -> frozenset:
+                p = os.path.join(self._postings_path, f"bucket={b}")
+                try:
+                    return frozenset(os.listdir(p))
+                except OSError:
+                    return frozenset()
+
+            before = {b: _bucket_files(b) for b in buckets}
             overwrite_partitions(refreshed, self._postings_path, ["bucket"])
             # dynamic overwrite skips partitions absent from `refreshed`;
             # a touched bucket whose postings ALL retracted must be
-            # dropped explicitly or its stale files survive
-            live = {r["bucket"] for r in refreshed.select("bucket").distinct().collect()}
-            emptied = [b for b in buckets if b not in live]
+            # dropped explicitly or its stale files survive. A written
+            # partition always carries FRESH part-file names (task
+            # UUIDs), so the live set falls out of a driver-side
+            # listing diff — no extra Spark job over the checkpoint.
+            emptied = [b for b in buckets if _bucket_files(b) == before[b]]
             if emptied:
                 from parquet_rewriter_spark.sources.sinks import drop_partition_dirs
 
@@ -271,17 +299,21 @@ class SearchIndex:
         spark = self.table.spark
         st = self._read_stats()
         n_docs, avg_dl = st["n_docs"], st["total_dl"] / max(st["n_docs"], 1)
-        # bucket list for partition pruning: computed by a 1-row Spark
-        # job because the bucket fn is Spark's xxhash64 (no py replica)
-        bks = sorted({
-            r["bucket"]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(self._bucket(F.col("term")).alias("bucket"))
-            .collect()
-        })
+        # bucket pruning WITHOUT a separate hashing job: each term's
+        # bucket is a FOLDABLE expression (xxhash64 of a literal — the
+        # exact expression the layout used), so Catalyst constant-folds
+        # the disjunction to `bucket IN (…)` before partition pruning —
+        # the former 1-row Spark job per search is gone
+        from functools import reduce
+
+        bucket_pred = reduce(
+            lambda a, b: a | b,
+            [F.col("bucket") == self._bucket(F.lit(t)) for t in terms],
+            F.lit(False),
+        )
         post = (
             spark.read.parquet(self._postings_path)
-            .filter(F.col("bucket").isin(bks))
+            .filter(bucket_pred)
             .filter(F.col("term").isin(terms))
         )
         df_t = post.groupBy("term").agg(F.count_distinct(_ID).alias("df"))

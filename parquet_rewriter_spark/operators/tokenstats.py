@@ -156,6 +156,7 @@ def _build_for(
         BROADCAST_MAX_WORDS,
         _word_join,
         apply_merges,
+        count_with_bytes,
     )
 
     rules = _load_rules(spark, tokenizer.rules_path)
@@ -172,9 +173,13 @@ def _build_for(
         .alias("__ntw"),
     ).persist()
     try:
-        n_words = wtok.count()
+        # ONE job delivers the materializing count AND the byte-gate
+        # estimate the word join needs (count_with_bytes) — the
+        # separate sampled to_json probe over the persisted relation
+        # was a second sequential job doing strictly less work
+        n_words, est = count_with_bytes(wtok)
         toks = (
-            _word_join(occ, wtok, n_words, BROADCAST_MAX_WORDS)
+            _word_join(occ, wtok, n_words, BROADCAST_MAX_WORDS, est_bytes=est)
             .groupBy("file", "source")
             .agg(F.sum("__ntw").alias("n_tokens"))
         )
