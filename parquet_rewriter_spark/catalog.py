@@ -5044,7 +5044,11 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> array_join(slice(split(text, ' '), i, 8), ' ')) "
         "ELSE array() END"
     )
-    grams = d.select("doc_id", F.explode(g8).alias("g8")).distinct()
+    # no shared pre-distinct on the exploded grams: bench dedups
+    # itself below and the hits aggregate counts DISTINCT grams, so
+    # the (doc_id, g8) distinct was a full shuffle of the gram
+    # explosion buying nothing (guide §2.4)
+    grams = d.select("doc_id", F.explode(g8).alias("g8"))
     bench = grams.filter(F.col("doc_id") % 10 == 0).select("g8").distinct()
     train = grams.filter(F.col("doc_id") % 10 != 0)
     hits = (
@@ -17579,7 +17583,12 @@ def pretraining_pipeline_end_to_end(
         .select(F.explode(g8).alias("g8"))
         .distinct()
     )
-    tgrams = uniq.select("doc_id", F.explode(g8).alias("g8")).distinct()
+    # no pre-distinct on the exploded training grams: the broadcast
+    # join is a map-side filter and the doc_id distinct below already
+    # dedups — a (doc_id, g8) distinct first would shuffle the ENTIRE
+    # gram explosion just to shrink a join that never shuffles
+    # (guide §2.4 — a distinct on data whose dups don't matter)
+    tgrams = uniq.select("doc_id", F.explode(g8).alias("g8"))
     contaminated = (
         tgrams.join(F.broadcast(bgrams), "g8").select("doc_id").distinct()
     )

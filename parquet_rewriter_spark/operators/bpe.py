@@ -537,6 +537,7 @@ def assemble_doc_ids(
     n_words: int,
     broadcast_threshold: int = BROADCAST_MAX_WORDS,
     pretokenize: bool = False,
+    est_bytes: int | None = None,
 ) -> DataFrame:
     """Corpus-side half of every tokenizer family's encode path,
     shared by BPE/WordPiece/unigram: documents' word occurrences join
@@ -552,7 +553,8 @@ def assemble_doc_ids(
         F.col(id_col).alias("id"), F.posexplode(wlist).alias("wpos", "word")
     )
     return (
-        _word_join(words, word_ids, n_words, broadcast_threshold)
+        _word_join(words, word_ids, n_words, broadcast_threshold,
+                   est_bytes=est_bytes)
         .groupBy("id")
         .agg(
             F.flatten(
@@ -719,10 +721,14 @@ def encode_docs_with_rules(
             ).alias("ids")
         )
     )
-    n_words = wc.count()
+    # ONE job: word_ids is 1:1 with wc, so counting IT delivers the
+    # distinct-word count AND the byte-gate estimate the word join
+    # needs (count_with_bytes) — the former count + separate sampled
+    # probe paid two sequential jobs over the same subtree
+    n_words, est = count_with_bytes(word_ids)
     return assemble_doc_ids(
         df, id_col, text_col, word_ids, n_words, broadcast_threshold,
-        pretokenize=pretokenize,
+        pretokenize=pretokenize, est_bytes=est,
     )
 
 

@@ -78,7 +78,11 @@ def connected_components(
     if nodes is not None:
         ids = ids.unionByName(nodes.select(F.col(id_col).alias("id"))).distinct()
 
-    labels = ids.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    # LAZY checkpoint: the plan is truncated at definition (the
+    # DataFrame is a LogicalRDD from here on) but materialization rides
+    # the convergence aggregate's job — one action per round instead of
+    # checkpoint + aggregate (each action is a full scheduler barrier)
+    labels = ids.select("id", F.col("id").alias("comp")).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     if prev_sum is None:  # empty graph
         sym.unpersist()
@@ -90,18 +94,20 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # eager checkpoint: materializes this round AND truncates the
-        # doubled-lineage plan (see module docstring timing)
+        # lazy checkpoint: truncates the doubled-lineage plan at
+        # definition (see module docstring timing); the round
+        # materializes inside the convergence aggregate's job below
         labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # labels only ever decrease, so the fixpoint is exactly
-        # "sum unchanged" — one scalar agg over the checkpointed rows
+        # "sum unchanged" — ONE job materializes the round's labels and
+        # folds the scalar
         new_sum = labels.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:
             sym.unpersist()

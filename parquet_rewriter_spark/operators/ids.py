@@ -57,11 +57,12 @@ def assign_contiguous_ids(
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
-        # eager: exactly ONE materialization decides both the range
-        # boundaries and the frozen pids (RangePartitioner re-samples
-        # per job otherwise). Cost = one executor-local write of the
-        # already-shuffled data, not a second shuffle.
+        .localCheckpoint(eager=False)
+        # checkpoint: exactly ONE materialization decides both the
+        # range boundaries and the frozen pids (RangePartitioner
+        # re-samples per job otherwise). LAZY: the counts collect
+        # below materializes it inside its own job — same single
+        # materialization, one fewer scheduler barrier.
     )
     counts = {
         r["p"]: r["c"]

@@ -81,19 +81,26 @@ def _check_unique_key(table: SortedTable, m: Manifest, pkey: str) -> None:
         *[os.path.join(table.path, e.name) for e in m.files]
     )
     col = table.apply_dv(df, m).select(F.col(pkey).alias("__k"))
-    bad = (
-        col.groupBy("__k").count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
+    # ONE pass answers both preconditions: the duplicate check needed
+    # the full per-key groupBy anyway (a limit(1) after a groupBy
+    # still pays the whole shuffle), and the null probe folds into the
+    # same aggregate instead of a second full scan
+    row = (
+        col.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.max(F.when(F.col("__c") > 1, F.col("__k"))).alias("dup_example"),
+            F.max((F.col("__c") > 1).cast("int")).alias("has_dup"),
+            F.max(F.col("__k").isNull().cast("int")).alias("has_null"),
+        )
+        .collect()[0]
     )
-    if bad:
+    if row["has_dup"]:
         raise ValueError(
             f"rekey: column {pkey!r} is not unique "
-            f"(e.g. key={bad[0]['__k']!r}); a SortedTable key must be"
+            f"(e.g. key={row['dup_example']!r}); a SortedTable key must be"
         )
-    nulls = col.filter(F.col("__k").isNull()).limit(1).collect()
-    if nulls:
+    if row["has_null"]:
         raise ValueError(f"rekey: column {pkey!r} has NULLs; a key cannot")
 
 

@@ -352,6 +352,7 @@ def unigram_encode_docs(
     from parquet_rewriter_spark.operators.bpe import (
         BROADCAST_MAX_WORDS,
         assemble_doc_ids,
+        count_with_bytes,
     )
 
     if broadcast_threshold is None:
@@ -395,10 +396,14 @@ def unigram_encode_docs(
             lambda s: s.piece_id,
         ).alias("ids")
     )
-    n_words = wc.count()
+    # ONE job: word_ids is 1:1 with wc, so counting IT delivers the
+    # distinct-word count AND the byte-gate estimate the word join
+    # needs (count_with_bytes) — the former count + separate sampled
+    # probe paid two sequential jobs over the same subtree
+    n_words, est = count_with_bytes(word_ids)
     return assemble_doc_ids(
         df, id_col, text_col, word_ids, n_words, broadcast_threshold,
-        pretokenize=pretokenize,
+        pretokenize=pretokenize, est_bytes=est,
     )
 
 
