@@ -19557,9 +19557,13 @@ def epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    total = int(stats.agg(F.sum("n_tokens")).first()[0])
+    # ONE corpus aggregation: collect the |sources|-row stats, total
+    # driver-side, plan over the LOCAL relation (schema preserved)
+    stat_rows = stats.collect()
+    total = sum(int(r["n_tokens"]) for r in stat_rows)
     plan = plan_epoch_mixture(
-        stats, (total * 15) // 10, max_epochs_micro=2_500_000
+        spark.createDataFrame(stat_rows, stats.schema),
+        (total * 15) // 10, max_epochs_micro=2_500_000,
     )
     out = plan.select(
         "source",
@@ -19679,9 +19683,15 @@ def epoch_plan_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    total = int(stats.agg(F.sum("n_tokens")).first()[0])
+    # ONE corpus aggregation: collect the |sources|-row stats, derive
+    # the budget total driver-side, and rebuild the stats as a LOCAL
+    # relation (schema preserved) for the planner — the former scalar
+    # first() + plan materialization each re-ran the corpus groupBy
+    stat_rows = stats.collect()
+    total = sum(int(r["n_tokens"]) for r in stat_rows)
+    stats_local = spark.createDataFrame(stat_rows, stats.schema)
     plan = plan_epoch_mixture(
-        stats, (total * 15) // 10, max_epochs_micro=2_500_000
+        stats_local, (total * 15) // 10, max_epochs_micro=2_500_000
     ).persist()
     try:
         pl = plan.select(
@@ -20100,9 +20110,16 @@ def quality_gated_budget_selection(spark: SparkSession, sf_dir: str) -> DataFram
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_tokens").alias("n_tokens"),
             )
-            total_kept = int(stats.agg(F.sum("n_tokens")).first()[0])
+            # ONE aggregation over the persisted kept: collect the
+            # |sources|-row stats, derive the budget driver-side, and
+            # rebuild the stats as a LOCAL relation for the planner —
+            # the scalar first() and the plan materialization each
+            # re-ran this groupBy
+            stat_rows = stats.collect()
+            total_kept = sum(int(r["n_tokens"]) for r in stat_rows)
             plan = token_budget_plan(
-                stats, budget_tokens=(total_kept * 6) // 10
+                spark.createDataFrame(stat_rows, stats.schema),
+                budget_tokens=(total_kept * 6) // 10,
             ).persist()
             try:
                 sel = sample_to_token_budget(kept, plan)
@@ -20798,9 +20815,15 @@ def epoch_shuffled_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    total = int(stats.agg(F.sum("n_tokens")).first()[0])
+    # ONE corpus aggregation: collect the |sources|-row stats, derive
+    # the budget total driver-side, and rebuild the stats as a LOCAL
+    # relation (schema preserved) for the planner — the former scalar
+    # first() + plan materialization each re-ran the corpus groupBy
+    stat_rows = stats.collect()
+    total = sum(int(r["n_tokens"]) for r in stat_rows)
+    stats_local = spark.createDataFrame(stat_rows, stats.schema)
     plan = plan_epoch_mixture(
-        stats, (total * 15) // 10, max_epochs_micro=2_500_000
+        stats_local, (total * 15) // 10, max_epochs_micro=2_500_000
     ).persist()
     try:
         sel = sample_with_epochs(d_tok, plan)
