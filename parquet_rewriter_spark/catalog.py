@@ -20919,6 +20919,26 @@ _VERIFY_FIRST = (
     "dpo_preference_pairs_report",
     "dpo_tokenized_records",
     "epoch_shuffled_consumption",
+    # optimization-round-touched code paths (bloom JVM probe;
+    # search-index bitmask stats + foldable pruning; cluster lazy
+    # checkpoints; rekey fused preconditions; encode-path fused byte
+    # gates; gram pre-distinct removal; clone-seeded replicas;
+    # persisted dup-corpus unions; pagerank collect_set edges)
+    "incremental_bm25_search",
+    "bloom_pointlookup_scan",
+    "ann_ivf_index_lifecycle",
+    "near_dup_doc_clusters",
+    "corpus_curation_pipeline",
+    "sort_order_evolution_scan",
+    "contamination_check",
+    "wordpiece_encode_sample",
+    "unigram_encode_sample",
+    "unigram_corpus_loglik",
+    "tokenizer_family_compression",
+    "doc_stable_ids",
+    "cross_source_contamination_matrix",
+    "part_copurchase_pagerank",
+    "replica_sync_scan",
     # round-12-touched code paths
     "q11_important_parts",
     "q15_top_supplier",
