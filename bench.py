@@ -345,7 +345,18 @@ def _reset_session_litter(spark) -> None:
     the same query 4× slower at position 60 than standalone). Clearing
     the cache, dropping consumed memory-sink views, and collecting
     Python refs (so the JVM ContextCleaner can reclaim checkpoints and
-    broadcasts) between queries removes the cross-query coupling."""
+    broadcasts) between queries removes the cross-query coupling.
+
+    The Python collect alone is NOT enough: ContextCleaner only reclaims
+    JVM-side blocks (localCheckpoint RDDs, broadcast relations, shuffle
+    state) when the DRIVER JVM garbage-collects, and a 16 GB heap can go
+    dozens of queries between full GCs. The accumulated blocks squeeze
+    unified memory and inflate exactly the widest hash-aggregation
+    plans (measured on an idle box, same tree: ngram_jaccard_pairs
+    10.8 s at bench position 42 vs 1.0 s with a JVM GC in this reset;
+    winnow 6.7 → 2.4 s, segment_dedup 3.8 → 0.6 s). An explicit
+    System.gc() per reset costs ~0.1 s and makes each timing reflect
+    the query's plan instead of its predecessors' litter."""
     import gc
 
     spark.catalog.clearCache()
@@ -353,6 +364,7 @@ def _reset_session_litter(spark) -> None:
         if t.name.startswith("mem_"):
             spark.catalog.dropTempView(t.name)
     gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
