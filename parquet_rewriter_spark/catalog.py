@@ -13810,6 +13810,7 @@ def _bpe_rules_encode_oracle(
     ),
     "llm-pipeline", "tokenizer", "bpe", "encode", "frozen",
 )
+@_clean_query
 def bpe_encode_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FROZEN-TOKENIZER encoding of a corpus DISJOINT from training —
     the production shape (train once, encode new data forever) that
@@ -14301,6 +14302,7 @@ _WP_FLAT = "flatten(list_transform(list_sort(list({'p': wpos, 'l': ids})), s -> 
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "encode",
 )
+@_clean_query
 def wordpiece_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece's actual pretraining deliverable — documents →
     piece-ID sequences (operators/wordpiece.py:wordpiece_encode_docs),
@@ -14348,6 +14350,7 @@ def wordpiece_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "packing", "pretraining",
 )
+@_clean_query
 def wordpiece_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WordPiece end-to-end pretraining pipeline — corpus → greedy
     piece-id encoding → packed-stream assignment → materialized
@@ -14367,17 +14370,14 @@ def wordpiece_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE persisted corpus scan shared by vocab selection and encoding
     # (at 100 TB each word_counts recompute is a full corpus scan);
     # settled + unpersisted so the query leaves no executor storage
+    # @_clean_query settles while wc and the encode path's persisted
+    # word_ids are hot, then sweeps both
     wc = word_counts(d, "text").persist()
-    try:
-        pieces = substring_vocab(
-            d, "text", max_piece_len=4, vocab_size=150, wc=wc
-        )
-        enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
-        return _settle(
-            spark, _scalarized_windows(enc, m=32, shards=4), "wp_packed"
-        )
-    finally:
-        wc.unpersist()
+    pieces = substring_vocab(
+        d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    )
+    enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
+    return _scalarized_windows(enc, m=32, shards=4)
 
 
 @query(
@@ -14483,6 +14483,7 @@ _WPM_WORD_IDS = """mpid AS (
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "marked", "encode",
 )
+@_clean_query
 def wordpiece_marked_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BERT-convention WordPiece encoding (Devlin 2019: bare pieces
     open a word, ``##`` pieces continue it — the marker that makes the
@@ -14552,6 +14553,7 @@ def wordpiece_marked_encode_sample(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "marked", "decode",
 )
+@_clean_query
 def wordpiece_marked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSLESS WordPiece round trip — the capability the unmarked
     family structurally lacks (without continuation markers, word
@@ -14570,38 +14572,36 @@ def wordpiece_marked_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.operators.bpe import word_counts
 
     d = _t(spark, sf_dir, "documents")
+    # @_clean_query settles while wc and the encode path's persisted
+    # word_ids are hot, then sweeps both
     wc = word_counts(d, "text").persist()  # shared corpus scan
-    try:
-        pieces = substring_vocab_marked(
-            d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    pieces = substring_vocab_marked(
+        d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    )
+    enc = wordpiece_encode_marked(d, "doc_id", "text", pieces, wc=wc)
+    dec = wordpiece_decode_docs(enc, "input_ids", pieces)
+    norm = d.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+            ),
+        ).alias("expect"),
+    )
+    return (
+        dec.join(norm, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("decoded") == F.col("expect"), 1).otherwise(0)
+            ).alias("n_exact"),
+            F.sum("n_tokens").alias("n_tokens"),
         )
-        enc = wordpiece_encode_marked(d, "doc_id", "text", pieces, wc=wc)
-        dec = wordpiece_decode_docs(enc, "input_ids", pieces)
-        norm = d.select(
-            "doc_id",
-            "source",
-            F.concat_ws(
-                " ",
-                F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-                ),
-            ).alias("expect"),
-        )
-        out = (
-            dec.join(norm, "doc_id")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(
-                    F.when(F.col("decoded") == F.col("expect"), 1).otherwise(0)
-                ).alias("n_exact"),
-                F.sum("n_tokens").alias("n_tokens"),
-            )
-            .orderBy("source")
-        )
-        return _settle(spark, out, "wpm_roundtrip")
-    finally:
-        wc.unpersist()
+        .orderBy("source")
+    )
 
 
 def _wordpiece_frozen_cte() -> str:
@@ -14637,6 +14637,7 @@ def _wordpiece_frozen_cte() -> str:
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "encode", "frozen",
 )
+@_clean_query
 def wordpiece_encode_holdout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FROZEN WordPiece encoding of a corpus disjoint from training
     (the BPE holdout discipline applied to the second family): the
@@ -15716,6 +15717,7 @@ def _unigram_word_ids_cte() -> str:
     """,
     "llm-pipeline", "tokenizer", "unigram", "encode",
 )
+@_clean_query
 def unigram_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM's pretraining deliverable — documents → maximum-
     likelihood piece-ID sequences (operators/unigram.py:
@@ -15825,6 +15827,7 @@ def stream_unigram_encoded_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     "llm-pipeline", "tokenizer", "unigram", "packing", "pretraining",
 )
+@_clean_query
 def unigram_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unigram-LM end-to-end pretraining pipeline — corpus →
     Viterbi piece-id encoding → packed fixed-32-token windows through
@@ -15839,15 +15842,12 @@ def unigram_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.operators.bpe import word_counts
 
     d = _t(spark, sf_dir, "documents")
+    # @_clean_query settles while wc and the encode path's persisted
+    # word_ids are hot, then sweeps both
     wc = word_counts(d, "text").persist()  # shared corpus scan
-    try:
-        stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
-        enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
-        return _settle(
-            spark, _scalarized_windows(enc, m=32, shards=4), "ug_packed"
-        )
-    finally:
-        wc.unpersist()
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
+    enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
+    return _scalarized_windows(enc, m=32, shards=4)
 
 
 @query(
@@ -16143,6 +16143,7 @@ def unigram_em_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "tokenizer", "unigram", "training", "registry", "encode",
 )
+@_clean_query
 def unigram_em_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE trainer→registry→encoder lifecycle in one query:
     EM-train the unigram inventory (2 rounds), persist the trained
@@ -16840,6 +16841,7 @@ def _wordpiece_pretok_oracle(max_doc: int = 15) -> str:
     _wordpiece_pretok_oracle(15),
     "llm-pipeline", "tokenizer", "wordpiece", "encode", "pretokenize",
 )
+@_clean_query
 def wordpiece_pretok_encode_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -16856,20 +16858,18 @@ def wordpiece_pretok_encode_sample(
     )
 
     d = _decorated_docs(spark, sf_dir)
+    # @_clean_query settles while wc and the encode path's persisted
+    # word_ids are hot, then sweeps both
     wc = word_counts(d, "text", pretokenize=True).persist()
-    try:
-        pieces = substring_vocab(
-            d, "text", max_piece_len=4, vocab_size=150, wc=wc
-        )
-        out = wordpiece_encode_docs(
-            d.filter(F.col("doc_id") < 15), "doc_id", "text", pieces,
-            pretokenize=True,
-        ).select(
-            "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
-        ).orderBy("doc_id")
-        return _settle(spark, out, "wp_pretok_enc")
-    finally:
-        wc.unpersist()
+    pieces = substring_vocab(
+        d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    )
+    return wordpiece_encode_docs(
+        d.filter(F.col("doc_id") < 15), "doc_id", "text", pieces,
+        pretokenize=True,
+    ).select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
 
 
 def _bpe_bytelevel_roundtrip_oracle(n_merges: int = 4) -> str:
@@ -17085,6 +17085,7 @@ def _bpe_bytelevel_frozen_oracle(n_merges: int = 4, max_doc: int = 30) -> str:
     _bpe_bytelevel_frozen_oracle(4, 30),
     "llm-pipeline", "tokenizer", "bpe", "byte-level", "frozen",
 )
+@_clean_query
 def bpe_bytelevel_holdout_no_unk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -17108,24 +17109,24 @@ def bpe_bytelevel_holdout_no_unk(
         d.filter(F.col("doc_id") % 2 == 0), "text",
         n_merges=4, pretokenize=True, byte_level=True,
     )
-    try:
-        hold = d.filter(
-            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 30)
-        ).select(
-            "doc_id", F.concat(F.col("text"), F.lit(" µ~")).alias("text")
-        )
-        out = encode_docs_with_rules(
-            hold, "doc_id", "text", rules, vocab, unk_id=-1,
-            pretokenize=True, byte_level=True, base_bytes=True,
-        ).select(
-            "doc_id",
-            _ids_digest("input_ids").alias("ids_digest"),
-            "n_tokens",
-            F.array_min("input_ids").cast("int").alias("min_id"),
-        ).orderBy("doc_id")
-        return _settle(spark, out, "bpe_frozen_bytes")
-    finally:
-        vocab.unpersist()
+    # @_clean_query settles while vocab AND the encode path's
+    # persisted word_ids cache are hot, then sweeps both (the manual
+    # try/finally form couldn't reach word_ids inside
+    # encode_docs_with_rules)
+    hold = d.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 30)
+    ).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" µ~")).alias("text")
+    )
+    return encode_docs_with_rules(
+        hold, "doc_id", "text", rules, vocab, unk_id=-1,
+        pretokenize=True, byte_level=True, base_bytes=True,
+    ).select(
+        "doc_id",
+        _ids_digest("input_ids").alias("ids_digest"),
+        "n_tokens",
+        F.array_min("input_ids").cast("int").alias("min_id"),
+    ).orderBy("doc_id")
 
 
 # -------------------------------------- round-11: EOS + doc-span packing
@@ -17289,6 +17290,7 @@ def bpe_packed_windows_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "packing", "pretraining", "eos",
 )
+@_clean_query
 def wordpiece_packed_windows_eos(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -17303,17 +17305,15 @@ def wordpiece_packed_windows_eos(
     )
 
     d = _t(spark, sf_dir, "documents")
+    # @_clean_query settles while wc and the encode path's persisted
+    # word_ids are hot, then sweeps both
     wc = word_counts(d, "text").persist()
-    try:
-        pieces = substring_vocab(
-            d, "text", max_piece_len=4, vocab_size=150, wc=wc
-        )
-        eos_id = pieces.count()
-        enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
-        out = _scalarized_windows_eos(enc, m=32, shards=4, eos_id=eos_id)
-        return _settle(spark, out, "wp_packed_eos")
-    finally:
-        wc.unpersist()
+    pieces = substring_vocab(
+        d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    )
+    eos_id = pieces.count()
+    enc = wordpiece_encode_docs(d, "doc_id", "text", pieces, wc=wc)
+    return _scalarized_windows_eos(enc, m=32, shards=4, eos_id=eos_id)
 
 
 @query(
@@ -17337,6 +17337,7 @@ def wordpiece_packed_windows_eos(
     """,
     "llm-pipeline", "tokenizer", "unigram", "packing", "pretraining", "eos",
 )
+@_clean_query
 def unigram_packed_windows_eos(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -17350,15 +17351,13 @@ def unigram_packed_windows_eos(
     )
 
     d = _t(spark, sf_dir, "documents")
+    # @_clean_query settles while wc and the encode path's persisted
+    # word_ids are hot, then sweeps both
     wc = word_counts(d, "text").persist()
-    try:
-        stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
-        eos_id = stats.count()
-        enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
-        out = _scalarized_windows_eos(enc, m=32, shards=4, eos_id=eos_id)
-        return _settle(spark, out, "ug_packed_eos")
-    finally:
-        wc.unpersist()
+    stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
+    eos_id = stats.count()
+    enc = unigram_encode_docs(d, "doc_id", "text", stats, wc=wc)
+    return _scalarized_windows_eos(enc, m=32, shards=4, eos_id=eos_id)
 
 
 # --------------------------------- round-11: end-to-end pretraining flagship
@@ -17526,6 +17525,7 @@ def _pretraining_pipeline_oracle(n_merges: int = 4, m: int = 64) -> str:
     "llm-pipeline", "pretraining", "curation", "tokenizer", "packing",
     "contamination", "dedup",
 )
+@_clean_query
 def pretraining_pipeline_end_to_end(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -17597,99 +17597,94 @@ def pretraining_pipeline_end_to_end(
         .filter(~is_bench)
         .persist()
     )
-    try:
-        rules, vocab = bpe_train(
-            clean.filter(F.col("doc_id") % 2 == 0), "text", n_merges=4
+    # cache release: @_clean_query settles the result while uniq /
+    # clean / vocab / enc / the encode path's word_ids cache are hot,
+    # then unpersists exactly the caches this body created — the
+    # nested try/finally form can't reach word_ids (it lives inside
+    # encode_docs_with_rules), the wrapper's RDD-id sweep can
+    rules, vocab = bpe_train(
+        clean.filter(F.col("doc_id") % 2 == 0), "text", n_merges=4
+    )
+    eos_id = symbol_vocab(vocab).count()
+    enc = encode_docs_with_rules(
+        clean, "doc_id", "text", rules, vocab, unk_id=-1
+    ).persist()
+    packed = pack_sequences(
+        with_eos(enc, "input_ids", eos_id),
+        "doc_id", F.size("input_ids"), max_tokens=64,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    )
+    win = materialize_packed(packed, "input_ids", 64)
+    wd = win.select(
+        "shard", "seq_id", _ids_digest("input_ids").alias("dig")
+    )
+    sh = wd.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_w"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_id", "dig"))
+                    ),
+                    lambda s: s.dig,
+                ),
+            )
+        ).alias("sd"),
+    )
+    gl = sh.agg(
+        F.sum("n_w").alias("n_windows"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("shard", "sd"))
+                    ),
+                    lambda s: s.sd,
+                ),
+            )
+        ).alias("windows_digest"),
+    )
+    # ONE base pass serves both raw and quality counts (a
+    # conditional aggregate) instead of two full scans of
+    # the with-dups union; n_unique reads the uniq cache
+    p_rq = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(
+            F.when((n_words >= 40) & (n_words <= 90), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_quality"),
+    )
+    p_u = uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    p_c = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean")
+    )
+    p_t = (
+        enc.join(clean.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum(F.size("input_ids")).alias("n_tokens"))
+    )
+    out = (
+        p_rq.join(p_u, "source", "left")
+        .join(p_c, "source", "left")
+        .join(p_t, "source", "left")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "n_windows",
+            "windows_digest",
         )
-        try:
-            eos_id = symbol_vocab(vocab).count()
-            enc = encode_docs_with_rules(
-                clean, "doc_id", "text", rules, vocab, unk_id=-1
-            ).persist()
-            try:
-                packed = pack_sequences(
-                    with_eos(enc, "input_ids", eos_id),
-                    "doc_id", F.size("input_ids"), max_tokens=64,
-                    shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
-                )
-                win = materialize_packed(packed, "input_ids", 64)
-                wd = win.select(
-                    "shard", "seq_id", _ids_digest("input_ids").alias("dig")
-                )
-                sh = wd.groupBy("shard").agg(
-                    F.count(F.lit(1)).alias("n_w"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.array_sort(
-                                    F.collect_list(F.struct("seq_id", "dig"))
-                                ),
-                                lambda s: s.dig,
-                            ),
-                        )
-                    ).alias("sd"),
-                )
-                gl = sh.agg(
-                    F.sum("n_w").alias("n_windows"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.array_sort(
-                                    F.collect_list(F.struct("shard", "sd"))
-                                ),
-                                lambda s: s.sd,
-                            ),
-                        )
-                    ).alias("windows_digest"),
-                )
-                # ONE base pass serves both raw and quality counts (a
-                # conditional aggregate) instead of two full scans of
-                # the with-dups union; n_unique reads the uniq cache
-                p_rq = base.groupBy("source").agg(
-                    F.count(F.lit(1)).alias("n_raw"),
-                    F.sum(
-                        F.when((n_words >= 40) & (n_words <= 90), 1)
-                        .otherwise(0)
-                    ).cast("long").alias("n_quality"),
-                )
-                p_u = uniq.groupBy("source").agg(
-                    F.count(F.lit(1)).alias("n_unique")
-                )
-                p_c = clean.groupBy("source").agg(
-                    F.count(F.lit(1)).alias("n_clean")
-                )
-                p_t = (
-                    enc.join(clean.select("doc_id", "source"), "doc_id")
-                    .groupBy("source")
-                    .agg(F.sum(F.size("input_ids")).alias("n_tokens"))
-                )
-                out = (
-                    p_rq.join(p_u, "source", "left")
-                    .join(p_c, "source", "left")
-                    .join(p_t, "source", "left")
-                    .crossJoin(F.broadcast(gl))
-                    .select(
-                        "source",
-                        "n_raw",
-                        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-                        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-                        F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
-                        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-                        "n_windows",
-                        "windows_digest",
-                    )
-                    .orderBy("source")
-                )
-                return _settle(spark, out, "pretraining_e2e")
-            finally:
-                enc.unpersist()
-        finally:
-            vocab.unpersist()
-    finally:
-        clean.unpersist()
-        uniq.unpersist()
+        .orderBy("source")
+    )
+    return out
 
 
 # ----------------------------------- round-11: token-count zone maps
@@ -17900,6 +17895,7 @@ def _unigram_unk_oracle(max_doc: int = 15) -> str:
     _unigram_unk_oracle(15),
     "llm-pipeline", "tokenizer", "unigram", "encode", "frozen", "unk",
 )
+@_clean_query
 def unigram_encode_unk_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FROZEN unigram tokenizer meeting characters training never saw
     — the trio's unk parity closed (BPE and WordPiece had it; unigram
@@ -17957,6 +17953,7 @@ def _unigram_pretok_oracle(max_doc: int = 15) -> str:
     _unigram_pretok_oracle(15),
     "llm-pipeline", "tokenizer", "unigram", "encode", "pretokenize",
 )
+@_clean_query
 def unigram_pretok_encode_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -17973,20 +17970,18 @@ def unigram_pretok_encode_sample(
     )
 
     d = _decorated_docs(spark, sf_dir)
+    # @_clean_query settles while wc and the encode path's persisted
+    # word_ids are hot, then sweeps both
     wc = word_counts(d, "text", pretokenize=True).persist()
-    try:
-        stats = piece_stats(
-            d, "text", max_piece_len=4, vocab_size=150, wc=wc
-        )
-        out = unigram_encode_docs(
-            d.filter(F.col("doc_id") < 15), "doc_id", "text", stats,
-            pretokenize=True,
-        ).select(
-            "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
-        ).orderBy("doc_id")
-        return _settle(spark, out, "ug_pretok_enc")
-    finally:
-        wc.unpersist()
+    stats = piece_stats(
+        d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    )
+    return unigram_encode_docs(
+        d.filter(F.col("doc_id") < 15), "doc_id", "text", stats,
+        pretokenize=True,
+    ).select(
+        "doc_id", _ids_digest("input_ids").alias("ids_digest"), "n_tokens"
+    ).orderBy("doc_id")
 
 
 # ------------------- round-12: frozen-tokenizer TOKEN accounting
@@ -19199,6 +19194,7 @@ def _unigram_bytelevel_oracle(max_doc: int = 30) -> str:
     _unigram_bytelevel_oracle(30),
     "llm-pipeline", "tokenizer", "unigram", "byte-level", "frozen",
 )
+@_clean_query
 def unigram_bytelevel_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-LEVEL UNIGRAM on a disjoint corpus carrying bytes training
     never saw (decorated punctuation/digits plus a ``µ~`` tail — µ is

@@ -724,7 +724,17 @@ def encode_docs_with_rules(
     # ONE job: word_ids is 1:1 with wc, so counting IT delivers the
     # distinct-word count AND the byte-gate estimate the word join
     # needs (count_with_bytes) — the former count + separate sampled
-    # probe paid two sequential jobs over the same subtree
+    # probe paid two sequential jobs over the same subtree.
+    # PERSISTED first: the gate job materializes the cache, so the
+    # encode join (and any later consumer of the returned plan) reads
+    # the distinct-word relation from storage instead of re-running
+    # the corpus-scale segmentation subtree (scan → word explode →
+    # distinct-word aggregate → n_merges replaces) a second time — at
+    # 100 TB that second pass is a full corpus shuffle. Callers own
+    # the release: catalog queries sweep it via @_clean_query /
+    # their settle-then-unpersist epilogue, the streaming encode
+    # sweeps per micro-batch.
+    word_ids = word_ids.persist()
     n_words, est = count_with_bytes(word_ids)
     return assemble_doc_ids(
         df, id_col, text_col, word_ids, n_words, broadcast_threshold,

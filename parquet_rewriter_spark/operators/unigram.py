@@ -399,7 +399,12 @@ def unigram_encode_docs(
     # ONE job: word_ids is 1:1 with wc, so counting IT delivers the
     # distinct-word count AND the byte-gate estimate the word join
     # needs (count_with_bytes) — the former count + separate sampled
-    # probe paid two sequential jobs over the same subtree
+    # probe paid two sequential jobs over the same subtree.
+    # PERSISTED first: the gate job materializes the cache, so the
+    # encode join reads it instead of re-running the distinct-word
+    # aggregate + Viterbi segmentation a second time (callers release
+    # it: @_clean_query sweep / streaming per-batch sweep).
+    word_ids = word_ids.persist()
     n_words, est = count_with_bytes(word_ids)
     return assemble_doc_ids(
         df, id_col, text_col, word_ids, n_words, broadcast_threshold,

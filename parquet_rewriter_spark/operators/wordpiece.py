@@ -254,7 +254,12 @@ def wordpiece_encode_docs(
     # ONE job: word_ids is 1:1 with wc, so counting IT delivers the
     # distinct-word count AND the byte-gate estimate the word join
     # needs (count_with_bytes) — the former count + separate sampled
-    # probe paid two sequential jobs over the same subtree
+    # probe paid two sequential jobs over the same subtree.
+    # PERSISTED first: the gate job materializes the cache, so the
+    # encode join reads it instead of re-running the distinct-word
+    # aggregate + Arrow segmentation a second time (callers release
+    # it: @_clean_query sweep / streaming per-batch sweep).
+    word_ids = word_ids.persist()
     n_words, est = count_with_bytes(word_ids)
     return assemble_doc_ids(
         df, id_col, text_col, word_ids, n_words, broadcast_threshold,
@@ -393,9 +398,17 @@ def wordpiece_encode_marked(
             ).alias("ids")
         )
     )
-    n_words = wc.count()
+    # same one-pass discipline as wordpiece_encode_docs: persist, then
+    # ONE fused count+byte-gate job over word_ids materializes the
+    # cache (replacing the former wc.count() pass AND the word join's
+    # separate sampled probe — three executions of the distinct-word +
+    # segmentation subtree down to one); callers release the cache
+    # (@_clean_query sweep / streaming per-batch sweep)
+    word_ids = word_ids.persist()
+    n_words, est = count_with_bytes(word_ids)
     return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold
+        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+        est_bytes=est,
     )
 
 

@@ -391,6 +391,18 @@ _HYGIENE_QUERIES = (
     "pretraining_pipeline_end_to_end",
     "unigram_pretok_encode_sample",
     "token_budget_auto_maintained",
+    # round-12 optimization: the encode ops now persist their
+    # distinct-word word_ids relation internally (the byte-gate job
+    # materializes it; the encode join reads the cache instead of
+    # re-running segmentation) — every catalog caller must sweep it
+    "bpe_encode_holdout_sample",
+    "wordpiece_encode_sample",
+    "wordpiece_marked_encode_sample",
+    "wordpiece_encode_holdout_sample",
+    "unigram_encode_sample",
+    "unigram_em_encode_sample",
+    "unigram_encode_unk_holdout",
+    "unigram_bytelevel_holdout",
     # formerly leaking (round-11 full-registry audit)
     "ann_lsh_retrieval_metrics",
     "bpe_encode_sample",

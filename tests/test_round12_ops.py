@@ -1272,3 +1272,64 @@ def test_prompt_completion_split_word_exact(spark):
     assert got[0]["prompt"] == "a b c"
     assert got[0]["completion"] == "d e f g"
     assert got[0]["prompt"] + " " + got[0]["completion"] == "a b c d e f g"
+
+
+# ---------------- round-12 optimization: one-execution encode paths
+
+
+def test_encode_word_ids_cached_and_join_reads_cache(spark):
+    """The frozen encode persists its distinct-word word_ids relation:
+    the byte-gate job materializes the cache, and the assembled encode
+    plan must READ it (InMemoryTableScan / InMemoryRelation) instead of
+    re-running the distinct-word + segmentation subtree — at scale that
+    second pass is a full corpus shuffle."""
+    from parquet_rewriter_spark.operators.bpe import (
+        bpe_train,
+        encode_docs_with_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 3} delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = {
+        int(r)
+        for r in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    rules, vocab = bpe_train(docs.filter(F.col("doc_id") % 2 == 0), "text",
+                             n_merges=2)
+    try:
+        enc = encode_docs_with_rules(
+            docs, "doc_id", "text", rules, vocab, unk_id=-1
+        )
+        plan = enc._jdf.queryExecution().executedPlan().toString()
+        assert "InMemory" in plan, plan[:2000]
+        # the persisted cache is real (new persistent RDD exists) ...
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        new_ids = [int(r) for r in jmap.keySet().toArray()
+                   if int(r) not in before]
+        assert new_ids
+        # ... and the encode result is unchanged by the caching
+        got = {(r["doc_id"], tuple(r["input_ids"])) for r in enc.collect()}
+        assert len(got) == 20
+        assert all(len(ids) > 0 for _, ids in got)
+    finally:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(False)
+
+
+def test_wordpiece_unigram_encode_cache_swept_by_clean_query(spark, sf_dir):
+    """WordPiece and unigram encode persist word_ids too — their
+    catalog queries must sweep it (the @_clean_query contract): run +
+    collect, then zero persistent RDDs."""
+    from parquet_rewriter_spark import catalog
+
+    for name in ("wordpiece_encode_sample", "unigram_encode_sample",
+                 "wordpiece_marked_encode_sample"):
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(False)
+        rows = catalog.get(name).fn(spark, sf_dir).collect()
+        assert rows, name
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0, name
