@@ -14243,6 +14243,7 @@ def wordpiece_segmentation_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "fertility",
 )
+@_clean_query
 def wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language fertility under the WordPiece inventory — the
     BPE-vs-WordPiece comparison every tokenizer study runs, computed
@@ -14398,6 +14399,7 @@ def wordpiece_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "tokenizer", "wordpiece", "registry", "storage",
 )
+@_clean_query
 def wordpiece_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece in the TOKENIZER REGISTRY: persist the piece
     inventory as a SortedTable (key=piece — zone maps, time travel; a
@@ -14414,27 +14416,23 @@ def wordpiece_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_rewriter_spark.operators.bpe import word_counts
 
     d = _t(spark, sf_dir, "documents")
+    # @_clean_query settles while wc and the fertility op's persisted
+    # segmented relation are hot, then sweeps both (the try/finally
+    # form couldn't reach the cache inside wordpiece_fertility_by)
     wc = word_counts(d, "text").persist()  # shared corpus scan
-    try:
-        pieces = substring_vocab(
-            d, "text", max_piece_len=4, vocab_size=150, wc=wc
-        )
-        base = _scratch("wp_registry")
-        pt = SortedTable.create(
-            spark, os.path.join(base, "pieces"), pieces, key="piece"
-        )
-        stored = pt.read()
-        n_vocab = stored.count()
-        out = wordpiece_fertility_by(d, "text", "lang", stored, wc=wc)
-        return _settle(
-            spark,
-            out.withColumn(
-                "vocab_rows", F.lit(int(n_vocab)).cast("int")
-            ).orderBy("lang"),
-            "wp_registry_rt",
-        )
-    finally:
-        wc.unpersist()
+    pieces = substring_vocab(
+        d, "text", max_piece_len=4, vocab_size=150, wc=wc
+    )
+    base = _scratch("wp_registry")
+    pt = SortedTable.create(
+        spark, os.path.join(base, "pieces"), pieces, key="piece"
+    )
+    stored = pt.read()
+    n_vocab = stored.count()
+    out = wordpiece_fertility_by(d, "text", "lang", stored, wc=wc)
+    return out.withColumn(
+        "vocab_rows", F.lit(int(n_vocab)).cast("int")
+    ).orderBy("lang")
 
 
 def _wordpiece_marked_cte() -> str:
@@ -15636,6 +15634,7 @@ def unigram_best_segmentations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm-pipeline", "tokenizer", "unigram", "scoring",
 )
+@_clean_query
 def unigram_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus log-likelihood per language under the unigram model —
     the quantity SentencePiece's EM maximizes, computed with the
@@ -15656,7 +15655,10 @@ def unigram_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150)
     wc = word_counts(d, "text")
-    segd = viterbi_segment_stats(wc, stats).select("word", "best_ll")
+    # persisted: the fused count/gate job materializes the cache, so
+    # the loglik join reads it instead of re-running the Viterbi
+    # segmentation (@_clean_query sweeps it after the settle)
+    segd = viterbi_segment_stats(wc, stats).select("word", "best_ll").persist()
     # one job: the distinct-word count (segd is 1:1 with wc) plus the
     # byte-gate estimate the word join needs
     n_words, est = count_with_bytes(segd)
@@ -15898,7 +15900,13 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stored = st.read()
         n_vocab = stored.count()
-        segd = viterbi_segment_stats(wc, stored).select("word", "best_ll")
+        # persisted: the fused count/gate job materializes the cache,
+        # so the loglik join reads it instead of re-running Viterbi
+        segd = (
+            viterbi_segment_stats(wc, stored)
+            .select("word", "best_ll")
+            .persist()
+        )
         # one job: the distinct-word count (segd is 1:1 with the
         # persisted wc, which materializes here) + the byte-gate probe
         n_words, est = count_with_bytes(segd)
@@ -15923,6 +15931,7 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _settle(spark, out, "ug_registry_rt")
     finally:
+        segd.unpersist()
         wc.unpersist()
 
 
@@ -16005,12 +16014,16 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules, vocab = bpe_train(d, "text", n_merges=4)
     try:
         bpe_rel = vocab_token_counts(vocab).withColumnRenamed("n_tokens", "n")
+        # wp/ug persisted: each family's fused count/gate job
+        # materializes its cache, so the compression join reads it
+        # instead of re-running the Arrow segmentation (bpe_rel reads
+        # the already-persisted vocab — no second cache needed)
         wp_rel = wordpiece_segment(
             wc, substring_vocab(d, "text", 4, 150, wc=wc)
-        ).select("word", F.col("n_pieces").alias("n"))
+        ).select("word", F.col("n_pieces").alias("n")).persist()
         ug_rel = viterbi_segment(
             wc, piece_stats(d, "text", 4, 150, wc=wc)
-        ).select("word", F.col("n_pieces").alias("n"))
+        ).select("word", F.col("n_pieces").alias("n")).persist()
         w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
         occ = d.select(F.explode(w).alias("word"))
         parts = []
@@ -16045,6 +16058,8 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("family")
         return _settle(spark, out, "tok_family")
     finally:
+        wp_rel.unpersist()
+        ug_rel.unpersist()
         vocab.unpersist()
         wc.unpersist()
 
@@ -16277,7 +16292,13 @@ def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = word_counts(d, "text").persist()
     try:
-        segd = viterbi_segment_stats(wc, trained).select("word", "best_ll")
+        # persisted: the fused count/gate job materializes the cache,
+        # so the loglik join reads it instead of re-running Viterbi
+        segd = (
+            viterbi_segment_stats(wc, trained)
+            .select("word", "best_ll")
+            .persist()
+        )
         # one job: distinct-word count (1:1 with the persisted wc,
         # which materializes here) + the byte-gate probe
         n_words, est = count_with_bytes(segd)
@@ -16296,6 +16317,7 @@ def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _settle(spark, out, "em_corpus_ll")
     finally:
+        segd.unpersist()
         wc.unpersist()
 
 

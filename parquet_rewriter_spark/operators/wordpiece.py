@@ -166,12 +166,16 @@ def wordpiece_fertility_by(
     (group, n_words, n_pieces, fertility)."""
     if wc is None:
         wc = word_counts(df, text_col)
-    segd = wordpiece_segment(wc, pieces).select("word", "n_pieces")
-    n_words = wc.count()
+    # persisted + ONE fused count/byte-gate job (segd is 1:1 with wc):
+    # the gate materializes the cache, so the fertility join reads it
+    # instead of re-running the distinct-word aggregate + greedy-match
+    # segmentation (callers sweep: @_clean_query contract)
+    segd = wordpiece_segment(wc, pieces).select("word", "n_pieces").persist()
+    n_words, est = count_with_bytes(segd)
     w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     occ = df.select(F.col(group_col).alias("grp"), F.explode(w).alias("word"))
     return (
-        _word_join(occ, segd, n_words, broadcast_threshold)
+        _word_join(occ, segd, n_words, broadcast_threshold, est_bytes=est)
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -403,6 +403,8 @@ _HYGIENE_QUERIES = (
     "unigram_em_encode_sample",
     "unigram_encode_unk_holdout",
     "unigram_bytelevel_holdout",
+    "unigram_corpus_loglik",
+    "wordpiece_fertility",
     # formerly leaking (round-11 full-registry audit)
     "ann_lsh_retrieval_metrics",
     "bpe_encode_sample",
