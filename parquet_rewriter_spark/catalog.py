@@ -20953,6 +20953,11 @@ _VERIFY_FIRST = (
     "unigram_encode_sample",
     "unigram_corpus_loglik",
     "tokenizer_family_compression",
+    # continuation: one-execution word_ids/segmentation caches
+    "wordpiece_marked_roundtrip",
+    "unigram_artifact_roundtrip",
+    "bpe_encode_holdout_sample",
+    "wordpiece_fertility",
     "doc_stable_ids",
     "cross_source_contamination_matrix",
     "part_copurchase_pagerank",
