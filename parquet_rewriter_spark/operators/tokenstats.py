@@ -109,9 +109,13 @@ def _load_rules(spark, rules_path: str) -> list[dict]:
     rows = (
         spark.read.parquet(rules_path)
         .select("step", "lhs", "rhs")
-        .orderBy("step")
         .collect()
     )
+    # learned order restored DRIVER-side: an .orderBy before the collect
+    # costs a whole extra AQE exchange job (3 sequential jobs total to
+    # fetch a rule-count-bounded relation); Python sorts the ≤n_merges
+    # rows in microseconds
+    rows.sort(key=lambda r: int(r["step"]))
     return [
         {"step": int(r["step"]), "lhs": r["lhs"], "rhs": r["rhs"],
          "merged": r["lhs"] + r["rhs"]}
@@ -152,55 +156,48 @@ def _build_for(
         )
         rows.write.mode("append").parquet(_sidecar(table))
         return len(names)
-    from parquet_rewriter_spark.operators.bpe import (
-        BROADCAST_MAX_WORDS,
-        _word_join,
-        apply_merges,
-        count_with_bytes,
-    )
+    from parquet_rewriter_spark.operators.bpe import apply_merges
 
     rules = _load_rules(spark, tokenizer.rules_path)
     occ = base.select("file", "source", F.explode("__words").alias("word"))
     wc = occ.select("word").distinct()
-    # persist the SEGMENTED per-word relation, not the raw words: the
-    # broadcast byte-gate samples it AND the join consumes it — an
-    # unpersisted wtok would run the Arrow re-segmentation twice
     seg = apply_merges(wc, rules, byte_level=tokenizer.byte_level)
     wtok = seg.select(
         "word",
         F.size(F.split(F.trim(F.col("sym")), " "))
         .cast("long")
         .alias("__ntw"),
-    ).persist()
-    try:
-        # ONE job delivers the materializing count AND the byte-gate
-        # estimate the word join needs (count_with_bytes) — the
-        # separate sampled to_json probe over the persisted relation
-        # was a second sequential job doing strictly less work
-        n_words, est = count_with_bytes(wtok)
-        toks = (
-            _word_join(occ, wtok, n_words, BROADCAST_MAX_WORDS, est_bytes=est)
-            .groupBy("file", "source")
-            .agg(F.sum("__ntw").alias("n_tokens"))
+    )
+    # UN-HINTED word join: the segmented relation is consumed by exactly
+    # one plan (the sidecar write below), so the former persist +
+    # count_with_bytes byte-gate — two extra SEQUENTIAL jobs plus a
+    # cache round-trip, run once per build — bought nothing but the
+    # broadcast decision, which AQE makes at runtime from the ACTUAL
+    # built size (small churn → broadcast; a 10⁹-distinct-word table
+    # build → shuffled join), strictly better informed than a sampled
+    # estimate. One action total: the write executes scan → Arrow
+    # re-segmentation → join → both aggregates in a single job.
+    toks = (
+        occ.join(wtok, "word")
+        .groupBy("file", "source")
+        .agg(F.sum("__ntw").alias("n_tokens"))
+    )
+    docs = base.groupBy("file", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    rows = (
+        docs.join(toks, ["file", "source"], "left")
+        .select(
+            "file",
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
         )
-        docs = base.groupBy("file", "source").agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
-        rows = (
-            docs.join(toks, ["file", "source"], "left")
-            .select(
-                "file",
-                "source",
-                "n_docs",
-                F.coalesce(F.col("n_tokens"), F.lit(0))
-                .cast("long")
-                .alias("n_tokens"),
-            )
-            .withColumn("spec", F.lit(sid))
-        )
-        rows.write.mode("append").parquet(_sidecar(table))
-    finally:
-        wtok.unpersist()
+        .withColumn("spec", F.lit(sid))
+    )
+    rows.write.mode("append").parquet(_sidecar(table))
     return len(names)
 
 
