@@ -11002,8 +11002,15 @@ def ann_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = IVFVectorIndex.create(
         spark, _scratch("ivf_index"), emb, n_cells=8, max_records_per_file=1024
     )
-    added = spark.createDataFrame(
-        [(10_000_000, qvec, -1)], "vec_id long, embedding array<float>, label int"
+    from parquet_rewriter_spark.operators.util import local_df
+
+    # size-aware local batch: a plain createDataFrame slices 1 row over
+    # every core and the whole add() mutation plan (Arrow assign, merge
+    # union, window, write) inherits 32-task stages to move one vector
+    added = local_df(
+        spark,
+        [(10_000_000, qvec, -1)],
+        "vec_id long, embedding array<float>, label int",
     )
     idx.add(added)
     idx.delete([1])

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from parquet_rewriter_spark.functions.vector import as_double, cosine
 from parquet_rewriter_spark.operators.similarity import ivf_assign, kmeans_centroids
+from parquet_rewriter_spark.operators.util import local_df
 from parquet_rewriter_spark.table import SortedTable
 
 CELL_BASE = 1 << 40  # composite key: cell * CELL_BASE + vec_id
@@ -221,19 +222,24 @@ class IVFVectorIndex:
         schema = self.table.read_physical().schema
         cols = [f.name for f in schema.fields] + ["op"]
 
-        ids_df = df.select(id_col).distinct()
         ids: list = []
         if distributed is None:
             # ONE bounded action decides the strategy AND delivers the
             # ids when small: collect capped just past the threshold
-            # (overflow row = go distributed). A separate count-then-
-            # collect pair costs two jobs + two codegen compiles.
-            head = ids_df.limit(DRIVER_LOCATE_IDS + 1).collect()
+            # (overflow row = go distributed). Probing the RAW id
+            # column — no .distinct() — keeps the probe a shuffle-free
+            # scan+limit (the distinct's exchange cost 2 sequential
+            # jobs and a 32-partition stage for a 1-row incremental
+            # batch); Python dedupes the driver-bounded head. A batch
+            # with more than the cap of raw rows goes distributed even
+            # if its distinct ids are few — at that size the
+            # distributed semi-join is proportionate anyway.
+            head = df.select(id_col).limit(DRIVER_LOCATE_IDS + 1).collect()
             distributed = len(head) > DRIVER_LOCATE_IDS
             if not distributed:
-                ids = [r[0] for r in head]
+                ids = sorted({r[0] for r in head})
         elif not distributed:
-            ids = [r[0] for r in ids_df.collect()]
+            ids = sorted({r[0] for r in df.select(id_col).collect()})
 
         if not distributed:
             # A re-added vector that STAYS in its cell keeps the same
@@ -252,11 +258,14 @@ class IVFVectorIndex:
             ) if ids else None
             stale: Any = []
             if located is not None:
+                # no .distinct() on the new-key side: the driver-side
+                # set comprehension below dedupes anyway, and the
+                # exchange cost a 32-partition stage per incremental add
                 fused = located.unionByName(
                     ups.select(
                         F.col(IDX_KEY).alias("__k"),
                         F.lit(False).alias("__stale"),
-                    ).distinct()
+                    )
                 ).collect()
                 new_keys = {r["__k"] for r in fused if not r["__stale"]}
                 stale = [
@@ -266,8 +275,8 @@ class IVFVectorIndex:
                 ]
             n_stale = len(stale)
             stale_df = (
-                self.spark.createDataFrame(
-                    [(k,) for k in stale], f"{IDX_KEY} long"
+                local_df(
+                    self.spark, [(k,) for k in stale], f"{IDX_KEY} long"
                 )
                 if stale
                 else None
@@ -277,6 +286,7 @@ class IVFVectorIndex:
             # lookup; exclude keys the upsert overwrites in place (same
             # cell) so delete/upsert key sets stay disjoint in-batch
             live = self.table.read_physical().select(IDX_KEY, id_col)
+            ids_df = df.select(id_col).distinct()
             stale_df = live.join(ids_df, id_col, "left_semi").join(
                 ups.select(IDX_KEY), IDX_KEY, "left_anti"
             ).select(IDX_KEY)
@@ -310,7 +320,7 @@ class IVFVectorIndex:
 
         base = self.table.read()
         dtypes = dict(base.dtypes)
-        dels = self.spark.createDataFrame([(k,) for k in keys], f"{IDX_KEY} long")
+        dels = local_df(self.spark, [(k,) for k in keys], f"{IDX_KEY} long")
         for fld in base.schema.fields:
             if fld.name != IDX_KEY:
                 dels = dels.withColumn(fld.name, F.lit(None).cast(dtypes[fld.name]))

@@ -83,7 +83,11 @@ def _hashed_values_rel(spark: SparkSession, col_type, values: Sequence[Any]):
     RELATION (not a collect) so the caller can fold the hashing into
     the same job as the sidecar membership test instead of paying a
     separate sequential job latency for a len(values)-row hash pass."""
-    df = spark.createDataFrame([(v,) for v in values], f"v {col_type}")
+    from parquet_rewriter_spark.operators.util import local_df
+
+    # size-aware slicing: probe sets are a handful of values, and a
+    # default createDataFrame would fan them over every core
+    df = local_df(spark, [(v,) for v in values], f"v {col_type}")
     return df.select(F.array(*_hash_exprs("v")).alias("__hs")).agg(
         F.collect_list("__hs").alias("all_hs")
     )

@@ -114,8 +114,10 @@ def estimate_distinct(table: "SortedTable", col: str) -> int | None:
     covered = sketched_files(table, col)
     if live - covered:
         return None
-    live_df = table.spark.createDataFrame(
-        [(n,) for n in sorted(live)], "file string"
+    from parquet_rewriter_spark.operators.util import local_df
+
+    live_df = local_df(
+        table.spark, [(n,) for n in sorted(live)], "file string"
     )  # join, not isin: a million-file manifest won't fit a literal IN list
     rows = (
         side.filter(F.col("col") == col)

@@ -74,9 +74,9 @@ def semi_join_files(
     if len(names) <= IN_LIST_MAX:
         return df.filter(F.col(col).isin(names))
     spark = df.sparkSession
-    names_df = spark.createDataFrame(
-        ((n,) for n in names), f"{col} string"
-    )
+    from parquet_rewriter_spark.operators.util import local_df
+
+    names_df = local_df(spark, [(n,) for n in names], f"{col} string")
     return df.join(F.broadcast(names_df), col, "left_semi")
 
 

