@@ -11090,21 +11090,30 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row count the join produced, and the edge SET is identical
     # (collect_set dedups within the order exactly as DISTINCT did)
     sets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    edges = (
+    pairs = (
         sets.select(F.explode("ps").alias("src"), "ps")
         .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    )
+    # ONE exchange builds the whole cached edge relation (r12 left
+    # four): hash-partition the raw pairs on the join key, then let
+    # every edge-scale step RIDE that partitioning — the (src, dst)
+    # dedup (HashPartitioning(src) satisfies the aggregate's
+    # ClusteredDistribution(src, dst): equal pairs share src), the
+    # out-degree as a whole-partition window count over src (no deg
+    # groupBy + join pass), and pr₀'s distinct-src seed below. The
+    # cache still reports hashpartitioning(src), so each iteration's
+    # contribution join shuffles only the small pr relation (pinned in
+    # test_plans.py).
+    e = (
+        pairs.repartition(F.col("src"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn(
+            "out_deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # pre-hash-partition the (src, dst, out_deg) relation ON THE JOIN
-    # KEY and cache that: InMemoryTableScan reports hashpartitioning
-    # (src), so every iteration's contribution join shuffles only the
-    # small pr relation — the edge relation is shuffled ONCE for the
-    # whole query, not once per iteration (pinned in test_plans.py)
-    e = edges.join(deg, "src").repartition(F.col("src")).persist()
-    pr = edges.select(F.col("src").alias("id")).distinct().withColumn("pr", F.lit(1.0))
+    pr = e.select(F.col("src").alias("id")).distinct().withColumn("pr", F.lit(1.0))
     for _ in range(_PR_ITERS):
         contrib = (
             e.join(pr, e.src == pr.id)
