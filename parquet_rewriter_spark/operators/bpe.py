@@ -261,7 +261,12 @@ def bpe_train(
     base = word_counts(df, text_col, pretokenize).select(
         "word", "cnt", _init_sym(byte_level).alias("sym")
     ).persist()
-    n_words = base.count()  # materialize: n_merges rounds reuse it
+    # materialize (n_merges rounds reuse the cache) and, in the SAME
+    # job, sample the relation's serialized width — encode/fertility
+    # callers need (count, bytes) for their broadcast gate, and reading
+    # both off this one action saves them a separate sampled probe job
+    # per call (guide §1.2)
+    n_words, est_bytes = count_with_bytes(base)
     vocab = base
     anchor = base  # the persisted/snapshotted ancestor `vocab` derives from
     rules: list[dict] = []
@@ -288,13 +293,30 @@ def bpe_train(
             anchor.unpersist()
             anchor = vocab
     if vocab is not anchor:
-        # hand the caller a SELF-persisted relation so vocab.unpersist()
-        # actually frees the cache (persisting the derivative reads the
-        # still-cached anchor once, then the anchor can go)
+        # hand the caller a relation whose .unpersist() frees EVERY
+        # cache training left behind, without a dedicated
+        # materialization job: the derivative is persisted LAZILY (the
+        # caller's first action fills it by reading the still-cached
+        # anchor), and this instance's unpersist is wrapped to release
+        # the anchor too. The former eager persist+count+
+        # anchor.unpersist freed the anchor ~n_merges replaces earlier
+        # at the price of one extra sequential job per training run;
+        # both relations are vocab-scale, so holding the anchor until
+        # release is cheap and the job is not.
         vocab = vocab.persist()
-        vocab.count()
-        anchor.unpersist()
+        _orig_unpersist = vocab.unpersist
+
+        def _unpersist_with_anchor(
+            blocking: bool = False,
+            _orig=_orig_unpersist,
+            _anchor=anchor,
+        ):
+            _anchor.unpersist(blocking)
+            return _orig(blocking)
+
+        vocab.unpersist = _unpersist_with_anchor
     vocab._pr_n_words = n_words  # distinct-word count, join-strategy hint
+    vocab._pr_est_bytes = est_bytes  # sampled width, broadcast byte gate
     # stamp the training normalization so encode paths can refuse a
     # silent flag mismatch (unseen words would just drop through the
     # inner word join, shrinking or vanishing docs with no error)
@@ -382,7 +404,8 @@ def fertility_by(
     vt = vocab_token_counts(vocab)
     n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
     return (
-        _word_join(occ, vt, n_words, broadcast_threshold)
+        _word_join(occ, vt, n_words, broadcast_threshold,
+                   est_bytes=getattr(vocab, "_pr_est_bytes", None))
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -607,9 +630,14 @@ def encode_docs(
         )
     )
     n_words = getattr(vocab, "_pr_n_words", None) or vocab.count()
+    # byte gate from training's fused sample (same row count; the vocab
+    # row's sym string bounds the ids array's width) — avoids a
+    # separate sampled probe job per encode call; reloaded vocabs
+    # without the stamp fall back to the probe
     return assemble_doc_ids(
         df, id_col, text_col, word_ids, n_words, broadcast_threshold,
         pretokenize=pretokenize,
+        est_bytes=getattr(vocab, "_pr_est_bytes", None),
     )
 
 
