@@ -356,7 +356,14 @@ def _reset_session_litter(spark) -> None:
     10.8 s at bench position 42 vs 1.0 s with a JVM GC in this reset;
     winnow 6.7 → 2.4 s, segment_dedup 3.8 → 0.6 s). An explicit
     System.gc() per reset costs ~0.1 s and makes each timing reflect
-    the query's plan instead of its predecessors' litter."""
+    the query's plan instead of its predecessors' litter.
+
+    LOCAL-MODE SCOPE: System.gc() collects only the driver JVM, which
+    in this bench's local mode IS the executor. On a real cluster the
+    same reset would leave executor-side blocks to each executor's own
+    GC cadence (trigger a dummy job per executor if an equivalent
+    reset is ever needed there); nothing in the timed loop depends on
+    that, the reset only exists to decouple LOCAL measurements."""
     import gc
 
     spark.catalog.clearCache()

@@ -78,6 +78,22 @@ def _settle(spark: SparkSession, out: DataFrame, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _rdd_snapshot(spark: SparkSession) -> set[int]:
+    """Persistent-RDD ids right now — pair with :func:`_sweep_rdds`."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(r) for r in jmap.keySet().toArray()}
+
+
+def _sweep_rdds(spark: SparkSession, before: set[int]) -> None:
+    """Unpersist every RDD cached since ``before`` — the catalog-query
+    hygiene sweep (bodies run alone in the bench/oracle drivers; ops
+    with external callers expose util.release_caches instead)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        if int(rid) not in before:
+            jmap.get(rid).unpersist(False)
+
+
 def _clean_query(fn):
     """Cache-hygiene wrapper for query bodies whose persists live
     INSIDE operator calls (splitters, dedup clusterers, graph loops)
@@ -90,13 +106,9 @@ def _clean_query(fn):
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        before = {int(r) for r in jmap.keySet().toArray()}
+        before = _rdd_snapshot(spark)
         res = _settle(spark, fn(spark, sf_dir), fn.__name__)
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in list(jmap.keySet().toArray()):
-            if int(rid) not in before:
-                jmap.get(rid).unpersist(False)
+        _sweep_rdds(spark, before)
         return res
 
     return wrapped
@@ -15908,6 +15920,8 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     wc = word_counts(d, "text").persist()  # shared corpus scan
+    segd = None  # bound before the try: an early throw must not
+    # NameError in finally (masking the real exception and leaking wc)
     try:
         stats = piece_stats(d, "text", max_piece_len=4, vocab_size=150, wc=wc)
         base = _scratch("ug_registry")
@@ -15947,7 +15961,8 @@ def unigram_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _settle(spark, out, "ug_registry_rt")
     finally:
-        segd.unpersist()
+        if segd is not None:
+            segd.unpersist()
         wc.unpersist()
 
 
@@ -16028,6 +16043,7 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     wc = word_counts(d, "text").persist()  # shared by all three families
     rules, vocab = bpe_train(d, "text", n_merges=4)
+    wp_rel = ug_rel = None  # guard: finally must not NameError early
     try:
         bpe_rel = vocab_token_counts(vocab).withColumnRenamed("n_tokens", "n")
         # wp/ug persisted: each family's fused count/gate job
@@ -16074,8 +16090,10 @@ def tokenizer_family_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("family")
         return _settle(spark, out, "tok_family")
     finally:
-        wp_rel.unpersist()
-        ug_rel.unpersist()
+        if wp_rel is not None:
+            wp_rel.unpersist()
+        if ug_rel is not None:
+            ug_rel.unpersist()
         vocab.unpersist()
         wc.unpersist()
 
@@ -16307,6 +16325,7 @@ def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", max_piece_len=4, seed_size=300, keep_size=150, n_rounds=2
     )
     wc = word_counts(d, "text").persist()
+    segd = None  # guard: finally must not NameError on an early throw
     try:
         # persisted: the fused count/gate job materializes the cache,
         # so the loglik join reads it instead of re-running Viterbi
@@ -16333,7 +16352,8 @@ def unigram_em_corpus_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _settle(spark, out, "em_corpus_ll")
     finally:
-        segd.unpersist()
+        if segd is not None:
+            segd.unpersist()
         wc.unpersist()
 
 
@@ -19232,7 +19252,6 @@ def _unigram_bytelevel_oracle(max_doc: int = 30) -> str:
     _unigram_bytelevel_oracle(30),
     "llm-pipeline", "tokenizer", "unigram", "byte-level", "frozen",
 )
-@_clean_query
 def unigram_bytelevel_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BYTE-LEVEL UNIGRAM on a disjoint corpus carrying bytes training
     never saw (decorated punctuation/digits plus a ``µ~`` tail — µ is
@@ -19254,6 +19273,12 @@ def unigram_bytelevel_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # undecorated: the body settles ONCE (the min_id assert needs the
+    # materialized result) and sweeps its own encode cache — stacking
+    # @_clean_query on top wrote the already-settled result to scratch
+    # a second time on every execution (one extra write job per
+    # bench/oracle run)
+    before = _rdd_snapshot(spark)
     stats = piece_stats(
         d.filter(F.col("doc_id") % 2 == 0), "text",
         max_piece_len=4, vocab_size=150, byte_level=True,
@@ -19271,6 +19296,7 @@ def unigram_bytelevel_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("input_ids").cast("int").alias("min_id"),
     ).orderBy("doc_id")
     res = _settle(spark, out, "ug_bytelevel_holdout")
+    _sweep_rdds(spark, before)
     # the guarantee itself, self-enforced: no unk anywhere
     assert res.where(F.col("min_id") < 0).count() == 0
     return res

@@ -51,6 +51,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from parquet_rewriter_spark.operators.util import attach_caches
+
 END = "</w>"
 
 # GPT-2-style PRETOKENIZATION (Radford et al. 2019's pattern, reduced
@@ -764,9 +766,12 @@ def encode_docs_with_rules(
     # sweeps per micro-batch.
     word_ids = word_ids.persist()
     n_words, est = count_with_bytes(word_ids)
-    return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
-        pretokenize=pretokenize, est_bytes=est,
+    return attach_caches(
+        assemble_doc_ids(
+            df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+            pretokenize=pretokenize, est_bytes=est,
+        ),
+        word_ids,
     )
 
 

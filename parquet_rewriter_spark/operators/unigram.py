@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from parquet_rewriter_spark.operators.bpe import word_counts
+from parquet_rewriter_spark.operators.util import attach_caches
 
 
 def hex_word(word_col: str = "word") -> "F.Column":
@@ -406,9 +407,12 @@ def unigram_encode_docs(
     # it: @_clean_query sweep / streaming per-batch sweep).
     word_ids = word_ids.persist()
     n_words, est = count_with_bytes(word_ids)
-    return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
-        pretokenize=pretokenize, est_bytes=est,
+    return attach_caches(
+        assemble_doc_ids(
+            df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+            pretokenize=pretokenize, est_bytes=est,
+        ),
+        word_ids,
     )
 
 

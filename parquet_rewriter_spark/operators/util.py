@@ -54,3 +54,26 @@ def local_df(spark, data, schema) -> DataFrame:
     return spark.createDataFrame(
         spark.sparkContext.parallelize(data, n), schema
     )
+
+
+def attach_caches(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Record internally-persisted relations on the RETURNED DataFrame
+    (``out._pr_caches``) so callers outside the catalog's sweep
+    decorators have a public release handle (:func:`release_caches`)
+    instead of enumerating the session's private persistent-RDD map.
+    Caches attached by upstream stages compose."""
+    out._pr_caches = list(caches) + list(getattr(out, "_pr_caches", []))
+    return out
+
+
+def release_caches(df: DataFrame) -> int:
+    """Unpersist every cache an operator attached to ``df`` via
+    :func:`attach_caches` — and ONLY those: a concurrent query's
+    persists or lineage-truncating localCheckpoints are never touched
+    (sweeping by persistent-RDD-id diff could drop another job's
+    blocks). Returns the number released; idempotent."""
+    caches = getattr(df, "_pr_caches", [])
+    for c in caches:
+        c.unpersist(False)
+    df._pr_caches = []
+    return len(caches)

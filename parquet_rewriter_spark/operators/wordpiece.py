@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from pyspark.sql import Window
 
+from parquet_rewriter_spark.operators.util import attach_caches
+
 from parquet_rewriter_spark.operators.bpe import (
     BROADCAST_MAX_WORDS,
     _word_join,
@@ -174,7 +176,7 @@ def wordpiece_fertility_by(
     n_words, est = count_with_bytes(segd)
     w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     occ = df.select(F.col(group_col).alias("grp"), F.explode(w).alias("word"))
-    return (
+    return attach_caches(
         _word_join(occ, segd, n_words, broadcast_threshold, est_bytes=est)
         .groupBy("grp")
         .agg(
@@ -186,7 +188,8 @@ def wordpiece_fertility_by(
             "n_words",
             "n_pieces",
             F.round(F.col("n_pieces") / F.col("n_words"), 4).alias("fertility"),
-        )
+        ),
+        segd,
     )
 
 
@@ -265,9 +268,12 @@ def wordpiece_encode_docs(
     # it: @_clean_query sweep / streaming per-batch sweep).
     word_ids = word_ids.persist()
     n_words, est = count_with_bytes(word_ids)
-    return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
-        pretokenize=pretokenize, est_bytes=est,
+    return attach_caches(
+        assemble_doc_ids(
+            df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+            pretokenize=pretokenize, est_bytes=est,
+        ),
+        word_ids,
     )
 
 
@@ -410,9 +416,12 @@ def wordpiece_encode_marked(
     # (@_clean_query sweep / streaming per-batch sweep)
     word_ids = word_ids.persist()
     n_words, est = count_with_bytes(word_ids)
-    return assemble_doc_ids(
-        df, id_col, text_col, word_ids, n_words, broadcast_threshold,
-        est_bytes=est,
+    return attach_caches(
+        assemble_doc_ids(
+            df, id_col, text_col, word_ids, n_words, broadcast_threshold,
+            est_bytes=est,
+        ),
+        word_ids,
     )
 
 

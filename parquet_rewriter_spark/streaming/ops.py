@@ -31,24 +31,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from parquet_rewriter_spark.sources.readers import ensure_events_readable, normalize_events_ts
+from parquet_rewriter_spark.operators.util import release_caches
 
 
 
-def _persistent_rdd_ids(df: DataFrame) -> set[int]:
-    """Snapshot the session's persistent RDD ids (cache-sweep helper
-    for per-micro-batch encode caches; see the ingest ops below)."""
-    jsc = df.sparkSession.sparkContext._jsc
-    return {int(r) for r in jsc.getPersistentRDDs().keySet().toArray()}
-
-
-def _sweep_new_rdds(df: DataFrame, before: set[int]) -> None:
-    """Unpersist every RDD cached since ``before`` — releases the
-    encode ops' internally-persisted per-batch word_ids relations so a
-    long-running ingest never accumulates executor storage."""
-    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
-    for rid in list(jmap.keySet().toArray()):
-        if int(rid) not in before:
-            jmap.get(rid).unpersist(False)
 
 
 def stream_table(
@@ -1119,22 +1105,25 @@ def stream_encode_docs(
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         # the encode op persists the batch's distinct-word relation
         # (its byte-gate job materializes it; the encode join then
-        # reads the cache instead of re-segmenting) — sweep it after
-        # the write so a long-running ingest never accumulates
-        # per-batch caches in executor storage
-        before = _persistent_rdd_ids(batch_df)
+        # reads the cache instead of re-segmenting) — release EXACTLY
+        # that cache after the write (attach_caches handle), in a
+        # finally so a failed batch write cannot leak it; a
+        # whole-session persistent-RDD diff sweep would also drop a
+        # concurrent query's caches/localCheckpoints
         out = encode_docs_with_rules(
             batch_df, id_col, text_col, rules,
             unk_id=unk_id, symbol_ids=frozen,
         )
-        (
-            out.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(sink_dir)
-        )
-        _sweep_new_rdds(batch_df, before)
+        try:
+            (
+                out.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(sink_dir)
+            )
+        finally:
+            release_caches(out)
 
     q = (
         stream.writeStream.foreachBatch(apply)
@@ -1177,20 +1166,21 @@ def stream_wordpiece_encode_docs(
     )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        # sweep the encode op's per-batch word_ids cache (see
-        # stream_bpe_encoded ingest above)
-        before = _persistent_rdd_ids(batch_df)
+        # release the encode op's per-batch word_ids cache via its
+        # attach_caches handle, in a finally (see the BPE ingest above)
         out = wordpiece_encode_docs(
             batch_df, id_col, text_col, frozen, unk_id=unk_id
         )
-        (
-            out.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(sink_dir)
-        )
-        _sweep_new_rdds(batch_df, before)
+        try:
+            (
+                out.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(sink_dir)
+            )
+        finally:
+            release_caches(out)
 
     q = (
         stream.writeStream.foreachBatch(apply)
@@ -1234,20 +1224,21 @@ def stream_unigram_encode_docs(
     )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        # sweep the encode op's per-batch word_ids cache (see
-        # stream_bpe_encoded ingest above)
-        before = _persistent_rdd_ids(batch_df)
+        # release the encode op's per-batch word_ids cache via its
+        # attach_caches handle, in a finally (see the BPE ingest above)
         out = unigram_encode_docs(
             batch_df, id_col, text_col, frozen, unk_id=unk_id
         )
-        (
-            out.withColumn("_epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(sink_dir)
-        )
-        _sweep_new_rdds(batch_df, before)
+        try:
+            (
+                out.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(sink_dir)
+            )
+        finally:
+            release_caches(out)
 
     q = (
         stream.writeStream.foreachBatch(apply)

@@ -98,3 +98,39 @@ def test_stats_track_deltas(spark, tmp_path):
     assert idx._read_stats() == {"n_docs": 3, "total_dl": 8}
     idx.remove(spark.createDataFrame([Row(doc_id=2)]))
     assert idx._read_stats() == {"n_docs": 2, "total_dl": 6}
+
+
+def test_overwrite_partitions_rewrites_with_fresh_file_names(spark, tmp_path):
+    """FS contract the emptied-bucket detection stands on (_mutate's
+    driver-side listing diff): a partition WRITTEN by
+    overwrite_partitions always comes back with FRESH part-file names
+    (task-UUID naming), so 'file set unchanged' is a reliable signal
+    for 'dynamic overwrite skipped this partition' (all postings
+    retracted). If a committer change ever preserved file names on
+    rewrite, emptied buckets would keep stale postings — this test
+    breaks first."""
+    from parquet_rewriter_spark.sources.sinks import overwrite_partitions
+
+    path = str(tmp_path / "part_table")
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c")], "bucket int, v string"
+    )
+    overwrite_partitions(df, path, ["bucket"])
+
+    def files_of(b: int) -> frozenset:
+        return frozenset(
+            f for f in os.listdir(os.path.join(path, f"bucket={b}"))
+            if not f.startswith(("_", "."))
+        )
+
+    before_0, before_1 = files_of(0), files_of(1)
+    assert before_0 and before_1
+    # rewrite bucket 0 with IDENTICAL content; bucket 1 untouched
+    overwrite_partitions(
+        df.filter(F.col("bucket") == 0), path, ["bucket"]
+    )
+    after_0, after_1 = files_of(0), files_of(1)
+    # the written partition carries fresh names — zero overlap
+    assert after_0 and not (after_0 & before_0), (before_0, after_0)
+    # the skipped partition is bit-for-bit untouched
+    assert after_1 == before_1
