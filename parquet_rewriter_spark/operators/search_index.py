@@ -233,40 +233,41 @@ class SearchIndex:
             fresh = self._postings_of(new_rows, _ID, "text").filter(
                 F.col("bucket").isin(buckets)
             )
-            from parquet_rewriter_spark.sources.sinks import overwrite_partitions
+            from parquet_rewriter_spark.sources.sinks import write_partitioned
 
-            # eager checkpoint: the refreshed buckets are read FROM the
-            # postings path we are about to overwrite — materializing
-            # them first (bounded: only the touched buckets) breaks the
-            # read-your-own-overwrite cycle Spark rejects
-            refreshed = (
-                kept.unionByName(fresh)
-                .select("bucket", "term", _ID, "tf", "dl")
-                .localCheckpoint(eager=True)
+            # ONE materialization: the refreshed buckets write straight
+            # to a temp root (underscore-prefixed — never listed as
+            # data) and the touched bucket DIRECTORIES swap in
+            # driver-side. The former shape paid the rows twice — an
+            # eager localCheckpoint job (to break the read-your-own-
+            # overwrite cycle) and then the dynamic-overwrite write —
+            # and detected all-retracted buckets with a listing diff
+            # that leaned on the committer's fresh-file-name contract.
+            # Writing besides the live path breaks the cycle for free,
+            # and an emptied bucket simply writes no partition dir, so
+            # the swap removes it: no second pass, no naming contract.
+            import uuid as _uuid
+
+            refreshed = kept.unionByName(fresh).select(
+                "bucket", "term", _ID, "tf", "dl"
             )
-
-            def _bucket_files(b: int) -> frozenset:
-                p = os.path.join(self._postings_path, f"bucket={b}")
-                try:
-                    return frozenset(os.listdir(p))
-                except OSError:
-                    return frozenset()
-
-            before = {b: _bucket_files(b) for b in buckets}
-            overwrite_partitions(refreshed, self._postings_path, ["bucket"])
-            # dynamic overwrite skips partitions absent from `refreshed`;
-            # a touched bucket whose postings ALL retracted must be
-            # dropped explicitly or its stale files survive. A written
-            # partition always carries FRESH part-file names (task
-            # UUIDs), so the live set falls out of a driver-side
-            # listing diff — no extra Spark job over the checkpoint.
-            emptied = [b for b in buckets if _bucket_files(b) == before[b]]
-            if emptied:
-                from parquet_rewriter_spark.sources.sinks import drop_partition_dirs
-
-                drop_partition_dirs(
-                    self.table.spark, self._postings_path, "bucket", emptied
-                )
+            tmp = os.path.join(
+                self.path, f"_postings-refresh-{_uuid.uuid4().hex}"
+            )
+            write_partitioned(refreshed, tmp, ["bucket"])
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            HPath = jvm.org.apache.hadoop.fs.Path
+            for b in buckets:
+                dst = HPath(f"{self._postings_path}/bucket={b}")
+                src = HPath(f"{tmp}/bucket={b}")
+                fs = dst.getFileSystem(hconf)
+                if fs.exists(dst):
+                    fs.delete(dst, True)
+                if fs.exists(src):
+                    fs.rename(src, dst)
+            tmp_p = HPath(tmp)
+            tmp_p.getFileSystem(hconf).delete(tmp_p, True)
 
         # stats deltas came from the same fused collect (no corpus scan)
         diff.unpersist()
